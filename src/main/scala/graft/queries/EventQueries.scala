@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table. These are the batch
+  * twins of the Structured Streaming pipeline in [[graft.streaming]]: the
+  * same tumbling-window / sessionization / latest-state semantics, written
+  * so a DuckDB oracle can verify them. The streaming versions share the
+  * column logic (see `graft.streaming.EventStream`).
+  *
+  * Scale notes: windowed aggregation groups on (bucket, type) — low
+  * cardinality → near-total map-side combine. Sessionization partitions by
+  * user_id; at 100 TB user_id is the shuffle key and skewed users are the
+  * risk — AQE skew-join/salting applies; the window itself is per-user
+  * sequential which is the semantic, not an artifact.
+  */
+object EventQueries {
+
+  /** Tumbling 1-hour window: count/sum per (window, event_type). */
+  def qHourlyRollup(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val qHourlyRollupSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  event_type, count(*) AS n, round(sum(value),2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** Latest event per user (argmax by ts): the "current state" table a
+    * streaming dedup-by-key would maintain. */
+  def qLatestPerUser(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      .orderBy(col("user_id"))
+  }
+
+  val qLatestPerUserSql: String =
+    """SELECT user_id, event_id, event_type,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+      |      FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Sessionization with a 30-minute inactivity gap: assign session ids via
+    * lag + cumulative sum, then aggregate per session. Batch twin of
+    * `flatMapGroupsWithState` session windows. */
+  def qSessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  val qSessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT *, (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_seq
+      |  FROM flagged)
+      |SELECT user_id, session_seq, count(*) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  round(sum(value),2) AS sum_value
+      |FROM sessions GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin
+
+  /** JSON prop extraction (the `props` column is a JSON blob, like the
+    * notebook/json handling in the reference: SURVEY §2 S4/P2). */
+  def qJsonProps(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(round(avg(col("k")), 2).as("avg_k"), max(col("k")).as("max_k"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  val qJsonPropsSql: String =
+    """SELECT event_type, round(avg(k),2) AS avg_k, max(k) AS max_k, count(*) AS n
+      |FROM (SELECT event_type, json_extract(props, '$.k')::INT AS k FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Sliding deltas: hour-over-hour event-count change per type (lag window). */
+  def qHourlyDelta(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    hourly
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"),
+        (col("n") - coalesce(col("prev_n"), lit(0))).as("delta"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val qHourlyDeltaSql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n,
+      |  n - coalesce(lag(n) OVER (PARTITION BY event_type ORDER BY h), 0) AS delta
+      |FROM hourly ORDER BY hour, event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_hourly_rollup" -> (qHourlyRollup _),
+    "ev_latest_per_user" -> (qLatestPerUser _),
+    "ev_sessionize" -> (qSessionize _),
+    "ev_json_props" -> (qJsonProps _),
+    "ev_hourly_delta" -> (qHourlyDelta _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ev_hourly_rollup" -> qHourlyRollupSql,
+    "ev_latest_per_user" -> qLatestPerUserSql,
+    "ev_sessionize" -> qSessionizeSql,
+    "ev_json_props" -> qJsonPropsSql,
+    "ev_hourly_delta" -> qHourlyDeltaSql,
+  )
+}

@@ -1,0 +1,290 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage over the TPC-H-ish driver tables: scans,
+  * filters (pushed down), projections, hash aggregations, broadcast +
+  * shuffle joins, semi/anti joins, windows, rollup, set ops, top-k.
+  *
+  * Scale notes (100 TB): every query here keeps its heavy side (lineitem /
+  * orders) shuffling on the natural join key only once; dimension tables
+  * (region, nation, supplier, part, customer at TPC-H ratios) are
+  * broadcast-hinted so the fact table never shuffles for them. Aggregates
+  * are all partial-agg friendly (sum/count/min/max/avg), so map-side
+  * combine cuts shuffle volume by the group-count ratio. Top-k uses
+  * orderBy+limit → TakeOrderedAndProject (no global sort).
+  *
+  * Doubles are rounded in BOTH the Spark query and the DuckDB oracle so the
+  * driver's hash compare is immune to non-associative float summation.
+  * Dates/timestamps are emitted as formatted strings for engine-neutral
+  * hashing.
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1-style pricing summary: filter → hash agg → sort. */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity),2) AS sum_qty,
+      |  round(sum(l_extendedprice),2) AS sum_base_price,
+      |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+      |  round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+      |  round(avg(l_quantity),2) AS avg_qty,
+      |  round(avg(l_extendedprice),2) AS avg_price,
+      |  round(avg(l_discount),4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q6-style: tight range filter fully pushed to the parquet scan. */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+  }
+
+  val q6Sql: String =
+    """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q3-style shipping priority: 3-way join → agg → top-10.
+    * customer is broadcast; orders⋈lineitem shuffles on orderkey once. */
+  def q3TopOrders(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val li   = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1996-03-15").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, o_orderpriority,
+      |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate > TIMESTAMP '1996-03-15'
+      |GROUP BY l_orderkey, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style: multi-join with two broadcast dims → per-nation revenue. */
+  def q5RegionRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val sup = Tables.supplier(s, d)
+    val nat = Tables.nation(s, d)
+    val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Left-semi join (EXISTS): orders having at least one late-shipped item. */
+  def qSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val late = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("2001-01-01").cast("timestamp"))
+      .select(col("l_orderkey"))
+    Tables.orders(s, d)
+      .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qSemiJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '2001-01-01')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  def qAntiJoin(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qAntiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Window function: top-3 orders per customer by totalprice. */
+  def qWindowTopOrders(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice_r"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val qWindowTopOrdersSql: String =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS o_totalprice_r, rn
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** GROUPING SETS via ROLLUP over returnflag/linestatus. */
+  def qRollup(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Distinct + count-distinct aggregates over part attributes. */
+  def qDistinctAgg(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d)
+      .groupBy(col("p_brand"))
+      .agg(
+        countDistinct(col("p_type")).as("n_types"),
+        countDistinct(col("p_size")).as("n_sizes"),
+        round(avg(col("p_retailprice")), 2).as("avg_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("p_brand"))
+  }
+
+  val qDistinctAggSql: String =
+    """SELECT p_brand, count(DISTINCT p_type) AS n_types,
+      |  count(DISTINCT p_size) AS n_sizes,
+      |  round(avg(p_retailprice),2) AS avg_price, count(*) AS n
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** Set op: UNION ALL of two filtered projections, then dedup via DISTINCT. */
+  def qUnionDistinct(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_nationkey").cast("int").as("nationkey"))
+    val b = Tables.supplier(s, d)
+      .filter(col("s_acctbal") > 1000)
+      .select(col("s_nationkey").cast("int").as("nationkey"))
+    a.unionByName(b).distinct()
+      .join(broadcast(Tables.nation(s, d)), col("nationkey") === col("n_nationkey"))
+      .select(col("nationkey"), col("n_name"))
+      .orderBy(col("nationkey"))
+  }
+
+  val qUnionDistinctSql: String =
+    """SELECT nationkey, n_name FROM (
+      |  SELECT DISTINCT nationkey FROM (
+      |    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+      |    UNION ALL
+      |    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 1000))
+      |JOIN nation ON nationkey = n_nationkey ORDER BY nationkey""".stripMargin
+
+  /** Correlated-scalar style: orders above their customer's average order value. */
+  def qAboveCustomerAvg(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val avgPerCust = ord.groupBy(col("o_custkey").as("ck"))
+      .agg(avg(col("o_totalprice")).as("avg_price"))
+    ord.join(avgPerCust, col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice") > col("avg_price") * 1.5)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice_r"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qAboveCustomerAvgSql: String =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS o_totalprice_r
+      |FROM orders o JOIN (
+      |  SELECT o_custkey AS ck, avg(o_totalprice) AS avg_price FROM orders GROUP BY 1) a
+      |ON o.o_custkey = a.ck
+      |WHERE o_totalprice > avg_price * 1.5 ORDER BY o_orderkey""".stripMargin
+
+  /** Date-dimension projection: year/month buckets with date functions. */
+  def qOrdersByMonth(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("yr"), col("mo"))
+  }
+
+  val qOrdersByMonthSql: String =
+    """SELECT year(o_orderdate)::INT AS yr, month(o_orderdate)::INT AS mo,
+      |  count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+      |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q3_top_orders" -> (q3TopOrders _),
+    "q5_region_revenue" -> (q5RegionRevenue _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_window_top_orders" -> (qWindowTopOrders _),
+    "q_rollup" -> (qRollup _),
+    "q_distinct_agg" -> (qDistinctAgg _),
+    "q_union_distinct" -> (qUnionDistinct _),
+    "q_above_customer_avg" -> (qAboveCustomerAvg _),
+    "q_orders_by_month" -> (qOrdersByMonth _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q6_forecast_revenue" -> q6Sql,
+    "q3_top_orders" -> q3Sql,
+    "q5_region_revenue" -> q5Sql,
+    "q_semi_join" -> qSemiJoinSql,
+    "q_anti_join" -> qAntiJoinSql,
+    "q_window_top_orders" -> qWindowTopOrdersSql,
+    "q_rollup" -> qRollupSql,
+    "q_distinct_agg" -> qDistinctAggSql,
+    "q_union_distinct" -> qUnionDistinctSql,
+    "q_above_customer_avg" -> qAboveCustomerAvgSql,
+    "q_orders_by_month" -> qOrdersByMonthSql,
+  )
+}
