@@ -19,11 +19,17 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++
-      EventQueries.queries
+      EventQueries.queries ++
+      TextQueries.queries ++
+      DedupQueries.queries ++
+      VectorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++
-      EventQueries.oracles
+      EventQueries.oracles ++
+      TextQueries.oracles ++
+      DedupQueries.oracles ++
+      VectorQueries.oracles
 }

@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text analysis for the training-data pipeline: tokenization,
+  * shingling, stable cross-engine hashing, fingerprinting, language ID and
+  * quality scoring. Everything here is pure `Column` composition (built-in
+  * + higher-order functions), so it stays inside whole-stage codegen and
+  * pushes down/prunes like any native expression — no UDFs.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text (empty text → empty array). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Normalized form used for exact-dup fingerprints: lowercase, collapsed
+    * whitespace. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Exact-duplicate fingerprint: md5 of the normalized text. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Stable 60-bit hash from md5 — identical value is computable in any
+    * engine with md5 + hex→int (DuckDB: `('0x'||substr(md5(s),1,15))::BIGINT`),
+    * which keeps hash-dependent operators (minhash/simhash) oracle-checkable. */
+  def stableHash64(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Word n-gram shingles (distinct): ["a b c", "b c d", ...]. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(
+          transform(sequence(lit(0), size(toks) - n),
+            i => array_join(slice(toks, i + 1, lit(n)), " "))))
+  }
+
+  /** Jaccard similarity of the distinct word n-gram shingle sets. */
+  def jaccardShingles(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union === 0, 0.0).otherwise(inter / union)
+  }
+
+  /** MinHash signature: for seeds 0..k-1, min over shingles of
+    * stableHash64(seed || shingle). Uses aggregate() so the signature is
+    * computed in one pass per seed without exploding rows. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingleCol, s => stableHash64(concat(lit(seed + ":"), s))))
+    }: _*)
+
+  /** SimHash (width-bit, default 60 to fit the stable hash): sign-sum of
+    * per-token hash bits. Deterministic + oracle-expressible. */
+  def simhash(tokenCol: Column, bits: Int = 60): Column = {
+    val hashes = transform(array_distinct(tokenCol), t => stableHash64(t))
+    val bitCols = (0 until bits).map { b =>
+      // +1 if bit b set in a majority of token hashes, else 0
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // --- Language ID (marker-word heuristic; SURVEY §7.7 "beyond-reference") ---
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "und", "die", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "los", "las", "es", "de"))
+
+  /** Count of tokens that are marker words for `lang`. */
+  def markerScore(tokenCol: Column, lang: String): Column = {
+    val set = markers.toMap.getOrElse(lang, Seq.empty)
+    size(filter(tokenCol, t => t.isin(set.map(lit(_)): _*)))
+  }
+
+  /** Heuristic language ID: argmax marker count with deterministic
+    * first-wins tie-break in marker order; "und" (undetermined) when no
+    * marker hits. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = markers.map { case (lang, _) => (lang, markerScore(toks, lang)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und")) { case ((lang, score), els) =>
+      when(score > 0 && score === best, lit(lang)).otherwise(els)
+    }
+  }
+
+  // --- Quality scoring (length/punct/stopword ratios) ---
+
+  /** Fraction of tokens that are ASCII-alphabetic words. */
+  def alphaTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => t.rlike("^[A-Za-z]+$"))).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Fraction of tokens that are English stopwords — crude fluency signal. */
+  def stopwordRatio(text: Column): Column = {
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    val toks = tokens(lower(text))
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => t.isin(stop.map(lit(_)): _*))).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession, SparkSessionExtensions}
+
+/** Column-API surface for the engine's vector math.
+  *
+  * `cosine(a, b)` is the one genuinely new scalar the reference needs
+  * (SURVEY §2.9): everything else (dot products, norms) stays expressible
+  * with built-in higher-order functions, but cosine sits in the hot path of
+  * every retrieval/top-k query, so it gets a codegen'd Catalyst expression.
+  */
+object VectorFunctions {
+
+  /** Cosine similarity of two ArrayType(Float|Double) columns (codegen'd). */
+  def cosine(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSimilarity(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Register SQL names on a live session (for sessions built without
+    * [[graft.GraftExtensions]], e.g. the driver-owned one in `entry`). */
+  def register(spark: SparkSession): Unit = {
+    spark.udf // force session init
+    Registration.builders.foreach { case (name, info, builder) =>
+      org.apache.spark.sql.GraftFunctionRegistry.register(spark, name, info, builder)
+    }
+  }
+
+  private[graft] object Registration {
+    val builders: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+      ("cosine_sim",
+        new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+        (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+  }
+}
+
+/** `SparkSessionExtensions` entry point: sessions built with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * get the engine's SQL functions natively. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    VectorFunctions.Registration.builders.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+  }
+}

@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table — the core
+  * training-data-pipeline capability (exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash). Every variant is written as it would run at 100 TB:
+  *
+  *  - exact: one hash-agg on a 128-bit fingerprint (map-side combinable);
+  *  - jaccard: inverted-index self-join on shingles (shuffle keyed by
+  *    shingle, never by document pair), so cost is Σ postings² per shingle
+  *    rather than n²;
+  *  - minhash: signature per doc (narrow), LSH banding join (shuffle keyed
+  *    by band bucket), then exact verification of the candidate pairs only;
+  *  - simhash: 60-bit signature, band-blocked hamming join — the 4-band
+  *    split is exhaustive for distance ≤ 3 by pigeonhole, so it's exact
+  *    while joining on 15-bit buckets instead of n².
+  */
+object DedupQueries {
+
+  private val JaccardThreshold = 0.8
+
+  /** Exact dedup: fingerprint → keep-min-id, report group sizes. */
+  def qDedupExact(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_unique"),
+        sum(when(col("n_copies") > 1, 1).otherwise(0)).as("n_dup_groups"),
+        sum(col("n_copies") - 1).as("n_removed"))
+  }
+
+  val qDedupExactSql: String =
+    """WITH fp AS (
+      |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |    min(doc_id) AS keep_id, count(*) AS n_copies
+      |  FROM documents GROUP BY 1)
+      |SELECT count(*) AS n_unique,
+      |  sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
+      |  sum(n_copies - 1)::BIGINT AS n_removed
+      |FROM fp""".stripMargin
+
+  /** Shared shingle relation: (doc_id, shingle) distinct word-3-grams. */
+  private def shingleRel(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Exact near-dup via inverted-index join on shingles (the oracle-exact
+    * path; MinHash below approximates then verifies to the same output). */
+  def qDedupJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRel(s, d)
+    val posting = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val cnt = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val inter = posting.as("a")
+      .join(posting.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("ca.n") + col("cb.n") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle for both qDedupJaccard and qDedupMinhashLsh. */
+  val qDedupJaccardSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)])) s
+      |  FROM tok WHERE len(w) >= 3),
+      |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id i, b.doc_id j, count(*) inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT i AS doc_a, j AS doc_b,
+      |  round(inter / (ca.n + cb.n - inter)::DOUBLE, 4) AS jaccard
+      |FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+      |WHERE inter / (ca.n + cb.n - inter)::DOUBLE >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash + LSH banding + exact verification. 64 hashes / 16 bands × 4
+    * rows → P(miss | J=0.8) ≈ 2e-4, ~0 at the J≥0.98 pairs present in the
+    * data; verification makes accepted pairs exact, so the output matches
+    * the exact-Jaccard oracle. */
+  def qDedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val numHashes = 64
+    val bands = 16
+    val rows = numHashes / bands // 4
+    val sh = shingleRel(s, d)
+
+    // base hash per shingle once; k permutations by re-hashing with the
+    // seed (xxhash64 — overflow-free under ANSI, cheap per seed).
+    val baseHashes = transform(col("sh"), x => stableHash64(x))
+    val sig = array((0 until numHashes).map { k =>
+      array_min(transform(baseHashes, h => xxhash64(h, lit(k))))
+    }: _*)
+    val signed = sh.select(col("doc_id"), col("sh"), sig.as("sig"))
+
+    // LSH: explode into (band_idx, band_key) buckets; pair within bucket.
+    val banded = signed.select(
+      col("doc_id"), col("sh"),
+      posexplode(array((0 until bands).map { bi =>
+        array_join(transform(slice(col("sig"), bi * rows + 1, rows), _.cast("string")), "-")
+      }: _*)).as(Seq("band_idx", "band_key")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    // exact verification on candidates only
+    cand
+      .withColumn("jaccard", jaccardShingles(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dup: 60-bit signatures, hamming ≤ 3, band-blocked join
+    * (4 × 15-bit bands; pigeonhole-complete for distance ≤ 3). Oracle
+    * recomputes the identical signature in SQL via the md5-based stable
+    * hash, so the check is value-exact, not just count-exact. */
+  def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val maxDist = 3
+    val nBands = 4
+    val bandBits = 15
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), simhash(tokens(col("text"))).as("sig"))
+
+    val banded = docs.select(
+      col("doc_id"), col("sig"),
+      posexplode(array((0 until nBands).map { bi =>
+        shiftright(col("sig"), bi * bandBits).bitwiseAND((1L << bandBits) - 1)
+      }: _*)).as(Seq("band_idx", "band_key")))
+
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("dist", hamming(col("sig_a"), col("sig_b")).cast("int"))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qDedupSimhashSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) t
+      |  FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT hv FROM tok),
+      |bits AS (
+      |  SELECT doc_id, bb.b,
+      |    sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) v
+      |  FROM h, (SELECT unnest(range(60)) b) bb GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT sig
+      |  FROM bits GROUP BY 1)
+      |SELECT a.doc_id doc_a, b.doc_id doc_b,
+      |  bit_count(xor(a.sig, b.sig))::INT dist
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> (qDedupExact _),
+    "dd_jaccard" -> (qDedupJaccard _),
+    "dd_minhash_lsh" -> (qDedupMinhashLsh _),
+    "dd_simhash" -> (qDedupSimhash _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dd_exact" -> qDedupExactSql,
+    "dd_jaccard" -> qDedupJaccardSql,
+    "dd_minhash_lsh" -> qDedupJaccardSql, // same contract: verified exact pairs
+    "dd_simhash" -> qDedupSimhashSql,
+  )
+}

@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: tokenization,
+  * quality scoring, language ID, fingerprinting, chunking and rollup
+  * (SURVEY §2.4 C2-C4 / §2.6 A1 re-expressed over the driver tables, plus
+  * the beyond-reference text-pipeline ops).
+  *
+  * All pure Column programs — no UDFs — so they run inside whole-stage
+  * codegen and scale linearly with input splits; nothing here shuffles
+  * except the rollup (one hash-agg keyed by doc_id).
+  */
+object TextQueries {
+
+  /** Per-document profile: token stats, quality ratios, language ID,
+    * exact-dup fingerprint. */
+  def qTextProfile(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      round(meanTokenLen(col("text")), 4).as("mean_tok_len"),
+      round(alphaTokenRatio(col("text")), 4).as("alpha_ratio"),
+      round(stopwordRatio(col("text")), 4).as("stopword_ratio"),
+      langId(col("text")).as("lang_id"),
+      fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextProfileSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(text), '\s+') w,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') lw,
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') norm
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, w, lw, norm,
+      |    len(list_filter(lw, x -> x IN ('the','and','of','to','is'))) s_en,
+      |    len(list_filter(lw, x -> x IN ('der','und','die','das','ist'))) s_de,
+      |    len(list_filter(lw, x -> x IN ('le','la','et','les','est'))) s_fr,
+      |    len(list_filter(lw, x -> x IN ('el','los','las','es','de'))) s_es
+      |  FROM t)
+      |SELECT doc_id,
+      |  len(w) AS n_tokens,
+      |  round(list_aggregate(list_transform(w, x -> length(x)), 'sum') / len(w)::DOUBLE, 4) AS mean_tok_len,
+      |  round(len(list_filter(w, x -> regexp_full_match(x, '[A-Za-z]+'))) / len(w)::DOUBLE, 4) AS alpha_ratio,
+      |  round(len(list_filter(lw, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) / len(lw)::DOUBLE, 4) AS stopword_ratio,
+      |  CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+      |       WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+      |       WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+      |       WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+      |       ELSE 'und' END AS lang_id,
+      |  md5(norm) AS fp
+      |FROM scored ORDER BY doc_id""".stripMargin
+
+  /** Fixed char-window chunker (C2/C3 semantics: window 200 chars, stride
+    * 150 → 50-char overlap), as a generator over sequence() — flatMap
+    * expressed relationally so Catalyst can pipeline it. */
+  def qChunkDocs(s: SparkSession, d: String): DataFrame = {
+    val starts = sequence(lit(1), greatest(length(col("text")), lit(1)), lit(150))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        explode(starts).as("chunk_start"))
+      .select(col("doc_id"), col("chunk_start"),
+        col("text").substr(col("chunk_start"), lit(200)).as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_start"))
+  }
+
+  val qChunkDocsSql: String =
+    """SELECT doc_id, st AS chunk_start, substr(text, st, 200) AS chunk
+      |FROM documents, LATERAL (
+      |  SELECT unnest(generate_series(1, greatest(length(text), 1), 150)) st) starts
+      |ORDER BY doc_id, chunk_start""".stripMargin
+
+  /** Rollup (A1 semantics): reassemble chunks per doc in order, truncate —
+    * ordered concat via array_sort(collect_list(struct)) so the agg stays a
+    * single hash aggregation (no window + no second shuffle). */
+  def qRollupChunks(s: SparkSession, d: String): DataFrame = {
+    qChunkDocs(s, d)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_chunks"),
+        substring(array_join(
+          transform(array_sort(collect_list(struct(col("chunk_start"), col("chunk")))),
+            x => x.getField("chunk")), " | "), 1, 300).as("preview"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qRollupChunksSql: String =
+    """WITH chunks AS (
+      |  SELECT doc_id, st, substr(text, st, 200) AS chunk
+      |  FROM documents, LATERAL (
+      |    SELECT unnest(generate_series(1, greatest(length(text), 1), 150)) st) starts)
+      |SELECT doc_id, count(*) AS n_chunks,
+      |  substr(string_agg(chunk, ' | ' ORDER BY st), 1, 300) AS preview
+      |FROM chunks GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Language-ID distribution vs the labeled lang column (drift report). */
+  def qLangDistribution(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .groupBy(col("lang"), langId(col("text")).as("lang_id"))
+      .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 2).as("avg_chars"))
+      .orderBy(col("lang"), col("lang_id"))
+  }
+
+  val qLangDistributionSql: String =
+    """WITH scored AS (
+      |  SELECT lang, n_chars,
+      |    len(list_filter(lw, x -> x IN ('the','and','of','to','is'))) s_en,
+      |    len(list_filter(lw, x -> x IN ('der','und','die','das','ist'))) s_de,
+      |    len(list_filter(lw, x -> x IN ('le','la','et','les','est'))) s_fr,
+      |    len(list_filter(lw, x -> x IN ('el','los','las','es','de'))) s_es
+      |  FROM (SELECT lang, n_chars, regexp_split_to_array(trim(lower(text)), '\s+') lw FROM documents))
+      |SELECT lang,
+      |  CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+      |       WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+      |       WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+      |       WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+      |       ELSE 'und' END AS lang_id,
+      |  count(*) AS n, round(avg(n_chars), 2) AS avg_chars
+      |FROM scored GROUP BY 1, 2 ORDER BY lang, lang_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "td_text_profile" -> (qTextProfile _),
+    "td_chunk_docs" -> (qChunkDocs _),
+    "td_rollup_chunks" -> (qRollupChunks _),
+    "td_lang_distribution" -> (qLangDistribution _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "td_text_profile" -> qTextProfileSql,
+    "td_chunk_docs" -> qChunkDocsSql,
+    "td_rollup_chunks" -> qRollupChunksSql,
+    "td_lang_distribution" -> qLangDistributionSql,
+  )
+}
