@@ -22,7 +22,8 @@ object SparkEntry {
       EventQueries.queries ++
       TextQueries.queries ++
       DedupQueries.queries ++
-      VectorQueries.queries
+      VectorQueries.queries ++
+      RagQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       EventQueries.oracles ++
       TextQueries.oracles ++
       DedupQueries.oracles ++
-      VectorQueries.oracles
+      VectorQueries.oracles ++
+      RagQueries.oracles
 }

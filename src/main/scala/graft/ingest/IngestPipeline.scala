@@ -1,0 +1,352 @@
+package graft.ingest
+
+import graft.llm.{Embedder, Llm}
+import graft.model.{IngestRun, Node, RawDoc}
+import graft.operators.{Chunker, FileFilters, LanguageMap, Notebook}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The ingest job (SURVEY §3.2), Spark-first: six declarative stages over
+  * `Dataset[RawDoc]` → five-scope `Dataset[Node]` corpus.
+  *
+  *  1. preprocess — F1 filter, notebook transform (S4/F2-F4/P2/P3), P1
+  *     language, A4 component-kind (one tiny per-repo agg, broadcast back)
+  *  2. chunk — C1-C3 as a flatMap generator (no shuffle)
+  *  3. enrich — L1-L3 summaries/titles/keywords + real topics/imports/
+  *     symbol extraction (SURVEY §7.7: the reference declares these edge
+  *     fields but never populates them) via mapPartitions over the Llm
+  *  4. rollups — A1-A3/A7 (file/module/repo) each one hash-agg with
+  *     ordered concat; L7-L9 summaries; catalog (L4-L6)
+  *  5. embed — L10 via mapPartitions over the Embedder (batched)
+  *  6. sink — S5 parquet partitioned by scope; S6 audit row
+  *
+  * Scale: the only shuffles are the three rollup aggregations, each keyed
+  * by its natural group (filePath/module/repo) with everything else
+  * map-side. LLM/embedding stages are partition-parallel with bounded
+  * batch size, which is where the wall-clock goes in production — the
+  * relational skeleton adds nothing to it.
+  */
+class IngestPipeline(
+    llm: Llm,
+    embedder: Embedder,
+    collection: String = "default",
+    batchSize: Int = 128) extends Serializable {
+
+  import IngestPipeline._
+
+  // ---- stage 1: preprocess ----
+
+  def preprocess(raw: Dataset[RawDoc]): DataFrame = {
+    val spark = raw.sparkSession
+    val kept = raw.toDF()
+      .filter(FileFilters.keepFile(col("filePath")))
+    val withNb = kept
+      .withColumn("isNotebook", FileFilters.ext(col("filePath")) === "ipynb")
+      .withColumn("nb", when(col("isNotebook"), Notebook.transformNotebook(col("text"))))
+      .withColumn("language",
+        when(col("isNotebook"), col("nb.language"))
+          .otherwise(FileFilters.language(col("filePath"))))
+      .withColumn("text", when(col("isNotebook"), col("nb.text")).otherwise(col("text")))
+      .drop("nb")
+    // A4: component kind per repo — tiny aggregate, broadcast back
+    val kinds = withNb.groupBy(col("namespace"), col("repo"))
+      .agg(
+        (max(col("filePath").endsWith(".ipynb").cast("int")) === 1).as("hasNotebook"),
+        (max((FileFilters.baseName(col("filePath"))
+          .isin("pyproject.toml", "package.json", "pom.xml", "build.gradle",
+            "go.mod", "cargo.toml", "build.sbt") ||
+          col("filePath").rlike("(?i)openapi|swagger")).cast("int")) === 1).as("hasManifest"))
+      .withColumn("componentKind",
+        when(col("hasNotebook") && !col("hasManifest"), "standalone").otherwise("service"))
+      .select(col("namespace").as("ns2"), col("repo").as("repo2"), col("componentKind"))
+    withNb.join(broadcast(kinds),
+      col("namespace") === col("ns2") && col("repo") === col("repo2"))
+      .drop("ns2", "repo2")
+      .withColumn("isStandalone", col("componentKind") === "standalone")
+  }
+
+  // ---- stage 2: chunk (C1 dispatch) ----
+
+  def chunk(pre: DataFrame, runId: String): Dataset[Node] = {
+    val spark = pre.sparkSession
+    import spark.implicits._
+    val coll = collection
+    pre.select("namespace", "repo", "branch", "filePath", "language", "text",
+      "componentKind", "isStandalone")
+      .as[(String, String, String, String, String, String, String, Boolean)]
+      .flatMap { case (ns, repo, branch, path, lang, text, kind, standalone) =>
+        Chunker.chunkByLanguage(text, lang).zipWithIndex.map { case (c, i) =>
+          Node.empty.copy(
+            scope = "chunk", docType = "code", text = c.text,
+            namespace = ns, repo = repo, branch = branch,
+            collection = coll, componentKind = kind, isStandalone = standalone,
+            ingestRunId = runId,
+            module = topDirectory(path), filePath = path, language = lang,
+            meta = Map("chunk_index" -> i.toString,
+              "start_line" -> c.startLine.toString))
+        }
+      }
+      .map(n => n.copy(rowId = nodeId(n)))
+  }
+
+  // ---- stage 3: enrich (L1-L3 + topics/imports/symbol) ----
+
+  def enrich(nodes: Dataset[Node]): Dataset[Node] = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val l = llm
+    val bs = batchSize
+    nodes.mapPartitions { it =>
+      it.grouped(bs).flatMap { batch =>
+        val summaries = l.completeBatch(batch.map(n =>
+          s"Summarize this ${n.language} code section:\n${n.text.take(2000)}"))
+        val titles = l.completeBatch(batch.map(n =>
+          s"Give a title for:\n${n.text.take(500)}"))
+        val keywords = l.completeBatch(batch.map(n =>
+          s"Give 10 keywords for:\n${n.text.take(2000)}"))
+        batch.lazyZip(summaries).lazyZip(titles).lazyZip(keywords).map {
+          (n, s, t, k) =>
+            n.copy(
+              summary = s, title = t,
+              keywords = k.split(",\\s*").toSeq.filter(_.nonEmpty).take(10),
+              imports = extractImports(n.text, n.language),
+              symbol = extractSymbol(n.text, n.language),
+              topics = extractTopics(n.text))
+        }
+      }
+    }
+  }
+
+  // ---- stage 4: rollups (A1-A3 + A7, L7-L9) ----
+
+  private def rollup(
+      nodes: Dataset[Node],
+      groupCols: Seq[String],
+      scope: String,
+      docType: String,
+      maxChars: Int,
+      summaryPrompt: String): Dataset[Node] = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val l = llm
+    val coll = collection
+    val grouped = nodes.toDF()
+      .withColumn("ord", element_at(col("meta"), "chunk_index").cast("int"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        first(col("branch")).as("branch"),
+        first(col("componentKind")).as("componentKind"),
+        first(col("isStandalone")).as("isStandalone"),
+        first(col("ingestRunId")).as("ingestRunId"),
+        first(col("language")).as("language"),
+        substring(array_join(transform(
+          array_sort(collect_list(struct(col("ord"), col("filePath"), col("text")))),
+          x => x.getField("text")), "\n\n"), 1, maxChars).as("rollupText"),
+        collect_list(col("rowId")).as("rollupOf"),
+        count(lit(1)).cast("int").as("rollupCount"))
+    // higher rollups don't group on module/filePath — fill for the encoder
+    val withAll = Seq("module", "filePath").foldLeft(grouped) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast("string"))
+    }
+    withAll.as[RollupRow].mapPartitions { it =>
+      it.grouped(bsize).flatMap { batch =>
+        val sums = l.completeBatch(batch.map(r => s"$summaryPrompt\n${r.rollupText}"))
+        batch.zip(sums).map { case (r, s) =>
+          Node.empty.copy(
+            scope = scope, docType = docType, text = s,
+            namespace = r.namespace, repo = r.repo, branch = r.branch,
+            collection = coll, componentKind = r.componentKind,
+            isStandalone = r.isStandalone, ingestRunId = r.ingestRunId,
+            module = r.module.getOrElse(""), filePath = r.filePath.getOrElse(""),
+            language = r.language, summary = s,
+            rollupOf = r.rollupOf, rollupCount = r.rollupCount,
+            meta = Map("rollup_count" -> r.rollupCount.toString))
+        }
+      }
+    }.map(n => n.copy(rowId = nodeId(n)))
+  }
+
+  private val bsize = batchSize
+
+  /** A1+L7: file nodes from chunks (≤25k chars concat). */
+  def fileRollup(chunks: Dataset[Node]): Dataset[Node] =
+    rollup(chunks.filter(_.filePath.nonEmpty),
+      Seq("namespace", "repo", "module", "filePath"),
+      "file", "file_summary", 25000,
+      "Summarize this file in 200-300 words:")
+
+  /** A2+L8: module nodes from file nodes (module = top path segment,
+    * ≤40 files per module enforced by truncated concat). */
+  def moduleRollup(files: Dataset[Node]): Dataset[Node] =
+    rollup(files, Seq("namespace", "repo", "module"),
+      "module", "module_summary", 25000,
+      "Summarize this module from its file summaries:")
+
+  /** A3+L9: one repo-overview node per repo. */
+  def repoRollup(modules: Dataset[Node]): Dataset[Node] =
+    rollup(modules, Seq("namespace", "repo"),
+      "repo", "repo_summary", 25000,
+      "Write a repository overview from these module summaries:")
+
+  /** Catalog (L4-L6): README-driven if the README judges GOOD, else from
+    * code summaries; one catalog node per repo with the zero run id
+    * (reference ingest_controller.py:290). */
+  def catalog(pre: DataFrame, chunks: Dataset[Node]): Dataset[Node] = {
+    val spark = pre.sparkSession
+    import spark.implicits._
+    val l = llm
+    val coll = collection
+    val readmes = pre
+      .filter(FileFilters.baseName(col("filePath")).startsWith("readme"))
+      .groupBy(col("namespace"), col("repo"))
+      .agg(substring(concat_ws("\n\n", collect_list(col("text"))), 1, 5000).as("readme"))
+    val techStack = chunks.toDF()
+      .groupBy(col("namespace").as("ns2"), col("repo").as("repo2"))
+      .agg(array_sort(collect_set(col("language"))).as("languages"),
+        substring(concat_ws("\n", slice(collect_list(col("summary")), 1, 10)), 1, 5000)
+          .as("codeSummaries"))
+    readmes.join(techStack,
+      col("namespace") === col("ns2") && col("repo") === col("repo2"), "full_outer")
+      .select(
+        coalesce(col("namespace"), col("ns2")).as("namespace"),
+        coalesce(col("repo"), col("repo2")).as("repo"),
+        coalesce(col("readme"), lit("")).as("readme"),
+        coalesce(col("languages"), array().cast("array<string>")).as("languages"),
+        coalesce(col("codeSummaries"), lit("")).as("codeSummaries"))
+      .as[(String, String, String, Seq[String], String)]
+      .mapPartitions { it =>
+        it.map { case (ns, repo, readme, langs, codeSums) =>
+          val judged = l.complete(s"Is this a GOOD or BAD readme?\n${readme.take(1000)}")
+          val text =
+            if (judged.contains("GOOD"))
+              l.complete(s"Write a catalog entry for repo $repo.\nTech: ${langs.mkString(",")}\n$readme")
+            else
+              l.complete(s"Write a catalog entry for repo $repo from code summaries.\nTech: ${langs.mkString(",")}\n$codeSums")
+          Node.empty.copy(
+            scope = "catalog", docType = "catalog", text = text,
+            namespace = ns, repo = repo, collection = coll,
+            ingestRunId = ZeroRunId, summary = text.take(500),
+            topics = langs,
+            meta = Map("tech_stack" -> langs.mkString(",")))
+        }
+      }
+      .map(n => n.copy(rowId = nodeId(n)))
+  }
+
+  // ---- stage 5: embed (L10) ----
+
+  def embed(nodes: Dataset[Node]): Dataset[Node] = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val e = embedder
+    val bs = batchSize
+    nodes.mapPartitions { it =>
+      it.grouped(bs).flatMap { batch =>
+        val vecs = e.embedBatch(batch.map(_.text))
+        batch.zip(vecs).map { case (n, v) => n.copy(embedding = v) }
+      }
+    }
+  }
+
+  // ---- full run ----
+
+  /** End-to-end: raw files → all five scopes, embedded. */
+  def buildCorpus(raw: Dataset[RawDoc], runId: String): Dataset[Node] = {
+    val pre = preprocess(raw).cache()
+    val chunks = embed(enrich(chunk(pre, runId))).cache()
+    val files = embed(fileRollup(chunks))
+    val modules = embed(moduleRollup(files))
+    val repos = embed(repoRollup(modules))
+    val cats = embed(catalog(pre, chunks))
+    chunks.unionByName(files).unionByName(modules).unionByName(repos)
+      .unionByName(cats)
+  }
+
+  /** S5 sink: one store partitioned by scope (the Spark twin of the five
+    * Cassandra tables) + S6 audit row. */
+  def write(nodes: Dataset[Node], path: String, runId: String): IngestRun = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    nodes.write.mode(SaveMode.Overwrite).partitionBy("scope").parquet(path)
+    val written = spark.read.parquet(path)
+    val chunkCount = written.filter(col("scope") === "chunk").count()
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val run = IngestRun(runId, "", "", "", collection, "", now, now, chunkCount)
+    Seq(run).toDS().write.mode(SaveMode.Append).parquet(s"$path-ingest_runs")
+    run
+  }
+}
+
+object IngestPipeline {
+  val ZeroRunId = "00000000-0000-0000-0000-000000000000"
+
+  /** P7: stable row id — sha1 over the identity fields (reference
+    * vector_write_service.py:186-194). */
+  def nodeId(n: Node): String = {
+    val key = Seq(n.scope, n.namespace, n.repo, n.module, n.filePath,
+      n.meta.getOrElse("chunk_index", ""), n.meta.getOrElse("start_line", ""))
+      .mkString("|")
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** A2 key: module = first path segment (reference scope_utils.py:8-11). */
+  def topDirectory(path: String): String = {
+    val ix = path.indexOf('/')
+    if (ix < 0) "" else path.substring(0, ix)
+  }
+
+  /** Import extraction per language (SURVEY §7.7 — populate the declared
+    * graph-edge fields for real). */
+  def extractImports(text: String, language: String): Seq[String] = {
+    val lines = text.split("\n").iterator.map(_.trim)
+    val pats: Seq[scala.util.matching.Regex] = language match {
+      case "python" => Seq(
+        "^import\\s+([\\w.]+)".r, "^from\\s+([\\w.]+)\\s+import".r)
+      case "javascript" | "typescript" => Seq(
+        "^import\\b.*?from\\s+['\"]([^'\"]+)['\"]".r,
+        "require\\(['\"]([^'\"]+)['\"]\\)".r)
+      case "java" | "scala" | "kotlin" => Seq("^import\\s+([\\w.{}, ]+)".r)
+      case "go" => Seq("^import\\s+\"([^\"]+)\"".r, "^\\t\"([^\"]+)\"".r)
+      case "rust" => Seq("^use\\s+([\\w:]+)".r)
+      case _ => Seq.empty
+    }
+    if (pats.isEmpty) Seq.empty
+    else lines.flatMap(l => pats.flatMap(_.findFirstMatchIn(l).map(_.group(1).trim)))
+      .distinct.take(50).toSeq
+  }
+
+  /** First declared symbol in the chunk (def/class/function/object...). */
+  def extractSymbol(text: String, language: String): String = {
+    val pat = ("(?m)^\\s*(?:export\\s+)?(?:public\\s+|private\\s+)?" +
+      "(?:def|class|function|object|trait|interface|struct|fn|func)\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)").r
+    pat.findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+  }
+
+  /** Topic extraction: frequent identifier-ish tokens (deterministic). */
+  def extractTopics(text: String): Seq[String] = {
+    text.toLowerCase.split("[^a-z0-9_]+")
+      .filter(t => t.length > 4 && !t.forall(_.isDigit))
+      .groupBy(identity).toSeq
+      .map { case (t, g) => (t, g.length) }
+      .filter(_._2 > 1)
+      .sortBy { case (t, n) => (-n, t) }
+      .take(8).map(_._1)
+  }
+}
+
+/** Typed view of the rollup aggregation output. */
+case class RollupRow(
+    namespace: String,
+    repo: String,
+    module: Option[String],
+    filePath: Option[String],
+    branch: String,
+    componentKind: String,
+    isStandalone: Boolean,
+    ingestRunId: String,
+    language: String,
+    rollupText: String,
+    rollupOf: Seq[String],
+    rollupCount: Int)

@@ -1,0 +1,104 @@
+package graft.llm
+
+import java.security.MessageDigest
+
+/** LLM + embedder service traits (SURVEY §2.5). All enrichment operators
+  * (summaries, titles, keywords, judgments, embeddings) go through these,
+  * invoked from `mapPartitions` with bounded batches — NOT SQL UDFs,
+  * because production impls need batching/retry/metering (reference:
+  * `MeteredLLM`, worker.py:73-88; vLLM client, llm_init.py:99-143).
+  *
+  * The deterministic stubs make every pipeline output exactly reproducible
+  * for tests and benchmarks (FIXTURES.md preamble): the hash embedder is a
+  * seeded token-hash projection, the stub LLM a template responder. A
+  * production deployment swaps in an HTTP impl with the same interface
+  * (system "final only" message + response sanitize per llm_init.py:27-48).
+  */
+trait Llm extends Serializable {
+  def complete(prompt: String): String
+
+  /** Batched entry point — override where the backend supports it. */
+  def completeBatch(prompts: Seq[String]): Seq[String] = prompts.map(complete)
+}
+
+trait Embedder extends Serializable {
+  def dim: Int
+  def embed(text: String): Array[Float]
+  def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map(embed)
+}
+
+/** Deterministic template LLM: responses are pure functions of the prompt.
+  * Summary-ish prompts get a truncated digest of their content; judge-ish
+  * prompts get stable verdicts. */
+class StubLlm extends Llm {
+  override def complete(prompt: String): String = {
+    val p = prompt.toLowerCase
+    if (p.contains("good") && p.contains("readme")) {
+      // README quality judge (reference catalog_builder.py:8-31)
+      if (prompt.length > 200 && !p.contains("todo")) "GOOD" else "BAD"
+    } else if (p.contains("keywords")) {
+      // 10 keywords: most frequent tokens, deterministic order
+      StubLlm.topTokens(prompt, 10).mkString(", ")
+    } else if (p.contains("title")) {
+      "Title: " + StubLlm.topTokens(prompt, 3).mkString(" ")
+    } else {
+      // generic summary: first 200 chars of the content, cleaned
+      val body = prompt.split("\n").filterNot(_.trim.isEmpty).takeRight(1)
+        .mkString(" ")
+      "Summary: " + body.take(200)
+    }
+  }
+}
+
+object StubLlm {
+  private[llm] def topTokens(text: String, k: Int): Seq[String] = {
+    text.toLowerCase.split("[^a-z0-9_]+").filter(_.length > 3)
+      .groupBy(identity).toSeq
+      .map { case (t, g) => (t, g.length) }
+      .sortBy { case (t, n) => (-n, t) }
+      .take(k).map(_._1)
+  }
+}
+
+/** Deterministic hash embedder: each token hashes to a handful of
+  * dimensions with ±1 contributions; vectors are L2-normalized. Similar
+  * token multisets → nearby vectors, so top-k ordering tests have exact
+  * expected outcomes while behaving like a real bag-of-words embedding. */
+class HashEmbedder(override val dim: Int = 384) extends Embedder {
+  override def embed(text: String): Array[Float] = {
+    val v = new Array[Float](dim)
+    // split on non-alphanumerics so code identifiers decompose
+    // (retry_with_backoff → retry, with, backoff)
+    val tokens = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    tokens.foreach { t =>
+      val h = HashEmbedder.sha1Long(t)
+      var k = 0
+      while (k < 4) { // 4 active dims per token
+        val hk = HashEmbedder.mix(h, k)
+        val idx = java.lang.Long.remainderUnsigned(hk, dim.toLong).toInt
+        val sign = if (((hk >>> 17) & 1L) == 0L) 1.0f else -1.0f
+        v(idx) += sign
+        k += 1
+      }
+    }
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    if (norm == 0.0) v else v.map(x => (x / norm).toFloat)
+  }
+}
+
+object HashEmbedder {
+  private def sha1(s: String): Array[Byte] =
+    MessageDigest.getInstance("SHA-1").digest(s.getBytes("UTF-8"))
+
+  private[llm] def sha1Long(s: String): Long = {
+    val b = sha1(s)
+    (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (b(i) & 0xffL))
+  }
+
+  private[llm] def mix(h: Long, k: Int): Long = {
+    var x = h ^ (k.toLong * 0x9E3779B97F4A7C15L)
+    x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL
+    x ^= (x >>> 33); x *= 0xC4CEB9FE1A85EC53L
+    x ^ (x >>> 33)
+  }
+}

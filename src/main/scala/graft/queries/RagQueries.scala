@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.agent.AgentLoop
+import graft.ingest.IngestPipeline
+import graft.llm.{HashEmbedder, StubLlm}
+import graft.model.{QueryRequest, RawDoc}
+import graft.retrieval.Retrieval
+import graft.streaming.JobStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The RAG engine driven end-to-end through the driver harness: the
+  * documents table plays the role of a repo checkout (one markdown file
+  * per doc, one "repo" per source), the deterministic stub LLM/embedder
+  * stand in for the enrichment services, and the outputs are checked
+  * against SQL oracles where the semantics are relational (scope counts,
+  * graph expansion) and rows-only where they aren't (retrieval scores,
+  * agent events).
+  */
+object RagQueries {
+
+  private def rawDocs(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(
+        lit("synth").as("namespace"),
+        col("source").as("repo"),
+        lit("main").as("branch"),
+        concat(lit("doc_"), col("doc_id"), lit(".md")).as("filePath"),
+        col("text"))
+      .as[RawDoc]
+  }
+
+  private def pipeline = new IngestPipeline(new StubLlm, new HashEmbedder(384))
+
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    pipeline.buildCorpus(rawDocs(s, d), "bench-run").toDF()
+
+  /** Full ingest → per-scope counts. Every doc here is < 4000 chars, so
+    * chunk/file counts equal the doc count and module/repo/catalog equal
+    * the source count — which is exactly what the oracle asserts. */
+  def qIngestScopes(s: SparkSession, d: String): DataFrame =
+    corpus(s, d).groupBy(col("scope")).agg(count(lit(1)).as("n"))
+      .orderBy(col("scope"))
+
+  val qIngestScopesSql: String =
+    """SELECT 'catalog' AS scope, count(DISTINCT source)::BIGINT AS n FROM documents
+      |UNION ALL SELECT 'chunk', count(*) FROM documents
+      |UNION ALL SELECT 'file', count(*) FROM documents
+      |UNION ALL SELECT 'module', count(DISTINCT source) FROM documents
+      |UNION ALL SELECT 'repo', count(DISTINCT source) FROM documents
+      |ORDER BY scope""".stripMargin
+
+  /** Retrieval top-5 for a fixed query over the ingested corpus (scores
+    * from the deterministic embedder; rows-only check). */
+  def qRetrieveTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Retrieval.retrieve(corpus(s, d), new HashEmbedder(384),
+      "table scan filter join query", "chunk", expand = true)
+    docs.map(r => (r.repo, r.filePath, math.rint(r.score * 1e6) / 1e6))
+      .toDF("repo", "file_path", "score")
+  }
+
+  /** Agent jobs through the event stream (rows-only): event sequence per
+    * job, exercising plan → retrieve → judge → synthesize → events. */
+  def qAgentEvents(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, d).cache()
+    val agent = new AgentLoop(new StubLlm, new HashEmbedder(384))
+    val events =
+      JobStream.runJob(c, agent, "job-1", QueryRequest("error handling in query code")) ++
+        JobStream.runJob(c, agent, "job-2", QueryRequest("give me an overview of the architecture"))
+    events.map(e => (e.jobId, e.event)).toDF("job_id", "event")
+  }
+
+  /** J3 graph expansion as a pure-relational 2-hop BFS over documents
+    * (edge keys: hop 1 = same source, hop 2 = same lang), breadth-capped
+    * per hop like the scope retrievers (adjacent_k) — oracle-checked. */
+  def qGraphExpand(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "source", "lang")
+    val seeds = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("seed_id"), col("source").as("s_source"),
+        col("lang").as("s_lang"))
+
+    val w1 = Window.partitionBy(col("seed_id")).orderBy(col("doc_id"))
+    val hop1 = docs.join(broadcast(seeds), col("source") === col("s_source") &&
+        col("doc_id") =!= col("seed_id"))
+      .withColumn("rn", row_number().over(w1)).filter(col("rn") <= 4)
+      .select(col("seed_id"), col("doc_id").as("neighbor_id"),
+        col("lang").as("n_lang"))
+
+    val w2 = Window.partitionBy(col("seed_id"), col("h1")).orderBy(col("doc_id"))
+    val hop2 = docs.join(
+      broadcast(hop1.select(col("seed_id"), col("neighbor_id").as("h1"),
+        col("n_lang"))),
+      col("lang") === col("n_lang") && col("doc_id") =!= col("h1") &&
+        col("doc_id") =!= col("seed_id"))
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") <= 2)
+      .select(col("seed_id"), col("doc_id").as("neighbor_id"))
+      .join(hop1.select(col("seed_id"), col("neighbor_id")),
+        Seq("seed_id", "neighbor_id"), "left_anti") // visited-set dedup
+      .distinct()
+
+    hop1.select(col("seed_id"), col("neighbor_id"), lit(1).as("depth"))
+      .unionByName(hop2.select(col("seed_id"), col("neighbor_id"), lit(2).as("depth")))
+      .orderBy(col("seed_id"), col("depth"), col("neighbor_id"))
+  }
+
+  val qGraphExpandSql: String =
+    """WITH seeds AS (
+      |  SELECT doc_id seed_id, source s_source, lang s_lang FROM documents WHERE doc_id < 3),
+      |hop1 AS (
+      |  SELECT seed_id, neighbor_id, n_lang FROM (
+      |    SELECT s.seed_id, d.doc_id neighbor_id, d.lang n_lang,
+      |      row_number() OVER (PARTITION BY s.seed_id ORDER BY d.doc_id) rn
+      |    FROM documents d JOIN seeds s
+      |      ON d.source = s.s_source AND d.doc_id <> s.seed_id)
+      |  WHERE rn <= 4),
+      |hop2 AS (
+      |  SELECT DISTINCT seed_id, neighbor_id FROM (
+      |    SELECT h.seed_id, d.doc_id neighbor_id,
+      |      row_number() OVER (PARTITION BY h.seed_id, h.neighbor_id ORDER BY d.doc_id) rn
+      |    FROM documents d JOIN hop1 h
+      |      ON d.lang = h.n_lang AND d.doc_id <> h.neighbor_id AND d.doc_id <> h.seed_id) t
+      |  WHERE t.rn <= 2
+      |    AND NOT EXISTS (SELECT 1 FROM hop1 h1
+      |      WHERE h1.seed_id = t.seed_id AND h1.neighbor_id = t.neighbor_id))
+      |SELECT seed_id, neighbor_id, 1 AS depth FROM hop1
+      |UNION ALL
+      |SELECT seed_id, neighbor_id, 2 AS depth FROM hop2
+      |ORDER BY seed_id, depth, neighbor_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rag_ingest_scopes" -> (qIngestScopes _),
+    "rag_retrieve_topk" -> (qRetrieveTopK _),
+    "rag_agent_events" -> (qAgentEvents _),
+    "rag_graph_expand" -> (qGraphExpand _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "rag_ingest_scopes" -> qIngestScopesSql,
+    "rag_graph_expand" -> qGraphExpandSql,
+    // rag_retrieve_topk / rag_agent_events: stub-LLM/embedder outputs —
+    // rows-only checks by design.
+  )
+}

@@ -1,0 +1,162 @@
+package graft.retrieval
+
+import graft.functions.VectorFunctions.cosine
+import graft.llm.Embedder
+import graft.model.Retrieved
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Retrieval over the node corpus (SURVEY §2.7 J3-J4, §2.8 T1-T5).
+  *
+  * The query path is: metadata pre-filter (pushed into the parquet scan —
+  * scope is a partition column, so non-matching scopes are never read) →
+  * codegen'd cosine against the broadcast query vector → top-k via
+  * orderBy+limit (TakeOrderedAndProject: per-partition heap, no global
+  * sort) → optional graph expansion → dedup → final top-k.
+  *
+  * At 100 TB: the corpus never shuffles; each hop of graph expansion
+  * broadcasts the (tiny) frontier's edge values and re-scans only the
+  * scope partition, which is the same access path Cassandra SAI gives the
+  * reference, expressed as partition pruning + predicate pushdown.
+  */
+object Retrieval {
+
+  /** Breadth caps per scope (reference agent_graph.py:171-176). */
+  case class Caps(k: Int, startK: Int, adjacentK: Int, maxDepth: Int)
+  val capsByScope: Map[String, Caps] = Map(
+    "repo" -> Caps(10, 2, 6, 2),
+    "module" -> Caps(8, 2, 6, 2),
+    "file" -> Caps(8, 2, 6, 2),
+    "chunk" -> Caps(10, 3, 8, 2),
+    "catalog" -> Caps(10, 3, 8, 2))
+
+  /** Score a corpus scope against a query vector with optional metadata
+    * equality filters. */
+  def score(
+      corpus: DataFrame,
+      queryVec: Array[Float],
+      scope: String,
+      filters: Map[String, String] = Map.empty): DataFrame = {
+    val filtered = filters.foldLeft(corpus.filter(col("scope") === scope)) {
+      case (df, (k, v)) => df.filter(col(k) === v)
+    }
+    filtered.withColumn("score", cosine(col("embedding"), typedlit(queryVec)))
+  }
+
+  /** J4 + T1/T2: exact top-k by cosine. */
+  def topK(scored: DataFrame, k: Int): DataFrame =
+    scored.orderBy(col("score").desc, col("rowId")).limit(k)
+
+  /** J3: iterative graph expansion. Nodes connect iff they agree on an
+    * edge key (namespace/repo/module/file_path equality; topics via
+    * array-overlap). Each hop joins the frontier's distinct edge values
+    * against the same scope, keeps the best `adjacentK` new nodes per hop
+    * by score, up to `maxDepth` hops; the result is seeds ∪ expansion
+    * capped at `k` (reference graph_rag_retrievers.py:82-134).
+    */
+  def graphExpand(
+      scored: DataFrame,
+      seeds: DataFrame,
+      caps: Caps,
+      edgeKeys: Seq[String] = Seq("repo", "module", "filePath")): DataFrame = {
+    var visited = seeds.select("rowId").distinct()
+    var frontier = seeds
+    var result = seeds
+    var depth = 0
+    while (depth < caps.maxDepth) {
+      val edgeVals = frontier
+        .select(edgeKeys.map(col): _*).distinct()
+      val joinCond = edgeKeys.map(k =>
+        col(s"c.$k") === col(s"f.$k") && length(col(s"f.$k")) > 0)
+        .reduce(_ || _)
+      val hop = scored.as("c")
+        .join(broadcast(edgeVals.as("f")), joinCond, "left_semi")
+        .join(broadcast(visited), Seq("rowId"), "left_anti")
+        .orderBy(col("score").desc, col("rowId"))
+        .limit(caps.adjacentK)
+        .cache()
+      if (hop.isEmpty) depth = caps.maxDepth
+      else {
+        result = result.unionByName(hop)
+        visited = visited.unionByName(hop.select("rowId")).distinct()
+        frontier = hop
+        depth += 1
+      }
+    }
+    result.orderBy(col("score").desc, col("rowId")).limit(caps.k)
+  }
+
+  /** T4+T5: union query-expansion results, dedup by text hash, keep best
+    * score per distinct text. */
+  def unionDedup(results: Seq[DataFrame], k: Int): DataFrame = {
+    val all = results.reduce(_ unionByName _)
+    val ranked = all
+      .withColumn("textHash", xxhash64(col("text")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("textHash"))
+          .orderBy(col("score").desc, col("rowId"))))
+      .filter(col("rn") === 1)
+      .drop("rn", "textHash")
+    ranked.orderBy(col("score").desc, col("rowId")).limit(k)
+  }
+
+  /** Full retrieval for one query string. */
+  def retrieve(
+      corpus: DataFrame,
+      embedder: Embedder,
+      query: String,
+      scope: String,
+      filters: Map[String, String] = Map.empty,
+      expand: Boolean = true): Seq[Retrieved] = {
+    val caps = capsByScope.getOrElse(scope, Caps(10, 3, 8, 2))
+    val qv = embedder.embed(query)
+    val scored = score(corpus, qv, scope, filters)
+    val seeds = topK(scored, caps.startK)
+    val pool = if (expand) graphExpand(scored, seeds, caps) else topK(scored, caps.k)
+    collectRetrieved(pool)
+  }
+
+  /** MMR re-rank (reference GraphRetrieverFactory.py:152-161 declares it;
+    * the worker used Eager — both supported here). Greedy
+    * relevance-vs-diversity selection over the scored pool; pool is
+    * already ≤ k so this is a driver-side loop by design. */
+  def mmrSelect(
+      pool: Seq[(Retrieved, Array[Float])],
+      k: Int,
+      lambdaMult: Double = 0.35): Seq[Retrieved] = {
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Retrieved, Array[Float])]
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    while (selected.length < k && remaining.nonEmpty) {
+      val best = remaining.maxBy { case (r, v) =>
+        val maxSim = if (selected.isEmpty) 0.0
+        else selected.map(s => cosineLocal(v, s._2)).max
+        lambdaMult * r.score - (1 - lambdaMult) * maxSim
+      }
+      selected += best
+      remaining -= best
+    }
+    selected.map(_._1).toSeq
+  }
+
+  private[graft] def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length && i < b.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
+  private def collectRetrieved(df: DataFrame): Seq[Retrieved] = {
+    df.select("rowId", "scope", "namespace", "repo", "module", "filePath",
+      "text", "topics", "score")
+      .collect()
+      .map(r => Retrieved(
+        r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getString(5), r.getString(6),
+        r.getSeq[String](7), r.getDouble(8)))
+      .toSeq
+  }
+}

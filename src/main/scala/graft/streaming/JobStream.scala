@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.agent.AgentLoop
+import graft.model.{JobEvent, QueryRequest}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Job orchestration as Structured Streaming (SURVEY §2.10 ST1-ST5).
+  *
+  * The reference's "streaming" is a Redis/ARQ job queue with progress
+  * pub/sub; the Spark-native shape is: a streaming source of job rows
+  * (file/Kafka/memory) → `foreachBatch` runs the agent per job →
+  * progress/final events append to an events sink which the serving layer
+  * tails (the SSE shim is serving, not engine — SURVEY §3.3).
+  *
+  * Cooperative cancellation (ST5) = a driver-side flag set checked before
+  * work, mirroring the Redis `job:{id}:cancel` flag semantics.
+  */
+object JobStream {
+
+  /** ST5: cooperative cancel flags (process-local twin of the Redis flag). */
+  private val cancelled = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def cancel(jobId: String): Unit = cancelled.add(jobId)
+  def isCancelled(jobId: String): Boolean = cancelled.contains(jobId)
+  def clearCancel(jobId: String): Unit = cancelled.remove(jobId)
+
+  def event(jobId: String, event: String, data: String): JobEvent =
+    JobEvent(jobId, event, new java.sql.Timestamp(System.currentTimeMillis()), data)
+
+  /** Run one job → its event trail (started → retrieval → final; error /
+    * cancelled paths included — reference worker.py:109-176). */
+  def runJob(
+      corpus: DataFrame,
+      agent: AgentLoop,
+      jobId: String,
+      req: QueryRequest): Seq[JobEvent] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[JobEvent]
+    out += event(jobId, "started", s"""{"query":${quote(req.query)}}""")
+    if (isCancelled(jobId)) {
+      out += event(jobId, "final", """{"cancelled":true}""")
+      return out.toSeq
+    }
+    try {
+      val state = agent.run(corpus, req)
+      out += event(jobId, "retrieval",
+        s"""{"attempts":${state.attempt},"hits":${state.docs.length}}""")
+      out += event(jobId, "final",
+        s"""{"answer":${quote(state.answer.getOrElse(""))},"sources":${state.docs.length}}""")
+    } catch {
+      case e: Exception =>
+        out += event(jobId, "error", s"""{"message":${quote(String.valueOf(e.getMessage))}}""")
+    }
+    out.toSeq
+  }
+
+  /** ST1-ST3: consume a streaming job-request frame (columns: jobId,
+    * query, topK, repoName) and append events to a parquet sink. Works
+    * with any streaming source — file drop-dir, Kafka, or MemoryStream in
+    * tests. */
+  def start(
+      jobs: DataFrame,
+      corpus: DataFrame,
+      agent: AgentLoop,
+      eventsPath: String,
+      checkpoint: String): StreamingQuery = {
+    jobs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val reqs = batch
+          .select(col("jobId"), col("query"),
+            coalesce(col("topK"), lit(5)).as("topK"),
+            col("repoName"))
+          .collect() // job batches are small by construction (max_jobs=10)
+        val events = reqs.toSeq.flatMap { r =>
+          runJob(corpus, agent, r.getString(0),
+            QueryRequest(r.getString(1), r.getInt(2),
+              Option(r.getString(3)).filter(_.nonEmpty)))
+        }
+        events.toDS().write.mode(SaveMode.Append).parquet(eventsPath)
+      }
+      .start()
+  }
+
+  /** Windowed event analytics over the events sink — the engine-side
+    * addition the reference lacks (watermark + tumbling window). */
+  def eventCounts(events: DataFrame): DataFrame = {
+    events
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 minute"), col("event"))
+      .count()
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+}

@@ -12,6 +12,6 @@ object GraftFunctionRegistry {
       info: ExpressionInfo,
       builder: Seq[Expression] => Expression): Unit = {
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
-      .createOrReplaceTempFunction(name, builder, "builtin")
+      .createOrReplaceTempFunction(name, builder, "built-in")
   }
 }

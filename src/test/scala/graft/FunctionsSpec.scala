@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.llm.HashEmbedder
+import graft.retrieval.Retrieval
+import org.apache.spark.sql.functions._
+
+/** Vector + text function correctness, including codegen-vs-interpreted
+  * agreement for the CosineSimilarity expression and SQL registration. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine expression matches local computation (float arrays)") {
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(0.5f, -1.0f, 2.0f)
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].head()
+    val want = Retrieval.cosineLocal(a, b)
+    assert(math.abs(got - want) < 1e-12)
+  }
+
+  test("cosine: orthogonal → 0, identical → 1, zero/empty/mismatch → null") {
+    val rows = Seq(
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 2f), Array(1f, 2f)),
+      (Array(0f, 0f), Array(1f, 1f)),
+      (Array.empty[Float], Array.empty[Float]),
+      (Array(1f), Array(1f, 2f)))
+    val got = rows.toDF("a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b"))).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(math.abs(got(0).get) < 1e-12)
+    assert(math.abs(got(1).get - 1.0) < 1e-12)
+    assert(got(2).isEmpty && got(3).isEmpty && got(4).isEmpty)
+  }
+
+  test("cosine survives codegen off (interpreted path agrees)") {
+    val df = Seq((Array(1f, 2f, 3f), Array(3f, 2f, 1f))).toDF("a", "b")
+    val expected = Retrieval.cosineLocal(Array(1f, 2f, 3f), Array(3f, 2f, 1f))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].head()
+      assert(math.abs(interp - expected) < 1e-12)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    val codegen = df.select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(codegen - expected) < 1e-12)
+  }
+
+  test("cosine_sim registered for SQL") {
+    VectorFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT cosine_sim(array(1.0F, 2.0F), array(1.0F, 2.0F))").as[Double].head()
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+
+  test("shingles + jaccard") {
+    val df = Seq(("a b c d", "a b c e")).toDF("x", "y")
+    val got = df.select(
+      TextFunctions.jaccardShingles(
+        TextFunctions.shingles(col("x"), 3),
+        TextFunctions.shingles(col("y"), 3))).as[Double].head()
+    // shingles x: {a b c, b c d}; y: {a b c, b c e} → 1/3
+    assert(math.abs(got - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("simhash: identical texts → distance 0; disjoint texts differ") {
+    val df = Seq(
+      ("same tokens here", "same tokens here"),
+      ("alpha beta gamma delta", "epsilon zeta eta theta")).toDF("x", "y")
+    val d = df.select(TextFunctions.hamming(
+      TextFunctions.simhash(TextFunctions.tokens(col("x"))),
+      TextFunctions.simhash(TextFunctions.tokens(col("y"))))).as[Long].collect()
+    assert(d(0) == 0L)
+    assert(d(1) > 0L)
+  }
+
+  test("langId picks marker language") {
+    val df = Seq("the cat is on the mat and the dog",
+      "der hund und die katze ist da",
+      "xyzzy plugh").toDF("t")
+    val got = df.select(TextFunctions.langId(col("t"))).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "und"))
+  }
+
+  test("hash embedder: deterministic, normalized, similar texts closer") {
+    val e = new HashEmbedder(64)
+    val a1 = e.embed("retry with backoff")
+    val a2 = e.embed("retry with backoff")
+    assert(a1.toSeq == a2.toSeq)
+    val near = Retrieval.cosineLocal(a1, e.embed("retry with backoff attempts"))
+    val far = Retrieval.cosineLocal(a1, e.embed("completely unrelated ledger"))
+    assert(near > far)
+  }
+}

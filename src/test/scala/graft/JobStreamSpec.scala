@@ -1,0 +1,56 @@
+package graft
+
+import graft.agent.AgentLoop
+import graft.llm.{HashEmbedder, StubLlm}
+import graft.model.{Node, QueryRequest}
+import graft.streaming.JobStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** FIXTURES §4: job-event stream — started/retrieval/final ordering,
+  * cancellation, streaming sink via MemoryStream + foreachBatch. */
+class JobStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  val embedder = new HashEmbedder(64)
+  lazy val corpus = spark.createDataset(Seq(
+    Node.empty.copy(rowId = "c1", scope = "chunk", namespace = "ns",
+      repo = "payments", module = "api", filePath = "api/retry.py",
+      text = "def retry_with_backoff(attempts): pass",
+      embedding = embedder.embed("def retry_with_backoff(attempts): pass"))))
+    .toDF().cache()
+  lazy val agent = new AgentLoop(new StubLlm, embedder)
+
+  test("runJob: started → retrieval → final with sources") {
+    val events = JobStream.runJob(corpus, agent, "job1",
+      QueryRequest("retry with backoff"))
+    assert(events.map(_.event) == Seq("started", "retrieval", "final"))
+    assert(events.last.data.contains("\"answer\""))
+  }
+
+  test("runJob: pre-set cancel flag → cancelled final, no work") {
+    JobStream.cancel("job2")
+    val events = JobStream.runJob(corpus, agent, "job2", QueryRequest("anything"))
+    assert(events.map(_.event) == Seq("started", "final"))
+    assert(events.last.data.contains("cancelled"))
+    JobStream.clearCancel("job2")
+  }
+
+  test("ST1-ST3: streaming job source → events parquet sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, Int, String)]
+    val jobs = input.toDF().toDF("jobId", "query", "topK", "repoName")
+    val dir = java.nio.file.Files.createTempDirectory("graft-events").toString
+    input.addData(("j1", "retry with backoff", 5, ""), ("j2", "payments client", 5, ""))
+    val q = JobStream.start(jobs, corpus, agent, s"$dir/events", s"$dir/ckpt")
+    q.awaitTermination(60000)
+    val events = spark.read.parquet(s"$dir/events")
+    val byJob = events.groupBy("jobId").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byJob.keySet == Set("j1", "j2"))
+    assert(byJob.values.forall(_ >= 3))
+    // every job has exactly one final event
+    val finals = events.filter(col("event") === "final").count()
+    assert(finals == 2)
+  }
+}

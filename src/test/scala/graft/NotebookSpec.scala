@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Notebook
+import org.apache.spark.sql.functions._
+
+/** FIXTURES §2: notebook transform expectations. */
+class NotebookSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixture =
+    """{"metadata": {"kernelspec": {"name": "python3", "language": "python"}},
+      | "cells": [
+      |   {"cell_type": "markdown", "source": "# Title of the notebook"},
+      |   {"cell_type": "code", "source": "!pip install pandas", "outputs": []},
+      |   {"cell_type": "code", "source": "df.describe()",
+      |    "outputs": [{"output_type": "execute_result",
+      |                 "data": {"text/plain": "| a | b |"}}]},
+      |   {"cell_type": "code", "source": "train()",
+      |    "outputs": [{"output_type": "stream",
+      |                 "text": "LOGLINES"}]},
+      |   {"cell_type": "code", "source": "   "}
+      | ]}""".stripMargin
+      .replace("LOGLINES",
+        (1 to 30).map(i => s"2024-01-01 00:00:0$i INFO step $i").mkString("\\n"))
+
+  private def transform(raw: String): (String, String) = {
+    val row = Seq(raw).toDF("text")
+      .select(Notebook.transformNotebook(col("text")).as("nb"))
+      .select(col("nb.language"), col("nb.text"))
+      .head()
+    (row.getString(0), row.getString(1))
+  }
+
+  test("notebook: markdown kept, setup cell dropped, table output kept, log output dropped, blank cell dropped") {
+    val (lang, text) = transform(fixture)
+    assert(lang == "python")
+    assert(text.contains("# Title of the notebook"))
+    assert(!text.contains("pip install"))
+    assert(text.contains("df.describe()"))
+    assert(text.contains("| a | b |")) // table-marker output kept
+    assert(text.contains("train()")) // code kept...
+    assert(!text.contains("INFO step")) // ...but log output dropped
+    assert(!text.split("\n\n").exists(_.trim.isEmpty))
+  }
+
+  test("notebook: ir kernel → r") {
+    val nb = """{"metadata":{"kernelspec":{"name":"ir"}},"cells":[{"cell_type":"code","source":"x <- 1"}]}"""
+    val (lang, text) = transform(nb)
+    assert(lang == "r")
+    assert(text.contains("```r\nx <- 1\n```"))
+  }
+
+  test("notebook: unparseable JSON → raw text fallback") {
+    val (lang, text) = transform("this is not json {")
+    assert(lang == "python")
+    assert(text == "this is not json {")
+  }
+}

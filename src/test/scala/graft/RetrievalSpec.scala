@@ -1,0 +1,117 @@
+package graft
+
+import graft.agent.AgentLoop
+import graft.llm.{HashEmbedder, StubLlm}
+import graft.model.{Node, QueryRequest, Retrieved}
+import graft.retrieval.Retrieval
+import org.apache.spark.sql.functions._
+
+/** FIXTURES §3-§4: retrieval fixtures — top-k ordering, graph expansion,
+  * dedup, MMR, agent loop. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  val embedder = new HashEmbedder(64)
+
+  def mkNode(id: String, scope: String, repo: String, module: String,
+             path: String, text: String, topics: Seq[String] = Nil): Node =
+    Node.empty.copy(rowId = id, scope = scope, namespace = "ns", repo = repo,
+      branch = "main", module = module, filePath = path, text = text,
+      topics = topics, embedding = embedder.embed(text))
+
+  lazy val corpus = spark.createDataset(Seq(
+    mkNode("c1", "chunk", "payments", "api", "api/retry.py",
+      "def retry_with_backoff(attempts): pass", Seq("retry", "backoff")),
+    mkNode("c2", "chunk", "payments", "api", "api/client.py",
+      "class PaymentsClient: pass", Seq("client")),
+    mkNode("c3", "chunk", "payments", "core", "core/ledger.py",
+      "def post_ledger_entry(tx): pass", Seq("ledger")),
+    mkNode("c4", "chunk", "search", "idx", "idx/build.py",
+      "def build_index(docs): pass", Seq("index")),
+    mkNode("c5", "chunk", "search", "idx", "idx/build.py",
+      "def retry_with_backoff(attempts): pass", Seq("retry")), // dup text of c1
+    mkNode("f1", "file", "payments", "api", "api/retry.py",
+      "Summary: retry helpers with exponential backoff"),
+    mkNode("r1", "repo", "payments", "", "",
+      "Payments service: clients, retries, ledger"),
+    mkNode("k1", "catalog", "payments", "", "",
+      "Catalog: payments repo overview and architecture"))).toDF().cache()
+
+  test("J4+T1/T2: cosine top-k finds the retry chunk first") {
+    val docs = Retrieval.retrieve(corpus, embedder,
+      "retry with backoff attempts", "chunk", expand = false)
+    assert(docs.nonEmpty)
+    assert(Set("c1", "c5").contains(docs.head.rowId)) // identical texts tie
+    assert(docs.head.score > docs.last.score || docs.length == 1)
+  }
+
+  test("metadata filter restricts corpus before scoring") {
+    val docs = Retrieval.retrieve(corpus, embedder,
+      "retry with backoff attempts", "chunk",
+      filters = Map("repo" -> "search"), expand = false)
+    assert(docs.nonEmpty)
+    assert(docs.forall(_.repo == "search"))
+  }
+
+  test("J3: graph expansion pulls same-module neighbors of the seed") {
+    val qv = embedder.embed("retry with backoff attempts")
+    val scored = Retrieval.score(corpus, qv, "chunk")
+    val seeds = Retrieval.topK(scored, 1)
+    val caps = Retrieval.Caps(k = 10, startK = 1, adjacentK = 8, maxDepth = 2)
+    val expanded = Retrieval.graphExpand(scored, seeds, caps)
+    val ids = expanded.select("rowId").as[String].collect().toSet
+    val seedId = seeds.select("rowId").as[String].head()
+    assert(ids.contains(seedId))
+    assert(ids.size > 1, "expansion added neighbors")
+    if (seedId == "c1") assert(ids.contains("c2")) // same module "api"
+  }
+
+  test("T4/T5: unionDedup keeps one row per distinct text, best score") {
+    val qv = embedder.embed("retry")
+    val s1 = Retrieval.score(corpus, qv, "chunk")
+    val merged = Retrieval.unionDedup(Seq(s1, s1), k = 10)
+    val texts = merged.select("text").as[String].collect()
+    assert(texts.distinct.length == texts.length)
+    // c1/c5 share text → only one survives
+    val ids = merged.select("rowId").as[String].collect().toSet
+    assert(!(ids.contains("c1") && ids.contains("c5")))
+  }
+
+  test("MMR: diversity beats redundancy") {
+    val pool = Seq(
+      (Retrieved("a", "chunk", "ns", "r", "m", "p", "retry backoff", Nil, 0.95),
+        embedder.embed("retry backoff")),
+      (Retrieved("b", "chunk", "ns", "r", "m", "p", "retry backoff", Nil, 0.94),
+        embedder.embed("retry backoff")), // near-dup of a
+      (Retrieved("c", "chunk", "ns", "r", "m", "p", "ledger entries", Nil, 0.5),
+        embedder.embed("ledger entries")))
+    val picked = Retrieval.mmrSelect(pool, k = 2, lambdaMult = 0.35)
+    assert(picked.map(_.rowId) == Seq("a", "c"), "diverse doc beats duplicate")
+  }
+
+  test("agent loop: codey query routes to chunk scope and answers with citations") {
+    val agent = new AgentLoop(new StubLlm, embedder)
+    val (scope, filters) = agent.planScope(QueryRequest("stacktrace error in retry function"))
+    assert(scope == "chunk")
+    val state = agent.run(corpus, QueryRequest("retry with backoff error"))
+    assert(state.answer.isDefined)
+    assert(state.answer.get.contains("Sources:"))
+    assert(state.docs.nonEmpty)
+  }
+
+  test("agent loop: repo-hint filter and overview routing") {
+    val agent = new AgentLoop(new StubLlm, embedder)
+    val (scope, filters) = agent.planScope(
+      QueryRequest("repo: payments give me an overview of the architecture"))
+    assert(filters.get("repo").contains("payments"))
+    assert(scope == "catalog")
+  }
+
+  test("agent loop: empty retrieval stages down and still terminates") {
+    val agent = new AgentLoop(new StubLlm, embedder)
+    val state = agent.run(corpus,
+      QueryRequest("zzz qqq totally unrelated", repoName = Some("nonexistent")))
+    assert(state.attempt == 3)
+    assert(state.answer.isDefined)
+  }
+}
