@@ -87,12 +87,30 @@ class HashEmbedder(override val dim: Int = 384) extends Embedder {
 }
 
 object HashEmbedder {
-  private def sha1(s: String): Array[Byte] =
-    MessageDigest.getInstance("SHA-1").digest(s.getBytes("UTF-8"))
+  // MessageDigest.getInstance per token dominates embedding cost; reuse a
+  // digest per thread and memoize token hashes (token sets repeat heavily
+  // across chunks of the same corpus).
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("SHA-1")
+  }
+  private val tokenCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def sha1(s: String): Array[Byte] = {
+    val md = digest.get()
+    md.reset()
+    md.digest(s.getBytes("UTF-8"))
+  }
 
   private[llm] def sha1Long(s: String): Long = {
-    val b = sha1(s)
-    (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (b(i) & 0xffL))
+    val cached = tokenCache.get(s)
+    if (cached != null) cached.longValue()
+    else {
+      val b = sha1(s)
+      val v = (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (b(i) & 0xffL))
+      if (tokenCache.size() < (1 << 17)) tokenCache.put(s, v)
+      v
+    }
   }
 
   private[llm] def mix(h: Long, k: Int): Long = {

@@ -34,8 +34,18 @@ object RagQueries {
 
   private def pipeline = new IngestPipeline(new StubLlm, new HashEmbedder(384))
 
+  /** Ingest once per sf-dir, then serve every query from the persisted
+    * corpus — the reference's own lifecycle (ingest job → Cassandra →
+    * many queries). Without this, every Spark action in the retrieval /
+    * agent paths would recompute the full chunk→enrich→embed→rollup DAG. */
+  private val corpusCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def corpus(s: SparkSession, d: String): DataFrame =
-    pipeline.buildCorpus(rawDocs(s, d), "bench-run").toDF()
+    corpusCache.getOrElseUpdate(d,
+      // repartition before persist: the five-scope union otherwise carries
+      // ~100 near-empty partitions whose task-launch overhead dominates the
+      // many small retrieval jobs that follow
+      pipeline.buildCorpus(rawDocs(s, d), "bench-run").toDF()
+        .repartition(s.sparkContext.defaultParallelism.min(32)).persist())
 
   /** Full ingest → per-scope counts. Every doc here is < 4000 chars, so
     * chunk/file counts equal the doc count and module/repo/catalog equal
@@ -66,7 +76,7 @@ object RagQueries {
     * job, exercising plan → retrieve → judge → synthesize → events. */
   def qAgentEvents(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val c = corpus(s, d).cache()
+    val c = corpus(s, d)
     val agent = new AgentLoop(new StubLlm, new HashEmbedder(384))
     val events =
       JobStream.runJob(c, agent, "job-1", QueryRequest("error handling in query code")) ++

@@ -49,41 +49,46 @@ object Retrieval {
 
   /** J3: iterative graph expansion. Nodes connect iff they agree on an
     * edge key (namespace/repo/module/file_path equality; topics via
-    * array-overlap). Each hop joins the frontier's distinct edge values
-    * against the same scope, keeps the best `adjacentK` new nodes per hop
-    * by score, up to `maxDepth` hops; the result is seeds ∪ expansion
-    * capped at `k` (reference graph_rag_retrievers.py:82-134).
+    * array-overlap). The frontier is tiny by construction (≤ startK, then
+    * ≤ adjacentK rows per hop), so each hop collects it and pushes the
+    * edge values down as `isin` predicates — a point-lookup the scan/index
+    * layer can serve (the Spark twin of the reference's Cassandra SAI
+    * metadata lookup, graph_rag_retrievers.py:82-134) rather than a
+    * broadcast-join over the full scope. Keeps the best `adjacentK` new
+    * nodes per hop by score, up to `maxDepth` hops; result is seeds ∪
+    * expansion capped at `k`.
     */
   def graphExpand(
       scored: DataFrame,
       seeds: DataFrame,
       caps: Caps,
       edgeKeys: Seq[String] = Seq("repo", "module", "filePath")): DataFrame = {
-    var visited = seeds.select("rowId").distinct()
-    var frontier = seeds
-    var result = seeds
+    val idCols = ("rowId" +: edgeKeys).map(col)
+    var frontier = seeds.select(idCols: _*).collect()
+    val visited = scala.collection.mutable.Set(frontier.map(_.getString(0)): _*)
+    val resultIds = scala.collection.mutable.ArrayBuffer(visited.toSeq: _*)
     var depth = 0
-    while (depth < caps.maxDepth) {
-      val edgeVals = frontier
-        .select(edgeKeys.map(col): _*).distinct()
-      val joinCond = edgeKeys.map(k =>
-        col(s"c.$k") === col(s"f.$k") && length(col(s"f.$k")) > 0)
-        .reduce(_ || _)
-      val hop = scored.as("c")
-        .join(broadcast(edgeVals.as("f")), joinCond, "left_semi")
-        .join(broadcast(visited), Seq("rowId"), "left_anti")
-        .orderBy(col("score").desc, col("rowId"))
-        .limit(caps.adjacentK)
-        .cache()
-      if (hop.isEmpty) depth = caps.maxDepth
+    while (depth < caps.maxDepth && frontier.nonEmpty) {
+      val conds = edgeKeys.zipWithIndex.flatMap { case (k, i) =>
+        val vals = frontier.map(_.getString(i + 1)).filter(_.nonEmpty).distinct
+        if (vals.isEmpty) None else Some(col(k).isin(vals.toSeq: _*))
+      }
+      if (conds.isEmpty) { frontier = Array.empty }
       else {
-        result = result.unionByName(hop)
-        visited = visited.unionByName(hop.select("rowId")).distinct()
+        val hop = scored
+          .filter(conds.reduce(_ || _) && !col("rowId").isin(visited.toSeq: _*))
+          .orderBy(col("score").desc, col("rowId"))
+          .limit(caps.adjacentK)
+          .select(idCols: _*)
+          .collect()
+        visited ++= hop.map(_.getString(0))
+        resultIds ++= hop.map(_.getString(0))
         frontier = hop
         depth += 1
       }
     }
-    result.orderBy(col("score").desc, col("rowId")).limit(caps.k)
+    scored.filter(col("rowId").isin(resultIds.toSeq: _*))
+      .orderBy(col("score").desc, col("rowId")).limit(caps.k)
   }
 
   /** T4+T5: union query-expansion results, dedup by text hash, keep best
@@ -111,10 +116,15 @@ object Retrieval {
       expand: Boolean = true): Seq[Retrieved] = {
     val caps = capsByScope.getOrElse(scope, Caps(10, 3, 8, 2))
     val qv = embedder.embed(query)
-    val scored = score(corpus, qv, scope, filters)
-    val seeds = topK(scored, caps.startK)
-    val pool = if (expand) graphExpand(scored, seeds, caps) else topK(scored, caps.k)
-    collectRetrieved(pool)
+    // The expansion loop fires several actions over the scored slice
+    // (seed top-k, per-hop joins, final collect) — persist it once so the
+    // scan+cosine runs once, not once per action.
+    val scored = score(corpus, qv, scope, filters).persist()
+    try {
+      val seeds = topK(scored, caps.startK)
+      val pool = if (expand) graphExpand(scored, seeds, caps) else topK(scored, caps.k)
+      collectRetrieved(pool)
+    } finally scored.unpersist(blocking = false)
   }
 
   /** MMR re-rank (reference GraphRetrieverFactory.py:152-161 declares it;
