@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native signature expressions for the dedup operators.
+  *
+  * Both replace what would otherwise be O(bits × |array|) higher-order
+  * function trees (an `aggregate`/`transform` per bit/seed, each rescanning
+  * the array) with a single pass per row inside whole-stage codegen. At
+  * 100 TB the signature step is a pure map over every document, so per-row
+  * constant factors are the whole cost of the stage.
+  */
+
+/** MinHash signature: for seeds 0..k-1, min over the input strings of
+  * mix(base64(s), seed). The base hash is computed once per string, the
+  * per-seed value is one multiply-xor avalanche — no md5, no string
+  * concatenation. The signature feeds LSH banding only; accepted candidate
+  * pairs are re-verified with exact Jaccard, so the hash family needs
+  * determinism, not oracle-expressibility (reference dedup has no oracle
+  * either way — this is the beyond-reference training-data path).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) if numHashes > 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig expects array<string>, got ${child.dataType.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.minhash(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.minhash($c, $numHashes)")
+
+  override def prettyName: String = "minhash_sig"
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** SimHash over 60 bits, md5-derived per-token hashes: value-identical to
+  * the SQL form `('0x'||substr(md5(t),1,15))::BIGINT` voting per bit, so
+  * the output stays exactly reproducible by the DuckDB oracle — but
+  * computed with one digest and one 60-bit vote loop per distinct token
+  * instead of 60 aggregate() rescans of the hash array.
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash60 expects array<string>, got ${child.dataType.catalogString}")
+    }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.simhash60(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash60($c)")
+
+  override def prettyName: String = "simhash60"
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+/** Row-level kernels called from both interpreted eval and generated code. */
+object HashKernels {
+
+  /** FNV-1a 64 over UTF-8 bytes followed by a murmur-style avalanche. */
+  private def baseHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    avalanche(h)
+  }
+
+  private def avalanche(v: Long): Long = {
+    var x = v
+    x ^= (x >>> 33); x *= 0xff51afd7ed558ccdL
+    x ^= (x >>> 33); x *= 0xc4ceb9fe1a85ec53L
+    x ^ (x >>> 33)
+  }
+
+  def minhash(arr: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val base = baseHash(arr.getUTF8String(i))
+      var seed = 0
+      while (seed < k) {
+        val h = avalanche(base ^ (seed.toLong * 0x9e3779b97f4a7c15L))
+        if (h < mins(seed)) mins(seed) = h
+        seed += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(token) — the value of
+    * `conv(substring(md5(t),1,15),16,10)`: hex chars 1-15 = bytes 0-6 plus
+    * the high nibble of byte 7. */
+  private def md5Hash60(s: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val b = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    (v << 4) | ((b(7) & 0xf0L) >>> 4)
+  }
+
+  def simhash60(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    // distinct tokens, preserving the md5-vote semantics of the SQL form
+    val seen = new java.util.HashSet[UTF8String]()
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (seen.add(t)) {
+        val h = md5Hash60(t)
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}

@@ -49,26 +49,18 @@ object TextFunctions {
     when(union === 0, 0.0).otherwise(inter / union)
   }
 
-  /** MinHash signature: for seeds 0..k-1, min over shingles of
-    * stableHash64(seed || shingle). Uses aggregate() so the signature is
-    * computed in one pass per seed without exploding rows. */
+  /** MinHash signature (native [[MinHashSignature]] expression): one pass
+    * over the shingle array, k avalanche mixes per shingle. */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingleCol, s => stableHash64(concat(lit(seed + ":"), s))))
-    }: _*)
+    org.apache.spark.sql.GraftBridge.column(
+      MinHashSignature(org.apache.spark.sql.GraftBridge.expression(shingleCol), numHashes))
 
-  /** SimHash (width-bit, default 60 to fit the stable hash): sign-sum of
-    * per-token hash bits. Deterministic + oracle-expressible. */
-  def simhash(tokenCol: Column, bits: Int = 60): Column = {
-    val hashes = transform(array_distinct(tokenCol), t => stableHash64(t))
-    val bitCols = (0 until bits).map { b =>
-      // +1 if bit b set in a majority of token hashes, else 0
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  /** SimHash over 60 bits (native [[SimHash60]] expression): md5-derived
+    * per-distinct-token hashes voting per bit — value-identical to the SQL
+    * form `('0x'||substr(md5(t),1,15))::BIGINT`, so oracle-reproducible. */
+  def simhash(tokenCol: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      SimHash60(org.apache.spark.sql.GraftBridge.expression(tokenCol)))
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -30,7 +30,14 @@ object VectorFunctions {
     val builders: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
       ("cosine_sim",
         new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-        (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+        (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+      ("minhash_sig",
+        new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+        (args: Seq[Expression]) => MinHashSignature(args(0),
+          args(1).eval().asInstanceOf[Number].intValue())),
+      ("simhash60",
+        new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+        (args: Seq[Expression]) => SimHash60(args(0))))
   }
 }
 

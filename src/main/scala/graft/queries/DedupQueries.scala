@@ -98,32 +98,30 @@ object DedupQueries {
     val bands = 16
     val rows = numHashes / bands // 4
     val sh = shingleRel(s, d)
-
-    // base hash per shingle once; k permutations by re-hashing with the
-    // seed (xxhash64 — overflow-free under ANSI, cheap per seed).
-    val baseHashes = transform(col("sh"), x => stableHash64(x))
-    val sig = array((0 until numHashes).map { k =>
-      array_min(transform(baseHashes, h => xxhash64(h, lit(k))))
-    }: _*)
-    val signed = sh.select(col("doc_id"), col("sh"), sig.as("sig"))
+    val signed = sh.select(col("doc_id"),
+      minhashSignature(col("sh"), numHashes).as("sig"))
 
     // LSH: explode into (band_idx, band_key) buckets; pair within bucket.
+    // The banded relation stays narrow — (doc_id, band, 64-bit key) — so
+    // the self-join shuffles ~bands×N tiny rows, never the shingle arrays.
     val banded = signed.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       posexplode(array((0 until bands).map { bi =>
-        array_join(transform(slice(col("sig"), bi * rows + 1, rows), _.cast("string")), "-")
+        xxhash64(slice(col("sig"), bi * rows + 1, rows))
       }: _*)).as(Seq("band_idx", "band_key")))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
-    // exact verification on candidates only
+    // exact verification on candidates only: join the shingle sets back in
+    // (candidates ≪ corpus, so these are broadcast-scale joins at any SF)
     cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard", jaccardShingles(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
