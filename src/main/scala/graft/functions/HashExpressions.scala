@@ -81,8 +81,65 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Distinct word n-gram shingles of whitespace-tokenized text, one pass.
+  *
+  * The pure-Column formulation (`transform(sequence(...), i =>
+  * array_join(slice(split(text), i, n)))`) re-evaluates the `split` inside
+  * the per-element lambda — O(tokens²) work per row, recomputed again by
+  * every enclosing Filter/Project — which made shingling the dominant cost
+  * of the dedup queries. This kernel tokenizes once and emits the distinct
+  * n-grams in first-occurrence order (matching `array_distinct`).
+  */
+case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType if n > 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_ngrams expects a string, got ${child.dataType.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.wordNGrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.wordNGrams($c, $n)")
+
+  override def prettyName: String = "word_ngrams"
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}
+
 /** Row-level kernels called from both interpreted eval and generated code. */
 object HashKernels {
+
+  def wordNGrams(text: UTF8String, n: Int): ArrayData = {
+    // whitespace tokenization of the trimmed text (split("\\s+") semantics)
+    val toks = text.toString.trim match {
+      case "" => Array.empty[String]
+      case t => t.split("\\s+")
+    }
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
 
   /** FNV-1a 64 over UTF-8 bytes followed by a murmur-style avalanche. */
   private def baseHash(s: UTF8String): Long = {

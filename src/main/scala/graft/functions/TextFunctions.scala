@@ -32,15 +32,11 @@ object TextFunctions {
   def stableHash64(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
-  /** Word n-gram shingles (distinct): ["a b c", "b c d", ...]. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      when(size(toks) < n, array().cast("array<string>"))
-        .otherwise(
-          transform(sequence(lit(0), size(toks) - n),
-            i => array_join(slice(toks, i + 1, lit(n)), " "))))
-  }
+  /** Word n-gram shingles (distinct, first-occurrence order), via the
+    * native one-pass [[WordNGrams]] expression. */
+  def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      WordNGrams(org.apache.spark.sql.GraftBridge.expression(text), n))
 
   /** Jaccard similarity of the distinct word n-gram shingle sets. */
   def jaccardShingles(a: Column, b: Column): Column = {

@@ -37,7 +37,11 @@ object VectorFunctions {
           args(1).eval().asInstanceOf[Number].intValue())),
       ("simhash60",
         new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
-        (args: Seq[Expression]) => SimHash60(args(0))))
+        (args: Seq[Expression]) => SimHash60(args(0))),
+      ("word_ngrams",
+        new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
+        (args: Seq[Expression]) => WordNGrams(args(0),
+          args(1).eval().asInstanceOf[Number].intValue())))
   }
 }
 
