@@ -23,6 +23,7 @@ object SparkEntry {
       TextQueries.queries ++
       DedupQueries.queries ++
       VectorQueries.queries ++
+      MultimodalQueries.queries ++
       RagQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -33,5 +34,6 @@ object SparkEntry {
       TextQueries.oracles ++
       DedupQueries.oracles ++
       VectorQueries.oracles ++
+      MultimodalQueries.oracles ++
       RagQueries.oracles
 }

@@ -1,0 +1,101 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling for the training-data pipeline: media
+  * payloads ride as opaque `BinaryType` columns with typed metadata
+  * alongside, and decode/feature-extract/frame-sample run as batched
+  * `mapPartitions` stages — the Scala twin of `mapInPandas` (same batch
+  * iterator shape, same "decoder is a black box behind the batch
+  * boundary" contract).
+  *
+  * The decode step is a DETERMINISTIC STUB (this container ships no
+  * image/audio codecs): "frames" are fixed 64-byte slices of the blob and
+  * "pixels" are raw byte values. Everything around the stub — the binary
+  * schema, the batching, the feature shape, partition parallelism — is the
+  * real production plumbing; swapping in a JNI/FFmpeg decoder changes only
+  * [[Media.decodeFrames]].
+  *
+  * At 100 TB: blobs never shuffle (all operators here are maps); the only
+  * movement is the initial scan, so partition sizing
+  * (`spark.sql.files.maxPartitionBytes`) is the sole scale knob.
+  */
+object Media {
+
+  val FrameBytes = 64
+  val SampleStride = 32
+  val SampleMax = 8
+  val BatchSize = 64
+
+  /** The media table: documents' text re-encoded as an opaque binary blob
+    * plus a modality tag — the harness stand-in for real image/audio/video
+    * payload columns. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(
+        col("doc_id").as("media_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, "image")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+          .otherwise("video").as("kind"),
+        col("text").cast("binary").as("blob"),
+        struct(
+          col("source"),
+          length(col("text")).as("n_bytes")).as("meta"))
+
+  /** STUB DECODER — deterministic fake: a real implementation would hand
+    * the blob to an image/audio codec; here frames are fixed-width byte
+    * slices so tests and oracles are exact. */
+  def decodeFrames(blob: Array[Byte]): Iterator[Array[Byte]] =
+    blob.grouped(FrameBytes)
+
+  /** Per-item features computed behind the batch boundary. */
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      n_frames: Long,
+      dark_frac: Double,
+      mid_frac: Double,
+      sample: String)
+
+  /** Feature extraction: batched mapPartitions over (id, kind, blob) rows.
+    * Batch shape mirrors mapInPandas: the decoder sees `BatchSize` blobs at
+    * a time, so a vectorized/codec backend can amortize per-call cost. */
+  def featurize(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("blob"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { case (id, kind, blob) =>
+            var dark = 0L
+            var mid = 0L
+            var n = 0L
+            decodeFrames(blob).foreach { frame =>
+              var i = 0
+              while (i < frame.length) {
+                val v = frame(i) & 0xff
+                if (v < 64) dark += 1 else if (v < 128) mid += 1
+                i += 1
+              }
+              n += frame.length
+            }
+            val nFrames = (blob.length + FrameBytes - 1) / FrameBytes
+            val sampled = new StringBuilder
+            var k = 0
+            while (k < SampleMax && k * SampleStride < blob.length) {
+              sampled.append((blob(k * SampleStride) & 0xff).toChar)
+              k += 1
+            }
+            // half-up rounding to match SQL round() (rint would tie-to-even)
+            def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+            val denom = if (n == 0) 1.0 else n.toDouble
+            MediaFeatures(id, kind, blob.length.toLong, nFrames.toLong,
+              r4(dark / denom), r4(mid / denom), sampled.toString)
+          }
+        }
+      }
+  }
+}

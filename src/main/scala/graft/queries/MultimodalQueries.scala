@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.multimodal.Media
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column queries: binary payloads with typed metadata, decoded
+  * and featurized through the batched mapPartitions boundary in
+  * [[graft.multimodal.Media]]. The blobs are documents' text re-encoded as
+  * UTF-8 bytes (pure ASCII in the harness data), so DuckDB oracles can
+  * recompute every byte-level value via `ascii(substr(text, ...))`.
+  */
+object MultimodalQueries {
+
+  /** Blob inventory per modality: counts + byte-size stats straight off
+    * the binary column (no decode). */
+  def qBlobStats(s: SparkSession, d: String): DataFrame =
+    Media.mediaTable(s, d)
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(length(col("blob"))).as("sum_bytes"),
+        round(avg(length(col("blob"))), 2).as("avg_bytes"),
+        max(length(col("blob"))).as("max_bytes"))
+      .orderBy(col("kind"))
+
+  val qBlobStatsSql: String =
+    """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |  ELSE 'video' END AS kind,
+      |  count(*) AS n, sum(length(text))::BIGINT AS sum_bytes,
+      |  round(avg(length(text)), 2) AS avg_bytes,
+      |  max(length(text))::BIGINT AS max_bytes
+      |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin
+
+  /** Per-item decode + byte profile through the stub decoder: frame count
+    * and byte-value distribution (the "is this image mostly dark" class of
+    * feature, computed batched behind the decoder boundary). */
+  def qByteProfile(s: SparkSession, d: String): DataFrame =
+    Media.featurize(Media.mediaTable(s, d)).toDF()
+      .select(col("media_id"), col("n_bytes"), col("n_frames"),
+        col("dark_frac"), col("mid_frac"))
+      .orderBy(col("media_id"))
+
+  val qByteProfileSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, length(text) AS len,
+      |    [ascii(substr(text, i + 1, 1)) FOR i IN range(length(text))] AS vs
+      |  FROM documents)
+      |SELECT doc_id AS media_id, len::BIGINT AS n_bytes,
+      |  ((len + 63) // 64)::BIGINT AS n_frames,
+      |  coalesce(round(len(list_filter(vs, v -> v < 64))
+      |    / nullif(len, 0)::DOUBLE, 4), 0.0) AS dark_frac,
+      |  coalesce(round(len(list_filter(vs, v -> v >= 64 AND v < 128))
+      |    / nullif(len, 0)::DOUBLE, 4), 0.0) AS mid_frac
+      |FROM b ORDER BY media_id""".stripMargin
+
+  /** Frame sampling: every 32nd byte, first 8 — the deterministic twin of
+    * "sample k frames from a video" running inside the same batched
+    * decoder stage. */
+  def qFrameSample(s: SparkSession, d: String): DataFrame =
+    Media.featurize(Media.mediaTable(s, d)).toDF()
+      .select(col("media_id"), col("kind"), col("sample"))
+      .orderBy(col("media_id"))
+
+  val qFrameSampleSql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |    ELSE 'video' END AS kind,
+      |  array_to_string(
+      |    [substr(text, 1 + i * 32, 1)
+      |     FOR i IN range(least(8, (length(text) + 31) // 32))], '') AS sample
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_blob_stats" -> (qBlobStats _),
+    "mm_byte_profile" -> (qByteProfile _),
+    "mm_frame_sample" -> (qFrameSample _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "mm_blob_stats" -> qBlobStatsSql,
+    "mm_byte_profile" -> qByteProfileSql,
+    "mm_frame_sample" -> qFrameSampleSql,
+  )
+}
