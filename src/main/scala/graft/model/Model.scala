@@ -11,6 +11,17 @@ import java.sql.Timestamp
   * stays in a `meta` map.
   */
 
+/** One repository as enumerated by the repo source (reference S1:
+  * `ingest/src/app/services/github_service.py:28-79` — GitHub GraphQL,
+  * paginated, fork/archive/private flags carried for filtering). */
+case class RepoRef(
+    namespace: String,
+    name: String,
+    defaultBranch: String,
+    isFork: Boolean,
+    isArchived: Boolean,
+    isPrivate: Boolean)
+
 /** One repository file as loaded by the repo reader (reference:
   * `ingest/src/app/services/github_service.py:16-25`). */
 case class RawDoc(

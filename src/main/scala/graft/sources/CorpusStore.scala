@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.model.{Node, RawDoc}
+import graft.model.{Node, RawDoc, RepoRef}
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -27,6 +27,21 @@ object CorpusStore {
   def counts(spark: SparkSession, path: String): Map[String, Long] =
     read(spark, path).groupBy("scope").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** S1+F5: repo enumeration — the driver-side HTTP listing lands in a
+    * `Seq[RepoRef]`; ingest-eligible repos are the non-fork, non-archived,
+    * non-private ones (reference github_service.py:63-71). The enumeration
+    * itself stays driver-side by design: it is a paginated API walk, tiny
+    * next to the file fetch that follows, and its output seeds the
+    * per-repo partition parallelism of [[readRepoDir]]. */
+  def eligibleRepos(
+      spark: SparkSession,
+      listed: Seq[RepoRef],
+      includeForks: Boolean = false): Dataset[RepoRef] = {
+    import spark.implicits._
+    spark.createDataset(listed)
+      .filter(r => !r.isArchived && !r.isPrivate && (includeForks || !r.isFork))
+  }
 
   /** S2-as-local-files: read a repo checkout from a directory tree into
     * Dataset[RawDoc] (the GithubRepositoryReader twin; executors read
