@@ -76,7 +76,7 @@ class IngestPipeline(
       .as[(String, String, String, String, String, String, String, Boolean)]
       .flatMap { case (ns, repo, branch, path, lang, text, kind, standalone) =>
         Chunker.chunkByLanguage(text, lang).zipWithIndex.map { case (c, i) =>
-          Node.empty.copy(
+          val n = Node.empty.copy(
             scope = "chunk", docType = "code", text = c.text,
             namespace = ns, repo = repo, branch = branch,
             collection = coll, componentKind = kind, isStandalone = standalone,
@@ -84,9 +84,9 @@ class IngestPipeline(
             module = topDirectory(path), filePath = path, language = lang,
             meta = Map("chunk_index" -> i.toString,
               "start_line" -> c.startLine.toString))
+          n.copy(rowId = nodeId(n)) // id assigned in the same narrow stage
         }
       }
-      .map(n => n.copy(rowId = nodeId(n)))
   }
 
   // ---- stage 3: enrich (L1-L3 + topics/imports/symbol) ----
@@ -97,22 +97,44 @@ class IngestPipeline(
     val l = llm
     val bs = batchSize
     nodes.mapPartitions { it =>
+      it.grouped(bs).flatMap(enrichBatch(l, _))
+    }
+  }
+
+  private def enrichBatch(l: Llm, batch: Seq[Node]): Seq[Node] = {
+    val summaries = l.completeBatch(batch.map(n =>
+      s"Summarize this ${n.language} code section:\n${n.text.take(2000)}"))
+    val titles = l.completeBatch(batch.map(n =>
+      s"Give a title for:\n${n.text.take(500)}"))
+    val keywords = l.completeBatch(batch.map(n =>
+      s"Give 10 keywords for:\n${n.text.take(2000)}"))
+    batch.lazyZip(summaries).lazyZip(titles).lazyZip(keywords).map {
+      (n, s, t, k) =>
+        n.copy(
+          summary = s, title = t,
+          keywords = k.split(",\\s*").toSeq.filter(_.nonEmpty).take(10),
+          imports = extractImports(n.text, n.language),
+          symbol = extractSymbol(n.text, n.language),
+          topics = extractTopics(n.text))
+    }.toSeq
+  }
+
+  /** Fused enrich+embed: one mapPartitions stage, one encoder round-trip.
+    * The separate [[enrich]]/[[embed]] stages stay for composability, but
+    * the full pipeline uses this — at any scale the per-stage
+    * serialization of the wide Node row (embedding + maps) is pure
+    * overhead when the stages are always adjacent. */
+  def enrichAndEmbed(nodes: Dataset[Node]): Dataset[Node] = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val l = llm
+    val e = embedder
+    val bs = batchSize
+    nodes.mapPartitions { it =>
       it.grouped(bs).flatMap { batch =>
-        val summaries = l.completeBatch(batch.map(n =>
-          s"Summarize this ${n.language} code section:\n${n.text.take(2000)}"))
-        val titles = l.completeBatch(batch.map(n =>
-          s"Give a title for:\n${n.text.take(500)}"))
-        val keywords = l.completeBatch(batch.map(n =>
-          s"Give 10 keywords for:\n${n.text.take(2000)}"))
-        batch.lazyZip(summaries).lazyZip(titles).lazyZip(keywords).map {
-          (n, s, t, k) =>
-            n.copy(
-              summary = s, title = t,
-              keywords = k.split(",\\s*").toSeq.filter(_.nonEmpty).take(10),
-              imports = extractImports(n.text, n.language),
-              symbol = extractSymbol(n.text, n.language),
-              topics = extractTopics(n.text))
-        }
+        val enriched = enrichBatch(l, batch)
+        val vecs = e.embedBatch(enriched.map(_.text))
+        enriched.zip(vecs).map { case (n, v) => n.copy(embedding = v) }
       }
     }
   }
@@ -148,11 +170,12 @@ class IngestPipeline(
     val withAll = Seq("module", "filePath").foldLeft(grouped) { (df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast("string"))
     }
+    val e = embedder
     withAll.as[RollupRow].mapPartitions { it =>
       it.grouped(bsize).flatMap { batch =>
         val sums = l.completeBatch(batch.map(r => s"$summaryPrompt\n${r.rollupText}"))
-        batch.zip(sums).map { case (r, s) =>
-          Node.empty.copy(
+        val nodes = batch.zip(sums).map { case (r, s) =>
+          val n = Node.empty.copy(
             scope = scope, docType = docType, text = s,
             namespace = r.namespace, repo = r.repo, branch = r.branch,
             collection = coll, componentKind = r.componentKind,
@@ -161,9 +184,13 @@ class IngestPipeline(
             language = r.language, summary = s,
             rollupOf = r.rollupOf, rollupCount = r.rollupCount,
             meta = Map("rollup_count" -> r.rollupCount.toString))
+          n.copy(rowId = nodeId(n))
         }
+        // L-summary + L10 embed in the same stage — no extra encoder pass
+        val vecs = e.embedBatch(nodes.map(_.text))
+        nodes.zip(vecs).map { case (n, v) => n.copy(embedding = v) }
       }
-    }.map(n => n.copy(rowId = nodeId(n)))
+    }
   }
 
   private val bsize = batchSize
@@ -195,6 +222,7 @@ class IngestPipeline(
     val spark = pre.sparkSession
     import spark.implicits._
     val l = llm
+    val emb = embedder
     val coll = collection
     val readmes = pre
       .filter(FileFilters.baseName(col("filePath")).startsWith("readme"))
@@ -222,15 +250,16 @@ class IngestPipeline(
               l.complete(s"Write a catalog entry for repo $repo.\nTech: ${langs.mkString(",")}\n$readme")
             else
               l.complete(s"Write a catalog entry for repo $repo from code summaries.\nTech: ${langs.mkString(",")}\n$codeSums")
-          Node.empty.copy(
+          val n = Node.empty.copy(
             scope = "catalog", docType = "catalog", text = text,
             namespace = ns, repo = repo, collection = coll,
             ingestRunId = ZeroRunId, summary = text.take(500),
             topics = langs,
             meta = Map("tech_stack" -> langs.mkString(",")))
+          val withId = n.copy(rowId = nodeId(n))
+          withId.copy(embedding = emb.embed(withId.text))
         }
       }
-      .map(n => n.copy(rowId = nodeId(n)))
   }
 
   // ---- stage 5: embed (L10) ----
@@ -250,14 +279,17 @@ class IngestPipeline(
 
   // ---- full run ----
 
-  /** End-to-end: raw files → all five scopes, embedded. */
+  /** End-to-end: raw files → all five scopes, embedded. Each scope's
+    * enrich/summarize/embed work is fused into one mapPartitions stage, so
+    * the pipeline is: scan → chunk+enrich+embed (narrow) → one shuffle per
+    * rollup level keyed by its group → catalog join. */
   def buildCorpus(raw: Dataset[RawDoc], runId: String): Dataset[Node] = {
     val pre = preprocess(raw).cache()
-    val chunks = embed(enrich(chunk(pre, runId))).cache()
-    val files = embed(fileRollup(chunks))
-    val modules = embed(moduleRollup(files))
-    val repos = embed(repoRollup(modules))
-    val cats = embed(catalog(pre, chunks))
+    val chunks = enrichAndEmbed(chunk(pre, runId)).cache()
+    val files = fileRollup(chunks)
+    val modules = moduleRollup(files)
+    val repos = repoRollup(modules)
+    val cats = catalog(pre, chunks)
     chunks.unionByName(files).unionByName(modules).unionByName(repos)
       .unionByName(cats)
   }

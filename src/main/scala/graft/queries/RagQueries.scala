@@ -41,11 +41,14 @@ object RagQueries {
   private val corpusCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def corpus(s: SparkSession, d: String): DataFrame =
     corpusCache.getOrElseUpdate(d,
-      // repartition before persist: the five-scope union otherwise carries
-      // ~100 near-empty partitions whose task-launch overhead dominates the
-      // many small retrieval jobs that follow
+      // cluster the cache by scope before persisting: the five-scope union
+      // otherwise carries ~100 near-empty partitions whose task-launch
+      // overhead dominates the many small retrieval jobs that follow, and
+      // scope-clustering lets the in-memory scan's batch stats skip
+      // non-matching scopes entirely (the cached twin of the scope
+      // partition pruning CorpusStore gives on disk)
       pipeline.buildCorpus(rawDocs(s, d), "bench-run").toDF()
-        .repartition(s.sparkContext.defaultParallelism.min(32)).persist())
+        .repartition(8, col("scope")).persist())
 
   /** Full ingest → per-scope counts. Every doc here is < 4000 chars, so
     * chunk/file counts equal the doc count and module/repo/catalog equal
