@@ -312,6 +312,24 @@ class IngestPipeline(
 object IngestPipeline {
   val ZeroRunId = "00000000-0000-0000-0000-000000000000"
 
+  /** P5: spillover-metadata sanitize to string→string (reference
+    * vector_write_service.py:45-98). The ~20 known keys live as typed
+    * columns, so this applies only to the dynamic `meta` tail: scalars
+    * stringified, sequences comma-joined, maps JSON-encoded, nulls/None
+    * dropped. */
+  def sanitizeMeta(values: Map[String, Any]): Map[String, String] =
+    values.collect {
+      case (k, v) if v != null && v != None => k -> (v match {
+        case s: String => s
+        case seq: Seq[_] => seq.mkString(",")
+        case arr: Array[_] => arr.mkString(",")
+        case m: Map[_, _] =>
+          m.map { case (mk, mv) => s""""$mk":"$mv"""" }.mkString("{", ",", "}")
+        case Some(x) => x.toString
+        case other => other.toString
+      })
+    }
+
   /** P7: stable row id — sha1 over the identity fields (reference
     * vector_write_service.py:186-194). */
   def nodeId(n: Node): String = {
