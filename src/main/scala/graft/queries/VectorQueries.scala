@@ -150,11 +150,30 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF ANN (the partition-pruned scale path): 16 centroids (seeded +
+    * one Lloyd step), nprobe=4 → each query scans ~1/4 of the corpus.
+    * Scores are exact (re-ranked with the codegen cosine); recall is
+    * approximate → rows-only driver check, with the recall floor asserted
+    * against brute force in RetrievalSpec. */
+  def qKnnIvf(s: SparkSession, d: String): DataFrame = {
+    import graft.retrieval.IvfIndex
+    val emb = Tables.embeddings(s, d)
+    val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", 16)
+    val index = IvfIndex.assign(emb, "vec_id", "embedding", centroids)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    IvfIndex.search(index, "vec_id", "embedding", queries, centroids,
+      nprobe = 4, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vs_knn_brute" -> (qKnnBrute _),
     "vs_emb_neardup" -> (qEmbNearDup _),
     "vs_label_stats" -> (qLabelStats _),
     "vs_knn_lsh" -> (qKnnLsh _),
+    "vs_knn_ivf" -> (qKnnIvf _),
   )
 
   def oracles: Map[String, String] = Map(

@@ -1,0 +1,123 @@
+package graft.retrieval
+
+import graft.functions.VectorFunctions.cosine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the scale path for
+  * similarity search over an embedding column.
+  *
+  * Build: pick `c` deterministic seed vectors, refine once (mean of
+  * assigned vectors, L2-normalized — one Lloyd step), then assign every
+  * corpus vector to its nearest centroid. The index is the corpus plus a
+  * `centroid_id` column; at production scale it is written bucketed /
+  * partitioned by `centroid_id`, so probing `nprobe` lists is a
+  * partition-pruned scan of nprobe/c of the data instead of a full sweep.
+  *
+  * Search: queries are tiny relative to the corpus (always true in
+  * retrieval), so the probe set is computed driver-side against the
+  * c-row centroid table and pushed down as a (query, centroid) pair join —
+  * the same frontier-pushdown shape as [[Retrieval.graphExpand]]. Matches
+  * within probed lists re-rank with the exact codegen cosine, so returned
+  * scores are exact; only recall is approximate (misses when a true
+  * neighbor's list was not probed).
+  */
+object IvfIndex {
+
+  /** Deterministic centroid build: seeds = evenly spaced rows by id order,
+    * then one refinement step. Returns (centroidId, unit vector). */
+  def buildCentroids(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      c: Int): Array[(Int, Array[Float])] = {
+    val n = emb.count()
+    val stride = math.max(1L, n / c)
+    val seeds = emb
+      .filter(pmod(col(idCol), lit(stride)) === 0)
+      .orderBy(col(idCol))
+      .limit(c)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+      .zipWithIndex.map { case (v, i) => (i, v) }
+
+    // one Lloyd step: mean of assigned vectors per seed, renormalized
+    val assigned = assign(emb, idCol, vecCol, seeds)
+    val sums = assigned
+      .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+    seeds.map { case (cid, seed) =>
+      sums.get(cid) match {
+        case Some(rows) =>
+          val dim = seed.length
+          val v = new Array[Float](dim)
+          rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
+          val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+          (cid, if (norm == 0) seed else v.map(x => (x / norm).toFloat))
+        case None => (cid, seed)
+      }
+    }
+  }
+
+  private def cosineLocal(a: Array[Float], b: Array[Float]): Double =
+    Retrieval.cosineLocal(a, b)
+
+  /** Assign every vector to its nearest centroid (one scan; the centroid
+    * table is broadcast as a literal — it is c rows by construction). */
+  def assign(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[(Int, Array[Float])]): DataFrame = {
+    // score against each centroid, argmax via greatest-of-structs
+    val scored = centroids.map { case (cid, v) =>
+      struct(cosine(col(vecCol), typedlit(v)).as("s"), lit(cid).as("cid"))
+    }
+    emb.withColumn("centroid_id", greatest(scored: _*).getField("cid"))
+  }
+
+  /** Probe lists for each query vector, driver-side (centroids ≪ corpus). */
+  def probes(
+      queries: Seq[(Long, Array[Float])],
+      centroids: Array[(Int, Array[Float])],
+      nprobe: Int): Seq[(Long, Int)] =
+    queries.flatMap { case (qid, qv) =>
+      centroids
+        .map { case (cid, cv) => (cid, cosineLocal(qv, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }
+        .take(nprobe)
+        .map { case (cid, _) => (qid, cid) }
+    }
+
+  /** Top-k search: join query probe pairs against the indexed corpus on
+    * centroid_id (partition-pruned at scale), exact cosine re-rank. */
+  def search(
+      index: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: Seq[(Long, Array[Float])],
+      centroids: Array[(Int, Array[Float])],
+      nprobe: Int,
+      k: Int): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val probeDf = probes(queries, centroids, nprobe).toDF("query_id", "p_cid")
+    val queryDf = queries.toDF("query_id", "qv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    index
+      .join(broadcast(probeDf), col("centroid_id") === col("p_cid"))
+      .join(broadcast(queryDf), "query_id")
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("score", cosine(col(vecCol), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rank"))
+  }
+}

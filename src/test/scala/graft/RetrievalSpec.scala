@@ -114,4 +114,43 @@ class RetrievalSpec extends SparkSpec {
     assert(state.attempt == 3)
     assert(state.answer.isDefined)
   }
+
+  test("IVF: exact scores, recall floor vs brute force on sf0.001") {
+    import graft.retrieval.IvfIndex
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", 16)
+    assert(centroids.length == 16)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val index = IvfIndex.assign(emb, "vec_id", "embedding", centroids)
+    val ivf = IvfIndex.search(index, "vec_id", "embedding", queries, centroids,
+      nprobe = 4, k = 5).collect()
+    assert(ivf.nonEmpty)
+
+    // brute-force truth
+    val all = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val truth = queries.map { case (qid, qv) =>
+      qid -> all.filter(_._1 != qid)
+        .map { case (id, v) => (id, Retrieval.cosineLocal(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+    }.toMap
+
+    // every IVF score is the exact cosine
+    val vecById = all.toMap
+    ivf.foreach { r =>
+      val (qid, nid, score) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val exact = Retrieval.cosineLocal(vecById(qid), vecById(nid))
+      assert(math.abs(score - math.rint(exact * 1e6) / 1e6) < 1e-9 ||
+        math.abs(score - exact) < 1e-6)
+    }
+    // recall@5 over the query batch: clustered embeddings -> IVF should
+    // recover most true neighbors while probing 1/4 of the lists
+    val hits = ivf.groupBy(_.getLong(0)).map { case (qid, rows) =>
+      rows.map(_.getLong(1)).count(truth(qid).contains)
+    }.sum
+    val recall = hits.toDouble / (queries.size * 5)
+    assert(recall >= 0.5, s"recall@5 = $recall")
+  }
 }
