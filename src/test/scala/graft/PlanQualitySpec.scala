@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan guardrails: the scale properties the queries are designed
+  * around — predicate pushdown into the parquet scan, column pruning,
+  * broadcast joins for dimension tables, no stray shuffles — asserted on
+  * the executed plan string so a refactor that silently loses them fails
+  * CI, not the 100 TB run.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+
+  def plan(df: DataFrame): String = {
+    df.collect() // finalize AQE on THIS plan so codegen stages are visible
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+  }
+
+  def count(haystack: String, needle: String): Int =
+    needle.r.findAllMatchIn(haystack).length
+
+  test("q6: range filters push into the parquet scan; schema pruned") {
+    val p = plan(graft.queries.RelationalQueries.q6ForecastRevenue(spark, sf))
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("l_shipdate"), "shipdate range should reach the scan")
+    assert(p.contains("l_discount"), "discount range should reach the scan")
+    // column pruning: the scan must not read the full 16-col lineitem row
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"),
+      s"scan reads more columns than the query needs: $readSchema")
+  }
+
+  test("q5: dimension joins broadcast; fact side shuffles once at most") {
+    val p = plan(graft.queries.RelationalQueries.q5RegionRevenue(spark, sf))
+    assert(count(p, "BroadcastHashJoin") >= 3,
+      "supplier/nation/region must join via broadcast")
+    assert(count(p, "SortMergeJoin|ShuffledHashJoin") <= 1,
+      "only lineitem-orders may shuffle")
+  }
+
+  test("q3: customer dim broadcasts; top-10 is TakeOrdered, not global sort") {
+    val p = plan(graft.queries.RelationalQueries.q3TopOrders(spark, sf))
+    assert(count(p, "BroadcastHashJoin") >= 1)
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("semi/anti joins stay semi/anti in the physical plan") {
+    val ps = plan(graft.queries.RelationalQueries.qSemiJoin(spark, sf))
+    assert(ps.contains("LeftSemi"))
+    val pa = plan(graft.queries.RelationalQueries.qAntiJoin(spark, sf))
+    assert(pa.contains("LeftAnti"))
+  }
+
+  test("retrieval scoring stays inside whole-stage codegen") {
+    import graft.llm.HashEmbedder
+    val emb = new HashEmbedder(64)
+    val corpus = {
+      import spark.implicits._
+      spark.createDataset(Seq(
+        graft.model.Node.empty.copy(rowId = "a", scope = "chunk",
+          text = "x", embedding = emb.embed("x")))).toDF()
+        .repartition(1) // keep the projection out of ConvertToLocalRelation
+    }
+    val p = plan(graft.retrieval.Retrieval.score(corpus, emb.embed("q"), "chunk"))
+    // compact plan strings mark whole-stage codegen stages with "*(n)"
+    assert(count(p, "\\*\\(\\d+\\) Project") >= 1, "cosine scan must be codegen'd")
+    assert(p.contains("cosine_sim"), "native expression in plan")
+  }
+
+  test("dedup signatures are single-pass native expressions in the plan") {
+    val p = plan(graft.queries.DedupQueries.qDedupSimhash(spark, sf))
+    assert(p.contains("simhash60"))
+    val p2 = plan(graft.queries.DedupQueries.qDedupMinhashLsh(spark, sf))
+    assert(p2.contains("minhash_sig"))
+    assert(p2.contains("word_ngrams"))
+  }
+}
