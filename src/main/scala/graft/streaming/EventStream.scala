@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming analytics — the beyond-reference streaming surface
+  * (the reference's "streaming" is job orchestration only, SURVEY §2.10):
+  * watermarked tumbling-window aggregation and stateful sessionization via
+  * `flatMapGroupsWithState`. The batch twins in
+  * [[graft.queries.EventQueries]] (ev_hourly_rollup / ev_sessionize) are
+  * the oracle-checked semantics; these run the same logic incrementally.
+  *
+  * Scale: state is partitioned by the group key (user), so the state store
+  * shards with the shuffle; the watermark bounds state size by evicting
+  * sessions older than the lateness allowance. Skewed users are the risk —
+  * same salting/AQE options as the batch sessionize.
+  */
+object EventStream {
+
+  case class Ev(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
+
+  case class SessionState(
+      sessionSeq: Long,
+      startMs: Long,
+      lastMs: Long,
+      nEvents: Long,
+      sumValue: Double)
+
+  case class SessionOut(
+      user_id: Long,
+      session_seq: Long,
+      n_events: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      sum_value: Double)
+
+  val GapMs: Long = 30L * 60 * 1000
+
+  /** Watermarked tumbling-window counts per event type (1-minute windows,
+    * 1-minute lateness). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Stateful sessionization: 30-minute inactivity gap closes a session.
+    * Closed sessions emit as soon as the closing event arrives; dangling
+    * sessions emit on event-time timeout once the watermark passes the
+    * gap. Output matches the batch ev_sessionize rows. */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => toOut(userId, s)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var st = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              st match {
+                case Some(s) if t - s.lastMs > GapMs =>
+                  closed += toOut(userId, s)
+                  st = Some(SessionState(s.sessionSeq + 1, t, t, 1, e.value))
+                case Some(s) =>
+                  st = Some(s.copy(lastMs = math.max(s.lastMs, t),
+                    nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
+                case None =>
+                  st = Some(SessionState(1, t, t, 1, e.value))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + GapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  private def toOut(userId: Long, s: SessionState): SessionOut =
+    SessionOut(userId, s.sessionSeq, s.nEvents,
+      new Timestamp(s.startMs), new Timestamp(s.lastMs),
+      math.rint(s.sumValue * 100) / 100)
+}

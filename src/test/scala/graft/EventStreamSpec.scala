@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Event-time streaming: watermarked windows and stateful sessionization
+  * (flatMapGroupsWithState) against MemoryStream micro-batches. */
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+  def tsH(hour: Int, minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 $hour%02d:$minute%02d:00")
+
+  test("windowed counts: tumbling 1-minute windows per event type") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_type")
+    val q = EventStream.windowedCounts(events)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append()).start()
+    input.addData((ts(0), "click"), (ts(0), "click"), (ts(1), "view"))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first windows
+    input.addData((ts(10), "click"))
+    q.processAllAvailable()
+    val rows = spark.table("win_counts")
+      .selectExpr("window.start", "event_type", "n").as[(Timestamp, String, Long)]
+      .collect().toSet
+    q.stop()
+    assert(rows.contains((ts(0), "click", 2L)))
+    assert(rows.contains((ts(1), "view", 1L)))
+  }
+
+  test("stateful sessionize: gap closes session; timeout flushes dangler") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+
+    // session 1: two events 5 minutes apart
+    input.addData(Ev(1, 1, tsH(10, 0), 1.0), Ev(1, 2, tsH(10, 5), 2.0))
+    q.processAllAvailable()
+    // 40-minute gap → closes session 1, opens session 2
+    input.addData(Ev(1, 3, tsH(10, 45), 4.0))
+    q.processAllAvailable()
+    val afterClose = spark.table("sessions").as[EventStream.SessionOut].collect()
+    assert(afterClose.length == 1)
+    val s1 = afterClose.head
+    assert(s1.user_id == 1 && s1.session_seq == 1 && s1.n_events == 2)
+    assert(s1.session_start == tsH(10, 0) && s1.session_end == tsH(10, 5))
+    assert(s1.sum_value == 3.0)
+
+    // push the watermark far past session 2's gap → event-time timeout
+    input.addData(Ev(2, 9, tsH(12, 0), 0.5))
+    q.processAllAvailable()
+    input.addData(Ev(2, 10, tsH(13, 0), 0.5))
+    q.processAllAvailable()
+    val all = spark.table("sessions").as[EventStream.SessionOut].collect()
+    q.stop()
+    val s2 = all.find(s => s.user_id == 1 && s.session_seq == 2)
+    assert(s2.isDefined, s"timeout should flush the dangling session: ${all.toSeq}")
+    assert(s2.get.n_events == 1 && s2.get.sum_value == 4.0)
+  }
+}
