@@ -10,9 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm up the session (scheduler, codegen, shuffle machinery) so the
-    // first measured query doesn't absorb JVM startup
+    // warm up the session (scheduler, codegen, shuffle machinery, parquet
+    // reader) so the first measured query doesn't absorb JVM startup
     spark.range(1000).selectExpr("sum(id)").collect()
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -13,8 +13,12 @@ import graft.queries._
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    // expose the engine's SQL functions (cosine_sim, minhash_sig,
+    // simhash60, word_ngrams) on the driver-owned session
+    graft.functions.VectorFunctions.register(spark)
     RelationalQueries.q3TopOrders(spark, "/root/testdata/sf0.001")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -29,5 +29,12 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** The embeddings table is scanned several times per vector query
+    * (query-side, corpus-side, centroid build) and by five queries per
+    * run — persist it once per sf-dir, like a production vector store
+    * pinning its index segment in memory. */
+  private val embCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    embCache.getOrElseUpdate(d, t(s, d, "embeddings").persist())
 }
