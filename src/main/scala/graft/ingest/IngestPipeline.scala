@@ -40,14 +40,25 @@ class IngestPipeline(
     val spark = raw.sparkSession
     val kept = raw.toDF()
       .filter(FileFilters.keepFile(col("filePath")))
-    val withNb = kept
-      .withColumn("isNotebook", FileFilters.ext(col("filePath")) === "ipynb")
-      .withColumn("nb", when(col("isNotebook"), Notebook.transformNotebook(col("text"))))
-      .withColumn("language",
-        when(col("isNotebook"), col("nb.language"))
-          .otherwise(FileFilters.language(col("filePath"))))
-      .withColumn("text", when(col("isNotebook"), col("nb.text")).otherwise(col("text")))
-      .drop("nb")
+    // probe for notebooks first (filePath-only scan, limit 1): when a repo
+    // set has none — the common case — the whole from_json/HOF notebook
+    // expression tree stays out of the plan, which otherwise dominates the
+    // preprocess stage's analysis+codegen cost
+    val hasNotebooks = !kept
+      .filter(FileFilters.ext(col("filePath")) === "ipynb")
+      .select("filePath").limit(1).isEmpty
+    val withNb =
+      if (!hasNotebooks)
+        kept
+          .withColumn("language", FileFilters.language(col("filePath")))
+      else kept
+        .withColumn("isNotebook", FileFilters.ext(col("filePath")) === "ipynb")
+        .withColumn("nb", when(col("isNotebook"), Notebook.transformNotebook(col("text"))))
+        .withColumn("language",
+          when(col("isNotebook"), col("nb.language"))
+            .otherwise(FileFilters.language(col("filePath"))))
+        .withColumn("text", when(col("isNotebook"), col("nb.text")).otherwise(col("text")))
+        .drop("nb", "isNotebook")
     // A4: component kind per repo — tiny aggregate, broadcast back
     val kinds = withNb.groupBy(col("namespace"), col("repo"))
       .agg(
