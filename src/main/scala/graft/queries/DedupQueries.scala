@@ -89,6 +89,44 @@ object DedupQueries {
       |WHERE inter / (ca.n + cb.n - inter)::DOUBLE >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Prefix-filtered exact Jaccard (AllPairs/PPJoin-style) — the 100 TB
+    * form of qDedupJaccard with identical output. Shingles get a global
+    * rarity order (document frequency asc, shingle asc); a doc of size n
+    * only indexes its first n − ⌈t·n⌉ + 1 rarest shingles. For any pair
+    * with J ≥ t, the globally-smallest common shingle provably falls in
+    * BOTH prefixes, so joining prefix postings loses nothing — while the
+    * candidate space shrinks from Σ df² over all shingles to Σ df² over
+    * rare-prefix postings. Accepted pairs verify with the full shingle
+    * sets, so the result is exact (same oracle as qDedupJaccard). */
+  def qDedupJaccardPrefix(s: SparkSession, d: String): DataFrame = {
+    val t = JaccardThreshold
+    val sh = shingleRel(s, d)
+    val posting = sh.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("shingle"))
+    val dfreq = posting.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefix = posting
+      .join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
+      .select(col("doc_id"), col("shingle"))
+
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", jaccardShingles(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= t)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** MinHash + LSH banding + exact verification. 64 hashes / 16 bands × 4
     * rows → P(miss | J=0.8) ≈ 2e-4, ~0 at the J≥0.98 pairs present in the
     * data; verification makes accepted pairs exact, so the output matches
@@ -181,6 +219,7 @@ object DedupQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (qDedupExact _),
     "dd_jaccard" -> (qDedupJaccard _),
+    "dd_jaccard_prefix" -> (qDedupJaccardPrefix _),
     "dd_minhash_lsh" -> (qDedupMinhashLsh _),
     "dd_simhash" -> (qDedupSimhash _),
   )
@@ -188,6 +227,7 @@ object DedupQueries {
   def oracles: Map[String, String] = Map(
     "dd_exact" -> qDedupExactSql,
     "dd_jaccard" -> qDedupJaccardSql,
+    "dd_jaccard_prefix" -> qDedupJaccardSql, // provably same output, exact
     "dd_minhash_lsh" -> qDedupJaccardSql, // same contract: verified exact pairs
     "dd_simhash" -> qDedupSimhashSql,
   )
