@@ -128,12 +128,35 @@ object EventQueries {
       |  n - coalesce(lag(n) OVER (PARTITION BY event_type ORDER BY h), 0) AS delta
       |FROM hourly ORDER BY hour, event_type""".stripMargin
 
+  /** Exact interpolated percentiles per event type (Spark `percentile` ≡
+    * DuckDB `quantile_cont` — both linear interpolation, so the check is
+    * value-exact, unlike the sketch-based approx_percentile). */
+  def qValueQuantiles(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  val qValueQuantilesSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.9), 4) AS p90,
+      |  round(quantile_cont(value, 0.99), 4) AS p99,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_hourly_rollup" -> (qHourlyRollup _),
     "ev_latest_per_user" -> (qLatestPerUser _),
     "ev_sessionize" -> (qSessionize _),
     "ev_json_props" -> (qJsonProps _),
     "ev_hourly_delta" -> (qHourlyDelta _),
+    "ev_value_quantiles" -> (qValueQuantiles _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -142,5 +165,6 @@ object EventQueries {
     "ev_sessionize" -> qSessionizeSql,
     "ev_json_props" -> qJsonPropsSql,
     "ev_hourly_delta" -> qHourlyDeltaSql,
+    "ev_value_quantiles" -> qValueQuantilesSql,
   )
 }

@@ -123,11 +123,31 @@ object TextQueries {
       |  count(*) AS n, round(avg(n_chars), 2) AS avg_chars
       |FROM scored GROUP BY 1, 2 ORDER BY lang, lang_id""".stripMargin
 
+  /** CUBE grouping sets over (lang, source): all four grouping
+    * combinations in one pass — the reporting shape SURVEY §2.6 notes the
+    * Spark engine gets for free over the node tables. */
+  def qCubeLangSource(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+  }
+
+  val qCubeLangSourceSql: String =
+    """SELECT lang, source, count(*) AS n,
+      |  round(avg(n_chars), 2) AS avg_chars,
+      |  count(DISTINCT doc_id) AS n_docs
+      |FROM documents GROUP BY CUBE(lang, source)
+      |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "td_text_profile" -> (qTextProfile _),
     "td_chunk_docs" -> (qChunkDocs _),
     "td_rollup_chunks" -> (qRollupChunks _),
     "td_lang_distribution" -> (qLangDistribution _),
+    "td_cube_lang_source" -> (qCubeLangSource _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -135,5 +155,6 @@ object TextQueries {
     "td_chunk_docs" -> qChunkDocsSql,
     "td_rollup_chunks" -> qRollupChunksSql,
     "td_lang_distribution" -> qLangDistributionSql,
+    "td_cube_lang_source" -> qCubeLangSourceSql,
   )
 }
