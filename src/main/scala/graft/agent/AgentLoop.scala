@@ -41,16 +41,33 @@ class AgentLoop(
     (scope, filters)
   }
 
-  /** Judge: coverage from hit count + score mass; below threshold →
-    * stage-down (project→package→file→code ladder, agent_graph.py:348-378). */
+  /** Judge (reference agent_graph.py:304-384): build a source inventory
+    * with 200-char previews, ask the Llm for a JSON verdict, parse it
+    * leniently; fall back to the heuristic coverage score (hit count ×
+    * best score) when the response doesn't parse — the reference's
+    * auto-stage-down path on parse failure. */
   def judge(state: AgentState): AgentState = {
-    val coverage =
+    val heuristic =
       if (state.docs.isEmpty) 0.0
       else math.min(1.0, state.docs.length.toDouble / 5.0) *
         math.min(1.0, math.max(0.0, state.docs.map(_.score).max))
-    val needsMore = coverage < 0.3 || state.docs.length < minSourceNodes
+    val inventory = state.docs.take(10).zipWithIndex.map { case (d, i) =>
+      s"[${i + 1}] ${d.scope} ${d.repo}/${d.filePath} preview: ${d.text.take(200)}"
+    }.mkString("\n")
+    val response = llm.complete(
+      s"""Judge whether these sources cover the question. Respond JSON
+         |{"coverage": 0.0-1.0, "needs_more": bool, "rewrite": "..."}.
+         |Question: ${state.query}
+         |Sources (${state.docs.length}):
+         |$inventory""".stripMargin)
+    val verdict = AgentLoop.parseJudge(response)
+    val coverage = verdict.flatMap(_.coverage).getOrElse(heuristic)
+    val needsMore = verdict.flatMap(_.needsMore)
+      .getOrElse(coverage < 0.3) || state.docs.length < minSourceNodes
     state.copy(needsMore = needsMore,
-      debug = state.debug :+ f"judge: coverage=$coverage%.3f needsMore=$needsMore")
+      rewrite = verdict.flatMap(_.rewrite).orElse(state.rewrite),
+      debug = state.debug :+
+        f"judge: coverage=$coverage%.3f needsMore=$needsMore llm=${verdict.isDefined}")
   }
 
   def stageDown(scope: String): String = scope match {
@@ -78,12 +95,19 @@ class AgentLoop(
           (docs ++ expanded).distinctBy(_.rowId)
             .sortBy(r => (-r.score, r.rowId)).take(req.topK)
         } else docs.sortBy(r => (-r.score, r.rowId)).take(req.topK)
+      // stuck detection (reference agent_graph.py:395-401): identical doc
+      // set on consecutive attempts → force file scope instead of the
+      // regular ladder step
+      val prevIds = state.docs.map(_.rowId).toSet
       state = judge(state.copy(docs = merged))
+      val stuck = state.attempt > 1 && prevIds.nonEmpty &&
+        state.docs.map(_.rowId).toSet == prevIds
       if (!state.needsMore || state.attempt >= maxAttempts) {
         state = state.copy(answer = Some(synthesize(state)))
         done = true
       } else {
-        val nextScope = stageDown(state.scope)
+        val nextScope = if (stuck && state.scope != "file") "file"
+                        else stageDown(state.scope)
         val rewrite =
           if (state.attempt == 1)
             Some(llm.complete(s"Rewrite this search query to be more specific: ${state.query}"))
@@ -115,6 +139,33 @@ class AgentLoop(
 
 object AgentLoop {
   val RepoHintPattern = "(?i)repo:\\s*([\\w.-]+)".r
+
+  /** Parsed judge verdict. */
+  case class Judgment(
+      coverage: Option[Double],
+      needsMore: Option[Boolean],
+      rewrite: Option[String])
+
+  private val CoveragePat = "\"coverage\"\\s*:\\s*([0-9.]+)".r
+  private val NeedsMorePat = "\"needs_more\"\\s*:\\s*(true|false)".r
+  private val RewritePat = "\"rewrite\"\\s*:\\s*\"([^\"]+)\"".r
+
+  /** Lenient judge-JSON extraction (reference agent_graph.py:343-355
+    * bracket-slicing): regex field pulls over the braces slice, None when
+    * nothing parseable — callers fall back to the heuristic ladder. */
+  def parseJudge(response: String): Option[Judgment] = {
+    val start = response.indexOf('{')
+    val end = response.lastIndexOf('}')
+    if (start < 0 || end <= start) return None
+    val body = response.substring(start, end + 1)
+    val cov = CoveragePat.findFirstMatchIn(body)
+      .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+      .filter(c => c >= 0.0 && c <= 1.0)
+    val more = NeedsMorePat.findFirstMatchIn(body).map(_.group(1) == "true")
+    val rw = RewritePat.findFirstMatchIn(body).map(_.group(1)).filter(_.nonEmpty)
+    if (cov.isEmpty && more.isEmpty && rw.isEmpty) None
+    else Some(Judgment(cov, more, rw))
+  }
 
   private val codeyTerms = Seq(
     "stacktrace", "exception", "error", "function", "class", "method",

@@ -36,6 +36,12 @@ class StubLlm extends Llm {
     if (p.contains("good") && p.contains("readme")) {
       // README quality judge (reference catalog_builder.py:8-31)
       if (prompt.length > 200 && !p.contains("todo")) "GOOD" else "BAD"
+    } else if (p.contains("\"coverage\"")) {
+      // retrieval judge: deterministic verdict from the inventory size
+      val n = "sources \\((\\d+)\\)".r.findFirstMatchIn(p)
+        .map(_.group(1).toInt).getOrElse(0)
+      val coverage = math.min(1.0, n / 5.0) * 0.9
+      s"""{"coverage": $coverage, "needs_more": ${n < 3}}"""
     } else if (p.contains("keywords")) {
       // 10 keywords: most frequent tokens, deterministic order
       StubLlm.topTokens(prompt, 10).mkString(", ")

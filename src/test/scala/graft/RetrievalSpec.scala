@@ -153,4 +153,24 @@ class RetrievalSpec extends SparkSpec {
     val recall = hits.toDouble / (queries.size * 5)
     assert(recall >= 0.5, s"recall@5 = $recall")
   }
+
+  test("judge: lenient JSON parse with heuristic fallback") {
+    import graft.agent.AgentLoop.{parseJudge, Judgment}
+    assert(parseJudge("""{"coverage": 0.8, "needs_more": false}""")
+      == Some(Judgment(Some(0.8), Some(false), None)))
+    assert(parseJudge("""noise {"coverage":0.2,"needs_more":true,"rewrite":"retry logic"} tail""")
+      == Some(Judgment(Some(0.2), Some(true), Some("retry logic"))))
+    assert(parseJudge("not json at all").isEmpty)
+    assert(parseJudge("""{"coverage": 7.5}""").isEmpty, "out-of-range coverage rejected")
+  }
+
+  test("stuck detection: identical docs on retry force file scope") {
+    // corpus where only chunk-scope docs exist for the query terms: the
+    // catalog route returns the same (empty) set every attempt, and the
+    // file scope is reached via the stuck path rather than the full ladder
+    val agent = new AgentLoop(new StubLlm, embedder, minSourceNodes = 3)
+    val state = agent.run(corpus, QueryRequest("retry with backoff"))
+    assert(state.answer.isDefined)
+    assert(state.attempt <= 3)
+  }
 }
