@@ -61,6 +61,53 @@ class HttpLlm(
   }
 }
 
+/** Production Embedder: OpenAI-compatible `/v1/embeddings` endpoint
+  * (TEI / vLLM / OpenAI all speak it). Batched — one request per
+  * mapPartitions batch — with the same bounded-concurrency gate as
+  * [[HttpLlm]]. Dimension is validated against the configured width so a
+  * model/table mismatch (the reference's 384-vector tables) fails fast. */
+class HttpEmbedder(
+    endpoint: String,
+    model: String,
+    override val dim: Int = 384,
+    timeoutSeconds: Long = 60,
+    maxInFlight: Int = 4,
+    apiKey: Option[String] = None) extends Embedder {
+
+  @transient private lazy val client: HttpClient =
+    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
+  @transient private lazy val gate = new java.util.concurrent.Semaphore(maxInFlight)
+
+  override def embed(text: String): Array[Float] = embedBatch(Seq(text)).head
+
+  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+    if (texts.isEmpty) return Seq.empty
+    val body = HttpLlm.embeddingRequestJson(model, texts)
+    val builder = HttpRequest.newBuilder()
+      .uri(URI.create(s"${endpoint.stripSuffix("/")}/v1/embeddings"))
+      .timeout(Duration.ofSeconds(timeoutSeconds))
+      .header("Content-Type", "application/json")
+    apiKey.foreach(k => builder.header("Authorization", s"Bearer $k"))
+    val request = builder.POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    gate.acquire()
+    try {
+      val response = client.send(request, HttpResponse.BodyHandlers.ofString())
+      if (response.statusCode() / 100 != 2)
+        throw new java.io.IOException(
+          s"embeddings endpoint returned ${response.statusCode()}: ${response.body().take(500)}")
+      val vecs = HttpLlm.extractEmbeddings(response.body())
+      if (vecs.length != texts.length)
+        throw new java.io.IOException(
+          s"expected ${texts.length} embeddings, got ${vecs.length}")
+      vecs.foreach { v =>
+        if (v.length != dim)
+          throw new java.io.IOException(s"embedding dim ${v.length} != configured $dim")
+      }
+      vecs
+    } finally gate.release()
+  }
+}
+
 object HttpLlm {
 
   private def esc(s: String): String =
@@ -83,6 +130,26 @@ object HttpLlm {
     s"""{"model":"${esc(model)}","temperature":$temperature,"max_tokens":$maxTokens,""" +
       s""""messages":[{"role":"system","content":"${esc(system)}"},""" +
       s"""{"role":"user","content":"${esc(user)}"}]}"""
+
+  private[graft] def embeddingRequestJson(model: String, texts: Seq[String]): String =
+    s"""{"model":"${esc(model)}","input":[${texts.map(t => "\"" + esc(t) + "\"").mkString(",")}]}"""
+
+  /** Extract every `"embedding": [floats...]` array from a /v1/embeddings
+    * response, in order (the API returns data[] sorted by index). */
+  private[graft] def extractEmbeddings(body: String): Seq[Array[Float]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    var idx = body.indexOf("\"embedding\"")
+    while (idx >= 0) {
+      val open = body.indexOf('[', idx)
+      val close = body.indexOf(']', open)
+      if (open < 0 || close < 0) return out.toSeq
+      val nums = body.substring(open + 1, close).split(",")
+        .iterator.map(_.trim).filter(_.nonEmpty).map(_.toFloat).toArray
+      out += nums
+      idx = body.indexOf("\"embedding\"", close)
+    }
+    out.toSeq
+  }
 
   /** Minimal choices[0].message.content extraction without a JSON dep:
     * find the "content" field inside the first "message" object and decode

@@ -245,6 +245,38 @@ object RelationalQueries {
       |ON o.o_custkey = a.ck
       |WHERE o_totalprice > avg_price * 1.5 ORDER BY o_orderkey""".stripMargin
 
+  /** INTERSECT: nations present among both high-balance customers and
+    * high-balance suppliers (distinct set semantics). */
+  def qIntersect(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+      .select(col("c_nationkey").cast("int").as("nationkey"))
+    val b = Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
+      .select(col("s_nationkey").cast("int").as("nationkey"))
+    a.intersect(b).orderBy(col("nationkey"))
+  }
+
+  val qIntersectSql: String =
+    """SELECT c_nationkey::INT AS nationkey FROM customer WHERE c_acctbal > 5000
+      |INTERSECT
+      |SELECT s_nationkey::INT FROM supplier WHERE s_acctbal > 5000
+      |ORDER BY nationkey""".stripMargin
+
+  /** EXCEPT: nations with high-balance customers but no high-balance
+    * supplier. */
+  def qExcept(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+      .select(col("c_nationkey").cast("int").as("nationkey"))
+    val b = Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
+      .select(col("s_nationkey").cast("int").as("nationkey"))
+    a.except(b).orderBy(col("nationkey"))
+  }
+
+  val qExceptSql: String =
+    """SELECT c_nationkey::INT AS nationkey FROM customer WHERE c_acctbal > 5000
+      |EXCEPT
+      |SELECT s_nationkey::INT FROM supplier WHERE s_acctbal > 5000
+      |ORDER BY nationkey""".stripMargin
+
   /** Date-dimension projection: year/month buckets with date functions. */
   def qOrdersByMonth(s: SparkSession, d: String): DataFrame = {
     Tables.orders(s, d)
@@ -271,6 +303,8 @@ object RelationalQueries {
     "q_union_distinct" -> (qUnionDistinct _),
     "q_above_customer_avg" -> (qAboveCustomerAvg _),
     "q_orders_by_month" -> (qOrdersByMonth _),
+    "q_intersect" -> (qIntersect _),
+    "q_except" -> (qExcept _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -286,5 +320,7 @@ object RelationalQueries {
     "q_union_distinct" -> qUnionDistinctSql,
     "q_above_customer_avg" -> qAboveCustomerAvgSql,
     "q_orders_by_month" -> qOrdersByMonthSql,
+    "q_intersect" -> qIntersectSql,
+    "q_except" -> qExceptSql,
   )
 }

@@ -106,6 +106,14 @@ object Retrieval {
     ranked.orderBy(col("score").desc, col("rowId")).limit(k)
   }
 
+  /** Retrieval strategies (reference GraphRetrieverFactory.py:148-161):
+    * Eager = score-ordered pool; Mmr = greedy diversity re-rank of the
+    * expanded pool (the worker shipped Eager everywhere; the factory
+    * declares MMR with lambda_mult 0.3-0.4). */
+  sealed trait Strategy
+  case object Eager extends Strategy
+  case class Mmr(lambdaMult: Double = 0.35) extends Strategy
+
   /** Full retrieval for one query string. */
   def retrieve(
       corpus: DataFrame,
@@ -113,7 +121,8 @@ object Retrieval {
       query: String,
       scope: String,
       filters: Map[String, String] = Map.empty,
-      expand: Boolean = true): Seq[Retrieved] = {
+      expand: Boolean = true,
+      strategy: Strategy = Eager): Seq[Retrieved] = {
     val caps = capsByScope.getOrElse(scope, Caps(10, 3, 8, 2))
     val qv = embedder.embed(query)
     // The expansion loop fires several actions over the scored slice
@@ -123,7 +132,23 @@ object Retrieval {
     try {
       val seeds = topK(scored, caps.startK)
       val pool = if (expand) graphExpand(scored, seeds, caps) else topK(scored, caps.k)
-      collectRetrieved(pool)
+      strategy match {
+        case Eager => collectRetrieved(pool)
+        case Mmr(lambda) =>
+          // pool is ≤ k rows by construction — the greedy re-rank is a
+          // driver loop over the collected candidates + their embeddings
+          val withVecs = pool
+            .select(col("rowId"), col("scope"), col("namespace"), col("repo"),
+              col("module"), col("filePath"), col("text"), col("topics"),
+              col("score"), col("embedding"))
+            .collect()
+            .map(r => (Retrieved(
+              r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+              r.getString(4), r.getString(5), r.getString(6),
+              r.getSeq[String](7), r.getDouble(8)),
+              r.getSeq[Float](9).toArray))
+          mmrSelect(withVecs.toSeq, caps.k, lambda)
+      }
     } finally scored.unpersist(blocking = false)
   }
 

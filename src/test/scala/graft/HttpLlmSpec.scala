@@ -59,6 +59,28 @@ class HttpLlmSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[java.io.IOException] { llm.complete("FAIL-ME please") }
   }
 
+  test("HttpEmbedder: batch request, dim validation, ordered extraction") {
+    server.createContext("/v1/embeddings", exchange => {
+      val req = new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val n = "\"input\":\\[".r.findFirstIn(req).map(_ =>
+        req.count(_ == ',') + 1).getOrElse(1)
+      // two inputs -> two 4-dim vectors
+      val reply =
+        """{"data":[{"index":0,"embedding":[0.1, 0.2, 0.3, 0.4]},""" +
+          """{"index":1,"embedding":[1.0,2.0,3.0,4.0]}]}"""
+      val bytes = reply.getBytes(StandardCharsets.UTF_8)
+      exchange.sendResponseHeaders(200, bytes.length)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    val e = new graft.llm.HttpEmbedder(s"http://127.0.0.1:$port", "emb-model", dim = 4)
+    val vecs = e.embedBatch(Seq("alpha", "beta"))
+    assert(vecs.map(_.toSeq) == Seq(Seq(0.1f, 0.2f, 0.3f, 0.4f), Seq(1f, 2f, 3f, 4f)))
+    // dim mismatch fails fast
+    val bad = new graft.llm.HttpEmbedder(s"http://127.0.0.1:$port", "emb-model", dim = 8)
+    intercept[java.io.IOException] { bad.embedBatch(Seq("x", "y")) }
+  }
+
   test("content extraction handles escapes standalone") {
     val body = """{"choices":[{"message":{"content":"a\n\"b\"A"}}]}"""
     assert(HttpLlm.extractContent(body).contains("a\n\"b\"A"))

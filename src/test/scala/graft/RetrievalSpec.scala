@@ -173,4 +173,15 @@ class RetrievalSpec extends SparkSpec {
     assert(state.answer.isDefined)
     assert(state.attempt <= 3)
   }
+
+  test("MMR strategy in retrieve: near-duplicate demoted for diversity") {
+    val docs = Retrieval.retrieve(corpus, embedder,
+      "retry with backoff attempts", "chunk",
+      strategy = Retrieval.Mmr(0.35))
+    assert(docs.nonEmpty)
+    // c1 and c5 have identical text; MMR must not return both adjacently
+    val ids = docs.map(_.rowId)
+    assert(!(ids.take(2).toSet == Set("c1", "c5")),
+      s"redundant pair ranked 1-2: $ids")
+  }
 }
