@@ -128,6 +128,27 @@ object EventQueries {
       |  n - coalesce(lag(n) OVER (PARTITION BY event_type ORDER BY h), 0) AS delta
       |FROM hourly ORDER BY hour, event_type""".stripMargin
 
+  /** Sessionization via Spark's native `session_window` (the dedicated
+    * merging-session physical operator — one shuffle on user_id, no sort
+    * window needed for session assignment). Same 30-minute-gap semantics
+    * and oracle as qSessionize; only the session-sequence numbering needs
+    * a follow-up window over the (tiny) per-user session list. */
+  def qSessionWindow(s: SparkSession, d: String): DataFrame = {
+    val sessions = Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        round(sum(col("value")), 2).as("sum_value"))
+    val seq = Window.partitionBy(col("user_id")).orderBy(col("w.start"))
+    sessions
+      .withColumn("session_seq", row_number().over(seq).cast("long"))
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("session_start"), col("session_end"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
   /** Exact interpolated percentiles per event type (Spark `percentile` ≡
     * DuckDB `quantile_cont` — both linear interpolation, so the check is
     * value-exact, unlike the sketch-based approx_percentile). */
@@ -157,6 +178,7 @@ object EventQueries {
     "ev_json_props" -> (qJsonProps _),
     "ev_hourly_delta" -> (qHourlyDelta _),
     "ev_value_quantiles" -> (qValueQuantiles _),
+    "ev_session_window" -> (qSessionWindow _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -166,5 +188,6 @@ object EventQueries {
     "ev_json_props" -> qJsonPropsSql,
     "ev_hourly_delta" -> qHourlyDeltaSql,
     "ev_value_quantiles" -> qValueQuantilesSql,
+    "ev_session_window" -> qSessionizeSql, // same sessions, native operator
   )
 }
