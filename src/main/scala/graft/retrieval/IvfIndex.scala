@@ -94,6 +94,35 @@ object IvfIndex {
         .map { case (cid, _) => (qid, cid) }
     }
 
+  /** Bulk index build: persist the assigned corpus partitioned by
+    * centroid_id (plus the centroid table alongside), so probing nprobe
+    * lists is a partition-pruned directory read — the "Spark ETL → bulk
+    * vector index" shape of the north star. */
+  def write(
+      index: DataFrame,
+      centroids: Array[(Int, Array[Float])],
+      path: String): Unit = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    index.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("centroid_id").parquet(s"$path/lists")
+    centroids.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("centroid_id", "centroid")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted index: (lists, centroids). */
+  def load(spark: SparkSession, path: String): (DataFrame, Array[(Int, Array[Float])]) = {
+    val lists = spark.read.parquet(s"$path/lists")
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    (lists, centroids)
+  }
+
   /** Top-k search: join query probe pairs against the indexed corpus on
     * centroid_id (partition-pruned at scale), exact cosine re-rank. */
   def search(

@@ -184,4 +184,38 @@ class RetrievalSpec extends SparkSpec {
     assert(!(ids.take(2).toSet == Set("c1", "c5")),
       s"redundant pair ranked 1-2: $ids")
   }
+
+  test("IVF bulk index build: centroid-partitioned store, pruned probes") {
+    import graft.retrieval.IvfIndex
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    IvfIndex.write(IvfIndex.assign(emb, "vec_id", "embedding", centroids), centroids, dir)
+
+    // centroid_id partition directories exist
+    val parts = new java.io.File(s"$dir/lists").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("centroid_id=")).toSeq
+    assert(parts.nonEmpty && parts.size <= 8)
+
+    // round-trip + search over the loaded index matches the in-memory path
+    val (lists, loaded) = IvfIndex.load(spark, dir)
+    assert(loaded.map(_._1).toSeq == centroids.map(_._1).toSeq)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val fromDisk = IvfIndex.search(lists, "vec_id", "embedding", queries, loaded,
+      nprobe = 3, k = 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inMem = IvfIndex.search(IvfIndex.assign(emb, "vec_id", "embedding", centroids),
+      "vec_id", "embedding", queries, centroids, nprobe = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromDisk == inMem)
+
+    // probe filter prunes partitions in the scan
+    val probed = lists.filter(col("centroid_id") === loaded.head._1)
+    probed.collect()
+    val plan = probed.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("centroid_id"),
+      s"expected partition pruning in: $plan")
+  }
 }
