@@ -167,11 +167,14 @@ class IngestPipeline(
       .withColumn("ord", element_at(col("meta"), "chunk_index").cast("int"))
       .groupBy(groupCols.map(col): _*)
       .agg(
+        // branch/kind/run-id are constant within any rollup group (same
+        // repo); language varies across a module's files, so take min for
+        // cross-partitioning determinism (first() depends on task order)
         first(col("branch")).as("branch"),
         first(col("componentKind")).as("componentKind"),
         first(col("isStandalone")).as("isStandalone"),
         first(col("ingestRunId")).as("ingestRunId"),
-        first(col("language")).as("language"),
+        min(col("language")).as("language"),
         substring(array_join(transform(
           array_sort(collect_list(struct(col("ord"), col("filePath"), col("text")))),
           x => x.getField("text")), "\n\n"), 1, maxChars).as("rollupText"),

@@ -74,7 +74,10 @@ object EventStream {
                   closed += toOut(userId, s)
                   st = Some(SessionState(s.sessionSeq + 1, t, t, 1, e.value))
                 case Some(s) =>
-                  st = Some(s.copy(lastMs = math.max(s.lastMs, t),
+                  // out-of-order (pre-watermark) events may extend the
+                  // session backwards as well as forwards
+                  st = Some(s.copy(startMs = math.min(s.startMs, t),
+                    lastMs = math.max(s.lastMs, t),
                     nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
                 case None =>
                   st = Some(SessionState(1, t, t, 1, e.value))
