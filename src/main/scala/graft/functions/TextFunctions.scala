@@ -18,6 +18,17 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-style pre-tokenization: letter runs, single digits, punctuation
+    * marks — the GPT-2-family pre-split shape, restricted to constructs
+    * RE2 also supports (no lookahead) so a SQL oracle can recompute it.
+    * Token count ≈ what a BPE vocabulary would see before merges. */
+  val BpeTokenPattern: String = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeTokenPattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Normalized form used for exact-dup fingerprints: lowercase, collapsed
     * whitespace. */
   def normalized(text: Column): Column =

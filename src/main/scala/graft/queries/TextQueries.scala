@@ -123,6 +123,30 @@ object TextQueries {
       |  count(*) AS n, round(avg(n_chars), 2) AS avg_chars
       |FROM scored GROUP BY 1, 2 ORDER BY lang, lang_id""".stripMargin
 
+  /** Token accounting per document: whitespace tokens vs BPE-ish subword
+    * pre-tokens (the unit a tokenizer budget is written in), plus the
+    * chars-per-token ratio used for context-window estimation. */
+  def qTokenCounts(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_ws_tokens"),
+      bpeTokenCount(col("text")).as("n_bpe_tokens"),
+      when(bpeTokenCount(col("text")) === 0, 0.0)
+        .otherwise(round(length(col("text")).cast("double") /
+          bpeTokenCount(col("text")).cast("double"), 4)).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTokenCountsSql: String =
+    """SELECT doc_id,
+      |  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+      |  CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) = 0
+      |    THEN 0.0 ELSE round(length(text)::DOUBLE /
+      |      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')), 4)
+      |  END AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** CUBE grouping sets over (lang, source): all four grouping
     * combinations in one pass — the reporting shape SURVEY §2.6 notes the
     * Spark engine gets for free over the node tables. */
@@ -148,6 +172,7 @@ object TextQueries {
     "td_rollup_chunks" -> (qRollupChunks _),
     "td_lang_distribution" -> (qLangDistribution _),
     "td_cube_lang_source" -> (qCubeLangSource _),
+    "td_token_counts" -> (qTokenCounts _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -156,5 +181,6 @@ object TextQueries {
     "td_rollup_chunks" -> qRollupChunksSql,
     "td_lang_distribution" -> qLangDistributionSql,
     "td_cube_lang_source" -> qCubeLangSourceSql,
+    "td_token_counts" -> qTokenCountsSql,
   )
 }
