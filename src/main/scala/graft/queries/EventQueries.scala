@@ -171,6 +171,23 @@ object EventQueries {
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** HLL sketch reporting: approx distinct users per event type next to
+    * the exact count and the observed error. Sketch values differ across
+    * engines by construction → rows-only driver check; the exact column
+    * is covered by the other oracles. At 100 TB approx_count_distinct is
+    * the only affordable form (fixed-size sketch, map-side combinable). */
+  def qUserReachApprox(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .withColumn("rel_err",
+        round(abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users").cast("double"), 4))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_hourly_rollup" -> (qHourlyRollup _),
     "ev_latest_per_user" -> (qLatestPerUser _),
@@ -179,6 +196,7 @@ object EventQueries {
     "ev_hourly_delta" -> (qHourlyDelta _),
     "ev_value_quantiles" -> (qValueQuantiles _),
     "ev_session_window" -> (qSessionWindow _),
+    "ev_user_reach_approx" -> (qUserReachApprox _),
   )
 
   def oracles: Map[String, String] = Map(
