@@ -37,17 +37,6 @@ object ProfileIngest {
     timed("kept.count") {
       raw.toDF().filter(graft.operators.FileFilters.keepFile(col("filePath"))).count()
     }
-    timed("withNb.count") {
-      raw.toDF()
-        .withColumn("isNotebook", graft.operators.FileFilters.ext(col("filePath")) === "ipynb")
-        .withColumn("nb", when(col("isNotebook"),
-          graft.operators.Notebook.transformNotebook(col("text"))))
-        .withColumn("language",
-          when(col("isNotebook"), col("nb.language"))
-            .otherwise(graft.operators.FileFilters.language(col("filePath"))))
-        .withColumn("text", when(col("isNotebook"), col("nb.text")).otherwise(col("text")))
-        .drop("nb").count()
-    }
     val pre = timed("preprocess+cache") { val d = p.preprocess(raw).cache(); d.count(); d }
     val chunksOnly = timed("chunk") { p.chunk(pre, "r").count() }
     val chunks = timed("enrichAndEmbed+cache") {

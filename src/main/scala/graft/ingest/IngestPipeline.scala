@@ -313,11 +313,12 @@ class IngestPipeline(
   def write(nodes: Dataset[Node], path: String, runId: String): IngestRun = {
     val spark = nodes.sparkSession
     import spark.implicits._
+    val started = new java.sql.Timestamp(System.currentTimeMillis())
     nodes.write.mode(SaveMode.Overwrite).partitionBy("scope").parquet(path)
     val written = spark.read.parquet(path)
     val chunkCount = written.filter(col("scope") === "chunk").count()
-    val now = new java.sql.Timestamp(System.currentTimeMillis())
-    val run = IngestRun(runId, "", "", "", collection, "", now, now, chunkCount)
+    val finished = new java.sql.Timestamp(System.currentTimeMillis())
+    val run = IngestRun(runId, "", "", "", collection, "", started, finished, chunkCount)
     Seq(run).toDS().write.mode(SaveMode.Append).parquet(s"$path-ingest_runs")
     run
   }
