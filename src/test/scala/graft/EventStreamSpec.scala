@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import graft.streaming.EventStream
 import graft.streaming.EventStream.Ev
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Event-time streaming: watermarked windows and stateful sessionization
@@ -66,5 +67,43 @@ class EventStreamSpec extends SparkSpec {
     val s2 = all.find(s => s.user_id == 1 && s.session_seq == 2)
     assert(s2.isDefined, s"timeout should flush the dangling session: ${all.toSeq}")
     assert(s2.get.n_events == 1 && s2.get.sum_value == 4.0)
+  }
+
+  test("streaming ingest: drop-dir batches append corpus, rowId-deduped") {
+    import graft.ingest.IngestPipeline
+    import graft.llm.{HashEmbedder, StubLlm}
+    val watch = java.nio.file.Files.createTempDirectory("ingest-watch")
+    val out = java.nio.file.Files.createTempDirectory("ingest-out").toString
+    val pipeline = new IngestPipeline(new StubLlm, new HashEmbedder(32))
+
+    def drop(ns: String, repo: String, path: String, text: String): Unit = {
+      val f = watch.resolve(s"$ns/$repo/$path")
+      java.nio.file.Files.createDirectories(f.getParent)
+      java.nio.file.Files.writeString(f, text)
+    }
+    drop("ns", "alpha", "src/a.py", "def alpha_one(): pass\n")
+    drop("ns", "alpha", "README.md", "# alpha readme with plenty of text here")
+
+    val ck = java.nio.file.Files.createTempDirectory("ingest-ck").toString
+    val q1 = graft.streaming.IngestStream.start(
+      spark, watch.toString, s"$out/corpus", pipeline, "srun", ck)
+    q1.awaitTermination(120000)
+    val c1 = spark.read.parquet(s"$out/corpus")
+    val chunks1 = c1.filter(col("scope") === "chunk").count()
+    assert(chunks1 == 2)
+
+    // second batch: one duplicate file, one new file → only new chunks added
+    drop("ns", "alpha", "src/a.py", "def alpha_one(): pass\n") // identical
+    drop("ns", "alpha", "src/b.py", "def beta_two(): pass\n")
+    val q2 = graft.streaming.IngestStream.start(
+      spark, watch.toString, s"$out/corpus", pipeline, "srun", ck)
+    q2.awaitTermination(120000)
+    val c2 = spark.read.parquet(s"$out/corpus")
+    val chunkIds = c2.filter(col("scope") === "chunk")
+      .select("rowId").as[String].collect()
+    assert(chunkIds.length == chunkIds.distinct.length, "no duplicate rows")
+    assert(c2.filter(col("scope") === "chunk").count() == 3)
+    assert(c2.filter(col("scope") === "chunk")
+      .filter(col("filePath") === "src/b.py").count() == 1)
   }
 }
