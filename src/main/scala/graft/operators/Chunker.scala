@@ -26,15 +26,34 @@ object Chunker {
   val CatalogChunkSize = 1500
   val CatalogChunkOverlap = 100
 
-  /** AST-less code splitter: line windows with overlap, hard char cap. */
+  /** Declaration-boundary pattern for snap-to-boundary chunking: the
+    * line starts a function/class/method in the mainstream languages.
+    * This is the AST-less stand-in for tree-sitter's structural splits
+    * (SURVEY §7.4 risk 1): windows still have the documented size and
+    * overlap, but a window edge inside a declaration body slides back to
+    * the declaration start so a symbol is not cut mid-definition. */
+  val BoundaryPattern: scala.util.matching.Regex =
+    ("^\\s*(?:export\\s+)?(?:public\\s+|private\\s+|protected\\s+|static\\s+|async\\s+)*" +
+      "(?:def|class|function|object|trait|interface|struct|enum|impl|fn|func)\\b").r
+
+  /** AST-less code splitter: line windows with overlap, hard char cap.
+    * With `snapToBoundaries` a non-initial window start moves back up to
+    * `overlap` lines to the nearest declaration start. */
   def chunkCode(text: String,
                 chunkLines: Int = CodeChunkLines,
                 overlap: Int = CodeChunkOverlap,
-                maxChars: Int = CodeMaxChars): Seq[Chunk] = {
+                maxChars: Int = CodeMaxChars,
+                snapToBoundaries: Boolean = false): Seq[Chunk] = {
     if (text.isEmpty) return Seq.empty
     val lines = text.split("\n", -1)
     val step = math.max(1, chunkLines - overlap)
-    val windows = (0 until lines.length by step).iterator.map { start =>
+    def snap(start: Int): Int =
+      if (!snapToBoundaries || start == 0) start
+      else (math.max(0, start - overlap) to start).reverse
+        .find(i => BoundaryPattern.findFirstIn(lines(i)).isDefined)
+        .getOrElse(start)
+    val windows = (0 until lines.length by step).iterator.map { start0 =>
+      val start = snap(start0)
       val end = math.min(lines.length, start + chunkLines)
       (start, end, lines.slice(start, end).mkString("\n"))
     }.takeWhile { case (start, _, _) => start == 0 || start < lines.length }
