@@ -20,6 +20,24 @@ object CorpusStore {
   def write(nodes: Dataset[Node], path: String): Unit =
     nodes.write.mode(SaveMode.Overwrite).partitionBy("scope").parquet(path)
 
+  /** Metastore-backed corpus table, partitioned by scope and bucketed +
+    * sorted by (namespace, repo): the retrieval filters prune on scope,
+    * the (namespace, repo) equality filters and the rollup/self joins are
+    * co-located — two tables bucketed the same way join with NO exchange
+    * on either side. This is the 100 TB layout (SURVEY §4: "bucketed/
+    * sorted by (namespace, repo)"); the path-based writer stays for
+    * catalog-less deployments. */
+  def writeBucketed(
+      nodes: Dataset[Node],
+      table: String,
+      buckets: Int = 8): Unit =
+    nodes.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .partitionBy("scope")
+      .bucketBy(buckets, "namespace", "repo")
+      .sortBy("namespace", "repo")
+      .saveAsTable(table)
+
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

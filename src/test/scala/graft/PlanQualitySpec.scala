@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan guardrails: the scale properties the queries are designed
   * around — predicate pushdown into the parquet scan, column pruning,
@@ -76,5 +77,27 @@ class PlanQualitySpec extends SparkSpec {
     val p2 = plan(graft.queries.DedupQueries.qDedupMinhashLsh(spark, sf))
     assert(p2.contains("minhash_sig"))
     assert(p2.contains("word_ngrams"))
+  }
+
+  test("bucketed corpus tables join with no exchange on either side") {
+    import spark.implicits._
+    val nodes = spark.createDataset((0 until 64).map { i =>
+      graft.model.Node.empty.copy(
+        rowId = s"n$i", scope = "chunk",
+        namespace = "ns" + (i % 2), repo = "repo" + (i % 8),
+        text = s"text $i")
+    })
+    graft.sources.CorpusStore.writeBucketed(nodes, "corpus_bucketed_a", buckets = 4)
+    graft.sources.CorpusStore.writeBucketed(nodes, "corpus_bucketed_b", buckets = 4)
+    val joined = spark.table("corpus_bucketed_a").as("a")
+      .join(spark.table("corpus_bucketed_b").as("b"),
+        Seq("namespace", "repo"))
+      .groupBy(col("namespace"), col("repo")).count()
+    val p = plan(joined.select(col("namespace"), col("repo"), col("count")))
+    assert(count(p, "SortMergeJoin|ShuffledHashJoin") >= 1, "join present")
+    // bucket-co-located join: the only exchange allowed is for the final agg
+    val joinSection = p.substring(p.indexOf("Join"))
+    assert(!joinSection.contains("Exchange hashpartitioning(namespace"),
+      s"join inputs must be bucket-pruned, got:\n$p")
   }
 }
