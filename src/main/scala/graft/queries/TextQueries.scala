@@ -98,6 +98,34 @@ object TextQueries {
       |  substr(string_agg(chunk, ' | ' ORDER BY st), 1, 300) AS preview
       |FROM chunks GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Skew-safe two-phase rollup: same output as qRollupChunks, computed
+    * with a salt so one hot key cannot overload a single reducer. Phase 1
+    * aggregates (doc, range-bucket) partials — a hot doc's chunks spread
+    * over many buckets/tasks; phase 2 merges the few partials per doc in
+    * bucket order, so the ordered-concat semantics survive exactly (the
+    * oracle is the same SQL as the direct rollup). At 100 TB this is the
+    * fallback when AQE skew handling isn't enough for an aggregation
+    * (AQE splits skewed JOIN partitions, not agg groups). */
+  def qRollupSalted(s: SparkSession, d: String): DataFrame = {
+    val bucketSpan = 600 // chunks start every 150 chars → ≤4 chunks/bucket
+    val phase1 = qChunkDocs(s, d)
+      .withColumn("bucket", floor(col("chunk_start") / bucketSpan))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_part"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_start"), col("chunk")))),
+          x => x.getField("chunk")), " | ").as("part"))
+    phase1
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n_part")).as("n_chunks"),
+        substring(array_join(transform(
+          array_sort(collect_list(struct(col("bucket"), col("part")))),
+          x => x.getField("part")), " | "), 1, 300).as("preview"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID distribution vs the labeled lang column (drift report). */
   def qLangDistribution(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
@@ -173,6 +201,7 @@ object TextQueries {
     "td_lang_distribution" -> (qLangDistribution _),
     "td_cube_lang_source" -> (qCubeLangSource _),
     "td_token_counts" -> (qTokenCounts _),
+    "td_rollup_salted" -> (qRollupSalted _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -182,5 +211,6 @@ object TextQueries {
     "td_lang_distribution" -> qLangDistributionSql,
     "td_cube_lang_source" -> qCubeLangSourceSql,
     "td_token_counts" -> qTokenCountsSql,
+    "td_rollup_salted" -> qRollupChunksSql, // provably identical output
   )
 }
