@@ -171,6 +171,33 @@ object EventQueries {
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** RANGE-frame window: per-user trailing 1-hour sum/count at each
+    * event — the time-based frame (rows frames are covered by the lag/
+    * row_number queries). RANGE frames include peer rows (equal ts) in
+    * both engines, so the check is exact. */
+  def qTrailingHour(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, 0)
+    Tables.events(s, d)
+      .withColumn("trail_sum", round(sum(col("value")).over(w), 2))
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("trail_sum"), col("trail_n"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val qTrailingHourSql: String =
+    """SELECT user_id, event_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |  round(sum(value) OVER w, 2) AS trail_sum,
+      |  count(*) OVER w AS trail_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** HLL sketch reporting: approx distinct users per event type next to
     * the exact count and the observed error. Sketch values differ across
     * engines by construction → rows-only driver check; the exact column
@@ -197,6 +224,7 @@ object EventQueries {
     "ev_value_quantiles" -> (qValueQuantiles _),
     "ev_session_window" -> (qSessionWindow _),
     "ev_user_reach_approx" -> (qUserReachApprox _),
+    "ev_trailing_hour" -> (qTrailingHour _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -207,5 +235,6 @@ object EventQueries {
     "ev_hourly_delta" -> qHourlyDeltaSql,
     "ev_value_quantiles" -> qValueQuantilesSql,
     "ev_session_window" -> qSessionizeSql, // same sessions, native operator
+    "ev_trailing_hour" -> qTrailingHourSql,
   )
 }
