@@ -158,7 +158,8 @@ class IngestPipeline(
       scope: String,
       docType: String,
       maxChars: Int,
-      summaryPrompt: String): Dataset[Node] = {
+      summaryPrompt: String,
+      maxItems: Int = Int.MaxValue): Dataset[Node] = {
     val spark = nodes.sparkSession
     import spark.implicits._
     val l = llm
@@ -176,9 +177,10 @@ class IngestPipeline(
         first(col("ingestRunId")).as("ingestRunId"),
         min(col("language")).as("language"),
         substring(array_join(transform(
-          array_sort(collect_list(struct(col("ord"), col("filePath"), col("text")))),
+          slice(array_sort(collect_list(struct(col("ord"), col("filePath"), col("text")))),
+            1, maxItems),
           x => x.getField("text")), "\n\n"), 1, maxChars).as("rollupText"),
-        collect_list(col("rowId")).as("rollupOf"),
+        array_sort(collect_list(col("rowId"))).as("rollupOf"),
         count(lit(1)).cast("int").as("rollupCount"))
     // higher rollups don't group on module/filePath — fill for the encoder
     val withAll = Seq("module", "filePath").foldLeft(grouped) { (df, c) =>
@@ -217,17 +219,19 @@ class IngestPipeline(
       "Summarize this file in 200-300 words:")
 
   /** A2+L8: module nodes from file nodes (module = top path segment,
-    * ≤40 files per module enforced by truncated concat). */
+    * ≤40 files per module — reference max_files_per_module,
+    * scope_utils.py:22-27). */
   def moduleRollup(files: Dataset[Node]): Dataset[Node] =
     rollup(files, Seq("namespace", "repo", "module"),
       "module", "module_summary", 25000,
-      "Summarize this module from its file summaries:")
+      "Summarize this module from its file summaries:", maxItems = 40)
 
-  /** A3+L9: one repo-overview node per repo. */
+  /** A3+L9: one repo-overview node per repo (≤10 module summaries —
+    * reference hierarchy_summary_service.py:161-166). */
   def repoRollup(modules: Dataset[Node]): Dataset[Node] =
     rollup(modules, Seq("namespace", "repo"),
       "repo", "repo_summary", 25000,
-      "Write a repository overview from these module summaries:")
+      "Write a repository overview from these module summaries:", maxItems = 10)
 
   /** Catalog (L4-L6): README-driven if the README judges GOOD, else from
     * code summaries; one catalog node per repo with the zero run id
@@ -238,14 +242,20 @@ class IngestPipeline(
     val l = llm
     val emb = embedder
     val coll = collection
+    // collected lists are sorted before concat — collect_list order is
+    // partition-order dependent, and catalog text must be reproducible
     val readmes = pre
       .filter(FileFilters.baseName(col("filePath")).startsWith("readme"))
       .groupBy(col("namespace"), col("repo"))
-      .agg(substring(concat_ws("\n\n", collect_list(col("text"))), 1, 5000).as("readme"))
+      .agg(substring(array_join(transform(
+        array_sort(collect_list(struct(col("filePath"), col("text")))),
+        x => x.getField("text")), "\n\n"), 1, 5000).as("readme"))
     val techStack = chunks.toDF()
       .groupBy(col("namespace").as("ns2"), col("repo").as("repo2"))
       .agg(array_sort(collect_set(col("language"))).as("languages"),
-        substring(concat_ws("\n", slice(collect_list(col("summary")), 1, 10)), 1, 5000)
+        substring(array_join(slice(transform(
+          array_sort(collect_list(struct(col("filePath"), col("rowId"), col("summary")))),
+          x => x.getField("summary")), 1, 10), "\n"), 1, 5000)
           .as("codeSummaries"))
     readmes.join(techStack,
       col("namespace") === col("ns2") && col("repo") === col("repo2"), "full_outer")
