@@ -20,7 +20,11 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
-    val fn = SparkEntry.queries(name)
+    val fn = SparkEntry.queries.getOrElse(name, {
+      System.err.println(s"unknown query '$name'. Available:\n  " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
+      sys.exit(2)
+    })
     for (round <- 1 to 2) {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

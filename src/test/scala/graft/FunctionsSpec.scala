@@ -46,11 +46,21 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(codegen - expected) < 1e-12)
   }
 
-  test("cosine_sim registered for SQL") {
+  test("all native functions registered for SQL") {
     VectorFunctions.register(spark)
     val got = spark.sql(
       "SELECT cosine_sim(array(1.0F, 2.0F), array(1.0F, 2.0F))").as[Double].head()
     assert(math.abs(got - 1.0) < 1e-12)
+    val ng = spark.sql(
+      "SELECT word_ngrams('a b c d', 3)").as[Seq[String]].head()
+    assert(ng == Seq("a b c", "b c d"))
+    val mh = spark.sql(
+      "SELECT minhash_sig(array('x','y'), 8)").as[Seq[Long]].head()
+    assert(mh.length == 8)
+    val sh = spark.sql(
+      "SELECT simhash60(array('x','y')) = simhash60(array('y','x','x'))")
+      .as[Boolean].head()
+    assert(sh, "set semantics via SQL")
   }
 
   test("shingles + jaccard") {
