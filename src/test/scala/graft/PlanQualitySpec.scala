@@ -100,4 +100,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!joinSection.contains("Exchange hashpartitioning(namespace"),
       s"join inputs must be bucket-pruned, got:\n$p")
   }
+
+  test("corpus store scope filter prunes partition directories") {
+    import spark.implicits._
+    val nodes = spark.createDataset(graft.model.Node.Scopes.zipWithIndex.flatMap {
+      case (sc, i) => (0 until 4).map(j =>
+        graft.model.Node.empty.copy(rowId = s"$sc-$j", scope = sc,
+          namespace = "ns", repo = "r", text = s"t$i$j"))
+    })
+    val dir = java.nio.file.Files.createTempDirectory("prune-corpus").toString
+    graft.sources.CorpusStore.write(nodes, dir)
+    val scoped = graft.sources.CorpusStore.read(spark, dir)
+      .filter(col("scope") === "chunk").select("rowId")
+    val p = plan(scoped)
+    assert(p.contains("PartitionFilters"), "scope must be a partition filter")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("scope")),
+      s"scope filter must prune directories:\n$p")
+  }
 }
