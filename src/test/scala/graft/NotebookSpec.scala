@@ -55,4 +55,20 @@ class NotebookSpec extends SparkSpec {
     assert(lang == "python")
     assert(text == "this is not json {")
   }
+
+  test("F3: ANSI color codes stripped from kept outputs") {
+    import org.apache.spark.sql.functions.col
+    // the JSON carries a six-char unicode escape; from_json decodes it
+    // to a real ESC byte in the cell output
+    val nb = "{\"metadata\":{\"kernelspec\":{\"name\":\"python3\"}}," +
+      "\"cells\":[{\"cell_type\":\"code\",\"source\":\"print(x)\"," +
+      "\"outputs\":[{\"output_type\":\"stream\"," +
+      "\"text\":\"\\u001b[31mresult |==| ok\\u001b[0m\"}]}]}"
+    val out = Seq(nb).toDF("text")
+      .select(graft.operators.Notebook.transformNotebook(col("text")).getField("text"))
+      .as[String].head()
+    assert(out.contains("result |==| ok"))
+    assert(!out.contains(27.toChar.toString), "ESC bytes must be gone")
+    assert(!out.contains("[31m"), "color code must be gone")
+  }
 }
