@@ -60,7 +60,7 @@ object Notebook {
   }
 
   private def stripAnsi(c: Column): Column =
-    regexp_replace(c, "\\x1B?\\[[;\\d]*m", "")
+    regexp_replace(c, "\\x1B\\[[;\\d]*m", "")
 
   /** F3: keep an output iff it looks informative — not a >500-char blob
     * without table markers, and not >30% log lines. */

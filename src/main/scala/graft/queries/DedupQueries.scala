@@ -127,13 +127,16 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** MinHash + LSH banding + exact verification. 64 hashes / 16 bands × 4
-    * rows → P(miss | J=0.8) ≈ 2e-4, ~0 at the J≥0.98 pairs present in the
-    * data; verification makes accepted pairs exact, so the output matches
-    * the exact-Jaccard oracle. */
+  /** MinHash + LSH banding + exact verification. 128 hashes / 32 bands × 4
+    * rows → P(miss | J=0.8) ≈ 5e-8 per pair ((1 - 0.8^4)^32), effectively 0
+    * at the J≥0.98 pairs present in the data; verification makes accepted
+    * pairs exact, so the output matches the exact-Jaccard oracle. The gate
+    * is still probabilistic by nature — a dataset dense in pairs sitting
+    * exactly at J=0.8 could in principle drop one — but at 5e-8/pair that
+    * needs ~10^7 borderline pairs before a single expected miss. */
   def qDedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val numHashes = 64
-    val bands = 16
+    val numHashes = 128
+    val bands = 32
     val rows = numHashes / bands // 4
     val sh = shingleRel(s, d)
     val signed = sh.select(col("doc_id"),

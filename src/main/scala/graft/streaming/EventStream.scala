@@ -60,8 +60,14 @@ object EventStream {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            val out = state.getOption.map(s => toOut(userId, s)).iterator
-            state.remove()
+            // Emit the dangling session but keep a zero-event tombstone so a
+            // later event for this user continues session_seq instead of
+            // restarting at 1 (the batch ev_sessionize numbering). State is
+            // one tombstone per user — bounded by distinct users, same as
+            // the batch shuffle. No new timeout: the tombstone never fires.
+            val out = state.getOption.filter(_.nEvents > 0)
+              .map(s => toOut(userId, s)).iterator
+            state.getOption.foreach(s => state.update(s.copy(nEvents = 0)))
             out
           } else {
             val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
@@ -70,8 +76,12 @@ object EventStream {
             sorted.foreach { e =>
               val t = e.ts.getTime
               st match {
-                case Some(s) if t - s.lastMs > GapMs =>
-                  closed += toOut(userId, s)
+                // nEvents == 0 is a flushed-session tombstone: its rows were
+                // already emitted on timeout, so only the seq counter carries
+                // over. (Any event reaching here is above the watermark,
+                // which already passed lastMs + gap — the gap check holds.)
+                case Some(s) if s.nEvents == 0 || t - s.lastMs > GapMs =>
+                  if (s.nEvents > 0) closed += toOut(userId, s)
                   st = Some(SessionState(s.sessionSeq + 1, t, t, 1, e.value))
                 case Some(s) =>
                   // out-of-order (pre-watermark) events may extend the

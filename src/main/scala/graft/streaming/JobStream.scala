@@ -73,7 +73,7 @@ object JobStream {
         import spark.implicits._
         val reqs = batch
           .select(col("jobId"), col("query"),
-            coalesce(col("topK"), lit(5)).as("topK"),
+            coalesce(col("topK"), lit(5)).cast("int").as("topK"),
             col("repoName"))
           .collect() // job batches are small by construction (max_jobs=10)
         val events = reqs.toSeq.flatMap { r =>

@@ -63,10 +63,23 @@ class EventStreamSpec extends SparkSpec {
     input.addData(Ev(2, 10, tsH(13, 0), 0.5))
     q.processAllAvailable()
     val all = spark.table("sessions").as[EventStream.SessionOut].collect()
-    q.stop()
     val s2 = all.find(s => s.user_id == 1 && s.session_seq == 2)
     assert(s2.isDefined, s"timeout should flush the dangling session: ${all.toSeq}")
     assert(s2.get.n_events == 1 && s2.get.sum_value == 4.0)
+
+    // post-timeout event for user 1: the tombstone keeps the counter, so
+    // numbering continues at 3 (not back at 1) and the flushed session is
+    // not re-emitted
+    input.addData(Ev(1, 11, tsH(13, 30), 7.0))
+    q.processAllAvailable()
+    input.addData(Ev(2, 12, tsH(15, 0), 0.5)) // advance watermark → timeout
+    q.processAllAvailable()
+    val finalRows = spark.table("sessions").as[EventStream.SessionOut].collect()
+    q.stop()
+    val u1 = finalRows.filter(_.user_id == 1).sortBy(_.session_seq)
+    assert(u1.map(_.session_seq).toSeq == Seq(1L, 2L, 3L), s"${u1.toSeq}")
+    val s3 = u1.find(_.session_seq == 3).get
+    assert(s3.n_events == 1 && s3.sum_value == 7.0)
   }
 
   test("streaming ingest: drop-dir batches append corpus, rowId-deduped") {

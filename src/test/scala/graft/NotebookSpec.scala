@@ -71,4 +71,17 @@ class NotebookSpec extends SparkSpec {
     assert(!out.contains(27.toChar.toString), "ESC bytes must be gone")
     assert(!out.contains("[31m"), "color code must be gone")
   }
+
+  test("F3: plain text resembling a bare color code survives stripping") {
+    // no ESC byte anywhere: 'dims[3m]' and 'x[0m' are ordinary text and
+    // must pass through untouched (the strip anchors on \x1B)
+    val nb = "{\"metadata\":{\"kernelspec\":{\"name\":\"python3\"}}," +
+      "\"cells\":[{\"cell_type\":\"code\",\"source\":\"print(x)\"," +
+      "\"outputs\":[{\"output_type\":\"stream\"," +
+      "\"text\":\"dims[3m] x[0m ok\"}]}]}"
+    val out = Seq(nb).toDF("text")
+      .select(graft.operators.Notebook.transformNotebook(col("text")).getField("text"))
+      .as[String].head()
+    assert(out.contains("dims[3m] x[0m ok"), out)
+  }
 }
