@@ -144,16 +144,66 @@ object RagQueries {
       |SELECT seed_id, neighbor_id, 2 AS depth FROM hop2
       |ORDER BY seed_id, depth, neighbor_id""".stripMargin
 
+  /** J3 with an array-valued edge key: drives Retrieval.graphExpand itself
+    * (not a relational twin) over a deterministic corpus derived from
+    * documents — topics = [g(doc_id%7), h(doc_id%11)], score = 1/(1+id) —
+    * mixing a scalar edge (repo equality) with an array edge (topics
+    * overlap). The oracle replays the same capped BFS in SQL with
+    * list_has_any, so the dispatch path (isin vs arrays_overlap) is
+    * hash-checked end to end. */
+  def qGraphExpandTopics(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0")).as("rowId"),
+      col("source").as("repo"),
+      array(concat(lit("g"), pmod(col("doc_id"), lit(7)).cast("string")),
+        concat(lit("h"), pmod(col("doc_id"), lit(11)).cast("string"))).as("topics"),
+      (lit(1.0) / (lit(1.0) + col("doc_id").cast("double"))).as("score"))
+    val caps = Retrieval.Caps(k = 12, startK = 2, adjacentK = 4, maxDepth = 2)
+    val seeds = docs.orderBy(col("score").desc, col("rowId")).limit(caps.startK)
+    Retrieval.graphExpand(docs, seeds, caps, edgeKeys = Seq("repo", "topics"))
+      .select(col("rowId").as("row_id"), col("score"))
+      .orderBy(col("row_id"))
+  }
+
+  val qGraphExpandTopicsSql: String =
+    """WITH docs AS (
+      |  SELECT 'd' || lpad(doc_id::VARCHAR, 6, '0') AS row_id, source AS repo,
+      |    ['g' || (doc_id % 7)::VARCHAR, 'h' || (doc_id % 11)::VARCHAR] AS topics,
+      |    1.0 / (1.0 + doc_id) AS score
+      |  FROM documents),
+      |seeds AS (SELECT * FROM docs ORDER BY score DESC, row_id LIMIT 2),
+      |hop1 AS (
+      |  SELECT d.* FROM docs d
+      |  WHERE d.row_id NOT IN (SELECT row_id FROM seeds)
+      |    AND (d.repo IN (SELECT repo FROM seeds)
+      |         OR EXISTS (SELECT 1 FROM seeds s WHERE list_has_any(d.topics, s.topics)))
+      |  ORDER BY d.score DESC, d.row_id LIMIT 4),
+      |hop2 AS (
+      |  SELECT d.* FROM docs d
+      |  WHERE d.row_id NOT IN (SELECT row_id FROM seeds UNION ALL SELECT row_id FROM hop1)
+      |    AND (d.repo IN (SELECT repo FROM hop1)
+      |         OR EXISTS (SELECT 1 FROM hop1 h WHERE list_has_any(d.topics, h.topics)))
+      |  ORDER BY d.score DESC, d.row_id LIMIT 4),
+      |pool AS (
+      |  SELECT row_id, score FROM seeds
+      |  UNION ALL SELECT row_id, score FROM hop1
+      |  UNION ALL SELECT row_id, score FROM hop2)
+      |SELECT row_id, score FROM (
+      |  SELECT * FROM pool ORDER BY score DESC, row_id LIMIT 12)
+      |ORDER BY row_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rag_ingest_scopes" -> (qIngestScopes _),
     "rag_retrieve_topk" -> (qRetrieveTopK _),
     "rag_agent_events" -> (qAgentEvents _),
     "rag_graph_expand" -> (qGraphExpand _),
+    "rag_graph_expand_topics" -> (qGraphExpandTopics _),
   )
 
   def oracles: Map[String, String] = Map(
     "rag_ingest_scopes" -> qIngestScopesSql,
     "rag_graph_expand" -> qGraphExpandSql,
+    "rag_graph_expand_topics" -> qGraphExpandTopicsSql,
     // rag_retrieve_topk / rag_agent_events: stub-LLM/embedder outputs —
     // rows-only checks by design.
   )

@@ -48,21 +48,35 @@ object Retrieval {
     scored.orderBy(col("score").desc, col("rowId")).limit(k)
 
   /** J3: iterative graph expansion. Nodes connect iff they agree on an
-    * edge key (namespace/repo/module/file_path equality; topics via
-    * array-overlap). The frontier is tiny by construction (≤ startK, then
-    * ≤ adjacentK rows per hop), so each hop collects it and pushes the
-    * edge values down as `isin` predicates — a point-lookup the scan/index
-    * layer can serve (the Spark twin of the reference's Cassandra SAI
-    * metadata lookup, graph_rag_retrievers.py:82-134) rather than a
-    * broadcast-join over the full scope. Keeps the best `adjacentK` new
-    * nodes per hop by score, up to `maxDepth` hops; result is seeds ∪
-    * expansion capped at `k`.
+    * edge key — scalar keys (namespace/repo/module/filePath) by equality,
+    * array keys (topics/imports/labels) by element overlap, matching the
+    * reference's shredded-list traversal
+    * (GraphRetrieverFactory.py:54-59,100-144). The frontier is tiny by
+    * construction (≤ startK, then ≤ adjacentK rows per hop), so each hop
+    * collects it and pushes the edge values down as `isin` /
+    * `arrays_overlap` predicates — a point-lookup the scan/index layer can
+    * serve (the Spark twin of the reference's Cassandra SAI metadata
+    * lookup, graph_rag_retrievers.py:82-134) rather than a broadcast-join
+    * over the full scope. Keeps the best `adjacentK` new nodes per hop by
+    * score, up to `maxDepth` hops; result is seeds ∪ expansion capped at
+    * `k`.
     */
   def graphExpand(
       scored: DataFrame,
       seeds: DataFrame,
       caps: Caps,
-      edgeKeys: Seq[String] = Seq("repo", "module", "filePath")): DataFrame = {
+      edgeKeys: Seq[String] = Seq("repo", "module", "filePath", "topics")): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    // per-key type dispatch: string columns match by equality, string-array
+    // columns by overlap; anything else is a caller error
+    val isArrayKey: Map[String, Boolean] = edgeKeys.map { k =>
+      k -> (scored.schema(k).dataType match {
+        case ArrayType(StringType, _) => true
+        case StringType => false
+        case other => throw new IllegalArgumentException(
+          s"edge key '$k' must be string or array<string>, got $other")
+      })
+    }.toMap
     val idCols = ("rowId" +: edgeKeys).map(col)
     var frontier = seeds.select(idCols: _*).collect()
     val visited = scala.collection.mutable.Set(frontier.map(_.getString(0)): _*)
@@ -70,8 +84,18 @@ object Retrieval {
     var depth = 0
     while (depth < caps.maxDepth && frontier.nonEmpty) {
       val conds = edgeKeys.zipWithIndex.flatMap { case (k, i) =>
-        val vals = frontier.map(_.getString(i + 1)).filter(_.nonEmpty).distinct
-        if (vals.isEmpty) None else Some(col(k).isin(vals.toSeq: _*))
+        if (isArrayKey(k)) {
+          val vals = frontier.iterator
+            .flatMap(r => if (r.isNullAt(i + 1)) Nil else r.getSeq[String](i + 1))
+            .filter(_.nonEmpty).toSeq.distinct
+          if (vals.isEmpty) None
+          else Some(arrays_overlap(col(k), typedlit(vals)))
+        } else {
+          val vals = frontier.iterator
+            .map(r => if (r.isNullAt(i + 1)) "" else r.getString(i + 1))
+            .filter(_.nonEmpty).toSeq.distinct
+          if (vals.isEmpty) None else Some(col(k).isin(vals: _*))
+        }
       }
       if (conds.isEmpty) { frontier = Array.empty }
       else {

@@ -66,6 +66,29 @@ class RetrievalSpec extends SparkSpec {
     if (seedId == "c1") assert(ids.contains("c2")) // same module "api"
   }
 
+  test("J3: array-key edge (topics) expands via arrays_overlap") {
+    val qv = embedder.embed("retry with backoff attempts")
+    val scored = Retrieval.score(corpus, qv, "chunk")
+    val seeds = scored.filter(col("rowId") === "c1")
+    val caps = Retrieval.Caps(k = 10, startK = 1, adjacentK = 8, maxDepth = 1)
+    val expanded = Retrieval.graphExpand(scored, seeds, caps, edgeKeys = Seq("topics"))
+    val ids = expanded.select("rowId").as[String].collect().toSet
+    assert(ids.contains("c1"))
+    assert(ids.contains("c5"), s"shared topic 'retry' should pull c5: $ids")
+    assert(!ids.contains("c3"), s"no topic overlap with ledger chunk: $ids")
+    assert(!ids.contains("c2"), s"string keys unused; 'client' disjoint: $ids")
+  }
+
+  test("J3: non-string/array edge key is rejected") {
+    val qv = embedder.embed("retry")
+    val scored = Retrieval.score(corpus, qv, "chunk")
+    val seeds = Retrieval.topK(scored, 1)
+    intercept[IllegalArgumentException] {
+      Retrieval.graphExpand(scored, seeds, Retrieval.capsByScope("chunk"),
+        edgeKeys = Seq("score"))
+    }
+  }
+
   test("T4/T5: unionDedup keeps one row per distinct text, best score") {
     val qv = embedder.embed("retry")
     val s1 = Retrieval.score(corpus, qv, "chunk")
