@@ -36,12 +36,35 @@ class StubLlm extends Llm {
     if (p.contains("good") && p.contains("readme")) {
       // README quality judge (reference catalog_builder.py:8-31)
       if (prompt.length > 200 && !p.contains("todo")) "GOOD" else "BAD"
+    } else if (p.contains("choose the best search scope")) {
+      // scope planner: deterministic routing from the question line only
+      // (the prompt template itself contains codey-looking words)
+      val q = "(?m)^question: (.*)$".r.findFirstMatchIn(p)
+        .map(_.group(1)).getOrElse("")
+      if (StubLlm.codeyish(q)) """{"scope": "code"}"""
+      else if (StubLlm.overviewish(q)) """{"scope": "project"}"""
+      else "{}" // no opinion: caller's heuristics take over
     } else if (p.contains("\"coverage\"")) {
-      // retrieval judge: deterministic verdict from the inventory size
+      // retrieval judge: deterministic verdict from the inventory size; a
+      // thin non-empty pool tightens filters to the best hit's repo and
+      // stages down to file scope (exercises suggest_filters/stage_down)
       val n = "sources \\((\\d+)\\)".r.findFirstMatchIn(p)
         .map(_.group(1).toInt).getOrElse(0)
       val coverage = math.min(1.0, n / 5.0) * 0.9
-      s"""{"coverage": $coverage, "needs_more": ${n < 3}}"""
+      if (n >= 3) {
+        s"""{"coverage": $coverage, "needs_more": false, "semantic_match": true}"""
+      } else if (n > 0) {
+        val repo = "repo=(\\S+)".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+        val suggest = if (repo.nonEmpty) s""", "suggest_filters": {"repo": "$repo"}""" else ""
+        s"""{"coverage": $coverage, "needs_more": true$suggest, "stage_down": "file", "semantic_match": false}"""
+      } else {
+        s"""{"coverage": 0.0, "needs_more": true, "semantic_match": false}"""
+      }
+    } else if (p.contains("rewrite this codebase question")) {
+      // query sharpener: echo the quoted question plus focusing tokens
+      val base = "'([^']*)'".r.findFirstMatchIn(prompt).map(_.group(1))
+        .getOrElse(prompt.takeRight(80))
+      s"$base implementation details"
     } else if (p.contains("keywords")) {
       // 10 keywords: most frequent tokens, deterministic order
       StubLlm.topTokens(prompt, 10).mkString(", ")
@@ -57,6 +80,15 @@ class StubLlm extends Llm {
 }
 
 object StubLlm {
+  // the stub's own routing vocabulary — kept independent of AgentLoop's
+  // heuristics so the two layers stay separately testable
+  private[llm] def codeyish(q: String): Boolean =
+    Seq("stacktrace", "exception", "error", "function", "class", "method",
+      "bug", "null", "implement", "compile", "import").exists(q.contains)
+  private[llm] def overviewish(q: String): Boolean =
+    Seq("overview", "architecture", "what is", "describe", "high level")
+      .exists(q.contains)
+
   private[llm] def topTokens(text: String, k: Int): Seq[String] = {
     text.toLowerCase.split("[^a-z0-9_]+").filter(_.length > 3)
       .groupBy(identity).toSeq

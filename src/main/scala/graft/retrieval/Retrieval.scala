@@ -31,14 +31,20 @@ object Retrieval {
     "catalog" -> Caps(10, 3, 8, 2))
 
   /** Score a corpus scope against a query vector with optional metadata
-    * equality filters. */
+    * filters: scalar columns by equality, array columns (topics) by
+    * membership — the Spark twin of the reference's shredded-list SAI
+    * match (GraphRetrieverFactory.py:54-59). */
   def score(
       corpus: DataFrame,
       queryVec: Array[Float],
       scope: String,
       filters: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.types.ArrayType
     val filtered = filters.foldLeft(corpus.filter(col("scope") === scope)) {
-      case (df, (k, v)) => df.filter(col(k) === v)
+      case (df, (k, v)) => df.schema(k).dataType match {
+        case _: ArrayType => df.filter(array_contains(col(k), v))
+        case _ => df.filter(col(k) === v)
+      }
     }
     filtered.withColumn("score", cosine(col("embedding"), typedlit(queryVec)))
   }

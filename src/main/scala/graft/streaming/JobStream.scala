@@ -43,6 +43,15 @@ object JobStream {
     }
     try {
       val state = agent.run(corpus, req)
+      // per-stage progress events from the loop's breadcrumbs (the Spark
+      // twin of the reference's _notify pub/sub, agent_graph.py:566-583):
+      // plan / judge / retry stages, including filter-tightening retries
+      state.debug.foreach { d =>
+        val idx = d.indexOf(':')
+        val (stage, detail) =
+          if (idx > 0) (d.take(idx), d.drop(idx + 1).trim) else ("debug", d)
+        out += event(jobId, stage, s"""{"detail":${quote(detail)}}""")
+      }
       out += event(jobId, "retrieval",
         s"""{"attempts":${state.attempt},"hits":${state.docs.length}}""")
       out += event(jobId, "final",

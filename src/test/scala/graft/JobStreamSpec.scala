@@ -24,7 +24,10 @@ class JobStreamSpec extends SparkSpec {
   test("runJob: started → retrieval → final with sources") {
     val events = JobStream.runJob(corpus, agent, "job1",
       QueryRequest("retry with backoff"))
-    assert(events.map(_.event) == Seq("started", "retrieval", "final"))
+    assert(events.head.event == "started")
+    assert(events.exists(_.event == "plan"), "plan breadcrumb becomes an event")
+    assert(events.exists(_.event == "judge"), "judge breadcrumb becomes an event")
+    assert(events.map(_.event).takeRight(2) == Seq("retrieval", "final"))
     assert(events.last.data.contains("\"answer\""))
   }
 

@@ -187,6 +187,109 @@ class RetrievalSpec extends SparkSpec {
     assert(parseJudge("""{"coverage": 7.5}""").isEmpty, "out-of-range coverage rejected")
   }
 
+  test("judge: suggest_filters / stage_down / semantic_match parsed and applied") {
+    import graft.agent.AgentLoop.parseJudge
+    val v = parseJudge(
+      """{"coverage": 0.2, "needs_more": true,
+        | "suggest_filters": {"repo": "payments", "topics": "activemq"},
+        | "stage_down": "file", "semantic_match": false}""".stripMargin).get
+    assert(v.suggestFilters == Map("repo" -> "payments", "topics" -> "activemq"))
+    assert(v.stageDown.contains("file"))
+    assert(v.semanticMatch.contains(false))
+    // plural-array habit: "repos": ["x"] → repo=x
+    val v2 = parseJudge("""{"suggest_filters": {"repos": ["cache-comparison"]}}""").get
+    assert(v2.suggestFilters == Map("repo" -> "cache-comparison"))
+
+    // applied: a thin pool makes the stub tighten to the hit's repo and
+    // stage down to file scope — filters and scope move on the state
+    val agent = new AgentLoop(new StubLlm, embedder)
+    val one = Retrieval.retrieve(corpus, embedder,
+      "payments ledger", "repo", expand = false)
+    val judged = agent.judge(graft.model.AgentState(
+      "payments ledger", "repo", Map.empty, attempt = 1, docs = one.take(1),
+      needsMore = true, rewrite = None, answer = None, debug = Nil))
+    assert(judged.filters.get("repo").contains("payments"), judged.debug.mkString)
+    assert(judged.scope == "file", judged.debug.mkString)
+  }
+
+  test("plan: LLM scope plan with filters wins; heuristics on no-opinion") {
+    import graft.llm.Llm
+    val planner = new Llm {
+      override def complete(prompt: String): String =
+        if (prompt.toLowerCase.contains("choose the best search scope"))
+          """{"scope":"package","filters":{"repo":"payments","module":"messaging","topics":"activemq"}}"""
+        else "ok"
+    }
+    val agent = new AgentLoop(planner, embedder)
+    val (scope, filters) = agent.planScope(QueryRequest("how do retries work"))
+    assert(scope == "module") // reference "package" → module scope
+    assert(filters == Map(
+      "repo" -> "payments", "module" -> "messaging", "topics" -> "activemq"))
+
+    // explicit request fields override LLM filters
+    val (_, f2) = agent.planScope(
+      QueryRequest("how do retries work", repoName = Some("search")))
+    assert(f2("repo") == "search")
+
+    // stub has no opinion on neutral queries → heuristic default
+    val stub = new AgentLoop(new StubLlm, embedder)
+    val (s3, _) = stub.planScope(QueryRequest("tell me something neutral"))
+    assert(s3 == "repo")
+  }
+
+  test("plan: tech-synonym match injects a topics filter") {
+    val agent = new AgentLoop(new StubLlm, embedder)
+    val (_, filters) = agent.planScope(
+      QueryRequest("why does failovertransport reconnect forever"))
+    assert(filters.get("topics").contains("activemq"))
+    // no synonym hit → no topics filter
+    val (_, f2) = agent.planScope(QueryRequest("tell me something neutral"))
+    assert(!f2.contains("topics"))
+  }
+
+  test("synthesize: anti-conservatism retry overrides a timid first answer") {
+    import graft.llm.Llm
+    var calls = 0
+    val timid = new Llm {
+      override def complete(prompt: String): String = {
+        if (prompt.startsWith("Answer")) { calls += 1; "insufficient context to answer" }
+        else if (prompt.contains("don't be overly conservative")) {
+          calls += 1; "The payments repo handles retries [1]."
+        } else "ok"
+      }
+    }
+    val agent = new AgentLoop(timid, embedder)
+    val docs = Retrieval.retrieve(corpus, embedder, "retry", "chunk", expand = false)
+    assert(docs.length >= 3)
+    val answer = agent.synthesize(graft.model.AgentState(
+      "what handles retries", "chunk", Map.empty, attempt = 1, docs = docs,
+      needsMore = false, rewrite = None, answer = None, debug = Nil))
+    assert(calls == 2, "one retry after the conservative first answer")
+    assert(answer.contains("The payments repo handles retries [1]."))
+    assert(!answer.toLowerCase.contains("insufficient"))
+  }
+
+  test("synthesize: conservative retry kept only if it commits; <3 docs no retry") {
+    import graft.llm.Llm
+    val alwaysTimid = new Llm {
+      override def complete(prompt: String): String = "can't answer from this"
+    }
+    val agent = new AgentLoop(alwaysTimid, embedder)
+    val docs = Retrieval.retrieve(corpus, embedder, "retry", "chunk", expand = false)
+    val answer = agent.synthesize(graft.model.AgentState(
+      "q", "chunk", Map.empty, 1, docs, needsMore = false, None, None, Nil))
+    assert(answer.contains("can't answer from this"), "falls back to first answer")
+
+    var calls = 0
+    val counting = new Llm {
+      override def complete(prompt: String): String = { calls += 1; "insufficient" }
+    }
+    val agent2 = new AgentLoop(counting, embedder)
+    agent2.synthesize(graft.model.AgentState(
+      "q", "chunk", Map.empty, 1, docs.take(2), needsMore = false, None, None, Nil))
+    assert(calls == 1, "no retry below the 3-doc floor")
+  }
+
   test("stuck detection: identical docs on retry force file scope") {
     // corpus where only chunk-scope docs exist for the query terms: the
     // catalog route returns the same (empty) set every attempt, and the
