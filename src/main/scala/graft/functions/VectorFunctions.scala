@@ -17,6 +17,11 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarity(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** Random-hyperplane LSH bucket id (native [[HyperplaneSig]]): one fused
+    * pass per vector instead of one aggregate(zip_with) rescan per bit. */
+  def hyperplaneSig(vec: Column, table: Int, bits: Int): Column =
+    GraftBridge.column(HyperplaneSig(GraftBridge.expression(vec), table, bits))
+
   /** Register SQL names on a live session (for sessions built without
     * [[graft.GraftExtensions]], e.g. the driver-owned one in `entry`). */
   def register(spark: SparkSession): Unit = {
@@ -41,7 +46,12 @@ object VectorFunctions {
       ("word_ngrams",
         new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
         (args: Seq[Expression]) => WordNGrams(args(0),
-          args(1).eval().asInstanceOf[Number].intValue())))
+          args(1).eval().asInstanceOf[Number].intValue())),
+      ("hyperplane_sig",
+        new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
+        (args: Seq[Expression]) => HyperplaneSig(args(0),
+          args(1).eval().asInstanceOf[Number].intValue(),
+          args(2).eval().asInstanceOf[Number].intValue())))
   }
 }
 

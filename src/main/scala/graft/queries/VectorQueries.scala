@@ -54,14 +54,61 @@ object VectorQueries {
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Embedding-cosine near-duplicate pairs above a threshold (the
-    * embedding-space variant of document dedup). */
+    * embedding-space variant of document dedup), via **exact**
+    * triangle-inequality cluster pruning — never an all-pairs cartesian.
+    *
+    * Hyperplane LSH cannot carry this query: at the 0.45 threshold the
+    * per-bit agreement probability is ~0.65, so exact recall would need
+    * hundreds of OR'd tables — more candidate volume than all-pairs. The
+    * metric structure of the sphere can: cluster the vectors (reusing the
+    * IVF build), bound each cluster's angular radius r_i, and admit a
+    * cluster pair (i,j) only when angle(c_i,c_j) − r_i − r_j ≤ acos(t) —
+    * by the spherical triangle inequality no qualifying pair can span a
+    * pruned pair, so the output is exactly the all-pairs answer. The
+    * candidate join is an equi-join on the admissible (cid_a, cid_b) list
+    * (Σ admissible n_i·n_j rows, data-dependent), not an n² cartesian:
+    * tight clusters or a higher threshold prune more; the worst case
+    * degrades to all-pairs *compute* but keeps the shuffle-key join shape.
+    */
   def qEmbNearDup(s: SparkSession, d: String): DataFrame = {
+    import graft.retrieval.IvfIndex
+    import s.implicits._
+    val t = 0.45
+    val thetaT = math.acos(t)
     val emb = Tables.embeddings(s, d)
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
+    val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", 16)
+    // not persisted: assignment is a cheap stateless map (c cosines/row),
+    // and the returned plan is lazy — at production scale the assignment
+    // lives on disk as the bucketed IVF index (IvfIndex.write) instead
+    val assigned = IvfIndex.assignScored(emb, "vec_id", "embedding", centroids)
+      .withColumn("c_angle",
+        acos(least(greatest(col("centroid_cos"), lit(-1.0)), lit(1.0))))
+
+    // per-cluster angular radius (c rows), then the admissible pair list —
+    // both driver-side: c is a constant, never corpus-sized
+    val radii = assigned.groupBy(col("centroid_id"))
+      .agg(max(col("c_angle")).as("r")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val eps = 1e-6
+    val admissible = for {
+      (ci, vi) <- centroids.toSeq
+      (cj, vj) <- centroids.toSeq
+      ri = radii.getOrElse(ci, 0.0)
+      rj = radii.getOrElse(cj, 0.0)
+      angle = math.acos(math.max(-1.0, math.min(1.0,
+        graft.retrieval.Retrieval.cosineLocal(vi, vj))))
+      if angle - ri - rj <= thetaT + eps
+    } yield (ci, cj)
+    val pairs = admissible.toDF("cid_a", "cid_b")
+
+    val a = assigned.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("centroid_id").as("ca"))
+    val b = assigned.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("centroid_id").as("cb"))
+    a.join(broadcast(pairs), col("ca") === col("cid_a"))
+      .join(b, col("cb") === col("cid_b") && col("id_a") < col("id_b"))
       .withColumn("cos", cosine(col("va"), col("vb")))
-      .filter(col("cos") >= 0.45)
+      .filter(col("cos") >= t)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -98,33 +145,23 @@ object VectorQueries {
       |  round(min(norm), 6) AS min_norm, round(max(norm), 6) AS max_norm
       |FROM e GROUP BY label ORDER BY label""".stripMargin
 
-  /** LSH-bucketed ANN (scale path): 12 random-hyperplane bits over 3
-    * tables (OR-amplification), candidates re-ranked exactly. Oracle-free
+  /** LSH-bucketed ANN (scale path): 8 random-hyperplane bits per table ×
+    * 3 tables (OR-amplification), candidates re-ranked exactly. Signatures
+    * come from the native [[graft.functions.HyperplaneSig]] kernel — one
+    * fused pass per vector; the previous HOF formulation rescanned each
+    * vector once per bit (24 aggregate(zip_with) passes/row), which made
+    * signing the dominant stage (round-1 "What's wrong" #3). Oracle-free
     * by nature (approximate recall), checked rows-only by the driver; the
     * exact twin qKnnBrute carries the value check. */
   def qKnnLsh(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.hyperplaneSig
     val nTables = 3
     val bitsPerTable = 8
-    val dim = 64
     val emb = Tables.embeddings(s, d)
-
-    // deterministic pseudo-random hyperplanes: hash(t, b, i) mapped to ±1
-    def planeSig(vec: org.apache.spark.sql.Column, t: Int): org.apache.spark.sql.Column = {
-      val bits = (0 until bitsPerTable).map { bit =>
-        val dot = aggregate(
-          zip_with(vec, lit((0 until dim).map(i => {
-            val h = scala.util.hashing.MurmurHash3.productHash((t, bit, i))
-            if (h % 2 == 0) 1.0f else -1.0f
-          }).toArray), (x, r) => x.cast("double") * r),
-          lit(0.0d), (acc, x) => acc + x)
-        when(dot >= 0, shiftleft(lit(1), bit)).otherwise(lit(0))
-      }
-      bits.reduce(_ + _)
-    }
 
     val tables = (0 until nTables).map { t =>
       emb.select(col("vec_id"), col("embedding"),
-        lit(t).as("tbl"), planeSig(col("embedding"), t).as("bucket"))
+        lit(t).as("tbl"), hyperplaneSig(col("embedding"), t, bitsPerTable).as("bucket"))
     }.reduce(_ unionByName _)
 
     val queries = tables.filter(col("vec_id") < 10)

@@ -26,7 +26,14 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   /** Deterministic centroid build: seeds = evenly spaced rows by id order,
-    * then one refinement step. Returns (centroidId, unit vector). */
+    * then one Lloyd refinement step **on a bounded seeded sample** — never
+    * on the full corpus. Centroid quality needs O(c) observations per
+    * centroid, not O(n): at 100 TB a full-corpus refinement (the round-1
+    * posexplode shape: corpus×dim rows shuffled to average c centroids) is
+    * a dead end, while a ~max(50·c, 2000)-row sample collects to the
+    * driver in megabytes and refines locally. Recall floors are asserted
+    * in RetrievalSpec to keep the sampling honest. Returns (centroidId,
+    * unit vector). */
   def buildCentroids(
       emb: DataFrame,
       idCol: String,
@@ -42,24 +49,41 @@ object IvfIndex {
       .collect()
       .map(_.getSeq[Float](0).toArray)
       .zipWithIndex.map { case (v, i) => (i, v) }
+    if (seeds.isEmpty) return seeds
 
-    // one Lloyd step: mean of assigned vectors per seed, renormalized
-    val assigned = assign(emb, idCol, vecCol, seeds)
-    val sums = assigned
-      .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .groupBy(col("centroid_id"), col("pos"))
-      .agg(avg(col("x")).as("m"))
-      .collect()
-      .groupBy(_.getInt(0))
+    // bounded sample for the Lloyd step (full data below the bound, so
+    // small-SF behavior — and every existing oracle/test — is unchanged)
+    val target = math.max(50L * c, 2000L)
+    val sampleVecs =
+      (if (n <= target) emb.select(col(vecCol))
+       else emb.select(col(vecCol))
+         .sample(withReplacement = false, math.min(1.0, target.toDouble * 1.2 / n), seed = 42))
+        .collect()
+        .map(_.getSeq[Float](0).toArray)
+
+    // local Lloyd step: mean of sample vectors per nearest seed, renormalized
+    val dim = seeds(0)._2.length
+    val sums = Array.fill(c)(new Array[Double](dim))
+    val counts = new Array[Long](c)
+    sampleVecs.foreach { v =>
+      var best = 0
+      var bestS = Double.NegativeInfinity
+      seeds.foreach { case (cid, sv) =>
+        val s = cosineLocal(v, sv)
+        if (s > bestS) { bestS = s; best = cid }
+      }
+      val acc = sums(best)
+      var i = 0
+      while (i < dim && i < v.length) { acc(i) += v(i); i += 1 }
+      counts(best) += 1
+    }
     seeds.map { case (cid, seed) =>
-      sums.get(cid) match {
-        case Some(rows) =>
-          val dim = seed.length
-          val v = new Array[Float](dim)
-          rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
-          val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
-          (cid, if (norm == 0) seed else v.map(x => (x / norm).toFloat))
-        case None => (cid, seed)
+      if (counts(cid) == 0) (cid, seed)
+      else {
+        val m = sums(cid)
+        val norm = math.sqrt(m.map(x => x * x).sum)
+        if (norm == 0) (cid, seed)
+        else (cid, m.map(x => (x / norm).toFloat))
       }
     }
   }
@@ -73,13 +97,29 @@ object IvfIndex {
       emb: DataFrame,
       idCol: String,
       vecCol: String,
+      centroids: Array[(Int, Array[Float])]): DataFrame =
+    emb.withColumn("centroid_id", best(vecCol, centroids).getField("cid"))
+
+  /** Like [[assign]] but also keeps the cosine to the owning centroid —
+    * the per-vector angular offset the triangle-inequality pruning in
+    * [[graft.queries.VectorQueries.qEmbNearDup]] needs. */
+  def assignScored(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
       centroids: Array[(Int, Array[Float])]): DataFrame = {
-    // score against each centroid, argmax via greatest-of-structs
-    val scored = centroids.map { case (cid, v) =>
-      struct(cosine(col(vecCol), typedlit(v)).as("s"), lit(cid).as("cid"))
-    }
-    emb.withColumn("centroid_id", greatest(scored: _*).getField("cid"))
+    val b = best(vecCol, centroids)
+    emb.withColumn("centroid_id", b.getField("cid"))
+      .withColumn("centroid_cos", b.getField("s"))
   }
+
+  // score against each centroid, argmax via greatest-of-structs
+  private def best(
+      vecCol: String,
+      centroids: Array[(Int, Array[Float])]): org.apache.spark.sql.Column =
+    greatest(centroids.map { case (cid, v) =>
+      struct(cosine(col(vecCol), typedlit(v)).as("s"), lit(cid).as("cid"))
+    }: _*)
 
   /** Probe lists for each query vector, driver-side (centroids ≪ corpus). */
   def probes(

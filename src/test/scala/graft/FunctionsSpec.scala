@@ -61,6 +61,11 @@ class FunctionsSpec extends SparkSpec {
       "SELECT simhash60(array('x','y')) = simhash60(array('y','x','x'))")
       .as[Boolean].head()
     assert(sh, "set semantics via SQL")
+    val hp = spark.sql(
+      "SELECT hyperplane_sig(array(1.0F, -2.0F, 0.5F), 0, 8)").as[Int].head()
+    assert(hp == graft.functions.HashKernels.hyperplaneSig(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](1.0f, -2.0f, 0.5f)), 0, 8))
   }
 
   test("shingles + jaccard") {

@@ -91,4 +91,30 @@ class HashKernelsSpec extends AnyFunSuite {
       assert((got >>> 60) == 0, "fits in 60 bits")
     }
   }
+
+  // per-bit reference: the retired HOF formulation — one sequential dot
+  // product per bit over the same deterministic ±1 hyperplane family
+  def refHyperplaneSig(vec: Array[Float], table: Int, bits: Int): Int =
+    (0 until bits).map { bit =>
+      var dot = 0.0
+      for (i <- vec.indices) {
+        val h = scala.util.hashing.MurmurHash3.productHash((table, bit, i))
+        dot += vec(i).toDouble * (if (h % 2 == 0) 1.0f else -1.0f)
+      }
+      if (dot >= 0) 1 << bit else 0
+    }.sum
+
+  test("property: hyperplaneSig matches the per-bit HOF reference") {
+    for (_ <- 1 to 200) {
+      val dim = 1 + rnd.nextInt(96)
+      val vec = Array.fill(dim)((rnd.nextFloat() - 0.5f) * 4f)
+      val table = rnd.nextInt(4)
+      val bits = 1 + rnd.nextInt(16)
+      val got = HashKernels.hyperplaneSig(
+        new GenericArrayData(vec.map(x => x: Any)), table, bits)
+      assert(got == refHyperplaneSig(vec, table, bits),
+        s"dim=$dim table=$table bits=$bits")
+      assert((got >>> bits) == 0, "fits in `bits` bits")
+    }
+  }
 }

@@ -79,6 +79,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(p2.contains("word_ngrams"))
   }
 
+  test("embedding near-dup: equi-join on admissible cluster pairs, no cartesian") {
+    val p = plan(graft.queries.VectorQueries.qEmbNearDup(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("cosine_sim"), "exact verify with the native cosine")
+  }
+
+  test("LSH ANN signatures are the native hyperplane kernel in the plan") {
+    val p = plan(graft.queries.VectorQueries.qKnnLsh(spark, sf))
+    assert(p.contains("hyperplane_sig"), "native kernel, not per-bit HOFs")
+    assert(!p.contains("zip_with"), "no per-bit vector rescans")
+  }
+
   test("bucketed corpus tables join with no exchange on either side") {
     import spark.implicits._
     val nodes = spark.createDataset((0 until 64).map { i =>
