@@ -89,6 +89,21 @@ object DedupQueries {
       |WHERE inter / (ca.n + cb.n - inter)::DOUBLE >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Below this corpus size the plain inverted-index join beats the
+    * prefix filter: the dfreq join + per-doc window are fixed extra
+    * stages whose cost only amortizes once Σ df² is large (measured 2.25×
+    * slower than naive at 5k docs in round 1, ~1.1× in round 2). Both
+    * branches produce the identical exact output, so the gate is purely a
+    * cost switch. */
+  val PrefixGateDocs = 20000L
+
+  /** Size-gated exact near-dup: naive inverted-index join on small
+    * corpora, prefix-filtered AllPairs above [[PrefixGateDocs]] — the plan
+    * a user should get at either scale (NOTES item 7 / VERDICT item 6). */
+  def qDedupJaccardPrefix(s: SparkSession, d: String): DataFrame =
+    if (Tables.documents(s, d).count() < PrefixGateDocs) qDedupJaccard(s, d)
+    else qDedupJaccardPrefixFull(s, d)
+
   /** Prefix-filtered exact Jaccard (AllPairs/PPJoin-style) — the 100 TB
     * form of qDedupJaccard with identical output. Shingles get a global
     * rarity order (document frequency asc, shingle asc); a doc of size n
@@ -98,7 +113,7 @@ object DedupQueries {
     * candidate space shrinks from Σ df² over all shingles to Σ df² over
     * rare-prefix postings. Accepted pairs verify with the full shingle
     * sets, so the result is exact (same oracle as qDedupJaccard). */
-  def qDedupJaccardPrefix(s: SparkSession, d: String): DataFrame = {
+  def qDedupJaccardPrefixFull(s: SparkSession, d: String): DataFrame = {
     val t = JaccardThreshold
     val sh = shingleRel(s, d)
     val posting = sh.select(col("doc_id"), size(col("sh")).as("n"),
