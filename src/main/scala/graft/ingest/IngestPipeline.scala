@@ -257,6 +257,23 @@ class IngestPipeline(
           array_sort(collect_list(struct(col("filePath"), col("rowId"), col("summary")))),
           x => x.getField("summary")), 1, 10), "\n"), 1, 5000)
           .as("codeSummaries"))
+    // L5: key-file samples for the BAD-readme path (reference
+    // catalog_builder.py:34-80): entry points and manifests, ≤5 files ×
+    // 500-char samples, path-sorted so the catalog text is reproducible
+    val keyPatterns = Seq("main.", "index.", "app.", "__init__.py", "server.",
+      "api.", "package.json", "pyproject.toml", "pom.xml", "dockerfile",
+      "requirements.txt", "cargo.toml")
+    val isKeyFile = keyPatterns
+      .map(p => lower(col("filePath")).contains(p)).reduce(_ || _)
+    val keyFiles = pre
+      .filter(isKeyFile)
+      .groupBy(col("namespace").as("ns3"), col("repo").as("repo3"))
+      .agg(array_join(slice(transform(
+        array_sort(collect_list(struct(col("filePath").as("p"),
+          concat(lit("File: "), col("filePath"), lit("\n"),
+            substring(col("text"), 1, 500)).as("s")))),
+        x => x.getField("s")), 1, 5), "\n\n---\n\n").as("keyFiles"))
+
     readmes.join(techStack,
       col("namespace") === col("ns2") && col("repo") === col("repo2"), "full_outer")
       .select(
@@ -265,13 +282,21 @@ class IngestPipeline(
         coalesce(col("readme"), lit("")).as("readme"),
         coalesce(col("languages"), array().cast("array<string>")).as("languages"),
         coalesce(col("codeSummaries"), lit("")).as("codeSummaries"))
-      .as[(String, String, String, Seq[String], String)]
+      .join(keyFiles,
+        col("namespace") === col("ns3") && col("repo") === col("repo3"), "left_outer")
+      .select(col("namespace"), col("repo"), col("readme"), col("languages"),
+        col("codeSummaries"), coalesce(col("keyFiles"), lit("")).as("keyFiles"))
+      .as[(String, String, String, Seq[String], String, String)]
       .mapPartitions { it =>
-        it.map { case (ns, repo, readme, langs, codeSums) =>
+        it.map { case (ns, repo, readme, langs, codeSums, keyF) =>
           val judged = l.complete(s"Is this a GOOD or BAD readme?\n${readme.take(1000)}")
           val text =
             if (judged.contains("GOOD"))
               l.complete(s"Write a catalog entry for repo $repo.\nTech: ${langs.mkString(",")}\n$readme")
+            else if (keyF.nonEmpty)
+              // L5: entry-point/manifest samples beat code summaries when
+              // the readme is a stub (catalog_builder.py:38-52)
+              l.complete(s"Write a catalog entry for repo $repo from key files.\nTech: ${langs.mkString(",")}\n$keyF")
             else
               l.complete(s"Write a catalog entry for repo $repo from code summaries.\nTech: ${langs.mkString(",")}\n$codeSums")
           val n = Node.empty.copy(
@@ -316,6 +341,48 @@ class IngestPipeline(
     val cats = catalog(pre, chunks)
     chunks.unionByName(files).unionByName(modules).unionByName(repos)
       .unionByName(cats)
+  }
+
+  /** [[buildCorpus]] + [[write]] with per-stage metrics (reference
+    * stage_timer, ingest_controller.py:114-152): each stage runs under a
+    * tagged job group and forces its (cached) output, so wall time and
+    * executor task metrics attribute cleanly. Costs a few extra counts of
+    * the small rollup levels versus the lazy build — the price of stage
+    * boundaries, paid only on explicitly metered runs. Returns the audit
+    * row and the per-stage metric rows for the caller's metrics sink. */
+  def runWithMetrics(
+      raw: Dataset[RawDoc],
+      path: String,
+      runId: String): (IngestRun, Seq[StageMetric]) = {
+    val spark = raw.sparkSession
+    val metrics = new IngestMetrics(spark, runId)
+    try {
+      val pre = metrics.stage("preprocess") {
+        val d = preprocess(raw).cache(); d.count(); d
+      }
+      val chunks = metrics.stage("chunk_enrich_embed") {
+        val d = enrichAndEmbed(chunk(pre, runId)).cache(); d.count(); d
+      }
+      val files = metrics.stage("file_rollup") {
+        val d = fileRollup(chunks).cache(); d.count(); d
+      }
+      val modules = metrics.stage("module_rollup") {
+        val d = moduleRollup(files).cache(); d.count(); d
+      }
+      val repos = metrics.stage("repo_rollup") {
+        val d = repoRollup(modules).cache(); d.count(); d
+      }
+      val cats = metrics.stage("catalog") {
+        val d = catalog(pre, chunks).cache(); d.count(); d
+      }
+      val all = chunks.unionByName(files).unionByName(modules)
+        .unionByName(repos).unionByName(cats)
+      val run = metrics.stage("write") { write(all, path, runId) }
+      Seq(pre, chunks.toDF, files.toDF, modules.toDF, repos.toDF, cats.toDF)
+        .foreach(_.unpersist(blocking = false))
+      metrics.awaitDrain()
+      (run, metrics.snapshot)
+    } finally metrics.close()
   }
 
   /** S5 sink: one store partitioned by scope (the Spark twin of the five

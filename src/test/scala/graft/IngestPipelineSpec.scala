@@ -89,6 +89,48 @@ class IngestPipelineSpec extends SparkSpec {
     assert(chunk.ingestRunId == "run-1")
   }
 
+  test("L5: BAD readme + key files → catalog from entry-point samples") {
+    def d(path: String, text: String) = RawDoc("ns", "badrepo", "main", path, text)
+    val repo = Seq(
+      d("README.md", "# TODO\ntodo: write me"),
+      d("src/main.py", "def main_entry(): pass"),
+      d("src/zz_util.py", "def zz_helper(): pass"))
+    val c = pipeline.buildCorpus(spark.createDataset(repo), "run-l5")
+    val cat = c.filter(col("scope") === "catalog").as[Node].head()
+    assert(cat.text.contains("main_entry"), cat.text)
+    assert(!cat.text.contains("zz_helper"), cat.text)
+  }
+
+  test("L5 fallback: BAD readme, no key files → catalog from code summaries") {
+    def d(path: String, text: String) = RawDoc("ns", "plainrepo", "main", path, text)
+    val repo = Seq(
+      d("README.md", "# TODO\ntodo: write me"),
+      d("src/zz_util.py", "def zz_helper(): pass"))
+    val c = pipeline.buildCorpus(spark.createDataset(repo), "run-l5b")
+    val cat = c.filter(col("scope") === "catalog").as[Node].head()
+    assert(cat.text.contains("zz_helper"), cat.text)
+  }
+
+  test("metered ingest records wall + task metrics per stage") {
+    val out = java.nio.file.Files.createTempDirectory("metered").toString
+    val (run, metrics) = pipeline.runWithMetrics(
+      spark.createDataset(fixtureRepo), s"$out/corpus", "run-metrics")
+    assert(run.nodeCount > 0)
+    val byStage = metrics.map(m => m.stage -> m).toMap
+    assert(byStage.keySet == Set("preprocess", "chunk_enrich_embed",
+      "file_rollup", "module_rollup", "repo_rollup", "catalog", "write"),
+      byStage.keySet.toString)
+    assert(metrics.forall(_.wallMs >= 0))
+    assert(metrics.forall(_.runId == "run-metrics"))
+    // every stage forces at least one Spark job → tasks attributed
+    assert(metrics.map(_.tasks).sum > 0, metrics.toString)
+    assert(byStage("chunk_enrich_embed").tasks > 0)
+    // the corpus written by the metered run is complete (all five scopes)
+    val scopes = spark.read.parquet(s"$out/corpus")
+      .select("scope").distinct().as[String].collect().toSet
+    assert(scopes == Set("chunk", "file", "module", "repo", "catalog"))
+  }
+
   test("embeddings are normalized and fixed-dim") {
     val embs = corpus.select("embedding").as[Array[Float]].collect()
     assert(embs.forall(_.length == 64))
