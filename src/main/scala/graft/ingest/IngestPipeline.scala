@@ -335,8 +335,14 @@ class IngestPipeline(
   def buildCorpus(raw: Dataset[RawDoc], runId: String): Dataset[Node] = {
     val pre = preprocess(raw).cache()
     val chunks = enrichAndEmbed(chunk(pre, runId)).cache()
-    val files = fileRollup(chunks)
-    val modules = moduleRollup(files)
+    // each rollup level is BOTH a union branch and the next level's input:
+    // uncached, the union's single write action would recompute fileRollup
+    // three times and moduleRollup twice — LLM summaries and embeddings
+    // included. The levels shrink drastically (files ≪ chunks, modules ≪
+    // files), so caching them is a few rows per repo, not a memory risk at
+    // any scale.
+    val files = fileRollup(chunks).cache()
+    val modules = moduleRollup(files).cache()
     val repos = repoRollup(modules)
     val cats = catalog(pre, chunks)
     chunks.unionByName(files).unionByName(modules).unionByName(repos)
