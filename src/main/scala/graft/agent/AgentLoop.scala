@@ -152,10 +152,13 @@ class AgentLoop(
     var done = false
     while (!done) {
       val q = state.rewrite.getOrElse(state.query)
-      val docs = Retrieval.retrieve(corpus, embedder, q, state.scope, state.filters)
-      // under-retrieval → union an expanded query (T4/T5 semantics)
+      val res = Retrieval.retrieveResult(corpus, embedder, q, state.scope, state.filters)
+      val docs = res.docs
+      // under-retrieval → union an expanded query (T4/T5 semantics) —
+      // unless the slice was exhausted, in which case a re-query over the
+      // same (scope, filters) returns the identical rows and is skipped
       val merged =
-        if (docs.length < 3) {
+        if (docs.length < 3 && !res.exhausted) {
           val expanded = Retrieval.retrieve(
             corpus, embedder, expandQuery(q), state.scope, state.filters)
           (docs ++ expanded).distinctBy(_.rowId)

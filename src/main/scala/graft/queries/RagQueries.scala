@@ -80,15 +80,17 @@ object RagQueries {
   def qAgentEvents(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val c = corpus(s, d)
+    c.count() // materialize the shared corpus cache once, before the fan-out
     val agent = new AgentLoop(new StubLlm, new HashEmbedder(384))
-    val events =
-      JobStream.runJob(c, agent, "job-1", QueryRequest("error handling in query code")) ++
-        JobStream.runJob(c, agent, "job-2", QueryRequest("give me an overview of the architecture")) ++
-        // repo-filtered catalog query: a one-doc pool, so the judge's
-        // suggest_filters/stage_down drive a filter-tightening retry that
-        // shows up in the event trail
-        JobStream.runJob(c, agent, "job-3",
-          QueryRequest("describe the src3 project", repoName = Some("src3")))
+    // independent jobs run concurrently — their many tiny retrieval jobs'
+    // scheduler latencies overlap (event order stays deterministic)
+    val events = JobStream.runJobs(c, agent, Seq(
+      "job-1" -> QueryRequest("error handling in query code"),
+      "job-2" -> QueryRequest("give me an overview of the architecture"),
+      // repo-filtered catalog query: a one-doc pool, so the judge's
+      // suggest_filters/stage_down drive a filter-tightening retry that
+      // shows up in the event trail
+      "job-3" -> QueryRequest("describe the src3 project", repoName = Some("src3"))))
     events.map(e => (e.jobId, e.event)).toDF("job_id", "event")
   }
 

@@ -199,6 +199,92 @@ object TextQueries {
       |FROM documents GROUP BY CUBE(lang, source)
       |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin
 
+  /** Gopher-style repetition/quality rules (Rae et al. 2021, "Scaling
+    * Language Models", Appendix A1.1 — public paper; thresholds are ours):
+    * per-document word stats, duplicate-word fraction, top-bigram
+    * fraction, and a deterministic pass flag over the rounded signals.
+    *
+    * One scan, zero shuffles: the word array is projected once and every
+    * signal — including the top-bigram count, computed as the longest
+    * equal run over the SORTED bigram array — is a per-row Column
+    * program, so the whole profile stays inside the document's partition.
+    * At 100 TB this is the filter-pass shape a training-data pipeline
+    * needs: embarrassingly parallel, no driver involvement, and the flag
+    * column prunes the corpus before any expensive downstream stage. */
+  def qQualityRules(s: SparkSession, d: String): DataFrame = {
+    val withWords = Tables.documents(s, d).select(
+      col("doc_id"),
+      split(lower(trim(col("text"))), "\\s+").as("w"))
+    // bigram array (empty below 2 words), sorted so the most frequent
+    // bigram surfaces as the longest consecutive run — one aggregate()
+    // pass instead of an explode+groupBy+window shuffle pair
+    val withBigrams = withWords.select(
+      col("doc_id"), col("w"),
+      when(size(col("w")) >= 2,
+        sort_array(transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat_ws(" ",
+            element_at(col("w"), i), element_at(col("w"), i + 1)))))
+        .otherwise(array().cast("array<string>")).as("bg"))
+    val topRun = expr(
+      """aggregate(bg,
+        |  named_struct('prev', cast(null as string), 'run', 0, 'best', 0),
+        |  (acc, x) -> named_struct(
+        |    'prev', x,
+        |    'run', IF(acc.prev <=> x, acc.run + 1, 1),
+        |    'best', greatest(acc.best, IF(acc.prev <=> x, acc.run + 1, 1))),
+        |  acc -> acc.best)""".stripMargin)
+    val signals = withBigrams.select(
+      col("doc_id"),
+      size(col("w")).as("n_words"),
+      round(aggregate(col("w"), lit(0L), (acc, x) => acc + length(x))
+        .cast("double") / size(col("w")), 4).as("mean_word_len"),
+      round(size(filter(col("w"), x => x.rlike("[a-z]")))
+        .cast("double") / size(col("w")), 4).as("alpha_word_frac"),
+      round(lit(1.0) - size(array_distinct(col("w")))
+        .cast("double") / size(col("w")), 4).as("dup_word_frac"),
+      round(topRun.cast("double") / greatest(size(col("w")) - 1, lit(1)), 4)
+        .as("top_bigram_frac"))
+    // the pass flag derives from the ROUNDED signals so both engines
+    // evaluate the thresholds on identical values
+    signals.select(
+      col("doc_id"), col("n_words"), col("mean_word_len"),
+      col("alpha_word_frac"), col("dup_word_frac"), col("top_bigram_frac"),
+      (col("n_words") >= 30 && col("n_words") <= 10000 &&
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+        col("alpha_word_frac") >= 0.8 &&
+        col("top_bigram_frac") <= 0.1).as("gopher_pass"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qQualityRulesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') w
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, b, count(*) c FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) b
+      |    FROM t WHERE len(w) >= 2)
+      |  GROUP BY 1, 2),
+      |top AS (SELECT doc_id, max(c) topc FROM bg GROUP BY 1),
+      |signals AS (
+      |  SELECT t.doc_id,
+      |    len(w) AS n_words,
+      |    round(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+      |      / len(w)::DOUBLE, 4) AS mean_word_len,
+      |    round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+      |      / len(w)::DOUBLE, 4) AS alpha_word_frac,
+      |    round(1.0 - len(list_distinct(w)) / len(w)::DOUBLE, 4) AS dup_word_frac,
+      |    round(coalesce(topc, 0) / greatest(len(w) - 1, 1)::DOUBLE, 4) AS top_bigram_frac
+      |  FROM t LEFT JOIN top ON t.doc_id = top.doc_id)
+      |SELECT doc_id, n_words, mean_word_len, alpha_word_frac, dup_word_frac,
+      |  top_bigram_frac,
+      |  (n_words >= 30 AND n_words <= 10000
+      |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      |   AND alpha_word_frac >= 0.8
+      |   AND top_bigram_frac <= 0.1) AS gopher_pass
+      |FROM signals ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "td_text_profile" -> (qTextProfile _),
     "td_chunk_docs" -> (qChunkDocs _),
@@ -207,6 +293,7 @@ object TextQueries {
     "td_cube_lang_source" -> (qCubeLangSource _),
     "td_token_counts" -> (qTokenCounts _),
     "td_rollup_salted" -> (qRollupSalted _),
+    "td_quality_rules" -> (qQualityRules _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -217,5 +304,6 @@ object TextQueries {
     "td_cube_lang_source" -> qCubeLangSourceSql,
     "td_token_counts" -> qTokenCountsSql,
     "td_rollup_salted" -> qRollupChunksSql, // provably identical output
+    "td_quality_rules" -> qQualityRulesSql,
   )
 }

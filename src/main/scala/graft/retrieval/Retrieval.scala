@@ -72,33 +72,54 @@ object Retrieval {
       seeds: DataFrame,
       caps: Caps,
       edgeKeys: Seq[String] = Seq("repo", "module", "filePath", "topics")): DataFrame = {
+    val rows = expandRows(scored, seeds.collect(), caps, edgeKeys)
+    scored.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
+      scored.schema)
+  }
+
+  /** Driver-side expansion core: each hop collects the ≤ adjacentK best
+    * new rows in full (the frontier is tiny by construction), so the
+    * final pool needs NO extra Spark job to re-fetch it — one job per hop
+    * plus the seed top-k is the whole cost. Returns the pooled rows
+    * sorted (score desc, rowId) and capped at `caps.k`. */
+  private[graft] def expandRows(
+      scored: DataFrame,
+      seedRows: Array[org.apache.spark.sql.Row],
+      caps: Caps,
+      edgeKeys: Seq[String]): Array[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.types.{ArrayType, StringType}
+    val schema = scored.schema
     // per-key type dispatch: string columns match by equality, string-array
     // columns by overlap; anything else is a caller error
     val isArrayKey: Map[String, Boolean] = edgeKeys.map { k =>
-      k -> (scored.schema(k).dataType match {
+      k -> (schema(k).dataType match {
         case ArrayType(StringType, _) => true
         case StringType => false
         case other => throw new IllegalArgumentException(
           s"edge key '$k' must be string or array<string>, got $other")
       })
     }.toMap
-    val idCols = ("rowId" +: edgeKeys).map(col)
-    var frontier = seeds.select(idCols: _*).collect()
-    val visited = scala.collection.mutable.Set(frontier.map(_.getString(0)): _*)
-    val resultIds = scala.collection.mutable.ArrayBuffer(visited.toSeq: _*)
+    val keyIdx = edgeKeys.map(k => k -> schema.fieldIndex(k)).toMap
+    val idIdx = schema.fieldIndex("rowId")
+    val scoreIdx = schema.fieldIndex("score")
+    var frontier = seedRows
+    val visited = scala.collection.mutable.Set(frontier.map(_.getString(idIdx)): _*)
+    val pool = scala.collection.mutable.ArrayBuffer(frontier.toSeq: _*)
     var depth = 0
     while (depth < caps.maxDepth && frontier.nonEmpty) {
-      val conds = edgeKeys.zipWithIndex.flatMap { case (k, i) =>
+      val conds = edgeKeys.flatMap { k =>
+        val i = keyIdx(k)
         if (isArrayKey(k)) {
           val vals = frontier.iterator
-            .flatMap(r => if (r.isNullAt(i + 1)) Nil else r.getSeq[String](i + 1))
+            .flatMap(r => if (r.isNullAt(i)) Nil else r.getSeq[String](i))
             .filter(_.nonEmpty).toSeq.distinct
           if (vals.isEmpty) None
           else Some(arrays_overlap(col(k), typedlit(vals)))
         } else {
           val vals = frontier.iterator
-            .map(r => if (r.isNullAt(i + 1)) "" else r.getString(i + 1))
+            .map(r => if (r.isNullAt(i)) "" else r.getString(i))
             .filter(_.nonEmpty).toSeq.distinct
           if (vals.isEmpty) None else Some(col(k).isin(vals: _*))
         }
@@ -109,16 +130,15 @@ object Retrieval {
           .filter(conds.reduce(_ || _) && !col("rowId").isin(visited.toSeq: _*))
           .orderBy(col("score").desc, col("rowId"))
           .limit(caps.adjacentK)
-          .select(idCols: _*)
           .collect()
-        visited ++= hop.map(_.getString(0))
-        resultIds ++= hop.map(_.getString(0))
+        visited ++= hop.map(_.getString(idIdx))
+        pool ++= hop
         frontier = hop
         depth += 1
       }
     }
-    scored.filter(col("rowId").isin(resultIds.toSeq: _*))
-      .orderBy(col("score").desc, col("rowId")).limit(caps.k)
+    pool.sortBy(r => (-r.getDouble(scoreIdx), r.getString(idIdx)))
+      .take(caps.k).toArray
   }
 
   /** T4+T5: union query-expansion results, dedup by text hash, keep best
@@ -144,6 +164,14 @@ object Retrieval {
   case object Eager extends Strategy
   case class Mmr(lambdaMult: Double = 0.35) extends Strategy
 
+  /** One retrieval's docs plus whether the scoped slice was exhausted:
+    * the seed top-k came back short of its limit, so the (scope, filters)
+    * slice holds fewer rows than that limit and EVERY row is already in
+    * the pool — re-querying the same slice with a different query vector
+    * returns the identical row set. Callers (the agent loop's
+    * under-retrieval expansion) use this to skip pointless re-queries. */
+  case class Result(docs: Seq[Retrieved], exhausted: Boolean)
+
   /** Full retrieval for one query string. */
   def retrieve(
       corpus: DataFrame,
@@ -152,33 +180,54 @@ object Retrieval {
       scope: String,
       filters: Map[String, String] = Map.empty,
       expand: Boolean = true,
-      strategy: Strategy = Eager): Seq[Retrieved] = {
+      strategy: Strategy = Eager): Seq[Retrieved] =
+    retrieveResult(corpus, embedder, query, scope, filters, expand, strategy).docs
+
+  /** [[retrieve]] with the exhausted-slice signal. */
+  def retrieveResult(
+      corpus: DataFrame,
+      embedder: Embedder,
+      query: String,
+      scope: String,
+      filters: Map[String, String] = Map.empty,
+      expand: Boolean = true,
+      strategy: Strategy = Eager): Result = {
     val caps = capsByScope.getOrElse(scope, Caps(10, 3, 8, 2))
     val qv = embedder.embed(query)
     // The expansion loop fires several actions over the scored slice
-    // (seed top-k, per-hop joins, final collect) — persist it once so the
-    // scan+cosine runs once, not once per action.
+    // (seed top-k, then one per hop) — persist it once so the scan+cosine
+    // runs once, not once per action.
     val scored = score(corpus, qv, scope, filters).persist()
     try {
-      val seeds = topK(scored, caps.startK)
-      val pool = if (expand) graphExpand(scored, seeds, caps) else topK(scored, caps.k)
-      strategy match {
-        case Eager => collectRetrieved(pool)
+      val schema = scored.schema
+      val (pool, exhausted) =
+        if (expand) {
+          val seedRows = topK(scored, caps.startK).collect()
+          (expandRows(scored, seedRows, caps,
+            Seq("repo", "module", "filePath", "topics")),
+            seedRows.length < caps.startK)
+        } else {
+          val rows = topK(scored, caps.k).collect()
+          (rows, rows.length < caps.k)
+        }
+      val idx = Seq("rowId", "scope", "namespace", "repo", "module",
+        "filePath", "text", "topics", "score", "embedding")
+        .map(schema.fieldIndex)
+      val withVecs = pool.map { r =>
+        (Retrieved(
+          r.getString(idx(0)), r.getString(idx(1)), r.getString(idx(2)),
+          r.getString(idx(3)), r.getString(idx(4)), r.getString(idx(5)),
+          r.getString(idx(6)), r.getSeq[String](idx(7)), r.getDouble(idx(8))),
+          r.getSeq[Float](idx(9)).toArray)
+      }
+      val docs = strategy match {
+        case Eager => withVecs.map(_._1).toSeq
         case Mmr(lambda) =>
           // pool is ≤ k rows by construction — the greedy re-rank is a
           // driver loop over the collected candidates + their embeddings
-          val withVecs = pool
-            .select(col("rowId"), col("scope"), col("namespace"), col("repo"),
-              col("module"), col("filePath"), col("text"), col("topics"),
-              col("score"), col("embedding"))
-            .collect()
-            .map(r => (Retrieved(
-              r.getString(0), r.getString(1), r.getString(2), r.getString(3),
-              r.getString(4), r.getString(5), r.getString(6),
-              r.getSeq[String](7), r.getDouble(8)),
-              r.getSeq[Float](9).toArray))
           mmrSelect(withVecs.toSeq, caps.k, lambda)
       }
+      Result(docs, exhausted)
     } finally scored.unpersist(blocking = false)
   }
 
@@ -214,14 +263,4 @@ object Retrieval {
     if (d == 0.0) 0.0 else dot / d
   }
 
-  private def collectRetrieved(df: DataFrame): Seq[Retrieved] = {
-    df.select("rowId", "scope", "namespace", "repo", "module", "filePath",
-      "text", "topics", "score")
-      .collect()
-      .map(r => Retrieved(
-        r.getString(0), r.getString(1), r.getString(2), r.getString(3),
-        r.getString(4), r.getString(5), r.getString(6),
-        r.getSeq[String](7), r.getDouble(8)))
-      .toSeq
-  }
 }

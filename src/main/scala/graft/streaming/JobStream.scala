@@ -63,6 +63,32 @@ object JobStream {
     out.toSeq
   }
 
+  /** Run independent jobs concurrently (the Spark scheduler interleaves
+    * jobs submitted from separate threads, so the many small retrieval
+    * jobs' scheduler latencies overlap — the engine twin of the reference
+    * worker's concurrent job handling, worker.py:73-88). Event order is
+    * preserved within each job and across jobs by input order. The caller
+    * must have materialized any lazily-cached corpus first, or all
+    * threads race to compute the cache. */
+  def runJobs(
+      corpus: DataFrame,
+      agent: AgentLoop,
+      jobs: Seq[(String, QueryRequest)],
+      parallelism: Int = 4): Seq[JobEvent] = {
+    if (jobs.isEmpty) return Nil
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, jobs.length)))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = jobs.map { case (id, req) =>
+        new java.util.concurrent.Callable[Seq[JobEvent]] {
+          override def call(): Seq[JobEvent] = runJob(corpus, agent, id, req)
+        }
+      }
+      pool.invokeAll(tasks.asJava).asScala.toSeq.flatMap(_.get())
+    } finally pool.shutdown()
+  }
+
   /** ST1-ST3: consume a streaming job-request frame (columns: jobId,
     * query, topK, repoName) and append events to a parquet sink. Works
     * with any streaming source — file drop-dir, Kafka, or MemoryStream in
