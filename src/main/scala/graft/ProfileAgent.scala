@@ -1,0 +1,48 @@
+package graft
+
+import graft.agent.AgentLoop
+import graft.llm.{HashEmbedder, StubLlm}
+import graft.model.QueryRequest
+import graft.queries.RagQueries
+import graft.streaming.JobStream
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: wall-time breakdown of the rag_agent_events path at a given
+  * SF — corpus build, cache materialization, then each agent job (run
+  * sequentially so per-job cost is attributable). */
+object ProfileAgent {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+
+    val c = timed("corpus build+count") {
+      val df = RagQueries.corpusFor(spark, sfDir); df.count(); df
+    }
+    val agent = new AgentLoop(new StubLlm, new HashEmbedder(384))
+    val jobs = Seq(
+      "job-1" -> QueryRequest("error handling in query code"),
+      "job-2" -> QueryRequest("give me an overview of the architecture"),
+      "job-3" -> QueryRequest("describe the src3 project", repoName = Some("src3")))
+    jobs.foreach { case (id, req) =>
+      val evs = timed(s"$id (${req.query.take(30)})") {
+        JobStream.runJob(c, agent, id, req)
+      }
+      evs.foreach(e => println(s"    ${e.event}: ${e.data.take(120)}"))
+    }
+    timed("all 3 concurrent") { JobStream.runJobs(c, agent, jobs) }
+    spark.stop()
+  }
+}
