@@ -21,6 +21,20 @@ object ProfileAgent {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    // per-Spark-stage cost of the (single-action) lazy corpus build
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = s.stageInfo
+          val rt = Option(i.taskMetrics).map(_.executorRunTime).getOrElse(-1L)
+          val wall = (for { t0 <- i.submissionTime; t1 <- i.completionTime }
+            yield t1 - t0).getOrElse(-1L)
+          println(f"[stage] id=${i.stageId}%4d tasks=${i.numTasks}%3d " +
+            f"wall=${wall}%5dms taskTime=${rt}%6dms  ${i.name.take(90)}")
+        }
+      })
+
     def timed[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f

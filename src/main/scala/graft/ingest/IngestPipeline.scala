@@ -243,13 +243,30 @@ class IngestPipeline(
     val emb = embedder
     val coll = collection
     // collected lists are sorted before concat — collect_list order is
-    // partition-order dependent, and catalog text must be reproducible
-    val readmes = pre
-      .filter(FileFilters.baseName(col("filePath")).startsWith("readme"))
+    // partition-order dependent, and catalog text must be reproducible.
+    // README text (L4) and key-file samples (L5, reference
+    // catalog_builder.py:34-80: entry points and manifests, ≤5 files ×
+    // 500-char samples) both aggregate `pre` by (namespace, repo), so they
+    // share ONE shuffle: collect_list skips the nulls `when` produces for
+    // non-matching rows, which is the conditional-aggregation idiom that
+    // replaces two filtered aggs + an extra join.
+    val isReadme = FileFilters.baseName(col("filePath")).startsWith("readme")
+    val keyPatterns = Seq("main.", "index.", "app.", "__init__.py", "server.",
+      "api.", "package.json", "pyproject.toml", "pom.xml", "dockerfile",
+      "requirements.txt", "cargo.toml")
+    val isKeyFile = keyPatterns
+      .map(p => lower(col("filePath")).contains(p)).reduce(_ || _)
+    val preAggs = pre
       .groupBy(col("namespace"), col("repo"))
-      .agg(substring(array_join(transform(
-        array_sort(collect_list(struct(col("filePath"), col("text")))),
-        x => x.getField("text")), "\n\n"), 1, 5000).as("readme"))
+      .agg(
+        substring(array_join(transform(
+          array_sort(collect_list(when(isReadme, struct(col("filePath"), col("text"))))),
+          x => x.getField("text")), "\n\n"), 1, 5000).as("readme"),
+        array_join(slice(transform(
+          array_sort(collect_list(when(isKeyFile, struct(col("filePath").as("p"),
+            concat(lit("File: "), col("filePath"), lit("\n"),
+              substring(col("text"), 1, 500)).as("s"))))),
+          x => x.getField("s")), 1, 5), "\n\n---\n\n").as("keyFiles"))
     val techStack = chunks.toDF()
       .groupBy(col("namespace").as("ns2"), col("repo").as("repo2"))
       .agg(array_sort(collect_set(col("language"))).as("languages"),
@@ -257,35 +274,16 @@ class IngestPipeline(
           array_sort(collect_list(struct(col("filePath"), col("rowId"), col("summary")))),
           x => x.getField("summary")), 1, 10), "\n"), 1, 5000)
           .as("codeSummaries"))
-    // L5: key-file samples for the BAD-readme path (reference
-    // catalog_builder.py:34-80): entry points and manifests, ≤5 files ×
-    // 500-char samples, path-sorted so the catalog text is reproducible
-    val keyPatterns = Seq("main.", "index.", "app.", "__init__.py", "server.",
-      "api.", "package.json", "pyproject.toml", "pom.xml", "dockerfile",
-      "requirements.txt", "cargo.toml")
-    val isKeyFile = keyPatterns
-      .map(p => lower(col("filePath")).contains(p)).reduce(_ || _)
-    val keyFiles = pre
-      .filter(isKeyFile)
-      .groupBy(col("namespace").as("ns3"), col("repo").as("repo3"))
-      .agg(array_join(slice(transform(
-        array_sort(collect_list(struct(col("filePath").as("p"),
-          concat(lit("File: "), col("filePath"), lit("\n"),
-            substring(col("text"), 1, 500)).as("s")))),
-        x => x.getField("s")), 1, 5), "\n\n---\n\n").as("keyFiles"))
 
-    readmes.join(techStack,
+    preAggs.join(techStack,
       col("namespace") === col("ns2") && col("repo") === col("repo2"), "full_outer")
       .select(
         coalesce(col("namespace"), col("ns2")).as("namespace"),
         coalesce(col("repo"), col("repo2")).as("repo"),
         coalesce(col("readme"), lit("")).as("readme"),
         coalesce(col("languages"), array().cast("array<string>")).as("languages"),
-        coalesce(col("codeSummaries"), lit("")).as("codeSummaries"))
-      .join(keyFiles,
-        col("namespace") === col("ns3") && col("repo") === col("repo3"), "left_outer")
-      .select(col("namespace"), col("repo"), col("readme"), col("languages"),
-        col("codeSummaries"), coalesce(col("keyFiles"), lit("")).as("keyFiles"))
+        coalesce(col("codeSummaries"), lit("")).as("codeSummaries"),
+        coalesce(col("keyFiles"), lit("")).as("keyFiles"))
       .as[(String, String, String, Seq[String], String, String)]
       .mapPartitions { it =>
         it.map { case (ns, repo, readme, langs, codeSums, keyF) =>
@@ -332,17 +330,41 @@ class IngestPipeline(
     * enrich/summarize/embed work is fused into one mapPartitions stage, so
     * the pipeline is: scan → chunk+enrich+embed (narrow) → one shuffle per
     * rollup level keyed by its group → catalog join. */
+  /** Local inputs often arrive as a few unsplittable files (a single
+    * row-group parquet, one giant repo checkout): left alone, the whole
+    * narrow enrich chain — three LLM calls plus an embedding per chunk —
+    * runs at the INPUT's parallelism, not the cluster's. The raw-text
+    * shuffle is trivial next to that compute, so spread under-parallel
+    * inputs before chunking; a no-op for real multi-file corpora. Applied
+    * here (not at the generic table reader) on purpose: for plain
+    * relational scans the map-side partial agg already reduces data before
+    * any shuffle, and force-spreading those serializes whole tables
+    * through an exchange for nothing — measured 2.5× WORSE at sf0.1. */
+  private def spreadInput(raw: Dataset[RawDoc]): Dataset[RawDoc] = {
+    val target = raw.sparkSession.sparkContext.defaultParallelism
+    if (raw.rdd.getNumPartitions * 2 < target) raw.repartition(target) else raw
+  }
+
   def buildCorpus(raw: Dataset[RawDoc], runId: String): Dataset[Node] = {
-    val pre = preprocess(raw).cache()
+    // Each cached level is read by SEVERAL union branches (chunks by the
+    // union, fileRollup and catalog; pre by chunk, readmes and key-files).
+    // Caching alone does not serialize that: within the union's one action
+    // the branches race, and concurrent tasks each compute the shared
+    // partition before the first writes the cache block ("Block rdd_N
+    // already exists" warnings) — the LLM enrich + embed work ran up to 3×.
+    // Forcing each level in dependency order fills every cache exactly
+    // once; the extra count() jobs are milliseconds next to the duplicated
+    // enrichment they remove.
+    val pre = preprocess(spreadInput(raw)).cache()
+    pre.count()
     val chunks = enrichAndEmbed(chunk(pre, runId)).cache()
-    // each rollup level is BOTH a union branch and the next level's input:
-    // uncached, the union's single write action would recompute fileRollup
-    // three times and moduleRollup twice — LLM summaries and embeddings
-    // included. The levels shrink drastically (files ≪ chunks, modules ≪
-    // files), so caching them is a few rows per repo, not a memory risk at
-    // any scale.
+    chunks.count()
+    // the rollup levels shrink drastically (files ≪ chunks, modules ≪
+    // files), so caching them is a few rows per repo, not a memory risk
     val files = fileRollup(chunks).cache()
+    files.count()
     val modules = moduleRollup(files).cache()
+    modules.count()
     val repos = repoRollup(modules)
     val cats = catalog(pre, chunks)
     chunks.unionByName(files).unionByName(modules).unionByName(repos)
@@ -364,7 +386,7 @@ class IngestPipeline(
     val metrics = new IngestMetrics(spark, runId)
     try {
       val pre = metrics.stage("preprocess") {
-        val d = preprocess(raw).cache(); d.count(); d
+        val d = preprocess(spreadInput(raw)).cache(); d.count(); d
       }
       val chunks = metrics.stage("chunk_enrich_embed") {
         val d = enrichAndEmbed(chunk(pre, runId)).cache(); d.count(); d
