@@ -25,67 +25,95 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Deterministic centroid build: seeds = evenly spaced rows by id order,
-    * then one Lloyd refinement step **on a bounded seeded sample** — never
+  /** Deterministic centroid build **on a bounded seeded sample** — never
     * on the full corpus. Centroid quality needs O(c) observations per
     * centroid, not O(n): at 100 TB a full-corpus refinement (the round-1
     * posexplode shape: corpus×dim rows shuffled to average c centroids) is
     * a dead end, while a ~max(50·c, 2000)-row sample collects to the
-    * driver in megabytes and refines locally. Recall floors are asserted
-    * in RetrievalSpec to keep the sampling honest. Returns (centroidId,
-    * unit vector). */
+    * driver in megabytes and refines locally.
+    *
+    * Seeding is farthest-first traversal (Gonzalez): the deterministic
+    * k-means++ variant — each next seed maximizes its distance to the
+    * chosen set, so seeds spread across the data instead of landing
+    * wherever the id order happens to put them; spread seeds → balanced
+    * lists → recall at a given nprobe and no oversized hot list at scan
+    * time. Then a few Lloyd iterations refine on the sample (driver-local:
+    * the sample is ≤ a few thousand rows by construction). Recall floors
+    * are asserted in RetrievalSpec to keep the sampling honest. Returns
+    * (centroidId, unit vector). */
   def buildCentroids(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      c: Int): Array[(Int, Array[Float])] = {
+      c: Int,
+      iterations: Int = 4): Array[(Int, Array[Float])] = {
     val n = emb.count()
-    val stride = math.max(1L, n / c)
-    val seeds = emb
-      .filter(pmod(col(idCol), lit(stride)) === 0)
-      .orderBy(col(idCol))
-      .limit(c)
-      .select(col(vecCol))
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
-      .zipWithIndex.map { case (v, i) => (i, v) }
-    if (seeds.isEmpty) return seeds
-
-    // bounded sample for the Lloyd step (full data below the bound, so
-    // small-SF behavior — and every existing oracle/test — is unchanged)
+    if (n == 0 || c <= 0) return Array.empty
     val target = math.max(50L * c, 2000L)
+    // stable sample order: collect() order follows partition order, which
+    // an input repartition may change — sort by (id) so centroids are a
+    // pure function of the data
     val sampleVecs =
-      (if (n <= target) emb.select(col(vecCol))
-       else emb.select(col(vecCol))
+      (if (n <= target) emb.select(col(idCol), col(vecCol))
+       else emb.select(col(idCol), col(vecCol))
          .sample(withReplacement = false, math.min(1.0, target.toDouble * 1.2 / n), seed = 42))
+        .orderBy(col(idCol))
         .collect()
-        .map(_.getSeq[Float](0).toArray)
+        .map(_.getSeq[Float](1).toArray)
+    if (sampleVecs.isEmpty) return Array.empty
 
-    // local Lloyd step: mean of sample vectors per nearest seed, renormalized
-    val dim = seeds(0)._2.length
-    val sums = Array.fill(c)(new Array[Double](dim))
-    val counts = new Array[Long](c)
-    sampleVecs.foreach { v =>
-      var best = 0
-      var bestS = Double.NegativeInfinity
-      seeds.foreach { case (cid, sv) =>
-        val s = cosineLocal(v, sv)
-        if (s > bestS) { bestS = s; best = cid }
-      }
-      val acc = sums(best)
+    // farthest-first seeding over the sample (angular distance 1 - cos)
+    val k = math.min(c, sampleVecs.length)
+    val seedIdx = new Array[Int](k)
+    val minDist = Array.fill(sampleVecs.length)(Double.PositiveInfinity)
+    seedIdx(0) = 0
+    var chosen = 0
+    while (chosen < k - 1) {
+      val last = sampleVecs(seedIdx(chosen))
+      var farthest = 0
+      var farthestD = Double.NegativeInfinity
       var i = 0
-      while (i < dim && i < v.length) { acc(i) += v(i); i += 1 }
-      counts(best) += 1
-    }
-    seeds.map { case (cid, seed) =>
-      if (counts(cid) == 0) (cid, seed)
-      else {
-        val m = sums(cid)
-        val norm = math.sqrt(m.map(x => x * x).sum)
-        if (norm == 0) (cid, seed)
-        else (cid, m.map(x => (x / norm).toFloat))
+      while (i < sampleVecs.length) {
+        val d = 1.0 - cosineLocal(sampleVecs(i), last)
+        if (d < minDist(i)) minDist(i) = d
+        if (minDist(i) > farthestD) { farthestD = minDist(i); farthest = i }
+        i += 1
       }
+      chosen += 1
+      seedIdx(chosen) = farthest
     }
+    var centroids = seedIdx.zipWithIndex.map { case (si, cid) => (cid, sampleVecs(si)) }
+
+    // Lloyd iterations on the sample: assign → mean → renormalize
+    val dim = centroids(0)._2.length
+    var iter = 0
+    while (iter < iterations) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sampleVecs.foreach { v =>
+        var bestC = 0
+        var bestS = Double.NegativeInfinity
+        centroids.foreach { case (cid, cv) =>
+          val s = cosineLocal(v, cv)
+          if (s > bestS) { bestS = s; bestC = cid }
+        }
+        val acc = sums(bestC)
+        var i = 0
+        while (i < dim && i < v.length) { acc(i) += v(i); i += 1 }
+        counts(bestC) += 1
+      }
+      centroids = centroids.map { case (cid, prev) =>
+        if (counts(cid) == 0) (cid, prev) // empty list: keep the seed
+        else {
+          val m = sums(cid)
+          val norm = math.sqrt(m.map(x => x * x).sum)
+          if (norm == 0) (cid, prev)
+          else (cid, m.map(x => (x / norm).toFloat))
+        }
+      }
+      iter += 1
+    }
+    centroids
   }
 
   private def cosineLocal(a: Array[Float], b: Array[Float]): Double =

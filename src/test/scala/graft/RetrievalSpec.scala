@@ -174,7 +174,18 @@ class RetrievalSpec extends SparkSpec {
       rows.map(_.getLong(1)).count(truth(qid).contains)
     }.sum
     val recall = hits.toDouble / (queries.size * 5)
+    info(s"IVF recall@5 = $recall (nprobe=4 of 16 lists)")
     assert(recall >= 0.5, s"recall@5 = $recall")
+
+    // farthest-first seeding + Lloyd must keep lists balanced: a hot list
+    // larger than ~40% of the corpus would make probing it a near-full
+    // scan, defeating the partition pruning the index exists for
+    val listSizes = index.groupBy("centroid_id").count()
+      .collect().map(_.getLong(1))
+    val total = listSizes.sum
+    info(s"IVF list sizes: max=${listSizes.max} of $total across ${listSizes.length} lists")
+    assert(listSizes.max.toDouble / total <= 0.4,
+      s"hot list: ${listSizes.max} of $total rows")
   }
 
   test("judge: lenient JSON parse with heuristic fallback") {
