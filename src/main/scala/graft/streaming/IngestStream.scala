@@ -2,31 +2,48 @@ package graft.streaming
 
 import graft.ingest.IngestPipeline
 import graft.model.RawDoc
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Streaming ingest: a file-drop directory consumed with Structured
-  * Streaming, each micro-batch run through the (batch) IngestPipeline and
-  * appended to the corpus store incrementally.
+  * Streaming, each micro-batch run through the (batch) IngestPipeline
+  * with PER-REPO incremental refresh of the corpus store.
   *
   * Layout contract: `watchDir/<namespace>/<repo>/<path...>` — the repo
   * identity rides in the directory structure, so one stream serves any
-  * number of repos (the streaming twin of S1+S2).
+  * number of repos (the streaming twin of S1+S2). The store keeps two
+  * datasets under `corpusPath`:
   *
-  * Idempotence: node row ids are content-position stable (P7 sha1), so
-  * re-dropped or re-listed files dedup with a left-anti join against the
-  * store's existing ids before append — exactly-once corpus rows on
-  * at-least-once file delivery. At scale the anti join reads only the
-  * store's rowId column (column pruning) and AQE broadcasts the (small)
-  * new-batch side.
+  *   - `raw/`   — the retained raw docs, partitioned by (namespace, repo);
+  *                the batch's version of a file replaces the prior one
+  *   - `nodes/` — the five-scope corpus, partitioned by
+  *                (scope, namespace, repo)
   *
-  * Caveat (documented, not hidden): rollup-scope nodes (file/module/
-  * repo/catalog) keyed by the same group across batches keep their FIRST
-  * version — refreshing a rollup as new chunks arrive needs an upsert
-  * store (Delta MERGE or scope+repo partition overwrite), which is
-  * round-2 work (NOTES.md). Chunk-scope rows are exact under this
-  * contract.
+  * Refresh semantics (incremental view maintenance at repo granularity):
+  * a micro-batch merges its files into the affected repos' raw set, then
+  * rebuilds those repos' ENTIRE five-scope slice with the batch pipeline
+  * and swaps it in via dynamic partition overwrite. The invariant is
+  * strong and testable: after any sequence of batches, the store equals a
+  * one-shot batch ingest of the union of delivered files (latest version
+  * per file) — rollup/catalog nodes refresh as new chunks arrive instead
+  * of keeping their first version, and updated files replace their old
+  * text. Repo granularity is the honest unit here: the LLM rollup
+  * summaries need their full group text regardless, so per-batch work is
+  * ∝ size of the repos touched, never ∝ corpus size. Deletions are out of
+  * the drop-dir contract (files are added or updated, never removed).
+  *
+  * Update delivery caveat: Spark's file source remembers seen files BY
+  * PATH — an overwritten file is never re-delivered, so through the
+  * drop-dir source repos are add-only. [[processBatch]] itself is
+  * update-correct (latest delivered version of a filePath wins) for any
+  * source that does re-deliver: a Kafka doc stream, or stamped snapshot
+  * drops mapped to the same logical filePath.
+  *
+  * At production scale the same shape runs against an ACID table format's
+  * MERGE; with plain parquet, lineage is truncated (localCheckpoint)
+  * before each overwrite so the writer never reads the files it replaces.
   */
 object IngestStream {
 
@@ -41,6 +58,60 @@ object IngestStream {
       lit("main").as("branch"),
       regexp_replace(rel, "^[^/]+/[^/]+/", "").as("filePath"),
       col("content").cast("string").as("text"))
+  }
+
+  /** The corpus as consumers read it (scope filter prunes directories). */
+  def readCorpus(spark: SparkSession, corpusPath: String): DataFrame =
+    spark.read.parquet(s"$corpusPath/nodes")
+
+  /** One micro-batch: merge raw docs, rebuild affected repos, swap in.
+    * Public on purpose — any re-delivering source (a Kafka doc stream's
+    * foreachBatch, a backfill job) drives the same refresh through it. */
+  def processBatch(
+      batchRaw: DataFrame,
+      corpusPath: String,
+      pipeline: IngestPipeline,
+      runId: String): Unit = {
+    val sess = batchRaw.sparkSession
+    import sess.implicits._
+    val rawPath = s"$corpusPath/raw"
+    val nodesPath = s"$corpusPath/nodes"
+    if (batchRaw.isEmpty) return
+    val newRaw = batchRaw.localCheckpoint(true)
+    val affected = newRaw.select("namespace", "repo").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // OR-of-equalities on the partition columns → directory pruning: only
+    // the affected repos' raw partitions are ever read
+    val affectedPred = affected
+      .map { case (n, r) => col("namespace") === n && col("repo") === r }
+      .reduce(_ || _)
+    val fs = new Path(corpusPath)
+      .getFileSystem(sess.sparkContext.hadoopConfiguration)
+    val mergedPlan =
+      if (fs.exists(new Path(rawPath))) {
+        val prior = sess.read.parquet(rawPath).filter(affectedPred)
+          .select("namespace", "repo", "branch", "filePath", "text")
+        // latest version per file: drop prior rows the batch re-delivers
+        prior.join(newRaw.select("namespace", "repo", "filePath"),
+            Seq("namespace", "repo", "filePath"), "left_anti")
+          .unionByName(newRaw)
+      } else newRaw
+    // truncate lineage so the overwrite below never reads its own target
+    val merged = mergedPlan.localCheckpoint(true)
+
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = sess.conf.getOption(modeKey)
+    sess.conf.set(modeKey, "dynamic")
+    try {
+      merged.write.mode(SaveMode.Overwrite)
+        .partitionBy("namespace", "repo").parquet(rawPath)
+      val nodes = pipeline.buildCorpus(merged.as[RawDoc], runId).toDF()
+      nodes.write.mode(SaveMode.Overwrite)
+        .partitionBy("scope", "namespace", "repo").parquet(nodesPath)
+    } finally prevMode match {
+      case Some(v) => sess.conf.set(modeKey, v)
+      case None => sess.conf.unset(modeKey)
+    }
   }
 
   def start(
@@ -64,18 +135,8 @@ object IngestStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sess = batch.sparkSession
-        import sess.implicits._
-        val raw = toRawDocs(batch, watchDir).as[RawDoc]
-        val nodes = pipeline.buildCorpus(raw, s"$runId-$batchId").toDF()
-        val fresh =
-          if (new org.apache.hadoop.fs.Path(corpusPath)
-            .getFileSystem(sess.sparkContext.hadoopConfiguration)
-            .exists(new org.apache.hadoop.fs.Path(corpusPath))) {
-            val existing = sess.read.parquet(corpusPath).select("rowId")
-            nodes.join(existing, Seq("rowId"), "left_anti")
-          } else nodes
-        fresh.write.mode(SaveMode.Append).partitionBy("scope").parquet(corpusPath)
+        processBatch(toRawDocs(batch, watchDir), corpusPath, pipeline,
+          s"$runId-$batchId")
       }
       .start()
   }

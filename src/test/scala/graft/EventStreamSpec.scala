@@ -82,9 +82,11 @@ class EventStreamSpec extends SparkSpec {
     assert(s3.n_events == 1 && s3.sum_value == 7.0)
   }
 
-  test("streaming ingest: drop-dir batches append corpus, rowId-deduped") {
+  test("streaming ingest: per-repo refresh equals a one-shot batch ingest") {
     import graft.ingest.IngestPipeline
     import graft.llm.{HashEmbedder, StubLlm}
+    import graft.model.RawDoc
+    import graft.streaming.IngestStream
     val watch = java.nio.file.Files.createTempDirectory("ingest-watch")
     val out = java.nio.file.Files.createTempDirectory("ingest-out").toString
     val pipeline = new IngestPipeline(new StubLlm, new HashEmbedder(32))
@@ -98,25 +100,55 @@ class EventStreamSpec extends SparkSpec {
     drop("ns", "alpha", "README.md", "# alpha readme with plenty of text here")
 
     val ck = java.nio.file.Files.createTempDirectory("ingest-ck").toString
-    val q1 = graft.streaming.IngestStream.start(
+    val q1 = IngestStream.start(
       spark, watch.toString, s"$out/corpus", pipeline, "srun", ck)
     q1.awaitTermination(120000)
-    val c1 = spark.read.parquet(s"$out/corpus")
-    val chunks1 = c1.filter(col("scope") === "chunk").count()
-    assert(chunks1 == 2)
+    val c1 = IngestStream.readCorpus(spark, s"$out/corpus")
+    assert(c1.filter(col("scope") === "chunk").count() == 2)
+    assert(c1.filter(col("scope") === "file").count() == 2)
 
-    // second batch: one duplicate file, one new file → only new chunks added
-    drop("ns", "alpha", "src/a.py", "def alpha_one(): pass\n") // identical
+    // second batch: a new file in alpha and a second repo (the file
+    // source re-delivers by PATH only, so stream-delivered repos are
+    // add-only; same-path updates are covered below via processBatch)
     drop("ns", "alpha", "src/b.py", "def beta_two(): pass\n")
-    val q2 = graft.streaming.IngestStream.start(
+    drop("ns", "beta", "main.go", "package main\nfunc main() {}\n")
+    val q2 = IngestStream.start(
       spark, watch.toString, s"$out/corpus", pipeline, "srun", ck)
     q2.awaitTermination(120000)
-    val c2 = spark.read.parquet(s"$out/corpus")
+    val c2 = IngestStream.readCorpus(spark, s"$out/corpus")
+
     val chunkIds = c2.filter(col("scope") === "chunk")
       .select("rowId").as[String].collect()
     assert(chunkIds.length == chunkIds.distinct.length, "no duplicate rows")
-    assert(c2.filter(col("scope") === "chunk").count() == 3)
-    assert(c2.filter(col("scope") === "chunk")
-      .filter(col("filePath") === "src/b.py").count() == 1)
+    assert(c2.filter(col("scope") === "chunk").count() == 4)
+    // rollups refreshed, not first-version-stale: alpha's file scope now
+    // covers 3 files and its repo node aggregates all of them
+    assert(c2.filter(col("scope") === "file" && col("repo") === "alpha").count() == 3)
+    assert(c2.filter(col("scope") === "repo" && col("repo") === "alpha")
+      .select("rollupCount").as[Int].head() == 2) // modules: "" (root) + src
+    assert(c2.filter(col("scope") === "catalog").count() == 2, "one catalog per repo")
+
+    // an updated file delivered by a re-delivering source (processBatch
+    // directly): latest version wins, chunk text replaced
+    val upd = Seq(RawDoc("ns", "alpha", "main", "src/a.py",
+      "def alpha_one_v2(): return 42\n")).toDF()
+    IngestStream.processBatch(upd, s"$out/corpus", pipeline, "srun-upd")
+    val c3 = IngestStream.readCorpus(spark, s"$out/corpus")
+    val aText = c3.filter(col("scope") === "chunk" && col("filePath") === "src/a.py")
+      .select("text").as[String].collect()
+    assert(aText.length == 1 && aText.head.contains("alpha_one_v2"),
+      s"updated file must replace its old text, got: ${aText.toSeq}")
+    assert(c3.filter(col("scope") === "chunk").count() == 4, "no duplicate chunk rows")
+
+    // THE invariant: the store equals a one-shot batch ingest of the
+    // union of delivered files (latest version per file)
+    val finalRaw = spark.read.parquet(s"$out/corpus/raw")
+      .select("namespace", "repo", "branch", "filePath", "text").as[RawDoc]
+    val oneShot = pipeline.buildCorpus(finalRaw, "oneshot").toDF()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("rowId", "scope", "repo", "filePath", "text")
+      .as[(String, String, String, String, String)].collect().toSet
+    assert(key(c3) == key(oneShot),
+      "streamed store must equal the batch ingest of the final raw set")
   }
 }
