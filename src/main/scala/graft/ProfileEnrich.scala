@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
 object ProfileEnrich {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val spark = SparkSession.builder().master("local[4]")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val texts = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -56,6 +57,48 @@ object ProfileEnrich {
     timedN("ds.map(identity).count (ser+deser+ser)") { ds.map(identity).count() }
     timedN("ds.toDF.count") { ds.toDF().count() }
     timedN("ds.cache+count") { val c = ds.map(identity).cache(); c.count(); c.unpersist() }
+
+    // the real pipeline fragment, full vs half rows: per-task-fixed cost
+    // shows as unchanged wall, per-row cost as halved wall
+    import graft.ingest.IngestPipeline
+    import graft.model.RawDoc
+    import org.apache.spark.sql.functions._
+    val p = new IngestPipeline(llm, emb)
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(lit("synth").as("namespace"), col("source").as("repo"),
+        lit("main").as("branch"),
+        concat(lit("doc_"), col("doc_id"), lit(".md")).as("filePath"),
+        col("text")).as[RawDoc]
+    val pre = p.preprocess(raw.repartition(32)).cache(); pre.count()
+    val preHalf = p.preprocess(raw.filter(col("filePath").contains("doc_1"))
+      .repartition(32)).cache(); preHalf.count()
+    timedN("chunk.count full") { p.chunk(pre, "r").count() }
+    timedN("enrich.count full") { p.enrichAndEmbed(p.chunk(pre, "r")).count() }
+    timedN("enrich.count ~quarter") { p.enrichAndEmbed(p.chunk(preHalf, "r")).count() }
+    timedN("enrich.toDF.count full") { p.enrichAndEmbed(p.chunk(pre, "r")).toDF().count() }
+
+    // same per-doc logic, no Spark: 1 thread vs 32 threads
+    def enrichLocal(ts: Seq[String]): Unit = ts.foreach { t =>
+      llm.complete(s"Summarize this text code section:\n${t.take(2000)}")
+      llm.complete(s"Give a title for:\n${t.take(500)}")
+      llm.complete(s"Give 10 keywords for:\n${t.take(2000)}")
+      IngestPipeline.extractImports(t, "python")
+      IngestPipeline.extractSymbol(t, "python")
+      IngestPipeline.extractTopics(t)
+      emb.embed(t)
+    }
+    timedN("local enrich 1 thread") { enrichLocal(texts.toSeq) }
+    timedN("local enrich 32 threads") {
+      val groups = texts.grouped(math.max(1, texts.length / 32)).toSeq
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+      try {
+        import scala.jdk.CollectionConverters._
+        pool.invokeAll(groups.map(g =>
+          new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = enrichLocal(g.toSeq)
+          }).asJava).asScala.foreach(_.get())
+      } finally pool.shutdown()
+    }
     spark.stop()
   }
 }

@@ -450,14 +450,31 @@ object IngestPipeline {
       })
     }
 
+  private val sha1Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-1")
+  }
+  private val hexChars = "0123456789abcdef".toCharArray
+
   /** P7: stable row id — sha1 over the identity fields (reference
-    * vector_write_service.py:186-194). */
+    * vector_write_service.py:186-194). Thread-local digest + direct hex:
+    * this runs once per node on every executor thread, and
+    * getInstance + per-byte format was measurable GC pressure. */
   def nodeId(n: Node): String = {
     val key = Seq(n.scope, n.namespace, n.repo, n.module, n.filePath,
       n.meta.getOrElse("chunk_index", ""), n.meta.getOrElse("start_line", ""))
       .mkString("|")
-    val md = java.security.MessageDigest.getInstance("SHA-1")
-    md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val md = sha1Digest.get()
+    md.reset()
+    val bytes = md.digest(key.getBytes("UTF-8"))
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(i * 2) = hexChars((bytes(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** A2 key: module = first path segment (reference scope_utils.py:8-11). */
@@ -494,15 +511,38 @@ object IngestPipeline {
     pat.findFirstMatchIn(text).map(_.group(1)).getOrElse("")
   }
 
-  /** Topic extraction: frequent identifier-ish tokens (deterministic). */
+  /** Topic extraction: frequent identifier-ish tokens (deterministic).
+    * Single-pass counting loop — byte-identical to the groupBy form it
+    * replaces, without the per-token garbage (this runs per chunk on
+    * every executor thread). */
   def extractTopics(text: String): Seq[String] = {
-    text.toLowerCase.split("[^a-z0-9_]+")
-      .filter(t => t.length > 4 && !t.forall(_.isDigit))
-      .groupBy(identity).toSeq
-      .map { case (t, g) => (t, g.length) }
-      .filter(_._2 > 1)
-      .sortBy { case (t, n) => (-n, t) }
-      .take(8).map(_._1)
+    val counts = new java.util.HashMap[String, Int]()
+    val n = text.length
+    var i = 0
+    val sb = new java.lang.StringBuilder(24)
+    var hasNonDigit = false
+    while (i <= n) {
+      val c = if (i < n) Character.toLowerCase(text.charAt(i)) else ' '
+      val isTok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'
+      if (isTok) {
+        sb.append(c)
+        if (!(c >= '0' && c <= '9')) hasNonDigit = true
+      } else {
+        if (sb.length() > 4 && hasNonDigit)
+          counts.put(sb.toString, counts.getOrDefault(sb.toString, 0) + 1)
+        sb.setLength(0)
+        hasNonDigit = false
+      }
+      i += 1
+    }
+    val arr = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue > 1) arr += ((e.getKey, e.getValue))
+    }
+    arr.sortInPlaceBy { case (t, c) => (-c, t) }
+    arr.iterator.take(8).map(_._1).toSeq
   }
 }
 
