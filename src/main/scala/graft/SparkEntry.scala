@@ -26,6 +26,7 @@ object SparkEntry {
       EventQueries.queries ++
       TextQueries.queries ++
       DedupQueries.queries ++
+      PipelineQueries.queries ++
       VectorQueries.queries ++
       MultimodalQueries.queries ++
       RagQueries.queries
@@ -37,6 +38,7 @@ object SparkEntry {
       EventQueries.oracles ++
       TextQueries.oracles ++
       DedupQueries.oracles ++
+      PipelineQueries.oracles ++
       VectorQueries.oracles ++
       MultimodalQueries.oracles ++
       RagQueries.oracles

@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly operators a training-data pipeline runs after
+  * filtering/dedup: deterministic split assignment, domain-mixing rates,
+  * and benchmark-contamination checks. All pure Column programs — one
+  * hash-agg each, no UDFs — so they hold their shape at any input size.
+  */
+object PipelineQueries {
+
+  /** Deterministic train/val/test assignment: bucket = first 16 bits of
+    * md5(doc_id) mod 100 → 90/5/5. Hash-based (not random) so the split
+    * is reproducible across runs, stable under input reordering, and
+    * consistent for late-arriving rows of the same id — the property a
+    * 100 TB pipeline needs when splits are recomputed incrementally.
+    * Output: per (split, lang) counts. */
+  def qSplitAssign(s: SparkSession, d: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100)
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val qSplitAssignSql: String =
+    """SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+      |  lang, count(*)::BIGINT AS n
+      |FROM (SELECT lang,
+      |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INTEGER % 100 AS b
+      |      FROM documents)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Domain-mixing rates toward a uniform target across sources: each
+    * source's sampling rate = min(1, target_share / actual_share), i.e.
+    * total / (k·n). Over-represented domains downsample; the rest pass
+    * through. One tiny agg (k rows) joined back nowhere — the rates FEED
+    * a sample(), they don't shuffle the corpus. */
+  def qMixWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val k = size(collect_set(col("source")).over()) // constant per row
+    counts
+      .withColumn("total", sum(col("n")).over())
+      .withColumn("n_sources", k)
+      .withColumn("rate",
+        least(lit(1.0), col("total").cast("double") /
+          (col("n_sources") * col("n")).cast("double")))
+      .withColumn("eff_rows", floor(col("n") * col("rate")).cast("bigint"))
+      .select(col("source"), col("n"), round(col("rate"), 6).as("rate"),
+        col("eff_rows"))
+      .orderBy(col("source"))
+  }
+
+  val qMixWeightsSql: String =
+    """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      |t AS (SELECT sum(n) AS total, count(*) AS k FROM c)
+      |SELECT source, n,
+      |  round(least(1.0, total::DOUBLE / (k * n)), 6) AS rate,
+      |  floor(n * least(1.0, total::DOUBLE / (k * n)))::BIGINT AS eff_rows
+      |FROM c, t ORDER BY source""".stripMargin
+
+  /** Benchmark-contamination check: training docs sharing ≥1 word-3-gram
+    * with the held-out eval set (stand-in: doc_id % 97 = 0). The join is
+    * keyed by shingle against the DISTINCT eval shingle set — at scale
+    * that set is small enough to broadcast, so the corpus never shuffles;
+    * n is a parameter (3 fits the synthetic corpus; real leakage checks
+    * run 8-13). Output: per-source contaminated-doc counts. */
+  def qContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val isEval = col("doc_id") % 97 === 0
+    val evalShingles = docs.filter(isEval)
+      .select(explode(col("sh")).as("shingle")).distinct()
+    val trainPostings = docs.filter(!isEval)
+      .select(col("doc_id"), col("source"), explode(col("sh")).as("shingle"))
+    trainPostings
+      .join(broadcast(evalShingles), "shingle")
+      .select(col("doc_id"), col("source")).distinct()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .orderBy(col("source"))
+  }
+
+  val qContaminationSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)])) s
+      |  FROM tok WHERE len(w) >= 3),
+      |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+      |flagged AS (
+      |  SELECT DISTINCT a.doc_id, a.source
+      |  FROM sh a JOIN ev USING (s) WHERE a.doc_id % 97 <> 0)
+      |SELECT source, count(*)::BIGINT AS n_contaminated
+      |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "td_split_assign" -> (qSplitAssign _),
+    "td_mix_weights" -> (qMixWeights _),
+    "td_contamination" -> (qContamination _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "td_split_assign" -> qSplitAssignSql,
+    "td_mix_weights" -> qMixWeightsSql,
+    "td_contamination" -> qContaminationSql,
+  )
+}
