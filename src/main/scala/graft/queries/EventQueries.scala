@@ -175,6 +175,39 @@ object EventQueries {
     * event — the time-based frame (rows frames are covered by the lag/
     * row_number queries). RANGE frames include peer rows (equal ts) in
     * both engines, so the check is exact. */
+  /** As-of enrichment: each purchase carries the user's most recent click
+    * value at-or-before the purchase (the attribution join every event
+    * pipeline runs). Drives [[graft.operators.AsofJoin]]; the oracle is
+    * DuckDB's native ASOF LEFT JOIN, so the operator's semantics are
+    * pinned against an independent implementation. */
+  def qAsofClick(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.operators.AsofJoin
+      .asofBackward(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("value"))
+      .select(col("event_id"), col("user_id"),
+        col("value").as("purchase_value"),
+        col("asof_value").as("click_value"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsofClickSql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, ts, max(value) AS cv
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id,
+      |  p.value AS purchase_value,
+      |  c.cv AS click_value,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
   def qTrailingHour(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(unix_micros(col("ts")))
@@ -225,6 +258,7 @@ object EventQueries {
     "ev_session_window" -> (qSessionWindow _),
     "ev_user_reach_approx" -> (qUserReachApprox _),
     "ev_trailing_hour" -> (qTrailingHour _),
+    "ev_asof_click" -> (qAsofClick _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -236,5 +270,6 @@ object EventQueries {
     "ev_value_quantiles" -> qValueQuantilesSql,
     "ev_session_window" -> qSessionizeSql, // same sessions, native operator
     "ev_trailing_hour" -> qTrailingHourSql,
+    "ev_asof_click" -> qAsofClickSql,
   )
 }
