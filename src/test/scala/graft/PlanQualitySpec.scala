@@ -48,6 +48,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("windowed top-k pushes a partial group limit below the shuffle") {
+    // Spark's InferWindowGroupLimit turns row_number()<=k into a
+    // per-partition top-k BEFORE the exchange — at 100 TB the shuffle
+    // carries ≤k rows per key per map partition, not every row. This is
+    // why the engine does NOT ship a custom top-k aggregate: the
+    // declarative window form already gets the map-side reduction, and a
+    // refactor that breaks the pattern (e.g. rank computed separately
+    // from its filter) would silently shuffle the world.
+    val p = plan(graft.queries.RelationalQueries.qWindowTopOrders(spark, sf))
+    assert(p.contains("WindowGroupLimit"), s"group limit missing:\n$p")
+    val partialIdx = p.indexOf("Partial")
+    assert(partialIdx >= 0 && p.contains("WindowGroupLimit"),
+      "partial (pre-shuffle) group limit expected")
+  }
+
   test("semi/anti joins stay semi/anti in the physical plan") {
     val ps = plan(graft.queries.RelationalQueries.qSemiJoin(spark, sf))
     assert(ps.contains("LeftSemi"))
