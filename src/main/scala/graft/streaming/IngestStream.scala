@@ -31,8 +31,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * of keeping their first version, and updated files replace their old
   * text. Repo granularity is the honest unit here: the LLM rollup
   * summaries need their full group text regardless, so per-batch work is
-  * ∝ size of the repos touched, never ∝ corpus size. Deletions are out of
-  * the drop-dir contract (files are added or updated, never removed).
+  * ∝ size of the repos touched, never ∝ corpus size. Deletions ride as
+  * tombstone drops (`<path>.deleted` → the path is removed on the next
+  * batch; a fully-tombstoned repo's partitions are cleaned up).
   *
   * Update delivery caveat: Spark's file source remembers seen files BY
   * PATH — an overwritten file is never re-delivered, so through the
@@ -64,9 +65,18 @@ object IngestStream {
   def readCorpus(spark: SparkSession, corpusPath: String): DataFrame =
     spark.read.parquet(s"$corpusPath/nodes")
 
-  /** One micro-batch: merge raw docs, rebuild affected repos, swap in.
-    * Public on purpose — any re-delivering source (a Kafka doc stream's
-    * foreachBatch, a backfill job) drives the same refresh through it. */
+  /** Tombstone suffix: dropping `<path>.deleted` deletes `<path>` from
+    * its repo on the next batch. Deletions DO flow through the drop-dir
+    * source — the marker is a new path, so the path-keyed file source
+    * delivers it even though it re-delivers nothing. Content is ignored
+    * but must be NON-EMPTY: the binaryFile source silently skips
+    * zero-byte files (measured, not documented upstream). */
+  val DeletedSuffix = ".deleted"
+
+  /** One micro-batch: merge raw docs (upserts + tombstones), rebuild
+    * affected repos, swap in. Public on purpose — any re-delivering
+    * source (a Kafka doc stream's foreachBatch, a backfill job) drives
+    * the same refresh through it. */
   def processBatch(
       batchRaw: DataFrame,
       corpusPath: String,
@@ -78,6 +88,14 @@ object IngestStream {
     val nodesPath = s"$corpusPath/nodes"
     if (batchRaw.isEmpty) return
     val newRaw = batchRaw.localCheckpoint(true)
+    val isDel = col("filePath").endsWith(DeletedSuffix)
+    // a tombstone targets its stripped path; an upsert targets itself —
+    // either way the (namespace, repo, filePath) key is superseded
+    val targets = newRaw.select(col("namespace"), col("repo"),
+      when(isDel, regexp_replace(col("filePath"),
+        java.util.regex.Pattern.quote(DeletedSuffix) + "$", ""))
+        .otherwise(col("filePath")).as("filePath"))
+    val upserts = newRaw.filter(!isDel)
     val affected = newRaw.select("namespace", "repo").distinct().collect()
       .map(r => (r.getString(0), r.getString(1)))
     // OR-of-equalities on the partition columns → directory pruning: only
@@ -91,11 +109,10 @@ object IngestStream {
       if (fs.exists(new Path(rawPath))) {
         val prior = sess.read.parquet(rawPath).filter(affectedPred)
           .select("namespace", "repo", "branch", "filePath", "text")
-        // latest version per file: drop prior rows the batch re-delivers
-        prior.join(newRaw.select("namespace", "repo", "filePath"),
-            Seq("namespace", "repo", "filePath"), "left_anti")
-          .unionByName(newRaw)
-      } else newRaw
+        // latest version per file: drop prior rows the batch supersedes
+        prior.join(targets, Seq("namespace", "repo", "filePath"), "left_anti")
+          .unionByName(upserts)
+      } else upserts
     // truncate lineage so the overwrite below never reads its own target
     val merged = mergedPlan.localCheckpoint(true)
 
@@ -111,6 +128,18 @@ object IngestStream {
     } finally prevMode match {
       case Some(v) => sess.conf.set(modeKey, v)
       case None => sess.conf.unset(modeKey)
+    }
+
+    // dynamic overwrite only writes partitions PRESENT in the data: a
+    // repo whose last file was tombstoned produces no rows, so its stale
+    // partitions must be removed explicitly
+    val remaining = merged.select("namespace", "repo").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    affected.filterNot(remaining).foreach { case (n, r) =>
+      fs.delete(new Path(s"$rawPath/namespace=$n/repo=$r"), true)
+      graft.model.Node.Scopes.foreach { sc =>
+        fs.delete(new Path(s"$nodesPath/scope=$sc/namespace=$n/repo=$r"), true)
+      }
     }
   }
 

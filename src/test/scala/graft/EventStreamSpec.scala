@@ -140,15 +140,34 @@ class EventStreamSpec extends SparkSpec {
       s"updated file must replace its old text, got: ${aText.toSeq}")
     assert(c3.filter(col("scope") === "chunk").count() == 4, "no duplicate chunk rows")
 
+    // deletion rides a tombstone through the STREAM (a marker is a new
+    // path, so the path-keyed file source delivers it): drop b.py
+    drop("ns", "alpha", "src/b.py.deleted", "tombstone")
+    val q3 = IngestStream.start(
+      spark, watch.toString, s"$out/corpus", pipeline, "srun", ck)
+    q3.awaitTermination(120000)
+    val c4 = IngestStream.readCorpus(spark, s"$out/corpus")
+    assert(c4.filter(col("scope") === "chunk" && col("filePath") === "src/b.py")
+      .count() == 0, "tombstoned file must vanish")
+    assert(c4.filter(col("scope") === "file" && col("repo") === "alpha").count() == 2,
+      "file rollup refreshed after deletion")
+
+    // a fully-tombstoned repo disappears, partitions cleaned up
+    val delBeta = Seq(graft.model.RawDoc(
+      "ns", "beta", "main", s"main.go${IngestStream.DeletedSuffix}", "")).toDF()
+    IngestStream.processBatch(delBeta, s"$out/corpus", pipeline, "srun-del")
+    val c5 = IngestStream.readCorpus(spark, s"$out/corpus")
+    assert(c5.filter(col("repo") === "beta").count() == 0, "empty repo removed")
+
     // THE invariant: the store equals a one-shot batch ingest of the
-    // union of delivered files (latest version per file)
+    // union of delivered files (latest version per file, deletions applied)
     val finalRaw = spark.read.parquet(s"$out/corpus/raw")
       .select("namespace", "repo", "branch", "filePath", "text").as[RawDoc]
     val oneShot = pipeline.buildCorpus(finalRaw, "oneshot").toDF()
     def key(df: org.apache.spark.sql.DataFrame) = df
       .select("rowId", "scope", "repo", "filePath", "text")
       .as[(String, String, String, String, String)].collect().toSet
-    assert(key(c3) == key(oneShot),
+    assert(key(c5) == key(oneShot),
       "streamed store must equal the batch ingest of the final raw set")
   }
 }
