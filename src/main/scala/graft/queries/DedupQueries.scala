@@ -188,7 +188,9 @@ object DedupQueries {
     * (4 × 15-bit bands; pigeonhole-complete for distance ≤ 3). Oracle
     * recomputes the identical signature in SQL via the md5-based stable
     * hash, so the check is value-exact, not just count-exact. */
-  def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
+  /** Simhash near-dup pairs (unordered relation, shared by the pair
+    * report and the cluster rollup). */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val maxDist = 3
     val nBands = 4
     val bandBits = 15
@@ -212,8 +214,101 @@ object DedupQueries {
       .withColumn("dist", hamming(col("sig_a"), col("sig_b")).cast("int"))
       .filter(col("dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("dist"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  def qDedupSimhash(s: SparkSession, d: String): DataFrame =
+    simhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Near-dup CLUSTERS: connected components over the simhash pair graph
+    * by iterative min-label propagation — each round is one join + one
+    * map-side-combinable min-agg, both keyed by node id, so the loop is
+    * O(component diameter) shuffles of (node, label) pairs ONLY (never
+    * document content). Near-dup components are dense by construction
+    * (every member is within hamming 3 of something), so the diameter is
+    * tiny; the convergence probe is a limit-1 existence check, not a
+    * count. At adversarial chain-shaped graphs the alternating
+    * large-star/small-star variant bounds rounds at O(log n) — noted,
+    * not needed for dedup graphs. Output: one row per cluster with its
+    * canonical keep id (min doc_id) and how many rows dedup removes. */
+  def qDedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = simhashPairs(s, d)
+    // localCheckpoint (not just persist) on every iteration state: an
+    // iterative DataFrame whose plan nests the previous round's plan
+    // re-analyzes a tree that GROWS per round — measured 309 s at sf0.1
+    // before truncation, 5 s after. Lineage truncation is the iterative-
+    // algorithm idiom (GraphX checkpointing) expressed on DataFrames.
+    val edgesRaw = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    // right-size the iteration: the label frontier is (node, label) pairs
+    // — tiny next to the corpus — and each round is several jobs, so at
+    // small edge counts 32-partition rounds are pure scheduler overhead.
+    // ~500k edges per partition keeps real-scale graphs fully parallel.
+    val parts = math.max(1, math.min(
+      s.sparkContext.defaultParallelism,
+      (edgesRaw.count() / 500000L).toInt + 1))
+    val edges = edgesRaw.repartition(parts, col("src")).localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    // labels only ever decrease (min), so Σlabel is strictly monotone and
+    // "sum unchanged" IS the fixpoint — a one-agg probe instead of a
+    // self-join diff; decimal(38) so the monotonicity argument survives
+    // id ranges where a long sum would wrap
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 25) {
+      // propagation over the graph edges PLUS the current label edges in
+      // both directions — the label links act as shortcuts (path
+      // compression), so convergence is O(log diameter) rounds with ONE
+      // aggregation per round instead of a separate pointer-jump join
+      val withShortcuts = edges
+        .unionByName(labels.select(col("label").as("src"), col("node").as("dst")))
+        .unionByName(labels.select(col("node").as("src"), col("label").as("dst")))
+      val propagated = withShortcuts.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+        .unionByName(labels)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val s2 = labelSum(propagated)
+      converged = s2.compareTo(prevSum) == 0
+      prevSum = s2
+      labels = propagated
+      iter += 1
+    }
+    labels.groupBy(col("label").as("keep_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        (count(lit(1)) - 1).as("n_removed"))
+      .orderBy(col("keep_id"))
+  }
+
+  val qDedupClustersSql: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) t
+      |  FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT hv FROM tok),
+      |bits AS (
+      |  SELECT doc_id, bb.b,
+      |    sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) v
+      |  FROM h, (SELECT unnest(range(60)) b) bb GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT sig
+      |  FROM bits GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id a, b.doc_id b FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+      |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a)
+      |SELECT label AS keep_id, count(*)::BIGINT AS cluster_size,
+      |  (count(*) - 1)::BIGINT AS n_removed
+      |FROM comp GROUP BY label ORDER BY keep_id""".stripMargin
 
   val qDedupSimhashSql: String =
     """WITH tok AS (
@@ -240,6 +335,7 @@ object DedupQueries {
     "dd_jaccard_prefix" -> (qDedupJaccardPrefix _),
     "dd_minhash_lsh" -> (qDedupMinhashLsh _),
     "dd_simhash" -> (qDedupSimhash _),
+    "dd_simhash_clusters" -> (qDedupClusters _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -248,5 +344,6 @@ object DedupQueries {
     "dd_jaccard_prefix" -> qDedupJaccardSql, // provably same output, exact
     "dd_minhash_lsh" -> qDedupJaccardSql, // same contract: verified exact pairs
     "dd_simhash" -> qDedupSimhashSql,
+    "dd_simhash_clusters" -> qDedupClustersSql,
   )
 }
