@@ -181,6 +181,57 @@ object IvfIndex {
       .parquet(s"$path/centroids")
   }
 
+  /** Incremental refresh of a persisted index: assign the new batch to
+    * the EXISTING centroids and append to their lists — the O(batch)
+    * path a continuously-ingesting vector store takes — then rebuild
+    * centroids only when list skew (max/mean) exceeds `maxSkew`. Skew is
+    * the right trigger: a hot list turns every probe that touches it
+    * into a near-full scan, which is precisely what the index exists to
+    * avoid; drift that keeps lists balanced costs recall slowly and is
+    * caught by the caller's recall floor, not by rebuild thrash.
+    *
+    * The rebuild stages to `lists.tmp` and swaps via rename, so readers
+    * never observe a half-written index and the build never reads files
+    * it is overwriting. Returns true iff a rebuild happened. */
+  def refresh(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      maxSkew: Double = 4.0): Boolean = {
+    val (_, centroids) = load(spark, path)
+    require(centroids.nonEmpty, s"no centroids at $path")
+    assign(batch, idCol, vecCol, centroids)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("centroid_id").parquet(s"$path/lists")
+
+    val counts = spark.read.parquet(s"$path/lists")
+      .groupBy("centroid_id").count().collect().map(_.getLong(1))
+    val skew = counts.max.toDouble / (counts.sum.toDouble / centroids.length)
+    if (skew <= maxSkew) false
+    else {
+      val all = spark.read.parquet(s"$path/lists").drop("centroid_id")
+      val rebuilt = buildCentroids(all, idCol, vecCol, centroids.length)
+      val reassigned = assign(all, idCol, vecCol, rebuilt)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/lists.tmp")
+      val live = new org.apache.hadoop.fs.Path(s"$path/lists")
+      reassigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("centroid_id").parquet(tmp.toString)
+      fs.delete(live, true)
+      fs.rename(tmp, live)
+      import spark.implicits._
+      rebuilt.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+        .toDF("centroid_id", "centroid")
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/centroids")
+      true
+    }
+  }
+
   /** Load a persisted index: (lists, centroids). */
   def load(spark: SparkSession, path: String): (DataFrame, Array[(Int, Array[Float])]) = {
     val lists = spark.read.parquet(s"$path/lists")

@@ -355,4 +355,38 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || plan.contains("centroid_id"),
       s"expected partition pruning in: $plan")
   }
+
+  test("IVF incremental refresh: append path, skew-triggered rebuild") {
+    import graft.retrieval.IvfIndex
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val first = emb.filter(col("vec_id") < 250)
+    val rest = emb.filter(col("vec_id") >= 250)
+    val centroids = IvfIndex.buildCentroids(first, "vec_id", "embedding", 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-refresh").toString
+    IvfIndex.write(IvfIndex.assign(first, "vec_id", "embedding", centroids), centroids, dir)
+
+    // balanced append: no rebuild, but the new rows are searchable
+    val rebuilt1 = IvfIndex.refresh(spark, dir, rest, "vec_id", "embedding",
+      maxSkew = 1000.0)
+    assert(!rebuilt1, "balanced append must not rebuild")
+    val (lists1, c1) = IvfIndex.load(spark, dir)
+    assert(lists1.count() == emb.count(), "all rows present after refresh")
+    val q = emb.filter(col("vec_id") === 400)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    assert(IvfIndex.search(lists1, "vec_id", "embedding", q, c1, nprobe = 4, k = 5)
+      .count() > 0, "appended vectors are reachable")
+
+    // forced skew trigger: rebuild re-seeds, rebalances, keeps every row
+    val rebuilt2 = IvfIndex.refresh(spark, dir,
+      emb.filter(col("vec_id") < 0), // empty batch: pure rebuild check
+      "vec_id", "embedding", maxSkew = 1.0000001)
+    assert(rebuilt2, "skew above the bound must rebuild")
+    val (lists2, c2) = IvfIndex.load(spark, dir)
+    assert(lists2.count() == emb.count(), "rebuild loses nothing")
+    assert(c2.length == 8)
+    val sizes = lists2.groupBy("centroid_id").count().collect().map(_.getLong(1))
+    assert(sizes.max.toDouble / (sizes.sum.toDouble / sizes.length) < 4.0,
+      s"rebuild must rebalance, got ${sizes.toSeq}")
+  }
 }
