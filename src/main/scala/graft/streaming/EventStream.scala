@@ -106,4 +106,43 @@ object EventStream {
     SessionOut(userId, s.sessionSeq, s.nEvents,
       new Timestamp(s.startMs), new Timestamp(s.lastMs),
       math.rint(s.sumValue * 100) / 100)
+
+  /** Streaming as-of enrichment — the incremental twin of the batch
+    * ev_asof_click ([[graft.queries.EventQueries.qAsofClick]]): each
+    * purchase carries the user's LATEST click at-or-before it, bounded to
+    * a trailing lookback window. The bound is not a simplification but
+    * the streaming form of the operator: "latest click ever" needs
+    * unbounded per-user state, while the interval condition lets the
+    * stream-stream join evict click state as the watermark passes
+    * (state ∝ users × lookback, not history).
+    *
+    * Shape: watermarked interval LEFT join (purchases keep flowing when a
+    * user never clicked) → per-purchase max over the joined candidates —
+    * two chained stateful operators, the event-time-ordered composition
+    * Structured Streaming supports natively. Emission is append-mode:
+    * a purchase row is final once the watermark passes it, at which
+    * point every qualifying click has arrived by the join's own
+    * watermark arithmetic. */
+  def asofEnrich(
+      purchases: DataFrame,
+      clicks: DataFrame,
+      lookbackMinutes: Int = 60,
+      lateness: String = "10 minutes"): DataFrame = {
+    val p = purchases.select(
+      col("event_id").as("p_id"), col("user_id").as("p_user"),
+      col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", lateness)
+    val c = clicks.select(
+      col("user_id").as("c_user"), col("ts").as("c_ts"),
+      col("value").as("c_value"))
+      .withWatermark("c_ts", lateness)
+    p.join(c,
+        expr(s"""p_user = c_user AND c_ts <= p_ts AND
+                 c_ts >= p_ts - INTERVAL $lookbackMinutes MINUTES"""),
+        "leftOuter")
+      .groupBy(col("p_id"), col("p_user"), col("p_ts"), col("p_value"))
+      .agg(max(struct(col("c_ts"), col("c_value"))).as("click"))
+      .select(col("p_id"), col("p_user"), col("p_ts"), col("p_value"),
+        col("click.c_ts").as("click_ts"), col("click.c_value").as("click_value"))
+  }
 }

@@ -82,6 +82,37 @@ class EventStreamSpec extends SparkSpec {
     assert(s3.n_events == 1 && s3.sum_value == 7.0)
   }
 
+  test("streaming asof enrich: latest prior click within lookback, null when none") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    def df(m: MemoryStream[Ev]) = m.toDF()
+      .selectExpr("user_id", "event_id", "ts", "value")
+    val q = EventStream.asofEnrich(df(purchases), df(clicks))
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode(OutputMode.Append()).start()
+
+    clicks.addData(Ev(1, 100, ts(0), 1.0), Ev(1, 101, ts(20), 2.0))
+    purchases.addData(
+      Ev(1, 200, ts(30), 9.0), // u1: latest prior click = 10:20 (2.0)
+      Ev(2, 201, ts(30), 7.0)) // u2: no clicks at all
+    q.processAllAvailable()
+    // push both watermarks far past the purchases so append finalizes
+    clicks.addData(Ev(9, 998, tsH(12, 0), 0.0))
+    purchases.addData(Ev(9, 999, tsH(12, 0), 0.0))
+    q.processAllAvailable()
+    clicks.addData(Ev(9, 996, tsH(14, 0), 0.0))
+    purchases.addData(Ev(9, 997, tsH(14, 0), 0.0))
+    q.processAllAvailable()
+
+    val rows = spark.table("asof_out")
+      .selectExpr("p_id", "click_value").as[(Long, Option[Double])]
+      .collect().toMap
+    q.stop()
+    assert(rows(200L) == Some(2.0), s"latest prior click wins: $rows")
+    assert(rows(201L).isEmpty, s"no-click purchase flows with null: $rows")
+  }
+
   test("streaming ingest: per-repo refresh equals a one-shot batch ingest") {
     import graft.ingest.IngestPipeline
     import graft.llm.{HashEmbedder, StubLlm}
