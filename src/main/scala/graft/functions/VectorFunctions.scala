@@ -22,6 +22,14 @@ object VectorFunctions {
   def hyperplaneSig(vec: Column, table: Int, bits: Int): Column =
     GraftBridge.column(HyperplaneSig(GraftBridge.expression(vec), table, bits))
 
+  /** Int8 quantized form of a float/double vector ([[QuantizeQ8]]). */
+  def quantizeQ8(vec: Column): Column =
+    GraftBridge.column(QuantizeQ8(GraftBridge.expression(vec)))
+
+  /** Cosine over two q8 byte vectors ([[CosineSimilarityQ8]]). */
+  def cosineQ8(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSimilarityQ8(GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** Register SQL names on a live session (for sessions built without
     * [[graft.GraftExtensions]], e.g. the driver-owned one in `entry`). */
   def register(spark: SparkSession): Unit = {
@@ -51,7 +59,13 @@ object VectorFunctions {
         new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
         (args: Seq[Expression]) => HyperplaneSig(args(0),
           args(1).eval().asInstanceOf[Number].intValue(),
-          args(2).eval().asInstanceOf[Number].intValue())))
+          args(2).eval().asInstanceOf[Number].intValue())),
+      ("quantize_q8",
+        new ExpressionInfo(classOf[QuantizeQ8].getName, "quantize_q8"),
+        (args: Seq[Expression]) => QuantizeQ8(args(0))),
+      ("cosine_sim_q8",
+        new ExpressionInfo(classOf[CosineSimilarityQ8].getName, "cosine_sim_q8"),
+        (args: Seq[Expression]) => CosineSimilarityQ8(args(0), args(1))))
   }
 }
 

