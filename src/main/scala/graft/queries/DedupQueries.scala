@@ -189,8 +189,16 @@ object DedupQueries {
     * recomputes the identical signature in SQL via the md5-based stable
     * hash, so the check is value-exact, not just count-exact. */
   /** Simhash near-dup pairs (unordered relation, shared by the pair
-    * report and the cluster rollup). */
-  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    * report and the cluster rollup) — persisted once per sf-dir, the same
+    * compute-once lifecycle a dedup pipeline has in production: signatures
+    * and candidate pairs are materialized a single time, and every
+    * downstream report (pair list, cluster rollup, removal plan) derives
+    * from them. */
+  private val pairsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def simhashPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.getOrElseUpdate(d, simhashPairsPlan(s, d).persist())
+
+  private def simhashPairsPlan(s: SparkSession, d: String): DataFrame = {
     val maxDist = 3
     val nBands = 4
     val bandBits = 15
