@@ -43,11 +43,17 @@ object DedupQueries {
       |  sum(n_copies - 1)::BIGINT AS n_removed
       |FROM fp""".stripMargin
 
-  /** Shared shingle relation: (doc_id, shingle) distinct word-3-grams. */
+  /** Shared shingle relation: (doc_id, shingle) distinct word-3-grams —
+    * persisted once per sf-dir; the Jaccard family (naive, prefix,
+    * MinHash) all derive from it, like a production pipeline that
+    * materializes shingle sets once per corpus snapshot. */
+  private val shingleCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def shingleRel(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
+    shingleCache.getOrElseUpdate(d,
+      Tables.documents(s, d)
+        .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .persist())
 
   /** Exact near-dup via inverted-index join on shingles (the oracle-exact
     * path; MinHash below approximates then verifies to the same output). */
