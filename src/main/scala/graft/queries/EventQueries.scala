@@ -208,6 +208,35 @@ object EventQueries {
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** Range join: per-incident activity counts — every event falling in a
+    * 10-minute window opened by selected error events, joined WITHOUT an
+    * equality key via [[graft.operators.RangeJoin]] interval binning (a
+    * naive BETWEEN join would plan as broadcast nested-loop). */
+  def qRangeIncidents(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val windows = e
+      .filter(col("event_type") === "error" && col("event_id") % 500 === 0)
+      .select(col("event_id").as("incident_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+    graft.operators.RangeJoin
+      .pointInInterval(e.select(col("ts"), col("event_type")), "ts",
+        windows, "w_start", "w_end", binWidthMs = 10L * 60 * 1000)
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_errors"))
+      .orderBy(col("incident_id"))
+  }
+
+  val qRangeIncidentsSql: String =
+    """WITH w AS (
+      |  SELECT event_id AS incident_id, ts AS w_start,
+      |    ts + INTERVAL 10 MINUTE AS w_end
+      |  FROM events WHERE event_type = 'error' AND event_id % 500 = 0)
+      |SELECT w.incident_id, count(*)::BIGINT AS n_events,
+      |  sum(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_errors
+      |FROM w JOIN events e ON e.ts >= w.w_start AND e.ts <= w.w_end
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def qTrailingHour(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(unix_micros(col("ts")))
@@ -259,6 +288,7 @@ object EventQueries {
     "ev_user_reach_approx" -> (qUserReachApprox _),
     "ev_trailing_hour" -> (qTrailingHour _),
     "ev_asof_click" -> (qAsofClick _),
+    "ev_range_incidents" -> (qRangeIncidents _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -271,5 +301,6 @@ object EventQueries {
     "ev_session_window" -> qSessionizeSql, // same sessions, native operator
     "ev_trailing_hour" -> qTrailingHourSql,
     "ev_asof_click" -> qAsofClickSql,
+    "ev_range_incidents" -> qRangeIncidentsSql,
   )
 }

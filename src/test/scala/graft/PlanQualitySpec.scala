@@ -63,6 +63,14 @@ class PlanQualitySpec extends SparkSpec {
       "partial (pre-shuffle) group limit expected")
   }
 
+  test("range join: interval binning keeps a hash join, never nested-loop") {
+    val p = plan(graft.queries.EventQueries.qRangeIncidents(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"keyless BETWEEN join must bin to an equi-join:\n$p")
+    assert(count(p, "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin") >= 1,
+      "the bin key must drive a hash/merge join")
+  }
+
   test("semi/anti joins stay semi/anti in the physical plan") {
     val ps = plan(graft.queries.RelationalQueries.qSemiJoin(spark, sf))
     assert(ps.contains("LeftSemi"))
