@@ -277,7 +277,29 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Mergeable distinct-count rollup: per-(day, event_type) HLL sketches
+    * built ONCE from raw events, then re-aggregated to per-type totals by
+    * sketch UNION — no second pass over raw data. This is the 100 TB
+    * distinct-counting pattern: the expensive scan materializes compact
+    * mergeable state (a few KB per group), and every coarser granularity
+    * (daily→weekly→all-time) derives from sketch merges whose cost is
+    * proportional to the number of GROUPS, not events. The spec asserts
+    * the merged estimate tracks the exact distinct count; rows-only for
+    * the driver (estimates are sketch-seeded, not SQL-reproducible). */
+  def qReachSketchRollup(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_users"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_reach_sketch" -> (qReachSketchRollup _),
     "ev_hourly_rollup" -> (qHourlyRollup _),
     "ev_latest_per_user" -> (qLatestPerUser _),
     "ev_sessionize" -> (qSessionize _),
