@@ -102,15 +102,61 @@ object PipelineQueries {
       |SELECT source, count(*)::BIGINT AS n_contaminated
       |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The sampler the mix weights feed: deterministic hash-Bernoulli per
+    * row — keep a doc iff its md5 bucket (of 10000) falls under
+    * floor(rate·10000) for its source. Hash-based (not rand()) so the
+    * sampled dataset is reproducible, stable under reordering, and
+    * consistent on incremental recompute — and the whole pass is one
+    * broadcast join of the k-row rate table against the corpus scan.
+    * Output: per-source kept counts vs targets. */
+  def qMixSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val rates = counts
+      .withColumn("total", sum(col("n")).over())
+      .withColumn("k", size(collect_set(col("source")).over()))
+      .withColumn("rate",
+        least(lit(1.0), col("total").cast("double") /
+          (col("k") * col("n")).cast("double")))
+      .select(col("source").as("r_source"), col("n"), col("rate"))
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long") % 10000)
+    docs.join(broadcast(rates), col("source") === col("r_source"))
+      .filter(bucket < floor(col("rate") * 10000))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), first(col("n")).as("n_total"))
+      .withColumn("kept_frac",
+        round(col("n_kept").cast("double") / col("n_total").cast("double"), 4))
+      .orderBy(col("source"))
+  }
+
+  val qMixSampleSql: String =
+    """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      |t AS (SELECT sum(n) AS total, count(*) AS k FROM c),
+      |r AS (SELECT source, n,
+      |        least(1.0, total::DOUBLE / (k * n)) AS rate FROM c, t),
+      |kept AS (
+      |  SELECT d.source, count(*) AS n_kept
+      |  FROM documents d JOIN r ON d.source = r.source
+      |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 6))::BIGINT % 10000
+      |        < floor(r.rate * 10000)
+      |  GROUP BY 1)
+      |SELECT r.source, kept.n_kept, r.n AS n_total,
+      |  round(kept.n_kept::DOUBLE / r.n, 4) AS kept_frac
+      |FROM kept JOIN r ON kept.source = r.source
+      |ORDER BY r.source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "td_split_assign" -> (qSplitAssign _),
     "td_mix_weights" -> (qMixWeights _),
+    "td_mix_sample" -> (qMixSample _),
     "td_contamination" -> (qContamination _),
   )
 
   def oracles: Map[String, String] = Map(
     "td_split_assign" -> qSplitAssignSql,
     "td_mix_weights" -> qMixWeightsSql,
+    "td_mix_sample" -> qMixSampleSql,
     "td_contamination" -> qContaminationSql,
   )
 }
