@@ -143,6 +143,51 @@ object IngestStream {
     }
   }
 
+  /** Manifest-source variant: the watch dir receives JSON-lines manifest
+    * files, one row per operation —
+    * `{"op":"put"|"delete","namespace":…,"repo":…,"branch":…,
+    *   "filePath":…,"text":…}` — which removes BOTH binaryFile-source
+    * caveats: updates re-deliver naturally (every manifest is a new
+    * file) and deletions are explicit ops instead of marker files. Ops
+    * map onto the same [[processBatch]] merge (deletes ride as tombstone
+    * rows); `filePath`s ending in the tombstone suffix are reserved. */
+  def startManifest(
+      spark: SparkSession,
+      manifestDir: String,
+      corpusPath: String,
+      pipeline: IngestPipeline,
+      runId: String,
+      checkpoint: String): StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("op", StringType),
+      StructField("namespace", StringType),
+      StructField("repo", StringType),
+      StructField("branch", StringType),
+      StructField("filePath", StringType),
+      StructField("text", StringType)))
+    val ops = spark.readStream.schema(schema).json(manifestDir)
+    ops.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val raw = batch
+          .filter(col("op").isin("put", "delete") &&
+            col("namespace").isNotNull && col("repo").isNotNull &&
+            col("filePath").isNotNull)
+          .select(
+            col("namespace"), col("repo"),
+            coalesce(col("branch"), lit("main")).as("branch"),
+            when(col("op") === "delete",
+              concat(col("filePath"), lit(DeletedSuffix)))
+              .otherwise(col("filePath")).as("filePath"),
+            coalesce(col("text"), lit("")).as("text"))
+        processBatch(raw, corpusPath, pipeline, s"$runId-m$batchId")
+      }
+      .start()
+  }
+
   def start(
       spark: SparkSession,
       watchDir: String,

@@ -113,6 +113,51 @@ class EventStreamSpec extends SparkSpec {
     assert(rows(201L).isEmpty, s"no-click purchase flows with null: $rows")
   }
 
+  test("manifest source: puts, updates and deletes equal a one-shot ingest") {
+    import graft.ingest.IngestPipeline
+    import graft.llm.{HashEmbedder, StubLlm}
+    import graft.model.RawDoc
+    import graft.streaming.IngestStream
+    val manifests = java.nio.file.Files.createTempDirectory("manifest-in")
+    val out = java.nio.file.Files.createTempDirectory("manifest-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("manifest-ck").toString
+    val pipeline = new IngestPipeline(new StubLlm, new HashEmbedder(32))
+    def manifest(name: String, lines: String*): Unit =
+      java.nio.file.Files.writeString(manifests.resolve(name), lines.mkString("\n"))
+
+    manifest("m1.jsonl",
+      """{"op":"put","namespace":"ns","repo":"r1","filePath":"a.py","text":"def one(): pass"}""",
+      """{"op":"put","namespace":"ns","repo":"r1","filePath":"b.py","text":"def two(): pass"}""")
+    val q1 = IngestStream.startManifest(
+      spark, manifests.toString, s"$out/corpus", pipeline, "mrun", ck)
+    q1.awaitTermination(120000)
+    assert(IngestStream.readCorpus(spark, s"$out/corpus")
+      .filter(col("scope") === "chunk").count() == 2)
+
+    // second manifest: update a.py (same path — re-delivered naturally),
+    // delete b.py, add c.py
+    manifest("m2.jsonl",
+      """{"op":"put","namespace":"ns","repo":"r1","filePath":"a.py","text":"def one_v2(): return 1"}""",
+      """{"op":"delete","namespace":"ns","repo":"r1","filePath":"b.py"}""",
+      """{"op":"put","namespace":"ns","repo":"r1","filePath":"c.py","text":"def three(): pass"}""")
+    val q2 = IngestStream.startManifest(
+      spark, manifests.toString, s"$out/corpus", pipeline, "mrun", ck)
+    q2.awaitTermination(120000)
+    val c = IngestStream.readCorpus(spark, s"$out/corpus")
+    val chunkTexts = c.filter(col("scope") === "chunk")
+      .select("filePath", "text").as[(String, String)].collect().toMap
+    assert(chunkTexts.keySet == Set("a.py", "c.py"), s"$chunkTexts")
+    assert(chunkTexts("a.py").contains("one_v2"), "update applied")
+
+    val finalRaw = spark.read.parquet(s"$out/corpus/raw")
+      .select("namespace", "repo", "branch", "filePath", "text").as[RawDoc]
+    val oneShot = pipeline.buildCorpus(finalRaw, "oneshot").toDF()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("rowId", "scope", "repo", "filePath", "text")
+      .as[(String, String, String, String, String)].collect().toSet
+    assert(key(c) == key(oneShot))
+  }
+
   test("streaming ingest: per-repo refresh equals a one-shot batch ingest") {
     import graft.ingest.IngestPipeline
     import graft.llm.{HashEmbedder, StubLlm}
