@@ -50,6 +50,19 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(1) == (2L -> Some(5.0)))
   }
 
+  test("composite keys: matches require agreement on every key column") {
+    import spark.implicits._
+    val left = Seq((1L, "ns1", "u1", ts(20))).toDF("id", "ns", "user", "t")
+    val right = Seq(
+      ("ns1", "u1", ts(10), 1.0),
+      ("ns2", "u1", ts(15), 2.0)) // same user, different namespace: no match
+      .toDF("ns", "user", "t", "v")
+    val out = AsofJoin.asofBackward(left, right, Seq("ns", "user"), "t", "t", Seq("v"))
+      .select(col("id"), col("asof_v")).as[(Long, Option[Double])].collect().toSeq
+    assert(out == Seq(1L -> Some(1.0)),
+      s"only the same-(ns,user) right row may match: $out")
+  }
+
   test("result is stable under input repartitioning") {
     val (left, right) = fixtures
     val a = AsofJoin.asofBackward(left, right, Seq("user"), "t", "t", Seq("v"))

@@ -80,6 +80,21 @@ class GithubServiceSpec extends AnyFunSuite {
     assert(repos.length == 3, "one repo per page, capped at maxPages")
   }
 
+  test("listing feeds the ingest eligibility filter end to end") {
+    val t = new FakeTransport(Seq(
+      200 -> page(Seq(node("keep"), node("old", archived = true)), cursor = None)))
+    val listed = new GithubService("tok", t).listRepositories("octo")
+    // the client already drops archived/private; eligibleRepos is the F5
+    // filter the pipeline applies regardless of which enumerator ran
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      val eligible = graft.sources.CorpusStore.eligibleRepos(spark, listed)
+        .collect().map(_.name).toSeq
+      assert(eligible == Seq("keep"))
+    } finally ()
+  }
+
   test("escaped names and cursors round-trip") {
     val t = new FakeTransport(Seq(
       200 -> page(Seq(node("""we\\ird\"repo""")), cursor = None)))
