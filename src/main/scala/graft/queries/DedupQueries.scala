@@ -347,6 +347,10 @@ object DedupQueries {
     "dd_exact" -> (qDedupExact _),
     "dd_jaccard" -> (qDedupJaccard _),
     "dd_jaccard_prefix" -> (qDedupJaccardPrefix _),
+    // the prefix branch FORCED regardless of corpus size, so the driver's
+    // DuckDB gate hash-checks the 100 TB plan itself at sf0.01 (VERDICT r3
+    // item 2) — dd_jaccard_prefix above still demonstrates the cost gate
+    "dd_jaccard_prefix_full" -> (qDedupJaccardPrefixFull _),
     "dd_minhash_lsh" -> (qDedupMinhashLsh _),
     "dd_simhash" -> (qDedupSimhash _),
     "dd_simhash_clusters" -> (qDedupClusters _),
@@ -356,6 +360,7 @@ object DedupQueries {
     "dd_exact" -> qDedupExactSql,
     "dd_jaccard" -> qDedupJaccardSql,
     "dd_jaccard_prefix" -> qDedupJaccardSql, // provably same output, exact
+    "dd_jaccard_prefix_full" -> qDedupJaccardSql, // prefix plan, same output
     "dd_minhash_lsh" -> qDedupJaccardSql, // same contract: verified exact pairs
     "dd_simhash" -> qDedupSimhashSql,
     "dd_simhash_clusters" -> qDedupClustersSql,

@@ -187,10 +187,19 @@ object VectorQueries {
     * signing the dominant stage (round-1 "What's wrong" #3). Oracle-free
     * by nature (approximate recall), checked rows-only by the driver; the
     * exact twin qKnnBrute carries the value check. */
-  def qKnnLsh(s: SparkSession, d: String): DataFrame = {
+  def qKnnLsh(s: SparkSession, d: String): DataFrame =
+    qKnnLshParam(s, d, nTables = 3, bitsPerTable = 8)
+
+  /** [[qKnnLsh]] with tunable amplification. Fewer bits / more tables =
+    * higher recall at larger candidate volume: per-bit agreement for a
+    * pair at angle θ is 1−θ/π, so expected recall is
+    * 1−(1−p^bits)^tables — the knob a deployment turns to hit its
+    * recall SLO. The synthetic embeddings' true neighbors sit near
+    * cosine 0.33 (p≈0.61), where 3×8 recalls ~5% (aggressive pruning
+    * demo) and 8×4 ~70% (the recall-tier config the gate below checks). */
+  def qKnnLshParam(
+      s: SparkSession, d: String, nTables: Int, bitsPerTable: Int): DataFrame = {
     import graft.functions.VectorFunctions.hyperplaneSig
-    val nTables = 3
-    val bitsPerTable = 8
     val emb = Tables.embeddings(s, d)
 
     val tables = (0 until nTables).map { t =>
@@ -226,7 +235,12 @@ object VectorQueries {
     * Scores are exact (re-ranked with the codegen cosine); recall is
     * approximate → rows-only driver check, with the recall floor asserted
     * against brute force in RetrievalSpec. */
-  def qKnnIvf(s: SparkSession, d: String): DataFrame = {
+  def qKnnIvf(s: SparkSession, d: String): DataFrame =
+    qKnnIvfParam(s, d, nprobe = 4)
+
+  /** [[qKnnIvf]] with a tunable probe width — the recall/scan-fraction
+    * knob (nprobe of 16 lists ≈ fraction of the corpus scanned). */
+  def qKnnIvfParam(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     import graft.retrieval.IvfIndex
     val emb = Tables.embeddings(s, d)
     val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", 16)
@@ -235,9 +249,49 @@ object VectorQueries {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
     IvfIndex.search(index, "vec_id", "embedding", queries, centroids,
-      nprobe = 4, k = 5)
+      nprobe = nprobe, k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Driver-checkable recall gates for the approximate ANN paths (VERDICT
+    * r3 item 3). Each emits one row per query: `(query_id, recall_ok)`
+    * where `recall_ok = recall@5 vs the exact brute-force neighbors ≥
+    * floor`. The oracle SQL derives the expected rows from the embeddings
+    * table alone (every query must meet its floor), so the driver's
+    * DuckDB hash gate turns red the moment a build change drops any
+    * query's recall below the floor — converting the two rows-only ANN
+    * entries into checked rows. Both index builds are seeded/deterministic,
+    * so the booleans are stable across runs at a given SF.
+    */
+  private def recallReport(brute: DataFrame, ann: DataFrame, floor: Double): DataFrame = {
+    val truth = brute.select(col("query_id"), col("neighbor_id"))
+    val hits = truth
+      .join(ann.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("recall",
+        coalesce(col("n_hits"), lit(0)).cast("double") / col("n_true"))
+      .select(col("query_id"), round(lit(floor), 2).as("floor"),
+        (col("recall") >= floor).as("recall_ok"))
+      .orderBy(col("query_id"))
+  }
+
+  /** IVF recall@5 ≥ 0.4 per query at the recall-tier probe width
+    * (nprobe 6 of 16 lists — scans ~3/8 of the corpus). */
+  def qKnnIvfRecall(s: SparkSession, d: String): DataFrame =
+    recallReport(qKnnBrute(s, d), qKnnIvfParam(s, d, nprobe = 6), floor = 0.4)
+
+  /** LSH recall@5 ≥ 0.2 per query at the recall-tier amplification
+    * (8 tables × 4 bits). */
+  def qKnnLshRecall(s: SparkSession, d: String): DataFrame =
+    recallReport(qKnnBrute(s, d),
+      qKnnLshParam(s, d, nTables = 8, bitsPerTable = 4), floor = 0.2)
+
+  private def recallOracleSql(floor: Double): String =
+    s"""SELECT vec_id AS query_id, $floor::DOUBLE AS floor, TRUE AS recall_ok
+       |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vs_knn_brute" -> (qKnnBrute _),
@@ -246,6 +300,8 @@ object VectorQueries {
     "vs_label_stats" -> (qLabelStats _),
     "vs_knn_lsh" -> (qKnnLsh _),
     "vs_knn_ivf" -> (qKnnIvf _),
+    "vs_knn_ivf_recall" -> (qKnnIvfRecall _),
+    "vs_knn_lsh_recall" -> (qKnnLshRecall _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -253,6 +309,9 @@ object VectorQueries {
     "vs_knn_quant" -> qKnnBruteSql, // q8 prune + exact re-rank: identical output
     "vs_emb_neardup" -> qEmbNearDupSql,
     "vs_label_stats" -> qLabelStatsSql,
-    // vs_knn_lsh: approximate — rows-only check (no oracle entry)
+    // vs_knn_lsh / vs_knn_ivf: approximate — rows-only (no oracle entry);
+    // their recall twins below carry the hash-checked quality gate
+    "vs_knn_ivf_recall" -> recallOracleSql(0.4),
+    "vs_knn_lsh_recall" -> recallOracleSql(0.2),
   )
 }

@@ -155,4 +155,17 @@ class PlanQualitySpec extends SparkSpec {
       l.contains("PartitionFilters") && l.contains("scope")),
       s"scope filter must prune directories:\n$p")
   }
+
+  test("dd_jaccard_prefix_full executes the prefix plan (dfreq join + rank window)") {
+    // the driver gate now hash-checks this entry at sf0.01 — assert the
+    // plan it executes IS the prefix plan: a document-frequency aggregate
+    // joined back to the postings, ranked by a per-doc window. The naive
+    // inverted-index plan has neither.
+    val p = plan(graft.queries.DedupQueries.qDedupJaccardPrefixFull(spark, sf))
+    assert(count(p, "Window") >= 1, s"prefix rank window missing:\n$p")
+    assert(count(p, "HashAggregate") >= 2,
+      "dfreq aggregate (plus pair-count agg) must appear in the prefix plan")
+    val naive = plan(graft.queries.DedupQueries.qDedupJaccard(spark, sf))
+    assert(count(naive, "Window") == 0, "naive plan must not pay the rank window")
+  }
 }
