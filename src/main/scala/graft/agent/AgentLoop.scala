@@ -143,49 +143,115 @@ class AgentLoop(
     else base
   }
 
-  /** One full query. */
-  def run(corpus: DataFrame, req: QueryRequest): AgentState = {
+  /** Initial state after scope planning. */
+  private def planState(req: QueryRequest): AgentState = {
     val (scope0, filters) = planScope(req)
-    var state = AgentState(req.query, scope0, filters, attempt = 1,
+    AgentState(req.query, scope0, filters, attempt = 1,
       docs = Nil, needsMore = true, rewrite = None, answer = None,
       debug = Seq(s"plan: scope=$scope0 filters=$filters"))
+  }
+
+  /** Under-retrieval merge (T4/T5 semantics): union the expanded-query
+    * docs when present, dedup by rowId, keep the best topK. */
+  private def mergeDocs(
+      docs: Seq[Retrieved],
+      expanded: Option[Seq[Retrieved]],
+      topK: Int): Seq[Retrieved] = expanded match {
+    case Some(exp) => (docs ++ exp).distinctBy(_.rowId)
+      .sortBy(r => (-r.score, r.rowId)).take(topK)
+    case None => docs.sortBy(r => (-r.score, r.rowId)).take(topK)
+  }
+
+  /** The post-retrieval step of one attempt round — judge, then either
+    * finish (synthesize) or set up the retry. Shared verbatim by the
+    * sequential [[run]] and the batched [[runBatch]] so the two paths
+    * cannot drift. Returns (next state, finished?). */
+  private def judgeAndStep(
+      state: AgentState, q: String, merged: Seq[Retrieved]): (AgentState, Boolean) = {
+    // stuck detection (reference agent_graph.py:395-401): identical doc
+    // set on consecutive attempts → force file scope instead of the
+    // judge's chosen step
+    val prevIds = state.docs.map(_.rowId).toSet
+    val judged = judge(state.copy(docs = merged)) // may move scope + filters
+    val stuck = judged.attempt > 1 && prevIds.nonEmpty &&
+      judged.docs.map(_.rowId).toSet == prevIds
+    if (!judged.needsMore || judged.attempt >= maxAttempts)
+      (judged.copy(answer = Some(synthesize(judged))), true)
+    else {
+      val nextScope = if (stuck && judged.scope != "file") "file" else judged.scope
+      val rewrite =
+        if (judged.attempt == 1) Some(llmRewrite(q, judged.filters))
+        else Some(expandQuery(q))
+      (judged.copy(
+        scope = nextScope, attempt = judged.attempt + 1, rewrite = rewrite,
+        debug = judged.debug :+ (s"retry: scope=$nextScope " +
+          s"attempt=${judged.attempt + 1} filters=${judged.filters}")), false)
+    }
+  }
+
+  /** One full query. */
+  def run(corpus: DataFrame, req: QueryRequest): AgentState = {
+    var state = planState(req)
     var done = false
     while (!done) {
       val q = state.rewrite.getOrElse(state.query)
       val res = Retrieval.retrieveResult(corpus, embedder, q, state.scope, state.filters)
-      val docs = res.docs
       // under-retrieval → union an expanded query (T4/T5 semantics) —
       // unless the slice was exhausted, in which case a re-query over the
       // same (scope, filters) returns the identical rows and is skipped
-      val merged =
-        if (docs.length < 3 && !res.exhausted) {
-          val expanded = Retrieval.retrieve(
-            corpus, embedder, expandQuery(q), state.scope, state.filters)
-          (docs ++ expanded).distinctBy(_.rowId)
-            .sortBy(r => (-r.score, r.rowId)).take(req.topK)
-        } else docs.sortBy(r => (-r.score, r.rowId)).take(req.topK)
-      // stuck detection (reference agent_graph.py:395-401): identical doc
-      // set on consecutive attempts → force file scope instead of the
-      // judge's chosen step
-      val prevIds = state.docs.map(_.rowId).toSet
-      state = judge(state.copy(docs = merged)) // may move scope + filters
-      val stuck = state.attempt > 1 && prevIds.nonEmpty &&
-        state.docs.map(_.rowId).toSet == prevIds
-      if (!state.needsMore || state.attempt >= maxAttempts) {
-        state = state.copy(answer = Some(synthesize(state)))
-        done = true
-      } else {
-        val nextScope = if (stuck && state.scope != "file") "file" else state.scope
-        val rewrite =
-          if (state.attempt == 1) Some(llmRewrite(q, state.filters))
-          else Some(expandQuery(q))
-        state = state.copy(
-          scope = nextScope, attempt = state.attempt + 1, rewrite = rewrite,
-          debug = state.debug :+ (s"retry: scope=$nextScope " +
-            s"attempt=${state.attempt + 1} filters=${state.filters}"))
-      }
+      val expanded =
+        if (res.docs.length < 3 && !res.exhausted)
+          Some(Retrieval.retrieve(
+            corpus, embedder, expandQuery(q), state.scope, state.filters))
+        else None
+      val (next, fin) = judgeAndStep(state, q, mergeDocs(res.docs, expanded, req.topK))
+      state = next
+      done = fin
     }
     state
+  }
+
+  /** Multi-query fan-out: run Q independent queries with their per-round
+    * retrievals BATCHED through [[BatchRetrieval]] — queries on the same
+    * (scope, filters) share one corpus scan per stage, so the Spark job
+    * count per round is O(distinct scope-groups × (1 + maxDepth)),
+    * independent of Q (the reference worker drains up to max_jobs=10
+    * concurrent jobs, worker.py:185 — at 100 TB the per-query scans are
+    * the serving cost this amortizes). Loop semantics per query are
+    * IDENTICAL to [[run]] (shared [[judgeAndStep]]; LLM/embedder calls
+    * are per-query and deterministic given the same inputs), asserted by
+    * parity in AgentBatchSpec. Results keep input order. */
+  def runBatch(
+      corpus: DataFrame,
+      reqs: Seq[(String, QueryRequest)]): Seq[(String, AgentState)] = {
+    import graft.retrieval.BatchRetrieval
+    var pending = reqs.map { case (id, req) => (id, req, planState(req)) }
+    val finished = scala.collection.mutable.Map.empty[String, AgentState]
+    while (pending.nonEmpty) {
+      val qOf = pending.map { case (id, _, st) =>
+        id -> st.rewrite.getOrElse(st.query)
+      }.toMap
+      val results = BatchRetrieval.retrieveAll(corpus, embedder,
+        pending.map { case (id, _, st) =>
+          BatchRetrieval.Spec(id, qOf(id), st.scope, st.filters) })
+      // under-retrieval expansion as a second batched sub-round over the
+      // queries that need it (same skip-when-exhausted rule as run())
+      val needExp = pending.filter { case (id, _, _) =>
+        val r = results(id); r.docs.length < 3 && !r.exhausted
+      }
+      val expanded =
+        if (needExp.isEmpty) Map.empty[String, Retrieval.Result]
+        else BatchRetrieval.retrieveAll(corpus, embedder,
+          needExp.map { case (id, _, st) =>
+            BatchRetrieval.Spec(id, expandQuery(qOf(id)), st.scope, st.filters) })
+      pending = pending.flatMap { case (id, req, st) =>
+        val merged = mergeDocs(results(id).docs,
+          expanded.get(id).map(_.docs), req.topK)
+        val (next, fin) = judgeAndStep(st, qOf(id), merged)
+        if (fin) { finished(id) = next; None } else Some((id, req, next))
+      }
+    }
+    reqs.map { case (id, _) => id -> finished(id) }
   }
 
   /** Synthesis: ≤5 blocks × 800 chars, `[n]` citations, overview-vs-

@@ -95,6 +95,27 @@ object RagQueries {
     events.map(e => (e.jobId, e.event)).toDF("job_id", "event")
   }
 
+  /** Agent multi-query fan-out (VERDICT r3 item 4): 5 concurrent jobs run
+    * through [[JobStream.runJobsBatched]], so every retrieval stage is ONE
+    * corpus scan per (scope, filters) group — total scan count O(scopes),
+    * independent of the job count (asserted via SparkListener job counts
+    * in AgentBatchSpec; per-query results are parity-checked against the
+    * sequential loop there too). Rows-only driver check, like
+    * rag_agent_events. */
+  def qAgentBatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, d)
+    c.count() // materialize the shared corpus cache once, before the fan-out
+    val agent = new AgentLoop(new StubLlm, new HashEmbedder(384))
+    val events = JobStream.runJobsBatched(c, agent, Seq(
+      "batch-1" -> QueryRequest("error handling in query code"),
+      "batch-2" -> QueryRequest("give me an overview of the architecture"),
+      "batch-3" -> QueryRequest("how is the parser class implemented"),
+      "batch-4" -> QueryRequest("where are the config settings loaded"),
+      "batch-5" -> QueryRequest("describe the src3 project", repoName = Some("src3"))))
+    events.map(e => (e.jobId, e.event)).toDF("job_id", "event")
+  }
+
   /** J3 graph expansion as a pure-relational 2-hop BFS over documents
     * (edge keys: hop 1 = same source, hop 2 = same lang), breadth-capped
     * per hop like the scope retrievers (adjacent_k) — oracle-checked. */
@@ -204,6 +225,7 @@ object RagQueries {
     "rag_ingest_scopes" -> (qIngestScopes _),
     "rag_retrieve_topk" -> (qRetrieveTopK _),
     "rag_agent_events" -> (qAgentEvents _),
+    "rag_agent_batch" -> (qAgentBatch _),
     "rag_graph_expand" -> (qGraphExpand _),
     "rag_graph_expand_topics" -> (qGraphExpandTopics _),
   )

@@ -1,0 +1,193 @@
+package graft.retrieval
+
+import graft.functions.VectorFunctions.cosine
+import graft.llm.Embedder
+import graft.model.Retrieved
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-query retrieval fan-out (VERDICT r3 item 4): serve Q concurrent
+  * queries from ONE corpus scan per (scope, filters) group per stage,
+  * instead of Q independent scans.
+  *
+  * [[Retrieval.retrieveResult]] runs 1 + maxDepth Spark jobs per query
+  * (seed top-k, then one per expansion hop). Fine for one query; for a
+  * worker draining its job queue (reference envelope: max_jobs=10
+  * concurrent, worker.py:185) the per-query scans are the serving cost —
+  * at 100 TB every scan is a pass over the scope partition, so Q queries
+  * × (1+depth) scans is Q× more IO than the data requires.
+  *
+  * The batched shape is the vs_knn_brute pattern applied to the agent
+  * loop: broadcast ALL query vectors into the scan (as per-query
+  * score/match struct columns — queries ≪ corpus always holds), explode
+  * only the matching (row, query) pairs, and take each query's top-k with
+  * one window — so each stage is ONE job per (scope, filters) group:
+  *   - seeds: every (row, query) pair scored, per-query top-startK;
+  *   - hop h: rows matching ANY query's frontier edge values, tagged with
+  *     WHICH queries they match (per-query visited-set exclusion folded
+  *     into the match column), per-query top-adjacentK.
+  * Total jobs = groups × (1 + maxDepth) — independent of Q.
+  *
+  * Output parity: per query this reproduces [[Retrieval.retrieveResult]]
+  * (Eager strategy) exactly — same seed ranking (score desc, rowId), same
+  * per-hop frontier/visited semantics, same final pool cap — asserted
+  * query-by-query in AgentBatchSpec.
+  */
+object BatchRetrieval {
+
+  /** One query's retrieval request: id, query text, scope, filters. */
+  case class Spec(id: String, query: String, scope: String,
+      filters: Map[String, String] = Map.empty)
+
+  private val EdgeKeys = Seq("repo", "module", "filePath", "topics")
+  /** Row fields carried through collect (everything Retrieved needs; the
+    * embedding stays distributed — scores travel in the match structs). */
+  private val OutFields = Seq("rowId", "scope", "namespace", "repo",
+    "module", "filePath", "text", "topics")
+
+  /** Batched retrieval with graph expansion for all `specs`; returns each
+    * query's [[Retrieval.Result]] keyed by spec id. */
+  def retrieveAll(
+      corpus: DataFrame,
+      embedder: Embedder,
+      specs: Seq[Spec]): Map[String, Retrieval.Result] =
+    specs.groupBy(sp => (sp.scope, sp.filters)).flatMap {
+      case ((scope, filters), group) =>
+        retrieveGroup(corpus, embedder, scope, filters, group)
+    }
+
+  /** All queries of one (scope, filters) group — 1 + maxDepth jobs. */
+  private def retrieveGroup(
+      corpus: DataFrame,
+      embedder: Embedder,
+      scope: String,
+      filters: Map[String, String],
+      group: Seq[Spec]): Map[String, Retrieval.Result] = {
+    import org.apache.spark.sql.types.ArrayType
+    val caps = Retrieval.capsByScope.getOrElse(scope, Retrieval.Caps(10, 3, 8, 2))
+    val base = filters.foldLeft(corpus.filter(col("scope") === scope)) {
+      case (df, (k, v)) => df.schema(k).dataType match {
+        case _: ArrayType => df.filter(array_contains(col(k), v))
+        case _ => df.filter(col(k) === v)
+      }
+    }
+    val qvs: Seq[(Spec, Array[Float])] =
+      group.map(sp => sp -> embedder.embed(sp.query))
+    def scoreOf(qv: Array[Float]): Column = cosine(col("embedding"), typedlit(qv))
+
+    // ---- stage 1: seeds — one scan, per-query score, per-query top-startK
+    val seedStructs = qvs.map { case (sp, qv) =>
+      struct(lit(sp.id).as("qid"), scoreOf(qv).as("score"))
+    }
+    val seedRows = collectTopPerQuery(
+      base.select(OutFields.map(col) :+
+        explode(array(seedStructs: _*)).as("m"): _*),
+      limit = caps.startK)
+
+    // per-query driver state, mirroring Retrieval.expandRows
+    val state = scala.collection.mutable.LinkedHashMap(group.map { sp =>
+      val seeds = seedRows.getOrElse(sp.id, Nil)
+      sp.id -> QueryState(sp, seeds.toVector,
+        frontier = seeds.toVector,
+        visited = seeds.map(_._1.rowId).toSet,
+        exhausted = seeds.length < caps.startK)
+    }: _*)
+    val qvById = qvs.map { case (sp, qv) => sp.id -> qv }.toMap
+
+    // ---- expansion hops: one scan per depth serving every active query
+    var depth = 0
+    while (depth < caps.maxDepth && state.values.exists(_.frontier.nonEmpty)) {
+      val active = state.values.filter(_.frontier.nonEmpty).flatMap { st =>
+        edgeCondition(st).map(st -> _)
+      }.toSeq
+      if (active.isEmpty) {
+        state.values.foreach(st => st.frontier = Vector.empty)
+      } else {
+        val matchStructs = active.map { case (st, cond) =>
+          struct(lit(st.sp.id).as("qid"), cond.as("ok"),
+            scoreOf(qvById(st.sp.id)).as("score"))
+        }
+        val hopRows = collectTopPerQuery(
+          base.filter(active.map(_._2).reduce(_ || _))
+            .select(OutFields.map(col) :+
+              explode(filter(array(matchStructs: _*),
+                m => m.getField("ok"))).as("m"): _*),
+          limit = caps.adjacentK)
+        state.values.foreach { st =>
+          if (st.frontier.nonEmpty) {
+            val hop = hopRows.getOrElse(st.sp.id, Nil).toVector
+            st.pool ++= hop
+            st.visited ++= hop.map(_._1.rowId)
+            st.frontier = hop
+          }
+        }
+        depth += 1
+      }
+    }
+
+    state.map { case (id, st) =>
+      id -> Retrieval.Result(
+        st.pool.sortBy { case (r, _) => (-r.score, r.rowId) }
+          .take(caps.k).map(_._1),
+        st.exhausted)
+    }.toMap
+  }
+
+  /** Mutable per-query expansion state. `pool` keeps (Retrieved, topics)
+    * pairs so frontier edge values need no re-fetch. */
+  private case class QueryState(
+      sp: Spec,
+      var pool: Vector[(Retrieved, Row)],
+      var frontier: Vector[(Retrieved, Row)],
+      var visited: Set[String],
+      exhausted: Boolean)
+
+  /** One query's hop condition: edge-value match (scalar isin / array
+    * overlap over the frontier's values, as in Retrieval.expandRows) AND
+    * not-yet-visited. None when the frontier carries no edge values. */
+  private def edgeCondition(st: QueryState): Option[Column] = {
+    val fr = st.frontier.map(_._1)
+    val conds = EdgeKeys.flatMap {
+      case "topics" =>
+        val vals = fr.flatMap(_.topics).filter(_.nonEmpty).distinct
+        if (vals.isEmpty) None
+        else Some(arrays_overlap(col("topics"), typedlit(vals)))
+      case k =>
+        val get: Retrieved => String = k match {
+          case "repo" => _.repo
+          case "module" => _.module
+          case "filePath" => _.filePath
+        }
+        val vals = fr.map(get).filter(v => v != null && v.nonEmpty).distinct
+        if (vals.isEmpty) None else Some(col(k).isin(vals: _*))
+    }
+    if (conds.isEmpty) None
+    else Some(conds.reduce(_ || _) && !col("rowId").isin(st.visited.toSeq: _*))
+  }
+
+  /** Execute one exploded (row, query) frame: per-query rank by
+    * (score desc, rowId), keep ≤ limit, collect, group by query id. */
+  private def collectTopPerQuery(
+      exploded: DataFrame,
+      limit: Int): Map[String, Seq[(Retrieved, Row)]] = {
+    val w = Window.partitionBy(col("m.qid"))
+      .orderBy(col("m.score").desc, col("rowId"))
+    val rows = exploded
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= limit)
+      .select(col("m.qid").as("qid"), col("m.score").as("score"),
+        col("rowId"), col("scope"), col("namespace"), col("repo"),
+        col("module"), col("filePath"), col("text"), col("topics"))
+      .collect()
+    rows.toSeq.map { r =>
+      (r.getString(0), (Retrieved(
+        r.getString(2), r.getString(3), r.getString(4), r.getString(5),
+        r.getString(6), r.getString(7), r.getString(8),
+        r.getSeq[String](9), r.getDouble(1)), r))
+    }.groupBy(_._1).map { case (qid, vs) =>
+      // preserve rank order within each query (collect may interleave)
+      qid -> vs.map(_._2).sortBy { case (ret, _) => (-ret.score, ret.rowId) }
+    }
+  }
+}

@@ -42,25 +42,71 @@ object JobStream {
       return out.toSeq
     }
     try {
-      val state = agent.run(corpus, req)
-      // per-stage progress events from the loop's breadcrumbs (the Spark
-      // twin of the reference's _notify pub/sub, agent_graph.py:566-583):
-      // plan / judge / retry stages, including filter-tightening retries
-      state.debug.foreach { d =>
-        val idx = d.indexOf(':')
-        val (stage, detail) =
-          if (idx > 0) (d.take(idx), d.drop(idx + 1).trim) else ("debug", d)
-        out += event(jobId, stage, s"""{"detail":${quote(detail)}}""")
-      }
-      out += event(jobId, "retrieval",
-        s"""{"attempts":${state.attempt},"hits":${state.docs.length}}""")
-      out += event(jobId, "final",
-        s"""{"answer":${quote(state.answer.getOrElse(""))},"sources":${state.docs.length}}""")
+      out ++= stateEvents(jobId, agent.run(corpus, req))
     } catch {
       case e: Exception =>
         out += event(jobId, "error", s"""{"message":${quote(String.valueOf(e.getMessage))}}""")
     }
     out.toSeq
+  }
+
+  /** The completed-state event trail: per-stage progress events from the
+    * loop's breadcrumbs (the Spark twin of the reference's _notify
+    * pub/sub, agent_graph.py:566-583) — plan / judge / retry stages
+    * including filter-tightening retries — then retrieval + final. */
+  private def stateEvents(jobId: String, state: graft.model.AgentState): Seq[JobEvent] = {
+    val stages = state.debug.map { d =>
+      val idx = d.indexOf(':')
+      val (stage, detail) =
+        if (idx > 0) (d.take(idx), d.drop(idx + 1).trim) else ("debug", d)
+      event(jobId, stage, s"""{"detail":${quote(detail)}}""")
+    }
+    stages :+
+      event(jobId, "retrieval",
+        s"""{"attempts":${state.attempt},"hits":${state.docs.length}}""") :+
+      event(jobId, "final",
+        s"""{"answer":${quote(state.answer.getOrElse(""))},"sources":${state.docs.length}}""")
+  }
+
+  /** Run independent jobs with their retrievals BATCHED through
+    * [[graft.agent.AgentLoop.runBatch]]: one corpus scan per
+    * (scope, filters) group per retrieval stage, however many jobs are in
+    * flight — the scan-amortized alternative to [[runJobs]]'s
+    * thread-overlap (which still issues per-query scans). Event trails
+    * match [[runJob]]'s per job, concatenated in input order; cancelled
+    * jobs short-circuit as usual. A retrieval failure inside the shared
+    * batch fails every non-cancelled job in it (one error event each) —
+    * the batch is one Spark program, so per-job isolation belongs to the
+    * caller's batching policy, not this runner. */
+  def runJobsBatched(
+      corpus: DataFrame,
+      agent: AgentLoop,
+      jobs: Seq[(String, QueryRequest)]): Seq[JobEvent] = {
+    val (cancelledJobs, active) = jobs.partition { case (id, _) => isCancelled(id) }
+    val cancelEvents = cancelledJobs.map { case (id, req) =>
+      id -> Seq(
+        event(id, "started", s"""{"query":${quote(req.query)}}"""),
+        event(id, "final", """{"cancelled":true}"""))
+    }.toMap
+    val activeEvents: Map[String, Seq[JobEvent]] =
+      try {
+        agent.runBatch(corpus, active).map { case (id, state) =>
+          id -> (event(id, "started",
+            s"""{"query":${quote(active.find(_._1 == id).get._2.query)}}""") +:
+            stateEvents(id, state))
+        }.toMap
+      } catch {
+        case e: Exception =>
+          active.map { case (id, req) =>
+            id -> Seq(
+              event(id, "started", s"""{"query":${quote(req.query)}}"""),
+              event(id, "error",
+                s"""{"message":${quote(String.valueOf(e.getMessage))}}"""))
+          }.toMap
+      }
+    jobs.flatMap { case (id, _) =>
+      cancelEvents.getOrElse(id, activeEvents.getOrElse(id, Nil))
+    }
   }
 
   /** Run independent jobs concurrently (the Spark scheduler interleaves

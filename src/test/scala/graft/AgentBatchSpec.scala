@@ -1,0 +1,148 @@
+package graft
+
+import graft.agent.AgentLoop
+import graft.llm.{HashEmbedder, StubLlm}
+import graft.model.{Node, QueryRequest}
+import graft.retrieval.{BatchRetrieval, Retrieval}
+import graft.streaming.JobStream
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+
+/** Multi-query fan-out: per-query parity with the sequential agent loop,
+  * and the scan-amortization guarantee (Spark job count independent of
+  * the number of queries in a scope group). */
+class AgentBatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  val embedder = new HashEmbedder(64)
+
+  def mkNode(id: String, scope: String, repo: String, module: String,
+             path: String, text: String, topics: Seq[String] = Nil): Node =
+    Node.empty.copy(rowId = id, scope = scope, namespace = "ns", repo = repo,
+      branch = "main", module = module, filePath = path, text = text,
+      topics = topics, embedding = embedder.embed(text))
+
+  lazy val corpus = spark.createDataset(Seq(
+    mkNode("c1", "chunk", "payments", "api", "api/retry.py",
+      "def retry_with_backoff(attempts): pass", Seq("retry", "backoff")),
+    mkNode("c2", "chunk", "payments", "api", "api/client.py",
+      "class PaymentsClient: pass", Seq("client")),
+    mkNode("c3", "chunk", "payments", "core", "core/ledger.py",
+      "def post_ledger_entry(tx): pass", Seq("ledger")),
+    mkNode("c4", "chunk", "search", "idx", "idx/build.py",
+      "def build_index(docs): pass", Seq("index")),
+    mkNode("c5", "chunk", "search", "idx", "idx/query.py",
+      "def run_query(q): pass", Seq("query")),
+    mkNode("c6", "chunk", "search", "rank", "rank/score.py",
+      "def score_hits(hits): pass", Seq("rank")),
+    mkNode("c7", "chunk", "payments", "core", "core/config.py",
+      "CONFIG = load_settings('payments.yaml')", Seq("config")),
+    mkNode("f1", "file", "payments", "api", "api/retry.py",
+      "Summary: retry helpers with exponential backoff"),
+    mkNode("r1", "repo", "payments", "", "",
+      "Payments service: clients, retries, ledger"),
+    mkNode("r2", "repo", "search", "", "",
+      "Search service: index build and ranking"),
+    mkNode("k1", "catalog", "payments", "", "",
+      "Catalog: payments repo overview and architecture"),
+    mkNode("k2", "catalog", "search", "", "",
+      "Catalog: search repo overview"))).toDF().cache()
+
+  val reqs = Seq(
+    "j1" -> QueryRequest("error handling in retry code"),
+    "j2" -> QueryRequest("give me an overview of the architecture"),
+    "j3" -> QueryRequest("how is the ledger class implemented"),
+    "j4" -> QueryRequest("where are the config settings loaded"))
+
+  /** Spark job count for `body` — listener events are async, so poll
+    * until the counter stabilizes. */
+  def countJobs(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      var prev = -1
+      var waited = 0
+      while (n.get() != prev && waited < 5000) {
+        prev = n.get(); Thread.sleep(200); waited += 200
+      }
+      n.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("runBatch states are identical to the sequential loop's, per query") {
+    corpus.count()
+    val agent = new AgentLoop(new StubLlm, embedder)
+    val sequential = reqs.map { case (id, r) => id -> agent.run(corpus, r) }
+    val batched = agent.runBatch(corpus, reqs)
+    assert(batched.map(_._1) == reqs.map(_._1), "input order preserved")
+    sequential.zip(batched).foreach { case ((id, s), (_, b)) =>
+      assert(b.docs == s.docs, s"$id: docs diverge")
+      assert(b.answer == s.answer, s"$id: answer diverges")
+      assert(b.scope == s.scope && b.attempt == s.attempt &&
+        b.filters == s.filters, s"$id: loop state diverges")
+      assert(b.debug == s.debug, s"$id: event breadcrumbs diverge")
+    }
+  }
+
+  test("batched retrieval scan count is O(scope groups), not O(queries)") {
+    corpus.count()
+    val specs = Seq(
+      BatchRetrieval.Spec("q1", "retry with backoff attempts", "chunk"),
+      BatchRetrieval.Spec("q2", "build the search index", "chunk"),
+      BatchRetrieval.Spec("q3", "post a ledger entry", "chunk"),
+      BatchRetrieval.Spec("q4", "load config settings", "chunk"))
+    // warm codegen/window paths so neither side pays first-use jobs
+    BatchRetrieval.retrieveAll(corpus, embedder, specs.take(1))
+    Retrieval.retrieveResult(corpus, embedder, specs.head.query, "chunk")
+
+    // AQE materializes each windowed stage as 2 jobs (shuffle map + final)
+    // — still ONE corpus scan per stage. The invariant is therefore not an
+    // absolute job count but INDEPENDENCE from Q: 4 queries in one scope
+    // group must launch exactly the jobs 1 query does (stages = 1 seed +
+    // ≤ maxDepth hops), while the sequential loop pays per query.
+    val oneQueryJobs = countJobs {
+      BatchRetrieval.retrieveAll(corpus, embedder, specs.take(1))
+    }
+    val batchJobs = countJobs {
+      BatchRetrieval.retrieveAll(corpus, embedder, specs)
+    }
+    val seqJobs = countJobs {
+      specs.foreach(sp =>
+        Retrieval.retrieveResult(corpus, embedder, sp.query, sp.scope))
+    }
+    info(s"one scope group: 1 query=$oneQueryJobs jobs, 4 queries=$batchJobs " +
+      s"jobs, sequential 4x=$seqJobs jobs")
+    assert(batchJobs == oneQueryJobs,
+      s"job count must not grow with Q: $oneQueryJobs vs $batchJobs")
+    assert(seqJobs >= specs.length, "sequential pays ≥1 scan per query")
+    assert(batchJobs < seqJobs)
+  }
+
+  test("runJobsBatched event trails match runJobs' per job") {
+    corpus.count()
+    val agent = new AgentLoop(new StubLlm, embedder)
+    val batched = JobStream.runJobsBatched(corpus, agent, reqs)
+    val threaded = JobStream.runJobs(corpus, agent, reqs)
+    assert(batched.map(e => (e.jobId, e.event)) ==
+      threaded.map(e => (e.jobId, e.event)))
+    // data payloads match too (timestamps excluded)
+    assert(batched.map(_.data) == threaded.map(_.data))
+  }
+
+  test("runJobsBatched: cancelled job short-circuits, others complete") {
+    corpus.count()
+    val agent = new AgentLoop(new StubLlm, embedder)
+    JobStream.cancel("jx")
+    try {
+      val events = JobStream.runJobsBatched(corpus, agent,
+        Seq("jx" -> QueryRequest("anything"), reqs.head))
+      val byJob = events.groupBy(_.jobId)
+      assert(byJob("jx").map(_.event) == Seq("started", "final"))
+      assert(byJob("jx").last.data.contains("cancelled"))
+      assert(byJob(reqs.head._1).exists(_.event == "final"))
+    } finally JobStream.clearCancel("jx")
+  }
+}
