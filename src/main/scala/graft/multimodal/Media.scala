@@ -43,6 +43,51 @@ object Media {
           col("source"),
           length(col("text")).as("n_bytes")).as("meta"))
 
+  /** Image table with REAL container bytes: documents wrapped in
+    * structurally valid PNG (even ids) / JPEG (odd ids) containers whose
+    * encoded dimensions derive from the id — so [[probeDims]] exercises
+    * genuine header parsing and the DuckDB oracle can recompute the
+    * dimensions arithmetically. Construction is per-row imperative →
+    * Dataset map (a production deployment replaces this source with its
+    * object-store scan; probe and plumbing stay). */
+  def imageTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).take(128)
+        val w = 16 + (id % 317).toInt
+        val h = 16 + (id % 211).toInt
+        val blob =
+          if (id % 2 == 0) ImageProbe.pngBytes(w, h, payload)
+          else ImageProbe.jpegBytes(w, h, payload)
+        (id, blob)
+      })
+      .toDF("media_id", "blob")
+  }
+
+  /** Probed image header per blob. */
+  case class ImageDims(media_id: Long, format: String, width: Int, height: Int)
+
+  /** Batched header probe over (media_id, blob) rows — same mapPartitions
+    * batch shape as [[featurize]]; unparseable blobs are dropped (the
+    * filter step a curation pipeline applies to corrupt files). */
+  def probeDims(images: DataFrame): Dataset[ImageDims] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("media_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { case (id, blob) =>
+            ImageProbe.probe(blob).map(d =>
+              ImageDims(id, d.format, d.width, d.height))
+          }
+        }
+      }
+  }
+
   /** STUB DECODER — deterministic fake: a real implementation would hand
     * the blob to an image/audio codec; here frames are fixed-width byte
     * slices so tests and oracles are exact. */

@@ -56,6 +56,48 @@ class MediaSpec extends SparkSpec {
     assert(out1.toSeq == out2.toSeq)
   }
 
+  test("image probe: PNG/JPEG round-trip through real container bytes") {
+    import graft.multimodal.ImageProbe
+    val payload = "some pixel-ish payload ÿ bytes".getBytes("ISO-8859-1")
+    val png = ImageProbe.probe(ImageProbe.pngBytes(640, 480, payload))
+    assert(png.contains(ImageProbe.Dims("png", 640, 480)))
+    val jpg = ImageProbe.probe(ImageProbe.jpegBytes(1920, 1080, payload))
+    assert(jpg.contains(ImageProbe.Dims("jpeg", 1920, 1080)))
+  }
+
+  test("image probe: GIF header and malformed/truncated inputs") {
+    import graft.multimodal.ImageProbe
+    // GIF89a, 320x200 little-endian
+    val gif = Array[Byte]('G', 'I', 'F', '8', '9', 'a',
+      0x40, 0x01, 0xc8.toByte, 0x00, 0x00, 0x00)
+    assert(ImageProbe.probe(gif).contains(ImageProbe.Dims("gif", 320, 200)))
+    assert(ImageProbe.probe(Array.emptyByteArray).isEmpty)
+    assert(ImageProbe.probe("not an image at all".getBytes("UTF-8")).isEmpty)
+    // PNG signature but truncated before IHDR dims
+    assert(ImageProbe.probe(ImageProbe.pngBytes(10, 10, Array.emptyByteArray)
+      .take(18)).isEmpty)
+    // JPEG SOI but EOI before any SOF
+    assert(ImageProbe.probe(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
+    // JPEG with a non-FF byte where a marker must be
+    assert(ImageProbe.probe(Array(0xff, 0xd8, 0x00, 0x00, 0x00).map(_.toByte)).isEmpty)
+  }
+
+  test("probeDims: batched probe over the synthesized image table") {
+    withTempDir { dir =>
+      (0L until 20L).map(i => (i, s"doc body $i " + "z" * 200, "en", "src", 10L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val dims = Media.probeDims(Media.imageTable(spark, dir))
+        .collect().sortBy(_.media_id)
+      assert(dims.length == 20, "no blob may fail the probe")
+      dims.foreach { d =>
+        assert(d.format == (if (d.media_id % 2 == 0) "png" else "jpeg"))
+        assert(d.width == 16 + (d.media_id % 317).toInt)
+        assert(d.height == 16 + (d.media_id % 211).toInt)
+      }
+    }
+  }
+
   def withTempDir(f: String => Unit): Unit = {
     val dir = java.nio.file.Files.createTempDirectory("media-spec").toFile
     try f(dir.getAbsolutePath)
