@@ -97,3 +97,67 @@ class IngestMetrics(spark: SparkSession, runId: String) extends AutoCloseable {
   override def close(): Unit =
     spark.sparkContext.removeSparkListener(listener)
 }
+
+object IngestMetrics {
+
+  /** Engine stage → reference metric level (`stage_timer` call sites,
+    * ingest_controller.py:235-391). The engine times the same 8 pipeline
+    * phases; only the names differ (rollup vs summaries — the engine
+    * derives rollup text relationally, the reference via per-level LLM
+    * summary passes). */
+  val LevelByStage: Map[String, String] = Map(
+    "preprocess" -> "preprocess",
+    "chunk_enrich_embed" -> "code_nodes",
+    "catalog" -> "catalog",
+    "file_rollup" -> "file_summaries",
+    "module_rollup" -> "module_summaries",
+    "repo_rollup" -> "repo_summaries",
+    "write" -> "vector_write",
+    "audit" -> "audit_and_clean")
+
+  /** One exported gauge sample — the relational twin of the reference's
+    * `ingest_stage_run_seconds` pushgateway sample
+    * (ingest_controller.py:114-152): same metric name, same label set
+    * (level/repo/namespace/branch/run_id), value in seconds; the engine's
+    * task-level metrics ride along as extra columns a Prometheus exporter
+    * would drop. */
+  final case class GaugeSample(
+      metric_name: String,
+      level: String,
+      repo: String,
+      namespace: String,
+      branch: String,
+      run_id: String,
+      value: Double,
+      task_time_ms: Long,
+      records_read: Long,
+      tasks: Long)
+
+  /** Render a run's stage metrics as gauge samples. */
+  def gauges(
+      metrics: Seq[StageMetric],
+      repo: String,
+      namespace: String,
+      branch: String): Seq[GaugeSample] =
+    metrics.map { m =>
+      GaugeSample("ingest_stage_run_seconds",
+        LevelByStage.getOrElse(m.stage, m.stage),
+        repo, namespace, branch, m.runId,
+        m.wallMs / 1000.0, m.taskTimeMs, m.recordsRead, m.tasks)
+    }
+
+  /** Append a run's gauge samples as a parquet artifact — the engine's
+    * metrics push (a Prometheus deployment tails this dataset or swaps in
+    * a gateway-backed exporter; the sample shape is identical). */
+  def exportGauges(
+      spark: SparkSession,
+      metrics: Seq[StageMetric],
+      path: String,
+      repo: String,
+      namespace: String,
+      branch: String): Unit = {
+    import spark.implicits._
+    gauges(metrics, repo, namespace, branch).toDS()
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+  }
+}

@@ -405,7 +405,12 @@ class IngestPipeline(
       }
       val all = chunks.unionByName(files).unionByName(modules)
         .unionByName(repos).unionByName(cats)
-      val run = metrics.stage("write") { write(all, path, runId) }
+      // store write and audit are separate metric stages, matching the
+      // reference's vector_write / audit_and_clean levels
+      val sink = new graft.sources.ParquetCorpusSink(path)
+      val started = new java.sql.Timestamp(System.currentTimeMillis())
+      metrics.stage("write") { sink.write(all, runId) }
+      val run = metrics.stage("audit") { auditRun(all, sink, path, runId, started) }
       Seq(pre, chunks.toDF, files.toDF, modules.toDF, repos.toDF, cats.toDF)
         .foreach(_.unpersist(blocking = false))
       metrics.awaitDrain()
@@ -414,14 +419,34 @@ class IngestPipeline(
   }
 
   /** S5 sink: one store partitioned by scope (the Spark twin of the five
-    * Cassandra tables) + S6 audit row. */
-  def write(nodes: Dataset[Node], path: String, runId: String): IngestRun = {
+    * Cassandra tables) + S6 audit row. Storage goes through the
+    * [[graft.sources.CorpusSink]] trait — swap in a
+    * [[graft.sources.ConnectorCorpusSink]] for a connector-backed store;
+    * the pipeline code is identical either way. */
+  def write(nodes: Dataset[Node], path: String, runId: String): IngestRun =
+    write(nodes, new graft.sources.ParquetCorpusSink(path), path, runId)
+
+  /** [[write]] with an explicit sink (the audit row still lands next to
+    * `path` — audit is engine bookkeeping, not store payload). */
+  def write(nodes: Dataset[Node], sink: graft.sources.CorpusSink,
+      path: String, runId: String): IngestRun = {
+    val started = new java.sql.Timestamp(System.currentTimeMillis())
+    sink.write(nodes, runId)
+    auditRun(nodes, sink, path, runId, started)
+  }
+
+  /** S6: the audit row, appended next to the store. Chunk count is a
+    * read-back validation when the sink IS the parquet store at `path`;
+    * connector sinks audit from the source node set instead. */
+  def auditRun(nodes: Dataset[Node], sink: graft.sources.CorpusSink,
+      path: String, runId: String, started: java.sql.Timestamp): IngestRun = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    val started = new java.sql.Timestamp(System.currentTimeMillis())
-    nodes.write.mode(SaveMode.Overwrite).partitionBy("scope").parquet(path)
-    val written = spark.read.parquet(path)
-    val chunkCount = written.filter(col("scope") === "chunk").count()
+    val chunkCount = sink match {
+      case _: graft.sources.ParquetCorpusSink =>
+        spark.read.parquet(path).filter(col("scope") === "chunk").count()
+      case _ => nodes.filter(col("scope") === "chunk").count()
+    }
     val finished = new java.sql.Timestamp(System.currentTimeMillis())
     val run = IngestRun(runId, "", "", "", collection, "", started, finished, chunkCount)
     Seq(run).toDS().write.mode(SaveMode.Append).parquet(s"$path-ingest_runs")

@@ -118,7 +118,8 @@ class IngestPipelineSpec extends SparkSpec {
     assert(run.nodeCount > 0)
     val byStage = metrics.map(m => m.stage -> m).toMap
     assert(byStage.keySet == Set("preprocess", "chunk_enrich_embed",
-      "file_rollup", "module_rollup", "repo_rollup", "catalog", "write"),
+      "file_rollup", "module_rollup", "repo_rollup", "catalog", "write",
+      "audit"),
       byStage.keySet.toString)
     assert(metrics.forall(_.wallMs >= 0))
     assert(metrics.forall(_.runId == "run-metrics"))
@@ -129,6 +130,32 @@ class IngestPipelineSpec extends SparkSpec {
     val scopes = spark.read.parquet(s"$out/corpus")
       .select("scope").distinct().as[String].collect().toSet
     assert(scopes == Set("chunk", "file", "module", "repo", "catalog"))
+  }
+
+  test("metrics export: gauge artifact carries the reference's 8 stage levels") {
+    import graft.ingest.IngestMetrics
+    val out = java.nio.file.Files.createTempDirectory("gauges").toString
+    val (_, metrics) = pipeline.runWithMetrics(
+      spark.createDataset(fixtureRepo), s"$out/corpus", "run-gauges")
+    IngestMetrics.exportGauges(spark, metrics, s"$out/metrics",
+      repo = "fixrepo", namespace = "ns", branch = "main")
+    val rows = spark.read.parquet(s"$out/metrics")
+    // the pushgateway sample twin (ingest_controller.py:114-152): one
+    // ingest_stage_run_seconds gauge per stage level, fully labeled
+    val levels = rows.select("level").as[String].collect().toSet
+    assert(levels == Set("preprocess", "code_nodes", "catalog",
+      "file_summaries", "module_summaries", "repo_summaries",
+      "vector_write", "audit_and_clean"), levels.toString)
+    assert(rows.select("metric_name").distinct().as[String].collect().toSeq ==
+      Seq("ingest_stage_run_seconds"))
+    val sample = rows.as[IngestMetrics.GaugeSample].collect().head
+    assert(sample.repo == "fixrepo" && sample.namespace == "ns" &&
+      sample.branch == "main" && sample.run_id == "run-gauges")
+    assert(rows.as[IngestMetrics.GaugeSample].collect().forall(_.value >= 0.0))
+    // append semantics: a second run lands next to the first
+    IngestMetrics.exportGauges(spark, metrics, s"$out/metrics",
+      repo = "fixrepo", namespace = "ns", branch = "main")
+    assert(spark.read.parquet(s"$out/metrics").count() == rows.count() * 2)
   }
 
   test("embeddings are normalized and fixed-dim") {
@@ -168,6 +195,50 @@ class IngestPipelineSpec extends SparkSpec {
     val scopeDirs = new java.io.File(s"$dir/corpus").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(Node.Scopes.forall(s => scopeDirs.contains(s"scope=$s")))
+  }
+
+  test("S5 via sink trait: connector batching matches the reference write semantics") {
+    import graft.sources.{ConnectorCorpusSink, SinkDoc}
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val key = "sink-spec-1"
+    RecordingWriter.reset(key)
+    val run = pipeline.write(corpus,
+      new ConnectorCorpusSink(new RecordingWriter(key), batchSize = 3),
+      s"$dir/corpus", "run-1")
+    val calls = RecordingWriter.calls(key)
+
+    // scopes flow in the fixed catalog→…→chunk order to per-scope tables
+    val scopesSeen = calls.map(_._1).distinct
+    assert(scopesSeen == Node.Scopes.filter(s => scopesSeen.contains(s)))
+    assert(calls.forall { case (s, t, _) =>
+      t == ConnectorCorpusSink.DefaultTables(s) })
+    // batches bounded, every node delivered exactly once, ids stable
+    assert(calls.forall(_._3.length <= 3))
+    val delivered = calls.flatMap(_._3)
+    val expected = corpus.collect()
+    assert(delivered.length == expected.length)
+    assert(delivered.map(_.id).sorted.toSeq ==
+      expected.map(_.rowId).sorted.toSeq)
+    // metadata: string-only, allow-listed (+ shredded list keys + scope)
+    calls.foreach { case (scope, _, batch) =>
+      val allowed = ConnectorCorpusSink.AllowFields(scope).toSet
+      batch.foreach { d: SinkDoc =>
+        d.meta.keys.foreach { k =>
+          val base = k.split(":", 2).head
+          assert(allowed.contains(base) || k == "scope",
+            s"$scope meta key '$k' not allow-listed")
+        }
+        assert(d.meta("scope") == scope)
+      }
+    }
+    // chunk audit count matches without a parquet read-back
+    assert(run.nodeCount == corpus.filter(col("scope") === "chunk").count())
+    // idempotence contract: a re-run delivers the identical id set
+    RecordingWriter.reset(key)
+    new ConnectorCorpusSink(new RecordingWriter(key), batchSize = 3)
+      .write(corpus, "run-1")
+    val redelivered = RecordingWriter.calls(key).flatMap(_._3).map(_.id)
+    assert(redelivered.sorted.toSeq == delivered.map(_.id).sorted.toSeq)
   }
 
   test("P5: spillover meta sanitized to string-string") {
@@ -235,4 +306,25 @@ class IngestPipelineSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq,
       "node content must not depend on partition layout")
   }
+}
+
+/** Test double for [[graft.sources.ScopeBatchWriter]]: upserts run on
+  * executor threads, so calls land in a JVM-static registry (valid in
+  * local mode, where executors share the test JVM). */
+class RecordingWriter(key: String) extends graft.sources.ScopeBatchWriter {
+  override def upsert(scope: String, table: String,
+      batch: Seq[graft.sources.SinkDoc]): Unit =
+    RecordingWriter.record(key, (scope, table, batch))
+}
+
+object RecordingWriter {
+  private val reg = scala.collection.concurrent.TrieMap
+    .empty[String, scala.collection.mutable.ArrayBuffer[
+      (String, String, Seq[graft.sources.SinkDoc])]]
+  def reset(key: String): Unit =
+    reg.put(key, scala.collection.mutable.ArrayBuffer.empty)
+  def record(key: String, call: (String, String, Seq[graft.sources.SinkDoc])): Unit =
+    reg(key).synchronized { reg(key) += call }
+  def calls(key: String): Seq[(String, String, Seq[graft.sources.SinkDoc])] =
+    reg(key).synchronized { reg(key).toSeq }
 }
