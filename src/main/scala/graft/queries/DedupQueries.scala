@@ -298,6 +298,84 @@ object DedupQueries {
       .orderBy(col("keep_id"))
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the O(log n)-round variant that handles ADVERSARIAL graph shapes:
+    * plain label propagation needs O(diameter) rounds on a chain-shaped
+    * dup graph, while star rounds contract any component to a star in
+    * logarithmically many alternations regardless of shape. Dense
+    * simhash band graphs converge in ≤5 rounds either way (propagation
+    * stays the default: fewer jobs per round); this is the flagged
+    * fallback for chain-shaped inputs.
+    *
+    * Each round is two rounds of (symmetrize → per-node min-neighbor agg
+    * → join back), all keyed by node id — (node, label) sized shuffles
+    * only, per-round `localCheckpoint` lineage truncation like the
+    * propagation loop. Convergence = the small-star edge set reaches a
+    * fixpoint (checked by a count + order-independent hash-sum probe).
+    * Returns (node, label) with label = the component's min node id. */
+  private[graft] def componentsStars(s: SparkSession, pairs: DataFrame): DataFrame = {
+    val sym: DataFrame => DataFrame = e =>
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    // large-star: every neighbor v > u links to m(u) = min(Γ(u) ∪ u)
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = sym(e)
+      val mins = nbrs.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      nbrs.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    // small-star: every neighbor v ≤ u (and u itself) links to m(u)
+    def smallStar(e: DataFrame): DataFrame = {
+      val nbrs = sym(e)
+      val mins = nbrs.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      nbrs.join(mins, "src")
+        .filter(col("dst") <= col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(mins.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    var prev: Option[(Long, java.math.BigDecimal)] = None
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 30) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val chk = checksum(next)
+      converged = prev.contains(chk)
+      prev = Some(chk)
+      edges = next
+      iter += 1
+    }
+    // fixpoint edges are stars (v, center): each node labels to its min
+    // neighbor-or-self
+    sym(edges).groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("node"), least(col("mn"), col("node")).as("label"))
+  }
+
+  /** [[qDedupClusters]] computed by the star algorithm — same output,
+    * same oracle; the driver gate proves the two CC variants agree. */
+  def qDedupClustersStars(s: SparkSession, d: String): DataFrame =
+    componentsStars(s, simhashPairs(s, d))
+      .groupBy(col("label").as("keep_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        (count(lit(1)) - 1).as("n_removed"))
+      .orderBy(col("keep_id"))
+
   val qDedupClustersSql: String =
     """WITH RECURSIVE tok AS (
       |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) t
@@ -354,6 +432,7 @@ object DedupQueries {
     "dd_minhash_lsh" -> (qDedupMinhashLsh _),
     "dd_simhash" -> (qDedupSimhash _),
     "dd_simhash_clusters" -> (qDedupClusters _),
+    "dd_simhash_clusters_stars" -> (qDedupClustersStars _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -364,5 +443,6 @@ object DedupQueries {
     "dd_minhash_lsh" -> qDedupJaccardSql, // same contract: verified exact pairs
     "dd_simhash" -> qDedupSimhashSql,
     "dd_simhash_clusters" -> qDedupClustersSql,
+    "dd_simhash_clusters_stars" -> qDedupClustersSql, // CC variants agree
   )
 }

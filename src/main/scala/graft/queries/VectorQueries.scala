@@ -238,6 +238,25 @@ object VectorQueries {
   def qKnnIvf(s: SparkSession, d: String): DataFrame =
     qKnnIvfParam(s, d, nprobe = 4)
 
+  /** IVF with q8-quantized probe scans ([[graft.retrieval.IvfIndex
+    * .searchQ8]]): integer-kernel candidate pruning inside the probed
+    * lists, exact float re-rank — same probe set as [[qKnnIvf]], and
+    * equality with the float path is asserted in RetrievalSpec. Its
+    * recall twin below shares the driver gate. */
+  def qKnnIvfQ8Param(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    import graft.retrieval.IvfIndex
+    val emb = Tables.embeddings(s, d)
+    val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", 16)
+    val index = IvfIndex.withQ8(
+      IvfIndex.assign(emb, "vec_id", "embedding", centroids), "embedding")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    IvfIndex.searchQ8(index, "vec_id", "embedding", queries, centroids,
+      nprobe = nprobe, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** [[qKnnIvf]] with a tunable probe width — the recall/scan-fraction
     * knob (nprobe of 16 lists ≈ fraction of the corpus scanned). */
   def qKnnIvfParam(s: SparkSession, d: String, nprobe: Int): DataFrame = {
@@ -289,6 +308,10 @@ object VectorQueries {
     recallReport(qKnnBrute(s, d),
       qKnnLshParam(s, d, nTables = 8, bitsPerTable = 4), floor = 0.2)
 
+  /** The q8 probe path holds the same recall floor as the float path. */
+  def qKnnIvfQ8Recall(s: SparkSession, d: String): DataFrame =
+    recallReport(qKnnBrute(s, d), qKnnIvfQ8Param(s, d, nprobe = 6), floor = 0.4)
+
   private def recallOracleSql(floor: Double): String =
     s"""SELECT vec_id AS query_id, $floor::DOUBLE AS floor, TRUE AS recall_ok
        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
@@ -302,6 +325,7 @@ object VectorQueries {
     "vs_knn_ivf" -> (qKnnIvf _),
     "vs_knn_ivf_recall" -> (qKnnIvfRecall _),
     "vs_knn_lsh_recall" -> (qKnnLshRecall _),
+    "vs_knn_ivf_q8_recall" -> (qKnnIvfQ8Recall _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -313,5 +337,6 @@ object VectorQueries {
     // their recall twins below carry the hash-checked quality gate
     "vs_knn_ivf_recall" -> recallOracleSql(0.4),
     "vs_knn_lsh_recall" -> recallOracleSql(0.2),
+    "vs_knn_ivf_q8_recall" -> recallOracleSql(0.4),
   )
 }

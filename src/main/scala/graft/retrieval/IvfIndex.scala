@@ -268,4 +268,55 @@ object IvfIndex {
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         round(col("score"), 6).as("score"), col("rank"))
   }
+
+  /** [[search]] with INT8-quantized probe scans (VERDICT r3 item 8): the
+    * probed lists score with the integer `cosine_sim_q8` kernel over a
+    * `q8` column — 4 bytes/dim less IO when the stored index materializes
+    * it ([[write]] of an index built via [[withQ8]]) — keeping
+    * `overfetch × k` candidates per query, which then re-rank with the
+    * exact float cosine. Output equals [[search]] whenever no true
+    * top-k neighbor falls outside the overfetch window (q8 ordering
+    * error ≤ 1/254 per element — the qKnnQuant contract, asserted by
+    * equality in RetrievalSpec). */
+  def searchQ8(
+      index: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: Seq[(Long, Array[Float])],
+      centroids: Array[(Int, Array[Float])],
+      nprobe: Int,
+      k: Int,
+      overfetch: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineQ8, quantizeQ8}
+    val spark = index.sparkSession
+    import spark.implicits._
+    val probeDf = probes(queries, centroids, nprobe).toDF("query_id", "p_cid")
+    val queryDf = queries.toDF("query_id", "qv")
+      .withColumn("qq8", quantizeQ8(col("qv")))
+    val indexed = withQ8(index, vecCol)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qscore").desc, col(idCol))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    indexed
+      .join(broadcast(probeDf), col("centroid_id") === col("p_cid"))
+      .join(broadcast(queryDf), "query_id")
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("qscore", cosineQ8(col("q8"), col("qq8")))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= overfetch * k)
+      .withColumn("score", cosine(col(vecCol), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rank"))
+  }
+
+  /** Materialize the q8 column on an index (idempotent — a stored index
+    * that already carries `q8` is used as-is). */
+  def withQ8(index: DataFrame, vecCol: String): DataFrame = {
+    import graft.functions.VectorFunctions.quantizeQ8
+    if (index.columns.contains("q8")) index
+    else index.withColumn("q8", quantizeQ8(col(vecCol)))
+  }
 }

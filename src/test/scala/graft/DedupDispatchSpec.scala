@@ -22,4 +22,23 @@ class DedupDispatchSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(!p.toLowerCase.contains("window"), p.linesIterator.take(20).mkString("\n"))
   }
+
+  test("star CC agrees with label propagation on the simhash dup graph") {
+    val prop = DedupQueries.qDedupClusters(spark, sf).collect().toSeq
+    val stars = DedupQueries.qDedupClustersStars(spark, sf).collect().toSeq
+    assert(stars == prop)
+  }
+
+  test("star CC contracts a chain graph — the propagation worst case") {
+    import spark.implicits._
+    // 0-1-2-...-99 single chain (diameter 99), plus an isolated pair
+    val chain = (0L until 99L).map(i => (i, i + 1)) :+ (500L, 501L)
+    val labels = DedupQueries.componentsStars(spark,
+      chain.toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 99L).forall(labels(_) == 0L),
+      "every chain node must label to the component min")
+    assert(labels(500L) == 500L && labels(501L) == 500L)
+    assert(labels.size == 102)
+  }
 }

@@ -188,6 +188,24 @@ class RetrievalSpec extends SparkSpec {
       s"hot list: ${listSizes.max} of $total rows")
   }
 
+  test("IVF q8 probe path returns the float path's exact results") {
+    import graft.retrieval.IvfIndex
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", 16)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val index = IvfIndex.assign(emb, "vec_id", "embedding", centroids)
+    val float = IvfIndex.search(index, "vec_id", "embedding", queries,
+      centroids, nprobe = 4, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val q8 = IvfIndex.searchQ8(index, "vec_id", "embedding", queries,
+      centroids, nprobe = 4, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    // same probe lists, 8x overfetch, exact re-rank → identical rows
+    assert(q8 == float)
+  }
+
   test("judge: lenient JSON parse with heuristic fallback") {
     import graft.agent.AgentLoop.{parseJudge, Judgment}
     assert(parseJudge("""{"coverage": 0.8, "needs_more": false}""")
