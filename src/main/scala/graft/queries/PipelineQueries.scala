@@ -41,13 +41,19 @@ object PipelineQueries {
     * total / (k·n). Over-represented domains downsample; the rest pass
     * through. One tiny agg (k rows) joined back nowhere — the rates FEED
     * a sample(), they don't shuffle the corpus. */
+  /** Corpus totals (total rows, source count) as a 1-row aggregate
+    * broadcast-crossed onto the k-row counts relation — the same values
+    * an empty-frame window would compute, without the "moving all data to
+    * a single partition" plan (harmless at k rows, but the cross join is
+    * obviously safe at ANY k and keeps the bench log WARN-free). */
+  private def withTotals(counts: DataFrame): DataFrame =
+    counts.crossJoin(broadcast(counts.agg(
+      sum(col("n")).as("total"), count(lit(1)).as("n_sources"))))
+
   def qMixWeights(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val k = size(collect_set(col("source")).over()) // constant per row
-    counts
-      .withColumn("total", sum(col("n")).over())
-      .withColumn("n_sources", k)
+    withTotals(counts)
       .withColumn("rate",
         least(lit(1.0), col("total").cast("double") /
           (col("n_sources") * col("n")).cast("double")))
@@ -112,19 +118,19 @@ object PipelineQueries {
   def qMixSample(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val rates = counts
-      .withColumn("total", sum(col("n")).over())
-      .withColumn("k", size(collect_set(col("source")).over()))
+    val rates = withTotals(counts)
       .withColumn("rate",
         least(lit(1.0), col("total").cast("double") /
-          (col("k") * col("n")).cast("double")))
+          (col("n_sources") * col("n")).cast("double")))
       .select(col("source").as("r_source"), col("n"), col("rate"))
     val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
       .cast("long") % 10000)
     docs.join(broadcast(rates), col("source") === col("r_source"))
       .filter(bucket < floor(col("rate") * 10000))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_kept"), first(col("n")).as("n_total"))
+      // n is join-constant per source group; min (not first) makes the
+      // determinism self-evident (first() is partition-order dependent)
+      .agg(count(lit(1)).as("n_kept"), min(col("n")).as("n_total"))
       .withColumn("kept_frac",
         round(col("n_kept").cast("double") / col("n_total").cast("double"), 4))
       .orderBy(col("source"))
