@@ -57,6 +57,15 @@ object ProfileAgent {
       evs.foreach(e => println(s"    ${e.event}: ${e.data.take(120)}"))
     }
     timed("all 3 concurrent") { JobStream.runJobs(c, agent, jobs) }
+    val batchJobs = Seq(
+      "batch-1" -> QueryRequest("error handling in query code"),
+      "batch-2" -> QueryRequest("give me an overview of the architecture"),
+      "batch-3" -> QueryRequest("how is the parser class implemented"),
+      "batch-4" -> QueryRequest("where are the config settings loaded"),
+      "batch-5" -> QueryRequest("describe the src3 project", repoName = Some("src3")))
+    timed("5 batched (cold plans)") { JobStream.runJobsBatched(c, agent, batchJobs) }
+    timed("5 batched (warm)") { JobStream.runJobsBatched(c, agent, batchJobs) }
+    timed("5 threaded") { JobStream.runJobs(c, agent, batchJobs) }
     spark.stop()
   }
 }

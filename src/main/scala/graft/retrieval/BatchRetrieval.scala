@@ -47,15 +47,47 @@ object BatchRetrieval {
     "module", "filePath", "text", "topics")
 
   /** Batched retrieval with graph expansion for all `specs`; returns each
-    * query's [[Retrieval.Result]] keyed by spec id. */
+    * query's [[Retrieval.Result]] keyed by spec id. Scan amortization
+    * happens WITHIN a (scope, filters) group; ACROSS groups the stage
+    * chains are independent, so they run from separate threads and the
+    * Spark scheduler overlaps their (many, small) jobs — the same
+    * latency-hiding [[graft.streaming.JobStream.runJobs]] uses, composed
+    * with the per-group scan sharing. */
   def retrieveAll(
       corpus: DataFrame,
       embedder: Embedder,
-      specs: Seq[Spec]): Map[String, Retrieval.Result] =
-    specs.groupBy(sp => (sp.scope, sp.filters)).flatMap {
-      case ((scope, filters), group) =>
-        retrieveGroup(corpus, embedder, scope, filters, group)
+      specs: Seq[Spec]): Map[String, Retrieval.Result] = {
+    // a singleton group gains nothing from the explode/window machinery —
+    // the sequential path (TakeOrdered seeds, per-hop pushdown) IS its
+    // optimal plan and the parity reference, so delegate directly
+    def runGroup(scope: String, filters: Map[String, String],
+        group: Seq[Spec]): Map[String, Retrieval.Result] =
+      if (group.length == 1) {
+        val sp = group.head
+        Map(sp.id -> Retrieval.retrieveResult(
+          corpus, embedder, sp.query, sp.scope, sp.filters))
+      } else retrieveGroup(corpus, embedder, scope, filters, group)
+
+    val groups = specs.groupBy(sp => (sp.scope, sp.filters)).toSeq
+    if (groups.length <= 1)
+      groups.flatMap { case ((scope, filters), group) =>
+        runGroup(scope, filters, group)
+      }.toMap
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, groups.length))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks = groups.map { case ((scope, filters), group) =>
+          new java.util.concurrent.Callable[Map[String, Retrieval.Result]] {
+            override def call(): Map[String, Retrieval.Result] =
+              runGroup(scope, filters, group)
+          }
+        }
+        pool.invokeAll(tasks.asJava).asScala.flatMap(_.get()).toMap
+      } finally pool.shutdown()
     }
+  }
 
   /** All queries of one (scope, filters) group — 1 + maxDepth jobs. */
   private def retrieveGroup(

@@ -101,10 +101,12 @@ class AgentBatchSpec extends SparkSpec {
     // AQE materializes each windowed stage as 2 jobs (shuffle map + final)
     // — still ONE corpus scan per stage. The invariant is therefore not an
     // absolute job count but INDEPENDENCE from Q: 4 queries in one scope
-    // group must launch exactly the jobs 1 query does (stages = 1 seed +
+    // group must launch exactly the jobs 2 queries do (stages = 1 seed +
     // ≤ maxDepth hops), while the sequential loop pays per query.
-    val oneQueryJobs = countJobs {
-      BatchRetrieval.retrieveAll(corpus, embedder, specs.take(1))
+    // (A 1-query "group" intentionally short-circuits to the sequential
+    // path, so the batched baseline is the smallest real group: 2.)
+    val twoQueryJobs = countJobs {
+      BatchRetrieval.retrieveAll(corpus, embedder, specs.take(2))
     }
     val batchJobs = countJobs {
       BatchRetrieval.retrieveAll(corpus, embedder, specs)
@@ -113,10 +115,10 @@ class AgentBatchSpec extends SparkSpec {
       specs.foreach(sp =>
         Retrieval.retrieveResult(corpus, embedder, sp.query, sp.scope))
     }
-    info(s"one scope group: 1 query=$oneQueryJobs jobs, 4 queries=$batchJobs " +
+    info(s"one scope group: 2 queries=$twoQueryJobs jobs, 4 queries=$batchJobs " +
       s"jobs, sequential 4x=$seqJobs jobs")
-    assert(batchJobs == oneQueryJobs,
-      s"job count must not grow with Q: $oneQueryJobs vs $batchJobs")
+    assert(batchJobs == twoQueryJobs,
+      s"job count must not grow with Q: $twoQueryJobs vs $batchJobs")
     assert(seqJobs >= specs.length, "sequential pays ≥1 scan per query")
     assert(batchJobs < seqJobs)
   }
