@@ -298,8 +298,42 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Driver-checkable accuracy gates for the two sketch reports (the
+    * recall-gate pattern, VERDICT r3 item 3): per event type, the
+    * estimate must sit within the error budget of the exact distinct
+    * count. The oracle derives the expected all-true rows from the
+    * events table alone, so the DuckDB hash gate turns red if any
+    * estimate drifts outside the budget — converting the two sketch
+    * entries from rows-only to checked. Budget 5% ≫ the configured
+    * sketch error (2% / lgK-12 HLL), and sketches are deterministic
+    * given the data, so the booleans are stable. */
+  def qUserReachGate(s: SparkSession, d: String): DataFrame =
+    qUserReachApprox(s, d)
+      .select(col("event_type"), round(lit(0.05), 2).as("budget"),
+        (col("rel_err") <= 0.05).as("est_ok"))
+      .orderBy(col("event_type"))
+
+  def qReachSketchGate(s: SparkSession, d: String): DataFrame = {
+    val exact = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    qReachSketchRollup(s, d)
+      .join(exact, "event_type")
+      .select(col("event_type"), round(lit(0.05), 2).as("budget"),
+        (abs(col("est_users") - col("exact_users")).cast("double") /
+          col("exact_users").cast("double") <= 0.05).as("est_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  private val reachGateSql: String =
+    """SELECT event_type, 0.05::DOUBLE AS budget, TRUE AS est_ok
+      |FROM (SELECT DISTINCT event_type FROM events)
+      |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_reach_sketch" -> (qReachSketchRollup _),
+    "ev_reach_sketch_gate" -> (qReachSketchGate _),
+    "ev_user_reach_gate" -> (qUserReachGate _),
     "ev_hourly_rollup" -> (qHourlyRollup _),
     "ev_latest_per_user" -> (qLatestPerUser _),
     "ev_sessionize" -> (qSessionize _),
@@ -314,6 +348,11 @@ object EventQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // ev_reach_sketch / ev_user_reach_approx: sketch estimates aren't
+    // SQL-reproducible → rows-only; their *_gate twins carry the
+    // hash-checked accuracy contract
+    "ev_reach_sketch_gate" -> reachGateSql,
+    "ev_user_reach_gate" -> reachGateSql,
     "ev_hourly_rollup" -> qHourlyRollupSql,
     "ev_latest_per_user" -> qLatestPerUserSql,
     "ev_sessionize" -> qSessionizeSql,
