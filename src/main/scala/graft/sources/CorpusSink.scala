@@ -38,6 +38,35 @@ trait ScopeBatchWriter extends Serializable {
   def upsert(scope: String, table: String, batch: Seq[SinkDoc]): Unit
 }
 
+/** Retry decorator for a [[ScopeBatchWriter]]: bounded attempts with
+  * capped exponential backoff around each batch upsert. Safe BECAUSE the
+  * sink contract is idempotent per (scope, id) — a retried batch that
+  * half-landed upserts the same rows again; nothing duplicates. This is
+  * the transient-fault layer a real connector needs (coordinator
+  * failover, timeouts); the terminal rethrow after `maxAttempts` lets
+  * Spark's own task retry take over with a fresh partition iterator. */
+class RetryingScopeBatchWriter(
+    inner: ScopeBatchWriter,
+    maxAttempts: Int = 3,
+    baseBackoffMs: Long = 100,
+    maxBackoffMs: Long = 2000) extends ScopeBatchWriter {
+  require(maxAttempts >= 1)
+  override def upsert(scope: String, table: String, batch: Seq[SinkDoc]): Unit = {
+    var attempt = 1
+    var done = false
+    while (!done) {
+      try { inner.upsert(scope, table, batch); done = true }
+      catch {
+        case scala.util.control.NonFatal(_) if attempt < maxAttempts =>
+          val backoff = math.min(maxBackoffMs,
+            baseBackoffMs * (1L << math.min(attempt - 1, 20)))
+          Thread.sleep(backoff)
+          attempt += 1
+      }
+    }
+  }
+}
+
 /** Connector-shaped sink implementing the reference write service's
   * batching semantics (vector_write_service.py:100-161):
   *

@@ -241,6 +241,29 @@ class IngestPipelineSpec extends SparkSpec {
     assert(redelivered.sorted.toSeq == delivered.map(_.id).sorted.toSeq)
   }
 
+  test("retrying writer: transient upsert failures recover; terminal ones rethrow") {
+    import graft.sources.{RetryingScopeBatchWriter, ScopeBatchWriter, SinkDoc}
+    val attempts = new java.util.concurrent.atomic.AtomicInteger
+    class Flaky(failFirst: Int) extends ScopeBatchWriter {
+      override def upsert(s: String, t: String, b: Seq[SinkDoc]): Unit =
+        if (attempts.incrementAndGet() <= failFirst)
+          throw new RuntimeException("transient")
+    }
+    val doc = SinkDoc("id1", "t", Array.empty[Float], Map.empty)
+    // 2 transient failures then success, within the 3-attempt budget
+    new RetryingScopeBatchWriter(new Flaky(2), maxAttempts = 3, baseBackoffMs = 1)
+      .upsert("chunk", "embeddings", Seq(doc))
+    assert(attempts.get() == 3)
+    // persistent failure exhausts the budget and rethrows (Spark task
+    // retry then owns the failure)
+    attempts.set(0)
+    val e = intercept[RuntimeException] {
+      new RetryingScopeBatchWriter(new Flaky(99), maxAttempts = 3, baseBackoffMs = 1)
+        .upsert("chunk", "embeddings", Seq(doc))
+    }
+    assert(e.getMessage == "transient" && attempts.get() == 3)
+  }
+
   test("P5: spillover meta sanitized to string-string") {
     val out = IngestPipeline.sanitizeMeta(Map(
       "s" -> "x", "i" -> 7, "b" -> true,
