@@ -167,6 +167,35 @@ object JobStream {
       .start()
   }
 
+  /** ST4 twin — SSE frame rendering over the events sink. The reference
+    * serves `data: {"event": ..., "data": {...}}\n\n` per bus message
+    * (bus.py:24-27, jobs_controller.py:22-27); the engine side of that
+    * contract is the per-job subscription (filter) and the frame
+    * encoding, which run identically on a batch read of the sink or a
+    * `readStream` tail ([[tailFrames]]). The HTTP layer writes frames
+    * through verbatim; `: ping\n\n` keepalives are connection-level, not
+    * data, so they never enter the sink. `data` is already a JSON
+    * object string by construction (see [[event]]), so the frame embeds
+    * it raw rather than re-escaping it through to_json. */
+  def sseFrames(events: DataFrame, jobId: String): DataFrame =
+    events.filter(col("jobId") === jobId)
+      .select(col("ts"), concat(
+        lit("data: {\"event\": \""), col("event"),
+        lit("\", \"data\": "), col("data"), lit("}\n\n")).as("frame"))
+
+  /** Streaming subscription: tail the parquet events sink for one job's
+    * frames — the `bus.stream(job_id)` twin as a Structured Streaming
+    * source (new sink files deliver incrementally; AvailableNow in
+    * tests). */
+  def tailFrames(
+      spark: SparkSession,
+      eventsPath: String,
+      jobId: String): DataFrame = {
+    import spark.implicits._
+    val schema = Seq.empty[JobEvent].toDS().schema
+    sseFrames(spark.readStream.schema(schema).parquet(eventsPath), jobId)
+  }
+
   /** Windowed event analytics over the events sink — the engine-side
     * addition the reference lacks (watermark + tumbling window). */
   def eventCounts(events: DataFrame): DataFrame = {

@@ -55,5 +55,33 @@ class JobStreamSpec extends SparkSpec {
     // every job has exactly one final event
     val finals = events.filter(col("event") === "final").count()
     assert(finals == 2)
+
+    // ST4 twin: stream the sink back as one job's SSE frames
+    val frameDir = java.nio.file.Files.createTempDirectory("graft-sse").toString
+    val fq = JobStream.tailFrames(spark, s"$dir/events", "j1")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$frameDir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("sse_frames").start()
+    fq.awaitTermination(60000)
+    val frames = spark.table("sse_frames").orderBy(col("ts"))
+      .select("frame").collect().map(_.getString(0))
+    val expected = events.filter(col("jobId") === "j1").count()
+    assert(frames.length == expected && frames.nonEmpty)
+    assert(frames.forall(f => f.startsWith("data: {\"event\": \"") &&
+      f.endsWith("}\n\n")))
+    // each frame's payload is one valid JSON object carrying the event
+    frames.foreach { f =>
+      val body = f.stripPrefix("data: ").stripSuffix("\n\n")
+      val parsed = spark.range(1).select(
+        from_json(lit(body),
+          org.apache.spark.sql.types.StructType.fromDDL("event STRING")).as("j"))
+        .select("j.event").collect().head
+      assert(!parsed.isNullAt(0), s"unparseable SSE payload: $body")
+    }
+    // same-millisecond timestamps make intra-job order ties possible —
+    // assert presence, not position
+    assert(frames.exists(_.contains("\"event\": \"started\"")))
+    assert(frames.exists(_.contains("\"event\": \"final\"")))
   }
 }
