@@ -87,6 +87,37 @@ class AgentBatchSpec extends SparkSpec {
     }
   }
 
+  test("property: batch/sequential parity holds on a seeded random corpus") {
+    // the fixture corpus exercises the happy path; a randomized corpus
+    // (random repos/modules/topics, tie-prone texts, mixed scopes)
+    // stresses ranking ties, empty hops and filter interactions
+    val rnd = new scala.util.Random(11)
+    val scopes = graft.model.Node.Scopes
+    val nodes = (0 until 80).map { i =>
+      val repo = s"r${rnd.nextInt(4)}"
+      val module = s"m${rnd.nextInt(3)}"
+      mkNode(f"n$i%03d", scopes(rnd.nextInt(scopes.length)), repo, module,
+        s"$module/f${rnd.nextInt(5)}.py",
+        // small text vocabulary → frequent identical embeddings → ties
+        Seq.fill(3 + rnd.nextInt(4))(s"w${rnd.nextInt(12)}").mkString(" "),
+        Seq.fill(rnd.nextInt(3))(s"t${rnd.nextInt(6)}"))
+    }
+    val rcorpus = spark.createDataset(nodes).toDF().cache()
+    rcorpus.count()
+    val specs = (0 until 6).map { i =>
+      BatchRetrieval.Spec(s"q$i", Seq.fill(4)(s"w${rnd.nextInt(12)}").mkString(" "),
+        scopes(rnd.nextInt(scopes.length)),
+        if (i % 3 == 0) Map("repo" -> s"r${rnd.nextInt(4)}") else Map.empty)
+    }
+    val batched = BatchRetrieval.retrieveAll(rcorpus, embedder, specs)
+    specs.foreach { sp =>
+      val seq = Retrieval.retrieveResult(rcorpus, embedder, sp.query, sp.scope, sp.filters)
+      val bat = batched(sp.id)
+      assert(bat.docs == seq.docs, s"${sp.id} (${sp.scope}, ${sp.filters}): docs diverge")
+      assert(bat.exhausted == seq.exhausted, s"${sp.id}: exhausted flag diverges")
+    }
+  }
+
   test("batched retrieval scan count is O(scope groups), not O(queries)") {
     corpus.count()
     val specs = Seq(

@@ -82,6 +82,35 @@ class MediaSpec extends SparkSpec {
     assert(ImageProbe.probe(Array(0xff, 0xd8, 0x00, 0x00, 0x00).map(_.toByte)).isEmpty)
   }
 
+  test("property: probe round-trips seeded random dims/payloads; never throws on garbage") {
+    import graft.multimodal.ImageProbe
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 200) {
+      val payload = Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt(256).toByte)
+      // PNG dims up to Int.MaxValue-ish; JPEG dims are u16
+      val (wp, hp) = (1 + rnd.nextInt(1 << 20), 1 + rnd.nextInt(1 << 20))
+      assert(ImageProbe.probe(ImageProbe.pngBytes(wp, hp, payload))
+        .contains(ImageProbe.Dims("png", wp, hp)))
+      val (wj, hj) = (1 + rnd.nextInt(65535), 1 + rnd.nextInt(65535))
+      assert(ImageProbe.probe(ImageProbe.jpegBytes(wj, hj, payload))
+        .contains(ImageProbe.Dims("jpeg", wj, hj)),
+        s"jpeg $wj x $hj payload ${payload.length}")
+    }
+    // arbitrary garbage (including signature-prefixed garbage) never throws
+    for (_ <- 0 until 500) {
+      val junk = Array.fill[Byte](rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      ImageProbe.probe(junk)
+      ImageProbe.probe(Array[Byte](0xff.toByte, 0xd8.toByte) ++ junk)
+      ImageProbe.probe(
+        Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++ junk)
+      // truncations of valid containers parse or reject, never throw
+      val png = ImageProbe.pngBytes(640, 480, junk)
+      ImageProbe.probe(png.take(rnd.nextInt(png.length + 1)))
+      val jpg = ImageProbe.jpegBytes(640, 480, junk)
+      ImageProbe.probe(jpg.take(rnd.nextInt(jpg.length + 1)))
+    }
+  }
+
   test("probeDims: batched probe over the synthesized image table") {
     withTempDir { dir =>
       (0L until 20L).map(i => (i, s"doc body $i " + "z" * 200, "en", "src", 10L))
