@@ -168,4 +168,17 @@ class PlanQualitySpec extends SparkSpec {
     val naive = plan(graft.queries.DedupQueries.qDedupJaccard(spark, sf))
     assert(count(naive, "Window") == 0, "naive plan must not pay the rank window")
   }
+
+  test("sequence packing: cumsum window is partition-local, never global") {
+    // the canonical cumsum scale trap is sum().over(orderBy(id)) — an
+    // empty partition spec that plans every row into ONE partition. The
+    // pack query must run its running sum partitioned by pid (the range
+    // partition), with the cross-partition carry coming from broadcast
+    // offsets.
+    val p = plan(graft.queries.PipelineQueries.qPackSequences(spark, sf))
+    assert(p.contains("windowspecdefinition(pid"),
+      s"running sum must be partitioned by pid:\n$p")
+    assert(!p.contains("windowspecdefinition(doc_id"),
+      "no window may sort the whole relation globally")
+  }
 }
