@@ -124,4 +124,24 @@ object TextFunctions {
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
         size(toks).cast("double"))
   }
+
+  /** PII/secret detection patterns (public-shape heuristics; RE2-safe —
+    * no lookaround — so the same pattern runs in Java regex and the
+    * DuckDB oracle). Training-data pipelines run these as a redaction
+    * pass before anything else sees the text. */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val HexSecretPat = "\\b[0-9a-f]{32,}\\b"
+
+  /** Redact PII in place: emails → [EMAIL], IPv4s → [IP], long hex
+    * tokens → [SECRET]. Replacement order is fixed (email first, so an
+    * address is never half-eaten by the hex rule) and must stay in sync
+    * with the SQL oracle twin. Pure Column program — the redaction pass
+    * is a zero-shuffle map at any corpus size. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPat, "[EMAIL]"),
+        Ipv4Pat, "[IP]"),
+      HexSecretPat, "[SECRET]")
 }

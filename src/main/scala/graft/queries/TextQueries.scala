@@ -285,7 +285,70 @@ object TextQueries {
       |   AND top_bigram_frac <= 0.1) AS gopher_pass
       |FROM signals ORDER BY doc_id""".stripMargin
 
+  /** PII redaction pass (the pre-filter every training-data pipeline
+    * runs): per-source detection counts and the characters removed by
+    * redaction. The synthetic corpus carries no PII, so the harness
+    * INJECTS it deterministically from doc_id arithmetic — an email on
+    * id%7, an IPv4 on id%11, a 32-hex token on id%13 — with the
+    * identical construction in the oracle, so both the detectors and
+    * the [[graft.functions.TextFunctions.redactPii]] rewrite are
+    * value-checked, not just plumbing-checked. */
+  def qPiiRedact(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.{redactPii, EmailPat, Ipv4Pat, HexSecretPat}
+    val aug = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@"),
+            col("source"), lit(".example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(lit(" host 10."), pmod(col("doc_id"), lit(256)),
+            lit(".0."), pmod(col("doc_id"), lit(200)), lit(" up")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(lit(" token "), md5(col("doc_id").cast("string"))))
+          .otherwise(lit(""))).as("text"))
+    aug.select(
+      col("source"),
+      size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).as("e"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Pat), lit(0))).as("i"),
+      size(regexp_extract_all(col("text"), lit(HexSecretPat), lit(0))).as("h"),
+      (length(col("text")) - length(redactPii(col("text")))).as("delta"))
+      .groupBy(col("source"))
+      .agg(sum(col("e")).as("n_emails"), sum(col("i")).as("n_ips"),
+        sum(col("h")).as("n_secrets"), sum(col("delta")).as("n_chars_redacted"))
+      .orderBy(col("source"))
+  }
+
+  val qPiiRedactSql: String =
+    """WITH aug AS (
+      |  SELECT source,
+      |    text ||
+      |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@' ||
+      |      source || '.example.com' ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0 THEN ' host 10.' || (doc_id % 256) ||
+      |      '.0.' || (doc_id % 200) || ' up' ELSE '' END ||
+      |    CASE WHEN doc_id % 13 = 0 THEN ' token ' || md5(doc_id::VARCHAR)
+      |      ELSE '' END AS t
+      |  FROM documents),
+      |red AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) e,
+      |    len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) i,
+      |    len(regexp_extract_all(t, '\b[0-9a-f]{32,}\b')) h,
+      |    length(t) - length(
+      |      regexp_replace(regexp_replace(regexp_replace(t,
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+      |        '\b[0-9a-f]{32,}\b', '[SECRET]', 'g')) AS delta
+      |  FROM aug)
+      |SELECT source, sum(e)::BIGINT AS n_emails, sum(i)::BIGINT AS n_ips,
+      |  sum(h)::BIGINT AS n_secrets, sum(delta)::BIGINT AS n_chars_redacted
+      |FROM red GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "td_pii_redact" -> (qPiiRedact _),
     "td_text_profile" -> (qTextProfile _),
     "td_chunk_docs" -> (qChunkDocs _),
     "td_rollup_chunks" -> (qRollupChunks _),
@@ -297,6 +360,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "td_pii_redact" -> qPiiRedactSql,
     "td_text_profile" -> qTextProfileSql,
     "td_chunk_docs" -> qChunkDocsSql,
     "td_rollup_chunks" -> qRollupChunksSql,

@@ -89,6 +89,24 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs < 0.02, s"q8 error too large: $pairs")
   }
 
+  test("redactPii: emails, IPv4s, hex secrets replaced; look-alikes kept") {
+    import graft.functions.TextFunctions.redactPii
+    import spark.implicits._
+    def red(s: String): String =
+      Seq(s).toDF("t").select(redactPii(col("t"))).as[String].head()
+    assert(red("mail bob.smith+x@dev.example.org now") == "mail [EMAIL] now")
+    assert(red("node 192.168.0.1 and 10.0.0.255 down") ==
+      "node [IP] and [IP] down")
+    assert(red("key " + "a1" * 16 + " leaked") == "key [SECRET] leaked")
+    // several kinds in one text, redacted in one pass
+    assert(red("a@b.co 1.2.3.4 " + "0f" * 20) == "[EMAIL] [IP] " + "[SECRET]")
+    // look-alikes survive: version strings, short hex, bare at-signs
+    assert(red("v1.2.3 release") == "v1.2.3 release")
+    assert(red("deadbeef cafe") == "deadbeef cafe")
+    assert(red("meet @ noon") == "meet @ noon")
+    assert(red("") == "")
+  }
+
   test("shingles + jaccard") {
     val df = Seq(("a b c d", "a b c e")).toDF("x", "y")
     val got = df.select(
