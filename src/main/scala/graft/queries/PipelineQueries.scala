@@ -71,6 +71,43 @@ object PipelineQueries {
       |  floor(n * least(1.0, total::DOUBLE / (k * n)))::BIGINT AS eff_rows
       |FROM c, t ORDER BY source""".stripMargin
 
+  /** Temperature-based (α) mixture: target share ∝ share^α, the standard
+    * multilingual/domain re-balancing rule (α < 1 upsamples tails, α = 1
+    * is pass-through, α → 0 approaches uniform — [[qMixWeights]]'s
+    * target). Emitted per source: actual share, target share, and the
+    * per-row rate that reshapes the corpus to the target at constant
+    * total size (rate > 1 = duplication factor for tail sources — a
+    * mixture report states it rather than silently capping). Same scale
+    * shape as the other mix queries: one k-row agg + a broadcast cross
+    * join, nothing corpus-sized moves. */
+  def qMixTemperature(s: SparkSession, d: String, alpha: Double = 0.5): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val share = col("n").cast("double") / col("total").cast("double")
+    val powered = withTotals(counts)
+      .withColumn("share", share)
+      .withColumn("pw", pow(share, lit(alpha)))
+    val zDf = broadcast(powered.agg(sum(col("pw")).as("z")))
+    powered.crossJoin(zDf)
+      .withColumn("target_share", col("pw") / col("z"))
+      .select(col("source"), col("n"),
+        round(col("share"), 6).as("share"),
+        round(col("target_share"), 6).as("target_share"),
+        round(col("target_share") * col("total") / col("n"), 6).as("rate"))
+      .orderBy(col("source"))
+  }
+
+  val qMixTemperatureSql: String =
+    """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      |t AS (SELECT sum(n) AS total FROM c),
+      |p AS (SELECT source, n, n / total::DOUBLE AS share,
+      |        pow(n / total::DOUBLE, 0.5) AS pw, total FROM c, t),
+      |z AS (SELECT sum(pw) AS z FROM p)
+      |SELECT source, n, round(share, 6) AS share,
+      |  round(pw / z, 6) AS target_share,
+      |  round(pw / z * total / n, 6) AS rate
+      |FROM p, z ORDER BY source""".stripMargin
+
   /** Benchmark-contamination check: training docs sharing ≥1 word-3-gram
     * with the held-out eval set (stand-in: doc_id % 97 = 0). The join is
     * keyed by shingle against the DISTINCT eval shingle set — at scale
@@ -227,6 +264,7 @@ object PipelineQueries {
     "td_mix_sample" -> (qMixSample _),
     "td_contamination" -> (qContamination _),
     "td_pack_sequences" -> (qPackSequences _),
+    "td_mix_temperature" -> ((s: SparkSession, d: String) => qMixTemperature(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -235,5 +273,6 @@ object PipelineQueries {
     "td_mix_sample" -> qMixSampleSql,
     "td_contamination" -> qContaminationSql,
     "td_pack_sequences" -> qPackSequencesSql,
+    "td_mix_temperature" -> qMixTemperatureSql,
   )
 }
