@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.DedupStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming exact dedup: first-arrival retention, cross-batch state,
+  * stream ≡ batch invariant on fingerprint sets. */
+class DedupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  def ts(m: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+
+  test("cross-batch duplicates dropped; first arrival survives") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dedup-stream").toString
+    val q = DedupStream.dedup(docs)
+      .select("doc_id", "text")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("memory").queryName("dedup_out")
+      .start()
+    try {
+      // batch 1: two distinct texts plus an in-batch duplicate
+      input.addData(
+        (1L, ts(0), "alpha beta gamma"),
+        (2L, ts(1), "delta epsilon"),
+        (3L, ts(1), "alpha  BETA gamma")) // normalized dup of doc 1
+      q.processAllAvailable()
+      // batch 2: a cross-batch duplicate (state must remember batch 1)
+      // and one new text
+      input.addData(
+        (4L, ts(2), "delta epsilon"),
+        (5L, ts(3), "zeta eta"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val kept = spark.table("dedup_out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 5L),
+      s"first arrivals only (3 normalizes onto 1, 4 duplicates 2): $kept")
+  }
+
+  test("stream equals batch dropDuplicates on fingerprint sets") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 60L).map { i =>
+      // 20 distinct texts, each delivered 3 times at different minutes
+      (i, ts((i % 50).toInt), s"text body number ${i % 20}")
+    }
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dedup-stream-eq").toString
+    val q = DedupStream.dedup(docs, lateness = "2 hours")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("memory").queryName("dedup_eq")
+      .start()
+    try {
+      // deliver in two chunks so dedup state spans micro-batches
+      input.addData(rows.take(25): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(25): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamFps = spark.table("dedup_eq").select("fp").as[String].collect().sorted
+    val batchFps = rows.toDF("doc_id", "ts", "text")
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+      .dropDuplicates("fp")
+      .select("fp").as[String].collect().sorted
+    assert(streamFps.toSeq == batchFps.toSeq)
+    assert(streamFps.length == 20)
+  }
+}
