@@ -258,6 +258,78 @@ object PipelineQueries {
       |  END::BIGINT AS n_spans
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** The composed curation funnel — the end-to-end pass a training-data
+    * pipeline actually runs, as ONE query: raw corpus → train split
+    * (eval held out) → Gopher quality rules → exact dedup (keep min id
+    * per fingerprint) → benchmark decontamination. Emits the survivor
+    * count at each stage, the number every pipeline report leads with.
+    * Each stage reuses the exact operator the standalone query ships
+    * (same columns, same thresholds), so this is composition, not
+    * re-implementation — and each piece scales exactly as its
+    * standalone twin does (per-doc column programs; fp-partitioned
+    * window; broadcast eval shingles). */
+  def qFilterFunnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val isEval = col("doc_id") % 97 === 0
+    val train = docs.filter(!isEval)
+    val quality = train
+      .join(TextQueries.qQualityRules(s, d)
+        .select(col("doc_id"), col("gopher_pass")), "doc_id")
+      .filter(col("gopher_pass"))
+    val deduped = quality
+      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    val evalShingles = docs.filter(isEval)
+      .select(explode(shingles(col("text"), 3)).as("shingle")).distinct()
+    val contaminated = deduped
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("shingle"))
+      .join(broadcast(evalShingles), "shingle")
+      .select(col("doc_id")).distinct()
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    Seq(
+      "0_raw" -> docs, "1_train" -> train, "2_quality" -> quality,
+      "3_dedup" -> deduped.select(col("doc_id")), "4_clean" -> clean.select(col("doc_id")))
+      .map { case (stage, df) =>
+        df.agg(count(lit(1)).as("n_docs")).select(lit(stage).as("stage"), col("n_docs"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("stage"))
+  }
+
+  val qFilterFunnelSql: String =
+    s"""WITH qr AS (SELECT doc_id, gopher_pass FROM (${TextQueries.qQualityRulesSql})),
+       |train AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+       |quality AS (
+       |  SELECT t.doc_id, t.text FROM train t JOIN qr ON t.doc_id = qr.doc_id
+       |  WHERE qr.gopher_pass),
+       |dedup AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text, row_number() OVER (
+       |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+       |      ORDER BY doc_id) rn
+       |    FROM quality) WHERE rn = 1),
+       |tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)])) s
+       |  FROM tok WHERE len(w) >= 3),
+       |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+       |cont AS (
+       |  SELECT DISTINCT sh.doc_id FROM sh
+       |  JOIN dedup dd ON sh.doc_id = dd.doc_id JOIN ev ON sh.s = ev.s),
+       |clean AS (
+       |  SELECT doc_id FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+       |SELECT '0_raw' AS stage, count(*)::BIGINT AS n_docs FROM documents
+       |UNION ALL SELECT '1_train', count(*) FROM train
+       |UNION ALL SELECT '2_quality', count(*) FROM quality
+       |UNION ALL SELECT '3_dedup', count(*) FROM dedup
+       |UNION ALL SELECT '4_clean', count(*) FROM clean
+       |ORDER BY stage""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "td_split_assign" -> (qSplitAssign _),
     "td_mix_weights" -> (qMixWeights _),
@@ -265,6 +337,7 @@ object PipelineQueries {
     "td_contamination" -> (qContamination _),
     "td_pack_sequences" -> (qPackSequences _),
     "td_mix_temperature" -> ((s: SparkSession, d: String) => qMixTemperature(s, d)),
+    "td_filter_funnel" -> (qFilterFunnel _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -274,5 +347,6 @@ object PipelineQueries {
     "td_contamination" -> qContaminationSql,
     "td_pack_sequences" -> qPackSequencesSql,
     "td_mix_temperature" -> qMixTemperatureSql,
+    "td_filter_funnel" -> qFilterFunnelSql,
   )
 }
