@@ -319,4 +319,59 @@ object IvfIndex {
     if (index.columns.contains("q8")) index
     else index.withColumn("q8", quantizeQ8(col(vecCol)))
   }
+
+  /** Two-phase q8 search against a STORED index — the form that actually
+    * realizes the 4-bytes/dim IO saving ([[searchQ8]] on an in-memory
+    * frame still decodes the float column in the same scan):
+    *
+    *   1. probe phase reads ONLY (id, centroid_id, q8) — column pruning
+    *     keeps the float vectors out of the scan entirely (asserted on
+    *     ReadSchema in PlanQualitySpec) — and prunes each probed list to
+    *     `overfetch × k` candidates per query with the integer kernel;
+    *   2. fetch phase joins the surviving candidate ids back against the
+    *     store to read float vectors for ~overfetch × k × Q rows, then
+    *     re-ranks with the exact cosine.
+    *
+    * At 100 TB the probe scan is the dominant cost and shrinks ~4× for
+    * 384-dim float32 vectors; the fetch is a point-lookup-sized join.
+    * Output equals [[search]] under the same overfetch contract
+    * (equality asserted in RetrievalSpec). */
+  def searchQ8Stored(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      vecCol: String,
+      queries: Seq[(Long, Array[Float])],
+      nprobe: Int,
+      k: Int,
+      overfetch: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineQ8, quantizeQ8}
+    import spark.implicits._
+    val (lists, centroids) = load(spark, path)
+    require(lists.columns.contains("q8"),
+      s"index at $path has no q8 column — build it via withQ8 before write")
+    val probeDf = probes(queries, centroids, nprobe).toDF("query_id", "p_cid")
+    val queryDf = queries.toDF("query_id", "qv")
+      .withColumn("qq8", quantizeQ8(col("qv")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qscore").desc, col(idCol))
+    val candidates = lists.select(col(idCol), col("centroid_id"), col("q8"))
+      .join(broadcast(probeDf), col("centroid_id") === col("p_cid"))
+      .join(broadcast(queryDf.select(col("query_id"), col("qq8"))), "query_id")
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("qscore", cosineQ8(col("q8"), col("qq8")))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= overfetch * k)
+      .select(col("query_id"), col(idCol))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    lists.select(col(idCol), col(vecCol))
+      .join(candidates, idCol)
+      .join(broadcast(queryDf.select(col("query_id"), col("qv"))), "query_id")
+      .withColumn("score", cosine(col(vecCol), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rank"))
+  }
 }

@@ -206,6 +206,35 @@ class RetrievalSpec extends SparkSpec {
     assert(q8 == float)
   }
 
+  test("two-phase stored q8 search: narrow probe scan, float fetch, exact results") {
+    import graft.retrieval.IvfIndex
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", 16)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val index = IvfIndex.withQ8(
+      IvfIndex.assign(emb, "vec_id", "embedding", centroids), "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-q8-store").toString
+    IvfIndex.write(index, centroids, dir)
+
+    val stored = IvfIndex.searchQ8Stored(spark, dir, "vec_id", "embedding",
+      queries, nprobe = 4, k = 5)
+    val float = IvfIndex.search(index, "vec_id", "embedding", queries,
+      centroids, nprobe = 4, k = 5)
+    assert(stored.orderBy("query_id", "rank").collect().toSeq ==
+      float.orderBy("query_id", "rank").collect().toSeq)
+
+    // the probe phase must scan only (id, centroid, q8) — the float
+    // vectors stay on disk until the candidate fetch
+    stored.collect()
+    val plan = stored.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    val scanSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scanSchemas.exists(l => l.contains("q8") && !l.contains("embedding")),
+      s"no narrow probe scan found:\n${scanSchemas.mkString("\n")}")
+  }
+
   test("judge: lenient JSON parse with heuristic fallback") {
     import graft.agent.AgentLoop.{parseJudge, Judgment}
     assert(parseJudge("""{"coverage": 0.8, "needs_more": false}""")
