@@ -40,6 +40,11 @@ object BatchRetrieval {
   case class Spec(id: String, query: String, scope: String,
       filters: Map[String, String] = Map.empty)
 
+  /** Plan-size bound per batched stage: each query contributes a
+    * 384-float literal + a match struct to the stage plan, so a group is
+    * capped here and larger batches chunk (see runGroup). */
+  val MaxGroupQueries = 32
+
   private val EdgeKeys = Seq("repo", "module", "filePath", "topics")
   /** Row fields carried through collect (everything Retrieved needs; the
     * embedding stays distributed — scores travel in the match structs). */
@@ -59,14 +64,24 @@ object BatchRetrieval {
       specs: Seq[Spec]): Map[String, Retrieval.Result] = {
     // a singleton group gains nothing from the explode/window machinery —
     // the sequential path (TakeOrdered seeds, per-hop pushdown) IS its
-    // optimal plan and the parity reference, so delegate directly
+    // optimal plan and the parity reference, so delegate directly.
+    // Oversized groups chunk into sub-batches of MaxGroupQueries: each
+    // per-query score/match struct embeds a typedlit query vector, so
+    // plan size (and codegen unit size) is linear in the group — fine at
+    // the reference envelope (max_jobs=10), a plan-compiler hazard at
+    // hundreds. Chunking bounds it at scans-per-stage = ⌈Q/max⌉ instead
+    // of 1, which still amortizes Q-fold down to the chunk count.
     def runGroup(scope: String, filters: Map[String, String],
         group: Seq[Spec]): Map[String, Retrieval.Result] =
       if (group.length == 1) {
         val sp = group.head
         Map(sp.id -> Retrieval.retrieveResult(
           corpus, embedder, sp.query, sp.scope, sp.filters))
-      } else retrieveGroup(corpus, embedder, scope, filters, group)
+      } else if (group.length > MaxGroupQueries)
+        group.grouped(MaxGroupQueries).map(sub =>
+          retrieveGroup(corpus, embedder, scope, filters, sub))
+          .reduce(_ ++ _)
+      else retrieveGroup(corpus, embedder, scope, filters, group)
 
     val groups = specs.groupBy(sp => (sp.scope, sp.filters)).toSeq
     if (groups.length <= 1)

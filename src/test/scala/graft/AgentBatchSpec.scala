@@ -154,6 +154,21 @@ class AgentBatchSpec extends SparkSpec {
     assert(batchJobs < seqJobs)
   }
 
+  test("oversized groups chunk but keep per-query parity") {
+    // 40 specs in one scope group exceed MaxGroupQueries=32 → two
+    // sub-batches; outputs must still equal the sequential path
+    corpus.count()
+    val specs = (0 until 40).map(i =>
+      BatchRetrieval.Spec(s"big$i", s"retry ledger index w${i % 7}", "chunk"))
+    assert(specs.length > BatchRetrieval.MaxGroupQueries)
+    val batched = BatchRetrieval.retrieveAll(corpus, embedder, specs)
+    specs.take(5).foreach { sp =>
+      val seq = Retrieval.retrieveResult(corpus, embedder, sp.query, sp.scope)
+      assert(batched(sp.id).docs == seq.docs, s"${sp.id}: docs diverge")
+    }
+    assert(batched.size == specs.length)
+  }
+
   test("runJobsBatched event trails match runJobs' per job") {
     corpus.count()
     val agent = new AgentLoop(new StubLlm, embedder)
