@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   * A training-data pipeline runs this shape at the ingest edge, so a
   * re-crawled or re-delivered document never re-enters the corpus.
   *
-  * Built on `dropDuplicates` over the md5 fingerprint plus an event-time
-  * watermark: the dedup state store keeps one (fingerprint) key per
-  * distinct document seen inside the lateness horizon and EVICTS keys
-  * older than the watermark — the knob that bounds state at 100 TB
+  * Built on `dropDuplicatesWithinWatermark` over the md5 fingerprint:
+  * the dedup state store keeps one (fingerprint) key per distinct
+  * document seen inside the lateness horizon and EVICTS keys once the
+  * watermark passes them — the knob that bounds state at 100 TB
   * (unbounded-horizon dedup belongs to the batch operator over the
-  * accumulated store; the stream guards the recent window). State is
+  * accumulated store; the stream guards the recent window). Plain
+  * `dropDuplicates(fp)` would NOT do this: without the event-time
+  * column in the key subset its state is never evicted, which is
+  * exactly the unbounded growth this operator exists to avoid. State is
   * partitioned by the fingerprint hash, so it shards with the shuffle
   * exactly like the batch hash-agg.
   *
@@ -36,7 +39,7 @@ object DedupStream {
     docs
       .withColumn("fp", fingerprint(col("text")))
       .withWatermark("ts", lateness)
-      .dropDuplicates("fp")
+      .dropDuplicatesWithinWatermark("fp")
 
   /** Running dedup statistics over the deduped stream: per-window counts
     * of retained documents (append-mode friendly — one row per closed

@@ -45,6 +45,36 @@ class DedupStreamSpec extends SparkSpec {
       s"first arrivals only (3 normalizes onto 1, 4 duplicates 2): $kept")
   }
 
+  test("state evicts past the watermark: a long-later duplicate re-admits") {
+    // the bounded-horizon contract: dedup guards the lateness window,
+    // and once the watermark passes a fingerprint's state the same text
+    // may legitimately re-enter (unbounded-horizon dedup is the batch
+    // operator's job over the accumulated store)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dedup-stream-ev").toString
+    val q = DedupStream.dedup(docs, lateness = "5 minutes")
+      .select("doc_id")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("memory").queryName("dedup_evict")
+      .start()
+    try {
+      input.addData((1L, ts(0), "the one text"))
+      q.processAllAvailable()
+      // push the watermark an hour past doc 1's state
+      input.addData((2L, Timestamp.valueOf("2026-01-01 11:00:00"), "other"))
+      q.processAllAvailable()
+      // same fingerprint, new event time, state long evicted → re-admitted
+      input.addData((3L, Timestamp.valueOf("2026-01-01 11:01:00"), "the one text"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("dedup_evict").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L),
+      s"doc 3 must re-admit after state eviction: $kept")
+  }
+
   test("stream equals batch dropDuplicates on fingerprint sets") {
     implicit val sqlCtx = spark.sqlContext
     val rows = (0L until 60L).map { i =>
