@@ -298,6 +298,83 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Sequential conversion funnel — view → click → purchase in event
+    * order (the match_recognize-style pattern op, expressed
+    * relationally): per user, walk the ordered event sequence advancing
+    * a stage counter on the first view, the first click after it, and
+    * the first purchase after that; report per-step user counts and
+    * conversion fractions.
+    *
+    * ONE shuffle: per-user ordered arrays via collect_list +
+    * array_sort (ties broken by event_id — deterministic and identical
+    * under DuckDB's nanos vs Spark's micros timestamps), walked with an
+    * aggregate HOF. Equivalent to the oracle's min-chain (first view
+    * pos → min click pos after it → min purchase pos after that): the
+    * walk advances on exactly those events. Per-user arrays are
+    * session-scale (same skew class as sessionize — salting/AQE apply
+    * if a user is pathological). */
+  def qEventFunnel(s: SparkSession, d: String): DataFrame = {
+    // WINDOWED funnel: each step must land within 24 hours of the
+    // previous one, or the user stalls at their current stage — the
+    // unbounded variant saturates on dense event streams (every user
+    // eventually does everything) and checks nothing. Time math runs on
+    // integer micros so the oracle (nanos parquet, epoch_ns // 1000)
+    // and Spark (micros timestamps) compare identical values.
+    val byUser = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(
+        col("ts"), col("event_id"), col("event_type")))).as("evs"))
+    val stage = expr(
+      """aggregate(evs,
+        |  named_struct('st', 0, 'dl', CAST(0 AS BIGINT)),
+        |  (acc, x) ->
+        |    CASE WHEN acc.st = 0 AND x.event_type = 'view'
+        |           THEN named_struct('st', 1, 'dl', unix_micros(x.ts) + 86400000000L)
+        |         WHEN acc.st = 1 AND x.event_type = 'click'
+        |              AND unix_micros(x.ts) <= acc.dl
+        |           THEN named_struct('st', 2, 'dl', unix_micros(x.ts) + 86400000000L)
+        |         WHEN acc.st = 2 AND x.event_type = 'purchase'
+        |              AND unix_micros(x.ts) <= acc.dl
+        |           THEN named_struct('st', 3, 'dl', acc.dl)
+        |         ELSE acc END,
+        |  acc -> acc.st)""".stripMargin)
+    byUser.withColumn("stage", stage)
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("s1"),
+        sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("s2"),
+        sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("s3"))
+      .select(expr(
+        "stack(3, '1_view', s1, '2_click', s2, '3_purchase', s3) as (step, n_users)"),
+        col("n_total"))
+      .select(col("step"), col("n_users"),
+        round(col("n_users").cast("double") / col("n_total"), 4).as("frac"))
+      .orderBy(col("step"))
+  }
+
+  val qEventFunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) pos
+      |  FROM events),
+      |v AS (SELECT user_id, min(pos) p1, arg_min(us, pos) t1
+      |      FROM e WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(pos) p2, arg_min(us, pos) t2
+      |      FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND pos > p1
+      |        AND us <= t1 + 86400000000 GROUP BY 1),
+      |p AS (SELECT e.user_id, min(pos) p3 FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND pos > p2
+      |        AND us <= t2 + 86400000000 GROUP BY 1),
+      |t AS (SELECT count(DISTINCT user_id) n FROM events)
+      |SELECT step, n_users::BIGINT AS n_users,
+      |  round(n_users / n::DOUBLE, 4) AS frac
+      |FROM (
+      |  SELECT '1_view' AS step, (SELECT count(*) FROM v) AS n_users
+      |  UNION ALL SELECT '2_click', (SELECT count(*) FROM c)
+      |  UNION ALL SELECT '3_purchase', (SELECT count(*) FROM p)), t
+      |ORDER BY step""".stripMargin
+
   /** Driver-checkable accuracy gates for the two sketch reports (the
     * recall-gate pattern, VERDICT r3 item 3): per event type, the
     * estimate must sit within the error budget of the exact distinct
@@ -345,6 +422,7 @@ object EventQueries {
     "ev_trailing_hour" -> (qTrailingHour _),
     "ev_asof_click" -> (qAsofClick _),
     "ev_range_incidents" -> (qRangeIncidents _),
+    "ev_funnel" -> (qEventFunnel _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -363,5 +441,6 @@ object EventQueries {
     "ev_trailing_hour" -> qTrailingHourSql,
     "ev_asof_click" -> qAsofClickSql,
     "ev_range_incidents" -> qRangeIncidentsSql,
+    "ev_funnel" -> qEventFunnelSql,
   )
 }
