@@ -40,9 +40,10 @@ object BatchRetrieval {
   case class Spec(id: String, query: String, scope: String,
       filters: Map[String, String] = Map.empty)
 
-  /** Plan-size bound per batched stage: each query contributes a
-    * 384-float literal + a match struct to the stage plan, so a group is
-    * capped here and larger batches chunk (see runGroup). */
+  /** Plan-size bound per batched stage on the literal path: each query
+    * contributes a 384-float literal + a match struct to the stage plan,
+    * so a group is capped here and larger batches switch to the
+    * relational path (see runGroup), whose plan is O(1) in Q. */
   val MaxGroupQueries = 32
 
   private val EdgeKeys = Seq("repo", "module", "filePath", "topics")
@@ -65,12 +66,14 @@ object BatchRetrieval {
     // a singleton group gains nothing from the explode/window machinery —
     // the sequential path (TakeOrdered seeds, per-hop pushdown) IS its
     // optimal plan and the parity reference, so delegate directly.
-    // Oversized groups chunk into sub-batches of MaxGroupQueries: each
+    // Small groups (≤ MaxGroupQueries) take the literal path: each
     // per-query score/match struct embeds a typedlit query vector, so
     // plan size (and codegen unit size) is linear in the group — fine at
     // the reference envelope (max_jobs=10), a plan-compiler hazard at
-    // hundreds. Chunking bounds it at scans-per-stage = ⌈Q/max⌉ instead
-    // of 1, which still amortizes Q-fold down to the chunk count.
+    // hundreds. Oversized groups therefore switch to the relational
+    // path, which broadcasts the queries/frontier as a TABLE instead of
+    // inlining them as literals: plan size O(1) in Q, still one scan per
+    // stage.
     def runGroup(scope: String, filters: Map[String, String],
         group: Seq[Spec]): Map[String, Retrieval.Result] =
       if (group.length == 1) {
@@ -78,9 +81,7 @@ object BatchRetrieval {
         Map(sp.id -> Retrieval.retrieveResult(
           corpus, embedder, sp.query, sp.scope, sp.filters))
       } else if (group.length > MaxGroupQueries)
-        group.grouped(MaxGroupQueries).map(sub =>
-          retrieveGroup(corpus, embedder, scope, filters, sub))
-          .reduce(_ ++ _)
+        retrieveGroupRelational(corpus, embedder, scope, filters, group)
       else retrieveGroup(corpus, embedder, scope, filters, group)
 
     val groups = specs.groupBy(sp => (sp.scope, sp.filters)).toSeq
@@ -160,6 +161,131 @@ object BatchRetrieval {
             .select(OutFields.map(col) :+
               explode(filter(array(matchStructs: _*),
                 m => m.getField("ok"))).as("m"): _*),
+          limit = caps.adjacentK)
+        state.values.foreach { st =>
+          if (st.frontier.nonEmpty) {
+            val hop = hopRows.getOrElse(st.sp.id, Nil).toVector
+            st.pool ++= hop
+            st.visited ++= hop.map(_._1.rowId)
+            st.frontier = hop
+          }
+        }
+        depth += 1
+      }
+    }
+
+    state.map { case (id, st) =>
+      id -> Retrieval.Result(
+        st.pool.sortBy { case (r, _) => (-r.score, r.rowId) }
+          .take(caps.k).map(_._1),
+        st.exhausted)
+    }.toMap
+  }
+
+  /** One frontier/query row of the relational batched path: the query
+    * vector plus the hop's edge values and visited set, shipped as a
+    * broadcast TABLE row instead of plan literals. Arrays are empty (not
+    * null) when a key has no values — `array_contains`/`arrays_overlap`
+    * against an empty array is false, which reproduces the literal
+    * path's "condition omitted" semantics inside one fixed predicate. */
+  private case class FrontierRow(
+      qid: String,
+      qvec: Array[Float],
+      repoVals: Seq[String],
+      moduleVals: Seq[String],
+      fileVals: Seq[String],
+      topicVals: Seq[String],
+      visited: Seq[String])
+
+  /** All queries of one (scope, filters) group, relational form (NOTES
+    * round-5 candidate 4): the literal path inlines a 384-float
+    * `typedlit` and a match condition per query into the stage plan, so
+    * analysis/codegen cost is linear in Q and becomes a plan-compiler
+    * hazard past ~32 queries. Here each stage instead
+    * `crossJoin(broadcast(frontierTable))` — Q tiny rows against the
+    * scope scan — and evaluates ONE fixed predicate/score expression
+    * over the joined columns, so the plan is O(1) in Q while keeping the
+    * one-scan-per-stage amortization. The (row, query) pair volume is
+    * identical to the literal path's explode; per-query top-k is the
+    * same rank-window (WindowGroupLimit keeps the shuffle at
+    * partitions × Q × k rows, not |scan| × Q).
+    *
+    * Output parity with [[Retrieval.retrieveResult]] per query — same
+    * seed ranking, hop semantics, pool cap — asserted in AgentBatchSpec
+    * alongside the literal path. */
+  private[graft] def retrieveGroupRelational(
+      corpus: DataFrame,
+      embedder: Embedder,
+      scope: String,
+      filters: Map[String, String],
+      group: Seq[Spec]): Map[String, Retrieval.Result] = {
+    import org.apache.spark.sql.types.ArrayType
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val caps = Retrieval.capsByScope.getOrElse(scope, Retrieval.Caps(10, 3, 8, 2))
+    val base = filters.foldLeft(corpus.filter(col("scope") === scope)) {
+      case (df, (k, v)) => df.schema(k).dataType match {
+        case _: ArrayType => df.filter(array_contains(col(k), v))
+        case _ => df.filter(col(k) === v)
+      }
+    }
+    val qvs: Seq[(Spec, Array[Float])] =
+      group.map(sp => sp -> embedder.embed(sp.query))
+
+    // ---- stage 1: seeds — every (row, query) pair via broadcast of the
+    // (qid, qvec) table; per-query top-startK through the shared window
+    val queriesDF = qvs.map { case (sp, qv) => (sp.id, qv) }
+      .toDF("qid", "qvec")
+    val seedRows = collectTopPerQuery(
+      base.crossJoin(broadcast(queriesDF))
+        .select(OutFields.map(col) :+
+          struct(col("qid"),
+            cosine(col("embedding"), col("qvec")).as("score")).as("m"): _*),
+      limit = caps.startK)
+
+    val state = scala.collection.mutable.LinkedHashMap(group.map { sp =>
+      val seeds = seedRows.getOrElse(sp.id, Nil)
+      sp.id -> QueryState(sp, seeds.toVector,
+        frontier = seeds.toVector,
+        visited = seeds.map(_._1.rowId).toSet,
+        exhausted = seeds.length < caps.startK)
+    }: _*)
+    val qvById = qvs.map { case (sp, qv) => sp.id -> qv }.toMap
+
+    // ---- expansion hops: one scan per depth; the frontier's edge values
+    // travel as a broadcast table, matched by ONE fixed predicate
+    var depth = 0
+    while (depth < caps.maxDepth && state.values.exists(_.frontier.nonEmpty)) {
+      val frontierRows = state.values.filter(_.frontier.nonEmpty).flatMap { st =>
+        val fr = st.frontier.map(_._1)
+        def vals(get: Retrieved => String): Seq[String] =
+          fr.map(get).filter(v => v != null && v.nonEmpty).distinct
+        val row = FrontierRow(st.sp.id, qvById(st.sp.id),
+          vals(_.repo), vals(_.module), vals(_.filePath),
+          fr.flatMap(_.topics).filter(_.nonEmpty).distinct,
+          st.visited.toSeq.sorted)
+        // no edge values at all → the literal path omits the query from
+        // the hop job; here its row would match nothing — drop it early
+        if (row.repoVals.isEmpty && row.moduleVals.isEmpty &&
+          row.fileVals.isEmpty && row.topicVals.isEmpty) None
+        else Some(row)
+      }.toSeq
+      if (frontierRows.isEmpty) {
+        state.values.foreach(st => st.frontier = Vector.empty)
+      } else {
+        val frontierDF = spark.createDataset(frontierRows).toDF()
+        val matched =
+          (array_contains(col("repoVals"), col("repo")) ||
+            array_contains(col("moduleVals"), col("module")) ||
+            array_contains(col("fileVals"), col("filePath")) ||
+            arrays_overlap(col("topics"), col("topicVals"))) &&
+            !array_contains(col("visited"), col("rowId"))
+        val hopRows = collectTopPerQuery(
+          base.crossJoin(broadcast(frontierDF))
+            .filter(matched)
+            .select(OutFields.map(col) :+
+              struct(col("qid"),
+                cosine(col("embedding"), col("qvec")).as("score")).as("m"): _*),
           limit = caps.adjacentK)
         state.values.foreach { st =>
           if (st.frontier.nonEmpty) {

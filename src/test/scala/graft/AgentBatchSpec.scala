@@ -154,9 +154,10 @@ class AgentBatchSpec extends SparkSpec {
     assert(batchJobs < seqJobs)
   }
 
-  test("oversized groups chunk but keep per-query parity") {
-    // 40 specs in one scope group exceed MaxGroupQueries=32 → two
-    // sub-batches; outputs must still equal the sequential path
+  test("oversized groups take the relational path and keep per-query parity") {
+    // 40 specs in one scope group exceed MaxGroupQueries=32 → the
+    // relational (broadcast frontier table) path; outputs must still
+    // equal the sequential path query-by-query
     corpus.count()
     val specs = (0 until 40).map(i =>
       BatchRetrieval.Spec(s"big$i", s"retry ledger index w${i % 7}", "chunk"))
@@ -167,6 +168,53 @@ class AgentBatchSpec extends SparkSpec {
       assert(batched(sp.id).docs == seq.docs, s"${sp.id}: docs diverge")
     }
     assert(batched.size == specs.length)
+  }
+
+  test("relational path: parity with sequential on the random corpus, with filters") {
+    val rnd = new scala.util.Random(23)
+    val scopes = graft.model.Node.Scopes
+    val nodes = (0 until 80).map { i =>
+      val repo = s"r${rnd.nextInt(4)}"
+      val module = s"m${rnd.nextInt(3)}"
+      mkNode(f"n$i%03d", scopes(rnd.nextInt(scopes.length)), repo, module,
+        s"$module/f${rnd.nextInt(5)}.py",
+        Seq.fill(3 + rnd.nextInt(4))(s"w${rnd.nextInt(12)}").mkString(" "),
+        Seq.fill(rnd.nextInt(3))(s"t${rnd.nextInt(6)}"))
+    }
+    val rcorpus = spark.createDataset(nodes).toDF().cache()
+    rcorpus.count()
+    // drive the relational implementation directly (group of 8, below the
+    // automatic switch point) so its semantics are tested independently
+    // of the MaxGroupQueries routing
+    val filt = Map("repo" -> "r1")
+    val specs = (0 until 8).map(i =>
+      BatchRetrieval.Spec(s"rel$i",
+        Seq.fill(4)(s"w${rnd.nextInt(12)}").mkString(" "), "chunk", filt))
+    val rel = BatchRetrieval.retrieveGroupRelational(
+      rcorpus, embedder, "chunk", filt, specs)
+    specs.foreach { sp =>
+      val seq = Retrieval.retrieveResult(rcorpus, embedder, sp.query, sp.scope, sp.filters)
+      assert(rel(sp.id).docs == seq.docs, s"${sp.id}: docs diverge")
+      assert(rel(sp.id).exhausted == seq.exhausted, s"${sp.id}: exhausted diverges")
+    }
+  }
+
+  test("relational path job count does not grow with Q") {
+    corpus.count()
+    def specsOf(n: Int) = (0 until n).map(i =>
+      BatchRetrieval.Spec(s"s$i", s"retry ledger index w${i % 7}", "chunk"))
+    // both sizes are above MaxGroupQueries → both relational; the job
+    // count per stage chain must be identical (1 seed + ≤ maxDepth hops,
+    // ×2 jobs per windowed stage under AQE), regardless of Q
+    BatchRetrieval.retrieveAll(corpus, embedder, specsOf(33)) // warm-up
+    val jobs33 = countJobs {
+      BatchRetrieval.retrieveAll(corpus, embedder, specsOf(33))
+    }
+    val jobs48 = countJobs {
+      BatchRetrieval.retrieveAll(corpus, embedder, specsOf(48))
+    }
+    info(s"relational group: Q=33 → $jobs33 jobs, Q=48 → $jobs48 jobs")
+    assert(jobs33 == jobs48, s"job count grew with Q: $jobs33 vs $jobs48")
   }
 
   test("runJobsBatched event trails match runJobs' per job") {
