@@ -421,6 +421,89 @@ object DedupQueries {
       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Token n-grams a duplicated-substring scan runs over. 8 whitespace
+    * tokens ≈ the paper's 50-character minimum matching span. */
+  private val SubstringW = 8
+
+  /** Duplicated-substring spans (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499): rather than
+    * removing whole near-duplicate documents, find the exact token spans
+    * that occur more than once ANYWHERE in the corpus — boilerplate
+    * headers, license blocks, templated fragments — and report each
+    * document's duplicated-token fraction, the signal a curation pipeline
+    * thresholds or clips on.
+    *
+    * The paper builds one corpus-wide suffix array, which is inherently
+    * sequential; the distributed twin is fixed-width token n-gram
+    * postings: a token [[SubstringW]]-gram occurring ≥2 times corpus-wide
+    * (across docs or repeated within one) marks all W positions it covers
+    * as duplicated. Any duplicated substring of ≥ W tokens is a chain of
+    * duplicated W-grams, so coverage is identical to the suffix-array
+    * answer for spans ≥ W; spans shorter than W are below the matching
+    * threshold by construction.
+    *
+    * Scale shape: the only wide exchange is the postings shuffle keyed by
+    * the n-gram (count is map-side combinable) plus the equi-join back to
+    * occurrences — never doc×doc pairs. The union of overlapping W-wide
+    * spans per doc is an interval union computed with one lag window
+    * (contribution = min(W, pos − prev)), not a W× position explode. At
+    * 100 TB the n-gram key would be a 128-bit hash instead of the string
+    * (same plan, narrower shuffle); the string key here keeps the result
+    * bit-exact against the DuckDB oracle. */
+  def qDedupSubstring(s: SparkSession, d: String): DataFrame = {
+    val W = SubstringW
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+    val ng = toks
+      .filter(size(col("w")) >= W)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("w")) - (W - 1)),
+          i => struct(i.as("pos"),
+            concat_ws(" ", slice(col("w"), i, lit(W))).as("g")))).as("u"))
+      .select(col("doc_id"), col("u.pos").as("pos"), col("u.g").as("g"))
+    val dup = ng.groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("g"))
+    val ww = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cov = ng.join(dup, "g")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("prev", lag(col("pos"), 1).over(ww))
+      .withColumn("contrib", when(col("prev").isNull, lit(W))
+        .otherwise(least(lit(W), col("pos") - col("prev"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).cast("long").as("dup_tokens"))
+    toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_frac",
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupSubstringSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents),
+      |ng AS (
+      |  SELECT doc_id, unnest([{'pos': i, 'g': array_to_string(w[i:i+7], ' ')}
+      |    FOR i IN range(1, len(w)-6)], recursive := true)
+      |  FROM tok WHERE len(w) >= 8),
+      |dup AS (SELECT g FROM ng GROUP BY g HAVING count(*) >= 2),
+      |occ AS (SELECT ng.doc_id AS doc_id, ng.pos AS pos FROM ng JOIN dup USING (g)),
+      |lagd AS (
+      |  SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) prev
+      |  FROM occ),
+      |cov AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN prev IS NULL THEN 8 ELSE least(8, pos - prev) END)::BIGINT dup_tokens
+      |  FROM lagd GROUP BY 1)
+      |SELECT t.doc_id AS doc_id, len(w)::BIGINT AS n_tokens,
+      |  coalesce(c.dup_tokens, 0)::BIGINT AS dup_tokens,
+      |  round(coalesce(c.dup_tokens, 0) / len(w)::DOUBLE, 4) AS dup_frac
+      |FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (qDedupExact _),
     "dd_jaccard" -> (qDedupJaccard _),
@@ -433,6 +516,7 @@ object DedupQueries {
     "dd_simhash" -> (qDedupSimhash _),
     "dd_simhash_clusters" -> (qDedupClusters _),
     "dd_simhash_clusters_stars" -> (qDedupClustersStars _),
+    "dd_substring" -> (qDedupSubstring _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -444,5 +528,6 @@ object DedupQueries {
     "dd_simhash" -> qDedupSimhashSql,
     "dd_simhash_clusters" -> qDedupClustersSql,
     "dd_simhash_clusters_stars" -> qDedupClustersSql, // CC variants agree
+    "dd_substring" -> qDedupSubstringSql,
   )
 }

@@ -29,6 +29,47 @@ class DedupDispatchSpec extends SparkSpec {
     assert(stars == prop)
   }
 
+  test("substring spans: hand-computable coverage on a crafted corpus") {
+    import spark.implicits._
+    // d0 ≡ d1 (every 8-gram duplicated), d2 shares only its first 8-gram
+    // with them, d3 is below the W=8 span threshold, d4 repeats an 8-token
+    // block WITHIN one document (within-doc occurrences must count too)
+    val docs = Seq(
+      (0L, "a b c d e f g h i j", "en", "web", 19L),
+      (1L, "a b c d e f g h i j", "en", "web", 19L),
+      (2L, "a b c d e f g h x y", "en", "web", 19L),
+      (3L, "u1 u2 u3 u4 u5 u6 u7", "en", "web", 20L),
+      (4L, "p q r s t u v w p q r s t u v w", "en", "web", 31L))
+    val dir = java.nio.file.Files.createTempDirectory("ddsub").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = DedupQueries.qDedupSubstring(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((10L, 10L, 1.0)), "exact dup covers every token")
+    assert(out(1L) == ((10L, 10L, 1.0)))
+    assert(out(2L) == ((10L, 8L, 0.8)), "only the shared leading 8-gram")
+    assert(out(3L) == ((7L, 0L, 0.0)), "below the span threshold")
+    assert(out(4L) == ((16L, 16L, 1.0)), "within-doc repeat covers both copies")
+  }
+
+  test("substring spans at sf0.01: coverage invariants hold corpus-wide") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = DedupQueries.qDedupSubstring(spark, sf).collect()
+    val nDocs = graft.queries.Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, "one row per document")
+    rows.foreach { r =>
+      val (n, dup, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(dup >= 0 && dup <= n, s"doc ${r.getLong(0)}: dup=$dup n=$n")
+      // coverage is a union of 8-wide spans: any covered doc has ≥8
+      assert(dup == 0 || dup >= 8, s"doc ${r.getLong(0)}: partial span dup=$dup")
+      assert(math.abs(frac - (dup.toDouble / n * 10000).round / 10000.0) < 1e-9)
+    }
+    // the synthetic corpus templates text from a small phrase pool, so
+    // duplicated spans must exist, including fully-templated docs
+    assert(rows.count(_.getLong(2) > 0) > 0, "no duplicated spans found")
+    assert(rows.exists(_.getDouble(3) == 1.0), "expected fully-covered docs")
+  }
+
   test("star CC contracts a chain graph — the propagation worst case") {
     import spark.implicits._
     // 0-1-2-...-99 single chain (diameter 99), plus an isolated pair
