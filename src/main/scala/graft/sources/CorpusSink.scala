@@ -67,6 +67,87 @@ class RetryingScopeBatchWriter(
   }
 }
 
+/** Where applied batch tokens are durably recorded. A real connector
+  * backs this with the store itself (a conditional insert / LWT into a
+  * receipts table, so the receipt commits in the same consistency domain
+  * as the data); [[InMemoryTokenLedger]] is the local-mode twin. */
+trait TokenLedger extends Serializable {
+  /** True iff `token`'s batch already landed durably. */
+  def committed(token: String): Boolean
+  /** Record `token` as applied — called only AFTER the write succeeded. */
+  def commit(token: String): Unit
+}
+
+/** JVM-static ledger for local mode and tests (executors share the JVM;
+  * the registry survives task re-serialization like a store would). */
+class InMemoryTokenLedger(name: String) extends TokenLedger {
+  override def committed(token: String): Boolean =
+    InMemoryTokenLedger.registry(name).contains(token)
+  override def commit(token: String): Unit =
+    InMemoryTokenLedger.registry(name).put(token, true)
+}
+
+object InMemoryTokenLedger {
+  private val reg = scala.collection.concurrent.TrieMap
+    .empty[String, scala.collection.concurrent.TrieMap[String, Boolean]]
+  private def registry(name: String) =
+    reg.getOrElseUpdate(name, scala.collection.concurrent.TrieMap.empty)
+  def reset(name: String): Unit = reg.remove(name)
+}
+
+/** Idempotency-token decorator (NOTES round-5 candidate 3): makes batch
+  * delivery effectively-once for REPLAYS even when the underlying store
+  * is not naturally idempotent (append-only stores, stores with write
+  * side-effects). The token is content-derived — sha1 over (scope, table,
+  * sorted doc ids + content fingerprints) — so any re-delivery of the
+  * same logical batch (Spark task retry after a lost executor, a whole
+  * job re-run, a speculative duplicate finishing late) maps to the same
+  * token and is skipped once the ledger holds its receipt.
+  *
+  * Ordering contract: the receipt commits only AFTER the inner write
+  * succeeded, so a batch that failed mid-write is NOT marked applied and
+  * the retry writes it again (at-least-once under failure, exactly-once
+  * under replay). Compose retries INSIDE the dedup layer —
+  * `new DedupingScopeBatchWriter(new RetryingScopeBatchWriter(store), l)`
+  * — so backoff attempts of a failed write are not mistaken for replays.
+  * Two CONCURRENT duplicates of an uncommitted batch can both write
+  * (check and commit are not one atomic step here); that is the same
+  * at-least-once window every receipt pattern has, closed in production
+  * by making [[TokenLedger.commit]] a conditional insert, and harmless
+  * against an idempotent-upsert store. */
+class DedupingScopeBatchWriter(
+    inner: ScopeBatchWriter,
+    ledger: TokenLedger) extends ScopeBatchWriter {
+  override def upsert(scope: String, table: String, batch: Seq[SinkDoc]): Unit = {
+    val token = DedupingScopeBatchWriter.token(scope, table, batch)
+    if (!ledger.committed(token)) {
+      inner.upsert(scope, table, batch)
+      ledger.commit(token)
+    }
+  }
+}
+
+object DedupingScopeBatchWriter {
+  /** Deterministic batch token: independent of in-batch order (ids sort
+    * the digest input) and of JVM identity (content bytes only). */
+  def token(scope: String, table: String, batch: Seq[SinkDoc]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.update(scope.getBytes("UTF-8")); md.update(0: Byte)
+    md.update(table.getBytes("UTF-8")); md.update(0: Byte)
+    batch.sortBy(_.id).foreach { d =>
+      md.update(d.id.getBytes("UTF-8")); md.update(0: Byte)
+      md.update(d.text.getBytes("UTF-8")); md.update(0: Byte)
+      d.embedding.foreach(f =>
+        md.update(java.nio.ByteBuffer.allocate(4).putFloat(f).array()))
+      d.meta.toSeq.sorted.foreach { case (k, v) =>
+        md.update(k.getBytes("UTF-8")); md.update(0: Byte)
+        md.update(v.getBytes("UTF-8")); md.update(0: Byte)
+      }
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+}
+
 /** Connector-shaped sink implementing the reference write service's
   * batching semantics (vector_write_service.py:100-161):
   *

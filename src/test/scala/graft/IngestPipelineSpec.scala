@@ -264,6 +264,66 @@ class IngestPipelineSpec extends SparkSpec {
     assert(e.getMessage == "transient" && attempts.get() == 3)
   }
 
+  test("deduping writer: replayed batches apply once, failed writes leave no receipt") {
+    import graft.sources.{DedupingScopeBatchWriter, InMemoryTokenLedger,
+      RetryingScopeBatchWriter, ScopeBatchWriter, SinkDoc}
+    val writes = new java.util.concurrent.atomic.AtomicInteger
+    val failures = new java.util.concurrent.atomic.AtomicInteger
+    class Store extends ScopeBatchWriter {
+      override def upsert(s: String, t: String, b: Seq[SinkDoc]): Unit = {
+        if (failures.getAndDecrement() > 0) throw new RuntimeException("boom")
+        writes.incrementAndGet()
+      }
+    }
+    failures.set(0)
+    InMemoryTokenLedger.reset("idem-spec")
+    val ledger = new InMemoryTokenLedger("idem-spec")
+    val w = new DedupingScopeBatchWriter(new Store, ledger)
+    val b1 = Seq(SinkDoc("a", "ta", Array(1f), Map("k" -> "v")),
+      SinkDoc("b", "tb", Array(2f), Map.empty))
+    // replay of an identical batch is skipped — including in reversed
+    // delivery order (the token is content-derived, order-independent)
+    w.upsert("chunk", "embeddings", b1)
+    w.upsert("chunk", "embeddings", b1)
+    w.upsert("chunk", "embeddings", b1.reverse)
+    assert(writes.get() == 1, "identical batch must land exactly once")
+    // a different batch (same ids, changed content) is NOT a replay
+    w.upsert("chunk", "embeddings", b1.map(d => d.copy(text = d.text + "!")))
+    assert(writes.get() == 2)
+    // same content, different table → different token
+    w.upsert("chunk", "embeddings_file", b1)
+    assert(writes.get() == 3)
+
+    // commit-after-write: a failed write leaves no receipt, so the retry
+    // layer (composed INSIDE the dedup layer) still lands the batch
+    InMemoryTokenLedger.reset("idem-spec")
+    writes.set(0); failures.set(1)
+    val wr = new DedupingScopeBatchWriter(
+      new RetryingScopeBatchWriter(new Store, maxAttempts = 3, baseBackoffMs = 1),
+      new InMemoryTokenLedger("idem-spec"))
+    wr.upsert("chunk", "embeddings", b1)
+    assert(writes.get() == 1, "retry after transient failure must write")
+    wr.upsert("chunk", "embeddings", b1)
+    assert(writes.get() == 1, "replay after commit must be skipped")
+  }
+
+  test("S5 end-to-end: a re-run through the deduping connector sink delivers nothing") {
+    import graft.sources.{ConnectorCorpusSink, DedupingScopeBatchWriter,
+      InMemoryTokenLedger}
+    val key = "sink-idem-1"
+    RecordingWriter.reset(key)
+    InMemoryTokenLedger.reset(key)
+    val sink = new ConnectorCorpusSink(
+      new DedupingScopeBatchWriter(new RecordingWriter(key),
+        new InMemoryTokenLedger(key)), batchSize = 3)
+    sink.write(corpus, "run-1")
+    val first = RecordingWriter.calls(key).flatMap(_._3).map(_.id).sorted
+    assert(first.nonEmpty)
+    sink.write(corpus, "run-1")
+    val second = RecordingWriter.calls(key).flatMap(_._3).map(_.id).sorted
+    assert(second == first, "re-run must not re-deliver any batch")
+  }
+
   test("P5: spillover meta sanitized to string-string") {
     val out = IngestPipeline.sanitizeMeta(Map(
       "s" -> "x", "i" -> 7, "b" -> true,
