@@ -30,6 +30,17 @@ object VectorFunctions {
   def cosineQ8(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarityQ8(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** PQ codes of a float/double vector under `cb` ([[PqEncode]]). Not
+    * SQL-registered: the codebook is a trained object, not a literal. */
+  def pqEncode(vec: Column, cb: PqCodebooks): Column =
+    GraftBridge.column(PqEncode(GraftBridge.expression(vec), cb))
+
+  /** ADC score of PQ codes against a per-query lookup-table column
+    * ([[PqAdcScore]]). */
+  def pqAdc(codes: Column, dtable: Column, ks: Int): Column =
+    GraftBridge.column(PqAdcScore(
+      GraftBridge.expression(codes), GraftBridge.expression(dtable), ks))
+
   /** Register SQL names on a live session (for sessions built without
     * [[graft.GraftExtensions]], e.g. the driver-owned one in `entry`). */
   def register(spark: SparkSession): Unit = {

@@ -257,6 +257,30 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-PQ: product-quantized probe scans with ADC scoring
+    * ([[graft.retrieval.IvfIndex.searchPq]]) — the deepest compression
+    * tier (float 256 B → q8 64 B → PQ m=8 codes = 8 B per vector), with
+    * exact float re-rank of the overfetched survivors. Same probe set as
+    * [[qKnnIvf]]; recall twin below rides the driver gate. */
+  def qKnnPqParam(s: SparkSession, d: String, nprobe: Int,
+      overfetch: Int = 8): DataFrame = {
+    import graft.retrieval.IvfIndex
+    val emb = Tables.embeddings(s, d)
+    val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", 16)
+    val cb = IvfIndex.trainPq(emb, "vec_id", "embedding", m = 8, ks = 16)
+    val index = IvfIndex.withPq(
+      IvfIndex.assign(emb, "vec_id", "embedding", centroids), "embedding", cb)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    IvfIndex.searchPq(index, "vec_id", "embedding", queries, centroids, cb,
+      nprobe = nprobe, k = 5, overfetch = overfetch)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def qKnnPq(s: SparkSession, d: String): DataFrame =
+    qKnnPqParam(s, d, nprobe = 4)
+
   /** [[qKnnIvf]] with a tunable probe width — the recall/scan-fraction
     * knob (nprobe of 16 lists ≈ fraction of the corpus scanned). */
   def qKnnIvfParam(s: SparkSession, d: String, nprobe: Int): DataFrame = {
@@ -312,6 +336,15 @@ object VectorQueries {
   def qKnnIvfQ8Recall(s: SparkSession, d: String): DataFrame =
     recallReport(qKnnBrute(s, d), qKnnIvfQ8Param(s, d, nprobe = 6), floor = 0.4)
 
+  /** PQ recall@5 ≥ 0.2 per query at the recall-tier config (nprobe 6,
+    * 16× overfetch). The floor sits a tier below IVF's 0.4: the 8-byte
+    * ADC prune inside probed lists is deliberately lossier than the
+    * float/q8 paths (measured per-query recall at this config spans
+    * 0.4–1.0 at sf0.01 — the 0.2 floor keeps 2× headroom). */
+  def qKnnPqRecall(s: SparkSession, d: String): DataFrame =
+    recallReport(qKnnBrute(s, d),
+      qKnnPqParam(s, d, nprobe = 6, overfetch = 16), floor = 0.2)
+
   private def recallOracleSql(floor: Double): String =
     s"""SELECT vec_id AS query_id, $floor::DOUBLE AS floor, TRUE AS recall_ok
        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
@@ -323,7 +356,9 @@ object VectorQueries {
     "vs_label_stats" -> (qLabelStats _),
     "vs_knn_lsh" -> (qKnnLsh _),
     "vs_knn_ivf" -> (qKnnIvf _),
+    "vs_knn_pq" -> (qKnnPq _),
     "vs_knn_ivf_recall" -> (qKnnIvfRecall _),
+    "vs_knn_pq_recall" -> (qKnnPqRecall _),
     "vs_knn_lsh_recall" -> (qKnnLshRecall _),
     "vs_knn_ivf_q8_recall" -> (qKnnIvfQ8Recall _),
   )
@@ -336,6 +371,7 @@ object VectorQueries {
     // vs_knn_lsh / vs_knn_ivf: approximate — rows-only (no oracle entry);
     // their recall twins below carry the hash-checked quality gate
     "vs_knn_ivf_recall" -> recallOracleSql(0.4),
+    "vs_knn_pq_recall" -> recallOracleSql(0.2),
     "vs_knn_lsh_recall" -> recallOracleSql(0.2),
     "vs_knn_ivf_q8_recall" -> recallOracleSql(0.4),
   )

@@ -320,6 +320,166 @@ object IvfIndex {
     else index.withColumn("q8", quantizeQ8(col(vecCol)))
   }
 
+  /** Materialize PQ codes on an index (idempotent, like [[withQ8]]). */
+  def withPq(index: DataFrame, vecCol: String,
+      cb: graft.functions.PqCodebooks): DataFrame = {
+    import graft.functions.VectorFunctions.pqEncode
+    if (index.columns.contains("pq")) index
+    else index.withColumn("pq", pqEncode(col(vecCol), cb))
+  }
+
+  /** Train PQ codebooks for an embedding frame on the same bounded
+    * seeded sample discipline as [[buildCentroids]] — never the full
+    * corpus. Deterministic for a given frame. */
+  def trainPq(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ks: Int): graft.functions.PqCodebooks = {
+    val n = emb.count()
+    val target = math.max(50L * ks, 2000L)
+    val sample =
+      (if (n <= target) emb.select(col(idCol), col(vecCol))
+       else emb.select(col(idCol), col(vecCol))
+         .sample(withReplacement = false,
+           math.min(1.0, target.toDouble * 1.2 / n), seed = 42))
+        .orderBy(col(idCol))
+        .collect()
+        .map(_.getSeq[Float](1).toArray)
+    graft.functions.PqCodebooks.train(sample, m, ks)
+  }
+
+  /** IVF-PQ search ([[graft.functions.PqCodebooks]]): the probe phase
+    * touches ONLY (id, centroid_id, pq) — m bytes of code per candidate
+    * instead of 4·dim of float — and scores with the ADC kernel against
+    * each query's broadcast lookup table; the `overfetch × k` survivors
+    * re-rank with the exact float cosine, so scores are exact and only
+    * recall is approximate (same contract as [[searchQ8]], one more
+    * compression step down: float 256 B → q8 64 B → PQ 8 B per 64-dim
+    * vector). Works on an in-memory frame or loaded stored lists; with a
+    * stored index the probe scan's ReadSchema carries no float vectors. */
+  def searchPq(
+      index: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: Seq[(Long, Array[Float])],
+      centroids: Array[(Int, Array[Float])],
+      cb: graft.functions.PqCodebooks,
+      nprobe: Int,
+      k: Int,
+      overfetch: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions.pqAdc
+    val spark = index.sparkSession
+    import spark.implicits._
+    val probeDf = probes(queries, centroids, nprobe).toDF("query_id", "p_cid")
+    val queryDf = queries.toDF("query_id", "qv")
+    val tableDf = queries.map { case (qid, qv) => (qid, cb.adcTable(qv).toSeq) }
+      .toDF("query_id", "dt")
+    val coded = withPq(index, vecCol, cb)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col(idCol))
+    val candidates = coded.select(col(idCol), col("centroid_id"), col("pq"))
+      .join(broadcast(probeDf), col("centroid_id") === col("p_cid"))
+      .join(broadcast(tableDf), "query_id")
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("adc", pqAdc(col("pq"), col("dt"), cb.ks))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= overfetch * k)
+      .select(col("query_id"), col(idCol))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    index.select(col(idCol), col(vecCol))
+      .join(candidates, idCol)
+      .join(broadcast(queryDf), "query_id")
+      .withColumn("score", cosine(col(vecCol), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rank"))
+  }
+
+  /** Persist trained PQ codebooks alongside an index: one row per
+    * (subspace, code) centroid — the index artifact a stored
+    * [[searchPqStored]] reloads. */
+  def writePq(
+      spark: SparkSession,
+      cb: graft.functions.PqCodebooks,
+      path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      j <- 0 until cb.m
+      c <- 0 until cb.ks
+    } yield (j, c, cb.subDim, cb.centroids(j)(c).toSeq)
+    rows.toDF("subspace", "code", "sub_dim", "centroid")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/pq_codebooks")
+  }
+
+  /** Load PQ codebooks written by [[writePq]]. */
+  def loadPq(spark: SparkSession, path: String): graft.functions.PqCodebooks = {
+    val rows = spark.read.parquet(s"$path/pq_codebooks").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getSeq[Float](3).toArray)))
+      .toMap
+    require(rows.nonEmpty, s"no PQ codebooks at $path")
+    val m = rows.keys.map(_._1).max + 1
+    val ks = rows.keys.map(_._2).max + 1
+    val subDim = rows.values.head._1
+    val cents = Array.tabulate(m, ks)((j, c) => rows((j, c))._2)
+    graft.functions.PqCodebooks(subDim, cents)
+  }
+
+  /** Two-phase IVF-PQ search against a STORED index (the PQ analogue of
+    * [[searchQ8Stored]], one compression tier further down): the probe
+    * phase reads ONLY (id, centroid_id, pq) — m bytes of code per
+    * candidate, no float vectors and no q8 in the scan (ReadSchema
+    * asserted in RetrievalSpec) — scores with the ADC kernel against each
+    * query's broadcast lookup table, and keeps `overfetch × k` per query;
+    * the fetch phase joins the survivors back for float vectors and
+    * re-ranks with the exact cosine. For 64-dim float32 vectors the probe
+    * scan shrinks 32× vs the float column (256 B → 8 B per row). */
+  def searchPqStored(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      vecCol: String,
+      queries: Seq[(Long, Array[Float])],
+      nprobe: Int,
+      k: Int,
+      overfetch: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions.pqAdc
+    import spark.implicits._
+    val (lists, centroids) = load(spark, path)
+    require(lists.columns.contains("pq"),
+      s"index at $path has no pq column — build it via withPq before write")
+    val cb = loadPq(spark, path)
+    val probeDf = probes(queries, centroids, nprobe).toDF("query_id", "p_cid")
+    val queryDf = queries.toDF("query_id", "qv")
+    val tableDf = queries.map { case (qid, qv) => (qid, cb.adcTable(qv).toSeq) }
+      .toDF("query_id", "dt")
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col(idCol))
+    val candidates = lists.select(col(idCol), col("centroid_id"), col("pq"))
+      .join(broadcast(probeDf), col("centroid_id") === col("p_cid"))
+      .join(broadcast(tableDf), "query_id")
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("adc", pqAdc(col("pq"), col("dt"), cb.ks))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= overfetch * k)
+      .select(col("query_id"), col(idCol))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    lists.select(col(idCol), col(vecCol))
+      .join(candidates, idCol)
+      .join(broadcast(queryDf), "query_id")
+      .withColumn("score", cosine(col(vecCol), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rank"))
+  }
+
   /** Two-phase q8 search against a STORED index — the form that actually
     * realizes the 4-bytes/dim IO saving ([[searchQ8]] on an in-memory
     * frame still decodes the float column in the same scan):

@@ -235,6 +235,123 @@ class RetrievalSpec extends SparkSpec {
       s"no narrow probe scan found:\n${scanSchemas.mkString("\n")}")
   }
 
+  test("IVF-PQ: exact scores, recall floor, 8-byte codes") {
+    import graft.functions.PqCodebooks
+    import graft.retrieval.IvfIndex
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", 16)
+    val cb = IvfIndex.trainPq(emb, "vec_id", "embedding", m = 8, ks = 16)
+    assert(cb.m == 8 && cb.ks == 16 && cb.dim == 64)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val index = IvfIndex.withPq(
+      IvfIndex.assign(emb, "vec_id", "embedding", centroids), "embedding", cb)
+    // codes are exactly m bytes
+    val codeLens = index.select(length(col("pq"))).distinct().collect()
+      .map(_.getInt(0)).toSet
+    assert(codeLens == Set(8), s"code lengths: $codeLens")
+
+    val pq = IvfIndex.searchPq(index, "vec_id", "embedding", queries,
+      centroids, cb, nprobe = 4, k = 5).collect()
+    assert(pq.nonEmpty)
+    // survivors re-rank with the exact float cosine → scores are exact
+    val all = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val vecById = all.toMap
+    pq.foreach { r =>
+      val exact = Retrieval.cosineLocal(vecById(r.getLong(0)), vecById(r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - exact) < 1e-6)
+    }
+    // recall vs brute truth: ADC pruning within probed lists must not
+    // lose materially more than the float probe path
+    val truth = queries.map { case (qid, qv) =>
+      qid -> all.filter(_._1 != qid)
+        .map { case (id, v) => (id, Retrieval.cosineLocal(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+    }.toMap
+    val hits = pq.groupBy(_.getLong(0)).map { case (qid, rows) =>
+      rows.map(_.getLong(1)).count(truth(qid).contains)
+    }.sum
+    val recall = hits.toDouble / (queries.size * 5)
+    info(s"IVF-PQ recall@5 = $recall (nprobe=4 of 16 lists, m=8 ks=16)")
+    assert(recall >= 0.4, s"recall@5 = $recall")
+  }
+
+  test("stored IVF-PQ: codebook round-trip, 8-byte probe scan, same results") {
+    import graft.retrieval.IvfIndex
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", 16)
+    val cb = IvfIndex.trainPq(emb, "vec_id", "embedding", m = 8, ks = 16)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val index = IvfIndex.withPq(
+      IvfIndex.assign(emb, "vec_id", "embedding", centroids), "embedding", cb)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-pq-store").toString
+    IvfIndex.write(index, centroids, dir)
+    IvfIndex.writePq(spark, cb, dir)
+
+    // codebooks survive the round-trip bit-exactly
+    val cb2 = IvfIndex.loadPq(spark, dir)
+    assert(cb2.subDim == cb.subDim &&
+      cb2.centroids.flatten.flatten.toSeq == cb.centroids.flatten.flatten.toSeq)
+
+    val stored = IvfIndex.searchPqStored(spark, dir, "vec_id", "embedding",
+      queries, nprobe = 4, k = 5)
+    val mem = IvfIndex.searchPq(index, "vec_id", "embedding", queries,
+      centroids, cb, nprobe = 4, k = 5)
+    assert(stored.orderBy("query_id", "rank").collect().toSeq ==
+      mem.orderBy("query_id", "rank").collect().toSeq)
+
+    // probe phase reads only (id, centroid, pq): neither the float
+    // vectors nor a q8 column appear in the probe scan's ReadSchema
+    stored.collect()
+    val plan = stored.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    val scanSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scanSchemas.exists(l => l.contains("pq") && !l.contains("embedding")),
+      s"no narrow PQ probe scan found:\n${scanSchemas.mkString("\n")}")
+  }
+
+  test("PQ expressions: null contracts and deterministic training") {
+    import graft.functions.{PqCodebooks, VectorFunctions}
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val sample = Array.fill(300)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val cb = PqCodebooks.train(sample, m = 4, ks = 8)
+    val cb2 = PqCodebooks.train(sample, m = 4, ks = 8)
+    assert(cb.centroids.flatten.flatten.toSeq == cb2.centroids.flatten.flatten.toSeq,
+      "training must be deterministic")
+    val df = Seq(
+      (1L, Seq.fill(16)(0.5f)),          // valid
+      (2L, Seq.fill(16)(0f)),            // zero vector → null
+      (3L, Seq.fill(12)(0.5f))           // wrong dim → null
+    ).toDF("id", "v")
+    val enc = df.select(col("id"),
+      VectorFunctions.pqEncode(col("v"), cb).as("pq")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(enc(1L).isDefined && enc(1L).get.asInstanceOf[Array[Byte]].length == 4)
+    assert(enc(2L).isEmpty, "zero vector has no direction to encode")
+    assert(enc(3L).isEmpty, "dimension mismatch must be null")
+    // ADC of an encoded vector approximates its self-cosine (≈1) within
+    // the quantization budget of m=4 subspaces × 8 centroids
+    val q = Array.fill(16)(0.5f)
+    val adc = df.filter(col("id") === 1L)
+      .select(VectorFunctions.pqAdc(
+        VectorFunctions.pqEncode(col("v"), cb),
+        typedlit(cb.adcTable(q).toSeq), cb.ks).as("s"))
+      .head().getDouble(0)
+    assert(adc > 0.5 && adc <= 1.2, s"self-ADC score $adc implausible")
+    // table shape mismatch → null
+    val bad = df.filter(col("id") === 1L)
+      .select(VectorFunctions.pqAdc(
+        VectorFunctions.pqEncode(col("v"), cb),
+        typedlit(Seq(1.0f, 2.0f)), cb.ks))
+      .head()
+    assert(bad.isNullAt(0))
+  }
+
   test("judge: lenient JSON parse with heuristic fallback") {
     import graft.agent.AgentLoop.{parseJudge, Judgment}
     assert(parseJudge("""{"coverage": 0.8, "needs_more": false}""")
