@@ -285,6 +285,64 @@ object TextQueries {
       |   AND top_bigram_frac <= 0.1) AS gopher_pass
       |FROM signals ORDER BY doc_id""".stripMargin
 
+  /** Character-trigram LM typicality score — the CCNet-style quality
+    * signal (Wenzek et al. 2020, "CCNet: Extracting High Quality
+    * Monolingual Datasets from Web Crawl Data", LREC — which ranks docs
+    * by LM perplexity; public paper). A full KenLM is out of scope, so
+    * the model here is the corpus's own character-trigram distribution:
+    * per doc, `bits = mean −log₂ p(tri)` over its trigram occurrences
+    * with `p(tri) = count(tri)/total` — low bits ⇒ the doc looks like
+    * the corpus, high bits ⇒ atypical character statistics (mojibake,
+    * binary spill, wrong language). The train/score split a real
+    * pipeline runs (score shard i under the model of all shards) is the
+    * same plan with the counts table read from the previous snapshot.
+    *
+    * Scale shape: the model's cardinality is bounded by |charset|³, NOT
+    * by the corpus — the count aggregate is map-side combinable and its
+    * result is broadcast back, so the per-doc scoring pass never
+    * shuffles document data; the only exchange is the tiny counts agg.
+    * The corpus-total rides in via the same broadcast-totals cross join
+    * as the mix queries (no empty-frame window). */
+  def qCharLmBits(s: SparkSession, d: String): DataFrame = {
+    val norm = Tables.documents(s, d).select(
+      col("doc_id"),
+      regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
+    val tris = norm.filter(length(col("t")) >= 3)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), length(col("t")) - 2),
+          i => col("t").substr(i, lit(3)))).as("g"))
+    val cnt = tris.groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("s"))
+    val perdoc = tris.join(broadcast(cnt), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tris"), avg(log2(col("c"))).as("al"))
+    norm.select(col("doc_id"))
+      .join(perdoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        coalesce(col("n_tris"), lit(0L)).as("n_tris"),
+        round(log2(col("s")) - col("al"), 4).as("bits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qCharLmBitsSql: String =
+    """WITH norm AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t
+      |  FROM documents),
+      |tri AS (
+      |  SELECT doc_id, unnest([substr(t, i, 3) FOR i IN range(1, len(t)-1)]) g
+      |  FROM norm WHERE len(t) >= 3),
+      |cnt AS (SELECT g, count(*) c FROM tri GROUP BY 1),
+      |tot AS (SELECT sum(c) s FROM cnt),
+      |perdoc AS (
+      |  SELECT tri.doc_id AS doc_id, count(*) n_tris, avg(log2(c)) al
+      |  FROM tri JOIN cnt USING (g) GROUP BY 1)
+      |SELECT n.doc_id AS doc_id,
+      |  coalesce(p.n_tris, 0)::BIGINT AS n_tris,
+      |  round(log2(s) - al, 4) AS bits
+      |FROM norm n LEFT JOIN perdoc p ON n.doc_id = p.doc_id CROSS JOIN tot
+      |ORDER BY doc_id""".stripMargin
+
   /** PII redaction pass (the pre-filter every training-data pipeline
     * runs): per-source detection counts and the characters removed by
     * redaction. The synthetic corpus carries no PII, so the harness
@@ -357,6 +415,7 @@ object TextQueries {
     "td_token_counts" -> (qTokenCounts _),
     "td_rollup_salted" -> (qRollupSalted _),
     "td_quality_rules" -> (qQualityRules _),
+    "td_charlm_bits" -> (qCharLmBits _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -369,5 +428,6 @@ object TextQueries {
     "td_token_counts" -> qTokenCountsSql,
     "td_rollup_salted" -> qRollupChunksSql, // provably identical output
     "td_quality_rules" -> qQualityRulesSql,
+    "td_charlm_bits" -> qCharLmBitsSql,
   )
 }

@@ -42,4 +42,36 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"eval set must broadcast:\n${plan.linesIterator.take(25).mkString("\n")}")
   }
+
+  test("char-LM bits: typical docs score below atypical ones; model broadcasts") {
+    import spark.implicits._
+    // 9 docs share the corpus's character statistics; 1 is mojibake —
+    // under the corpus-trigram model the outlier must cost more bits
+    val docs = (0L until 9L).map(i =>
+      (i, s"the quick brown fox jumps over the lazy dog number $i", "en", "web", 50L)) :+
+      ((9L, "§±¿þß¤µ¬©®÷Ø", "en", "web", 12L))
+    val dir = java.nio.file.Files.createTempDirectory("charlm").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextQueries.qCharLmBits(spark, dir)
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(rows.size == 10, "one row per doc")
+    val typicalBits = (0L until 9L).map(rows(_)._2.get)
+    val outlierBits = rows(9L)._2.get
+    assert(outlierBits > typicalBits.max,
+      s"mojibake doc must be atypical: $outlierBits vs ${typicalBits.max}")
+    rows.values.foreach { case (n, b) =>
+      assert((n == 0) == b.isEmpty, "bits defined iff the doc has trigrams")
+      b.foreach(v => assert(v > 0.0, s"bits must be positive, got $v"))
+    }
+    // the trigram model is bounded by |charset|³, never corpus-sized —
+    // the scoring join must broadcast it, keeping document data unshuffled
+    val df = graft.queries.TextQueries.qCharLmBits(spark, sf)
+    df.collect()
+    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"trigram model must broadcast:\n${plan.linesIterator.take(25).mkString("\n")}")
+  }
 }
