@@ -25,33 +25,41 @@ import scala.collection.concurrent.TrieMap
   *  - `GET  /health`            → 200/503 + status JSON;
   *  - `POST /jobs`              → 202 + `{"job_id": …}`; body is JSON
   *    with `query` (required), optional `job_id`, `top_k`, `repo_name`;
-  *  - `GET  /jobs/<id>/events`  → `text/event-stream` replay of the
-  *    job's trail (`data: {"event": …, "data": …}` frames), 404 when the
-  *    job id was never submitted;
+  *  - `GET  /jobs/<id>/events`  → `text/event-stream` PUSH stream of the
+  *    job's trail (`data: {"event": …, "data": …}` frames, chunked
+  *    transfer): frames are written as the runner emits them — `started`
+  *    arrives while the job is still executing — and the stream closes
+  *    once the trail completes. 404 when the job id was never submitted;
   *  - `DELETE /jobs/<id>`       → 202, marks the job cancelled
   *    (cooperative — [[JobStream]] short-circuits it).
   *
   * Scale posture: the shim is a front door, not a data path. Job
   * execution runs on a bounded pool sized like the reference worker's
-  * `max_jobs` envelope (`worker.py:185`); SSE replay reads the
-  * driver-side trail map, never Spark. A production deployment would put
-  * N shims in front of the same events sink and serve `tailFrames` from
-  * the parquet stream instead of memory — the frame format is identical
-  * by construction (asserted in ServingShimSpec).
+  * `max_jobs` envelope (`worker.py:185`); the SSE stream reads the
+  * driver-side trail queue, never Spark. A production deployment would
+  * put N shims in front of the same events sink and serve `tailFrames`
+  * from the parquet stream instead of memory — the frame format is
+  * identical by construction (asserted in ServingShimSpec).
   */
 class ServingShim(
     health: () => Health.Status,
-    runJob: (String, QueryRequest) => Seq[JobEvent],
+    runJob: (String, QueryRequest, JobEvent => Unit) => Unit,
     port: Int = 0,
     maxJobs: Int = 10,
     sseTimeoutMs: Long = 10000) {
 
+  /** One job's live trail: events append as the runner emits them;
+    * `done` flips after the last one. Append-only so any number of
+    * subscribers — including ones attaching after completion — replay
+    * the full trail (each keeps its own cursor). */
+  private final class Trail {
+    val events = new java.util.concurrent.CopyOnWriteArrayList[JobEvent]
+    @volatile var done = false
+  }
+
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val pool = Executors.newFixedThreadPool(maxJobs)
-  /** jobId → completed event trail; present only once the job finished. */
-  private val trails = TrieMap.empty[String, Seq[JobEvent]]
-  /** every submitted job id (distinguishes "pending" from "unknown"). */
-  private val submitted = TrieMap.empty[String, Boolean]
+  private val trails = TrieMap.empty[String, Trail]
   private val seq = new java.util.concurrent.atomic.AtomicLong
 
   server.createContext("/health", new HttpHandler {
@@ -97,38 +105,58 @@ class ServingShim(
         val req = QueryRequest(q,
           topK = ServingShim.jsonInt(body, "top_k").getOrElse(5),
           repoName = ServingShim.jsonString(body, "repo_name"))
-        submitted.put(id, true)
+        val trail = new Trail
+        // first submission wins: a duplicate id must not reset a live
+        // trail out from under its subscribers
+        if (trails.putIfAbsent(id, trail).isDefined) {
+          respond(ex, 409,
+            s"""{"error": "duplicate job id", "job_id": ${ServingShim.quote(id)}}""",
+            "application/json")
+          return
+        }
         pool.submit(new Runnable {
           override def run(): Unit =
-            trails.put(id,
-              try runJob(id, req)
-              catch {
-                case scala.util.control.NonFatal(e) => Seq(JobStream.event(
-                  id, "error",
+            try runJob(id, req, e => trail.events.add(e))
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                trail.events.add(JobStream.event(id, "error",
                   s"""{"message":${ServingShim.quote(String.valueOf(e.getMessage))}}"""))
-              })
+            } finally trail.done = true
         })
         respond(ex, 202, s"""{"job_id": ${ServingShim.quote(id)}}""", "application/json")
     }
   }
 
-  /** SSE replay: wait (bounded) for the trail, then emit one
-    * [[JobStream.sseFrames]]-format frame per event and close. */
+  /** Push SSE: chunked transfer, one [[JobStream.sseFrames]]-format frame
+    * per event, written and flushed AS the runner emits it; the stream
+    * ends when the trail completes (or the bounded wait elapses — the
+    * client keeps whatever frames arrived). */
   private def streamEvents(ex: HttpExchange, id: String): Unit = {
-    if (!submitted.contains(id)) {
-      respond(ex, 404, """{"error": "unknown job"}""", "application/json")
-      return
-    }
-    val deadline = System.nanoTime() + TimeUnit.MILLISECONDS.toNanos(sseTimeoutMs)
-    while (!trails.contains(id) && System.nanoTime() < deadline)
-      Thread.sleep(20)
     trails.get(id) match {
       case None =>
-        respond(ex, 504, """{"error": "job still running"}""", "application/json")
-      case Some(events) =>
-        val frames = events.map(e =>
-          s"""data: {"event": "${e.event}", "data": ${e.data}}\n\n""").mkString
-        respond(ex, 200, frames, "text/event-stream")
+        respond(ex, 404, """{"error": "unknown job"}""", "application/json")
+      case Some(trail) =>
+        ex.getResponseHeaders.set("Content-Type", "text/event-stream; charset=utf-8")
+        ex.sendResponseHeaders(200, 0) // length 0 → chunked
+        val out = ex.getResponseBody
+        val deadline = System.nanoTime() + TimeUnit.MILLISECONDS.toNanos(sseTimeoutMs)
+        var cursor = 0
+        var finished = false
+        while (!finished && System.nanoTime() < deadline) {
+          var wrote = false
+          while (cursor < trail.events.size()) {
+            val e = trail.events.get(cursor)
+            out.write(
+              s"""data: {"event": "${e.event}", "data": ${e.data}}\n\n"""
+                .getBytes(UTF_8))
+            cursor += 1
+            wrote = true
+          }
+          if (wrote) out.flush()
+          if (trail.done && cursor == trail.events.size()) finished = true
+          else if (!wrote) Thread.sleep(10)
+        }
+        out.flush()
     }
   }
 

@@ -29,23 +29,29 @@ object JobStream {
     JobEvent(jobId, event, new java.sql.Timestamp(System.currentTimeMillis()), data)
 
   /** Run one job → its event trail (started → retrieval → final; error /
-    * cancelled paths included — reference worker.py:109-176). */
+    * cancelled paths included — reference worker.py:109-176). `onEvent`
+    * fires for each event AS IT IS PRODUCED — `started` before the agent
+    * runs, the rest at completion — so a live subscriber (the serving
+    * shim's SSE stream, the reference's bus `_notify`) sees progress
+    * without waiting for the returned trail. */
   def runJob(
       corpus: DataFrame,
       agent: AgentLoop,
       jobId: String,
-      req: QueryRequest): Seq[JobEvent] = {
+      req: QueryRequest,
+      onEvent: JobEvent => Unit = _ => ()): Seq[JobEvent] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[JobEvent]
-    out += event(jobId, "started", s"""{"query":${quote(req.query)}}""")
+    def emit(e: JobEvent): Unit = { out += e; onEvent(e) }
+    emit(event(jobId, "started", s"""{"query":${quote(req.query)}}"""))
     if (isCancelled(jobId)) {
-      out += event(jobId, "final", """{"cancelled":true}""")
+      emit(event(jobId, "final", """{"cancelled":true}"""))
       return out.toSeq
     }
     try {
-      out ++= stateEvents(jobId, agent.run(corpus, req))
+      stateEvents(jobId, agent.run(corpus, req)).foreach(emit)
     } catch {
       case e: Exception =>
-        out += event(jobId, "error", s"""{"message":${quote(String.valueOf(e.getMessage))}}""")
+        emit(event(jobId, "error", s"""{"message":${quote(String.valueOf(e.getMessage))}}"""))
     }
     out.toSeq
   }

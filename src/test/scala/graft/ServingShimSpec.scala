@@ -21,12 +21,13 @@ class ServingShimSpec extends SparkSpec {
     JobStream.event(id, "retrieval", """{"attempts":1,"hits":3}"""),
     JobStream.event(id, "final", """{"answer":"done","sources":3}"""))
 
-  def runner(id: String, req: QueryRequest): Seq[JobEvent] =
-    trailFor(id, req.query)
+  def runner(id: String, req: QueryRequest, emit: JobEvent => Unit): Unit =
+    trailFor(id, req.query).foreach(emit)
 
-  def withShim(health: () => Health.Status = () => healthyStatus)(
+  def withShim(health: () => Health.Status = () => healthyStatus,
+      run: (String, QueryRequest, JobEvent => Unit) => Unit = runner)(
       body: (Int, HttpClient) => Unit): Unit = {
-    val shim = new ServingShim(health, runner, sseTimeoutMs = 5000)
+    val shim = new ServingShim(health, run, sseTimeoutMs = 5000)
     val port = shim.start()
     try body(port, HttpClient.newHttpClient())
     finally shim.stop()
@@ -76,10 +77,58 @@ class ServingShimSpec extends SparkSpec {
     }
   }
 
-  test("POST /jobs without query → 400; unknown job events → 404") {
+  test("SSE is push-true: started arrives while the job is still running") {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def slowRunner(id: String, req: QueryRequest, emit: JobEvent => Unit): Unit = {
+      emit(JobStream.event(id, "started", """{"query":"q"}"""))
+      gate.await(5, java.util.concurrent.TimeUnit.SECONDS)
+      emit(JobStream.event(id, "final", """{"answer":"late"}"""))
+    }
+    withShim(run = slowRunner) { (port, c) =>
+      post(c, port, "/jobs", """{"job_id": "push-1", "query": "q"}""")
+      val resp = c.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/jobs/push-1/events")).GET.build(),
+        HttpResponse.BodyHandlers.ofInputStream())
+      val in = resp.body()
+      // read the first frame byte-by-byte: it must arrive BEFORE the
+      // runner is released, i.e. while the job is still running
+      val first = new StringBuilder
+      var ch = in.read()
+      while (ch >= 0 && !first.toString.endsWith("\n\n")) {
+        first.append(ch.toChar)
+        if (!first.toString.endsWith("\n\n")) ch = in.read()
+      }
+      assert(first.toString.contains(""""event": "started""""))
+      assert(gate.getCount == 1, "first frame must precede job completion")
+      gate.countDown()
+      val rest = new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      assert(rest.contains(""""event": "final""""))
+      in.close()
+    }
+  }
+
+  test("late subscribers replay the full trail after completion") {
+    withShim() { (port, c) =>
+      post(c, port, "/jobs", """{"job_id": "replay-1", "query": "q"}""")
+      // first subscriber drains the stream to completion
+      val a = get(c, port, "/jobs/replay-1/events")
+      // a second, post-completion subscriber must see the SAME frames
+      val b = get(c, port, "/jobs/replay-1/events")
+      assert(a.body().nonEmpty && b.body() == a.body(),
+        "append-only trail must replay identically for every subscriber")
+    }
+  }
+
+  test("POST /jobs without query → 400; unknown job events → 404; duplicate id → 409") {
     withShim() { (port, c) =>
       assert(post(c, port, "/jobs", """{"top_k": 3}""").statusCode() == 400)
       assert(get(c, port, "/jobs/nope/events").statusCode() == 404)
+      assert(post(c, port, "/jobs",
+        """{"job_id": "dup-1", "query": "q"}""").statusCode() == 202)
+      val dup = post(c, port, "/jobs", """{"job_id": "dup-1", "query": "other"}""")
+      assert(dup.statusCode() == 409, "resubmitting a live job id must conflict")
+      // the original trail is intact: events still replay
+      assert(get(c, port, "/jobs/dup-1/events").statusCode() == 200)
     }
   }
 
