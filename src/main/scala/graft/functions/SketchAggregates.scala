@@ -1,0 +1,156 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Mergeable count-min-sketch surface — the frequency twin of the HLL
+  * reach rollup (`EventQueries.qReachSketchRollup`).
+  *
+  * Spark ships the BUILD side (`count_min_sketch(col, eps, conf, seed)`,
+  * used as-is — functions-not-UDFs) but exposes neither a re-aggregation
+  * nor a point lookup over the resulting binary sketches, so coarser
+  * granularities would have to re-scan raw events. [[CmsMergeAgg]] closes
+  * that: it is the engine's one genuine UDAF-shaped need (SURVEY §2.11
+  * deliberately has none elsewhere) — mergeable BINARY state that no
+  * built-in aggregate or window can combine — implemented as a
+  * `TypedImperativeAggregate[CountMinSketch]` so partial aggregation
+  * (map-side combine of sketches) still applies.
+  *
+  * Scale shape: the expensive pass over 100 TB of events materializes one
+  * KB-scale sketch per fine-grained group; every coarser rollup
+  * (day→week→all-time) merges sketches at cost ∝ GROUPS. Point estimates
+  * then run on the k-row rollup, never the raw data.
+  */
+object SketchFunctions {
+
+  /** Merge (UNION) binary count-min sketches built with identical
+    * (eps, confidence, seed) — estimates add, the CMS merge law. */
+  def cmsMerge(sketch: Column): Column =
+    GraftBridge.column(
+      CmsMergeAgg(GraftBridge.expression(sketch)).toAggregateExpression())
+
+  /** Point frequency estimate of `item` under a binary CMS. Guarantees
+    * est ≥ true count (counters only over-count on hash collisions) and
+    * est ≤ true + eps·N with confidence `conf` per probe. */
+  def cmsEstimate(sketch: Column, item: Column): Column =
+    GraftBridge.column(
+      CmsEstimate(GraftBridge.expression(sketch), GraftBridge.expression(item)))
+}
+
+/** UNION of binary count-min sketches (same eps/confidence/seed). The
+  * aggregation buffer is the live `CountMinSketch`; inputs are the binary
+  * blobs `count_min_sketch` emitted upstream. */
+case class CmsMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[CountMinSketch] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): CountMinSketch = null
+
+  override def update(buffer: CountMinSketch, input: InternalRow): CountMinSketch = {
+    val bytes = child.eval(input).asInstanceOf[Array[Byte]]
+    if (bytes == null) buffer
+    else {
+      val s = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+      if (buffer == null) s else { buffer.mergeInPlace(s); buffer }
+    }
+  }
+
+  override def merge(b1: CountMinSketch, b2: CountMinSketch): CountMinSketch =
+    if (b1 == null) b2
+    else if (b2 == null) b1
+    else { b1.mergeInPlace(b2); b1 }
+
+  override def eval(buffer: CountMinSketch): Any =
+    if (buffer == null) null else serialize(buffer)
+
+  override def serialize(buffer: CountMinSketch): Array[Byte] =
+    if (buffer == null) Array.emptyByteArray
+    else {
+      val out = new ByteArrayOutputStream()
+      buffer.writeTo(out)
+      out.toByteArray
+    }
+
+  override def deserialize(bytes: Array[Byte]): CountMinSketch =
+    if (bytes.isEmpty) null
+    else CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cms_merge"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cms_merge expects a BINARY sketch column, got $other")
+    }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsMergeAgg =
+    copy(child = newChild)
+}
+
+/** Frequency estimate of `right` under the binary sketch `left`.
+  *
+  * Runs on rollup tables (one row per group), never the raw event scan, so
+  * it is deliberately an eval expression (CodegenFallback) with a
+  * last-blob deserialization cache: consecutive probes against the same
+  * merged sketch — the k-probes-per-group access pattern — deserialize
+  * once. Item hashing matches the build side's `count_min_sketch`
+  * dispatch (longs as longs, strings as UTF-8 bytes).
+  */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  @transient private var lastBytes: Array[Byte] = _
+  @transient private var lastSketch: CountMinSketch = _
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, IntegerType | LongType | StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cms_estimate expects (BINARY, int/bigint/string), got ($l, $r)")
+    }
+
+  override protected def nullSafeEval(sketchBytes: Any, item: Any): Any = {
+    val bytes = sketchBytes.asInstanceOf[Array[Byte]]
+    if (!(bytes eq lastBytes)) {
+      lastSketch = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+      lastBytes = bytes
+    }
+    right.dataType match {
+      case IntegerType => lastSketch.estimateCount(Long.box(item.asInstanceOf[Int].toLong))
+      case LongType => lastSketch.estimateCount(Long.box(item.asInstanceOf[Long]))
+      case StringType =>
+        lastSketch.estimateCount(item.asInstanceOf[UTF8String].getBytes)
+    }
+  }
+
+  override def prettyName: String = "cms_estimate"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimate =
+    copy(left = newLeft, right = newRight)
+}

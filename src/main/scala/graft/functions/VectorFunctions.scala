@@ -88,5 +88,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     VectorFunctions.Registration.builders.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // custom whole-operator plans (as-of merge join)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
   }
 }

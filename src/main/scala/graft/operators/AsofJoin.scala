@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, GraftBridge}
 
 /** Backward as-of join — the time-series operator Spark's join zoo lacks
   * (the builder brief names it explicitly; DuckDB ships it as ASOF JOIN,
@@ -83,5 +85,56 @@ object AsofJoin {
     val rightCols = payload.map(p => col("__match").getField(p).as(s"asof_$p")) :+
       col("__match_t").as(s"asof_$rightTime")
     merged.select(leftCols ++ rightCols: _*)
+  }
+
+  /** The same backward as-of join as [[asofBackward]], planned through the
+    * dedicated Catalyst operator ([[graft.plans.AsofJoinPlan]] →
+    * [[graft.plans.AsofMergeJoinExec]]) instead of the union+window
+    * composition — the tier-(c) custom-operator form: co-partition, sort,
+    * and a single streaming merge per partition with O(1) state.
+    *
+    * Output schema and values are identical to [[asofBackward]] (the spec
+    * asserts it; the driver's DuckDB `ASOF LEFT JOIN` oracle pins both).
+    * Prefer this form when a downstream stage re-aggregates on the join
+    * keys: the operator preserves the left side's partitioning, so the
+    * follow-up `groupBy(keys)` plans with no further shuffle.
+    */
+  def asofMerge(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      strict: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "asof join needs at least one equality key")
+    val spark = left.sparkSession
+    GraftBridge.ensureStrategy(spark, graft.plans.GraftStrategy)
+    // fresh exprIds + unique names on the right so self-joins (both sides
+    // carved from the same source, the common case) analyze cleanly
+    val rCols = (keys ++ Seq(rightTime) ++ payload).distinct
+    val renamed = right.select(rCols.map(c => col(c).as(c + "__asof_r")): _*)
+    val lPlan = GraftBridge.analyzedPlan(left)
+    val rPlan = GraftBridge.analyzedPlan(renamed)
+    def attrOf(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"asof join: column $n not found"))
+    val payloadAttrs = payload.map(p => attrOf(rPlan, p + "__asof_r"))
+    val rightTimeAttr = attrOf(rPlan, rightTime + "__asof_r")
+    val outAttrs = payload.zip(payloadAttrs).map { case (p, a) =>
+      AttributeReference(s"asof_$p", a.dataType, nullable = true)()
+    } :+ AttributeReference(
+      s"asof_$rightTime", rightTimeAttr.dataType, nullable = true)()
+    val plan = graft.plans.AsofJoinPlan(
+      keys.map(attrOf(lPlan, _)),
+      keys.map(k => attrOf(rPlan, k + "__asof_r")),
+      attrOf(lPlan, leftTime),
+      rightTimeAttr,
+      payloadAttrs,
+      outAttrs,
+      strict,
+      lPlan,
+      rPlan)
+    GraftBridge.ofRows(spark, plan)
   }
 }

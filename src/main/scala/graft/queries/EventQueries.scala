@@ -195,6 +195,25 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** The same attribution query planned through the dedicated Catalyst
+    * operator ([[graft.plans.AsofJoinPlan]] → AsofMergeJoinExec) instead
+    * of the union+window composition — the hash gate proves the custom
+    * physical plan against DuckDB's native ASOF LEFT JOIN. */
+  def qAsofClickMerge(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.operators.AsofJoin
+      .asofMerge(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("value"))
+      .select(col("event_id"), col("user_id"),
+        col("value").as("purchase_value"),
+        col("asof_value").as("click_value"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
+      .orderBy(col("event_id"))
+  }
+
   val qAsofClickSql: String =
     """WITH p AS (
       |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
@@ -297,6 +316,93 @@ object EventQueries {
         hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_users"))
       .orderBy(col("event_type"))
   }
+
+  /** Count-min-sketch parameters shared by build, merge, and gate: eps →
+    * width 2/eps counters, confidence → depth ln(1/(1-conf)) rows; the
+    * fixed seed makes estimates reproducible given the data. */
+  private val CmsEps = 0.001
+  private val CmsConf = 0.99
+  private val CmsSeed = 42
+
+  /** The 10 globally most active users — the deterministic probe set for
+    * the CMS point-frequency queries (ties broken by user_id so Spark and
+    * DuckDB pick the same rows). */
+  private def topUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(10)
+      .select(col("user_id"))
+
+  /** Mergeable FREQUENCY rollup — the count-min-sketch twin of the HLL
+    * reach rollup: per-(day, event_type) sketches of user activity built
+    * ONCE from raw events with Spark's built-in `count_min_sketch`, then
+    * re-aggregated to per-type sketches by [[graft.functions.CmsMergeAgg]]
+    * (the engine's one genuine UDAF: mergeable binary state no built-in
+    * can combine). Point estimates for the top-10 probe users run on the
+    * k-row merged rollup via `cms_estimate` — raw events are scanned once,
+    * every coarser granularity and every probe derives from sketch state
+    * proportional to GROUPS, not events.
+    *
+    * Rows-only for the driver (estimates are sketch-seeded);
+    * `ev_cms_topk_gate` carries the hash-checked accuracy contract. */
+  def qCmsTopUsers(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(expr(
+        s"count_min_sketch(user_id, ${CmsEps}d, ${CmsConf}d, $CmsSeed)").as("sk"))
+    val merged = daily
+      .groupBy(col("event_type"))
+      .agg(graft.functions.SketchFunctions.cmsMerge(col("sk")).as("sk"))
+    merged.crossJoin(broadcast(topUsers(s, d)))
+      .select(col("event_type"), col("user_id"),
+        graft.functions.SketchFunctions.cmsEstimate(col("sk"), col("user_id"))
+          .as("est_n"))
+      .orderBy(col("event_type"), col("user_id"))
+  }
+
+  /** Accuracy gate for [[qCmsTopUsers]] (the recall-gate pattern): per
+    * (event_type, probe user), the merged-sketch estimate must satisfy the
+    * CMS contract — never below the exact count (structural: counters only
+    * over-count), and at most exact + 3·eps·N(type) (3× the one-sided
+    * eps·N bound at confidence 0.99; the margin absorbs the residual
+    * probability mass, and estimates are deterministic given data+seed).
+    * The oracle recomputes exact_n and budget from the events table and
+    * expects est_ok TRUE everywhere, so the DuckDB hash gate pins the
+    * whole build→merge→estimate pipeline. */
+  def qCmsTopkGate(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val probes = topUsers(s, d)
+    val exact = e.join(broadcast(probes), "user_id")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("exact_n"))
+    val totals = e.groupBy(col("event_type")).agg(count(lit(1)).as("n_tot"))
+    val ex = coalesce(col("exact_n"), lit(0L))
+    val budget = ceil(lit(3 * CmsEps) * col("n_tot"))
+    qCmsTopUsers(s, d)
+      .join(exact, Seq("event_type", "user_id"), "left")
+      .join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("user_id"),
+        ex.as("exact_n"), budget.as("budget"),
+        (col("est_n") >= ex && col("est_n") <= ex + budget).as("est_ok"))
+      .orderBy(col("event_type"), col("user_id"))
+  }
+
+  val qCmsTopkGateSql: String =
+    """WITH top AS (
+      |  SELECT user_id FROM events GROUP BY 1
+      |  ORDER BY count(*) DESC, user_id LIMIT 10),
+      |tot AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+      |ex AS (
+      |  SELECT event_type, user_id, count(*) AS c
+      |  FROM events JOIN top USING (user_id) GROUP BY 1, 2)
+      |SELECT t.event_type, top.user_id,
+      |  coalesce(ex.c, 0)::BIGINT AS exact_n,
+      |  CAST(ceil(3 * 0.001 * t.n) AS BIGINT) AS budget,
+      |  TRUE AS est_ok
+      |FROM tot t CROSS JOIN top
+      |LEFT JOIN ex ON ex.event_type = t.event_type AND ex.user_id = top.user_id
+      |ORDER BY 1, 2""".stripMargin
 
   /** Sequential conversion funnel — view → click → purchase in event
     * order (the match_recognize-style pattern op, expressed
@@ -421,6 +527,9 @@ object EventQueries {
     "ev_user_reach_approx" -> (qUserReachApprox _),
     "ev_trailing_hour" -> (qTrailingHour _),
     "ev_asof_click" -> (qAsofClick _),
+    "ev_asof_click_merge" -> (qAsofClickMerge _),
+    "ev_cms_topk" -> (qCmsTopUsers _),
+    "ev_cms_topk_gate" -> (qCmsTopkGate _),
     "ev_range_incidents" -> (qRangeIncidents _),
     "ev_funnel" -> (qEventFunnel _),
   )
@@ -440,6 +549,11 @@ object EventQueries {
     "ev_session_window" -> qSessionizeSql, // same sessions, native operator
     "ev_trailing_hour" -> qTrailingHourSql,
     "ev_asof_click" -> qAsofClickSql,
+    // same oracle, custom-operator plan (AsofJoinPlan → AsofMergeJoinExec)
+    "ev_asof_click_merge" -> qAsofClickSql,
+    // ev_cms_topk itself is rows-only (sketch-seeded estimates); the gate
+    // hash-checks the CMS contract against exact counts
+    "ev_cms_topk_gate" -> qCmsTopkGateSql,
     "ev_range_incidents" -> qRangeIncidentsSql,
     "ev_funnel" -> qEventFunnelSql,
   )
