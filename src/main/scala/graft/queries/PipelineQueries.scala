@@ -145,6 +145,86 @@ object PipelineQueries {
       |SELECT source, count(*)::BIGINT AS n_contaminated
       |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Bloom-filter decontamination — the broadcast-shrinking scale variant
+    * of [[qContamination]]. The exact check broadcasts the distinct eval
+    * SHINGLE STRINGS; at a 100 TB eval corpus that set outgrows executor
+    * memory long before the bloom twin does: the sketch stores xxhash64
+    * bits only (~2.9 MB per million shingles at fpp 1e-4, ~20× smaller
+    * than the strings), and the probe (`exists(sh, might_contain)`) fuses
+    * into the corpus scan — NO join, NO shuffle on the training side.
+    *
+    * The trade is bounded, one-sided error, and the gate checks BOTH
+    * sides of the contract per source:
+    *   - `superset_ok`: every exactly-contaminated doc is bloom-flagged —
+    *     structural (blooms have no false negatives), must be all-true;
+    *   - `fp_ok`: bloom-only extras ≤ budget, where budget =
+    *     max(ceil(3·fpp·Σ m_doc), 5) and m_doc is the doc's distinct
+    *     shingle count — 3× the expected-FP bound fpp·Σm, floored so
+    *     Poisson noise at tiny scale can't flip it; sketches are
+    *     deterministic given data + the fixed xxhash64 seed.
+    * The oracle recomputes n_exact and budget relationally and expects
+    * TRUE for both booleans, so the DuckDB hash gate pins the
+    * build→broadcast→probe pipeline end to end. */
+  def qContaminationBloom(s: SparkSession, d: String): DataFrame = {
+    val fpp = 1e-4
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val isEval = col("doc_id") % 97 === 0
+    val evalShingles = docs.filter(isEval)
+      .select(explode(col("sh")).as("shingle")).distinct()
+    // honest production shape: count the key set, size the sketch for it
+    val nEval = math.max(evalShingles.count(), 1L)
+    val bloomBytes = evalShingles
+      .agg(graft.functions.BloomFunctions
+        .bloomAgg(col("shingle"), nEval, fpp).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val bloom = lit(bloomBytes)
+    val train = docs.filter(!isEval)
+    val flags = train.select(
+      col("doc_id"), col("source"), size(col("sh")).as("m"),
+      exists(col("sh"),
+        x => graft.functions.BloomFunctions.bloomMightContain(bloom, x))
+        .as("bloom_hit"))
+    // exact flags (the qContamination plan) — gate-side reference only
+    val exact = train
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(broadcast(evalShingles), "shingle")
+      .select(col("doc_id")).distinct()
+      .withColumn("exact_hit", lit(true))
+    val budget = greatest(ceil(lit(3 * fpp) * sum(col("m"))), lit(5L))
+    flags.join(exact, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("exact_hit"), 1L).otherwise(0L)).as("n_exact"),
+        budget.as("budget"),
+        expr("bool_and(IF(coalesce(exact_hit, false), bloom_hit, true))")
+          .as("superset_ok"),
+        (sum(when(col("bloom_hit"), 1L).otherwise(0L)) -
+          sum(when(col("exact_hit"), 1L).otherwise(0L)) <= budget).as("fp_ok"))
+      .orderBy(col("source"))
+  }
+
+  val qContaminationBloomSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') w FROM documents),
+      |g AS (
+      |  SELECT doc_id, source,
+      |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]) sh
+      |  FROM tok WHERE len(w) >= 3),
+      |ev AS (SELECT DISTINCT unnest(sh) s FROM g WHERE doc_id % 97 = 0),
+      |train AS (SELECT doc_id, source, sh, len(sh) AS m FROM g WHERE doc_id % 97 <> 0),
+      |con AS (
+      |  SELECT DISTINCT a.doc_id
+      |  FROM (SELECT doc_id, unnest(sh) s FROM train) a JOIN ev USING (s))
+      |SELECT t.source,
+      |  count(*) FILTER (WHERE c.doc_id IS NOT NULL)::BIGINT AS n_exact,
+      |  greatest(CAST(ceil(3 * 0.0001 * sum(t.m)) AS BIGINT), 5) AS budget,
+      |  TRUE AS superset_ok,
+      |  TRUE AS fp_ok
+      |FROM train t LEFT JOIN con c USING (doc_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The sampler the mix weights feed: deterministic hash-Bernoulli per
     * row — keep a doc iff its md5 bucket (of 10000) falls under
     * floor(rate·10000) for its source. Hash-based (not rand()) so the
@@ -348,6 +428,7 @@ object PipelineQueries {
     "td_mix_weights" -> (qMixWeights _),
     "td_mix_sample" -> (qMixSample _),
     "td_contamination" -> (qContamination _),
+    "td_contam_bloom" -> (qContaminationBloom _),
     "td_pack_sequences" -> (qPackSequences _),
     "td_mix_temperature" -> ((s: SparkSession, d: String) => qMixTemperature(s, d)),
     "td_filter_funnel" -> (qFilterFunnel _),
@@ -358,6 +439,7 @@ object PipelineQueries {
     "td_mix_weights" -> qMixWeightsSql,
     "td_mix_sample" -> qMixSampleSql,
     "td_contamination" -> qContaminationSql,
+    "td_contam_bloom" -> qContaminationBloomSql,
     "td_pack_sequences" -> qPackSequencesSql,
     "td_mix_temperature" -> qMixTemperatureSql,
     "td_filter_funnel" -> qFilterFunnelSql,

@@ -43,6 +43,31 @@ class PipelineQueriesSpec extends SparkSpec {
       s"eval set must broadcast:\n${plan.linesIterator.take(25).mkString("\n")}")
   }
 
+  test("bloom decontamination: superset + fp budget hold; no false negatives") {
+    val rows = PipelineQueries.qContaminationBloom(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"bloom missed an exact hit (impossible): $r")
+      assert(r.getBoolean(4), s"false-positive budget exceeded: $r")
+    }
+  }
+
+  test("bloom build/probe round-trip: inserted keys always hit, FP rate ≈ fpp") {
+    import graft.functions.BloomFunctions._
+    import spark.implicits._
+    val keys = (1 to 5000).map(i => s"key-$i")
+    val keysDf = keys.toDF("k")
+    val bytes = keysDf.agg(bloomAgg(col("k"), 5000L, 1e-4).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val hits = keysDf.select(bloomMightContain(lit(bytes), col("k")).as("h"))
+      .filter(col("h")).count()
+    assert(hits == 5000L, "blooms have no false negatives")
+    val fps = (1 to 20000).map(i => s"other-$i").toDF("k")
+      .select(bloomMightContain(lit(bytes), col("k")).as("h"))
+      .filter(col("h")).count()
+    assert(fps <= 20, s"fp rate ${fps / 20000.0} far above configured 1e-4")
+  }
+
   test("char-LM bits: typical docs score below atypical ones; model broadcasts") {
     import spark.implicits._
     // 9 docs share the corpus's character statistics; 1 is mojibake —
