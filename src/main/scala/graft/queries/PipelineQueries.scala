@@ -225,6 +225,34 @@ object PipelineQueries {
       |FROM train t LEFT JOIN con c USING (doc_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-source quota cap (the C4/RefinedWeb-style per-domain limit): keep
+    * at most K docs per source, chosen by deterministic md5 order (not
+    * arrival order — reproducible, reorder-stable, and unbiased w.r.t.
+    * position in the crawl). At 100 TB the quota prunes mega-domains
+    * before any expensive stage; the plan matters more than the arithmetic:
+    * `row_number ≤ K` over (source | hash) plans with a pre-shuffle
+    * WindowGroupLimit, so each map task forwards at most K candidate rows
+    * per source instead of shuffling whole domains to find their top-K —
+    * the same guardrail PlanQualitySpec pins for the relational top-k. */
+  def qSourceQuota(s: SparkSession, d: String, k: Int = 15): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val qSourceQuotaSql: String =
+    """SELECT source, doc_id, rk FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 15 ORDER BY source, rk""".stripMargin
+
   /** The sampler the mix weights feed: deterministic hash-Bernoulli per
     * row — keep a doc iff its md5 bucket (of 10000) falls under
     * floor(rate·10000) for its source. Hash-based (not rand()) so the
@@ -429,6 +457,7 @@ object PipelineQueries {
     "td_mix_sample" -> (qMixSample _),
     "td_contamination" -> (qContamination _),
     "td_contam_bloom" -> (qContaminationBloom _),
+    "td_source_quota" -> ((s: SparkSession, d: String) => qSourceQuota(s, d)),
     "td_pack_sequences" -> (qPackSequences _),
     "td_mix_temperature" -> ((s: SparkSession, d: String) => qMixTemperature(s, d)),
     "td_filter_funnel" -> (qFilterFunnel _),
@@ -440,6 +469,7 @@ object PipelineQueries {
     "td_mix_sample" -> qMixSampleSql,
     "td_contamination" -> qContaminationSql,
     "td_contam_bloom" -> qContaminationBloomSql,
+    "td_source_quota" -> qSourceQuotaSql,
     "td_pack_sequences" -> qPackSequencesSql,
     "td_mix_temperature" -> qMixTemperatureSql,
     "td_filter_funnel" -> qFilterFunnelSql,

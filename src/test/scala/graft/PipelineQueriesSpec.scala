@@ -68,6 +68,23 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(fps <= 20, s"fp rate ${fps / 20000.0} far above configured 1e-4")
   }
 
+  test("source quota: ≤K per source, deterministic, pre-shuffle group limit") {
+    val k = 15
+    val df = PipelineQueries.qSourceQuota(spark, sf, k)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getString(0))
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length <= k, s"$src over quota: ${rs.length}")
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    assert(df.collect().toSeq == rows.toSeq, "hash order is deterministic")
+    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"quota must prune before the shuffle, not after:\n$plan")
+  }
+
   test("char-LM bits: typical docs score below atypical ones; model broadcasts") {
     import spark.implicits._
     // 9 docs share the corpus's character statistics; 1 is mojibake —
