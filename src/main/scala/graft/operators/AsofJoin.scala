@@ -110,6 +110,10 @@ object AsofJoin {
     require(keys.nonEmpty, "asof join needs at least one equality key")
     val spark = left.sparkSession
     GraftBridge.ensureStrategy(spark, graft.plans.GraftStrategy)
+    // no pruning rule needed: Catalyst's ColumnPruning prunes generically
+    // through unknown nodes via its Project-over-child catch-all, keeping
+    // (node.references ++ project.references) — AsofMergePlanSpec pins
+    // that unused left columns never reach the parquet scan
     // fresh exprIds + unique names on the right so self-joins (both sides
     // carved from the same source, the common case) analyze cleanly
     val rCols = (keys ++ Seq(rightTime) ++ payload).distinct

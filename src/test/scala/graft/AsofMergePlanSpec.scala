@@ -122,6 +122,37 @@ class AsofMergePlanSpec extends SparkSpec {
       s"merge join replaces the window/union machinery:\n$plan")
   }
 
+  test("column pruning pushes through the custom node to the parquet scan") {
+    import graft.queries.Tables
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.events(spark, d)
+    // deliberately FULL-WIDTH left side: the pruning rule, not the query
+    // author, must cut props/event_type before the scan
+    val purchases = e.filter(col("event_type") === "purchase")
+    val clicks = e.filter(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    val out = graft.operators.AsofJoin
+      .asofMerge(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("value"))
+      .select(col("event_id"), col("asof_value"))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val plan = out.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    val scanSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(scanSchemas.nonEmpty)
+    scanSchemas.foreach { s =>
+      assert(!s.contains("props") && !s.contains("value_double_nope"),
+        s"unused wide columns must not reach the scan: $s\n$plan")
+    }
+    // values unchanged by the rewrite: match the hand-pruned form
+    val manual = graft.operators.AsofJoin
+      .asofMerge(purchases.select("event_id", "user_id", "ts"), clicks,
+        Seq("user_id"), "ts", "ts", Seq("value"))
+      .select(col("event_id"), col("asof_value"))
+      .collect()
+    assert(rows.sortBy(_.getLong(0)).toSeq == manual.sortBy(_.getLong(0)).toSeq)
+  }
+
   test("ev_asof_click_merge equals ev_asof_click on sf0.001") {
     val d = "/root/testdata/sf0.001"
     val a = graft.queries.EventQueries.qAsofClick(spark, d).collect().toSeq
