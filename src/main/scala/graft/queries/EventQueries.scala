@@ -128,6 +128,56 @@ object EventQueries {
       |  n - coalesce(lag(n) OVER (PARTITION BY event_type ORDER BY h), 0) AS delta
       |FROM hourly ORDER BY hour, event_type""".stripMargin
 
+  /** Cohort retention — the day-N matrix every event warehouse reports:
+    * users grouped by first-seen day (their cohort), counted distinct on
+    * each later activity day, with the share of the cohort still active.
+    *
+    * Two shuffles total and both mergeable: (1) per-user min(day) — a
+    * map-side-combinable agg keyed by user; (2) distinct (cohort, offset,
+    * user) → counts. The cohort assignment joins back on user_id, the
+    * same key as the first agg, so AQE reuses the exchange; nothing wider
+    * than (user, day) ever moves. At 100 TB the matrix is |days|² rows —
+    * report-sized — while the heavy stages stay linear scans. */
+  def qRetention(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val activity = e.join(cohorts, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"),
+        col("user_id"))
+      .distinct()
+    val sizes = cohorts.groupBy(col("cohort_day"))
+      .agg(countDistinct(col("user_id")).as("cohort_n"))
+    activity
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_n"))
+      .join(broadcast(sizes), "cohort_day")
+      .select(
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("cohort_n"), col("active_n"),
+        round(col("active_n").cast("double") / col("cohort_n"), 4)
+          .as("retained_frac"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val qRetentionSql: String =
+    """WITH e AS (SELECT user_id, ts::DATE AS day FROM events),
+      |cohorts AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+      |sizes AS (SELECT cohort_day, count(*) AS cohort_n FROM cohorts GROUP BY 1),
+      |activity AS (
+      |  SELECT DISTINCT c.cohort_day, e.day - c.cohort_day AS day_offset,
+      |    e.user_id
+      |  FROM e JOIN cohorts c USING (user_id))
+      |SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day,
+      |  a.day_offset::INTEGER AS day_offset,
+      |  s.cohort_n::BIGINT AS cohort_n,
+      |  count(*)::BIGINT AS active_n,
+      |  round(count(*) / s.cohort_n::DOUBLE, 4) AS retained_frac
+      |FROM activity a JOIN sizes s USING (cohort_day)
+      |GROUP BY a.cohort_day, a.day_offset, s.cohort_n
+      |ORDER BY 1, 2""".stripMargin
+
   /** Sessionization via Spark's native `session_window` (the dedicated
     * merging-session physical operator — one shuffle on user_id, no sort
     * window needed for session assignment). Same 30-minute-gap semantics
@@ -529,6 +579,7 @@ object EventQueries {
     "ev_asof_click" -> (qAsofClick _),
     "ev_asof_click_merge" -> (qAsofClickMerge _),
     "ev_cms_topk" -> (qCmsTopUsers _),
+    "ev_retention" -> (qRetention _),
     "ev_cms_topk_gate" -> (qCmsTopkGate _),
     "ev_range_incidents" -> (qRangeIncidents _),
     "ev_funnel" -> (qEventFunnel _),
@@ -554,6 +605,7 @@ object EventQueries {
     // ev_cms_topk itself is rows-only (sketch-seeded estimates); the gate
     // hash-checks the CMS contract against exact counts
     "ev_cms_topk_gate" -> qCmsTopkGateSql,
+    "ev_retention" -> qRetentionSql,
     "ev_range_incidents" -> qRangeIncidentsSql,
     "ev_funnel" -> qEventFunnelSql,
   )
