@@ -29,6 +29,7 @@ object SparkEntry {
       PipelineQueries.queries ++
       VectorQueries.queries ++
       MultimodalQueries.queries ++
+      SearchQueries.queries ++
       RagQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +42,6 @@ object SparkEntry {
       PipelineQueries.oracles ++
       VectorQueries.oracles ++
       MultimodalQueries.oracles ++
+      SearchQueries.oracles ++
       RagQueries.oracles
 }

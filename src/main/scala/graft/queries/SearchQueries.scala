@@ -1,0 +1,241 @@
+package graft.queries
+
+import graft.functions.VectorFunctions.cosine
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword (BM25) and hybrid keyword+vector retrieval over the
+  * `documents`/`embeddings` tables — the retrieval modality the reference
+  * lacks (its RAG loop is vector-only: `rag_service.py` cosine top-k). A
+  * production adopter runs HYBRID search: sparse lexical match catches
+  * exact identifiers/rare terms that embeddings smear, dense match catches
+  * paraphrase; reciprocal-rank fusion (Cormack et al. 2009, SIGIR — public
+  * paper) combines them without score calibration.
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *   - The corpus-side token explode is pruned by a BROADCAST join against
+  *     the query-term table BEFORE any aggregation — only postings for
+  *     query terms ever shuffle, so the shuffled volume is
+  *     O(docs_containing_query_terms), not O(total_tokens). In a served
+  *     system the postings table is materialized once (bucketed by term)
+  *     and this plan's explode+prune is replaced by an index scan; the
+  *     scoring/fusion stages are identical.
+  *   - df/idf statistics are tiny (≤ |query terms| rows) and broadcast.
+  *   - Per-query top-k is a rank-window over (query_id) — Spark plans the
+  *     filter as pre-shuffle WindowGroupLimit, so only k rows per query
+  *     per partition reach the exchange (asserted in PlanQualitySpec).
+  *   - RRF fusion joins two Q×k rank lists — Q×k rows total, trivially
+  *     broadcastable at any corpus size.
+  *
+  * Determinism across engines: per-(query,doc) BM25 scores are summed in
+  * engine-specific order, so ranking compares the score ROUNDED to 4 dp
+  * (collapses double ulp/order noise) with doc_id as the total tiebreak;
+  * RRF scores are sums of exact rationals 1/(60+rank) from integer ranks,
+  * identical in both engines.
+  */
+object SearchQueries {
+
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** documents → (doc_id, w: token array, dl: doc length). */
+  private def tokenized(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
+
+  /** BM25 scores for every (query_id, doc_id) sharing ≥1 term.
+    *
+    * @param qterms (query_id, term) — distinct rows, small (broadcast).
+    * @return (query_id, doc_id, score [rounded 4dp], n_terms_hit)
+    */
+  private def bm25Scores(docs: DataFrame, qterms: DataFrame): DataFrame = {
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // prune the corpus token stream to query terms BEFORE aggregating:
+    // the broadcast hash join keeps the explode inside one codegen stage
+    val postings = docs
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .join(broadcast(qterms), "term")
+      .groupBy(col("query_id"), col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    // document frequency per term over the pruned postings (distinct docs
+    // per term is query-independent; distinct first so a term shared by
+    // two queries counts each doc once)
+    val dfreq = postings.select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    postings
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(K1 + 1)) /
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("contrib")), 4).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** The BM25 core as DuckDB SQL (identical expression structure so both
+    * engines evaluate the same arithmetic; `QT` is a (query_id, term)
+    * relation the caller splices in). */
+  private def bm25Sql(qtCte: String): String =
+    s"""docs AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') w
+       |  FROM documents),
+       |d2 AS (SELECT doc_id, w, len(w) dl FROM docs),
+       |stats AS (SELECT count(*) n_docs, avg(dl) avgdl FROM d2),
+       |$qtCte,
+       |post AS (
+       |  SELECT qt.query_id, qt.term, t.doc_id, t.dl, count(*) tf
+       |  FROM (SELECT doc_id, dl, unnest(w) term FROM d2) t
+       |  JOIN qt USING (term)
+       |  GROUP BY 1, 2, 3, 4),
+       |dfreq AS (
+       |  SELECT term, count(*) df FROM (SELECT DISTINCT term, doc_id FROM post)
+       |  GROUP BY 1),
+       |bm25 AS (
+       |  SELECT query_id, doc_id,
+       |    round(sum(
+       |      ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)) *
+       |      (tf * ${K1 + 1}::DOUBLE) /
+       |      (tf + $K1::DOUBLE * (${1 - B}::DOUBLE + $B::DOUBLE * dl / avgdl))), 4) score,
+       |    count(*) n_terms_hit
+       |  FROM post JOIN dfreq USING (term), stats
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Fixed benchmark query set: multi-term lexical queries over the corpus
+    * vocabulary. Literal on purpose — a keyword-search eval set is a small
+    * fixed relation, exactly like the reference's smoke-test queries. */
+  val Bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "hash join",
+    1L -> "window merge sort",
+    2L -> "stream batch spark",
+    3L -> "filter scan table",
+    4L -> "vector query data")
+
+  /** BM25 top-5 per query over the fixed query set. */
+  def qBm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qterms = Bm25Queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(split(col("qtext"), " ")).as("term")).distinct()
+    val scored = bm25Scores(tokenized(s, d), qterms)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score"), col("n_terms_hit"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qBm25Sql: String = {
+    val values = Bm25Queries
+      .map { case (id, q) => s"(${id}::BIGINT, '$q')" }.mkString(", ")
+    s"""WITH ${bm25Sql(
+      s"""q(query_id, qtext) AS (VALUES $values),
+         |qt AS (
+         |  SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) term
+         |  FROM q)""".stripMargin)},
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) rank
+       |  FROM bm25)
+       |SELECT query_id, rank::INTEGER AS rank, doc_id, score, n_terms_hit
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Hybrid retrieval: dense cosine top-20 and sparse BM25 top-20 fused by
+    * reciprocal rank (k=60), top-10 per query. Query docs are ids 0..4:
+    * the dense side uses their embedding vectors, the sparse side their
+    * first three tokens — the "same information need, two modalities"
+    * setup. Self-matches are excluded on both sides. */
+  def qHybridRrf(s: SparkSession, d: String): DataFrame = {
+    // dense: broadcast 5 query vectors through one corpus scan (the
+    // vs_knn_brute shape), top-20 per query
+    val emb = Tables.embeddings(s, d)
+    val qv = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wv = Window.partitionBy(col("query_id"))
+      .orderBy(col("vscore").desc, col("vec_id"))
+    val vranks = emb.join(broadcast(qv), col("vec_id") =!= col("query_id"))
+      .withColumn("vscore", cosine(col("embedding"), col("qv")))
+      .withColumn("vrank", row_number().over(wv))
+      .filter(col("vrank") <= 20)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("vrank"))
+    // sparse: query terms = first 3 tokens of the query document
+    val docs = tokenized(s, d)
+    val qterms = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(col("w"), 1, 3)).as("term")).distinct()
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val kranks = bm25Scores(docs, qterms)
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("krank", row_number().over(wk))
+      .filter(col("krank") <= 20)
+      .select(col("query_id"), col("doc_id"), col("krank"))
+    // fuse: rrf = Σ 1/(60 + rank) over the lists the doc appears in
+    val rrf: Column =
+      coalesce(lit(1.0) / (lit(60) + col("vrank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("krank")), lit(0.0))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    vranks.join(kranks, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", rrf)
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf"),
+        col("vrank"), col("krank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qHybridRrfSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |qv AS (SELECT vec_id query_id, v qvec FROM e WHERE vec_id < 5),
+       |vscored AS (
+       |  SELECT qv.query_id, e.vec_id doc_id,
+       |    list_cosine_similarity(e.v, qv.qvec) vscore
+       |  FROM e, qv WHERE e.vec_id <> qv.query_id),
+       |vranks AS (
+       |  SELECT query_id, doc_id, vrank FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY vscore DESC, doc_id) vrank
+       |    FROM vscored) WHERE vrank <= 20),
+       |${bm25Sql(
+      """qt AS (
+        |  SELECT DISTINCT doc_id query_id, unnest(w[1:3]) term
+        |  FROM docs WHERE doc_id < 5)""".stripMargin)},
+       |kranks AS (
+       |  SELECT query_id, doc_id, krank FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score DESC, doc_id) krank
+       |    FROM bm25 WHERE doc_id <> query_id) WHERE krank <= 20),
+       |fused AS (
+       |  SELECT query_id, doc_id, vrank, krank,
+       |    coalesce(1.0::DOUBLE / (60 + vrank), 0.0::DOUBLE) +
+       |      coalesce(1.0::DOUBLE / (60 + krank), 0.0::DOUBLE) rrf
+       |  FROM vranks FULL OUTER JOIN kranks USING (query_id, doc_id))
+       |SELECT query_id, rank::INTEGER AS rank, doc_id, round(rrf, 6) AS rrf,
+       |  vrank::INTEGER AS vrank, krank::INTEGER AS krank
+       |FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) rank
+       |  FROM fused)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ks_bm25" -> (qBm25 _),
+    "ks_hybrid_rrf" -> (qHybridRrf _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ks_bm25" -> qBm25Sql,
+    "ks_hybrid_rrf" -> qHybridRrfSql,
+  )
+}

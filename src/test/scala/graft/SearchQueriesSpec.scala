@@ -1,0 +1,113 @@
+package graft
+
+import graft.queries.SearchQueries
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword search + hybrid RRF fusion: hand-computed fixture scores,
+  * fusion arithmetic, determinism, and the scale-shape plan assertions
+  * (oracle equivalence vs DuckDB is the driver gate).
+  */
+class SearchQueriesSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+
+  /** Reference BM25 (naive, driver-side) for the fixture check. */
+  private def bm25Ref(corpus: Seq[(Long, String)], query: Seq[String]): Map[Long, Double] = {
+    val toks = corpus.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq
+    }.toMap
+    val n = corpus.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val terms = query.distinct
+    toks.flatMap { case (id, w) =>
+      val score = terms.map { t =>
+        val tf = w.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else {
+          val df = toks.values.count(_.contains(t)).toDouble
+          val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+          idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * w.size / avgdl))
+        }
+      }.sum
+      if (score > 0) Some(id -> score) else None
+    }
+  }
+
+  test("BM25 matches a hand-checkable reference on a fixture corpus") {
+    import spark.implicits._
+    val corpus: Seq[(Long, String)] = Seq(
+      0L -> "hash join hash join hash",          // tf-heavy, short
+      1L -> "hash join sort merge window scan",  // both terms once, longer
+      2L -> "sort merge window scan batch",      // no query terms
+      3L -> "join join join join join join join join join join", // tf saturation
+      4L -> "hash table scan")                   // one term
+    val dir = java.nio.file.Files.createTempDirectory("bm25fix").toString
+    corpus.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = SearchQueries.qBm25(spark, dir)
+      .filter(col("query_id") === 0) // query 0 = "hash join"
+      .collect()
+      .map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    val want = bm25Ref(corpus, Seq("hash", "join"))
+    assert(got.keySet == want.keySet, s"hit sets differ: $got vs $want")
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - want(id)) < 1e-3, s"doc $id: $s vs ${want(id)}")
+    }
+    // tf saturation: doc 0 (tf 3+2, dl 5) must outrank doc 1 (tf 1+1, dl 6)
+    assert(got(0L) > got(1L))
+  }
+
+  test("BM25 per-query top-k is ranked, bounded, and deterministic") {
+    val rows = SearchQueries.qBm25(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      val ranked = rs.sortBy(_.getInt(1))
+      assert(ranked.map(_.getInt(1)).toSeq == (1 to ranked.length),
+        "ranks are 1..k with no gaps")
+      // scores non-increasing in rank
+      assert(ranked.map(_.getDouble(3)).toSeq
+        .sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+    assert(SearchQueries.qBm25(spark, sf).collect().toSeq == rows.toSeq,
+      "hash-deterministic: identical across evaluations")
+  }
+
+  test("hybrid RRF: fusion arithmetic and rank-list consistency") {
+    val rows = SearchQueries.qHybridRrf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val vr = if (r.isNullAt(4)) None else Some(r.getInt(4))
+      val kr = if (r.isNullAt(5)) None else Some(r.getInt(5))
+      assert(vr.nonEmpty || kr.nonEmpty, "every fused doc comes from a list")
+      val expect = vr.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        kr.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - expect) < 1e-6,
+        s"rrf ${r.getDouble(3)} != 1/(60+v)+1/(60+k) = $expect")
+      assert(r.getLong(2) != r.getLong(0), "self-match excluded")
+    }
+    // a doc on BOTH lists must outrank a doc appearing on one list at the
+    // same positions; spot-check global ordering per query instead
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ranked = rs.sortBy(_.getInt(1))
+      assert(ranked.map(_.getDouble(3)).toSeq
+        .sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        "rrf non-increasing in rank")
+    }
+  }
+
+  test("scale shape: query-term pruning broadcasts; top-k plans pre-shuffle WindowGroupLimit") {
+    val df = SearchQueries.qBm25(spark, sf)
+    df.collect()
+    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "query terms must prune the token stream via broadcast, not shuffle")
+    assert(plan.contains("WindowGroupLimit"),
+      "per-query top-k must filter before the final window shuffle")
+    assert(!plan.contains("CartesianProduct"), "no cartesian anywhere")
+  }
+}
