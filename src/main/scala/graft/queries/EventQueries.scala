@@ -563,6 +563,72 @@ object EventQueries {
       |FROM (SELECT DISTINCT event_type FROM events)
       |ORDER BY event_type""".stripMargin
 
+  /** Day × event-type count matrix via `pivot` with an EXPLICIT value
+    * list — at scale the two-arg pivot matters: without the list Spark
+    * runs a values-discovery job over the full input before it can even
+    * plan. The explicit form plans two mergeable hash-aggs (a partial
+    * count on (day, type), then pivotfirst on day) — both map-side
+    * combinable, so the shuffled volume is |days×types| rows, not
+    * events. Missing cells coalesce to 0 so the matrix is dense and
+    * engine-comparable. */
+  def qEventPivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, d)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("day") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy(col("day"))
+  }
+
+  val qEventPivotSql: String =
+    """SELECT ts::DATE AS day,
+      |  count(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+      |  count(*) FILTER (event_type = 'error')::BIGINT AS n_error,
+      |  count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+      |  count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup,
+      |  count(*) FILTER (event_type = 'view')::BIGINT AS n_view
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Accuracy gate for the SKETCH-based quantiles (`approx_percentile`,
+    * the operator a 100 TB pipeline actually runs — exact `percentile`
+    * materializes every group's values; the GK sketch is mergeable and
+    * map-side combinable). accuracy=50 keeps the sketch genuinely
+    * approximate at the test SFs (exact below ~50 rows/group), and the
+    * published contract — rank error ≤ N/accuracy — is checked per
+    * (event_type, q) against the exact data: the count of values below
+    * the estimate must sit within budget of the target rank. The oracle
+    * is the all-true relation, so any budget violation hash-fails. */
+  def qQuantileGate(s: SparkSession, d: String): DataFrame = {
+    val qs = Seq(0.5, 0.9, 0.99)
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val est = ev.groupBy(col("event_type"))
+      .agg(
+        expr(s"approx_percentile(value, array(${qs.mkString(", ")}), 50)").as("est"),
+        count(lit(1)).as("n"))
+    val probes = est.select(col("event_type"), col("n"),
+      posexplode(col("est")).as(Seq("qi", "e")))
+      .withColumn("q", element_at(
+        array(qs.map(q => lit(q)): _*), col("qi").cast("int") + 1))
+    ev.join(broadcast(probes), "event_type")
+      .groupBy(col("event_type"), col("q"), col("n"))
+      .agg(
+        sum(when(col("value") < col("e"), 1L).otherwise(0L)).as("rank_lo"),
+        sum(when(col("value") <= col("e"), 1L).otherwise(0L)).as("rank_hi"))
+      .select(col("event_type"), col("q"),
+        (col("rank_hi") >= floor(col("q") * col("n")) - ceil(col("n") / 50.0) - 1 &&
+          col("rank_lo") <= ceil(col("q") * col("n")) + ceil(col("n") / 50.0) + 1)
+          .as("within_budget"))
+      .orderBy(col("event_type"), col("q"))
+  }
+
+  val qQuantileGateSql: String =
+    """SELECT event_type, q, true AS within_budget
+      |FROM events, (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)) t(q)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_reach_sketch" -> (qReachSketchRollup _),
     "ev_reach_sketch_gate" -> (qReachSketchGate _),
@@ -583,6 +649,8 @@ object EventQueries {
     "ev_cms_topk_gate" -> (qCmsTopkGate _),
     "ev_range_incidents" -> (qRangeIncidents _),
     "ev_funnel" -> (qEventFunnel _),
+    "ev_pivot" -> (qEventPivot _),
+    "ev_quantile_gate" -> (qQuantileGate _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -608,5 +676,10 @@ object EventQueries {
     "ev_retention" -> qRetentionSql,
     "ev_range_incidents" -> qRangeIncidentsSql,
     "ev_funnel" -> qEventFunnelSql,
+    "ev_pivot" -> qEventPivotSql,
+    // approx_percentile estimates aren't SQL-reproducible; the gate row
+    // IS the check — any rank-budget violation flips a boolean and
+    // hash-fails against the all-true oracle
+    "ev_quantile_gate" -> qQuantileGateSql,
   )
 }

@@ -451,6 +451,49 @@ object PipelineQueries {
        |UNION ALL SELECT '4_clean', count(*) FROM clean
        |ORDER BY stage""".stripMargin
 
+  /** Weighted sampling without replacement, stratified per source —
+    * Efraimidis & Spirakis 2006 ("Weighted random sampling with a
+    * reservoir", IPL; public paper): each row draws key = ln(u)/w with
+    * u ~ U(0,1]; the k largest keys per stratum are EXACTLY a weighted
+    * sample without replacement. Here u derives from md5(doc_id) (first
+    * 8 hex digits / 2³²) so the "random" draw is reproducible,
+    * reorder-stable, and consistent for late-arriving rows — the same
+    * determinism contract as [[qSplitAssign]] — and w = n_chars, the
+    * size-biased selection a token-budget curator runs.
+    *
+    * Scale shape: one scan computes keys inside codegen; per-stratum
+    * top-k plans as pre-shuffle WindowGroupLimit, so only k rows per
+    * source per partition reach the exchange. No global sort, no
+    * driver-side randomness, no seed coordination across executors. */
+  def qWeightedSample(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + 1.0) / 4294967296.0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("key").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (log(u) / col("n_chars").cast("double")).as("key"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"),
+        round(col("key"), 9).as("key"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val qWeightedSampleSql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id, source, n_chars,
+      |    ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1.0::DOUBLE)
+      |       / 4294967296.0::DOUBLE) / n_chars AS key
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY source ORDER BY key DESC, doc_id) rank
+      |  FROM keyed)
+      |SELECT source, rank::INTEGER AS rank, doc_id, n_chars,
+      |  round(key, 9) AS key
+      |FROM ranked WHERE rank <= 10 ORDER BY source, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "td_split_assign" -> (qSplitAssign _),
     "td_mix_weights" -> (qMixWeights _),
@@ -461,6 +504,7 @@ object PipelineQueries {
     "td_pack_sequences" -> (qPackSequences _),
     "td_mix_temperature" -> ((s: SparkSession, d: String) => qMixTemperature(s, d)),
     "td_filter_funnel" -> (qFilterFunnel _),
+    "td_weighted_sample" -> ((s: SparkSession, d: String) => qWeightedSample(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -473,5 +517,6 @@ object PipelineQueries {
     "td_pack_sequences" -> qPackSequencesSql,
     "td_mix_temperature" -> qMixTemperatureSql,
     "td_filter_funnel" -> qFilterFunnelSql,
+    "td_weighted_sample" -> qWeightedSampleSql,
   )
 }
