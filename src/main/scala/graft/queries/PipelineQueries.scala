@@ -494,6 +494,39 @@ object PipelineQueries {
       |  round(key, 9) AS key
       |FROM ranked WHERE rank <= 10 ORDER BY source, rank""".stripMargin
 
+  /** Z-order (Morton) clustering values over two scan dimensions — the
+    * multi-dimensional layout key behind `ZORDER BY` (see
+    * [[graft.operators.ZOrder]] for the write path and ZOrderSpec for
+    * the measured row-group-pruning effect). Dimensions here: n_chars
+    * (the real scan predicate a curator uses) and an md5-derived second
+    * axis standing in for an independent column; both clamped to 10
+    * bits. The oracle recomputes the interleave bit-by-bit with the
+    * same shift/mask arithmetic, so the gate value-checks the layout
+    * key itself. */
+  def qZorderValues(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.ZOrder.zvalue
+    val y = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 1024
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), y.as("y"))
+      .select(col("doc_id"), col("n_chars"), col("y"),
+        zvalue(col("n_chars"), col("y"), 10).as("zval"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qZorderValuesSql: String = {
+    val terms = (0 until 10).map { i =>
+      s"((x >> $i) & 1) * ${1L << (2 * i)} + ((y >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    s"""WITH dims AS (
+       |  SELECT doc_id, n_chars,
+       |    least(greatest(n_chars, 0), 1023) AS x,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 1024 AS y
+       |  FROM documents)
+       |SELECT doc_id, n_chars, y, ($terms)::BIGINT AS zval
+       |FROM dims ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "td_split_assign" -> (qSplitAssign _),
     "td_mix_weights" -> (qMixWeights _),
@@ -505,6 +538,7 @@ object PipelineQueries {
     "td_mix_temperature" -> ((s: SparkSession, d: String) => qMixTemperature(s, d)),
     "td_filter_funnel" -> (qFilterFunnel _),
     "td_weighted_sample" -> ((s: SparkSession, d: String) => qWeightedSample(s, d)),
+    "td_zorder" -> (qZorderValues _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -518,5 +552,6 @@ object PipelineQueries {
     "td_mix_temperature" -> qMixTemperatureSql,
     "td_filter_funnel" -> qFilterFunnelSql,
     "td_weighted_sample" -> qWeightedSampleSql,
+    "td_zorder" -> qZorderValuesSql,
   )
 }
