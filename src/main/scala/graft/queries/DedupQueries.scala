@@ -233,6 +233,73 @@ object DedupQueries {
   def qDedupSimhash(s: SparkSession, d: String): DataFrame =
     simhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
 
+  /** Triangle count over the near-dup pair graph — the cluster-density
+    * diagnostic (triangles/wedges ≈ how clique-like the dup clusters
+    * are; chains of borderline pairs have none). Implemented with the
+    * degree-orientation trick (Suri & Vassilvitskii 2011, "Counting
+    * triangles and the curse of the last reducer", WWW — public paper):
+    * orient every edge toward the higher (degree, id), so each vertex's
+    * OUT-degree is O(√m) even when its raw degree is huge, and the
+    * wedge self-join — the quadratic step — is bounded by Σ outdeg²
+    * = O(m^1.5) instead of Σ deg² (which a single dup-hub vertex makes
+    * quadratic). Each triangle is counted exactly once, at its
+    * lowest-order vertex. The oracle counts the same triangles with the
+    * plain a<b<c three-way join — same total by symmetry, quadratic
+    * shape the engine side deliberately avoids. */
+  def qDedupTriangles(s: SparkSession, d: String): DataFrame =
+    triangleStats(simhashPairs(s, d)
+      .select(col("doc_a").as("a"), col("doc_b").as("b")))
+
+  /** Degree-oriented triangle count over an undirected edge list
+    * (columns `a`, `b`; each edge once, a ≠ b). See [[qDedupTriangles]]. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // total order: ord = deg * 2^32 + id (ids are far below 2^32)
+    val ord = (col("deg") * lit(4294967296L) + col("v")).as("ord")
+    val ordTbl = deg.select(col("v"), ord)
+    val e = edges
+      .join(ordTbl.select(col("v").as("a"), col("ord").as("orda")), "a")
+      .join(ordTbl.select(col("v").as("b"), col("ord").as("ordb")), "b")
+    val oriented = e.select(
+      when(col("orda") < col("ordb"), col("a")).otherwise(col("b")).as("u"),
+      when(col("orda") < col("ordb"), col("b")).otherwise(col("a")).as("v"),
+      greatest(col("orda"), col("ordb")).as("ordv"))
+    // wedges at the low vertex, (v, w) ordered; close with an edge v→w
+    val wedges = oriented.select(col("u"), col("v").as("wv"), col("ordv").as("ordwv"))
+      .join(oriented.select(col("u"), col("v").as("ww"), col("ordv").as("ordww")), "u")
+      .filter(col("ordwv") < col("ordww"))
+      .select(col("wv").as("u"), col("ww").as("v"))
+    val tri = wedges.join(oriented.select(col("u"), col("v")), Seq("u", "v"))
+    val stats = edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+    stats.select(col("n_edges"), col("n_triangles"))
+  }
+
+  val qDedupTrianglesSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) t
+      |  FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT hv FROM tok),
+      |bits AS (
+      |  SELECT doc_id, bb.b,
+      |    sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) v
+      |  FROM h, (SELECT unnest(range(60)) b) bb GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT sig
+      |  FROM bits GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id doc_a, b.doc_id doc_b
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sig, b.sig)) <= 3)
+      |SELECT (SELECT count(*) FROM pairs)::BIGINT AS n_edges,
+      |  (SELECT count(*)
+      |   FROM pairs e1 JOIN pairs e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
+      |   JOIN pairs e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b
+      |  )::BIGINT AS n_triangles""".stripMargin
+
   /** Near-dup CLUSTERS: connected components over the simhash pair graph
     * by iterative min-label propagation — each round is one join + one
     * map-side-combinable min-agg, both keyed by node id, so the loop is
@@ -514,6 +581,7 @@ object DedupQueries {
     "dd_jaccard_prefix_full" -> (qDedupJaccardPrefixFull _),
     "dd_minhash_lsh" -> (qDedupMinhashLsh _),
     "dd_simhash" -> (qDedupSimhash _),
+    "dd_triangles" -> (qDedupTriangles _),
     "dd_simhash_clusters" -> (qDedupClusters _),
     "dd_simhash_clusters_stars" -> (qDedupClustersStars _),
     "dd_substring" -> (qDedupSubstring _),
@@ -526,6 +594,7 @@ object DedupQueries {
     "dd_jaccard_prefix_full" -> qDedupJaccardSql, // prefix plan, same output
     "dd_minhash_lsh" -> qDedupJaccardSql, // same contract: verified exact pairs
     "dd_simhash" -> qDedupSimhashSql,
+    "dd_triangles" -> qDedupTrianglesSql,
     "dd_simhash_clusters" -> qDedupClustersSql,
     "dd_simhash_clusters_stars" -> qDedupClustersSql, // CC variants agree
     "dd_substring" -> qDedupSubstringSql,

@@ -629,6 +629,46 @@ object EventQueries {
       |FROM events, (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)) t(q)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Equi-width 10-bin histogram of `value` per event type — the
+    * distribution-profiling pass behind dashboards and outlier triage.
+    * Two scans: a 5-row min/max agg broadcast back onto the stream, then
+    * one map-side-combinable (type, bin) count — no corpus shuffle
+    * beyond the k×10-row aggregate. Bin arithmetic is written with the
+    * identical expression structure in both engines so boundary values
+    * land in the same bin. */
+  def qValueHistogram(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val rng = ev.groupBy(col("event_type"))
+      .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    ev.join(broadcast(rng), "event_type")
+      .withColumn("bin",
+        when(col("mx") === col("mn"), lit(0L)).otherwise(
+          least(floor((col("value") - col("mn")) * 10.0 / (col("mx") - col("mn"))),
+            lit(9L))).cast("long"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(rng), "event_type")
+      .select(col("event_type"), col("bin"),
+        round(col("mn") + col("bin") * (col("mx") - col("mn")) / 10.0, 4).as("bin_lo"),
+        col("n"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  val qValueHistogramSql: String =
+    """WITH rng AS (
+      |  SELECT event_type, min(value) mn, max(value) mx
+      |  FROM events GROUP BY 1),
+      |binned AS (
+      |  SELECT e.event_type,
+      |    CASE WHEN mx = mn THEN 0
+      |         ELSE least(floor((value - mn) * 10.0::DOUBLE / (mx - mn)), 9) END::BIGINT bin
+      |  FROM events e JOIN rng USING (event_type))
+      |SELECT event_type, bin,
+      |  round(mn + bin * (mx - mn) / 10.0::DOUBLE, 4) AS bin_lo,
+      |  count(*) AS n
+      |FROM binned JOIN rng USING (event_type)
+      |GROUP BY 1, 2, mn, mx ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_reach_sketch" -> (qReachSketchRollup _),
     "ev_reach_sketch_gate" -> (qReachSketchGate _),
@@ -651,6 +691,7 @@ object EventQueries {
     "ev_funnel" -> (qEventFunnel _),
     "ev_pivot" -> (qEventPivot _),
     "ev_quantile_gate" -> (qQuantileGate _),
+    "ev_histogram" -> (qValueHistogram _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -681,5 +722,6 @@ object EventQueries {
     // IS the check — any rank-budget violation flips a boolean and
     // hash-fails against the all-true oracle
     "ev_quantile_gate" -> qQuantileGateSql,
+    "ev_histogram" -> qValueHistogramSql,
   )
 }

@@ -405,6 +405,37 @@ object TextQueries {
       |  sum(h)::BIGINT AS n_secrets, sum(delta)::BIGINT AS n_chars_redacted
       |FROM red GROUP BY source ORDER BY source""".stripMargin
 
+  /** Quartile tiers of document length per source (`ntile`) — the
+    * "bucket the corpus by a quality signal, then treat tiers
+    * differently" pass (e.g. keep tier 4, re-filter tier 1). The window
+    * total-orders on (n_chars, doc_id) so tier assignment is
+    * deterministic and engine-identical; per-source windows partition
+    * the shuffle by source, and the downstream agg reuses that
+    * partitioning (no second exchange on source). */
+  def qQualityTiers(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("tier", ntile(4).over(w))
+      .groupBy(col("source"), col("tier"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source"), col("tier"))
+  }
+
+  val qQualityTiersSql: String =
+    """WITH tiers AS (
+      |  SELECT source, n_chars,
+      |    ntile(4) OVER (PARTITION BY source ORDER BY n_chars, doc_id) tier
+      |  FROM documents)
+      |SELECT source, tier::INTEGER AS tier, count(*) AS n,
+      |  round(avg(n_chars), 4) AS avg_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM tiers GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "td_pii_redact" -> (qPiiRedact _),
     "td_text_profile" -> (qTextProfile _),
@@ -416,6 +447,7 @@ object TextQueries {
     "td_rollup_salted" -> (qRollupSalted _),
     "td_quality_rules" -> (qQualityRules _),
     "td_charlm_bits" -> (qCharLmBits _),
+    "td_quality_tiers" -> (qQualityTiers _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -429,5 +461,6 @@ object TextQueries {
     "td_rollup_salted" -> qRollupChunksSql, // provably identical output
     "td_quality_rules" -> qQualityRulesSql,
     "td_charlm_bits" -> qCharLmBitsSql,
+    "td_quality_tiers" -> qQualityTiersSql,
   )
 }

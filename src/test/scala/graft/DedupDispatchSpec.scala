@@ -8,6 +8,26 @@ class DedupDispatchSpec extends SparkSpec {
 
   val sf = "/root/testdata/sf0.001"
 
+  test("triangle count: exact on known graphs, once per triangle, no cartesian") {
+    import spark.implicits._
+    def stats(edges: Seq[(Long, Long)]): (Long, Long) = {
+      val r = DedupQueries.triangleStats(edges.toDF("a", "b")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // K4: C(4,3) = 4 triangles; path: 0; star (hub degree 5): 0;
+    // two triangles sharing an edge: 2
+    assert(stats(Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))) == (6L, 4L))
+    assert(stats(Seq((1L,2L),(2L,3L),(3L,4L))) == (3L, 0L))
+    assert(stats(Seq((9L,1L),(9L,2L),(9L,3L),(9L,4L),(9L,5L))) == (5L, 0L))
+    assert(stats(Seq((1L,2L),(1L,3L),(2L,3L),(1L,4L),(2L,4L))) == (5L, 2L))
+    // plan shape: the wedge step must be an equi-join on the low vertex
+    val df = DedupQueries.qDedupTriangles(spark, sf)
+    df.collect()
+    val p = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "triangle join must stay equi-keyed")
+  }
+
   test("prefix-filtered Jaccard output equals the naive inverted-index join") {
     val naive = DedupQueries.qDedupJaccard(spark, sf).collect().toSeq
     val prefix = DedupQueries.qDedupJaccardPrefixFull(spark, sf).collect().toSeq
