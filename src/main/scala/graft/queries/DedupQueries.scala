@@ -277,6 +277,98 @@ object DedupQueries {
     stats.select(col("n_edges"), col("n_triangles"))
   }
 
+  /** Incremental dedup probe — the shape a production pipeline actually
+    * runs: a NEW batch (stand-in: doc_id % 5 = 0) is checked against the
+    * EXISTING corpus without re-deduplicating the corpus against itself.
+    * Exact duplicates probe the fingerprint set with a left-semi join;
+    * near-duplicates probe the MinHash band index new→old ONLY (the
+    * candidate join is |new|×collisions, never old×old) and verify with
+    * exact Jaccard ≥ 0.8 like [[qDedupMinhashLsh]] (same 32×4 banding,
+    * same ~5e-8 per-pair miss bound at the threshold; the oracle computes
+    * the true all-pairs answer). At 100 TB the band index and fingerprint
+    * set are the materialized state; per-batch cost is O(batch), not
+    * O(corpus). Output: per-source incoming/exact/near/clean counts. */
+  def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val numHashes = 128
+    val bands = 32
+    val rows = numHashes / bands
+    val isNew = col("doc_id") % 5 === 0
+    val docs = Tables.documents(s, d)
+    val fp = docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val exactHit = fp.filter(isNew)
+      .join(fp.filter(!isNew).select(col("fp")).distinct(), Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(true).as("exact_dup"))
+    val sh = shingleRel(s, d)
+    val signed = sh.select(col("doc_id"),
+      minhashSignature(col("sh"), numHashes).as("sig"))
+    val banded = signed.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map { bi =>
+        xxhash64(slice(col("sig"), bi * rows + 1, rows))
+      }: _*)).as(Seq("band_idx", "band_key")))
+    val cand = banded.filter(isNew).as("a")
+      .join(banded.filter(!isNew).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+      .dropDuplicates("new_id", "old_id")
+    val nearHit = cand
+      .join(sh.select(col("doc_id").as("new_id"), col("sh").as("sh_a")), "new_id")
+      .join(sh.select(col("doc_id").as("old_id"), col("sh").as("sh_b")), "old_id")
+      .filter(jaccardShingles(col("sh_a"), col("sh_b")) >= JaccardThreshold)
+      .select(col("new_id").as("doc_id")).distinct()
+      .select(col("doc_id"), lit(true).as("near_dup"))
+    docs.filter(isNew).select(col("doc_id"), col("source"))
+      .join(exactHit, Seq("doc_id"), "left")
+      .join(nearHit, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_incoming"),
+        count(col("exact_dup")).as("n_exact"),
+        count(col("near_dup")).as("n_near"),
+        (count(lit(1)) - count(coalesce(col("exact_dup"), col("near_dup"))))
+          .as("n_clean"))
+      .orderBy(col("source"))
+  }
+
+  val qDedupIncrementalSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, text, doc_id % 5 = 0 AS is_new FROM documents),
+      |fp AS (
+      |  SELECT doc_id, is_new,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) fp
+      |  FROM base),
+      |exact AS (
+      |  SELECT DISTINCT f.doc_id FROM fp f
+      |  WHERE f.is_new AND EXISTS (
+      |    SELECT 1 FROM fp o WHERE NOT o.is_new AND o.fp = f.fp)),
+      |tok AS (
+      |  SELECT doc_id, is_new,
+      |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]) sh
+      |  FROM (SELECT doc_id, is_new, regexp_split_to_array(trim(text), '\s+') w
+      |        FROM base)
+      |  WHERE len(w) >= 3),
+      |post AS (SELECT doc_id, is_new, unnest(sh) s FROM tok),
+      |cnt AS (SELECT doc_id, len(sh) n FROM tok),
+      |inter AS (
+      |  SELECT a.doc_id na, b.doc_id ob, count(*) i
+      |  FROM post a JOIN post b ON a.s = b.s
+      |  WHERE a.is_new AND NOT b.is_new GROUP BY 1, 2),
+      |near AS (
+      |  SELECT DISTINCT na AS doc_id
+      |  FROM inter JOIN cnt ca ON ca.doc_id = inter.na
+      |             JOIN cnt cb ON cb.doc_id = inter.ob
+      |  WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.8),
+      |inc AS (SELECT doc_id, source FROM base WHERE is_new)
+      |SELECT i.source AS source, count(*) AS n_incoming,
+      |  count(e.doc_id) AS n_exact,
+      |  count(nr.doc_id) AS n_near,
+      |  (count(*) - count(coalesce(e.doc_id, nr.doc_id)))::BIGINT AS n_clean
+      |FROM inc i
+      |LEFT JOIN exact e ON e.doc_id = i.doc_id
+      |LEFT JOIN near nr ON nr.doc_id = i.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val qDedupTrianglesSql: String =
     """WITH tok AS (
       |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) t
@@ -582,6 +674,7 @@ object DedupQueries {
     "dd_minhash_lsh" -> (qDedupMinhashLsh _),
     "dd_simhash" -> (qDedupSimhash _),
     "dd_triangles" -> (qDedupTriangles _),
+    "dd_incremental" -> (qDedupIncremental _),
     "dd_simhash_clusters" -> (qDedupClusters _),
     "dd_simhash_clusters_stars" -> (qDedupClustersStars _),
     "dd_substring" -> (qDedupSubstring _),
@@ -595,6 +688,7 @@ object DedupQueries {
     "dd_minhash_lsh" -> qDedupJaccardSql, // same contract: verified exact pairs
     "dd_simhash" -> qDedupSimhashSql,
     "dd_triangles" -> qDedupTrianglesSql,
+    "dd_incremental" -> qDedupIncrementalSql,
     "dd_simhash_clusters" -> qDedupClustersSql,
     "dd_simhash_clusters_stars" -> qDedupClustersSql, // CC variants agree
     "dd_substring" -> qDedupSubstringSql,

@@ -527,6 +527,57 @@ object PipelineQueries {
        |FROM dims ORDER BY doc_id""".stripMargin
   }
 
+  private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** One-pass table profiler (the `ANALYZE TABLE` twin a pipeline runs
+    * before planning a curation pass): per column — non-null count,
+    * exact distinct count, min/max (stringified, truncated to 24 chars).
+    * All five columns profile in a SINGLE scan: Spark plans the multiple
+    * countDistinct aggregates as one Expand (×columns) feeding one
+    * hash-agg pair, so the input is read once however many columns are
+    * profiled; the 1-row result is unpivoted with `stack`. At 100 TB the
+    * same plan holds (swap countDistinct for approx_count_distinct when
+    * exactness isn't required — the Expand disappears entirely). */
+  def qProfileTable(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val aggs = count(lit(1)).as("n_rows") +: ProfileCols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    val stackArgs = ProfileCols
+      .map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    docs.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${ProfileCols.size}, $stackArgs) AS " +
+          "(column_name, n_non_null, n_distinct, min_val, max_val)")
+      .select(col("column_name"), col("n_rows"), col("n_non_null"),
+        col("n_distinct"),
+        substring(col("min_val"), 1, 24).as("min_val"),
+        substring(col("max_val"), 1, 24).as("max_val"))
+      .orderBy(col("column_name"))
+  }
+
+  val qProfileTableSql: String = {
+    val branches = ProfileCols.map { c =>
+      s"""SELECT '$c' AS column_name, n_rows, nn_$c AS n_non_null,
+         |  nd_$c AS n_distinct, substr(mn_$c, 1, 24) AS min_val,
+         |  substr(mx_$c, 1, 24) AS max_val FROM a""".stripMargin
+    }.mkString("\n|UNION ALL\n|".stripMargin)
+    val aggs = ProfileCols.map { c =>
+      s"""count($c) nn_$c, count(DISTINCT $c) nd_$c,
+         |  min($c)::VARCHAR mn_$c, max($c)::VARCHAR mx_$c""".stripMargin
+    }.mkString(",\n")
+    s"""WITH a AS (
+       |  SELECT count(*) n_rows,
+       |$aggs
+       |  FROM documents)
+       |$branches
+       |ORDER BY column_name""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "td_split_assign" -> (qSplitAssign _),
     "td_mix_weights" -> (qMixWeights _),
@@ -539,6 +590,7 @@ object PipelineQueries {
     "td_filter_funnel" -> (qFilterFunnel _),
     "td_weighted_sample" -> ((s: SparkSession, d: String) => qWeightedSample(s, d)),
     "td_zorder" -> (qZorderValues _),
+    "td_profile_table" -> (qProfileTable _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -553,5 +605,6 @@ object PipelineQueries {
     "td_filter_funnel" -> qFilterFunnelSql,
     "td_weighted_sample" -> qWeightedSampleSql,
     "td_zorder" -> qZorderValuesSql,
+    "td_profile_table" -> qProfileTableSql,
   )
 }
