@@ -669,6 +669,73 @@ object EventQueries {
       |FROM binned JOIN rng USING (event_type)
       |GROUP BY 1, 2, mn, mx ORDER BY 1, 2""".stripMargin
 
+  /** Event-type transition matrix (per-user Markov chain): counts and
+    * row-normalized probabilities of consecutive (prev → next) pairs in
+    * each user's event-time order. One window pass (partitioned by user,
+    * total-ordered by (ts, event_id) so ties are deterministic) + one
+    * map-side-combinable pair count; the row normalization runs on the
+    * ≤ types² aggregate. The session-path diagnostic behind funnel
+    * design — and the same shape computes n-gram transition stats on any
+    * sequence corpus. */
+  def qEventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("prev_type"))
+    pairs
+      .withColumn("p", round(col("n").cast("double") / sum(col("n")).over(wp), 6))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  val qEventTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    lag(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) prev_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT prev_type, event_type, count(*) n
+      |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, event_type, n,
+      |  round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+      |FROM pairs ORDER BY prev_type, event_type""".stripMargin
+
+  /** Z-score outlier report per event type: mean/population-stddev on a
+    * 5-row broadcast agg, then one codegen pass flags |z| > 3. The
+    * anomaly-triage pre-filter: at 100 TB the flag column prunes the
+    * stream before any expensive downstream stage, and the two-pass
+    * (tiny agg + broadcast) shape never shuffles event rows. */
+  def qValueAnomalies(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mean"),
+        stddev_pop(col("value")).as("sd"),
+        count(lit(1)).as("n"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("value") - col("mean")) / col("sd"))
+      .groupBy(col("event_type"), col("n"))
+      .agg(
+        sum(when(abs(col("z")) > 3.0, 1L).otherwise(0L)).as("n_outliers"),
+        round(max(abs(col("z"))), 4).as("max_abs_z"))
+      .select(col("event_type"), col("n"), col("n_outliers"), col("max_abs_z"))
+      .orderBy(col("event_type"))
+  }
+
+  val qValueAnomaliesSql: String =
+    """WITH stats AS (
+      |  SELECT event_type, avg(value) mean, stddev_pop(value) sd, count(*) n
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, n,
+      |  sum(CASE WHEN abs((value - mean) / sd) > 3.0::DOUBLE THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+      |  round(max(abs((value - mean) / sd)), 4) AS max_abs_z
+      |FROM events JOIN stats USING (event_type)
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_reach_sketch" -> (qReachSketchRollup _),
     "ev_reach_sketch_gate" -> (qReachSketchGate _),
@@ -692,6 +759,8 @@ object EventQueries {
     "ev_pivot" -> (qEventPivot _),
     "ev_quantile_gate" -> (qQuantileGate _),
     "ev_histogram" -> (qValueHistogram _),
+    "ev_transitions" -> (qEventTransitions _),
+    "ev_anomalies" -> (qValueAnomalies _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -723,5 +792,7 @@ object EventQueries {
     // hash-fails against the all-true oracle
     "ev_quantile_gate" -> qQuantileGateSql,
     "ev_histogram" -> qValueHistogramSql,
+    "ev_transitions" -> qEventTransitionsSql,
+    "ev_anomalies" -> qValueAnomaliesSql,
   )
 }
