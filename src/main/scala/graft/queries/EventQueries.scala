@@ -370,9 +370,9 @@ object EventQueries {
   /** Count-min-sketch parameters shared by build, merge, and gate: eps →
     * width 2/eps counters, confidence → depth ln(1/(1-conf)) rows; the
     * fixed seed makes estimates reproducible given the data. */
-  private val CmsEps = 0.001
-  private val CmsConf = 0.99
-  private val CmsSeed = 42
+  val CmsEps = 0.001
+  val CmsConf = 0.99
+  val CmsSeed = 42
 
   /** The 10 globally most active users — the deterministic probe set for
     * the CMS point-frequency queries (ties broken by user_id so Spark and
