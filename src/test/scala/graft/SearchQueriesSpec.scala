@@ -99,6 +99,17 @@ class SearchQueriesSpec extends SparkSpec {
     }
   }
 
+  test("stored-index BM25: identical output; term filter pushed into the postings scan") {
+    val direct = SearchQueries.qBm25(spark, sf).collect().toSeq
+    val df = SearchQueries.qBm25Stored(spark, sf)
+    val stored = df.collect().toSeq
+    assert(stored == direct, "index-served BM25 must equal the direct scan")
+    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"query terms must push into the postings scan:\n$plan")
+  }
+
   test("scale shape: query-term pruning broadcasts; top-k plans pre-shuffle WindowGroupLimit") {
     val df = SearchQueries.qBm25(spark, sf)
     df.collect()
