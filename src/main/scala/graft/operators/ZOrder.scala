@@ -41,6 +41,25 @@ object ZOrder {
     }.reduce(_ + _)
   }
 
+  /** N-column Morton interleave: result bit (i·n + j) = bit i of column
+    * j — the general form of [[zvalue]] (which it reproduces for n = 2
+    * with arguments (x, y)). Total bits (bits × n) must fit a signed
+    * long. Use 2–4 columns; beyond that each column contributes so few
+    * high-order bits that the curve degenerates toward the first
+    * columns' linear order. */
+  def zvalueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 1, "at least one column")
+    require(bits >= 1 && bits * n <= 62, s"bits*$n must fit a long, got $bits")
+    val max = (1L << bits) - 1
+    val clamped = cols.map(c => least(greatest(c.cast("long"), lit(0L)), lit(max)))
+    (for {
+      i <- 0 until bits
+      (c, j) <- clamped.zipWithIndex
+    } yield shiftright(c, i).bitwiseAND(lit(1L)) * lit(1L << (i * n + j)))
+      .reduce(_ + _)
+  }
+
   /** Write `df` parquet-clustered by the z-value of (xCol, yCol): one
     * range shuffle, sorted within partitions so every output file covers
     * a contiguous z-range (tight min/max on both source columns).
