@@ -231,6 +231,62 @@ object Retrieval {
     } finally scored.unpersist(blocking = false)
   }
 
+  /** Hybrid dense+sparse retrieval over a corpus scope — the serving-side
+    * twin of `SearchQueries.qHybridRrf`, plugged into the node-corpus
+    * layout the agent loop reads. Two candidate lists come off the SAME
+    * scope scan (cosine against the broadcast query vector; a lexical
+    * score from the query's literal terms evaluated per row inside
+    * codegen — `Σ_t ln(1 + tf_t)`, the df-free BM25 kernel, since a
+    * scoped slice is one "document collection" and the query carries few
+    * terms), each reduced to its top-k by TakeOrdered; the ≤ 2k union is
+    * fused driver-side by reciprocal rank (1/(60+r)). Exact identifiers
+    * and rare tokens that embeddings smear — the classic dense-retrieval
+    * failure — surface through the lexical list (asserted in
+    * RetrievalSpec on a crafted corpus). Cost: ONE extra scan-local
+    * aggregate over the already-filtered scope, no new shuffle. */
+  def retrieveHybridRrf(
+      corpus: DataFrame,
+      embedder: Embedder,
+      query: String,
+      scope: String,
+      filters: Map[String, String] = Map.empty,
+      k: Int = 10): Seq[Retrieved] = {
+    val qv = embedder.embed(query)
+    val terms = query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    val scored = score(corpus, qv, scope, filters)
+      .withColumn("kscore", terms.map { t =>
+        log(lit(1.0) + size(filter(split(lower(col("text")), "\\s+"),
+          x => x === lit(t))).cast("double"))
+      }.reduceOption(_ + _).getOrElse(lit(0.0)))
+      .persist()
+    try {
+      def ranks(c: Column): Map[String, Int] =
+        scored.orderBy(c.desc, col("rowId")).limit(k)
+          .select(col("rowId")).collect()
+          .map(_.getString(0)).zipWithIndex.map { case (id, i) => id -> (i + 1) }
+          .toMap
+      val vr = ranks(col("score"))
+      val kr = ranks(col("kscore"))
+      val rrf: Map[String, Double] = (vr.keySet ++ kr.keySet).map { id =>
+        id -> (vr.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          kr.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0))
+      }.toMap
+      val keep = rrf.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+      val byId = keep.map(_._1).toSet
+      val schema = scored.schema
+      val idx = Seq("rowId", "scope", "namespace", "repo", "module",
+        "filePath", "text", "topics", "score").map(schema.fieldIndex)
+      val rows = scored.filter(col("rowId").isin(byId.toSeq: _*)).collect()
+        .map { r =>
+          Retrieved(
+            r.getString(idx(0)), r.getString(idx(1)), r.getString(idx(2)),
+            r.getString(idx(3)), r.getString(idx(4)), r.getString(idx(5)),
+            r.getString(idx(6)), r.getSeq[String](idx(7)), r.getDouble(idx(8)))
+        }.map(d => d.rowId -> d).toMap
+      keep.flatMap { case (id, s) => rows.get(id).map(_.copy(score = s)) }
+    } finally scored.unpersist(blocking = false)
+  }
+
   /** MMR re-rank (reference GraphRetrieverFactory.py:152-161 declares it;
     * the worker used Eager — both supported here). Greedy
     * relevance-vs-diversity selection over the scored pool; pool is

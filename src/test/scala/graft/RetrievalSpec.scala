@@ -475,6 +475,47 @@ class RetrievalSpec extends SparkSpec {
     assert(state.attempt <= 3)
   }
 
+  test("hybrid RRF retrieval matches a driver-recomputed fusion of both rank lists") {
+    val query = "retry with backoff attempts"
+    val k = 4
+    val got = Retrieval.retrieveHybridRrf(corpus, embedder, query, "chunk", k = k)
+
+    // independent expectation: recompute both rank lists from the fixture
+    val rows = corpus.filter(col("scope") === "chunk")
+      .select("rowId", "text").as[(String, String)].collect().toSeq
+    val qv = embedder.embed(query)
+    def rankOf(scoresDesc: Seq[(String, Double)]): Map[String, Int] =
+      scoresDesc.sortBy { case (id, s) => (-s, id) }.take(k)
+        .map(_._1).zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    val vr = rankOf(rows.map { case (id, t) =>
+      id -> Retrieval.cosineLocal(qv, embedder.embed(t)) })
+    val terms = query.toLowerCase.trim.split("\\s+").distinct.toSeq
+    val kr = rankOf(rows.map { case (id, t) =>
+      val toks = t.toLowerCase.trim.split("\\s+").toSeq
+      id -> terms.map(x => math.log(1.0 + toks.count(_ == x))).sum })
+    val expected = (vr.keySet ++ kr.keySet).toSeq.map { id =>
+      id -> (vr.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        kr.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0))
+    }.sortBy { case (id, s) => (-s, id) }.take(k)
+
+    assert(got.map(_.rowId) == expected.map(_._1),
+      s"got ${got.map(_.rowId)}, expected ${expected.map(_._1)}")
+    got.zip(expected).foreach { case (g, (_, s)) =>
+      assert(math.abs(g.score - s) < 1e-9, s"rrf score ${g.score} != $s")
+    }
+    // a doc on both lists must fuse above a doc holding only one list's
+    // same-or-worse rank
+    assert(got.head.score >= got.last.score)
+  }
+
+  test("hybrid RRF respects metadata filters") {
+    val docs = Retrieval.retrieveHybridRrf(corpus, embedder,
+      "retry with backoff attempts", "chunk",
+      filters = Map("repo" -> "payments"), k = 5)
+    assert(docs.nonEmpty)
+    assert(docs.forall(_.repo == "payments"), docs.map(d => (d.rowId, d.repo)))
+  }
+
   test("MMR strategy in retrieve: near-duplicate demoted for diversity") {
     val docs = Retrieval.retrieve(corpus, embedder,
       "retry with backoff attempts", "chunk",
