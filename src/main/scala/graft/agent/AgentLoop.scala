@@ -29,7 +29,8 @@ class AgentLoop(
     llm: Llm,
     embedder: Embedder,
     maxAttempts: Int = 3,
-    minSourceNodes: Int = 1) extends Serializable {
+    minSourceNodes: Int = 1,
+    hybrid: Boolean = false) extends Serializable {
 
   import AgentLoop._
 
@@ -195,7 +196,17 @@ class AgentLoop(
     var done = false
     while (!done) {
       val q = state.rewrite.getOrElse(state.query)
-      val res = Retrieval.retrieveResult(corpus, embedder, q, state.scope, state.filters)
+      // hybrid mode swaps the retrieval kernel for the dense+sparse RRF
+      // fusion (Retrieval.retrieveHybridRrf) — loop semantics unchanged
+      val res =
+        if (hybrid) {
+          val docs = Retrieval.retrieveHybridRrf(
+            corpus, embedder, q, state.scope, state.filters,
+            k = Retrieval.capsByScope.get(state.scope).map(_.k).getOrElse(10))
+          Retrieval.Result(docs,
+            exhausted = docs.length <
+              Retrieval.capsByScope.get(state.scope).map(_.k).getOrElse(10))
+        } else Retrieval.retrieveResult(corpus, embedder, q, state.scope, state.filters)
       // under-retrieval → union an expanded query (T4/T5 semantics) —
       // unless the slice was exhausted, in which case a re-query over the
       // same (scope, filters) returns the identical rows and is skipped

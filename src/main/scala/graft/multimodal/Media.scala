@@ -88,6 +88,47 @@ object Media {
       }
   }
 
+  /** Audio table with REAL container bytes — the audio twin of
+    * [[imageTable]]: 16-bit PCM WAV whose rate/channels/length derive
+    * from the id, so [[probeAudio]] exercises genuine RIFF parsing and
+    * the DuckDB oracle recomputes the metadata arithmetically. */
+  def audioTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val rate = (id % 3) match {
+          case 0 => 8000; case 1 => 16000; case _ => 44100
+        }
+        val channels = 1 + (id % 2).toInt
+        val nSamples = 1000L + id % 5000
+        (id, AudioProbe.wavBytes(rate, channels, nSamples))
+      })
+      .toDF("media_id", "blob")
+  }
+
+  /** Probed audio metadata per blob. */
+  case class AudioMeta(media_id: Long, format: String, sample_rate: Int,
+                       channels: Int, n_samples: Long, duration_ms: Long)
+
+  /** Batched audio probe — same shape as [[probeDims]]. */
+  def probeAudio(audio: DataFrame): Dataset[AudioMeta] = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.select(col("media_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { case (id, blob) =>
+            AudioProbe.probe(blob).map(m =>
+              AudioMeta(id, m.format, m.sampleRate, m.channels,
+                m.nSamples, m.durationMs))
+          }
+        }
+      }
+  }
+
   /** STUB DECODER — deterministic fake: a real implementation would hand
     * the blob to an image/audio codec; here frames are fixed-width byte
     * slices so tests and oracles are exact. */

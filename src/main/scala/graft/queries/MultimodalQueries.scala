@@ -90,11 +90,30 @@ object MultimodalQueries {
       |  (16 + doc_id % 211)::INT AS height
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Real RIFF/WAVE header probing over synthesized-but-valid containers
+    * (the audio twin of [[qImageDims]]); the oracle recomputes the
+    * encoded metadata from id arithmetic, so a parser regression at any
+    * byte offset hash-fails. */
+  def qAudioMeta(s: SparkSession, d: String): DataFrame =
+    Media.probeAudio(Media.audioTable(s, d)).toDF()
+      .orderBy(col("media_id"))
+
+  val qAudioMetaSql: String =
+    """SELECT doc_id AS media_id, 'wav' AS format,
+      |  (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |        ELSE 44100 END)::INT AS sample_rate,
+      |  (1 + doc_id % 2)::INT AS channels,
+      |  (1000 + doc_id % 5000)::BIGINT AS n_samples,
+      |  ((1000 + doc_id % 5000) * 1000 // (CASE doc_id % 3 WHEN 0 THEN 8000
+      |      WHEN 1 THEN 16000 ELSE 44100 END))::BIGINT AS duration_ms
+      |FROM documents ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_blob_stats" -> (qBlobStats _),
     "mm_byte_profile" -> (qByteProfile _),
     "mm_frame_sample" -> (qFrameSample _),
     "mm_image_dims" -> (qImageDims _),
+    "mm_audio_meta" -> (qAudioMeta _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -102,5 +121,6 @@ object MultimodalQueries {
     "mm_byte_profile" -> qByteProfileSql,
     "mm_frame_sample" -> qFrameSampleSql,
     "mm_image_dims" -> qImageDimsSql,
+    "mm_audio_meta" -> qAudioMetaSql,
   )
 }

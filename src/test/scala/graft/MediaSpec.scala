@@ -127,6 +127,58 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("audio probe: WAV round-trip, word-aligned chunk walk, garbage safety") {
+    import graft.multimodal.AudioProbe
+    // round-trip across rates/channels/lengths
+    for (rate <- Seq(8000, 16000, 44100); ch <- Seq(1, 2); n <- Seq(1L, 999L, 4321L)) {
+      val m = AudioProbe.probe(AudioProbe.wavBytes(rate, ch, n))
+      assert(m.nonEmpty, s"($rate,$ch,$n)")
+      assert(m.get == AudioProbe.Meta("wav", rate, ch, n, n * 1000L / rate))
+    }
+    // an extra chunk with an ODD size before fmt/data must be skipped
+    // with its pad byte (word alignment)
+    val base = AudioProbe.wavBytes(8000, 1, 10)
+    val fmtData = base.slice(12, base.length)
+    val listChunk = "LIST".getBytes ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0)
+    val riffSize = 4 + listChunk.length + fmtData.length
+    val rebuilt = "RIFF".getBytes ++
+      Array[Byte]((riffSize & 0xff).toByte, ((riffSize >> 8) & 0xff).toByte,
+        ((riffSize >> 16) & 0xff).toByte, ((riffSize >> 24) & 0xff).toByte) ++
+      "WAVE".getBytes ++ listChunk ++ fmtData
+    assert(AudioProbe.probe(rebuilt).contains(
+      AudioProbe.Meta("wav", 8000, 1, 10, 1)))
+    // garbage: truncations, sign-flips, random bytes — None, no throw
+    val rnd = new scala.util.Random(7)
+    (0 until 300).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      AudioProbe.probe(junk) // must not throw
+    }
+    assert(AudioProbe.probe(base.take(30)).isEmpty, "truncated header")
+    assert(AudioProbe.probe("RIFFxxxxWAVE".getBytes).isEmpty)
+  }
+
+  test("probeAudio: batched probe over the synthesized audio table") {
+    withTempDir { dir =>
+      import spark.implicits._
+      (0L until 20L).map(i => (i, s"doc $i", "en", "src", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val metas = Media.probeAudio(Media.audioTable(spark, dir))
+        .collect().sortBy(_.media_id)
+      assert(metas.length == 20)
+      metas.foreach { m =>
+        val rate = (m.media_id % 3) match {
+          case 0 => 8000; case 1 => 16000; case _ => 44100
+        }
+        assert(m.sample_rate == rate)
+        assert(m.channels == 1 + (m.media_id % 2).toInt)
+        assert(m.n_samples == 1000L + m.media_id % 5000)
+        assert(m.duration_ms == m.n_samples * 1000L / rate)
+      }
+    }
+  }
+
   def withTempDir(f: String => Unit): Unit = {
     val dir = java.nio.file.Files.createTempDirectory("media-spec").toFile
     try f(dir.getAbsolutePath)

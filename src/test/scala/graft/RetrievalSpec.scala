@@ -508,6 +508,17 @@ class RetrievalSpec extends SparkSpec {
     assert(got.head.score >= got.last.score)
   }
 
+  test("agent loop in hybrid mode completes with cited sources") {
+    val agent = new AgentLoop(new StubLlm, embedder, hybrid = true)
+    val state = agent.run(corpus, QueryRequest("retry with backoff error"))
+    assert(state.answer.nonEmpty)
+    assert(state.docs.nonEmpty)
+    // hybrid scores are RRF sums: every doc's score must be a sum of
+    // 1/(60+r) terms, i.e. within (0, 2/61]
+    state.docs.foreach(d =>
+      assert(d.score > 0 && d.score <= 2.0 / 61 + 1e-12, s"score ${d.score}"))
+  }
+
   test("hybrid RRF respects metadata filters") {
     val docs = Retrieval.retrieveHybridRrf(corpus, embedder,
       "retry with backoff attempts", "chunk",
