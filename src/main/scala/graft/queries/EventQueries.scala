@@ -736,6 +736,40 @@ object EventQueries {
       |FROM events JOIN stats USING (event_type)
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  /** Per-user EWMA of `value` over the event-time order — the recursive
+    * time-series smoother (EWMA_i = α·v_i + (1−α)·EWMA_{i−1}) that plain
+    * window frames cannot express (each row depends on the previous
+    * RESULT, not the previous rows). Expressed as an ordered fold: one
+    * hash-agg collects each user's (ts-ordered) values, then a
+    * HOF `aggregate` folds them inside codegen — one shuffle of (user,
+    * value) pairs, no iterative jobs, no UDF. Both engines fold the
+    * identical IEEE sequence (same order, same arithmetic), so the
+    * result is bit-equal before rounding. At 100 TB the per-user arrays
+    * are session-scale; a year-long hot user would move this to the
+    * same mapGroups shape as sessionization. */
+  def qEventEwma(s: SparkSession, d: String, alpha: Double = 0.25): DataFrame = {
+    val vals = transform(
+      array_sort(collect_list(struct(col("ts"), col("event_id"), col("value")))),
+      x => x.getField("value"))
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), vals.as("vals"))
+      .select(col("user_id"), col("n_events"),
+        round(aggregate(
+          // NB: slice length must be computed, not Int.MaxValue — Slice
+          // adds start+length in Int space and overflow empties the array
+          slice(col("vals"), lit(2), greatest(size(col("vals")) - 1, lit(0))),
+          element_at(col("vals"), 1),
+          (acc, x) => acc * lit(1 - alpha) + x * lit(alpha)), 6).as("ewma"))
+      .orderBy(col("user_id"))
+  }
+
+  val qEventEwmaSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  round(list_reduce(list(value ORDER BY ts, event_id),
+      |    (acc, x) -> acc * 0.75::DOUBLE + x * 0.25::DOUBLE), 6) AS ewma
+      |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_reach_sketch" -> (qReachSketchRollup _),
     "ev_reach_sketch_gate" -> (qReachSketchGate _),
@@ -761,6 +795,7 @@ object EventQueries {
     "ev_histogram" -> (qValueHistogram _),
     "ev_transitions" -> (qEventTransitions _),
     "ev_anomalies" -> (qValueAnomalies _),
+    "ev_ewma" -> ((s: SparkSession, d: String) => qEventEwma(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -794,5 +829,6 @@ object EventQueries {
     "ev_histogram" -> qValueHistogramSql,
     "ev_transitions" -> qEventTransitionsSql,
     "ev_anomalies" -> qValueAnomaliesSql,
+    "ev_ewma" -> qEventEwmaSql,
   )
 }
