@@ -46,7 +46,8 @@ class ServingShim(
     runJob: (String, QueryRequest, JobEvent => Unit) => Unit,
     port: Int = 0,
     maxJobs: Int = 10,
-    sseTimeoutMs: Long = 10000) {
+    sseTimeoutMs: Long = 10000,
+    metrics: () => Seq[graft.ingest.StageMetric] = () => Nil) {
 
   /** One job's live trail: events append as the runner emits them;
     * `done` flips after the last one. Append-only so any number of
@@ -75,6 +76,19 @@ class ServingShim(
           s""""embedder_up": ${st.embedderUp}, "scope_counts": $counts, """ +
           s""""detail": ${ServingShim.quote(st.detail)}}""",
         "application/json")
+    }
+  })
+
+  // GET /metrics — Prometheus text exposition (version 0.0.4) of the
+  // ingest stage gauges: the PULL half of the reference's pushgateway
+  // metrics (ingest_controller.py:82-152); a scraper pointed here sees
+  // the same per-stage series the reference pushes.
+  server.createContext("/metrics", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = guard(ex) {
+      if (ex.getRequestMethod != "GET")
+        respond(ex, 405, """{"error": "method not allowed"}""", "application/json")
+      else respond(ex, 200, ServingShim.prometheusText(metrics()),
+        "text/plain; version=0.0.4")
     }
   })
 
@@ -196,6 +210,26 @@ object ServingShim {
 
   private val EventsPath = "/jobs/([^/]+)/events".r
   private val JobPath = "/jobs/([^/]+)".r
+
+  /** Prometheus text exposition (format 0.0.4) of the per-stage ingest
+    * gauges — one series per metric with (run_id, stage) labels, the
+    * same shape the reference pushes to its gateway. */
+  def prometheusText(rows: Seq[graft.ingest.StageMetric]): String = {
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+    def series(name: String, help: String, value: graft.ingest.StageMetric => Double): String =
+      s"# HELP $name $help\n# TYPE $name gauge\n" + rows.map { m =>
+        s"""$name{run_id="${esc(m.runId)}",stage="${esc(m.stage)}"} ${value(m)}"""
+      }.mkString("", "\n", "\n")
+    series("graft_ingest_stage_wall_seconds",
+      "Driver wall clock per pipeline stage.", _.wallMs / 1000.0) +
+      series("graft_ingest_stage_task_seconds",
+        "Executor task time attributed to the stage.", _.taskTimeMs / 1000.0) +
+      series("graft_ingest_stage_records_read",
+        "Input records read by the stage's tasks.", _.recordsRead.toDouble) +
+      series("graft_ingest_stage_tasks",
+        "Tasks run for the stage.", _.tasks.toDouble)
+  }
 
   /** JSON string escape — same recipe as [[JobStream]]'s `quote`. */
   def quote(s: String): String = {

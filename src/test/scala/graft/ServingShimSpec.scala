@@ -42,6 +42,35 @@ class ServingShimSpec extends SparkSpec {
       .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
       HttpResponse.BodyHandlers.ofString())
 
+  test("GET /metrics: Prometheus exposition of the ingest stage gauges") {
+    import graft.ingest.StageMetric
+    val rows = Seq(
+      StageMetric("run-1", "chunk", wallMs = 1500, taskTimeMs = 4000,
+        recordsRead = 123, tasks = 8),
+      StageMetric("run-1", "embed", wallMs = 250, taskTimeMs = 900,
+        recordsRead = 45, tasks = 2))
+    val shim = new ServingShim(() => healthyStatus, runner,
+      sseTimeoutMs = 5000, metrics = () => rows)
+    val port = shim.start()
+    try {
+      val r = get(HttpClient.newHttpClient(), port, "/metrics")
+      assert(r.statusCode() == 200)
+      assert(r.headers().firstValue("Content-Type").get.startsWith("text/plain"))
+      val b = r.body()
+      assert(b.contains("# TYPE graft_ingest_stage_wall_seconds gauge"))
+      assert(b.contains(
+        """graft_ingest_stage_wall_seconds{run_id="run-1",stage="chunk"} 1.5"""))
+      assert(b.contains(
+        """graft_ingest_stage_task_seconds{run_id="run-1",stage="embed"} 0.9"""))
+      assert(b.contains(
+        """graft_ingest_stage_records_read{run_id="run-1",stage="chunk"} 123.0"""))
+      assert(b.contains(
+        """graft_ingest_stage_tasks{run_id="run-1",stage="embed"} 2.0"""))
+      // all four families present, each with both stages
+      assert(b.linesIterator.count(_.startsWith("graft_ingest_stage")) == 8)
+    } finally shim.stop()
+  }
+
   test("GET /health: 200 when all probes pass, 503 when degraded") {
     withShim() { (port, c) =>
       val ok = get(c, port, "/health")
