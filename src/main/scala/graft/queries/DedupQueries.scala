@@ -252,10 +252,13 @@ object DedupQueries {
     * production graph pass materializing its edge list first. */
   private val pairCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  def qDedupTriangles(s: SparkSession, d: String): DataFrame =
-    triangleStats(pairCache.getOrElseUpdate(d,
+  private def pairGraph(s: SparkSession, d: String): DataFrame =
+    pairCache.getOrElseUpdate(d,
       simhashPairs(s, d)
-        .select(col("doc_a").as("a"), col("doc_b").as("b")).persist()))
+        .select(col("doc_a").as("a"), col("doc_b").as("b")).persist())
+
+  def qDedupTriangles(s: SparkSession, d: String): DataFrame =
+    triangleStats(pairGraph(s, d))
 
   /** Degree-oriented triangle count over an undirected edge list
     * (columns `a`, `b`; each edge once, a ≠ b). See [[qDedupTriangles]]. */
@@ -375,6 +378,90 @@ object DedupQueries {
       |LEFT JOIN exact e ON e.doc_id = i.doc_id
       |LEFT JOIN near nr ON nr.doc_id = i.doc_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** PageRank (Brin & Page 1998; damping 0.85, 10 fixed iterations) over
+    * the undirected near-dup graph — centrality as the canonical-pick
+    * signal: inside a dup cluster the highest-ranked doc is the one most
+    * corroborated by near-copies, a better "keep" choice than min-id
+    * when copies differ in quality.
+    *
+    * Iterative DataFrame program in the CC mold (NOTES gotcha applied:
+    * per-round localCheckpoint so round N's plan doesn't nest round
+    * N−1's): each round is one join edges⋈ranks + one mergeable sum-agg,
+    * both keyed by node id — shuffles carry (node, rank) pairs only. The
+    * oracle UNROLLS the same 10 rounds as chained CTEs (deterministic
+    * bounded iteration needs no recursive aggregation, which SQL
+    * recursive CTEs disallow); per-node contribution sums differ only in
+    * float addition order, absorbed by round(…, 6). Isolated nodes
+    * cannot occur (every node comes from a pair). */
+  def qDedupPagerank(s: SparkSession, d: String, iters: Int = 10): DataFrame =
+    pagerankRanks(pairGraph(s, d), iters)
+
+  /** PageRank core over an undirected pair list (columns `a`, `b`).
+    * Returns (node, rank_scaled = rank·N, rounded 6dp). */
+  def pagerankRanks(pairs: DataFrame, iters: Int): DataFrame = {
+    // undirected: both directions; outdeg = degree. Cheap projections
+    // over the (cached) pair graph — no extra persist (Bench evaluates
+    // each query twice; a per-call persist would leak)
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = deg.select(col("src").as("node"), col("outdeg"))
+    val n = nodes.count()
+    var ranks = nodes.select(col("node"), (lit(1.0) / n).as("rank"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val contrib = edges
+        .join(deg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("outdeg")).as("c"))
+      ranks = nodes.select(col("node"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(0.15) / n + lit(0.85) * coalesce(col("c"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), round(col("rank") * n, 6).as("rank_scaled"))
+      .orderBy(col("node"))
+  }
+
+  val qDedupPagerankSql: String = {
+    val rounds = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT deg.node, 0.15::DOUBLE / n.n + 0.85::DOUBLE * coalesce(c.c, 0.0::DOUBLE) rank
+         |  FROM deg CROSS JOIN n LEFT JOIN (
+         |    SELECT e.dst node, sum(r.rank / d2.outdeg) c
+         |    FROM edges e JOIN deg d2 ON d2.node = e.src
+         |                 JOIN r${i - 1} r ON r.node = e.src
+         |    GROUP BY 1) c ON c.node = deg.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) t
+       |  FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT hv FROM tok),
+       |bits AS (
+       |  SELECT doc_id, bb.b,
+       |    sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) v
+       |  FROM h, (SELECT unnest(range(60)) b) bb GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT sig
+       |  FROM bits GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id doc_a, b.doc_id doc_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+       |edges AS (
+       |  SELECT doc_a src, doc_b dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT src node, count(*) outdeg FROM edges GROUP BY 1),
+       |n AS (SELECT count(*) n FROM deg),
+       |r0 AS (SELECT node, 1.0::DOUBLE / n.n rank FROM deg, n),
+       |$rounds
+       |SELECT r10.node AS node, round(r10.rank * n.n, 6) AS rank_scaled
+       |FROM r10, n ORDER BY node""".stripMargin
+  }
 
   val qDedupTrianglesSql: String =
     """WITH tok AS (
@@ -682,6 +769,7 @@ object DedupQueries {
     "dd_simhash" -> (qDedupSimhash _),
     "dd_triangles" -> (qDedupTriangles _),
     "dd_incremental" -> (qDedupIncremental _),
+    "dd_pagerank" -> ((s: SparkSession, d: String) => qDedupPagerank(s, d)),
     "dd_simhash_clusters" -> (qDedupClusters _),
     "dd_simhash_clusters_stars" -> (qDedupClustersStars _),
     "dd_substring" -> (qDedupSubstring _),
@@ -696,6 +784,7 @@ object DedupQueries {
     "dd_simhash" -> qDedupSimhashSql,
     "dd_triangles" -> qDedupTrianglesSql,
     "dd_incremental" -> qDedupIncrementalSql,
+    "dd_pagerank" -> qDedupPagerankSql,
     "dd_simhash_clusters" -> qDedupClustersSql,
     "dd_simhash_clusters_stars" -> qDedupClustersSql, // CC variants agree
     "dd_substring" -> qDedupSubstringSql,

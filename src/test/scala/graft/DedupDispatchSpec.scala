@@ -28,6 +28,22 @@ class DedupDispatchSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "triangle join must stay equi-keyed")
   }
 
+  test("pagerank: conservation, symmetry, and hub dominance on known graphs") {
+    import spark.implicits._
+    // star K1,4: hub must outrank leaves; leaves symmetric
+    val star = DedupQueries.pagerankRanks(
+      Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("a", "b"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(star(0L) > star(1L), s"hub must dominate: $star")
+    assert((1L to 4L).map(star).distinct.size == 1, "leaves are symmetric")
+    assert(math.abs(star.values.sum - 5.0) < 1e-3, "ranks sum to N (no dangling)")
+    // cycle: perfect symmetry → every rank_scaled = 1
+    val cyc = DedupQueries.pagerankRanks(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b"), 10)
+      .collect().map(_.getDouble(1))
+    assert(cyc.forall(v => math.abs(v - 1.0) < 1e-9), cyc.toSeq)
+  }
+
   test("prefix-filtered Jaccard output equals the naive inverted-index join") {
     val naive = DedupQueries.qDedupJaccard(spark, sf).collect().toSeq
     val prefix = DedupQueries.qDedupJaccardPrefixFull(spark, sf).collect().toSeq
