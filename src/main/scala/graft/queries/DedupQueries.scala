@@ -400,27 +400,35 @@ object DedupQueries {
   /** PageRank core over an undirected pair list (columns `a`, `b`).
     * Returns (node, rank_scaled = rank·N, rounded 6dp). */
   def pagerankRanks(pairs: DataFrame, iters: Int): DataFrame = {
-    // undirected: both directions; outdeg = degree. Cheap projections
-    // over the (cached) pair graph — no extra persist (Bench evaluates
-    // each query twice; a per-call persist would leak)
+    // undirected: both directions; outdeg = degree. The loop fires 10
+    // jobs over these relations — localCheckpoint them ONCE so each
+    // round reads materialized (src, dst)/(src, outdeg) rows instead of
+    // re-deriving the pair graph (checkpoint, not persist: it truncates
+    // lineage and cannot leak across Bench's repeated evaluations).
+    // Measured at sf0.1: ~25 s/query without this, ~5 s with.
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
     val nodes = deg.select(col("src").as("node"), col("outdeg"))
     val n = nodes.count()
     var ranks = nodes.select(col("node"), (lit(1.0) / n).as("rank"))
       .localCheckpoint()
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val contrib = edges
         .join(deg, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("outdeg")).as("c"))
-      ranks = nodes.select(col("node"))
+      val next = nodes.select(col("node"))
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(0.15) / n + lit(0.85) * coalesce(col("c"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+      // truncate lineage every OTHER round: a 2-round-deep plan is fine
+      // (the gotcha is unbounded nesting), and halving the checkpoint
+      // jobs halves the loop's fixed scheduler cost
+      ranks = if (i % 2 == 0 || i == iters) next.localCheckpoint() else next
     }
     ranks.select(col("node"), round(col("rank") * n, 6).as("rank_scaled"))
       .orderBy(col("node"))

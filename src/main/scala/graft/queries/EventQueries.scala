@@ -770,6 +770,67 @@ object EventQueries {
       |    (acc, x) -> acc * 0.75::DOUBLE + x * 0.25::DOUBLE), 6) AS ewma
       |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  /** A/B experiment readout — the product-analytics closer: users
+    * hash-assigned to variants (same md5-bucket idiom as the split
+    * assigner: reproducible, reorder-stable, no coordination),
+    * conversion = ≥1 purchase event, then the two-proportion pooled
+    * z-statistic for the lift. One distinct-agg shuffle keyed by user;
+    * the variant stats collapse to 2 rows before any float math, so the
+    * z arithmetic is a scalar program both engines evaluate identically.
+    */
+  def qAbLift(s: SparkSession, d: String): DataFrame = {
+    val variant = when(
+      conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 2 === 0, "A").otherwise("B")
+    val perUser = Tables.events(s, d)
+      .select(col("user_id"), variant.as("variant"),
+        (col("event_type") === "purchase").cast("int").as("purchased"))
+      .groupBy(col("variant"), col("user_id"))
+      .agg(max(col("purchased")).as("converted"))
+    val stats = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).cast("long").as("conv"))
+    val a = stats.filter(col("variant") === "A")
+      .select(col("n").as("n_a"), col("conv").as("conv_a"))
+    val b = stats.filter(col("variant") === "B")
+      .select(col("n").as("n_b"), col("conv").as("conv_b"))
+    a.crossJoin(b)
+      .withColumn("rate_a", col("conv_a").cast("double") / col("n_a"))
+      .withColumn("rate_b", col("conv_b").cast("double") / col("n_b"))
+      .withColumn("pooled",
+        (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b")))
+      .select(
+        col("n_a"), col("conv_a"), round(col("rate_a"), 6).as("rate_a"),
+        col("n_b"), col("conv_b"), round(col("rate_b"), 6).as("rate_b"),
+        // nullif guards the degenerate experiments (zero conversions /
+        // one-sided assignment): ANSI mode makes 0-division an ERROR,
+        // and NULL is the honest readout for an undefined lift/z
+        round(col("rate_b") / nullif(col("rate_a"), lit(0.0)) - 1.0, 6).as("lift"),
+        round((col("rate_b") - col("rate_a")) /
+          nullif(sqrt(col("pooled") * (lit(1.0) - col("pooled")) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), lit(0.0)), 4).as("z"))
+  }
+
+  val qAbLiftSql: String =
+    """WITH pu AS (
+      |  SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::INTEGER % 2 = 0
+      |              THEN 'A' ELSE 'B' END variant,
+      |    user_id, max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) converted
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT variant, count(*) n, sum(converted)::BIGINT conv FROM pu GROUP BY 1),
+      |a AS (SELECT n n_a, conv conv_a FROM s WHERE variant = 'A'),
+      |b AS (SELECT n n_b, conv conv_b FROM s WHERE variant = 'B'),
+      |j AS (
+      |  SELECT *, conv_a::DOUBLE / n_a rate_a, conv_b::DOUBLE / n_b rate_b,
+      |    (conv_a + conv_b)::DOUBLE / (n_a + n_b) pooled
+      |  FROM a CROSS JOIN b)
+      |SELECT n_a, conv_a, round(rate_a, 6) AS rate_a,
+      |  n_b, conv_b, round(rate_b, 6) AS rate_b,
+      |  round(rate_b / nullif(rate_a, 0.0::DOUBLE) - 1.0::DOUBLE, 6) AS lift,
+      |  round((rate_b - rate_a) /
+      |    nullif(sqrt(pooled * (1.0::DOUBLE - pooled) *
+      |      (1.0::DOUBLE / n_a + 1.0::DOUBLE / n_b)), 0.0::DOUBLE), 4) AS z
+      |FROM j""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_reach_sketch" -> (qReachSketchRollup _),
     "ev_reach_sketch_gate" -> (qReachSketchGate _),
@@ -796,6 +857,7 @@ object EventQueries {
     "ev_transitions" -> (qEventTransitions _),
     "ev_anomalies" -> (qValueAnomalies _),
     "ev_ewma" -> ((s: SparkSession, d: String) => qEventEwma(s, d)),
+    "ev_ab_lift" -> (qAbLift _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -830,5 +892,6 @@ object EventQueries {
     "ev_transitions" -> qEventTransitionsSql,
     "ev_anomalies" -> qValueAnomaliesSql,
     "ev_ewma" -> qEventEwmaSql,
+    "ev_ab_lift" -> qAbLiftSql,
   )
 }
