@@ -102,6 +102,45 @@ object EventStream {
       }
   }
 
+  /** Typed row for [[transitions]]. */
+  case class TEv(user_id: Long, event_id: Long, ts: Timestamp, event_type: String)
+
+  /** Emitted (prev → next) pair. */
+  case class Transition(user_id: Long, prev_type: String, event_type: String)
+
+  /** Streaming event-type transitions — the incremental twin of the
+    * batch transition matrix
+    * ([[graft.queries.EventQueries.qEventTransitions]]): as each user's
+    * events arrive, emit the consecutive (prev → next) pairs. State is
+    * ONE (ts, event_id, event_type) triple per user — bounded by
+    * distinct users, independent of history length — and within each
+    * micro-batch the group sorts by (ts, event_id) exactly like the
+    * batch window's total order. Pairing is exact when arrival order
+    * respects event time ACROSS batches (the CDC/ingest-edge premise
+    * shared with [[graft.streaming.IngestStream]]); a late event would
+    * need the batch twin's re-sort, which is what the nightly batch
+    * recompute is for. Downstream, `groupBy(prev, next).count()` gives
+    * the live matrix; the stream ≡ batch invariant on pair counts is
+    * asserted in EventStreamSpec. */
+  def transitions(events: Dataset[TEv]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TEv, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[TEv], state: GroupState[TEv]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          var prev = state.getOption
+          sorted.foreach { e =>
+            prev.foreach(p => out += Transition(userId, p.event_type, e.event_type))
+            prev = Some(e)
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   private def toOut(userId: Long, s: SessionState): SessionOut =
     SessionOut(userId, s.sessionSeq, s.nEvents,
       new Timestamp(s.startMs), new Timestamp(s.lastMs),

@@ -82,6 +82,40 @@ class EventStreamSpec extends SparkSpec {
     assert(s3.n_events == 1 && s3.sum_value == 7.0)
   }
 
+  test("streaming transitions: cross-batch pairing equals the batch matrix") {
+    import graft.streaming.EventStream.{TEv, Transition}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TEv]
+    val q = EventStream.transitions(input.toDS())
+      .writeStream.format("memory").queryName("trans")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 view→click; user 2 single event (no pair yet)
+      input.addData(
+        TEv(1, 1, ts(0), "view"), TEv(1, 2, ts(1), "click"),
+        TEv(2, 3, ts(1), "view"))
+      q.processAllAvailable()
+      // batch 2: pairs must BRIDGE batches via the carried state
+      input.addData(
+        TEv(1, 4, ts(5), "purchase"),
+        TEv(2, 5, ts(6), "error"), TEv(2, 6, ts(7), "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("trans").as[Transition].collect()
+      .groupBy(t => (t.prev_type, t.event_type)).view.mapValues(_.length).toMap
+    // batch twin on the same rows: lag over (user order by ts, id)
+    val batch = Seq(
+      (1L, 1L, ts(0), "view"), (1L, 2L, ts(1), "click"), (1L, 4L, ts(5), "purchase"),
+      (2L, 3L, ts(1), "view"), (2L, 5L, ts(6), "error"), (2L, 6L, ts(7), "view"))
+      .sortBy(r => (r._1, r._3.getTime, r._2))
+      .groupBy(_._1).values.flatMap(_.sliding(2).collect {
+        case Seq(a, b) => (a._4, b._4)
+      }).groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == batch, s"stream $got != batch $batch")
+    assert(got(("view", "click")) == 1 && got(("click", "purchase")) == 1 &&
+      got(("view", "error")) == 1 && got(("error", "view")) == 1)
+  }
+
   test("streaming asof enrich: latest prior click within lookback, null when none") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[Ev]
