@@ -169,6 +169,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(count(naive, "Window") == 0, "naive plan must not pay the rank window")
   }
 
+  test("per-stratum top-k queries plan pre-shuffle WindowGroupLimit") {
+    // weighted sample and source quota share the rank-window-filter
+    // shape; both must push the k-limit below the window exchange
+    for (df <- Seq(
+        graft.queries.PipelineQueries.qWeightedSample(spark, sf),
+        graft.queries.PipelineQueries.qSourceQuota(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("WindowGroupLimit"), s"missing WindowGroupLimit:\n$p")
+    }
+  }
+
+  test("pagerank rounds shuffle (node, rank) pairs only — no text columns") {
+    val p = plan(graft.queries.DedupQueries.qDedupPagerank(spark, sf, iters = 2))
+    assert(!p.contains("CartesianProduct"))
+    // the loop reads materialized checkpoints, so the FINAL plan must not
+    // re-derive the corpus: no parquet scan of documents survives
+    assert(!p.contains("documents.parquet"),
+      "iteration plan must read the checkpointed graph, not the corpus")
+  }
+
   test("sequence packing: cumsum window is partition-local, never global") {
     // the canonical cumsum scale trap is sum().over(orderBy(id)) — an
     // empty partition spec that plans every row into ONE partition. The
