@@ -75,6 +75,40 @@ class DedupStreamSpec extends SparkSpec {
       s"doc 3 must re-admit after state eviction: $kept")
   }
 
+  test("checkpoint restart: dedup state survives a stop/start cycle") {
+    // the ops contract a production stream lives by — a redeploy (stop,
+    // new query object, SAME checkpoint) must resume the state store,
+    // not restart dedup from scratch. File sink (fault-tolerant +
+    // exactly-once via its manifest) instead of the non-recoverable
+    // memory sink.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dedup-restart").toString
+    def startQuery() = DedupStream.dedup(docs, lateness = "2 hours")
+      .select("doc_id")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("parquet").option("path", s"$dir/out")
+      .start()
+    val q1 = startQuery()
+    try {
+      input.addData((1L, ts(0), "alpha beta"), (2L, ts(1), "gamma delta"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = startQuery() // same checkpoint → state store resumes
+    try {
+      input.addData(
+        (3L, ts(2), "alpha  BETA"),   // normalized dup of doc 1, PRE-restart
+        (4L, ts(3), "epsilon zeta")) // genuinely new
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val kept = spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L),
+      s"doc 3 must be dropped by state restored from the checkpoint: $kept")
+  }
+
   test("stream equals batch dropDuplicates on fingerprint sets") {
     implicit val sqlCtx = spark.sqlContext
     val rows = (0L until 60L).map { i =>
