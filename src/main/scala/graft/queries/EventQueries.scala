@@ -770,6 +770,66 @@ object EventQueries {
       |    (acc, x) -> acc * 0.75::DOUBLE + x * 0.25::DOUBLE), 6) AS ewma
       |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  /** Markov next-event model, trained and EVALUATED in one relational
+    * program — the mini ML pipeline (hash split → fit → score → metric)
+    * that composes the engine's own pieces: users hash-split 80/20
+    * (same md5 idiom as [[graft.queries.PipelineQueries.qSplitAssign]]),
+    * the model is the per-prev-type argmax of training transition counts
+    * (ties broken lexicographically so the fit is deterministic), and
+    * accuracy is measured on the held-out users' transitions via one
+    * broadcast join of the ≤types² model. Every stage is a shuffle on
+    * (user) or a broadcast — nothing materializes on the driver. */
+  def qMarkovEval(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val isTrain =
+      conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100 < 80
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        isTrain.as("train"))
+      .filter(col("prev_type").isNotNull)
+    // fit: argmax next-type per prev over TRAIN pairs; deterministic
+    // tiebreak (max count, then lexicographically first type)
+    val wm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prev_type"))
+      .orderBy(col("n").desc, col("event_type"))
+    val model = pairs.filter(col("train"))
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(wm))
+      .filter(col("rn") === 1)
+      .select(col("prev_type"), col("event_type").as("predicted"))
+    pairs.filter(!col("train"))
+      .join(broadcast(model), Seq("prev_type"), "left")
+      .agg(
+        count(lit(1)).as("n_test_pairs"),
+        sum(when(col("event_type") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("n_test_pairs"), col("n_correct"),
+        round(col("n_correct").cast("double") /
+          nullif(col("n_test_pairs").cast("double"), lit(0.0)), 6).as("accuracy"))
+  }
+
+  val qMarkovEvalSql: String =
+    """WITH pairs AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_type,
+      |    ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::INTEGER % 100 < 80 train
+      |  FROM events),
+      |p2 AS (SELECT * FROM pairs WHERE prev_type IS NOT NULL),
+      |model AS (
+      |  SELECT prev_type, event_type predicted FROM (
+      |    SELECT prev_type, event_type, row_number() OVER (
+      |      PARTITION BY prev_type ORDER BY count(*) DESC, event_type) rn
+      |    FROM p2 WHERE train GROUP BY 1, 2) WHERE rn = 1)
+      |SELECT count(*) AS n_test_pairs,
+      |  sum(CASE WHEN event_type = predicted THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+      |  round(sum(CASE WHEN event_type = predicted THEN 1 ELSE 0 END)::DOUBLE
+      |    / nullif(count(*), 0), 6) AS accuracy
+      |FROM p2 LEFT JOIN model USING (prev_type) WHERE NOT train""".stripMargin
+
   /** A/B experiment readout — the product-analytics closer: users
     * hash-assigned to variants (same md5-bucket idiom as the split
     * assigner: reproducible, reorder-stable, no coordination),
@@ -858,6 +918,7 @@ object EventQueries {
     "ev_anomalies" -> (qValueAnomalies _),
     "ev_ewma" -> ((s: SparkSession, d: String) => qEventEwma(s, d)),
     "ev_ab_lift" -> (qAbLift _),
+    "ev_markov_eval" -> (qMarkovEval _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -893,5 +954,6 @@ object EventQueries {
     "ev_anomalies" -> qValueAnomaliesSql,
     "ev_ewma" -> qEventEwmaSql,
     "ev_ab_lift" -> qAbLiftSql,
+    "ev_markov_eval" -> qMarkovEvalSql,
   )
 }
