@@ -830,6 +830,36 @@ object EventQueries {
       |    / nullif(count(*), 0), 6) AS accuracy
       |FROM p2 LEFT JOIN model USING (prev_type) WHERE NOT train""".stripMargin
 
+  /** Top 3-step event paths — the sequence-n-gram report behind funnel
+    * discovery (which journeys actually happen, before you pick which
+    * to measure with [[qEventFunnel]]). Two lag windows over the same
+    * per-user total order (ONE shuffle: same partition key and order →
+    * one Window exec evaluates both), a mergeable path count, and a
+    * global top-10 that plans as TakeOrderedAndProject — per-partition
+    * heaps, no global sort. */
+  def qTopPaths(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("t3"),
+        lag(col("event_type"), 1).over(w).as("t2"),
+        lag(col("event_type"), 2).over(w).as("t1"))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(10)
+  }
+
+  val qTopPathsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type t3,
+      |    lag(event_type, 1) OVER w t2,
+      |    lag(event_type, 2) OVER w t1
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT t1, t2, t3, count(*) n FROM seq WHERE t1 IS NOT NULL
+      |GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 10""".stripMargin
+
   /** A/B experiment readout — the product-analytics closer: users
     * hash-assigned to variants (same md5-bucket idiom as the split
     * assigner: reproducible, reorder-stable, no coordination),
@@ -919,6 +949,7 @@ object EventQueries {
     "ev_ewma" -> ((s: SparkSession, d: String) => qEventEwma(s, d)),
     "ev_ab_lift" -> (qAbLift _),
     "ev_markov_eval" -> (qMarkovEval _),
+    "ev_top_paths" -> (qTopPaths _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -955,5 +986,6 @@ object EventQueries {
     "ev_ewma" -> qEventEwmaSql,
     "ev_ab_lift" -> qAbLiftSql,
     "ev_markov_eval" -> qMarkovEvalSql,
+    "ev_top_paths" -> qTopPathsSql,
   )
 }

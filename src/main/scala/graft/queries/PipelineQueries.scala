@@ -578,6 +578,73 @@ object PipelineQueries {
        |ORDER BY column_name""".stripMargin
   }
 
+  /** Declarative data-quality constraints over the corpus table — the
+    * Deequ/dbt-test shape (AWS Deequ is public prior art; this is the
+    * relational core): each constraint is one aggregate expression, so
+    * the whole suite evaluates in a SINGLE scan (plus one distinct-agg
+    * for uniqueness), emitting a per-constraint violation count and
+    * pass flag. At 100 TB this is the pre-publication gate a dataset
+    * release runs; constraints compose as Columns, so adding one never
+    * adds a pass over the data. */
+  def qConstraints(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val agg = docs.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("v_doc_id_null"),
+      sum(when(length(trim(col("text"))) === 0 || col("text").isNull, 1L)
+        .otherwise(0L)).as("v_text_empty"),
+      sum(when(col("n_chars") <= 0 || col("n_chars").isNull, 1L)
+        .otherwise(0L)).as("v_n_chars_range"),
+      sum(when(!col("lang").isin("en", "de", "fr", "es", "zh", "ja", "ru", "pt",
+        "it", "ko"), 1L).otherwise(0L)).as("v_lang_domain"),
+      sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+        .as("v_n_chars_consistent"),
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("v_doc_id_unique"))
+    val names = Seq(
+      "doc_id_not_null" -> "v_doc_id_null",
+      "doc_id_unique" -> "v_doc_id_unique",
+      "lang_in_domain" -> "v_lang_domain",
+      "n_chars_matches_text" -> "v_n_chars_consistent",
+      "n_chars_positive" -> "v_n_chars_range",
+      "text_not_empty" -> "v_text_empty")
+    val stackArgs = names.map { case (n, c) => s"'$n', $c" }.mkString(", ")
+    agg.selectExpr("n_rows",
+      s"stack(${names.size}, $stackArgs) AS (constraint_name, n_violations)")
+      .select(col("constraint_name"), col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0).as("pass"))
+      .orderBy(col("constraint_name"))
+  }
+
+  val qConstraintsSql: String =
+    """WITH a AS (
+      |  SELECT count(*) n_rows,
+      |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) v_doc_id_null,
+      |    sum(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 1 ELSE 0 END) v_text_empty,
+      |    sum(CASE WHEN n_chars IS NULL OR n_chars <= 0 THEN 1 ELSE 0 END) v_n_chars_range,
+      |    sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh','ja','ru','pt','it','ko')
+      |             THEN 1 ELSE 0 END) v_lang_domain,
+      |    sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) v_n_chars_consistent,
+      |    count(*) - count(DISTINCT doc_id) v_doc_id_unique
+      |  FROM documents)
+      |SELECT c.name AS constraint_name, a.n_rows,
+      |  CASE c.name
+      |    WHEN 'doc_id_not_null' THEN v_doc_id_null
+      |    WHEN 'doc_id_unique' THEN v_doc_id_unique
+      |    WHEN 'lang_in_domain' THEN v_lang_domain
+      |    WHEN 'n_chars_matches_text' THEN v_n_chars_consistent
+      |    WHEN 'n_chars_positive' THEN v_n_chars_range
+      |    ELSE v_text_empty END::BIGINT AS n_violations,
+      |  (CASE c.name
+      |    WHEN 'doc_id_not_null' THEN v_doc_id_null
+      |    WHEN 'doc_id_unique' THEN v_doc_id_unique
+      |    WHEN 'lang_in_domain' THEN v_lang_domain
+      |    WHEN 'n_chars_matches_text' THEN v_n_chars_consistent
+      |    WHEN 'n_chars_positive' THEN v_n_chars_range
+      |    ELSE v_text_empty END = 0) AS pass
+      |FROM a, (VALUES ('doc_id_not_null'), ('doc_id_unique'), ('lang_in_domain'),
+      |  ('n_chars_matches_text'), ('n_chars_positive'), ('text_not_empty')) c(name)
+      |ORDER BY constraint_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "td_split_assign" -> (qSplitAssign _),
     "td_mix_weights" -> (qMixWeights _),
@@ -591,6 +658,7 @@ object PipelineQueries {
     "td_weighted_sample" -> ((s: SparkSession, d: String) => qWeightedSample(s, d)),
     "td_zorder" -> (qZorderValues _),
     "td_profile_table" -> (qProfileTable _),
+    "td_constraints" -> (qConstraints _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -606,5 +674,6 @@ object PipelineQueries {
     "td_weighted_sample" -> qWeightedSampleSql,
     "td_zorder" -> qZorderValuesSql,
     "td_profile_table" -> qProfileTableSql,
+    "td_constraints" -> qConstraintsSql,
   )
 }
