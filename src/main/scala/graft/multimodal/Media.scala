@@ -129,6 +129,44 @@ object Media {
       }
   }
 
+  /** Video table with REAL container bytes — ISO-BMFF twin of
+    * [[audioTable]]: minimal valid MP4s whose mvhd timescale/duration
+    * derive from the id. */
+  def videoTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val timescale = (id % 3) match {
+          case 0 => 600L; case 1 => 1000L; case _ => 90000L
+        }
+        val duration = (600L + id % 7200) * timescale / 100
+        (id, VideoProbe.mp4Bytes(timescale, duration))
+      })
+      .toDF("media_id", "blob")
+  }
+
+  /** Probed video metadata per blob. */
+  case class VideoMeta(media_id: Long, format: String, timescale: Long,
+                       duration: Long, duration_ms: Long)
+
+  /** Batched video probe — same shape as [[probeDims]]/[[probeAudio]]. */
+  def probeVideo(video: DataFrame): Dataset[VideoMeta] = {
+    val spark = video.sparkSession
+    import spark.implicits._
+    video.select(col("media_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { case (id, blob) =>
+            VideoProbe.probe(blob).map(m =>
+              VideoMeta(id, m.format, m.timescale, m.duration, m.durationMs))
+          }
+        }
+      }
+  }
+
   /** STUB DECODER — deterministic fake: a real implementation would hand
     * the blob to an image/audio codec; here frames are fixed-width byte
     * slices so tests and oracles are exact. */

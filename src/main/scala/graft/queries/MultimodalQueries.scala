@@ -108,12 +108,34 @@ object MultimodalQueries {
       |      WHEN 1 THEN 16000 ELSE 44100 END))::BIGINT AS duration_ms
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Real ISO-BMFF (MP4) box-walk probing — the video twin of
+    * [[qAudioMeta]]; oracle recomputes mvhd timescale/duration from id
+    * arithmetic. duration units = (600 + id % 7200) · timescale / 100,
+    * so duration_ms = floor(units·1000/timescale) exercises the integer
+    * floor across three timescales. */
+  def qVideoMeta(s: SparkSession, d: String): DataFrame =
+    Media.probeVideo(Media.videoTable(s, d)).toDF()
+      .orderBy(col("media_id"))
+
+  val qVideoMetaSql: String =
+    """WITH t AS (
+      |  SELECT doc_id AS media_id,
+      |    (CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+      |          ELSE 90000 END)::BIGINT AS timescale,
+      |    (600 + doc_id % 7200) AS units
+      |  FROM documents)
+      |SELECT media_id, 'mp4' AS format, timescale,
+      |  (units * timescale // 100)::BIGINT AS duration,
+      |  ((units * timescale // 100) * 1000 // timescale)::BIGINT AS duration_ms
+      |FROM t ORDER BY media_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_blob_stats" -> (qBlobStats _),
     "mm_byte_profile" -> (qByteProfile _),
     "mm_frame_sample" -> (qFrameSample _),
     "mm_image_dims" -> (qImageDims _),
     "mm_audio_meta" -> (qAudioMeta _),
+    "mm_video_meta" -> (qVideoMeta _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -122,5 +144,6 @@ object MultimodalQueries {
     "mm_frame_sample" -> qFrameSampleSql,
     "mm_image_dims" -> qImageDimsSql,
     "mm_audio_meta" -> qAudioMetaSql,
+    "mm_video_meta" -> qVideoMetaSql,
   )
 }

@@ -179,6 +179,24 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("video probe: MP4 box walk round-trip, hostile sizes, garbage safety") {
+    import graft.multimodal.VideoProbe
+    for (ts <- Seq(600L, 1000L, 90000L); dur <- Seq(0L, 1L, 7019100L)) {
+      val m = VideoProbe.probe(VideoProbe.mp4Bytes(ts, dur))
+      assert(m.contains(VideoProbe.Meta("mp4", ts, dur, dur * 1000L / ts)),
+        s"($ts,$dur) -> $m")
+    }
+    // a hostile box size that would walk past the buffer must fail clean
+    val bad = VideoProbe.mp4Bytes(600, 600)
+    bad(16) = 0x7f.toByte // moov size := huge
+    assert(VideoProbe.probe(bad).isEmpty, "oversized box must not over-read")
+    val rnd = new scala.util.Random(11)
+    (0 until 300).foreach { _ =>
+      VideoProbe.probe(Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte))
+    }
+    assert(VideoProbe.probe("....ftyp".getBytes).isEmpty, "truncated header")
+  }
+
   def withTempDir(f: String => Unit): Unit = {
     val dir = java.nio.file.Files.createTempDirectory("media-spec").toFile
     try f(dir.getAbsolutePath)
