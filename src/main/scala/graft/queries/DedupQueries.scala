@@ -505,8 +505,16 @@ object DedupQueries {
     * large-star/small-star variant bounds rounds at O(log n) — noted,
     * not needed for dedup graphs. Output: one row per cluster with its
     * canonical keep id (min doc_id) and how many rows dedup removes. */
-  def qDedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = simhashPairs(s, d)
+  def qDedupClusters(s: SparkSession, d: String): DataFrame =
+    componentLabels(s, simhashPairs(s, d))
+      .groupBy(col("label").as("keep_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        (count(lit(1)) - 1).as("n_removed"))
+      .orderBy(col("keep_id"))
+
+  /** The (node, label) relation of [[qDedupClusters]]'s min-label
+    * propagation — label = the component's min node id. */
+  private[graft] def componentLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
     // localCheckpoint (not just persist) on every iteration state: an
     // iterative DataFrame whose plan nests the previous round's plan
     // re-analyzes a tree that GROWS per round — measured 309 s at sf0.1
@@ -553,10 +561,80 @@ object DedupQueries {
       labels = propagated
       iter += 1
     }
-    labels.groupBy(col("label").as("keep_id"))
-      .agg(count(lit(1)).as("cluster_size"),
-        (count(lit(1)) - 1).as("n_removed"))
-      .orderBy(col("keep_id"))
+    labels
+  }
+
+  /** Survivorship: the composed canonical-pick — per dup cluster
+    * (connected component, [[componentLabels]]), keep the member with
+    * the highest PageRank ([[pagerankRanks]]): the doc most
+    * corroborated by near-copies, instead of the arbitrary min-id.
+    * Pure composition of two green-gated operators; the join is
+    * (node, label) ⋈ (node, rank) — report-sized relations — and the
+    * per-cluster argmax ranks on the 6dp-ROUNDED rank with node-id
+    * tiebreak, so both engines agree bit-for-bit. */
+  def qDedupSurvivors(s: SparkSession, d: String): DataFrame = {
+    val labels = componentLabels(s, simhashPairs(s, d))
+    val ranks = pagerankRanks(pairGraph(s, d), 10)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+      .orderBy(col("rank_scaled").desc, col("node"))
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(ranks, "node")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(sizes, "label")
+      .select(col("label").as("cluster_id"), col("cluster_size"),
+        col("node").as("keep_id"), col("rank_scaled").as("keep_rank"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val qDedupSurvivorsSql: String = {
+    val rounds = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT deg.node, 0.15::DOUBLE / n.n + 0.85::DOUBLE * coalesce(c.c, 0.0::DOUBLE) rank
+         |  FROM deg CROSS JOIN n LEFT JOIN (
+         |    SELECT e.b node, sum(r.rank / d2.outdeg) c
+         |    FROM edges e JOIN deg d2 ON d2.node = e.a
+         |                 JOIN r${i - 1} r ON r.node = e.a
+         |    GROUP BY 1) c ON c.node = deg.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) t
+       |  FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT hv FROM tok),
+       |bits AS (
+       |  SELECT doc_id, bb.b,
+       |    sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) v
+       |  FROM h, (SELECT unnest(range(60)) b) bb GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT sig
+       |  FROM bits GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id a, b.doc_id b FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+       |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a),
+       |deg AS (SELECT a node, count(*) outdeg FROM edges GROUP BY 1),
+       |n AS (SELECT count(*) n FROM deg),
+       |r0 AS (SELECT node, 1.0::DOUBLE / n.n rank FROM deg, n),
+       |$rounds,
+       |ranked AS (
+       |  SELECT comp.node, comp.label,
+       |    round(r10.rank * n.n, 6) rank_scaled,
+       |    row_number() OVER (PARTITION BY comp.label
+       |      ORDER BY round(r10.rank * n.n, 6) DESC, comp.node) rn
+       |  FROM comp JOIN r10 ON r10.node = comp.node CROSS JOIN n),
+       |sizes AS (SELECT label, count(*) cluster_size FROM comp GROUP BY 1)
+       |SELECT ranked.label AS cluster_id, sizes.cluster_size,
+       |  ranked.node AS keep_id, ranked.rank_scaled AS keep_rank
+       |FROM ranked JOIN sizes ON sizes.label = ranked.label
+       |WHERE rn = 1 ORDER BY cluster_id""".stripMargin
   }
 
   /** Connected components via alternating LARGE-STAR / SMALL-STAR
@@ -778,6 +856,7 @@ object DedupQueries {
     "dd_triangles" -> (qDedupTriangles _),
     "dd_incremental" -> (qDedupIncremental _),
     "dd_pagerank" -> ((s: SparkSession, d: String) => qDedupPagerank(s, d)),
+    "dd_survivors" -> (qDedupSurvivors _),
     "dd_simhash_clusters" -> (qDedupClusters _),
     "dd_simhash_clusters_stars" -> (qDedupClustersStars _),
     "dd_substring" -> (qDedupSubstring _),
@@ -793,6 +872,7 @@ object DedupQueries {
     "dd_triangles" -> qDedupTrianglesSql,
     "dd_incremental" -> qDedupIncrementalSql,
     "dd_pagerank" -> qDedupPagerankSql,
+    "dd_survivors" -> qDedupSurvivorsSql,
     "dd_simhash_clusters" -> qDedupClustersSql,
     "dd_simhash_clusters_stars" -> qDedupClustersSql, // CC variants agree
     "dd_substring" -> qDedupSubstringSql,
