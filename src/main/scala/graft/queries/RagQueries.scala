@@ -116,6 +116,139 @@ object RagQueries {
     events.map(e => (e.jobId, e.event)).toDF("job_id", "event")
   }
 
+  /** Driver-checkable gates for the three stub-LLM rag outputs (VERDICT r4
+    * item 1). Rows-only checks become hash-checked rows the same way the
+    * ANN recall gates did: each gate emits a deterministic invariant
+    * relation — retrieval parity vs an independently-shaped brute ranking,
+    * the event grammar every job trail must satisfy, batched-vs-sequential
+    * trail parity — whose oracle DuckDB can state as an all-true relation
+    * over a constant key set. The stub LLM / hash embedder make every
+    * boolean stable across runs at a given SF, so any regression in the
+    * retrieval plumbing, the agent loop's control flow, or the batched
+    * runner flips a row and turns the driver gate red.
+    */
+
+  private val gateQueryTexts = Seq(
+    "table scan filter join query",
+    "error handling in query code",
+    "give me an overview of the architecture",
+    "how is the parser class implemented",
+    "where are the config settings loaded")
+
+  /** rag_retrieve_topk parity gate: the serving retriever's top-10 (scan →
+    * codegen cosine → TakeOrderedAndProject → driver Retrieved mapping)
+    * must agree — ids AND scores — with a differently-planned brute twin
+    * (broadcast query-vector join + partitioned window rank, the
+    * vs_knn_brute shape) for 5 fixed queries. Checks the whole retrieval
+    * plumbing: scope filter, cosine kernel inputs, tie-break ordering,
+    * field extraction. */
+  def qRetrieveTopkGate(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    import s.implicits._
+    val c = corpus(s, d)
+    val embedder = new HashEmbedder(384)
+    val k = Retrieval.capsByScope("chunk").k
+    val engine = gateQueryTexts.zipWithIndex.flatMap { case (q, qi) =>
+      Retrieval.retrieve(c, embedder, q, "chunk", expand = false)
+        .zipWithIndex.map { case (r, i) =>
+          (qi.toLong, (i + 1).toLong, r.rowId, r.score)
+        }
+    }.toDF("query_id", "rank", "e_row", "e_score")
+    val qdf = gateQueryTexts.zipWithIndex
+      .map { case (q, qi) => (qi.toLong, embedder.embed(q)) }
+      .toDF("query_id", "qv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("rowId"))
+    val brute = c.filter(col("scope") === "chunk")
+      .join(broadcast(qdf))
+      .withColumn("score", cosine(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("rowId").as("b_row"),
+        col("score").as("b_score"))
+    engine.join(brute, Seq("query_id", "rank"), "full_outer")
+      .select(col("query_id"), col("rank"),
+        (col("e_row") === col("b_row") &&
+          abs(col("e_score") - col("b_score")) < 1e-9).as("parity_ok"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qRetrieveTopkGateSql: String =
+    """SELECT q.range AS query_id, r.range AS rank, TRUE AS parity_ok
+      |FROM range(5) q, range(1, 11) r
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** rag_agent_events grammar gate: every job trail must satisfy the event
+    * grammar the reference worker's pub/sub contract implies
+    * (worker.py:109-176) — started first, exactly one plan right after it,
+    * exactly one retrieval with attempts in [1, maxAttempts] and hits > 0,
+    * a single final last, and no error events. Booleans are computed
+    * driver-side from the same trail rag_agent_events emits. */
+  def qAgentEventsGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, d)
+    c.count()
+    val agent = new AgentLoop(new StubLlm, new HashEmbedder(384))
+    val events = JobStream.runJobs(c, agent, Seq(
+      "job-1" -> QueryRequest("error handling in query code"),
+      "job-2" -> QueryRequest("give me an overview of the architecture"),
+      "job-3" -> QueryRequest("describe the src3 project", repoName = Some("src3"))))
+    val hitsPat = """"attempts":(\d+),"hits":(\d+)""".r
+    events.groupBy(_.jobId).toSeq.map { case (jobId, trail) =>
+      val kinds = trail.map(_.event)
+      val retrievalData = trail.filter(_.event == "retrieval").map(_.data)
+      val (attempts, hits) = retrievalData.headOption
+        .flatMap(hitsPat.findFirstMatchIn)
+        .map(m => (m.group(1).toInt, m.group(2).toInt))
+        .getOrElse((-1, -1))
+      (jobId,
+        kinds.headOption.contains("started") && kinds.count(_ == "started") == 1,
+        kinds.lift(1).contains("plan") && kinds.count(_ == "plan") == 1,
+        kinds.count(_ == "retrieval") == 1 &&
+          attempts >= 1 && attempts <= 3 && hits >= 1,
+        kinds.lastOption.contains("final") && kinds.count(_ == "final") == 1 &&
+          !kinds.contains("error"))
+    }.toDF("job_id", "started_ok", "plan_ok", "retrieval_ok", "final_ok")
+      .orderBy(col("job_id"))
+  }
+
+  val qAgentEventsGateSql: String =
+    """SELECT 'job-' || r.range AS job_id, TRUE AS started_ok, TRUE AS plan_ok,
+      |  TRUE AS retrieval_ok, TRUE AS final_ok
+      |FROM range(1, 4) r
+      |ORDER BY job_id""".stripMargin
+
+  /** rag_agent_batch parity gate: the scan-amortized batched runner must
+    * produce, per job, the exact (event, data) sequence the sequential
+    * runner produces — the AgentBatchSpec invariant promoted into the
+    * driver's hash gate. Timestamps are excluded (wall-clock); everything
+    * else is deterministic under the stub LLM. */
+  def qAgentBatchGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, d)
+    c.count()
+    val jobs = Seq(
+      "batch-1" -> QueryRequest("error handling in query code"),
+      "batch-2" -> QueryRequest("give me an overview of the architecture"),
+      "batch-3" -> QueryRequest("how is the parser class implemented"),
+      "batch-4" -> QueryRequest("where are the config settings loaded"),
+      "batch-5" -> QueryRequest("describe the src3 project", repoName = Some("src3")))
+    val agent = new AgentLoop(new StubLlm, new HashEmbedder(384))
+    val batched = JobStream.runJobsBatched(c, agent, jobs)
+      .groupBy(_.jobId).view.mapValues(_.map(e => (e.event, e.data))).toMap
+    val sequential = jobs.flatMap { case (id, req) =>
+      JobStream.runJob(c, agent, id, req)
+    }.groupBy(_.jobId).view.mapValues(_.map(e => (e.event, e.data))).toMap
+    jobs.map { case (id, _) =>
+      (id, batched.get(id).nonEmpty && batched.get(id) == sequential.get(id))
+    }.toDF("job_id", "parity_ok").orderBy(col("job_id"))
+  }
+
+  val qAgentBatchGateSql: String =
+    """SELECT 'batch-' || r.range AS job_id, TRUE AS parity_ok
+      |FROM range(1, 6) r
+      |ORDER BY job_id""".stripMargin
+
   /** J3 graph expansion as a pure-relational 2-hop BFS over documents
     * (edge keys: hop 1 = same source, hop 2 = same lang), breadth-capped
     * per hop like the scope retrievers (adjacent_k) — oracle-checked. */
@@ -228,13 +361,20 @@ object RagQueries {
     "rag_agent_batch" -> (qAgentBatch _),
     "rag_graph_expand" -> (qGraphExpand _),
     "rag_graph_expand_topics" -> (qGraphExpandTopics _),
+    "rag_retrieve_topk_gate" -> (qRetrieveTopkGate _),
+    "rag_agent_events_gate" -> (qAgentEventsGate _),
+    "rag_agent_batch_gate" -> (qAgentBatchGate _),
   )
 
   def oracles: Map[String, String] = Map(
     "rag_ingest_scopes" -> qIngestScopesSql,
     "rag_graph_expand" -> qGraphExpandSql,
     "rag_graph_expand_topics" -> qGraphExpandTopicsSql,
-    // rag_retrieve_topk / rag_agent_events: stub-LLM/embedder outputs —
-    // rows-only checks by design.
+    // rag_retrieve_topk / rag_agent_events / rag_agent_batch raw outputs
+    // stay rows-only (stub-LLM text) — their *_gate twins below carry the
+    // hash-checked invariant relations.
+    "rag_retrieve_topk_gate" -> qRetrieveTopkGateSql,
+    "rag_agent_events_gate" -> qAgentEventsGateSql,
+    "rag_agent_batch_gate" -> qAgentBatchGateSql,
   )
 }
