@@ -47,7 +47,8 @@ object DedupQueries {
     * persisted once per sf-dir; the Jaccard family (naive, prefix,
     * MinHash) all derive from it, like a production pipeline that
     * materializes shingle sets once per corpus snapshot. */
-  private val shingleCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val shingleCache = Caches.register(
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame])
   private def shingleRel(s: SparkSession, d: String): DataFrame =
     shingleCache.getOrElseUpdate(d,
       Tables.documents(s, d)
@@ -200,7 +201,8 @@ object DedupQueries {
     * and candidate pairs are materialized a single time, and every
     * downstream report (pair list, cluster rollup, removal plan) derives
     * from them. */
-  private val pairsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val pairsCache = Caches.register(
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame])
   private def simhashPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.getOrElseUpdate(d, simhashPairsPlan(s, d).persist())
 
@@ -250,7 +252,8 @@ object DedupQueries {
     * agg, orientation join, wedge self-join, edge-count) — persist it
     * once per sf-dir so the simhash band join runs once, like a
     * production graph pass materializing its edge list first. */
-  private val pairCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val pairCache = Caches.register(
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame])
 
   private def pairGraph(s: SparkSession, d: String): DataFrame =
     pairCache.getOrElseUpdate(d,

@@ -38,7 +38,8 @@ object RagQueries {
     * corpus — the reference's own lifecycle (ingest job → Cassandra →
     * many queries). Without this, every Spark action in the retrieval /
     * agent paths would recompute the full chunk→enrich→embed→rollup DAG. */
-  private val corpusCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val corpusCache = Caches.register(
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame])
   private[graft] def corpusFor(s: SparkSession, d: String): DataFrame = corpus(s, d)
   private def corpus(s: SparkSession, d: String): DataFrame =
     corpusCache.getOrElseUpdate(d,

@@ -34,7 +34,8 @@ object Tables {
     * (query-side, corpus-side, centroid build) and by five queries per
     * run — persist it once per sf-dir, like a production vector store
     * pinning its index segment in memory. */
-  private val embCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val embCache = Caches.register(
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame])
   def embeddings(s: SparkSession, d: String): DataFrame =
     embCache.getOrElseUpdate(d, t(s, d, "embeddings").persist())
 }

@@ -1,0 +1,51 @@
+package graft
+
+import graft.queries.{Caches, Tables}
+
+/** VERDICT r4 item 5: the per-sf-dir persisted caches (embeddings table,
+  * RAG corpus, dedup pair graphs) must be evictable — a long-lived
+  * session swapping corpora would otherwise leak storage one sf-dir at a
+  * time. Asserts blocks are actually freed (sparkContext-visible), and
+  * that a closed dir transparently rebuilds on next access.
+  */
+class CacheLifecycleSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def cachedRddCount: Int =
+    spark.sparkContext.getPersistentRDDs.size
+
+  test("close(sfDir) unpersists registered caches and frees storage") {
+    Caches.closeAll() // start from a clean slate whatever ran before us
+    val base = cachedRddCount
+    val live0 = Caches.liveCount
+
+    val emb = Tables.embeddings(spark, dir)
+    emb.count() // materialize the persisted blocks
+    assert(Caches.liveCount == live0 + 1)
+    assert(cachedRddCount > base, "persist() should register an RDD")
+
+    Caches.close(dir) // blocking by default: storage freed on return
+    assert(Caches.liveCount == live0)
+    assert(cachedRddCount == base, "close(sfDir) should free the blocks")
+  }
+
+  test("a closed sf-dir rebuilds transparently on next access") {
+    Caches.close(dir)
+    val emb = Tables.embeddings(spark, dir)
+    assert(emb.count() > 0)
+    assert(Caches.liveCount >= 1, "re-access should re-register the cache")
+    Caches.close(dir)
+  }
+
+  test("close of one sf-dir leaves other dirs' caches alone") {
+    Caches.closeAll()
+    val a = Tables.embeddings(spark, dir)
+    a.count()
+    val live = Caches.liveCount
+    Caches.close("/no/such/dir") // unknown key: no-op
+    assert(Caches.liveCount == live)
+    Caches.closeAll()
+    assert(Caches.liveCount == 0)
+  }
+}
