@@ -197,6 +197,38 @@ class MediaSpec extends SparkSpec {
     assert(VideoProbe.probe("....ftyp".getBytes).isEmpty, "truncated header")
   }
 
+  test("video probe: largesize (size==1), to-EOF (size==0), mvhd v1") {
+    import graft.multimodal.VideoProbe
+    // 64-bit largesize moov + v1 mvhd (64-bit duration), plain trailing box
+    for (ts <- Seq(600L, 90000L); dur <- Seq(0L, 7019100L, 1L << 33)) {
+      val m = VideoProbe.probe(VideoProbe.mp4BytesWide(ts, dur))
+      assert(m.contains(VideoProbe.Meta("mp4", ts, dur, dur * 1000L / ts)),
+        s"wide ($ts,$dur) -> $m")
+    }
+    // trailing free box written with size==0 (extends to EOF)
+    val eof = VideoProbe.probe(VideoProbe.mp4BytesWide(1000, 42, toEof = true))
+    assert(eof.contains(VideoProbe.Meta("mp4", 1000, 42, 42L)), s"to-eof -> $eof")
+
+    // hostile largesize near 2^63: must fail clean, no index wrap
+    val wrap = VideoProbe.mp4BytesWide(600, 600)
+    val bb = java.nio.ByteBuffer.wrap(wrap)
+    bb.putLong(24, 0x7fffffffffffff00L) // moov largesize := huge positive
+    assert(VideoProbe.probe(wrap).isEmpty, "largesize overflow must not wrap")
+    bb.putLong(24, -8L) // negative 64-bit size
+    assert(VideoProbe.probe(wrap).isEmpty, "negative largesize must fail")
+    bb.putLong(24, 15L) // smaller than its own 16-byte header
+    assert(VideoProbe.probe(wrap).isEmpty, "largesize < header must fail")
+
+    // truncated largesize header: size==1 with fewer than 16 bytes left
+    val trunc = VideoProbe.mp4Bytes(600, 600).take(16) ++
+      Array[Byte](0, 0, 0, 1) ++ "moov".getBytes ++ Array[Byte](0, 0, 0)
+    assert(VideoProbe.probe(trunc).isEmpty, "truncated largesize header")
+
+    // hostile v1 duration that would overflow duration*1000
+    val hostile = VideoProbe.mp4BytesWide(600, Long.MaxValue / 500)
+    assert(VideoProbe.probe(hostile).isEmpty, "v1 duration*1000 overflow guard")
+  }
+
   def withTempDir(f: String => Unit): Unit = {
     val dir = java.nio.file.Files.createTempDirectory("media-spec").toFile
     try f(dir.getAbsolutePath)
