@@ -110,6 +110,43 @@ class SearchQueriesSpec extends SparkSpec {
       s"query terms must push into the postings scan:\n$plan")
   }
 
+  test("bucketed index: bucket-pruned probe; postings-dfreq join has zero exchanges") {
+    val idx = SearchQueries.bm25Index(spark, sf)
+
+    // single-term probe: the In(term,…) filter prunes to the one bucket
+    // the term hashes into — the scan never touches the other 7
+    val probe = spark.table(idx.postingsTable).filter(col("term") === "hash")
+    probe.collect()
+    val pplan = probe.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(pplan.contains("SelectedBucketsCount: 1 out of 8"),
+      s"single-term probe must bucket-prune to 1 of 8:\n$pplan")
+    assert(pplan.contains("PushedFilters: [IsNotNull(term), EqualTo(term,hash)"),
+      s"term predicate must also push into parquet:\n$pplan")
+
+    // index maintenance: postings ⋈ dfreq on term is a zero-exchange
+    // bucket join (broadcast forced off so the layout, not the size,
+    // carries the proof) — merging a new postings batch re-shuffles
+    // nothing that's already in the index
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val maintained = spark.table(idx.postingsTable)
+        .join(spark.table(idx.dfreqTable), "term")
+        .groupBy(col("term")).agg(sum(col("tf")).as("tf_total"),
+          first(col("df")).as("df"))
+      val rows = maintained.collect()
+      assert(rows.nonEmpty)
+      val plan = maintained.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed index join must not shuffle either side:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("scale shape: query-term pruning broadcasts; top-k plans pre-shuffle WindowGroupLimit") {
     val df = SearchQueries.qBm25(spark, sf)
     df.collect()
