@@ -141,6 +141,88 @@ object EventStream {
       }
   }
 
+  /** Emitted 3-step path for [[paths3]]. */
+  case class Path3(user_id: Long, t1: String, t2: String, t3: String)
+
+  /** Streaming 3-gram paths — the sequence-mining tail of the transitions
+    * stream and the incremental twin of the batch
+    * [[graft.queries.EventQueries.qTopPaths]] (VERDICT r4 item 7). State
+    * generalizes [[transitions]]' single carried event to the last TWO
+    * (ts, event_id, event_type) per user — still O(1) per user,
+    * independent of history length — and each arriving event emits the
+    * trigram it completes, bridging micro-batches. Downstream
+    * `groupBy(t1,t2,t3).count()` is the live top-paths report; the
+    * stream ≡ batch count invariant (same premise as [[transitions]]:
+    * arrival order respects event time across batches) is asserted in
+    * EventStreamSpec. */
+  def paths3(events: Dataset[TEv]): Dataset[Path3] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[TEv], Path3](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[TEv], state: GroupState[Seq[TEv]]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Path3]
+          var tail = state.getOption.getOrElse(Seq.empty)
+          sorted.foreach { e =>
+            if (tail.length == 2)
+              out += Path3(userId, tail(0).event_type, tail(1).event_type,
+                e.event_type)
+            tail = (tail :+ e).takeRight(2)
+          }
+          if (tail.nonEmpty) state.update(tail)
+          out.iterator
+      }
+  }
+
+  /** Funnel state: the stage reached and the deadline (micros) for the
+    * next step. */
+  case class FunnelState(stage: Int, deadlineUs: Long)
+
+  /** Emitted on each advance: the user just reached `stage` at `ts`. */
+  case class FunnelAdvance(user_id: Long, stage: Int, ts: Timestamp)
+
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Streaming windowed funnel — the incremental twin of the batch
+    * [[graft.queries.EventQueries.qEventFunnel]] fold: each user runs the
+    * same (stage, deadline) state machine (step i+1 must land within
+    * `windowUs` of step i, or the user stalls), but incrementally — one
+    * advance row emits the moment a user reaches a stage, instead of a
+    * nightly recompute discovering it. State is one (int, long) per user.
+    * `groupBy(stage).count()` on the emissions is the live funnel (a user
+    * reaching stage 3 emitted rows for 1, 2 and 3 — the ≥-stage counts
+    * the batch report derives with `when(stage >= s)`); the stream ≡
+    * batch per-user final stage invariant is asserted in EventStreamSpec. */
+  def funnel(
+      events: Dataset[TEv],
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      windowUs: Long = 86400000000L): Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    val stepList = steps.toList
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[TEv], state: GroupState[FunnelState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvance]
+          var st = state.getOption.getOrElse(FunnelState(0, 0L))
+          sorted.foreach { e =>
+            if (st.stage < stepList.length &&
+                e.event_type == stepList(st.stage) &&
+                (st.stage == 0 || micros(e.ts) <= st.deadlineUs)) {
+              st = FunnelState(st.stage + 1, micros(e.ts) + windowUs)
+              out += FunnelAdvance(userId, st.stage, e.ts)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   private def toOut(userId: Long, s: SessionState): SessionOut =
     SessionOut(userId, s.sessionSeq, s.nEvents,
       new Timestamp(s.startMs), new Timestamp(s.lastMs),

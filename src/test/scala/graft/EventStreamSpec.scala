@@ -116,6 +116,83 @@ class EventStreamSpec extends SparkSpec {
       got(("view", "error")) == 1 && got(("error", "view")) == 1)
   }
 
+  test("streaming 3-gram paths: cross-batch trigrams equal the batch lag windows") {
+    import graft.streaming.EventStream.{Path3, TEv}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TEv]
+    val q = EventStream.paths3(input.toDS())
+      .writeStream.format("memory").queryName("paths3")
+      .outputMode(OutputMode.Append()).start()
+    val evs = Seq(
+      TEv(1, 1, ts(0), "view"), TEv(1, 2, ts(1), "click"),
+      TEv(2, 3, ts(1), "view"),
+      // batch 2: trigrams must bridge batches via the carried 2-tail
+      TEv(1, 4, ts(5), "purchase"), TEv(1, 5, ts(6), "view"),
+      TEv(2, 6, ts(6), "error"), TEv(2, 7, ts(7), "view"))
+    try {
+      input.addData(evs.take(3): _*)
+      q.processAllAvailable()
+      input.addData(evs.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("paths3").as[Path3].collect()
+      .groupBy(p => (p.t1, p.t2, p.t3)).view.mapValues(_.length).toMap
+    // batch twin: two lag windows == sliding(3) over the per-user order
+    val batch = evs.sortBy(e => (e.user_id, e.ts.getTime, e.event_id))
+      .groupBy(_.user_id).values.flatMap(_.sliding(3).collect {
+        case Seq(a, b, c) => (a.event_type, b.event_type, c.event_type)
+      }).groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == batch, s"stream $got != batch $batch")
+    assert(got(("view", "click", "purchase")) == 1, "bridged trigram present")
+  }
+
+  test("streaming funnel: stage advances equal the batch fold, window stalls enforced") {
+    import graft.streaming.EventStream.{FunnelAdvance, TEv}
+    implicit val sqlCtx = spark.sqlContext
+    def tsD(day: Int, hour: Int): Timestamp =
+      Timestamp.valueOf(f"2026-01-$day%02d $hour%02d:00:00")
+    val input = MemoryStream[TEv]
+    val q = EventStream.funnel(input.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append()).start()
+    val batch1 = Seq(
+      TEv(1, 1, tsD(1, 10), "view"), TEv(1, 2, tsD(1, 11), "click"),
+      TEv(2, 3, tsD(1, 10), "view"),
+      TEv(3, 4, tsD(1, 10), "click"), // no view first: never enters
+      TEv(4, 5, tsD(1, 10), "view"), TEv(4, 6, tsD(1, 11), "click"))
+    val batch2 = Seq(
+      TEv(1, 7, tsD(1, 12), "purchase"),  // within window → stage 3
+      TEv(2, 8, tsD(2, 12), "click"),     // 26h after view → stalls at 1
+      TEv(4, 9, tsD(2, 13), "purchase"))  // 26h after click → stalls at 2
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val adv = spark.table("funnel_out").as[FunnelAdvance].collect()
+    val finalStage = adv.groupBy(_.user_id).view
+      .mapValues(_.map(_.stage).max).toMap
+    // batch twin: the qEventFunnel (stage, deadline) fold per user
+    val steps = Seq("view", "click", "purchase")
+    val batchStage = (batch1 ++ batch2)
+      .sortBy(e => (e.ts.getTime, e.event_id)).groupBy(_.user_id).view
+      .mapValues(_.foldLeft((0, 0L)) { case ((st, dl), e) =>
+        val us = e.ts.getTime * 1000L
+        if (st < 3 && e.event_type == steps(st) && (st == 0 || us <= dl))
+          (st + 1, us + 86400000000L)
+        else (st, dl)
+      }._1).toMap
+    assert(finalStage == batchStage.filter(_._2 > 0),
+      s"stream $finalStage != batch $batchStage")
+    assert(finalStage == Map(1L -> 3, 2L -> 1, 4L -> 2))
+    // every advance emitted exactly once: user 1 passed stages 1,2,3
+    assert(adv.filter(_.user_id == 1).map(_.stage).sorted.toSeq == Seq(1, 2, 3))
+    // live ≥-stage counts match the batch report's s1/s2/s3 derivation
+    val geCounts = (1 to 3).map(s => s -> finalStage.count(_._2 >= s)).toMap
+    assert(geCounts == Map(1 -> 3, 2 -> 2, 3 -> 1))
+  }
+
   test("streaming asof enrich: latest prior click within lookback, null when none") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[Ev]
