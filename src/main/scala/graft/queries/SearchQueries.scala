@@ -265,6 +265,18 @@ object SearchQueries {
         .digest(d.getBytes).map("%02x".format(_)).mkString.take(8)
       val idx = Bm25Index(s"bm25_postings_$suffix", s"bm25_dfreq_$suffix",
         java.nio.file.Files.createTempDirectory("bm25idx").toString + "/stats")
+      // idempotent rebuild: a crashed/previous JVM leaves the warehouse
+      // directory on disk while the (in-memory) catalog forgets the table,
+      // and CREATE then fails with LOCATION_ALREADY_EXISTS — an orphan
+      // location with no catalog entry is derelict, so reclaim it
+      Seq(idx.postingsTable, idx.dfreqTable).foreach { t =>
+        if (!s.catalog.tableExists(t)) {
+          val wh = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+          val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(wh)) fs.delete(wh, true)
+        }
+      }
       val docs = tokenized(s, d)
       val postings = docs
         .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))

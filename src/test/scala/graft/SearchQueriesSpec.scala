@@ -147,6 +147,29 @@ class SearchQueriesSpec extends SparkSpec {
     }
   }
 
+  test("index build reclaims an orphan warehouse location (crashed-JVM leftover)") {
+    // same data, distinct index identity: the builder hashes the dir STRING
+    val d2 = sf + java.io.File.separator + "."
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(d2.getBytes).map("%02x".format(_)).mkString.take(8)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plant what a crashed JVM leaves behind: table directories on disk
+    // with no entry in the (fresh, in-memory) catalog
+    for (t <- Seq(s"bm25_postings_$suffix", s"bm25_dfreq_$suffix")) {
+      val orphan = new org.apache.hadoop.fs.Path(wh, t)
+      val out = fs.create(new org.apache.hadoop.fs.Path(orphan, "junk"), true)
+      out.write(42); out.close()
+      assert(fs.exists(orphan))
+      assert(!spark.catalog.tableExists(t))
+    }
+    // without reclaim this CREATE dies with LOCATION_ALREADY_EXISTS
+    val idx = SearchQueries.bm25Index(spark, d2)
+    assert(spark.table(idx.postingsTable).count() > 0)
+    assert(spark.table(idx.dfreqTable).count() > 0)
+  }
+
   test("scale shape: query-term pruning broadcasts; top-k plans pre-shuffle WindowGroupLimit") {
     val df = SearchQueries.qBm25(spark, sf)
     df.collect()
