@@ -49,9 +49,15 @@ object Bench {
       graft.queries.RagQueries.corpusFor(spark, sfDir).count()
     } catch { case _: Throwable => () }
     val setupSec = (System.nanoTime() - setupT0) / 1e9
+    // optional comma-separated subset for isolating a regression without
+    // paying for the whole suite (full-suite numbers remain the record)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     // deterministic name order: warmup residue lands on the same query
     // every round instead of whichever the Map hash puts first
-    val samples = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val samples = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -109,21 +109,87 @@ object VectorQueries {
     import s.implicits._
     val t = 0.45
     val thetaT = math.acos(t)
+    val eps = 1e-6
     val emb = Tables.embeddings(s, d)
-    val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", 16)
-    // not persisted: assignment is a cheap stateless map (c cosines/row),
-    // and the returned plan is lazy — at production scale the assignment
-    // lives on disk as the bucketed IVF index (IvfIndex.write) instead
+    // centroid count scales with the corpus (√n): pruning power comes from
+    // clusters tight enough to separate the data's natural modes — a fixed
+    // c loses exactly when n grows (measured: c=16 at 10× data admitted
+    // ~all cluster pairs because every radius ballooned)
+    val n = emb.count()
+    val c = math.max(16, math.min(256, math.ceil(math.sqrt(n.toDouble)).toInt))
+    val (centroids, sample) =
+      IvfIndex.buildCentroidsWithSample(emb, "vec_id", "embedding", c)
+
+    // Decide cluster-join vs blocked sweep from the BUILD SAMPLE, before
+    // paying for a corpus assignment: estimate each cluster's angular
+    // radius and occupancy from the sample, then the candidate fraction
+    // the triangle-inequality join would admit. Sample radii UNDERestimate
+    // true radii, so the estimate overstates pruning — if pruning still
+    // looks useless (fraction ≥ 0.5, e.g. diffuse embeddings at a low
+    // threshold where every radius exceeds θ_t), the cluster path cannot
+    // win and the dense blocked sweep is strictly better.
+    val estRadii = new Array[Double](centroids.length)
+    val estSizes = new Array[Long](centroids.length)
+    sample.foreach { v =>
+      var bestS = Double.NegativeInfinity; var bestC = 0; var i = 0
+      while (i < centroids.length) {
+        val sc = graft.retrieval.Retrieval.cosineLocal(v, centroids(i)._2)
+        if (sc > bestS) { bestS = sc; bestC = i }
+        i += 1
+      }
+      val ang = math.acos(math.max(-1.0, math.min(1.0, bestS)))
+      if (ang > estRadii(bestC)) estRadii(bestC) = ang
+      estSizes(bestC) += 1
+    }
+    val sampleN = math.max(1L, sample.length.toLong)
+    val estAdmitted = (for {
+      (ci, vi) <- centroids.iterator
+      (cj, vj) <- centroids.iterator
+      angle = math.acos(math.max(-1.0, math.min(1.0,
+        graft.retrieval.Retrieval.cosineLocal(vi, vj))))
+      if angle - estRadii(ci) - estRadii(cj) <= thetaT + eps
+    } yield estSizes(ci) * estSizes(cj)).sum
+    val estFraction = estAdmitted.toDouble / (sampleN.toDouble * sampleN)
+
+    if (estFraction >= 0.5) {
+      // no exploitable metric structure at this threshold: every cluster
+      // pair is (nearly) admissible, so the exact answer costs Θ(n²)
+      // cosines no matter how it is phrased — pay it in the blocked
+      // primitive-array kernel (GEMM-shaped, no row materialization per
+      // candidate) instead of a join that builds every candidate row
+      blockedAllPairs(s, emb, t)
+    } else {
+      // clustered regime (e.g. real near-dup thresholds ≥0.8 on corpora
+      // with duplicate families): triangle-inequality pruning cuts the
+      // candidate volume superlinearly, exactly as before
+      clusterPrunedPairs(s, emb, t, thetaT, eps, centroids)
+    }
+  }
+
+  /** Cluster-pruned exact pair join (the metric-structure fast path of
+    * [[qEmbNearDup]]): admissible centroid pairs by spherical triangle
+    * inequality, then an equi-join on (cid_a, cid_b) with a per-vector
+    * angular bound ahead of the exact cosine. */
+  private def clusterPrunedPairs(
+      s: SparkSession, emb: DataFrame, t: Double, thetaT: Double,
+      eps: Double, centroids: Array[(Int, Array[Float])]): DataFrame = {
+    import graft.retrieval.IvfIndex
+    import s.implicits._
+    // materialized once (localCheckpoint): the c-cosine assignment scan is
+    // reused three times (radius agg + both join sides) — at production
+    // scale this materialization is the stored bucketed IVF index
+    // (IvfIndex.write) instead
     val assigned = IvfIndex.assignScored(emb, "vec_id", "embedding", centroids)
       .withColumn("c_angle",
         acos(least(greatest(col("centroid_cos"), lit(-1.0)), lit(1.0))))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"), col("c_angle"))
+      .localCheckpoint()
 
     // per-cluster angular radius (c rows), then the admissible pair list —
     // both driver-side: c is a constant, never corpus-sized
     val radii = assigned.groupBy(col("centroid_id"))
       .agg(max(col("c_angle")).as("r")).collect()
       .map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val eps = 1e-6
     val admissible = for {
       (ci, vi) <- centroids.toSeq
       (cj, vj) <- centroids.toSeq
@@ -132,17 +198,108 @@ object VectorQueries {
       angle = math.acos(math.max(-1.0, math.min(1.0,
         graft.retrieval.Retrieval.cosineLocal(vi, vj))))
       if angle - ri - rj <= thetaT + eps
-    } yield (ci, cj)
-    val pairs = admissible.toDF("cid_a", "cid_b")
+    } yield (ci, cj, angle)
+    val pairs = admissible.toDF("cid_a", "cid_b", "angle_ij")
 
     val a = assigned.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-      col("centroid_id").as("ca"))
+      col("centroid_id").as("ca"), col("c_angle").as("ang_a"))
     val b = assigned.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-      col("centroid_id").as("cb"))
+      col("centroid_id").as("cb"), col("c_angle").as("ang_b"))
     a.join(broadcast(pairs), col("ca") === col("cid_a"))
-      .join(b, col("cb") === col("cid_b") && col("id_a") < col("id_b"))
+      .join(b, col("cb") === col("cid_b") && col("id_a") < col("id_b")
+        // per-vector triangle bound, strictly tighter than the cluster
+        // radii that admitted the pair: angle(u,v) ≥ angle(ci,cj) − a − b,
+        // so this cheap scalar test exactly prunes rows whose 384-dim
+        // cosine could not reach t — the dominant cost at scale is the
+        // cosine count, and most joined rows stop here
+        && col("angle_ij") - col("ang_a") - col("ang_b") <= lit(thetaT + eps))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= t)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact all-pairs cosine-threshold sweep via blocked primitive-array
+    * panels — the dense-regime path of [[qEmbNearDup]].
+    *
+    * Vectors hash into ⌈n/blockRows⌉ blocks; the (upper-triangle) block
+    * pair list is generated driver-side and equi-joined against the block
+    * table on both sides, so each task receives two panels, decodes them
+    * ONCE into primitive arrays, precomputes the per-vector norms, and
+    * runs a tight dot-product loop — never materializing the Θ(n²)
+    * candidate rows a pair join would build. Arithmetic replicates
+    * [[graft.functions.CosineSimilarity]] op-for-op (same accumulation
+    * order, denominator `sqrt(nx)*sqrt(ny)`), so results are bit-identical
+    * to the expression path and the oracle hash.
+    *
+    * Scale shape: shuffle volume is (n/blockRows)·corpus — the same
+    * replication any exact all-pairs algorithm pays — and compute is the
+    * intrinsic n²/2 dot products at primitive-loop rates; task count is
+    * the block-pair count, so a 1000-executor cluster stays saturated. */
+  private def blockedAllPairs(
+      s: SparkSession, emb: DataFrame, t: Double,
+      blockRows: Int = 1024): DataFrame = {
+    import s.implicits._
+    val n = math.max(1L, emb.count())
+    val nBlocks = math.max(1, math.ceil(n.toDouble / blockRows).toInt)
+    val blocks = emb
+      .select(pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int").as("bid"),
+        struct(col("vec_id").as("_1"), col("embedding").as("_2")).as("e"))
+      .groupBy(col("bid")).agg(collect_list(col("e")).as("es"))
+    val blockPairs = (for {
+      i <- 0 until nBlocks; j <- i until nBlocks
+    } yield (i, j)).toDF("ba", "bb")
+    val joined = blockPairs
+      .join(blocks.select(col("bid").as("ba"), col("es").as("esa")), "ba")
+      .join(blocks.select(col("bid").as("bb"), col("es").as("esb")), "bb")
+      .select(col("ba"), col("bb"), col("esa"), col("esb"))
+      .as[(Int, Int, Seq[(Long, Seq[Float])], Seq[(Long, Seq[Float])])]
+    val out = joined.flatMap { case (ba, bb, esa, esb) =>
+      def decode(es: Seq[(Long, Seq[Float])])
+          : (Array[Long], Array[Array[Float]], Array[Double]) = {
+        val ids = new Array[Long](es.size)
+        val vecs = new Array[Array[Float]](es.size)
+        val snorm = new Array[Double](es.size)
+        var i = 0
+        es.foreach { case (id, v) =>
+          val arr = v.toArray
+          var nx = 0.0; var k = 0
+          while (k < arr.length) {
+            val x = arr(k).toDouble; nx += x * x; k += 1
+          }
+          ids(i) = id; vecs(i) = arr; snorm(i) = math.sqrt(nx); i += 1
+        }
+        (ids, vecs, snorm)
+      }
+      val (idsA, vecsA, snA) = decode(esa)
+      val (idsB, vecsB, snB) =
+        if (ba == bb) (idsA, vecsA, snA) else decode(esb)
+      val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < idsA.length) {
+        val va = vecsA(i); val sa = snA(i)
+        var j = if (ba == bb) i + 1 else 0
+        while (j < idsB.length) {
+          val vb = vecsB(j)
+          if (va.length == vb.length && va.length > 0) {
+            var dot = 0.0; var k = 0
+            while (k < va.length) {
+              dot += va(k).toDouble * vb(k).toDouble; k += 1
+            }
+            val denom = sa * snB(j)
+            if (denom != 0.0 && dot / denom >= t) {
+              val cos = dot / denom
+              if (idsA(i) < idsB(j)) res += ((idsA(i), idsB(j), cos))
+              else if (idsB(j) < idsA(i)) res += ((idsB(j), idsA(i), cos))
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      res
+    }.toDF("id_a", "id_b", "cos")
+    out
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -46,9 +46,21 @@ object IvfIndex {
       idCol: String,
       vecCol: String,
       c: Int,
-      iterations: Int = 4): Array[(Int, Array[Float])] = {
+      iterations: Int = 4): Array[(Int, Array[Float])] =
+    buildCentroidsWithSample(emb, idCol, vecCol, c, iterations)._1
+
+  /** [[buildCentroids]] plus the build sample itself — callers that need a
+    * cheap driver-side estimate of cluster geometry (e.g. the pruning-power
+    * probe in [[graft.queries.VectorQueries.qEmbNearDup]]) reuse the sample
+    * instead of paying a second corpus scan. */
+  def buildCentroidsWithSample(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      c: Int,
+      iterations: Int = 4): (Array[(Int, Array[Float])], Array[Array[Float]]) = {
     val n = emb.count()
-    if (n == 0 || c <= 0) return Array.empty
+    if (n == 0 || c <= 0) return (Array.empty, Array.empty)
     val target = math.max(50L * c, 2000L)
     // stable sample order: collect() order follows partition order, which
     // an input repartition may change — sort by (id) so centroids are a
@@ -60,7 +72,7 @@ object IvfIndex {
         .orderBy(col(idCol))
         .collect()
         .map(_.getSeq[Float](1).toArray)
-    if (sampleVecs.isEmpty) return Array.empty
+    if (sampleVecs.isEmpty) return (Array.empty, Array.empty)
 
     // farthest-first seeding over the sample (angular distance 1 - cos)
     val k = math.min(c, sampleVecs.length)
@@ -113,7 +125,7 @@ object IvfIndex {
       }
       iter += 1
     }
-    centroids
+    (centroids, sampleVecs)
   }
 
   private def cosineLocal(a: Array[Float], b: Array[Float]): Double =
@@ -135,11 +147,41 @@ object IvfIndex {
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      centroids: Array[(Int, Array[Float])]): DataFrame = {
-    val b = best(vecCol, centroids)
-    emb.withColumn("centroid_id", b.getField("cid"))
-      .withColumn("centroid_cos", b.getField("s"))
-  }
+      centroids: Array[(Int, Array[Float])]): DataFrame =
+    if (centroids.length <= 32) {
+      val b = best(vecCol, centroids)
+      emb.withColumn("centroid_id", b.getField("cid"))
+        .withColumn("centroid_cos", b.getField("s"))
+    } else {
+      // past ~32 centroids the greatest-of-structs expression decodes the
+      // SAME row vector once per centroid (measured 13 s for a 20k×142
+      // assignment — c redundant array decodes per row dominate the
+      // arithmetic); one imperative pass decodes once and loops over a
+      // task-local centroid matrix. Ties break to the larger cid, matching
+      // greatest()'s lexicographic struct max on the expression path.
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types.{DoubleType, IntegerType}
+      val outSchema = emb.schema
+        .add("centroid_id", IntegerType).add("centroid_cos", DoubleType)
+      val vecIdx = emb.schema.fieldIndex(vecCol)
+      val cents = centroids
+      emb.mapPartitions { rows =>
+        rows.map { row =>
+          val v = row.getSeq[Float](vecIdx).toArray
+          var bestS = Double.NegativeInfinity
+          var bestC = -1
+          var i = 0
+          while (i < cents.length) {
+            val s = cosineLocal(v, cents(i)._2)
+            if (s > bestS || (s == bestS && cents(i)._1 > bestC)) {
+              bestS = s; bestC = cents(i)._1
+            }
+            i += 1
+          }
+          Row.fromSeq(row.toSeq :+ bestC :+ bestS)
+        }
+      }(Encoders.row(outSchema))
+    }
 
   // score against each centroid, argmax via greatest-of-structs
   private def best(

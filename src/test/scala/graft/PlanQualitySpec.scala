@@ -102,12 +102,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(p2.contains("word_ngrams"))
   }
 
-  test("embedding near-dup: equi-join on admissible cluster pairs, no cartesian") {
+  test("embedding near-dup: no cartesian in either dispatch regime") {
+    // the synthetic embeddings are diffuse at t=0.45, so the adaptive
+    // dispatch (VectorNearDupSpec covers both regimes) picks the blocked
+    // sweep here — block-pair equi-join, never a cartesian
     val p = plan(graft.queries.VectorQueries.qEmbNearDup(spark, sf))
     assert(!p.contains("CartesianProduct"), p.linesIterator.take(30).mkString("\n"))
     assert(!p.contains("BroadcastNestedLoopJoin"),
       p.linesIterator.take(30).mkString("\n"))
-    assert(p.contains("cosine_sim"), "exact verify with the native cosine")
   }
 
   test("LSH ANN signatures are the native hyperplane kernel in the plan") {

@@ -1,0 +1,116 @@
+package graft
+
+import graft.queries.VectorQueries
+import org.apache.spark.sql.functions._
+
+/** Adaptive exact near-dup: the dispatch between the cluster-pruned join
+  * (clustered data — pruning wins) and the blocked all-pairs sweep
+  * (diffuse data — pruning provably admits everything), with both paths
+  * checked against a driver-side brute force that replicates the
+  * CosineSimilarity arithmetic op-for-op.
+  */
+class VectorNearDupSpec extends SparkSpec {
+
+  private val dim = 32
+
+  /** Same accumulation order + denominator as CosineSimilarity. */
+  private def cosRef(a: Array[Float], b: Array[Float]): Option[Double] = {
+    if (a.length == 0 || a.length != b.length) return None
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; nx += x * x; ny += y * y; i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) None else Some(dot / denom)
+  }
+
+  /** Spark round(col, 6) semantics. */
+  private def r6(d: Double): Double =
+    BigDecimal.valueOf(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def bruteForce(vecs: Seq[(Long, Array[Float])], t: Double): Set[(Long, Long, Double)] =
+    (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+      c <- cosRef(va, vb) if c >= t
+    } yield (ia, ib, r6(c))).toSet
+
+  private def writeFixture(vecs: Seq[(Long, Array[Float])]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("neardup").toString
+    vecs.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+
+  test("clustered data takes the pruned cluster join and matches brute force") {
+    // 3 tight families, 20 vectors each: base direction + small
+    // deterministic wobble — within-family cosine ≈ 1, across ≈ 0
+    val vecs = for {
+      fam <- 0 until 3; k <- 0 until 20
+    } yield {
+      val id = (fam * 20 + k).toLong
+      val v = new Array[Float](dim)
+      v(fam) = 1.0f
+      v(3 + (k % (dim - 3))) = 0.05f + 0.001f * k
+      (id, v)
+    }
+    val d = writeFixture(vecs)
+    val df = VectorQueries.qEmbNearDup(spark, d)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == bruteForce(vecs, 0.45), "exact pair set on clustered data")
+    // pruning engaged: the exact verify runs as the codegen expression
+    // inside the candidate join, not the blocked object sweep
+    val p = planOf(df)
+    assert(p.contains("cosine_sim"), s"expected cluster-join path:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("diffuse data takes the blocked sweep and matches brute force") {
+    // deterministic pseudo-random directions: no cluster structure at all,
+    // so every cluster radius exceeds the threshold angle and the sample
+    // probe must dispatch to the blocked kernel (n ≫ c: with too few
+    // points per centroid the sample radii overfit small and the probe
+    // legitimately reads the data as clustered)
+    val vecs = (0 until 500).map { i =>
+      val rnd = new java.util.Random(i * 2654435761L)
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      (i.toLong, v)
+    }
+    val d = writeFixture(vecs)
+    val df = VectorQueries.qEmbNearDup(spark, d)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = bruteForce(vecs, 0.45)
+    assert(want.nonEmpty, "fixture should produce at least one qualifying pair")
+    assert(got == want, "exact pair set on diffuse data")
+    val p = planOf(df)
+    assert(!p.contains("cosine_sim"), s"expected blocked-sweep path:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("blocked sweep crosses block boundaries correctly (multi-block)") {
+    // diffuse (blocked dispatch) but n > blockRows, so qualifying pairs
+    // span DIFFERENT hash blocks — exercises the cross-block panels and
+    // the same-block upper triangle together
+    val vecs = (0 until 2100).map { i =>
+      val rnd = new java.util.Random(i * 40503L + 7)
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      (i.toLong, v)
+    }
+    val d = writeFixture(vecs)
+    val got = VectorQueries.qEmbNearDup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = bruteForce(vecs, 0.45)
+    assert(want.nonEmpty)
+    assert(got == want,
+      "pair set must be exact across hash-block boundaries")
+  }
+}
