@@ -416,11 +416,19 @@ object DedupQueries {
       .localCheckpoint()
     val nodes = deg.select(col("src").as("node"), col("outdeg"))
     val n = nodes.count()
+    // the edges⋈deg join is LOOP-INVARIANT: materialize (src, dst,
+    // outdeg) once, pre-partitioned on the per-round join key, so each
+    // of the 10 rounds is one join + one agg instead of two joins — and
+    // the big (edge) side never re-shuffles (same sum(rank/outdeg)
+    // arithmetic, so ranks are bit-identical to the unfused loop)
+    val wEdges = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(col("src"))
+      .localCheckpoint()
     var ranks = nodes.select(col("node"), (lit(1.0) / n).as("rank"))
       .localCheckpoint()
     (1 to iters).foreach { i =>
-      val contrib = edges
-        .join(deg, "src")
+      val contrib = wEdges
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("outdeg")).as("c"))
