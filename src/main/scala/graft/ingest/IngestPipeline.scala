@@ -30,7 +30,12 @@ class IngestPipeline(
     llm: Llm,
     embedder: Embedder,
     collection: String = "default",
-    batchSize: Int = 128) extends Serializable {
+    batchSize: Int = 128,
+    /** opt-in C2 upgrade: declaration-boundary structural chunking
+      * ([[graft.operators.StructuralChunker]]) instead of the reference's
+      * fixed line windows. Default false = reference parity
+      * (`langauge_detector.py:93-136` window params). */
+    structuralChunking: Boolean = false) extends Serializable {
 
   import IngestPipeline._
 
@@ -82,11 +87,15 @@ class IngestPipeline(
     val spark = pre.sparkSession
     import spark.implicits._
     val coll = collection
+    val structural = structuralChunking
     pre.select("namespace", "repo", "branch", "filePath", "language", "text",
       "componentKind", "isStandalone")
       .as[(String, String, String, String, String, String, String, Boolean)]
       .flatMap { case (ns, repo, branch, path, lang, text, kind, standalone) =>
-        Chunker.chunkByLanguage(text, lang).zipWithIndex.map { case (c, i) =>
+        val cs =
+          if (structural) graft.operators.StructuralChunker.chunk(text, lang)
+          else Chunker.chunkByLanguage(text, lang)
+        cs.zipWithIndex.map { case (c, i) =>
           val n = Node.empty.copy(
             scope = "chunk", docType = "code", text = c.text,
             namespace = ns, repo = repo, branch = branch,

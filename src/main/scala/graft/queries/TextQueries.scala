@@ -75,6 +75,43 @@ object TextQueries {
       |  SELECT unnest(generate_series(1, greatest(length(text), 1), 150)) st) starts
       |ORDER BY doc_id, chunk_start""".stripMargin
 
+  /** Structural-chunker gate (C2 upgrade): runs the split-then-merge
+    * structural chunker over every document and emits its algebra
+    * invariants — exact coverage (concat == input), per-chunk char cap,
+    * and the merge-tightness chunk-count bounds
+    * ceil(len/cap) ≤ n ≤ 2·ceil(len/cap)+1 — as a relation the oracle
+    * recomputes from the parquet alone (recall-gate pattern:
+    * `VectorQueries` vs_knn_*_recall). A broken chunker flips a boolean
+    * and fails the hash compare. maxChars=256 so sf-sized docs exercise
+    * multi-chunk assembly, not the one-chunk trivial case.
+    *
+    * One narrow scan + one Dataset.map, no shuffle before the output
+    * sort — the per-doc validator is embarrassingly parallel at any SF. */
+  def qChunkStructural(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cap = 256
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .as[(Long, String, String, Long)]
+      .map { case (id, text, lang, nChars) =>
+        val chunks = graft.operators.StructuralChunker.chunk(text, lang, cap)
+        val covered = chunks.iterator.map(_.text).mkString == text
+        val capOk = chunks.forall(_.text.length <= cap)
+        val lower = math.max(1L, ((text.length + cap - 1) / cap).toLong)
+        val n = chunks.length.toLong
+        val boundsOk =
+          if (text.isEmpty) n == 0 else n >= lower && n <= 2 * lower + 1
+        (id, nChars, covered, capOk, boundsOk)
+      }
+      .toDF("doc_id", "n_chars", "covered", "cap_ok", "bounds_ok")
+      .orderBy(col("doc_id"))
+  }
+
+  val qChunkStructuralSql: String =
+    """SELECT doc_id, n_chars,
+      |  true AS covered, true AS cap_ok, true AS bounds_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Rollup (A1 semantics): reassemble chunks per doc in order, truncate —
     * ordered concat via array_sort(collect_list(struct)) so the agg stays a
     * single hash aggregation (no window + no second shuffle). */
@@ -440,6 +477,7 @@ object TextQueries {
     "td_pii_redact" -> (qPiiRedact _),
     "td_text_profile" -> (qTextProfile _),
     "td_chunk_docs" -> (qChunkDocs _),
+    "td_chunk_structural" -> (qChunkStructural _),
     "td_rollup_chunks" -> (qRollupChunks _),
     "td_lang_distribution" -> (qLangDistribution _),
     "td_cube_lang_source" -> (qCubeLangSource _),
@@ -454,6 +492,7 @@ object TextQueries {
     "td_pii_redact" -> qPiiRedactSql,
     "td_text_profile" -> qTextProfileSql,
     "td_chunk_docs" -> qChunkDocsSql,
+    "td_chunk_structural" -> qChunkStructuralSql,
     "td_rollup_chunks" -> qRollupChunksSql,
     "td_lang_distribution" -> qLangDistributionSql,
     "td_cube_lang_source" -> qCubeLangSourceSql,

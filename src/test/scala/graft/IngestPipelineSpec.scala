@@ -389,6 +389,30 @@ class IngestPipelineSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq,
       "node content must not depend on partition layout")
   }
+
+  test("C2 structural mode: chunks reconstruct each file, defs stay whole") {
+    val structPipe = new IngestPipeline(new StubLlm, new HashEmbedder(64),
+      structuralChunking = true)
+    val corpus2 = structPipe.buildCorpus(spark.createDataset(fixtureRepo), "run-s")
+    val chunks = corpus2.filter(col("scope") === "chunk").as[Node].collect()
+    // every source file reconstructs exactly from its ordered chunks —
+    // the structural splitter's zero-overlap coverage invariant, which the
+    // windowed default cannot offer
+    val byFile = chunks.groupBy(_.filePath)
+    val sources = fixtureRepo.map(r => r.filePath -> r.text).toMap
+    byFile.foreach { case (path, cs) =>
+      val rebuilt = cs.sortBy(_.meta("chunk_index").toInt).map(_.text).mkString
+      assert(rebuilt == sources(path), s"$path not reconstructed")
+    }
+    // the 256-line python file: def main() lands whole inside one chunk
+    val mainChunks = byFile("src/main.py").sortBy(_.meta("chunk_index").toInt)
+    val defChunk = mainChunks.filter(_.text.contains("def main():"))
+    assert(defChunk.length == 1)
+    assert(defChunk.head.text.contains("def main():\n    print('hello')"))
+    // all five scopes still populated (rollups unaffected by splitter)
+    val scopes = corpus2.select("scope").distinct().as[String].collect().toSet
+    assert(graft.model.Node.Scopes.forall(scopes.contains))
+  }
 }
 
 /** Test double for [[graft.sources.ScopeBatchWriter]]: upserts run on
