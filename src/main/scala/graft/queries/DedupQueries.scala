@@ -279,14 +279,22 @@ object DedupQueries {
       when(col("orda") < col("ordb"), col("a")).otherwise(col("b")).as("u"),
       when(col("orda") < col("ordb"), col("b")).otherwise(col("a")).as("v"),
       greatest(col("orda"), col("ordb")).as("ordv"))
-    // wedges at the low vertex, (v, w) ordered; close with an edge v→w
+    // wedges at the low vertex, (v, w) ordered; close with an edge v→w.
+    // Clique-dense dup graphs repeat the same endpoint pair across many
+    // centers (a k-clique has ~k³/6 wedges but only ~k²/2 distinct
+    // (v, w) pairs), so aggregate wedge multiplicity per pair BEFORE the
+    // closing join: map-side combine collapses the duplicates inside each
+    // self-join output partition, the shuffle carries distinct pairs
+    // instead of raw wedges, and the closing join's probe side shrinks
+    // from O(Σ outdeg²) rows to O(distinct pairs).
     val wedges = oriented.select(col("u"), col("v").as("wv"), col("ordv").as("ordwv"))
       .join(oriented.select(col("u"), col("v").as("ww"), col("ordv").as("ordww")), "u")
       .filter(col("ordwv") < col("ordww"))
-      .select(col("wv").as("u"), col("ww").as("v"))
+      .groupBy(col("wv").as("u"), col("ww").as("v"))
+      .agg(count(lit(1)).as("wedge_n"))
     val tri = wedges.join(oriented.select(col("u"), col("v")), Seq("u", "v"))
     val stats = edges.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      .crossJoin(tri.agg(coalesce(sum(col("wedge_n")), lit(0L)).as("n_triangles")))
     stats.select(col("n_edges"), col("n_triangles"))
   }
 
