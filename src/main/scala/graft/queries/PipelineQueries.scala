@@ -494,6 +494,100 @@ object PipelineQueries {
       |  round(key, 9) AS key
       |FROM ranked WHERE rank <= 10 ORDER BY source, rank""".stripMargin
 
+  /** DSIR importance weighting — data selection by hashed-n-gram
+    * log-likelihood ratio (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS; public paper). A target
+    * distribution (here: the src0/src1 sources, standing in for the
+    * curated domain a real pipeline targets) and the raw rest each induce
+    * a unigram distribution over B=1024 hashed buckets; every document
+    * scores mean-per-token log(p_target(b)/p_raw(b)) with add-1
+    * smoothing, and the top-k by score are flagged selected.
+    *
+    * Scale shape: one pass over the token stream aggregates per-doc
+    * bucket counts (map-side combinable; materialized once — it is far
+    * smaller than the text and feeds both the model and the scoring
+    * pass); the model is ≤B rows built from that relation and broadcast
+    * back, so scoring never shuffles corpus data again. The selected
+    * flag avoids the single-partition global-rank trap: the k-th
+    * (score, doc_id) tuple comes off a TakeOrdered top-k (bounded k-row
+    * driver collect), and the flag is a broadcast scalar compare.
+    *
+    * Determinism contract with the oracle: buckets hash via the portable
+    * md5-prefix (same as [[qWeightedSample]]'s u), scores round to 6dp
+    * before the rank compare, ties break on doc_id. */
+  def qDsirWeights(s: SparkSession, d: String, buckets: Int = 1024,
+      k: Int = 50): DataFrame = {
+    val bucketsD = lit(buckets.toDouble)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"),
+          t => length(t) > 0)).as("tok"))
+    val bt = toks
+      .withColumn("b",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          % buckets)
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val isTarget = col("source").isin("src0", "src1")
+    val model = bt.groupBy(col("b"))
+      .agg(sum(when(isTarget, col("cnt")).otherwise(lit(0L))).as("nt"),
+        sum(when(isTarget, lit(0L)).otherwise(col("cnt"))).as("nr"))
+    val totals = model.agg(sum(col("nt")).as("tt"), sum(col("nr")).as("tr"))
+    val lr = model.crossJoin(broadcast(totals))
+      .select(col("b"),
+        log(((col("nt") + 1.0) / (col("tt") + bucketsD)) /
+          ((col("nr") + 1.0) / (col("tr") + bucketsD))).as("llr"))
+    val scores = bt.join(broadcast(lr), "b")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        round(sum(col("cnt") * col("llr")) / sum(col("cnt")), 6)
+          .as("logratio"))
+    val kth = scores
+      .orderBy(col("logratio").desc, col("doc_id")).limit(k)
+      .collect().lastOption
+    val selected = kth match {
+      case Some(r) =>
+        val (ts, ti) = (r.getDouble(r.fieldIndex("logratio")),
+          r.getLong(r.fieldIndex("doc_id")))
+        col("logratio") > ts || (col("logratio") === ts && col("doc_id") <= ti)
+      case None => lit(false)
+    }
+    scores.select(col("doc_id"), col("source"), col("n_tokens"),
+        col("logratio"), selected.as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDsirWeightsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |      t -> len(t) > 0)) AS tok
+      |  FROM documents),
+      |bt AS (
+      |  SELECT doc_id, source,
+      |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b,
+      |    count(*) AS cnt
+      |  FROM toks GROUP BY 1, 2, 3),
+      |model AS (
+      |  SELECT b,
+      |    sum(CASE WHEN source IN ('src0','src1') THEN cnt ELSE 0 END) AS nt,
+      |    sum(CASE WHEN source IN ('src0','src1') THEN 0 ELSE cnt END) AS nr
+      |  FROM bt GROUP BY 1),
+      |totals AS (SELECT sum(nt) AS tt, sum(nr) AS tr FROM model),
+      |lr AS (
+      |  SELECT b, ln(((nt + 1.0) / (tt + 1024.0))
+      |             / ((nr + 1.0) / (tr + 1024.0))) AS llr
+      |  FROM model CROSS JOIN totals),
+      |scores AS (
+      |  SELECT bt.doc_id, bt.source, sum(bt.cnt)::BIGINT AS n_tokens,
+      |    round(sum(bt.cnt * lr.llr) / sum(bt.cnt), 6) AS logratio
+      |  FROM bt JOIN lr ON bt.b = lr.b GROUP BY 1, 2),
+      |ranked AS (SELECT *, row_number() OVER (
+      |  ORDER BY logratio DESC, doc_id) rn FROM scores)
+      |SELECT doc_id, source, n_tokens, logratio, (rn <= 50) AS selected
+      |FROM ranked ORDER BY doc_id""".stripMargin
+
   /** Z-order (Morton) clustering values over two scan dimensions — the
     * multi-dimensional layout key behind `ZORDER BY` (see
     * [[graft.operators.ZOrder]] for the write path and ZOrderSpec for
@@ -656,6 +750,7 @@ object PipelineQueries {
     "td_mix_temperature" -> ((s: SparkSession, d: String) => qMixTemperature(s, d)),
     "td_filter_funnel" -> (qFilterFunnel _),
     "td_weighted_sample" -> ((s: SparkSession, d: String) => qWeightedSample(s, d)),
+    "td_dsir" -> ((s: SparkSession, d: String) => qDsirWeights(s, d)),
     "td_zorder" -> (qZorderValues _),
     "td_profile_table" -> (qProfileTable _),
     "td_constraints" -> (qConstraints _),
@@ -672,6 +767,7 @@ object PipelineQueries {
     "td_mix_temperature" -> qMixTemperatureSql,
     "td_filter_funnel" -> qFilterFunnelSql,
     "td_weighted_sample" -> qWeightedSampleSql,
+    "td_dsir" -> qDsirWeightsSql,
     "td_zorder" -> qZorderValuesSql,
     "td_profile_table" -> qProfileTableSql,
     "td_constraints" -> qConstraintsSql,

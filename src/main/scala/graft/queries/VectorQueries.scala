@@ -312,6 +312,84 @@ object VectorQueries {
       |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** SemDeDup — semantic deduplication by cluster-then-prune (Abbas et
+    * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", arXiv:2303.09540; public paper): assign
+    * every embedding to its nearest centroid, then inside each cluster
+    * remove every vector that has a lower-id neighbor with cosine ≥ τ.
+    * This is the scale path the exact sweep [[qEmbNearDup]] cannot be at
+    * 100 TB: pair volume is Σ|cluster|², bounded by choosing c ∝ n /
+    * target-cluster-size, never the global n².
+    *
+    * Determinism contract with the DuckDB oracle: centroids are the c
+    * vectors with the smallest md5(vec_id) (seeded pick, no Lloyd
+    * iterations — both engines compute the identical set), assignment
+    * takes the argmax of the 6dp-ROUNDED cosine with centroid-id
+    * tiebreak, and the in-cluster near-dup test also compares the
+    * rounded cosine, so every branch both engines take is decided on
+    * bit-identical values.
+    *
+    * Scale shape: the c-row seed table broadcasts; the assignment argmax
+    * is a map-side-combinable max(struct) — n rows shuffle once on
+    * vec_id, nothing corpus-sized moves per centroid; the in-cluster
+    * self-join shuffles n rows per side hashed by cluster. At production
+    * scale the assignment reuses the stored bucketed IVF index
+    * ([[graft.retrieval.IvfIndex.write]]) and this query becomes a scan
+    * of it. */
+  def qSemDedup(s: SparkSession, d: String, c: Int = 16,
+      t: Double = 0.45): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val seeds = emb
+      .withColumn("mk", md5(col("vec_id").cast("string")))
+      .orderBy(col("mk"), col("vec_id")).limit(c)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // argmax over c rounded cosines: max(struct(rc, -cid)) is combinable,
+    // so the per-vector winner resolves map-side (the window-rank form
+    // would shuffle all c·n scored rows)
+    val assigned = emb.crossJoin(broadcast(seeds))
+      .withColumn("rc", round(cosine(col("embedding"), col("cv")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("rc"), (-col("cid")).as("negc"))).as("m"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), (-col("m.negc")).as("cluster_id"),
+        col("embedding"))
+      .localCheckpoint()
+    val a = assigned.select(col("cluster_id").as("ka"),
+      col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = assigned.select(col("cluster_id").as("kb"),
+      col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val removed = a.join(b, col("ka") === col("kb") && col("id_a") < col("id_b"))
+      .filter(round(cosine(col("va"), col("vb")), 6) >= t)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("removed", lit(true))
+    assigned.select(col("vec_id"), col("cluster_id"))
+      .join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        coalesce(col("removed"), lit(false)).as("removed"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qSemDedupSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |seeds AS (SELECT vec_id cid, v cv FROM e
+      |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+      |scored AS (SELECT e.vec_id, s.cid,
+      |  round(list_cosine_similarity(e.v, s.cv), 6) rc
+      |  FROM e CROSS JOIN seeds s),
+      |assign AS (SELECT vec_id, cid AS cluster_id FROM
+      |  (SELECT *, row_number() OVER (
+      |     PARTITION BY vec_id ORDER BY rc DESC, cid) rn FROM scored)
+      |  WHERE rn = 1),
+      |pairs AS (SELECT DISTINCT a2.vec_id id_b
+      |  FROM assign a1 JOIN assign a2
+      |    ON a1.cluster_id = a2.cluster_id AND a1.vec_id < a2.vec_id
+      |  JOIN e ea ON ea.vec_id = a1.vec_id
+      |  JOIN e eb ON eb.vec_id = a2.vec_id
+      |  WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.45)
+      |SELECT a.vec_id, a.cluster_id,
+      |  (a.vec_id IN (SELECT id_b FROM pairs)) AS removed
+      |FROM assign a ORDER BY vec_id""".stripMargin
+
   /** Per-label centroid stats: mean norm + count (vector agg exercise —
     * element-wise array aggregation via HOFs, one shuffle on label). */
   def qLabelStats(s: SparkSession, d: String): DataFrame = {
@@ -510,6 +588,7 @@ object VectorQueries {
     "vs_knn_brute" -> (qKnnBrute _),
     "vs_knn_quant" -> (qKnnQuant _),
     "vs_emb_neardup" -> (qEmbNearDup _),
+    "vs_semdedup" -> ((s: SparkSession, d: String) => qSemDedup(s, d)),
     "vs_label_stats" -> (qLabelStats _),
     "vs_knn_lsh" -> (qKnnLsh _),
     "vs_knn_ivf" -> (qKnnIvf _),
@@ -524,6 +603,7 @@ object VectorQueries {
     "vs_knn_brute" -> qKnnBruteSql,
     "vs_knn_quant" -> qKnnBruteSql, // q8 prune + exact re-rank: identical output
     "vs_emb_neardup" -> qEmbNearDupSql,
+    "vs_semdedup" -> qSemDedupSql,
     "vs_label_stats" -> qLabelStatsSql,
     // vs_knn_lsh / vs_knn_ivf: approximate — rows-only (no oracle entry);
     // their recall twins below carry the hash-checked quality gate

@@ -116,4 +116,50 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"trigram model must broadcast:\n${plan.linesIterator.take(25).mkString("\n")}")
   }
+
+  test("DSIR: target-like raw docs outrank raw-vocabulary docs and get selected") {
+    import spark.implicits._
+    // target sources speak vocabulary A; raw docs speak vocabulary B —
+    // except doc 99, a raw doc written in the target vocabulary, which
+    // importance weighting exists to surface
+    val vocabA = "alpha beta gamma alpha beta"
+    val vocabB = "delta epsilon zeta delta epsilon"
+    val docs =
+      (0L to 1L).map(i => (i, vocabA, "en", "src0", 30L)) ++
+      (2L to 3L).map(i => (i, vocabA, "en", "src1", 30L)) ++
+      (10L to 19L).map(i => (i, vocabB, "en", s"src${2 + i % 5}", 30L)) :+
+      ((99L, vocabA, "en", "src3", 30L))
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = PipelineQueries.qDsirWeights(spark, dir, k = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(out.length == docs.size, "one row per doc")
+    val byId = out.map(t => t._1 -> t).toMap
+    val aScores = (Seq(0L, 1L, 2L, 3L, 99L)).map(byId(_)._4)
+    val bScores = (10L to 19L).map(byId(_)._4)
+    assert(aScores.min > bScores.max,
+      s"target-vocabulary docs must outscore raw vocabulary: $aScores vs $bScores")
+    assert(byId(99L)._5, "the target-like raw doc must be selected")
+    assert(out.count(_._5) == 5, "exactly k docs selected")
+    // the selected flag must equal the top-k by (score desc, doc_id)
+    val topK = out.sortBy(t => (-t._4, t._1)).take(5).map(_._1).toSet
+    assert(out.filter(_._5).map(_._1).toSet == topK)
+    // n_tokens = whitespace token count
+    assert(byId(0L)._3 == 5L)
+    // deterministic across evaluations
+    val again = PipelineQueries.qDsirWeights(spark, dir, k = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(again.toSeq == out.toSeq)
+    // model is ≤B rows: the scoring join must broadcast it, document
+    // data shuffles only into the per-doc aggregate
+    val df = PipelineQueries.qDsirWeights(spark, sf)
+    df.collect()
+    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"llr model must broadcast:\n${plan.linesIterator.take(25).mkString("\n")}")
+  }
 }

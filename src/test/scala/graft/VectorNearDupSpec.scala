@@ -113,4 +113,58 @@ class VectorNearDupSpec extends SparkSpec {
     assert(got == want,
       "pair set must be exact across hash-block boundaries")
   }
+
+  test("SemDeDup matches a full driver-side replication of its contract") {
+    // 4 near-dup families (within-family cosine ≈ 1) + diffuse Gaussian
+    // singletons; expected relation replicated end-to-end: seeded
+    // centroid pick → rounded-cosine argmax assignment → lower-id
+    // in-cluster neighbor rule
+    val vecs: Seq[(Long, Array[Float])] = (for {
+      fam <- 0 until 4; k <- 0 until 6
+    } yield {
+      val v = new Array[Float](dim)
+      v(fam) = 1.0f
+      v(8 + fam) = 0.02f * k
+      ((fam * 6 + k).toLong, v)
+    }) ++ (24 until 60).map { i =>
+      val rnd = new java.util.Random(i * 7919L + 13)
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    }
+    val d = writeFixture(vecs)
+    val c = 16; val tau = 0.45
+    val got = VectorQueries.qSemDedup(spark, d, c, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seeds = vecs.map { case (id, v) => (md5hex(id.toString), id, v) }
+      .sortBy(t => (t._1, t._2)).take(c)
+    val assign = vecs.map { case (id, v) =>
+      val best = seeds
+        .map { case (_, cid, cv) => (r6(cosRef(v, cv).get), cid) }
+        .maxBy { case (rc, cid) => (rc, -cid) }
+      id -> best._2
+    }.toMap
+    val byId = vecs.toMap
+    val want = vecs.map { case (id, v) =>
+      val removed = vecs.exists { case (oid, ov) =>
+        oid < id && assign(oid) == assign(id) &&
+          r6(cosRef(ov, v).get) >= tau
+      }
+      (id, assign(id), removed)
+    }
+    assert(byId.size == vecs.size)
+    assert(got.sortBy(_._1).toSeq == want.sortBy(_._1),
+      "assignment + removal relation must match the replication")
+    // families are near-dup (cosine ≈ 1) but may straddle a cluster
+    // boundary — the documented SemDeDup approximation — so require
+    // substantial removal mass, not a per-family exact count
+    assert(want.count(_._3) >= 10,
+      s"family members sharing a cluster must be removed: ${want.count(_._3)}")
+    // deterministic across evaluations
+    val again = VectorQueries.qSemDedup(spark, d, c, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(again.toSeq == got.toSeq)
+  }
 }
