@@ -883,8 +883,65 @@ object DedupQueries {
       |FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Source-overlap matrix — the provenance report a curator reads before
+    * mixing: per source pair, the Jaccard overlap of the two sources'
+    * distinct word-3-gram shingle sets (which crawls/dumps duplicate each
+    * other, and how much). Output: one row per unordered pair.
+    *
+    * Scale shape: the (source, shingle) relation is a map-side-combinable
+    * distinct — corpus text reduces to one row per source per distinct
+    * shingle before anything joins; the intersection self-join keys on
+    * shingle with per-shingle fan-out bounded by |sources|² (sources are
+    * thousands at most, and the ≤|S|² pair rollup is tiny). For |S| large
+    * enough that df² bites, the same report drops in a MinHash signature
+    * per SOURCE (the source's shingle set is itself a set — [[minhashSig]]
+    * applies) and estimates the matrix from |S| signature rows. */
+  def qSourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val ss = Tables.documents(s, d)
+      .select(col("source"), explode(shingles(col("text"), 3)).as("shingle"))
+      .distinct()
+      .localCheckpoint()
+    val cnt = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = ss.as("a")
+      .join(ss.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(cnt.select(col("source").as("src_a"), col("n").as("na"))),
+        "src_a")
+      .join(broadcast(cnt.select(col("source").as("src_b"), col("n").as("nb"))),
+        "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 4)
+          .as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val qSourceOverlapSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') w
+      |  FROM documents),
+      |ss AS (
+      |  SELECT DISTINCT source,
+      |    unnest([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)]) s
+      |  FROM tok WHERE len(w) >= 3),
+      |cnt AS (SELECT source, count(*) n FROM ss GROUP BY 1),
+      |inter AS (
+      |  SELECT a.source sa, b.source sb, count(*) i
+      |  FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT sa AS src_a, sb AS src_b, i AS inter,
+      |  (ca.n + cb.n - i) AS uni,
+      |  round(i / (ca.n + cb.n - i)::DOUBLE, 4) AS jaccard
+      |FROM inter JOIN cnt ca ON ca.source = sa JOIN cnt cb ON cb.source = sb
+      |ORDER BY src_a, src_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (qDedupExact _),
+    "dd_source_overlap" -> (qSourceOverlap _),
     "dd_jaccard" -> (qDedupJaccard _),
     "dd_jaccard_prefix" -> (qDedupJaccardPrefix _),
     // the prefix branch FORCED regardless of corpus size, so the driver's
@@ -904,6 +961,7 @@ object DedupQueries {
 
   def oracles: Map[String, String] = Map(
     "dd_exact" -> qDedupExactSql,
+    "dd_source_overlap" -> qSourceOverlapSql,
     "dd_jaccard" -> qDedupJaccardSql,
     "dd_jaccard_prefix" -> qDedupJaccardSql, // provably same output, exact
     "dd_jaccard_prefix_full" -> qDedupJaccardSql, // prefix plan, same output

@@ -118,4 +118,35 @@ class DedupDispatchSpec extends SparkSpec {
     assert(labels(500L) == 500L && labels(501L) == 500L)
     assert(labels.size == 102)
   }
+
+  test("source overlap: exact matrix on a crafted corpus; zero-overlap pairs absent") {
+    import spark.implicits._
+    // srcA={"a b c","b c d"}, srcB={"a b c","b c e"}, srcC disjoint
+    val docs = Seq(
+      (1L, "a b c d", "en", "srcA", 7L),
+      (2L, "a b c e", "en", "srcB", 7L),
+      (3L, "x y z w", "en", "srcC", 7L))
+    val dir = java.nio.file.Files.createTempDirectory("srcov").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.DedupQueries.qSourceOverlap(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // A∩B = {"a b c"}: inter 1, union 3, jaccard 1/3; C shares nothing →
+    // its pairs don't appear (inner intersection join by design)
+    assert(out.keySet == Set(("srcA", "srcB")))
+    assert(out(("srcA", "srcB")) == ((1L, 3L, 0.3333)))
+    // corpus-wide sanity at test SF: bounds + determinism
+    val sf = "/root/testdata/sf0.001"
+    val m = graft.queries.DedupQueries.qSourceOverlap(spark, sf).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "unordered pair, a < b")
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(3))
+      val j = r.getDouble(4)
+      assert(j > 0.0 && j <= 1.0, s"jaccard $j")
+    }
+    val m2 = graft.queries.DedupQueries.qSourceOverlap(spark, sf).collect()
+    assert(m2.map(_.toString).toSeq == m.map(_.toString).toSeq)
+  }
 }
