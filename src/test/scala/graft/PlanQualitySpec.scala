@@ -203,4 +203,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition(doc_id"),
       "no window may sort the whole relation globally")
   }
+
+  test("SemDeDup: in-cluster pair join is an equi-join, never cartesian") {
+    // post-assignment (the 16-row seed broadcast is the ONLY nested-loop,
+    // and it lives before the checkpoint): the pair stage must key on
+    // cluster_id, and the removed flag must resolve as a join — no
+    // per-row subquery
+    val p = plan(graft.queries.VectorQueries.qSemDedup(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the checkpointed assignment must hide the seed broadcast from the pair stage")
+    // the pair stage keys on the cluster (aliased ka/kb); at test SF AQE
+    // may broadcast one side — any equi-join form qualifies, but the
+    // cluster key must be the join key, not a post-join filter
+    assert(count(p, "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[ka") >= 1,
+      s"pair join must key on the cluster id:\n$p")
+  }
+
+  test("source overlap: per-source totals broadcast onto the pair rollup") {
+    val p = plan(graft.queries.DedupQueries.qSourceOverlap(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(30).mkString("\n"))
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"the two count joins must broadcast:\n$p")
+  }
 }
