@@ -369,6 +369,91 @@ object VectorQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Incremental embedding near-dup probe — the vector twin of
+    * [[DedupQueries.qDedupIncremental]]: a NEW batch (ids ≥ 90% of the
+    * corpus max, standing in for tonight's arrivals) probes the EXISTING
+    * corpus for semantic near-duplicates. Corpus-seeded centroids assign
+    * both sides; candidates are new→old within a shared cluster only, so
+    * per-batch cost is O(batch × cluster members) — never old×old, the
+    * property that lets a 100 TB corpus absorb nightly batches. Output:
+    * one row per batch vector with its cluster, match count, and best
+    * (highest rounded cosine, lowest old id) corpus match — null when the
+    * batch vector is genuinely new.
+    *
+    * Same determinism contract as [[qSemDedup]]: seeded centroid pick,
+    * all comparisons on 6dp-rounded cosines, id tiebreaks. */
+  def qEmbIncremental(s: SparkSession, d: String, c: Int = 16,
+      t: Double = 0.35): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val thr = emb.agg(floor(max(col("vec_id")) * 0.9).cast("long"))
+      .collect()(0).getLong(0)
+    val corpus = emb.filter(col("vec_id") < thr)
+    val batch = emb.filter(col("vec_id") >= thr)
+    val seeds = corpus
+      .withColumn("mk", md5(col("vec_id").cast("string")))
+      .orderBy(col("mk"), col("vec_id")).limit(c)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    def assign(side: DataFrame): DataFrame = side
+      .crossJoin(broadcast(seeds))
+      .withColumn("rc", round(cosine(col("embedding"), col("cv")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("rc"), (-col("cid")).as("negc"))).as("m"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), (-col("m.negc")).as("cluster_id"),
+        col("embedding"))
+    val newSide = assign(batch).localCheckpoint()
+    val oldSide = assign(corpus)
+      .select(col("cluster_id").as("kc"), col("vec_id").as("old_id"),
+        col("embedding").as("ov"))
+    val matches = newSide
+      .join(oldSide, col("cluster_id") === col("kc"))
+      .withColumn("rc", round(cosine(col("embedding"), col("ov")), 6))
+      .filter(col("rc") >= t)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(col("rc"), (-col("old_id")).as("negi"))).as("m"))
+      .select(col("vec_id"), col("n_matches"),
+        (-col("m.negi")).as("best_old_id"), col("m.rc").as("best_cos"))
+    newSide.select(col("vec_id"), col("cluster_id"))
+      .join(matches, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_old_id"), col("best_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qEmbIncrementalSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |thr AS (SELECT cast(floor(max(vec_id) * 0.9) AS BIGINT) t FROM e),
+      |corpus AS (SELECT e.* FROM e, thr WHERE vec_id < thr.t),
+      |batch AS (SELECT e.* FROM e, thr WHERE vec_id >= thr.t),
+      |seeds AS (SELECT vec_id cid, v cv FROM corpus
+      |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+      |ac AS (SELECT vec_id, cluster_id, v FROM (
+      |  SELECT c.vec_id, s.cid cluster_id, c.v,
+      |    row_number() OVER (PARTITION BY c.vec_id
+      |      ORDER BY round(list_cosine_similarity(c.v, s.cv), 6) DESC, s.cid) rn
+      |  FROM corpus c CROSS JOIN seeds s) WHERE rn = 1),
+      |ab AS (SELECT vec_id, cluster_id, v FROM (
+      |  SELECT b.vec_id, s.cid cluster_id, b.v,
+      |    row_number() OVER (PARTITION BY b.vec_id
+      |      ORDER BY round(list_cosine_similarity(b.v, s.cv), 6) DESC, s.cid) rn
+      |  FROM batch b CROSS JOIN seeds s) WHERE rn = 1),
+      |m AS (SELECT nb.vec_id, oc.vec_id old_id,
+      |    round(list_cosine_similarity(nb.v, oc.v), 6) cos
+      |  FROM ab nb JOIN ac oc ON nb.cluster_id = oc.cluster_id
+      |  WHERE round(list_cosine_similarity(nb.v, oc.v), 6) >= 0.35),
+      |agg AS (SELECT vec_id, count(*) n_matches FROM m GROUP BY 1),
+      |best AS (SELECT vec_id, old_id best_old_id, cos best_cos FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cos DESC, old_id) rn FROM m) WHERE rn = 1)
+      |SELECT ab.vec_id, ab.cluster_id,
+      |  coalesce(agg.n_matches, 0) AS n_matches,
+      |  best.best_old_id, best.best_cos
+      |FROM ab LEFT JOIN agg ON ab.vec_id = agg.vec_id
+      |LEFT JOIN best ON ab.vec_id = best.vec_id
+      |ORDER BY ab.vec_id""".stripMargin
+
   val qSemDedupSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
       |seeds AS (SELECT vec_id cid, v cv FROM e
@@ -589,6 +674,7 @@ object VectorQueries {
     "vs_knn_quant" -> (qKnnQuant _),
     "vs_emb_neardup" -> (qEmbNearDup _),
     "vs_semdedup" -> ((s: SparkSession, d: String) => qSemDedup(s, d)),
+    "vs_emb_incremental" -> ((s: SparkSession, d: String) => qEmbIncremental(s, d)),
     "vs_label_stats" -> (qLabelStats _),
     "vs_knn_lsh" -> (qKnnLsh _),
     "vs_knn_ivf" -> (qKnnIvf _),
@@ -604,6 +690,7 @@ object VectorQueries {
     "vs_knn_quant" -> qKnnBruteSql, // q8 prune + exact re-rank: identical output
     "vs_emb_neardup" -> qEmbNearDupSql,
     "vs_semdedup" -> qSemDedupSql,
+    "vs_emb_incremental" -> qEmbIncrementalSql,
     "vs_label_stats" -> qLabelStatsSql,
     // vs_knn_lsh / vs_knn_ivf: approximate — rows-only (no oracle entry);
     // their recall twins below carry the hash-checked quality gate

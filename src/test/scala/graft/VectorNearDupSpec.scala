@@ -167,4 +167,39 @@ class VectorNearDupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(again.toSeq == got.toSeq)
   }
+
+  test("incremental probe: planted dup is found, orthogonal newcomer is clean") {
+    // corpus (ids < 89) lives in dims 0..15; batch id 95 is an exact copy
+    // of corpus id 7; batch id 96 lives in dims 16..31 — cosine exactly 0
+    // against every corpus vector, below any threshold
+    def lowDims(seed: Long): Array[Float] = {
+      val rnd = new java.util.Random(seed)
+      Array.tabulate(dim)(i => if (i < 16) rnd.nextGaussian().toFloat else 0f)
+    }
+    val corpus = (0 until 89).map(i => (i.toLong, lowDims(i * 104729L + 1)))
+    val batchPlain = (Seq(89, 90, 91, 92, 93, 94, 97, 98, 99))
+      .map(i => (i.toLong, lowDims(i * 104729L + 1)))
+    val copied = (95L, corpus(7)._2.clone())
+    val ortho = (96L, {
+      val rnd = new java.util.Random(424243L)
+      Array.tabulate(dim)(i => if (i >= 16) rnd.nextGaussian().toFloat else 0f)
+    })
+    val d = writeFixture(corpus ++ batchPlain ++ Seq(copied, ortho))
+    val out = VectorQueries.qEmbIncremental(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    // exactly one row per batch vector (max id 99 → threshold 89)
+    assert(out.keySet == (89L to 99L).toSet,
+      s"one row per batch vector, got ${out.keySet}")
+    val (nDup, bestId, bestCos) = out(95L)
+    assert(nDup >= 1 && bestId.contains(7L) && bestCos.contains(1.0),
+      s"planted copy must match corpus id 7 at cosine 1: ${out(95L)}")
+    assert(out(96L) == ((0L, None, None)),
+      s"orthogonal newcomer must be clean: ${out(96L)}")
+    val again = VectorQueries.qEmbIncremental(spark, d).collect()
+      .map(r => r.toString).toSeq
+    assert(again == VectorQueries.qEmbIncremental(spark, d).collect()
+      .map(r => r.toString).toSeq)
+  }
 }
