@@ -883,6 +883,71 @@ object DedupQueries {
       |FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Soft dedup — dedup-aware sampling weights instead of hard removal:
+    * every document weighs 1/|its near-dup cluster| (isolated docs weigh
+    * 1), so a cluster of n near-copies contributes ONE document's worth of
+    * probability mass to the training mixture without discarding any
+    * variant. Output per source: raw vs effective doc counts and char
+    * mass — the inputs a mixture planner ([[PipelineQueries.qMixWeights]])
+    * consumes when the corpus is deduplicated softly.
+    *
+    * Composes the shared CC-label relation ([[componentLabelsFor]], the
+    * same materialized fixpoint the cluster report and survivorship pick
+    * join) with a per-cluster size rollup; the only corpus-scale work is
+    * one join docs←labels on doc_id and one combinable per-source agg. */
+  def qSoftDedup(s: SparkSession, d: String): DataFrame = {
+    val labels = componentLabelsFor(s, d)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .join(sizes, Seq("label"), "left")
+      .withColumn("csize", coalesce(col("csize"), lit(1L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(lit(1.0) / col("csize")), 4).as("eff_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        round(sum(col("n_chars").cast("double") / col("csize")), 2)
+          .as("eff_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** Same recursive-CTE closure as [[qDedupClustersSql]], extended with
+    * the per-source weight rollup. */
+  val qSoftDedupSql: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) t
+      |  FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT hv FROM tok),
+      |bits AS (
+      |  SELECT doc_id, bb.b,
+      |    sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) v
+      |  FROM h, (SELECT unnest(range(60)) b) bb GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT sig
+      |  FROM bits GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id a, b.doc_id b FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+      |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a),
+      |sizes AS (SELECT label, count(*) csize FROM comp GROUP BY 1),
+      |docw AS (
+      |  SELECT d.doc_id, d.source, d.n_chars, coalesce(s.csize, 1) AS csize
+      |  FROM documents d
+      |  LEFT JOIN comp c ON d.doc_id = c.node
+      |  LEFT JOIN sizes s ON c.label = s.label)
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      |  round(sum(1.0 / csize), 4) AS eff_docs,
+      |  sum(n_chars)::BIGINT AS n_chars,
+      |  round(sum(n_chars::DOUBLE / csize), 2) AS eff_chars
+      |FROM docw GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Source-overlap matrix — the provenance report a curator reads before
     * mixing: per source pair, the Jaccard overlap of the two sources'
     * distinct word-3-gram shingle sets (which crawls/dumps duplicate each
@@ -942,6 +1007,7 @@ object DedupQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (qDedupExact _),
     "dd_source_overlap" -> (qSourceOverlap _),
+    "td_soft_dedup" -> (qSoftDedup _),
     "dd_jaccard" -> (qDedupJaccard _),
     "dd_jaccard_prefix" -> (qDedupJaccardPrefix _),
     // the prefix branch FORCED regardless of corpus size, so the driver's
@@ -962,6 +1028,7 @@ object DedupQueries {
   def oracles: Map[String, String] = Map(
     "dd_exact" -> qDedupExactSql,
     "dd_source_overlap" -> qSourceOverlapSql,
+    "td_soft_dedup" -> qSoftDedupSql,
     "dd_jaccard" -> qDedupJaccardSql,
     "dd_jaccard_prefix" -> qDedupJaccardSql, // provably same output, exact
     "dd_jaccard_prefix_full" -> qDedupJaccardSql, // prefix plan, same output

@@ -149,4 +149,24 @@ class DedupDispatchSpec extends SparkSpec {
     val m2 = graft.queries.DedupQueries.qSourceOverlap(spark, sf).collect()
     assert(m2.map(_.toString).toSeq == m.map(_.toString).toSeq)
   }
+
+  test("soft dedup: cluster mass sums to one effective doc per cluster") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.DedupQueries.qSoftDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == totalDocs, "every doc weighed once")
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= r.getLong(1) + 1e-9, "weights never upsample")
+      assert(r.getDouble(4) <= r.getLong(3) + 1e-9)
+    }
+    // Σ eff_docs = #clusters + #isolated docs: each near-dup cluster
+    // contributes exactly one doc of mass, everything else weighs 1
+    val clusters = graft.queries.DedupQueries.qDedupClusters(spark, sf).collect()
+    val clustered = clusters.map(_.getLong(1)).sum
+    val expected = clusters.length + (totalDocs - clustered)
+    val effTotal = rows.map(_.getDouble(2)).sum
+    assert(math.abs(effTotal - expected) < 0.01,
+      s"effective corpus size $effTotal vs clusters+isolated $expected")
+  }
 }
