@@ -385,8 +385,8 @@ object VectorQueries {
   def qEmbIncremental(s: SparkSession, d: String, c: Int = 16,
       t: Double = 0.35): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val thr = emb.agg(floor(max(col("vec_id")) * 0.9).cast("long"))
-      .collect()(0).getLong(0)
+    val thrRow = emb.agg(floor(max(col("vec_id")) * 0.9).cast("long")).collect()(0)
+    val thr = if (thrRow.isNullAt(0)) 0L else thrRow.getLong(0)
     val corpus = emb.filter(col("vec_id") < thr)
     val batch = emb.filter(col("vec_id") >= thr)
     val seeds = corpus
