@@ -405,7 +405,8 @@ object DedupQueries {
     * recursive CTEs disallow); per-node contribution sums differ only in
     * float addition order, absorbed by round(…, 6). Isolated nodes
     * cannot occur (every node comes from a pair). */
-  def qDedupPagerank(s: SparkSession, d: String, iters: Int = 10): DataFrame =
+  def qDedupPagerank(s: SparkSession, d: String,
+      iters: Int = defaultPagerankIters): DataFrame =
     if (iters == defaultPagerankIters) pagerankRanksFor(s, d)
     else pagerankRanks(pairGraph(s, d), iters)
 
@@ -474,6 +475,42 @@ object DedupQueries {
       .orderBy(col("node"))
   }
 
+  /** Shared DuckDB-oracle prologue: the simhash signature relation
+    * (tokenize → 60-bit majority signature). Single-sourced so the six
+    * dedup-graph oracles can never desync on tokenization, the md5
+    * 15-hex-char prefix, or the 60-bit width. */
+  private val simhashSigSql: String =
+    """tok AS (
+      |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) t
+      |  FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT hv FROM tok),
+      |bits AS (
+      |  SELECT doc_id, bb.b,
+      |    sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) v
+      |  FROM h, (SELECT unnest(range(60)) b) bb GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT sig
+      |  FROM bits GROUP BY 1)""".stripMargin
+
+  /** Near-dup pair CTE over [[simhashSigSql]]'s `sig` (Hamming ≤ 3),
+    * with caller-chosen output column names. */
+  private def simhashPairsSql(a: String, b: String): String =
+    s"""pairs AS (
+       |  SELECT x.doc_id $a, y.doc_id $b
+       |  FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.sig, y.sig)) <= 3)""".stripMargin
+
+  /** Recursive connected-component closure over `pairs(a, b)` →
+    * `comp(node, label)` with label = component min. */
+  private val ccClosureSql: String =
+    """edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a)""".stripMargin
+
   val qDedupPagerankSql: String = {
     val rounds = (1 to 10).map { i =>
       s"""r$i AS (
@@ -484,22 +521,8 @@ object DedupQueries {
          |                 JOIN r${i - 1} r ON r.node = e.src
          |    GROUP BY 1) c ON c.node = deg.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH tok AS (
-       |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) t
-       |  FROM documents),
-       |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT hv FROM tok),
-       |bits AS (
-       |  SELECT doc_id, bb.b,
-       |    sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) v
-       |  FROM h, (SELECT unnest(range(60)) b) bb GROUP BY 1, 2),
-       |sig AS (
-       |  SELECT doc_id,
-       |    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT sig
-       |  FROM bits GROUP BY 1),
-       |pairs AS (
-       |  SELECT a.doc_id doc_a, b.doc_id doc_b
-       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+    s"""WITH $simhashSigSql,
+       |${simhashPairsSql("doc_a", "doc_b")},
        |edges AS (
        |  SELECT doc_a src, doc_b dst FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -512,22 +535,8 @@ object DedupQueries {
   }
 
   val qDedupTrianglesSql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) t
-      |  FROM documents),
-      |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT hv FROM tok),
-      |bits AS (
-      |  SELECT doc_id, bb.b,
-      |    sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) v
-      |  FROM h, (SELECT unnest(range(60)) b) bb GROUP BY 1, 2),
-      |sig AS (
-      |  SELECT doc_id,
-      |    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT sig
-      |  FROM bits GROUP BY 1),
-      |pairs AS (
-      |  SELECT a.doc_id doc_a, b.doc_id doc_b
-      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-      |  WHERE bit_count(xor(a.sig, b.sig)) <= 3)
+    s"""WITH $simhashSigSql,
+      |${simhashPairsSql("doc_a", "doc_b")}
       |SELECT (SELECT count(*) FROM pairs)::BIGINT AS n_edges,
       |  (SELECT count(*)
       |   FROM pairs e1 JOIN pairs e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
@@ -639,27 +648,9 @@ object DedupQueries {
          |                 JOIN r${i - 1} r ON r.node = e.a
          |    GROUP BY 1) c ON c.node = deg.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH RECURSIVE tok AS (
-       |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) t
-       |  FROM documents),
-       |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT hv FROM tok),
-       |bits AS (
-       |  SELECT doc_id, bb.b,
-       |    sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) v
-       |  FROM h, (SELECT unnest(range(60)) b) bb GROUP BY 1, 2),
-       |sig AS (
-       |  SELECT doc_id,
-       |    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT sig
-       |  FROM bits GROUP BY 1),
-       |pairs AS (
-       |  SELECT a.doc_id a, b.doc_id b FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
-       |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
-       |reach(a, b) AS (
-       |  SELECT a, b FROM edges
-       |  UNION
-       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-       |comp AS (SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a),
+    s"""WITH RECURSIVE $simhashSigSql,
+       |${simhashPairsSql("a", "b")},
+       |$ccClosureSql,
        |deg AS (SELECT a node, count(*) outdeg FROM edges GROUP BY 1),
        |n AS (SELECT count(*) n FROM deg),
        |r0 AS (SELECT node, 1.0::DOUBLE / n.n rank FROM deg, n),
@@ -756,44 +747,15 @@ object DedupQueries {
       .orderBy(col("keep_id"))
 
   val qDedupClustersSql: String =
-    """WITH RECURSIVE tok AS (
-      |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) t
-      |  FROM documents),
-      |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT hv FROM tok),
-      |bits AS (
-      |  SELECT doc_id, bb.b,
-      |    sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) v
-      |  FROM h, (SELECT unnest(range(60)) b) bb GROUP BY 1, 2),
-      |sig AS (
-      |  SELECT doc_id,
-      |    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT sig
-      |  FROM bits GROUP BY 1),
-      |pairs AS (
-      |  SELECT a.doc_id a, b.doc_id b FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-      |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
-      |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
-      |reach(a, b) AS (
-      |  SELECT a, b FROM edges
-      |  UNION
-      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-      |comp AS (SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a)
+    s"""WITH RECURSIVE $simhashSigSql,
+      |${simhashPairsSql("a", "b")},
+      |$ccClosureSql
       |SELECT label AS keep_id, count(*)::BIGINT AS cluster_size,
       |  (count(*) - 1)::BIGINT AS n_removed
       |FROM comp GROUP BY label ORDER BY keep_id""".stripMargin
 
   val qDedupSimhashSql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) t
-      |  FROM documents),
-      |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT hv FROM tok),
-      |bits AS (
-      |  SELECT doc_id, bb.b,
-      |    sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) v
-      |  FROM h, (SELECT unnest(range(60)) b) bb GROUP BY 1, 2),
-      |sig AS (
-      |  SELECT doc_id,
-      |    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT sig
-      |  FROM bits GROUP BY 1)
+    s"""WITH $simhashSigSql
       |SELECT a.doc_id doc_a, b.doc_id doc_b,
       |  bit_count(xor(a.sig, b.sig))::INT dist
       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -915,27 +877,9 @@ object DedupQueries {
   /** Same recursive-CTE closure as [[qDedupClustersSql]], extended with
     * the per-source weight rollup. */
   val qSoftDedupSql: String =
-    """WITH RECURSIVE tok AS (
-      |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) t
-      |  FROM documents),
-      |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT hv FROM tok),
-      |bits AS (
-      |  SELECT doc_id, bb.b,
-      |    sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) v
-      |  FROM h, (SELECT unnest(range(60)) b) bb GROUP BY 1, 2),
-      |sig AS (
-      |  SELECT doc_id,
-      |    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT sig
-      |  FROM bits GROUP BY 1),
-      |pairs AS (
-      |  SELECT a.doc_id a, b.doc_id b FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-      |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
-      |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
-      |reach(a, b) AS (
-      |  SELECT a, b FROM edges
-      |  UNION
-      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-      |comp AS (SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a),
+    s"""WITH RECURSIVE $simhashSigSql,
+      |${simhashPairsSql("a", "b")},
+      |$ccClosureSql,
       |sizes AS (SELECT label, count(*) csize FROM comp GROUP BY 1),
       |docw AS (
       |  SELECT d.doc_id, d.source, d.n_chars, coalesce(s.csize, 1) AS csize

@@ -515,7 +515,11 @@ object PipelineQueries {
     * Determinism contract with the oracle: buckets hash via the portable
     * md5-prefix (same as [[qWeightedSample]]'s u), scores round to 6dp
     * before the rank compare, ties break on doc_id. */
-  def qDsirWeights(s: SparkSession, d: String, buckets: Int = 1024,
+  private val DsirBuckets = 1024
+  private val dsirScoreCache = Caches.register(
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame])
+
+  def qDsirWeights(s: SparkSession, d: String, buckets: Int = DsirBuckets,
       k: Int = 50): DataFrame = {
     val bucketsD = lit(buckets.toDouble)
     val toks = Tables.documents(s, d)
@@ -538,12 +542,26 @@ object PipelineQueries {
       .select(col("b"),
         log(((col("nt") + 1.0) / (col("tt") + bucketsD)) /
           ((col("nr") + 1.0) / (col("tr") + bucketsD))).as("llr"))
-    val scores = bt.join(broadcast(lr), "b")
-      .groupBy(col("doc_id"), col("source"))
-      .agg(sum(col("cnt")).as("n_tokens"),
-        round(sum(col("cnt") * col("llr")) / sum(col("cnt")), 6)
-          .as("logratio"))
-    val kth = scores
+    // zero-token docs (empty/whitespace text) produce no bt rows; bring
+    // them back with a null score so the relation covers every document —
+    // a mixture planner must see the doc to decide its fate, not lose it
+    def buildScores(): DataFrame = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .join(bt.join(broadcast(lr), "b")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tokens"),
+          round(sum(col("cnt") * col("llr")) / sum(col("cnt")), 6)
+            .as("logratio")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("logratio"))
+    // consumed twice (kth-tuple collect + the output) and across calls;
+    // persisted under the Caches lifecycle like the dedup fixpoints
+    val scores =
+      if (buckets == DsirBuckets)
+        dsirScoreCache.getOrElseUpdate(d, buildScores().persist())
+      else buildScores()
+    val kth = scores.filter(col("logratio").isNotNull)
       .orderBy(col("logratio").desc, col("doc_id")).limit(k)
       .collect().lastOption
     val selected = kth match {
@@ -554,7 +572,7 @@ object PipelineQueries {
       case None => lit(false)
     }
     scores.select(col("doc_id"), col("source"), col("n_tokens"),
-        col("logratio"), selected.as("selected"))
+        col("logratio"), coalesce(selected, lit(false)).as("selected"))
       .orderBy(col("doc_id"))
   }
 
@@ -579,14 +597,20 @@ object PipelineQueries {
       |  SELECT b, ln(((nt + 1.0) / (tt + 1024.0))
       |             / ((nr + 1.0) / (tr + 1024.0))) AS llr
       |  FROM model CROSS JOIN totals),
-      |scores AS (
-      |  SELECT bt.doc_id, bt.source, sum(bt.cnt)::BIGINT AS n_tokens,
+      |scored AS (
+      |  SELECT bt.doc_id, sum(bt.cnt)::BIGINT AS n_tokens,
       |    round(sum(bt.cnt * lr.llr) / sum(bt.cnt), 6) AS logratio
-      |  FROM bt JOIN lr ON bt.b = lr.b GROUP BY 1, 2),
+      |  FROM bt JOIN lr ON bt.b = lr.b GROUP BY 1),
+      |scores AS (
+      |  SELECT d.doc_id, d.source,
+      |    coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens, sc.logratio
+      |  FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id),
       |ranked AS (SELECT *, row_number() OVER (
-      |  ORDER BY logratio DESC, doc_id) rn FROM scores)
-      |SELECT doc_id, source, n_tokens, logratio, (rn <= 50) AS selected
-      |FROM ranked ORDER BY doc_id""".stripMargin
+      |  ORDER BY logratio DESC, doc_id) rn FROM scores WHERE logratio IS NOT NULL)
+      |SELECT s.doc_id, s.source, s.n_tokens, s.logratio,
+      |  coalesce(r.rn <= 50, FALSE) AS selected
+      |FROM scores s LEFT JOIN ranked r ON s.doc_id = r.doc_id
+      |ORDER BY s.doc_id""".stripMargin
 
   /** Z-order (Morton) clustering values over two scan dimensions — the
     * multi-dimensional layout key behind `ZORDER BY` (see

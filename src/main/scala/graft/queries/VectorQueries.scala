@@ -370,9 +370,10 @@ object VectorQueries {
   }
 
   /** Incremental embedding near-dup probe — the vector twin of
-    * [[DedupQueries.qDedupIncremental]]: a NEW batch (ids ≥ 90% of the
-    * corpus max, standing in for tonight's arrivals) probes the EXISTING
-    * corpus for semantic near-duplicates. Corpus-seeded centroids assign
+    * [[DedupQueries.qDedupIncremental]]: a NEW batch (the top ~10% of ids
+    * by rank, standing in for tonight's arrivals — a real pipeline takes
+    * the batch from ingest metadata instead) probes the EXISTING corpus
+    * for semantic near-duplicates. Corpus-seeded centroids assign
     * both sides; candidates are new→old within a shared cluster only, so
     * per-batch cost is O(batch × cluster members) — never old×old, the
     * property that lets a 100 TB corpus absorb nightly batches. Output:
@@ -385,8 +386,17 @@ object VectorQueries {
   def qEmbIncremental(s: SparkSession, d: String, c: Int = 16,
       t: Double = 0.35): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val thrRow = emb.agg(floor(max(col("vec_id")) * 0.9).cast("long")).collect()(0)
-    val thr = if (thrRow.isNullAt(0)) 0L else thrRow.getLong(0)
+    // batch = the ceil(n/10) largest ids — rank-based, so offset id
+    // blocks still split 90/10 (0.9·max would leave the corpus side
+    // empty); for n ≥ 2 the corpus side is always non-empty. The
+    // boundary is a TakeOrdered top-k + 1-row agg, nothing corpus-sized
+    // reaches the driver. n ≤ 1 is degenerate by contract: no corpus to
+    // probe, empty report.
+    val n = emb.count()
+    val kBatch = math.ceil(n * 0.1).toInt
+    val thrRow = emb.orderBy(col("vec_id").desc).limit(kBatch)
+      .agg(min(col("vec_id"))).collect()(0)
+    val thr = if (thrRow.isNullAt(0)) Long.MaxValue else thrRow.getLong(0)
     val corpus = emb.filter(col("vec_id") < thr)
     val batch = emb.filter(col("vec_id") >= thr)
     val seeds = corpus
@@ -424,7 +434,9 @@ object VectorQueries {
 
   val qEmbIncrementalSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-      |thr AS (SELECT cast(floor(max(vec_id) * 0.9) AS BIGINT) t FROM e),
+      |thr AS (SELECT min(vec_id) t FROM (
+      |  SELECT vec_id FROM e ORDER BY vec_id DESC
+      |  LIMIT (SELECT cast(ceil(count(*) * 0.1) AS BIGINT) FROM e))),
       |corpus AS (SELECT e.* FROM e, thr WHERE vec_id < thr.t),
       |batch AS (SELECT e.* FROM e, thr WHERE vec_id >= thr.t),
       |seeds AS (SELECT vec_id cid, v cv FROM corpus

@@ -127,16 +127,19 @@ class PipelineQueriesSpec extends SparkSpec {
     val docs =
       (0L to 1L).map(i => (i, vocabA, "en", "src0", 30L)) ++
       (2L to 3L).map(i => (i, vocabA, "en", "src1", 30L)) ++
-      (10L to 19L).map(i => (i, vocabB, "en", s"src${2 + i % 5}", 30L)) :+
-      ((99L, vocabA, "en", "src3", 30L))
+      (10L to 19L).map(i => (i, vocabB, "en", s"src${2 + i % 5}", 30L)) ++
+      Seq((50L, "   ", "en", "src4", 3L), // zero tokens: kept, null score
+        (99L, vocabA, "en", "src3", 30L))
     val dir = java.nio.file.Files.createTempDirectory("dsir").toString
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = PipelineQueries.qDsirWeights(spark, dir, k = 5).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-        r.getDouble(3), r.getBoolean(4)))
-    assert(out.length == docs.size, "one row per doc")
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3), r.getBoolean(4)))
+    assert(out.length == docs.size, "one row per doc, zero-token docs included")
     val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(50L)._3 == 0L && byId(50L)._4.isNaN && !byId(50L)._5,
+      s"whitespace-only doc must survive with a null score: ${byId(50L)}")
     val aScores = (Seq(0L, 1L, 2L, 3L, 99L)).map(byId(_)._4)
     val bScores = (10L to 19L).map(byId(_)._4)
     assert(aScores.min > bScores.max,
@@ -151,8 +154,8 @@ class PipelineQueriesSpec extends SparkSpec {
     // deterministic across evaluations
     val again = PipelineQueries.qDsirWeights(spark, dir, k = 5).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-        r.getDouble(3), r.getBoolean(4)))
-    assert(again.toSeq == out.toSeq)
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3), r.getBoolean(4)))
+    assert(again.map(_.toString).toSeq == out.map(_.toString).toSeq)
     // model is ≤B rows: the scoring join must broadcast it, document
     // data shuffles only into the per-doc aggregate
     val df = PipelineQueries.qDsirWeights(spark, sf)

@@ -169,9 +169,9 @@ class VectorNearDupSpec extends SparkSpec {
   }
 
   test("incremental probe: planted dup is found, orthogonal newcomer is clean") {
-    // corpus (ids < 89) lives in dims 0..15; batch id 95 is an exact copy
-    // of corpus id 7; batch id 96 lives in dims 16..31 — cosine exactly 0
-    // against every corpus vector, below any threshold
+    // corpus (ids < 90, the bottom 90% by rank) lives in dims 0..15;
+    // batch id 95 is an exact copy of corpus id 7; batch id 96 lives in
+    // dims 16..31 — cosine exactly 0 against every corpus vector
     def lowDims(seed: Long): Array[Float] = {
       val rnd = new java.util.Random(seed)
       Array.tabulate(dim)(i => if (i < 16) rnd.nextGaussian().toFloat else 0f)
@@ -189,8 +189,8 @@ class VectorNearDupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getLong(3)),
         if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
-    // exactly one row per batch vector (max id 99 → threshold 89)
-    assert(out.keySet == (89L to 99L).toSet,
+    // exactly one row per batch vector (n=100 → batch = top-10 ids 90..99)
+    assert(out.keySet == (90L to 99L).toSet,
       s"one row per batch vector, got ${out.keySet}")
     val (nDup, bestId, bestCos) = out(95L)
     assert(nDup >= 1 && bestId.contains(7L) && bestCos.contains(1.0),
