@@ -397,8 +397,19 @@ object VectorQueries {
     val thrRow = emb.orderBy(col("vec_id").desc).limit(kBatch)
       .agg(min(col("vec_id"))).collect()(0)
     val thr = if (thrRow.isNullAt(0)) Long.MaxValue else thrRow.getLong(0)
-    val corpus = emb.filter(col("vec_id") < thr)
-    val batch = emb.filter(col("vec_id") >= thr)
+    probeNewAgainstCorpus(
+      emb.filter(col("vec_id") >= thr), emb.filter(col("vec_id") < thr), c, t)
+      .orderBy(col("vec_id"))
+  }
+
+  /** The probe kernel behind [[qEmbIncremental]] and the streaming twin
+    * ([[graft.streaming.EmbedStream]]): corpus-seeded centroid assignment
+    * of both sides, then new→old candidate pairs within shared clusters
+    * only. Both inputs carry (vec_id, embedding); an EMPTY corpus yields
+    * an empty report (no seeds — the caller decides what "no corpus yet"
+    * means for its batch). */
+  def probeNewAgainstCorpus(batch: DataFrame, corpus: DataFrame,
+      c: Int = 16, t: Double = 0.35): DataFrame = {
     val seeds = corpus
       .withColumn("mk", md5(col("vec_id").cast("string")))
       .orderBy(col("mk"), col("vec_id")).limit(c)
@@ -429,7 +440,6 @@ object VectorQueries {
       .select(col("vec_id"), col("cluster_id"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         col("best_old_id"), col("best_cos"))
-      .orderBy(col("vec_id"))
   }
 
   val qEmbIncrementalSql: String =
