@@ -63,12 +63,14 @@ object EmbedStream {
     * subdirs that contain parquet are readable, and overwrite-mode
     * replay repairs them). */
   private def readCorpus(s: SparkSession, corpusDir: String): Option[DataFrame] = {
-    val root = new java.io.File(corpusDir)
-    val parts = Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .filter(d => Option(d.listFiles()).toSeq.flatten
-        .exists(_.getName.endsWith(".parquet")))
-      .map(_.getAbsolutePath)
+    val root = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val parts = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filter(st => fs.listStatus(st.getPath)
+        .exists(_.getPath.getName.endsWith(".parquet")))
+      .map(_.getPath.toString)
     if (parts.isEmpty) None
     else Some(s.read.parquet(parts: _*).select(col("vec_id"), col("embedding")))
   }
