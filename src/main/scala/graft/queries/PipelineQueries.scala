@@ -521,40 +521,45 @@ object PipelineQueries {
 
   def qDsirWeights(s: SparkSession, d: String, buckets: Int = DsirBuckets,
       k: Int = 50): DataFrame = {
-    val bucketsD = lit(buckets.toDouble)
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        explode(filter(split(lower(trim(col("text"))), "\\s+"),
-          t => length(t) > 0)).as("tok"))
-    val bt = toks
-      .withColumn("b",
-        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
-          % buckets)
-      .groupBy(col("doc_id"), col("source"), col("b"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
-    val isTarget = col("source").isin("src0", "src1")
-    val model = bt.groupBy(col("b"))
-      .agg(sum(when(isTarget, col("cnt")).otherwise(lit(0L))).as("nt"),
-        sum(when(isTarget, lit(0L)).otherwise(col("cnt"))).as("nr"))
-    val totals = model.agg(sum(col("nt")).as("tt"), sum(col("nr")).as("tr"))
-    val lr = model.crossJoin(broadcast(totals))
-      .select(col("b"),
-        log(((col("nt") + 1.0) / (col("tt") + bucketsD)) /
-          ((col("nr") + 1.0) / (col("tr") + bucketsD))).as("llr"))
-    // zero-token docs (empty/whitespace text) produce no bt rows; bring
-    // them back with a null score so the relation covers every document —
-    // a mixture planner must see the doc to decide its fate, not lose it
-    def buildScores(): DataFrame = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"))
-      .join(bt.join(broadcast(lr), "b")
-        .groupBy(col("doc_id"))
-        .agg(sum(col("cnt")).as("n_tokens"),
-          round(sum(col("cnt") * col("llr")) / sum(col("cnt")), 6)
-            .as("logratio")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("logratio"))
+    // EVERYTHING lives inside the builder so a cache hit does zero Spark
+    // work (an eagerly-checkpointed token pass outside it would re-run
+    // the whole scan per call and discard the result)
+    def buildScores(): DataFrame = {
+      val bucketsD = lit(buckets.toDouble)
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(filter(split(lower(trim(col("text"))), "\\s+"),
+            t => length(t) > 0)).as("tok"))
+      val bt = toks
+        .withColumn("b",
+          conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+            % buckets)
+        .groupBy(col("doc_id"), col("source"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val isTarget = col("source").isin("src0", "src1")
+      val model = bt.groupBy(col("b"))
+        .agg(sum(when(isTarget, col("cnt")).otherwise(lit(0L))).as("nt"),
+          sum(when(isTarget, lit(0L)).otherwise(col("cnt"))).as("nr"))
+      val totals = model.agg(sum(col("nt")).as("tt"), sum(col("nr")).as("tr"))
+      val lr = model.crossJoin(broadcast(totals))
+        .select(col("b"),
+          log(((col("nt") + 1.0) / (col("tt") + bucketsD)) /
+            ((col("nr") + 1.0) / (col("tr") + bucketsD))).as("llr"))
+      // zero-token docs (empty/whitespace text) produce no bt rows; bring
+      // them back with a null score so the relation covers every document —
+      // a mixture planner must see the doc to decide its fate, not lose it
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .join(bt.join(broadcast(lr), "b")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("cnt")).as("n_tokens"),
+            round(sum(col("cnt") * col("llr")) / sum(col("cnt")), 6)
+              .as("logratio")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("logratio"))
+    }
     // consumed twice (kth-tuple collect + the output) and across calls;
     // persisted under the Caches lifecycle like the dedup fixpoints
     val scores =

@@ -42,7 +42,13 @@ object EmbedStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.select(col("vec_id"), col("embedding"))
           .localCheckpoint()
-        val corpus = readCorpus(s, corpusDir)
+        // corpus = strictly EARLIER batches: a replayed batch must not see
+        // its own previous (pre-crash) corpus write, or every vector
+        // self-matches at cosine 1 and the rewritten report diverges from
+        // the original — the id filter is what makes replay idempotent.
+        // A present-but-empty corpus (e.g. an empty batch 0) is the same
+        // as no corpus: no seeds exist, everything is genuinely new.
+        val corpus = readCorpus(s, corpusDir, batchId).filterNot(_.isEmpty)
         val report =
           if (corpus.isEmpty)
             b.select(col("vec_id"),
@@ -58,16 +64,19 @@ object EmbedStream {
       }
       .start()
 
-  /** The corpus accumulated by prior batches, or None before the first
-    * commit (also tolerates a half-written replay victim: only `batch=*`
-    * subdirs that contain parquet are readable, and overwrite-mode
-    * replay repairs them). */
-  private def readCorpus(s: SparkSession, corpusDir: String): Option[DataFrame] = {
+  /** The corpus accumulated by batches STRICTLY BEFORE `beforeBatch`, or
+    * None before the first commit (also tolerates a half-written replay
+    * victim: only `batch=*` subdirs that contain parquet are readable,
+    * and overwrite-mode replay repairs them). */
+  private def readCorpus(s: SparkSession, corpusDir: String,
+      beforeBatch: Long): Option[DataFrame] = {
     val root = new org.apache.hadoop.fs.Path(corpusDir)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return None
     val parts = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filter(st => st.getPath.getName.drop("batch=".length).toLongOption
+        .exists(_ < beforeBatch))
       .filter(st => fs.listStatus(st.getPath)
         .exists(_.getPath.getName.endsWith(".parquet")))
       .map(_.getPath.toString)

@@ -152,6 +152,9 @@ class PipelineQueriesSpec extends SparkSpec {
     // n_tokens = whitespace token count
     assert(byId(0L)._3 == 5L)
     // deterministic across evaluations
+    // evict the cached score relation first, so the re-call exercises a
+    // genuine RECOMPUTE (a cache hit would make this assertion vacuous)
+    graft.queries.Caches.close(dir)
     val again = PipelineQueries.qDsirWeights(spark, dir, k = 5).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         if (r.isNullAt(3)) Double.NaN else r.getDouble(3), r.getBoolean(4)))
