@@ -202,4 +202,45 @@ class VectorNearDupSpec extends SparkSpec {
     assert(again == VectorQueries.qEmbIncremental(spark, d).collect()
       .map(r => r.toString).toSeq)
   }
+
+  test("probe kernel matches a full driver-side replication on random data") {
+    val corpus = (0 until 120).map { i =>
+      val rnd = new java.util.Random(i * 6151L + 3)
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    }
+    val batch = (200 until 230).map { i =>
+      val rnd = new java.util.Random(i * 6151L + 3)
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    }
+    val c = 16; val tau = 0.3
+    import spark.implicits._
+    def df(vs: Seq[(Long, Array[Float])]) =
+      vs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val got = VectorQueries.probeNewAgainstCorpus(df(batch), df(corpus), c, tau)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seeds = corpus.map { case (id, v) => (md5hex(id.toString), id, v) }
+      .sortBy(t => (t._1, t._2)).take(c)
+    def assignOf(v: Array[Float]): Long = seeds
+      .map { case (_, cid, cv) => (r6(cosRef(v, cv).get), cid) }
+      .maxBy { case (rc, cid) => (rc, -cid) }._2
+    val corpusAssign = corpus.map { case (id, v) => (id, v, assignOf(v)) }
+    val want = batch.map { case (id, v) =>
+      val cl = assignOf(v)
+      val ms = corpusAssign
+        .filter { case (_, ov, ocl) => ocl == cl && r6(cosRef(ov, v).get) >= tau }
+        .map { case (oid, ov, _) => (r6(cosRef(ov, v).get), oid) }
+      val best = ms.sortBy { case (rc, oid) => (-rc, oid) }.headOption
+      id -> ((cl, ms.size.toLong,
+        best.map(_._2), best.map(_._1)))
+    }.toMap
+    assert(want.values.map(_._2).sum > 0, "fixture must produce matches")
+    assert(got == want, "probe report must equal the replication")
+  }
 }
