@@ -350,6 +350,8 @@ object VectorQueries {
       .withColumn("rc", round(cosine(col("embedding"), col("cv")), 6))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("rc"), (-col("cid")).as("negc"))).as("m"),
+        // deterministic despite first(): every row in a vec_id group
+        // carries the SAME embedding (the cross join replicated it)
         first(col("embedding")).as("embedding"))
       .select(col("vec_id"), (-col("m.negc")).as("cluster_id"),
         col("embedding"))
@@ -419,6 +421,8 @@ object VectorQueries {
       .withColumn("rc", round(cosine(col("embedding"), col("cv")), 6))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("rc"), (-col("cid")).as("negc"))).as("m"),
+        // deterministic despite first(): every row in a vec_id group
+        // carries the SAME embedding (the cross join replicated it)
         first(col("embedding")).as("embedding"))
       .select(col("vec_id"), (-col("m.negc")).as("cluster_id"),
         col("embedding"))
