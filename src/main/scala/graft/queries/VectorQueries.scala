@@ -412,26 +412,42 @@ object VectorQueries {
     * means for its batch). */
   def probeNewAgainstCorpus(batch: DataFrame, corpus: DataFrame,
       c: Int = 16, t: Double = 0.35): DataFrame = {
-    val seeds = corpus
-      .withColumn("mk", md5(col("vec_id").cast("string")))
-      .orderBy(col("mk"), col("vec_id")).limit(c)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    def assign(side: DataFrame): DataFrame = side
-      .crossJoin(broadcast(seeds))
-      .withColumn("rc", round(cosine(col("embedding"), col("cv")), 6))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("rc"), (-col("cid")).as("negc"))).as("m"),
-        // deterministic despite first(): every row in a vec_id group
-        // carries the SAME embedding (the cross join replicated it)
-        first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), (-col("m.negc")).as("cluster_id"),
-        col("embedding"))
-    val newSide = assign(batch).localCheckpoint()
-    val oldSide = assign(corpus)
-      .select(col("cluster_id").as("kc"), col("vec_id").as("old_id"),
-        col("embedding").as("ov"))
+    val seeds = seededCentroids(corpus, c)
+    matchReport(assignToSeeds(batch, seeds).localCheckpoint(),
+      assignToSeeds(corpus, seeds), t)
+  }
+
+  /** The c seed centroids of a (vec_id, embedding) relation: the vectors
+    * with the smallest md5(vec_id) — deterministic, engine-portable. */
+  def seededCentroids(rel: DataFrame, c: Int = 16): DataFrame = rel
+    .withColumn("mk", md5(col("vec_id").cast("string")))
+    .orderBy(col("mk"), col("vec_id")).limit(c)
+    .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+
+  /** Nearest-seed assignment: argmax of the 6dp-rounded cosine with
+    * centroid-id tiebreak, as a map-side-combinable max(struct). Output:
+    * (vec_id, cluster_id, embedding). */
+  def assignToSeeds(side: DataFrame, seeds: DataFrame): DataFrame = side
+    .crossJoin(broadcast(seeds))
+    .withColumn("rc", round(cosine(col("embedding"), col("cv")), 6))
+    .groupBy(col("vec_id"))
+    .agg(max(struct(col("rc"), (-col("cid")).as("negc"))).as("m"),
+      // deterministic despite first(): every row in a vec_id group
+      // carries the SAME embedding (the cross join replicated it)
+      first(col("embedding")).as("embedding"))
+    .select(col("vec_id"), (-col("m.negc")).as("cluster_id"),
+      col("embedding"))
+
+  /** Match report over two PRE-ASSIGNED sides (both carrying vec_id,
+    * cluster_id, embedding): new→old candidates within shared clusters,
+    * one output row per new vector. Callers that keep stored assignments
+    * (the streaming corpus store) skip re-assigning the old side. */
+  def matchReport(newSide: DataFrame, oldSide: DataFrame,
+      t: Double): DataFrame = {
+    val old = oldSide.select(col("cluster_id").as("kc"),
+      col("vec_id").as("old_id"), col("embedding").as("ov"))
     val matches = newSide
-      .join(oldSide, col("cluster_id") === col("kc"))
+      .join(old, col("cluster_id") === col("kc"))
       .withColumn("rc", round(cosine(col("embedding"), col("ov")), 6))
       .filter(col("rc") >= t)
       .groupBy(col("vec_id"))

@@ -8,31 +8,35 @@ import org.apache.spark.sql.streaming.StreamingQuery
 /** Streaming incremental embedding near-dup — the serving-time twin of
   * [[graft.queries.VectorQueries.qEmbIncremental]]: embedding batches
   * arrive as a stream, each micro-batch probes the corpus accumulated so
-  * far for semantic near-duplicates
-  * ([[VectorQueries.probeNewAgainstCorpus]]), the match report lands in
-  * a report store, and the batch itself is appended to the corpus. The
-  * nightly/continuous ingest loop a 100 TB corpus actually runs: each
-  * arrival pays O(batch × cluster members), never old×old.
+  * far for semantic near-duplicates, the match report lands in a report
+  * store, and the batch (WITH its cluster assignment) is appended to the
+  * corpus. The nightly/continuous ingest loop a 100 TB corpus actually
+  * runs.
   *
-  * Exactly-once across restarts WITHOUT a transactional sink: both
-  * writes go to a `batch=<id>` subdirectory in overwrite mode, so a
-  * replayed micro-batch (foreachBatch's at-least-once contract after a
-  * crash) rewrites the same paths instead of duplicating rows —
-  * idempotent by construction, the same discipline as the sketch
-  * ledger's batch_id guard ([[SketchStream]]). Readers glob the parent
-  * directory and see each batch exactly once.
+  * Stored-index discipline: the seed centroids are fixed at the first
+  * non-empty batch and persisted under `corpusDir/_seeds`, and every
+  * corpus batch stores (vec_id, embedding, cluster_id) — so batch N's
+  * probe assigns ONLY the arriving vectors and equi-joins the stored
+  * assignments. Per-batch cost is O(batch × cluster members), and
+  * crucially the corpus is never re-assigned: total work over the
+  * stream's life is linear in arrivals, not quadratic. (Re-seeding after
+  * drift = rebuild the store with [[VectorQueries.seededCentroids]], the
+  * same retrain lifecycle as a stored IVF index.)
   *
-  * The first batch (no corpus yet) reports every vector as genuinely
-  * new (cluster null, zero matches): an empty corpus has no seeds, so
-  * the probe kernel returns an empty report and the stream fills in the
-  * all-new rows — the decision the kernel deliberately leaves to its
-  * caller.
+  * Exactly-once across restarts WITHOUT a transactional sink: report and
+  * corpus writes go to `batch=<id>` subdirectories in overwrite mode, so
+  * a replayed micro-batch (foreachBatch's at-least-once contract after a
+  * crash) rewrites the same paths instead of duplicating rows, and
+  * [[reportFor]] reads only batches strictly BEFORE the current id — a
+  * replayed batch never probes its own pre-crash corpus write. The seed
+  * write is idempotent too: recomputed from the same first batch, it
+  * overwrites with identical content.
   */
 object EmbedStream {
 
   /** Start the probe-then-append loop. `input` is a streaming frame with
     * (vec_id long, embedding array&lt;float&gt;); reports land under
-    * `reportDir/batch=&lt;id&gt;`, accepted vectors under
+    * `reportDir/batch=&lt;id&gt;`, assigned vectors under
     * `corpusDir/batch=&lt;id&gt;`. */
   def start(s: SparkSession, input: DataFrame, corpusDir: String,
       reportDir: String, checkpointDir: String, c: Int = 16,
@@ -42,45 +46,82 @@ object EmbedStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.select(col("vec_id"), col("embedding"))
           .localCheckpoint()
-        // corpus = strictly EARLIER batches: a replayed batch must not see
-        // its own previous (pre-crash) corpus write, or every vector
-        // self-matches at cosine 1 and the rewritten report diverges from
-        // the original — the id filter is what makes replay idempotent.
-        // A present-but-empty corpus (e.g. an empty batch 0) is the same
-        // as no corpus: no seeds exist, everything is genuinely new.
-        val corpus = readCorpus(s, corpusDir, batchId).filterNot(_.isEmpty)
-        val report =
-          if (corpus.isEmpty)
-            b.select(col("vec_id"),
-              lit(null).cast("long").as("cluster_id"),
-              lit(0L).as("n_matches"),
-              lit(null).cast("long").as("best_old_id"),
-              lit(null).cast("double").as("best_cos"))
-          else
-            VectorQueries.probeNewAgainstCorpus(b, corpus.get, c, t)
+        val (report, assigned) = reportFor(s, b, corpusDir, batchId, c, t)
         report.write.mode("overwrite").parquet(s"$reportDir/batch=$batchId")
-        b.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+        assigned.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
         ()
       }
       .start()
 
-  /** The corpus accumulated by batches STRICTLY BEFORE `beforeBatch`, or
-    * None before the first commit (also tolerates a half-written replay
-    * victim: only `batch=*` subdirs that contain parquet are readable,
-    * and overwrite-mode replay repairs them). */
+  /** One micro-batch's (report, assigned-batch-to-store) pair — exposed
+    * so a replay can be reproduced byte-for-byte in tests. Seeds are
+    * loaded from the store or initialized from THIS batch when none
+    * exist yet (first arrival). */
+  def reportFor(s: SparkSession, b: DataFrame, corpusDir: String,
+      batchId: Long, c: Int = 16, t: Double = 0.35): (DataFrame, DataFrame) = {
+    val seeds = loadOrInitSeeds(s, corpusDir, b, c)
+    val assigned = seeds match {
+      case Some(sd) => VectorQueries.assignToSeeds(b, sd).localCheckpoint()
+      case None => // only when the batch itself is empty: nothing to seed
+        b.withColumn("cluster_id", lit(null).cast("long"))
+          .select(col("vec_id"), col("cluster_id"), col("embedding"))
+    }
+    // corpus = strictly EARLIER batches (see scaladoc: replay idempotence)
+    val report = readCorpus(s, corpusDir, batchId) match {
+      case Some(corpus) => VectorQueries.matchReport(assigned, corpus, t)
+      case None => // no corpus yet: everything is genuinely new
+        assigned.select(col("vec_id"), col("cluster_id"),
+          lit(0L).as("n_matches"),
+          lit(null).cast("long").as("best_old_id"),
+          lit(null).cast("double").as("best_cos"))
+    }
+    (report, assigned.select(col("vec_id"), col("embedding"), col("cluster_id")))
+  }
+
+  private def fsOf(s: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def hasParquet(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+
+  /** The fixed seed set, initialized from the first non-empty batch (a
+    * half-written seed dir from a crash is rewritten — content is
+    * deterministic, so the overwrite is idempotent). */
+  private def loadOrInitSeeds(s: SparkSession, corpusDir: String,
+      b: DataFrame, c: Int): Option[DataFrame] = {
+    val seedPath = s"$corpusDir/_seeds"
+    val (fs, p) = fsOf(s, seedPath)
+    if (hasParquet(fs, p)) Some(s.read.parquet(seedPath))
+    else if (b.isEmpty) None
+    else {
+      val seeds = VectorQueries.seededCentroids(b, c).localCheckpoint()
+      seeds.write.mode("overwrite").parquet(seedPath)
+      Some(seeds)
+    }
+  }
+
+  /** The assigned corpus accumulated by batches STRICTLY BEFORE
+    * `beforeBatch`, or None before the first commit (tolerates a
+    * half-written replay victim: only `batch=*` subdirs that contain
+    * parquet are readable, and overwrite-mode replay repairs them). */
   private def readCorpus(s: SparkSession, corpusDir: String,
       beforeBatch: Long): Option[DataFrame] = {
-    val root = new org.apache.hadoop.fs.Path(corpusDir)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val (fs, root) = fsOf(s, corpusDir)
     if (!fs.exists(root)) return None
     val parts = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
       .filter(st => st.getPath.getName.drop("batch=".length).toLongOption
         .exists(_ < beforeBatch))
-      .filter(st => fs.listStatus(st.getPath)
-        .exists(_.getPath.getName.endsWith(".parquet")))
+      .filter(st => hasParquet(fs, st.getPath))
       .map(_.getPath.toString)
     if (parts.isEmpty) None
-    else Some(s.read.parquet(parts: _*).select(col("vec_id"), col("embedding")))
+    else {
+      val corpus = s.read.parquet(parts: _*)
+        .select(col("vec_id"), col("cluster_id"), col("embedding"))
+      if (corpus.isEmpty) None else Some(corpus)
+    }
   }
 }

@@ -57,18 +57,22 @@ class EmbedStreamSpec extends SparkSpec {
     assert(r1(101L)._1 == 0L && r1(101L)._2.isEmpty,
       s"orthogonal arrival must be clean: ${r1(101L)}")
 
-    // corpus store accumulated both batches exactly once
+    // corpus store accumulated both batches exactly once, WITH their
+    // stored cluster assignments (the probe never re-assigns old data)
     val corpus = spark.read.parquet(s"$dir/corpus/batch=0", s"$dir/corpus/batch=1")
     assert(corpus.count() == 12)
     assert(corpus.select(col("vec_id")).distinct().count() == 12)
+    assert(corpus.filter(col("cluster_id").isNull).count() == 0,
+      "every stored vector carries its assignment")
 
-    // replay defense: re-running a batch overwrites its own subdirs —
-    // simulate by rewriting batch 1's report from its stored inputs
+    // replay defense: foreachBatch re-delivers batch 1 after a crash —
+    // reportFor with the same id must reproduce the SAME report even
+    // though batch 1's own pre-crash corpus write is on disk (the
+    // strictly-before id filter keeps it out of the probe)
     val b1 = spark.read.parquet(s"$dir/corpus/batch=1")
-    val c0 = spark.read.parquet(s"$dir/corpus/batch=0")
-    graft.queries.VectorQueries.probeNewAgainstCorpus(b1, c0)
-      .write.mode("overwrite").parquet(s"$dir/reports/batch=1")
-    val replayed = spark.read.parquet(s"$dir/reports/batch=1").collect()
+      .select(col("vec_id"), col("embedding"))
+    val (replayReport, _) = EmbedStream.reportFor(spark, b1, s"$dir/corpus", 1L)
+    val replayed = replayReport.collect()
       .map(r => r.getLong(0) -> ((r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getLong(3)),
         if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
