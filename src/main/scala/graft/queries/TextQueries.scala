@@ -473,7 +473,67 @@ object TextQueries {
       |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
       |FROM tiers GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** BPE tokenizer round-trip gate ([[graft.operators.Bpe]]): train a
+    * byte-pair tokenizer on the corpus's word-frequency dictionary (one
+    * map-side-combinable shuffle + bounded driver merge loop — the shape
+    * every production tokenizer trainer uses), tokenize every document
+    * with the broadcast merge table, reconstruct the text from the
+    * tokens, and emit per doc:
+    *
+    *   - `n_words`   — recomputable by the oracle from the parquet;
+    *   - `detok_md5` — md5 of the token-reconstructed, whitespace-
+    *     normalized text. The oracle computes md5 of the normalized
+    *     ORIGINAL, so a hash match proves tokenize→detokenize is exact
+    *     on every document — a hash-checked gate for an operator whose
+    *     merge loop no SQL engine can express;
+    *   - `bounds_ok` — n_words ≤ n_tokens ≤ n_non-space-chars + n_words
+    *     (every word ≥ 1 token, every token ≥ 1 char + the word
+    *     markers), all-true in the oracle.
+    *
+    * Tokenization runs in one mapPartitions pass (per-row merge loops
+    * are genuinely imperative — the justified non-codegen boundary, same
+    * as the multimodal probes) with a per-partition word→tokens memo, so
+    * repeated words cost a hash lookup. */
+  def qBpeRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Bpe
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("text"))
+    val merges = Bpe.train(docs, numMerges = 200, maxVocab = 65536)
+    val bc = s.sparkContext.broadcast(merges)
+    docs.as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val wordToks = Bpe.tokenizeText(text, ms, memo)
+          val words = wordToks.map(Bpe.detokenizeWord)
+          val detok = words.mkString(" ")
+          val nTokens = wordToks.iterator.map(_.length).sum
+          val nChars = words.iterator.map(_.length).sum
+          md.reset()
+          val hex = md.digest(detok.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (id, words.length.toLong, hex,
+            words.length <= nTokens && nTokens <= nChars + words.length)
+        }
+      }
+      .toDF("doc_id", "n_words", "detok_md5", "bounds_ok")
+      .orderBy(col("doc_id"))
+  }
+
+  val qBpeRoundtripSql: String =
+    """SELECT doc_id,
+      |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_words,
+      |  md5(array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')) AS detok_md5,
+      |  TRUE AS bounds_ok
+      |FROM documents WHERE length(trim(text)) > 0
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "td_bpe_roundtrip" -> (qBpeRoundtrip _),
     "td_pii_redact" -> (qPiiRedact _),
     "td_text_profile" -> (qTextProfile _),
     "td_chunk_docs" -> (qChunkDocs _),
@@ -489,6 +549,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "td_bpe_roundtrip" -> qBpeRoundtripSql,
     "td_pii_redact" -> qPiiRedactSql,
     "td_text_profile" -> qTextProfileSql,
     "td_chunk_docs" -> qChunkDocsSql,
