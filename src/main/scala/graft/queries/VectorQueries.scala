@@ -517,6 +517,102 @@ object VectorQueries {
       |  (a.vec_id IN (SELECT id_b FROM pairs)) AS removed
       |FROM assign a ORDER BY vec_id""".stripMargin
 
+  /** Distributed Lloyd k-means over the embedding corpus (the clustering
+    * primitive under SemDeDup/IVF, here as a first-class gated operator
+    * with real iterative refinement instead of the one-shot seeded
+    * assignment): seeded init (c smallest md5(vec_id) vectors), then
+    * `rounds` alternations of (a) nearest-centroid assignment and (b)
+    * per-cluster element-wise mean update. Output: every vector's final
+    * cluster and its rounded cosine to that centroid.
+    *
+    * Determinism contract with the unrolled DuckDB oracle (the
+    * dd_pagerank pattern — one CTE pair per round):
+    *   - assignment argmax is decided on the 6dp-ROUNDED cosine with
+    *     centroid-id tiebreak (the [[assignToSeeds]] contract);
+    *   - the per-cluster mean is BIT-IDENTICAL across engines and
+    *     shuffle orders: coordinates are floats upcast to double, and a
+    *     double-precision sum of N same-magnitude floats is exact (24
+    *     mantissa bits + log2 N ≪ 53) — order-independent — so
+    *     sum/count then round(·,6) agrees everywhere;
+    *   - clusters that lose all members drop out in both engines (their
+    *     mean group simply doesn't exist).
+    *
+    * Scale shape: centroids live driver-side (c·dim values — the same
+    * bounded contract as [[graft.retrieval.IvfIndex]] codebooks) and
+    * broadcast into each assignment; the mean update is a posexplode →
+    * groupBy(cluster, pos) hash-agg whose map-side partials shrink the
+    * shuffle to partitions·c·dim rows regardless of corpus size; the
+    * corpus itself never shuffles in any round. */
+  def kmeansAssign(embIn: DataFrame, c: Int = 8, rounds: Int = 3): DataFrame = {
+    val s = embIn.sparkSession
+    import s.implicits._
+    val emb = embIn
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .localCheckpoint()
+    var seeds: DataFrame = seededCentroids(emb, c)
+    for (_ <- 1 to rounds) {
+      val assigned = assignToSeeds(emb, seeds)
+      val means = assigned
+        .select(col("cluster_id"), posexplode(col("embedding")))
+        .groupBy(col("cluster_id"), col("pos"))
+        .agg(sum(col("col")).as("sv"), count(lit(1)).as("n"))
+        .select(col("cluster_id"), col("pos"),
+          round(col("sv") / col("n"), 6).as("mv"))
+        .collect() // bounded: c·dim rows, the codebook contract
+      val next = means.groupBy(_.getLong(0)).toSeq.map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)))
+      }.sortBy(_._1)
+      seeds = next.toDF("cid", "cv")
+    }
+    emb.crossJoin(broadcast(seeds))
+      .withColumn("rc", round(cosine(col("embedding"), col("cv")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("rc"), (-col("cid")).as("negc"))).as("m"))
+      .select(col("vec_id"), (-col("m.negc")).as("cluster_id"),
+        col("m.rc").as("rc"))
+  }
+
+  def qKmeans(s: SparkSession, d: String, c: Int = 8,
+      rounds: Int = 3): DataFrame =
+    kmeansAssign(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), c, rounds)
+      .orderBy(col("vec_id"))
+
+  /** Unrolled k-means oracle: s0 = seeded pick; per round r, a{r} =
+    * argmax-assignment against s{r} and s{r+1} = rounded per-cluster
+    * means in long (cluster, pos) form; final = assignment against the
+    * last centroids, emitting the winning rounded cosine. */
+  val qKmeansSql: String = {
+    val c = 8; val rounds = 3
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+              |s0 AS (SELECT vec_id cid, v cv FROM e
+              |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $c),
+              |""".stripMargin
+    for (r <- 0 until rounds) {
+      sb ++= s"""a$r AS (SELECT vec_id, v, cid cluster_id FROM (
+                |  SELECT e.vec_id, e.v, s.cid,
+                |    row_number() OVER (PARTITION BY e.vec_id
+                |      ORDER BY round(list_cosine_similarity(e.v, s.cv), 6) DESC, s.cid) rn
+                |  FROM e CROSS JOIN s$r s) WHERE rn = 1),
+                |s${r + 1} AS (SELECT cluster_id cid, list(mv ORDER BY pos) cv FROM (
+                |  SELECT cluster_id, pos, round(sum(val) / count(*), 6) mv FROM (
+                |    SELECT cluster_id, unnest(v) val,
+                |      unnest(range(1, len(v) + 1)) pos FROM a$r)
+                |  GROUP BY cluster_id, pos) GROUP BY cluster_id),
+                |""".stripMargin
+    }
+    sb ++= s"""fin AS (SELECT vec_id, cid cluster_id, rc FROM (
+              |  SELECT e.vec_id, s.cid,
+              |    round(list_cosine_similarity(e.v, s.cv), 6) rc,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY round(list_cosine_similarity(e.v, s.cv), 6) DESC, s.cid) rn
+              |  FROM e CROSS JOIN s$rounds s) WHERE rn = 1)
+              |SELECT vec_id, cluster_id, rc FROM fin ORDER BY vec_id""".stripMargin
+    sb.toString
+  }
+
   /** Per-label centroid stats: mean norm + count (vector agg exercise —
     * element-wise array aggregation via HOFs, one shuffle on label). */
   def qLabelStats(s: SparkSession, d: String): DataFrame = {
@@ -716,6 +812,7 @@ object VectorQueries {
     "vs_knn_quant" -> (qKnnQuant _),
     "vs_emb_neardup" -> (qEmbNearDup _),
     "vs_semdedup" -> ((s: SparkSession, d: String) => qSemDedup(s, d)),
+    "vs_kmeans" -> ((s: SparkSession, d: String) => qKmeans(s, d)),
     "vs_emb_incremental" -> ((s: SparkSession, d: String) => qEmbIncremental(s, d)),
     "vs_label_stats" -> (qLabelStats _),
     "vs_knn_lsh" -> (qKnnLsh _),
@@ -732,6 +829,7 @@ object VectorQueries {
     "vs_knn_quant" -> qKnnBruteSql, // q8 prune + exact re-rank: identical output
     "vs_emb_neardup" -> qEmbNearDupSql,
     "vs_semdedup" -> qSemDedupSql,
+    "vs_kmeans" -> qKmeansSql,
     "vs_emb_incremental" -> qEmbIncrementalSql,
     "vs_label_stats" -> qLabelStatsSql,
     // vs_knn_lsh / vs_knn_ivf: approximate — rows-only (no oracle entry);
