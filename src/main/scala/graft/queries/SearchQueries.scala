@@ -39,11 +39,47 @@ object SearchQueries {
   private val K1 = 1.2
   private val B = 0.75
 
-  /** documents → (doc_id, w: token array, dl: doc length). */
-  private def tokenized(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  /** (doc_id, text) → (doc_id, w: token array, dl: doc length) — the one
+    * tokenization both the batch queries and the streamed index deltas
+    * ([[graft.streaming.IndexStream]]) share. */
+  private[graft] def tokenizeDocs(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
+
+  /** documents → (doc_id, w: token array, dl: doc length). */
+  private def tokenized(s: SparkSession, d: String): DataFrame =
+    tokenizeDocs(Tables.documents(s, d))
+
+  /** BM25 scoring + per-query top-k over INDEX-SHAPED relations —
+    * postings (term, doc_id, dl, tf), dfreq (term, df), stats (n_docs,
+    * avgdl) — the one scorer behind the stored-table serving path and
+    * the streamed index's merge-on-read view. qterms is the (query_id,
+    * term) relation (small, broadcast); dfreq/stats broadcast too, so
+    * the only corpus-sized input is the (already pruned) postings side. */
+  private[graft] def scoreIndex(post: DataFrame, dfreq: DataFrame,
+      stats: DataFrame, qterms: DataFrame, k: Int = 5): DataFrame = {
+    val scored = post
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(K1 + 1)) /
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("contrib")), 4).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score"), col("n_terms_hit"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   /** BM25 scores for every (query_id, doc_id) sharing ≥1 term.
     *
@@ -318,26 +354,7 @@ object SearchQueries {
     val dfreq = s.table(idx.dfreqTable)
       .filter(col("term").isin(terms: _*))
     val stats = s.read.parquet(idx.statsPath)
-    val scored = post
-      .join(broadcast(qterms), "term")
-      .join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("contrib",
-        col("idf") * (col("tf") * lit(K1 + 1)) /
-          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(sum(col("contrib")), 4).as("score"),
-        count(lit(1)).as("n_terms_hit"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("doc_id"),
-        col("score"), col("n_terms_hit"))
-      .orderBy(col("query_id"), col("rank"))
+    scoreIndex(post, dfreq, stats, qterms)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
