@@ -226,4 +226,52 @@ class PlanQualitySpec extends SparkSpec {
     assert(count(p, "BroadcastHashJoin") >= 2,
       s"the two count joins must broadcast:\n$p")
   }
+
+  test("BPE training: the word-count shuffle partial-aggregates map-side") {
+    // the ONLY corpus pass BPE training makes is the dictionary count;
+    // it must plan partial hash-aggregation before the exchange (token
+    // stream shrinks to the vocabulary before any shuffle) and the
+    // top-V cap must be a TakeOrdered, never a global sort
+    import org.apache.spark.sql.functions.{explode, split, trim, length, lit}
+    val docs = graft.queries.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val dict = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(65536)
+    val p = plan(dict)
+    assert(count(p, "HashAggregate") >= 2,
+      s"word count must partial-aggregate before the exchange:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-V cap must be TakeOrdered, not Sort+Limit:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("k-means: assignment never shuffles the corpus; mean update is a hash-agg") {
+    // one round's assignment = corpus scan × broadcast centroid table,
+    // resolved by a map-side-combinable max(struct) — the only exchange
+    // carries (vec_id | cluster, pos) aggregate keys, never raw vectors
+    // per centroid
+    import org.apache.spark.sql.functions.{posexplode, sum, lit}
+    val emb = graft.queries.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) embedding")
+    val seeds = graft.queries.VectorQueries.seededCentroids(emb, 8)
+    val assigned = graft.queries.VectorQueries.assignToSeeds(emb, seeds)
+    val pa = plan(assigned)
+    // struct-max plans as SortAggregate; the map-side partial_max before
+    // the exchange is the property that matters
+    assert(count(pa, "(HashAggregate|SortAggregate)") >= 2 && pa.contains("partial_max"),
+      s"argmax must partial-aggregate map-side:\n$pa")
+    assert(!pa.contains("CartesianProduct"),
+      "centroids must broadcast (nested-loop over a c-row literal side is fine, " +
+        s"a cartesian against the corpus is not):\n$pa")
+    val means = assigned
+      .select(col("cluster_id"), posexplode(col("embedding")))
+      .groupBy(col("cluster_id"), col("pos"))
+      .agg(sum(col("col")).as("sv"), org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    val pm = plan(means)
+    assert(count(pm, "HashAggregate") >= 2,
+      s"mean update must partial-aggregate to (cluster, pos) rows map-side:\n$pm")
+  }
 }
