@@ -165,4 +165,25 @@ object Bpe {
     * one-appended-marker argument in the class doc. */
   def detokenizeWord(tokens: Array[String]): String =
     tokens.mkString.stripSuffix(EndOfWord)
+
+  /** Persist the learned merge list as a parquet artifact — the
+    * tokenizer's real lifecycle is train-once / apply-for-months, so the
+    * merge table is a stored model, not a per-query recomputation. Rank
+    * is explicit in the rows (never file order). */
+  def saveMerges(s: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], path: String): Unit = {
+    import s.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge list saved by [[saveMerges]], in rank order. */
+  def loadMerges(s: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] =
+    s.read.parquet(path).collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+      .toSeq
 }

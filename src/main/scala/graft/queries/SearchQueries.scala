@@ -357,9 +357,35 @@ object SearchQueries {
     scoreIndex(post, dfreq, stats, qterms)
   }
 
+  private val deltaIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** BM25 served off a DELTA-MAINTAINED index — the batch-runnable twin
+    * of [[graft.streaming.IndexStream]]'s micro-batch loop, so the
+    * driver's DuckDB gate checks the merge-on-read index semantics, not
+    * just the spec. The corpus is split into 3 pseudo-batches
+    * (doc_id % 3 — deterministic arrival order) whose deltas land
+    * exactly as the stream writes them, then the query serves off the
+    * merged view; output is provably identical to [[qBm25]] (same
+    * oracle). Built once per sf-dir — the index lifecycle, same as
+    * [[bm25Index]]. */
+  def qBm25Deltas(s: SparkSession, d: String): DataFrame = {
+    val dir = deltaIndexCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("bm25deltas").toString
+      val docs = Tables.documents(s, d).selectExpr("doc_id", "text")
+      (0 until 3).foreach { b =>
+        graft.streaming.IndexStream.writeDelta(
+          docs.filter(col("doc_id") % 3 === b), dir, b.toLong)
+      }
+      dir
+    })
+    graft.streaming.IndexStream.search(s, dir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ks_bm25" -> (qBm25 _),
     "ks_bm25_stored" -> (qBm25Stored _),
+    "ks_bm25_deltas" -> (qBm25Deltas _),
     "ks_hybrid_rrf" -> (qHybridRrf _),
   )
 
@@ -368,6 +394,9 @@ object SearchQueries {
     // stored-index path: provably identical output (same scoring over the
     // same postings, served from the materialized index)
     "ks_bm25_stored" -> qBm25Sql,
+    // delta-maintained index path: same scoring over the same postings,
+    // merged from per-batch deltas
+    "ks_bm25_deltas" -> qBm25Sql,
     "ks_hybrid_rrf" -> qHybridRrfSql,
   )
 }

@@ -106,6 +106,17 @@ class BpeSpec extends SparkSpec {
     assert(memo.contains("table") && memo.size == 3)
   }
 
+  test("merge artifact round-trips through parquet in rank order") {
+    val merges = Bpe.trainOnDict(sennrich, numMerges = 10)
+    assert(merges.nonEmpty)
+    val path = java.nio.file.Files.createTempDirectory("bpe").toString + "/merges"
+    Bpe.saveMerges(spark, merges, path)
+    val loaded = Bpe.loadMerges(spark, path)
+    assert(loaded == merges)
+    assert(Bpe.tokenizeWord("newest", loaded).toSeq ==
+      Bpe.tokenizeWord("newest", merges).toSeq)
+  }
+
   test("corpus-trained query round-trips sf0.001 and bounds hold") {
     val df = graft.queries.TextQueries.qBpeRoundtrip(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
