@@ -106,6 +106,17 @@ object Bpe {
     merges.toSeq
   }
 
+  /** The word-frequency dictionary query behind [[train]] — exposed so
+    * the plan guardrail asserts on the SAME DataFrame production runs
+    * (partial map-side aggregation + TakeOrdered cap), not a copy. */
+  def dictQuery(docs: DataFrame, textCol: String = "text",
+      maxVocab: Int = 65536): DataFrame = docs
+    .select(explode(split(col(textCol), "\\s+")).as("w"))
+    .filter(length(col("w")) > 0)
+    .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    .orderBy(col("c").desc, col("w"))
+    .limit(maxVocab)
+
   /** Corpus-side training: one word-count shuffle, top-`maxVocab` cap,
     * then [[trainOnDict]] on the bounded dictionary. The collect is
     * bounded by `maxVocab` rows by construction. */
@@ -114,12 +125,7 @@ object Bpe {
       textCol: String = "text",
       numMerges: Int = 200,
       maxVocab: Int = 65536): Seq[(String, String)] = {
-    val dict = docs
-      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w"))
-      .limit(maxVocab)
+    val dict = dictQuery(docs, textCol, maxVocab)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .toSeq
@@ -153,12 +159,16 @@ object Bpe {
   }
 
   /** Tokenize whitespace-normalized text word by word; `memo` caches
-    * per-word token arrays across calls (pass one per partition). */
+    * per-word token arrays across calls (pass one per partition).
+    * Deliberately NO `String.trim` here: JVM trim strips every char
+    * ≤ U+0020 (so a word starting with a control char would lose it),
+    * while `\s+`-split plus an empty filter removes exactly the
+    * whitespace — the normalization the DuckDB oracle can mirror. */
   def tokenizeText(
       text: String,
       merges: Seq[(String, String)],
       memo: mutable.HashMap[String, Array[String]]): Array[Array[String]] =
-    text.trim.split("\\s+").filter(_.nonEmpty)
+    text.split("\\s+").filter(_.nonEmpty)
       .map(w => memo.getOrElseUpdate(w, tokenizeWord(w, merges)))
 
   /** Reconstruct the word from its token list — exact by the

@@ -342,13 +342,23 @@ object SearchQueries {
     * O(query-term postings), not the corpus. This is the serving-path
     * twin: at 100 TB the explode+prune of [[qBm25]] is the one-time
     * index build, and THIS plan is what each query pays. */
-  def qBm25Stored(s: SparkSession, d: String): DataFrame = {
+  /** The (distinct terms, (query_id, term) frame) pair for a query set —
+    * the ONE derivation of query tokenization shared by the stored,
+    * streamed and compacted serving paths (three copies would let them
+    * silently tokenize queries differently). */
+  private[graft] def queryTerms(s: SparkSession,
+      queries: Seq[(Long, String)]): (Seq[String], DataFrame) = {
     import s.implicits._
-    val idx = bm25Index(s, d)
-    val terms = Bm25Queries.flatMap(_._2.split(" ")).distinct
-    val qterms = Bm25Queries.toDF("query_id", "qtext")
+    val terms = queries.flatMap(_._2.split(" ")).distinct
+    val qterms = queries.toDF("query_id", "qtext")
       .select(col("query_id"),
         explode(split(col("qtext"), " ")).as("term")).distinct()
+    (terms, qterms)
+  }
+
+  def qBm25Stored(s: SparkSession, d: String): DataFrame = {
+    val idx = bm25Index(s, d)
+    val (terms, qterms) = queryTerms(s, Bm25Queries)
     val post = s.table(idx.postingsTable)
       .filter(col("term").isin(terms: _*))
     val dfreq = s.table(idx.dfreqTable)
@@ -374,8 +384,10 @@ object SearchQueries {
       val dir = java.nio.file.Files.createTempDirectory("bm25deltas").toString
       val docs = Tables.documents(s, d).selectExpr("doc_id", "text")
       (0 until 3).foreach { b =>
+        // pmod, not %: Spark % keeps the dividend's sign, so a negative
+        // doc_id would match no pseudo-batch and silently vanish
         graft.streaming.IndexStream.writeDelta(
-          docs.filter(col("doc_id") % 3 === b), dir, b.toLong)
+          docs.filter(pmod(col("doc_id"), lit(3)) === b), dir, b.toLong)
       }
       dir
     })

@@ -497,8 +497,12 @@ object TextQueries {
   def qBpeRoundtrip(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Bpe
     import s.implicits._
+    // "has at least one non-whitespace char" — rlike('\S') is the one
+    // predicate both engines evaluate identically (SQL trim() strips
+    // only spaces, JVM String.trim strips all of ≤U+0020; neither is a
+    // safe cross-engine emptiness test)
     val docs = Tables.documents(s, d)
-      .filter(length(trim(col("text"))) > 0)
+      .filter(col("text").rlike("\\S"))
       .select(col("doc_id"), col("text"))
     val merges = Bpe.train(docs, numMerges = 200, maxVocab = 65536)
     val bc = s.sparkContext.broadcast(merges)
@@ -525,12 +529,14 @@ object TextQueries {
   }
 
   val qBpeRoundtripSql: String =
-    """SELECT doc_id,
-      |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_words,
-      |  md5(array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')) AS detok_md5,
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') words
+      |  FROM documents WHERE regexp_matches(text, '\S'))
+      |SELECT doc_id, len(words)::BIGINT AS n_words,
+      |  md5(array_to_string(words, ' ')) AS detok_md5,
       |  TRUE AS bounds_ok
-      |FROM documents WHERE length(trim(text)) > 0
-      |ORDER BY doc_id""".stripMargin
+      |FROM w ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "td_bpe_roundtrip" -> (qBpeRoundtrip _),

@@ -65,14 +65,33 @@ object IndexStream {
     ()
   }
 
-  /** Merge-on-read views of the streamed index components. */
+  /** Read a delta component, or an empty frame with `schema` before the
+    * first micro-batch has committed — the merge-on-read view must have
+    * an empty-index base case (a serving path can probe right after
+    * [[start]], before any delta lands). */
+  private def component(s: SparkSession, dir: String,
+      schema: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) s.read.parquet(dir)
+    else s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+  }
+
+  /** Merge-on-read views of the streamed index components. The
+    * `batch=<id>` partition-discovery column is dropped — it is delivery
+    * bookkeeping, not index schema (and must not leak into the compacted
+    * tables, which mirror the [[SearchQueries.bm25Index]] layout). */
   def postings(s: SparkSession, indexDir: String): DataFrame =
-    s.read.parquet(s"$indexDir/postings")
+    component(s, s"$indexDir/postings",
+      "term STRING, doc_id BIGINT, dl INT, tf BIGINT")
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
   def dfreq(s: SparkSession, indexDir: String): DataFrame =
-    s.read.parquet(s"$indexDir/dfreq")
+    component(s, s"$indexDir/dfreq", "term STRING, df BIGINT")
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
   def stats(s: SparkSession, indexDir: String): DataFrame =
-    s.read.parquet(s"$indexDir/stats")
+    component(s, s"$indexDir/stats", "n_docs BIGINT, sum_dl BIGINT")
       .agg(sum(col("n_docs")).as("n_docs"),
         (sum(col("sum_dl")) / sum(col("n_docs")).cast("double")).as("avgdl"))
 

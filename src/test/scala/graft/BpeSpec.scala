@@ -125,7 +125,7 @@ class BpeSpec extends SparkSpec {
     val expect = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
       .collect().map { r =>
         val id = r.getAs[Long]("doc_id")
-        val norm = r.getAs[String]("text").trim.split("\\s+")
+        val norm = r.getAs[String]("text").split("\\s+")
           .filter(_.nonEmpty).mkString(" ")
         val md = java.security.MessageDigest.getInstance("MD5")
         id -> md.digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
