@@ -301,18 +301,7 @@ object SearchQueries {
         .digest(d.getBytes).map("%02x".format(_)).mkString.take(8)
       val idx = Bm25Index(s"bm25_postings_$suffix", s"bm25_dfreq_$suffix",
         java.nio.file.Files.createTempDirectory("bm25idx").toString + "/stats")
-      // idempotent rebuild: a crashed/previous JVM leaves the warehouse
-      // directory on disk while the (in-memory) catalog forgets the table,
-      // and CREATE then fails with LOCATION_ALREADY_EXISTS — an orphan
-      // location with no catalog entry is derelict, so reclaim it
-      Seq(idx.postingsTable, idx.dfreqTable).foreach { t =>
-        if (!s.catalog.tableExists(t)) {
-          val wh = new org.apache.hadoop.fs.Path(
-            s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-          val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-          if (fs.exists(wh)) fs.delete(wh, true)
-        }
-      }
+      reclaimOrphanTables(s, Seq(idx.postingsTable, idx.dfreqTable))
       val docs = tokenized(s, d)
       val postings = docs
         .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
@@ -346,6 +335,23 @@ object SearchQueries {
     * the ONE derivation of query tokenization shared by the stored,
     * streamed and compacted serving paths (three copies would let them
     * silently tokenize queries differently). */
+  /** Idempotent-rebuild guard shared by every bucketed saveAsTable sink
+    * ([[bm25Index]] here; [[graft.streaming.IndexStream.compact]]): a
+    * crashed/previous JVM leaves the warehouse directory on disk while
+    * the (in-memory) catalog forgets the table, and CREATE then fails
+    * with LOCATION_ALREADY_EXISTS — an orphan location with no catalog
+    * entry is derelict, so reclaim it before writing. */
+  private[graft] def reclaimOrphanTables(s: SparkSession,
+      tables: Seq[String]): Unit =
+    tables.foreach { t =>
+      if (!s.catalog.tableExists(t)) {
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(wh)) fs.delete(wh, true)
+      }
+    }
+
   private[graft] def queryTerms(s: SparkSession,
       queries: Seq[(Long, String)]): (Seq[String], DataFrame) = {
     import s.implicits._

@@ -497,10 +497,16 @@ object TextQueries {
   def qBpeRoundtrip(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Bpe
     import s.implicits._
-    // "has at least one non-whitespace char" — rlike('\S') is the one
-    // predicate both engines evaluate identically (SQL trim() strips
-    // only spaces, JVM String.trim strips all of ≤U+0020; neither is a
-    // safe cross-engine emptiness test)
+    // "has at least one non-whitespace char" — rlike('\S') rather than a
+    // trim() emptiness test (SQL trim() strips only spaces, JVM
+    // String.trim strips all of ≤U+0020). NOT perfectly cross-engine:
+    // Java \s is [ \t\n\x0B\f\r] but DuckDB/RE2 \s is [\t\n\f\r ] — the
+    // engines disagree exactly on U+000B (vertical tab), in this filter
+    // AND in every '\s+' word split the oracle suite uses. The corpus
+    // generator never emits U+000B (verified across all SFs), which is
+    // what keeps every text gate deterministic; a corpus that may
+    // contain it needs the explicit class [ \t\n\x0B\f\r] spelled out on
+    // both sides.
     val docs = Tables.documents(s, d)
       .filter(col("text").rlike("\\S"))
       .select(col("doc_id"), col("text"))

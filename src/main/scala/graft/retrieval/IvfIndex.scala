@@ -152,36 +152,123 @@ object IvfIndex {
       val b = best(vecCol, centroids)
       emb.withColumn("centroid_id", b.getField("cid"))
         .withColumn("centroid_cos", b.getField("s"))
-    } else {
+    } else
       // past ~32 centroids the greatest-of-structs expression decodes the
       // SAME row vector once per centroid (measured 13 s for a 20k×142
       // assignment — c redundant array decodes per row dominate the
-      // arithmetic); one imperative pass decodes once and loops over a
-      // task-local centroid matrix. Ties break to the larger cid, matching
-      // greatest()'s lexicographic struct max on the expression path.
-      import org.apache.spark.sql.{Encoders, Row}
-      import org.apache.spark.sql.types.{DoubleType, IntegerType}
-      val outSchema = emb.schema
-        .add("centroid_id", IntegerType).add("centroid_cos", DoubleType)
-      val vecIdx = emb.schema.fieldIndex(vecCol)
-      val cents = centroids
-      emb.mapPartitions { rows =>
-        rows.map { row =>
-          val v = row.getSeq[Float](vecIdx).toArray
-          var bestS = Double.NegativeInfinity
-          var bestC = -1
-          var i = 0
-          while (i < cents.length) {
-            val s = cosineLocal(v, cents(i)._2)
-            if (s > bestS || (s == bestS && cents(i)._1 > bestC)) {
-              bestS = s; bestC = cents(i)._1
-            }
-            i += 1
-          }
-          Row.fromSeq(row.toSeq :+ bestC :+ bestS)
-        }
-      }(Encoders.row(outSchema))
+      // arithmetic); the shared imperative kernel decodes once and loops
+      // over a task-local centroid matrix.
+      bulkAssign(emb, vecCol,
+        centroids.map { case (cid, v) => (cid.toLong, v.map(_.toDouble)) },
+        round6 = false, tieSmallCid = false, nullScores = false,
+        intId = true, idCol = "centroid_id", scoreCol = "centroid_cos")
+
+  /** Shared one-decode-per-row assignment kernel behind every >32-centroid
+    * dispatch ([[assignScored]] here; `assignToSeeds` in
+    * [[graft.queries.VectorQueries]]): decode the row vector ONCE, loop a
+    * task-local centroid matrix, append (winning id, winning score). Two
+    * scoring contracts live in this one kernel so callers never grow
+    * private imperative copies:
+    *
+    *  - `round6=false, tieSmallCid=false, nullScores=false` — the IVF
+    *    contract: raw cosine, ties to the LARGER cid (greatest()'s
+    *    lexicographic struct max), zero-denominator pairs score 0.0 and a
+    *    min-length loop tolerates ragged vectors — byte-identical to the
+    *    [[Retrieval.cosineLocal]] expression twin.
+    *  - `round6=true, tieSmallCid=true, nullScores=true` — the seeded-
+    *    assignment oracle contract: the argmax is decided on the
+    *    6dp-ROUNDED cosine (Spark `round()` semantics: HALF_UP over the
+    *    shortest-decimal BigDecimal), ties break to the SMALLER cid, and
+    *    null semantics mirror the `max(struct(rc, -cid))` expression
+    *    exactly — empty / length-mismatched / zero-norm pairs score null,
+    *    and a row whose every score is null keeps the smallest cid with a
+    *    null score (null struct fields sort first, so the negated-cid
+    *    tiebreak decides).
+    *
+    * Float element columns are upcast per element (exact), so double
+    * arithmetic here is bit-identical to the codegen
+    * [[graft.functions.CosineSimilarity]] loop on either element type. */
+  private[graft] def bulkAssign(
+      emb: DataFrame,
+      vecCol: String,
+      cents: Array[(Long, Array[Double])],
+      round6: Boolean,
+      tieSmallCid: Boolean,
+      nullScores: Boolean,
+      intId: Boolean,
+      idCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType}
+    val outSchema = emb.schema
+      .add(idCol, if (intId) IntegerType else LongType)
+      .add(scoreCol, DoubleType)
+    val vecIdx = emb.schema.fieldIndex(vecCol)
+    val isFloat = emb.schema(vecIdx).dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
     }
+    val minCid = if (cents.isEmpty) -1L else cents.map(_._1).min
+    emb.mapPartitions { rows =>
+      rows.map { row =>
+        val v: Array[Double] =
+          if (row.isNullAt(vecIdx)) Array.emptyDoubleArray
+          else if (isFloat) {
+            val s = row.getSeq[Float](vecIdx)
+            val a = new Array[Double](s.length)
+            var i = 0
+            while (i < a.length) { a(i) = s(i).toDouble; i += 1 }
+            a
+          } else row.getSeq[Double](vecIdx).toArray
+        var bestC = -1L
+        var bestS = Double.NegativeInfinity
+        var seen = false
+        var i = 0
+        while (i < cents.length) {
+          val s = cosineD(v, cents(i)._2, strict = nullScores)
+          if (s != null) {
+            val r = if (round6) roundHalfUp6(s.doubleValue()) else s.doubleValue()
+            val cid = cents(i)._1
+            if (!seen || r > bestS ||
+                (r == bestS && (if (tieSmallCid) cid < bestC else cid > bestC))) {
+              bestS = r; bestC = cid; seen = true
+            }
+          }
+          i += 1
+        }
+        val winC = if (seen) bestC else minCid // all-null: smallest cid
+        val idVal: Any = if (intId) winC.toInt else winC
+        val scoreVal: Any = if (seen) bestS else null
+        Row.fromSeq(row.toSeq :+ idVal :+ scoreVal)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Local double cosine. `strict = true` mirrors the
+    * [[graft.functions.CosineSimilarity]] expression (null on empty /
+    * length mismatch / zero denominator); `strict = false` mirrors
+    * [[Retrieval.cosineLocal]] (min-length loop, 0.0 on zero
+    * denominator). */
+  private def cosineD(a: Array[Double], b: Array[Double],
+      strict: Boolean): java.lang.Double = {
+    if (strict && (a.length == 0 || a.length != b.length)) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val m = math.min(a.length, b.length)
+    var i = 0
+    while (i < m) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) { if (strict) null else java.lang.Double.valueOf(0.0) }
+    else java.lang.Double.valueOf(dot / d)
+  }
+
+  /** Spark `round(x, 6)` for doubles, exactly: HALF_UP over the
+    * shortest-decimal (valueOf) BigDecimal — property-tested against the
+    * expression in BulkAssignSpec. */
+  private[graft] def roundHalfUp6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   // score against each centroid, argmax via greatest-of-structs
   private def best(

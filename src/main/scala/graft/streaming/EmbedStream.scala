@@ -61,7 +61,7 @@ object EmbedStream {
       batchId: Long, c: Int = 16, t: Double = 0.35): (DataFrame, DataFrame) = {
     val seeds = loadOrInitSeeds(s, corpusDir, b, c)
     val assigned = seeds match {
-      case Some(sd) => VectorQueries.assignToSeeds(b, sd).localCheckpoint()
+      case Some(sd) => VectorQueries.assignToSeeds(b, sd, c).localCheckpoint()
       case None => // only when the batch itself is empty: nothing to seed
         b.withColumn("cluster_id", lit(null).cast("long"))
           .select(col("vec_id"), col("cluster_id"), col("embedding"))

@@ -101,11 +101,7 @@ object IndexStream {
   def search(s: SparkSession, indexDir: String,
       queries: Seq[(Long, String)] = SearchQueries.Bm25Queries,
       k: Int = 5): DataFrame = {
-    import s.implicits._
-    val terms = queries.flatMap(_._2.split(" ")).distinct
-    val qterms = queries.toDF("query_id", "qtext")
-      .select(col("query_id"),
-        explode(split(col("qtext"), " ")).as("term")).distinct()
+    val (terms, qterms) = SearchQueries.queryTerms(s, queries)
     SearchQueries.scoreIndex(
       postings(s, indexDir).filter(col("term").isin(terms: _*)),
       dfreq(s, indexDir).filter(col("term").isin(terms: _*)),
@@ -126,6 +122,11 @@ object IndexStream {
       s"bm25s_postings_$suffix", s"bm25s_dfreq_$suffix",
       s"$indexDir/compacted_stats")
     s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    // same orphan-location reclamation as bm25Index: with a persistent
+    // indexDir across JVM restarts the md5-derived names repeat, and a
+    // dead JVM's warehouse dir would fail CREATE with
+    // LOCATION_ALREADY_EXISTS
+    SearchQueries.reclaimOrphanTables(s, Seq(idx.postingsTable, idx.dfreqTable))
     postings(s, indexDir)
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "term").sortBy("term", "doc_id")
@@ -144,11 +145,7 @@ object IndexStream {
   def searchCompacted(s: SparkSession, idx: SearchQueries.Bm25Index,
       queries: Seq[(Long, String)] = SearchQueries.Bm25Queries,
       k: Int = 5): DataFrame = {
-    import s.implicits._
-    val terms = queries.flatMap(_._2.split(" ")).distinct
-    val qterms = queries.toDF("query_id", "qtext")
-      .select(col("query_id"),
-        explode(split(col("qtext"), " ")).as("term")).distinct()
+    val (terms, qterms) = SearchQueries.queryTerms(s, queries)
     SearchQueries.scoreIndex(
       s.table(idx.postingsTable).filter(col("term").isin(terms: _*)),
       s.table(idx.dfreqTable).filter(col("term").isin(terms: _*)),

@@ -232,15 +232,11 @@ class PlanQualitySpec extends SparkSpec {
     // it must plan partial hash-aggregation before the exchange (token
     // stream shrinks to the vocabulary before any shuffle) and the
     // top-V cap must be a TakeOrdered, never a global sort
-    import org.apache.spark.sql.functions.{explode, split, trim, length, lit}
     val docs = graft.queries.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"))
-    val dict = docs
-      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w")).limit(65536)
-    val p = plan(dict)
+    // assert on the SAME DataFrame production runs (Bpe.dictQuery is
+    // exposed for exactly this), not a hand-copied twin that can drift
+    val p = plan(graft.operators.Bpe.dictQuery(docs))
     assert(count(p, "HashAggregate") >= 2,
       s"word count must partial-aggregate before the exchange:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
@@ -253,11 +249,10 @@ class PlanQualitySpec extends SparkSpec {
     // resolved by a map-side-combinable max(struct) — the only exchange
     // carries (vec_id | cluster, pos) aggregate keys, never raw vectors
     // per centroid
-    import org.apache.spark.sql.functions.{posexplode, sum, lit}
     val emb = graft.queries.Tables.embeddings(spark, sf)
       .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) embedding")
     val seeds = graft.queries.VectorQueries.seededCentroids(emb, 8)
-    val assigned = graft.queries.VectorQueries.assignToSeeds(emb, seeds)
+    val assigned = graft.queries.VectorQueries.assignToSeeds(emb, seeds, 8)
     val pa = plan(assigned)
     // struct-max plans as SortAggregate; the map-side partial_max before
     // the exchange is the property that matters
@@ -266,12 +261,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!pa.contains("CartesianProduct"),
       "centroids must broadcast (nested-loop over a c-row literal side is fine, " +
         s"a cartesian against the corpus is not):\n$pa")
-    val means = assigned
-      .select(col("cluster_id"), posexplode(col("embedding")))
-      .groupBy(col("cluster_id"), col("pos"))
-      .agg(sum(col("col")).as("sv"), org.apache.spark.sql.functions.count(lit(1)).as("n"))
-    val pm = plan(means)
+    // the PRODUCTION mean path (kmeansMeans): a mapPartitions partial-sum
+    // pass, so only partitions·c partial rows reach the explode + agg —
+    // the corpus-sized n·dim exploded stream must be gone
+    val pm = plan(graft.queries.VectorQueries.kmeansMeans(assigned))
+    assert(pm.contains("MapPartitions"),
+      s"mean update must partial-sum in a mapPartitions pass:\n$pm")
     assert(count(pm, "HashAggregate") >= 2,
-      s"mean update must partial-aggregate to (cluster, pos) rows map-side:\n$pm")
+      s"partial totals must still hash-aggregate map-side:\n$pm")
   }
 }
