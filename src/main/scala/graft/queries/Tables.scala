@@ -20,13 +20,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
-  /** The events parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and truncate to micro precision
-    * (Spark's native timestamp resolution). */
+  /** The events parquet's `ts` physical type varies by generator version:
+    * TIMESTAMP(NANOS) (unreadable by Spark's vectorized reader except as
+    * nanos-as-long), TIMESTAMP(MICROS) without UTC adjustment (read as
+    * TIMESTAMP_NTZ), or a plain session-TZ timestamp. Normalize all three
+    * to Spark's native micro-precision TimestampType so every downstream
+    * query (and its DuckDB oracle, which sees a naive timestamp in all
+    * cases) gets identical values under the UTC session zone. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = t(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
 
