@@ -31,11 +31,13 @@ class IngestPipeline(
     embedder: Embedder,
     collection: String = "default",
     batchSize: Int = 128,
-    /** opt-in C2 upgrade: declaration-boundary structural chunking
-      * ([[graft.operators.StructuralChunker]]) instead of the reference's
-      * fixed line windows. Default false = reference parity
-      * (`langauge_detector.py:93-136` window params). */
-    structuralChunking: Boolean = false) extends Serializable {
+    /** C2: declaration-boundary structural chunking
+      * ([[graft.operators.StructuralChunker]]). Default TRUE — the
+      * reference's default splitter IS its AST path
+      * (`code_pipeline.py:14-54`); false selects the fixed line windows
+      * (`langauge_detector.py:93-136` params), kept as the documented
+      * fallback for corpora where the structural scan is untrustworthy. */
+    structuralChunking: Boolean = true) extends Serializable {
 
   import IngestPipeline._
 

@@ -193,6 +193,80 @@ class EventStreamSpec extends SparkSpec {
     assert(geCounts == Map(1 -> 3, 2 -> 2, 3 -> 1))
   }
 
+  test("streaming retention: cross-batch cohort marks equal the batch matrix") {
+    import graft.streaming.EventStream.{RetentionMark, TEv}
+    implicit val sqlCtx = spark.sqlContext
+    def tsDay(day: Int, hour: Int): Timestamp =
+      Timestamp.valueOf(f"2026-01-$day%02d $hour%02d:00:00")
+    val input = MemoryStream[TEv]
+    val q = EventStream.retention(input.toDS())
+      .writeStream.format("memory").queryName("retention")
+      .outputMode(OutputMode.Append()).start()
+    val evs = Seq(
+      // batch 1: user 1 cohorts on Jan 1 (two same-day events → one mark);
+      // user 2 cohorts on Jan 2
+      TEv(1, 1, tsDay(1, 9), "view"), TEv(1, 2, tsDay(1, 17), "click"),
+      TEv(2, 3, tsDay(2, 10), "view"),
+      // batch 2: offsets must bridge batches via the carried cohort day;
+      // repeat activity on an already-marked offset emits nothing
+      TEv(1, 4, tsDay(3, 8), "view"), TEv(1, 5, tsDay(3, 20), "purchase"),
+      TEv(2, 6, tsDay(4, 11), "view"))
+    try {
+      input.addData(evs.take(3): _*)
+      q.processAllAvailable()
+      input.addData(evs.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("retention").as[RetentionMark].collect()
+      .map(m => (m.user_id, m.cohort_day.toString, m.day_offset)).toSet
+    // batch twin on the same rows: distinct (cohort_day, day_offset, user)
+    // — qRetention's `activity` relation, from which active_n/cohort_n roll up
+    val days = evs.map(e => e.user_id -> e.ts.toLocalDateTime.toLocalDate)
+    val cohort = days.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val batch = days.map { case (u, day) =>
+      (u, cohort(u).toString,
+        java.time.temporal.ChronoUnit.DAYS.between(cohort(u), day).toInt)
+    }.toSet
+    assert(got == batch, s"stream $got != batch $batch")
+    // exactly one mark per (user, offset): no duplicates from repeat activity
+    assert(spark.table("retention").count() == batch.size)
+  }
+
+  test("streaming ewma: cross-batch smoothing equals the batch ordered fold") {
+    import graft.streaming.EventStream.{EwmaOut, VEv}
+    implicit val sqlCtx = spark.sqlContext
+    val alpha = 0.25
+    val input = MemoryStream[VEv]
+    val q = EventStream.ewma(input.toDS(), alpha)
+      .writeStream.format("memory").queryName("ewma")
+      .outputMode(OutputMode.Append()).start()
+    val evs = Seq(
+      VEv(1, 1, ts(0), 1.0), VEv(1, 2, ts(1), 2.0), // batch 1
+      VEv(1, 3, ts(5), 4.0), VEv(2, 4, ts(6), 3.0)) // batch 2
+    try {
+      input.addData(evs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(evs.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the LAST emission per user (highest n_events) is the live fold
+    val got = spark.table("ewma").as[EwmaOut].collect()
+      .groupBy(_.user_id).view.mapValues(_.maxBy(_.n_events)).toMap
+    // batch twin: qEventEwma's fold (init = first value, then the
+    // recurrence) over the per-user (ts, event_id) order — bit-equal,
+    // not just approximately equal, because the IEEE sequence matches
+    val batch = evs.sortBy(e => (e.user_id, e.ts.getTime, e.event_id))
+      .groupBy(_.user_id).view.mapValues { es =>
+        es.map(_.value).reduceLeft((acc, x) => acc * (1 - alpha) + x * alpha)
+      }.toMap
+    assert(got.keySet == batch.keySet)
+    batch.foreach { case (u, v) =>
+      assert(got(u).ewma == v, s"user $u: ${got(u).ewma} != $v (bit-exact)")
+    }
+    assert(got(1L).n_events == 3 && got(2L).n_events == 1)
+    assert(got(1L).ewma == 0.75 * (0.75 * 1.0 + 0.25 * 2.0) + 0.25 * 4.0)
+  }
+
   test("streaming asof enrich: latest prior click within lookback, null when none") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[Ev]

@@ -14,7 +14,7 @@ class IngestPipelineSpec extends SparkSpec {
   val fixtureRepo: Seq[RawDoc] = {
     def d(path: String, text: String) = RawDoc("ns", "fixrepo", "main", path, text)
     Seq(
-      d("src/main.py", "import os\nfrom collections import defaultdict\n\ndef main():\n    print('hello')\n" + ("x = 1\n" * 250)),
+      d("src/main.py", "import os\nfrom collections import defaultdict\n\ndef main():\n    print('hello')\n" + ("x = 1\n" * 800)),
       d("src/util/helpers.py", "import json\n\ndef helper(a, b):\n    return a + b\n"),
       d("Main.java", "import java.util.List;\npublic class Main { }\n"),
       d("app.scala", "import scala.collection.mutable\nobject App { def run(): Unit = () }\n"),
@@ -69,7 +69,8 @@ class IngestPipelineSpec extends SparkSpec {
     val counts = corpus.groupBy("scope").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(Node.Scopes.forall(s => counts.getOrElse(s, 0L) > 0), s"scopes: $counts")
-    // long python file (256 lines) chunks into >1 chunk
+    // long python file (>4000 chars, 806 lines) chunks into >1 chunk
+    // under BOTH splitters (structural cap 4000 chars; windows 200 lines)
     val mainChunks = corpus.filter(col("scope") === "chunk" &&
       col("filePath") === "src/main.py").count()
     assert(mainChunks >= 2)
@@ -390,9 +391,10 @@ class IngestPipelineSpec extends SparkSpec {
       "node content must not depend on partition layout")
   }
 
-  test("C2 structural mode: chunks reconstruct each file, defs stay whole") {
-    val structPipe = new IngestPipeline(new StubLlm, new HashEmbedder(64),
-      structuralChunking = true)
+  test("C2 structural default: chunks reconstruct each file, defs stay whole") {
+    // structural chunking is the DEFAULT (the reference's AST splitter is
+    // its default path) — this exercises the default-constructed pipeline
+    val structPipe = new IngestPipeline(new StubLlm, new HashEmbedder(64))
     val corpus2 = structPipe.buildCorpus(spark.createDataset(fixtureRepo), "run-s")
     val chunks = corpus2.filter(col("scope") === "chunk").as[Node].collect()
     // every source file reconstructs exactly from its ordered chunks —
@@ -404,12 +406,25 @@ class IngestPipelineSpec extends SparkSpec {
       val rebuilt = cs.sortBy(_.meta("chunk_index").toInt).map(_.text).mkString
       assert(rebuilt == sources(path), s"$path not reconstructed")
     }
-    // the 256-line python file: def main() lands whole inside one chunk
+    // the 806-line python file: def main() lands whole inside one chunk
     val mainChunks = byFile("src/main.py").sortBy(_.meta("chunk_index").toInt)
     val defChunk = mainChunks.filter(_.text.contains("def main():"))
     assert(defChunk.length == 1)
     assert(defChunk.head.text.contains("def main():\n    print('hello')"))
     // all five scopes still populated (rollups unaffected by splitter)
+    val scopes = corpus2.select("scope").distinct().as[String].collect().toSet
+    assert(graft.model.Node.Scopes.forall(scopes.contains))
+  }
+
+  test("windowed fallback (structuralChunking=false) keeps reference windows") {
+    val winPipe = new IngestPipeline(new StubLlm, new HashEmbedder(64),
+      structuralChunking = false)
+    val corpus2 = winPipe.buildCorpus(spark.createDataset(fixtureRepo), "run-w")
+    val chunks = corpus2.filter(col("scope") === "chunk").as[Node].collect()
+    // the fallback is the reference's fixed-window splitter: chunk sizes
+    // bounded by the 4000-char code cap, >1 chunk for the long file
+    assert(chunks.forall(_.text.length <= 4200)) // cap + boundary snap slack
+    assert(chunks.count(_.filePath == "src/main.py") > 1)
     val scopes = corpus2.select("scope").distinct().as[String].collect().toSet
     assert(graft.model.Node.Scopes.forall(scopes.contains))
   }
