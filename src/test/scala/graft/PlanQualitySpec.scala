@@ -227,6 +227,23 @@ class PlanQualitySpec extends SparkSpec {
       s"the two count joins must broadcast:\n$p")
   }
 
+  test("minhash source overlap: signature agg is partial map-side; no text shuffles") {
+    // the scale claim of dd_source_overlap_minhash: per-source signatures
+    // come from a min-aggregation over exploded per-shingle hashes — the
+    // partial (map-side) min must combine BEFORE the exchange so the
+    // shuffle carries |S|·numHashes rows, and no document text or shingle
+    // array may appear past the scan
+    val p = plan(graft.queries.DedupQueries.qSourceOverlapMinhash(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(30).mkString("\n"))
+    assert(count(p, "partial_min|partial min") >= 1 ||
+      count(p, "HashAggregate.*min") >= 2, // partial + final min agg pair
+      s"partial min aggregate missing — signature shuffle not map-side combined:\n$p")
+    // the pair join keys on (seed) with narrow (source, h) rows; the
+    // estimate agg partial-combines too
+    assert(count(p, "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin") >= 1,
+      s"signature pair join must be an equi-join:\n$p")
+  }
+
   test("BPE training: the word-count shuffle partial-aggregates map-side") {
     // the ONLY corpus pass BPE training makes is the dictionary count;
     // it must plan partial hash-aggregation before the exchange (token
