@@ -952,7 +952,16 @@ object DedupQueries {
   def qSourceOverlapMinhash(s: SparkSession, d: String): DataFrame =
     minhashSourceOverlap(sourceShingles(s, d))
 
-  private val OverlapHashes = 128
+  /** 1024 components. The per-pair estimator σ is √(J(1−J)/k), but the
+    * GATE bounds the MAX error over every pair, which grows like
+    * σ·√(2·ln n_pairs) — so ε must hold at the largest corpus the gate
+    * runs on, not just the calibration SF. Measured (ProfileOverlap):
+    * k=128 max err 0.048 over 190 pairs at sf0.01 but 0.128 over 1900
+    * pairs at sf1 (bigger sources overlap more → J(1−J) variance grows,
+    * and 10× pairs push the max order statistic) — the exact trap the
+    * sf1 gate exists to catch. k=1024 measures max 0.047 at sf1 →
+    * ε=0.1 keeps ≥2× headroom where the gate actually runs. */
+  private val OverlapHashes = 1024
 
   private def minhashSourceOverlap(ss: DataFrame): DataFrame = {
     val sig = ss

@@ -840,8 +840,9 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF ANN (the partition-pruned scale path): 16 centroids (seeded +
-    * one Lloyd step), nprobe=4 → each query scans ~1/4 of the corpus.
+  /** IVF ANN (the partition-pruned scale path): √n centroids (seeded +
+    * one Lloyd step; floor 16), nprobe=4/16 of them → each query scans
+    * ~1/4 of the corpus at any n.
     * Scores are exact (re-ranked with the codegen cosine); recall is
     * approximate → rows-only driver check, with the recall floor asserted
     * against brute force in RetrievalSpec. */
@@ -856,16 +857,33 @@ object VectorQueries {
   def qKnnIvfQ8Param(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     import graft.retrieval.IvfIndex
     val emb = Tables.embeddings(s, d)
-    val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", 16)
+    val c = ivfCentroidCount(emb)
+    val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", c)
     val index = IvfIndex.withQ8(
       IvfIndex.assign(emb, "vec_id", "embedding", centroids), "embedding")
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
     IvfIndex.searchQ8(index, "vec_id", "embedding", queries, centroids,
-      nprobe = nprobe, k = 5)
+      nprobe = scaledNprobe(nprobe, c), k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** √n centroid scaling for the IVF index family — the rule that keeps
+    * per-list size (≈√n) and probe cost balanced as the corpus grows.
+    * The floor of 16 makes every SF the driver gates on (n ≤ 2000)
+    * identical to the historical fixed-16 config; past that the r6 bulk
+    * assignment kernel makes large-c builds cheap. The sf1 gate caught
+    * exactly this: fixed c=16 at 10× corpus = 10× vectors per probed
+    * list, and the PQ tier's ADC prune dropped below its recall floor
+    * (CORRECTNESS_sf1 history / NOTES round 6). */
+  private def ivfCentroidCount(emb: DataFrame): Int =
+    math.max(16, math.round(math.sqrt(emb.count().toDouble)).toInt)
+
+  /** Probe width expressed in 16-list units by the callers; scale with c
+    * so the scanned CORPUS FRACTION (nprobe/c) stays constant. */
+  private def scaledNprobe(nprobe16: Int, c: Int): Int =
+    math.max(nprobe16, math.round(nprobe16 * c / 16.0).toInt)
 
   /** IVF-PQ: product-quantized probe scans with ADC scoring
     * ([[graft.retrieval.IvfIndex.searchPq]]) — the deepest compression
@@ -876,15 +894,27 @@ object VectorQueries {
       overfetch: Int = 8): DataFrame = {
     import graft.retrieval.IvfIndex
     val emb = Tables.embeddings(s, d)
-    val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", 16)
+    val c = ivfCentroidCount(emb)
+    val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", c)
     val cb = IvfIndex.trainPq(emb, "vec_id", "embedding", m = 8, ks = 16)
     val index = IvfIndex.withPq(
       IvfIndex.assign(emb, "vec_id", "embedding", centroids), "embedding", cb)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    // The ADC prune passes `overfetch·k` survivors to the exact re-rank.
+    // A FIXED survivor count silently tightens the prune as the corpus
+    // grows (probed volume ∝ n while survivors stay constant) — at sf1
+    // that dropped PQ recall below its floor (the sf1 gate's catch).
+    // Scale rule: survivors ≥ 10% of the probed volume, so the 4-bit ADC
+    // always prunes a constant 90% and the exact re-rank cost stays a
+    // constant fraction of the probe scan at any n. At the driver-gate
+    // SFs (probed ≤ 750) the max() keeps the historical config.
+    val probedPerQuery =
+      emb.count().toDouble * scaledNprobe(nprobe, c) / c
+    val eff = math.max(overfetch, math.ceil(0.1 * probedPerQuery / 5).toInt)
     IvfIndex.searchPq(index, "vec_id", "embedding", queries, centroids, cb,
-      nprobe = nprobe, k = 5, overfetch = overfetch)
+      nprobe = scaledNprobe(nprobe, c), k = 5, overfetch = eff)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -896,13 +926,14 @@ object VectorQueries {
   def qKnnIvfParam(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     import graft.retrieval.IvfIndex
     val emb = Tables.embeddings(s, d)
-    val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", 16)
+    val c = ivfCentroidCount(emb)
+    val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", c)
     val index = IvfIndex.assign(emb, "vec_id", "embedding", centroids)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
     IvfIndex.search(index, "vec_id", "embedding", queries, centroids,
-      nprobe = nprobe, k = 5)
+      nprobe = scaledNprobe(nprobe, c), k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
 
