@@ -1,0 +1,184 @@
+#!/usr/bin/env python3
+"""Hybrid oracle for the connected-components dedup family at large SF.
+
+The stock oracles for dd_simhash_clusters(_stars)/dd_survivors/
+dd_pagerank/td_soft_dedup express the transitive closure as a recursive
+CTE over all-pairs reachability — O(sum |cluster|^2) rows, measured
+296 s at sf0.1 and >45 min per query at sf1, while the signature+pair
+stages are seconds. The closure formulation is an ORACLE cost, not an
+engine cost (the engine's star-contraction CC ran all five queries
+inside a 4-minute Verify pass at sf1).
+
+This checker keeps the oracle INDEPENDENT but tractable: the
+signature/pair SQL still runs in DuckDB verbatim (same tok/h/bits/sig/
+pairs CTEs), and the closure + PageRank are re-derived in Python with
+union-find and a 10-round damped iteration — a third implementation,
+sharing no code with either the Spark engine or the SQL recursion.
+Output contracts (labels, rounding, tiebreaks) follow the stock oracle
+SQL exactly.
+
+Usage: cc_oracle_check.py <sfDir> <verifyOutDir> <jsonOutDir>
+"""
+import sys, os, json, glob
+from collections import defaultdict
+import duckdb
+
+PAIRS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) t
+  FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT hv FROM tok),
+bits AS (
+  SELECT doc_id, bb.b,
+    sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) v
+  FROM h, (SELECT unnest(range(60)) b) bb GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id,
+    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT sig
+  FROM bits GROUP BY 1),
+pairs AS (
+  SELECT x.doc_id a, y.doc_id b
+  FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.sig, y.sig)) <= 3)
+SELECT a, b FROM pairs
+"""
+
+
+def union_find(pairs):
+    parent = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # label = min node per component (the oracle's least(a, min(b)))
+    return {n: find(n) for n in
+            set(p for pr in pairs for p in pr)}
+
+
+def pagerank(pairs, rounds=10, damping=0.85):
+    """The stock oracle's iteration verbatim: nodes = degree-bearing only,
+    init 1/n, r' = 0.15/n + 0.85 * sum(r[src]/outdeg[src]); returns
+    rank*n (the oracle's scale)."""
+    out_edges = defaultdict(list)
+    outdeg = defaultdict(int)
+    for a, b in pairs:
+        out_edges[a].append(b); out_edges[b].append(a)
+        outdeg[a] += 1; outdeg[b] += 1
+    nodes = sorted(outdeg)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(rounds):
+        contrib = defaultdict(float)
+        for src in nodes:  # deterministic order
+            share = rank[src] / outdeg[src]
+            for dst in out_edges[src]:
+                contrib[dst] += share
+        rank = {v: 0.15 / n + damping * contrib.get(v, 0.0) for v in nodes}
+    return {v: rank[v] * n for v in nodes}
+
+
+def norm(v):
+    if isinstance(v, float):
+        v = round(v, 9)
+    return (v is None, str(type(v)), v)
+
+
+def compare(con, name, out_dir, want_rows, want_cols, json_dir):
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+           "spark_rows": None, "oracle_rows": len(want_rows), "err": None}
+    if not files:
+        rec["err"] = "no_spark_output"
+    else:
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
+        rec["spark_rows"] = got.num_rows
+        gcols = sorted(got.column_names)
+        if gcols != sorted(want_cols):
+            rec["err"] = f"schema {gcols} vs {sorted(want_cols)}"
+        else:
+            rec["schema_match"] = True
+            order = [want_cols.index(c) for c in sorted(want_cols)]
+            g = sorted(tuple(norm(v) for v in row) for row in
+                       zip(*[got.column(c).to_pylist() for c in gcols]))
+            w = sorted(tuple(norm(r[i]) for i in order) for r in want_rows)
+            rec["rows_match"] = len(g) == len(w)
+            rec["hash_match"] = g == w
+            if not rec["hash_match"]:
+                rec["err"] = "value_mismatch" if rec["rows_match"] else "row_count"
+                diffs = [(a, b) for a, b in zip(g, w) if a != b][:2]
+                print(f"FAIL {name}: {rec['err']} {diffs}")
+    ok = rec["hash_match"]
+    if ok:
+        print(f"PASS {name} ({len(want_rows)} rows, hybrid closure oracle)")
+    with open(f"{json_dir}/{name}.json", "w") as f:
+        json.dump({name: rec}, f, indent=1)
+    return ok
+
+
+def main(sf_dir, out_dir, json_dir):
+    con = duckdb.connect()
+    doc = f"{sf_dir}/documents.parquet"
+    src = f"'{doc}/*.parquet'" if os.path.isdir(doc) else f"'{doc}'"
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM {src}")
+    print("computing signature pairs in DuckDB...", flush=True)
+    pairs = con.execute(PAIRS_SQL).fetchall()
+    print(f"{len(pairs)} pairs", flush=True)
+
+    label = union_find(pairs)
+    sizes = defaultdict(int)
+    for v, l in label.items():
+        sizes[l] += 1
+    rank = pagerank(pairs)
+
+    ok = True
+    # dd_simhash_clusters(_stars): keep_id=label, cluster_size, n_removed
+    clusters = [(l, s, s - 1) for l, s in sorted(sizes.items())]
+    for q in ("dd_simhash_clusters", "dd_simhash_clusters_stars"):
+        ok &= compare(con, q, out_dir, clusters,
+                      ["keep_id", "cluster_size", "n_removed"], json_dir)
+
+    # dd_pagerank: (node, round(rank*n, 6))
+    pr_rows = [(v, round(r, 6)) for v, r in sorted(rank.items())]
+    ok &= compare(con, "dd_pagerank", out_dir, pr_rows,
+                  ["node", "rank_scaled"], json_dir)
+
+    # dd_survivors: per label, keep = argmax(round(rank,6)) tiebreak min node
+    by_label = defaultdict(list)
+    for v, l in label.items():
+        by_label[l].append(v)
+    surv = []
+    for l in sorted(by_label):
+        keep = min(by_label[l], key=lambda v: (-round(rank[v], 6), v))
+        surv.append((l, sizes[l], keep, round(rank[keep], 6)))
+    ok &= compare(con, "dd_survivors", out_dir, surv,
+                  ["cluster_id", "cluster_size", "keep_id", "keep_rank"], json_dir)
+
+    # td_soft_dedup: per source over ALL docs, csize=1 for unclustered
+    docs = con.execute(
+        "SELECT doc_id, source, n_chars FROM documents").fetchall()
+    agg = defaultdict(lambda: [0, 0.0, 0, 0.0])  # n, eff_docs, chars, eff_chars
+    for doc_id, source, n_chars in sorted(docs):
+        csize = sizes.get(label.get(doc_id, doc_id), 1) if doc_id in label else 1
+        a = agg[source]
+        a[0] += 1; a[1] += 1.0 / csize
+        a[2] += n_chars; a[3] += n_chars / csize
+    soft = [(s, a[0], round(a[1], 4), a[2], round(a[3], 2))
+            for s, a in sorted(agg.items())]
+    ok &= compare(con, "td_soft_dedup", out_dir, soft,
+                  ["source", "n_docs", "eff_docs", "n_chars", "eff_chars"],
+                  json_dir)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3]))
