@@ -244,16 +244,24 @@ object HashKernels {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val base = baseHash(arr.getUTF8String(i))
-      var seed = 0
-      while (seed < k) {
-        val h = avalanche(base ^ (seed.toLong * 0x9e3779b97f4a7c15L))
-        if (h < mins(seed)) mins(seed) = h
-        seed += 1
-      }
+      minhashInto(mins, arr.getUTF8String(i))
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  /** Fold ONE element into a running k-component min-signature buffer —
+    * the same hash family as [[minhash]] (shared by [[MinHashSignature]]
+    * and the mergeable [[MinhashMergeAgg]], so per-array and aggregated
+    * signatures are bit-identical). */
+  def minhashInto(mins: Array[Long], s: UTF8String): Unit = {
+    val base = baseHash(s)
+    var seed = 0
+    while (seed < mins.length) {
+      val h = avalanche(base ^ (seed.toLong * 0x9e3779b97f4a7c15L))
+      if (h < mins(seed)) mins(seed) = h
+      seed += 1
+    }
   }
 
   private val md5 = new ThreadLocal[java.security.MessageDigest] {

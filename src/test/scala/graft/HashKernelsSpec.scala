@@ -71,6 +71,23 @@ class HashKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: streamed minhashInto fold == whole-array minhash signature") {
+    // the MinhashMergeAgg contract: folding elements one at a time (in any
+    // partition split) then merging element-wise mins is bit-identical to
+    // the expression kernel over the full set
+    for (_ <- 1 to 100) {
+      val xs = randWords(30)
+      val whole = longs(HashKernels.minhash(arr(xs), 32))
+      val cut = xs.length / 3
+      val b1 = Array.fill(32)(Long.MaxValue)
+      val b2 = Array.fill(32)(Long.MaxValue)
+      xs.take(cut).foreach(w => HashKernels.minhashInto(b1, UTF8String.fromString(w)))
+      xs.drop(cut).foreach(w => HashKernels.minhashInto(b2, UTF8String.fromString(w)))
+      val merged = b1.zip(b2).map { case (x, y) => math.min(x, y) }
+      assert(merged.toSeq == whole, "streamed fold + merge must equal the array kernel")
+    }
+  }
+
   test("property: simhash60 matches md5-vote reference; set semantics") {
     def refSimhash(tokens: Seq[String]): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -229,17 +229,17 @@ class PlanQualitySpec extends SparkSpec {
 
   test("minhash source overlap: signature agg is partial map-side; no text shuffles") {
     // the scale claim of dd_source_overlap_minhash: per-source signatures
-    // come from a min-aggregation over exploded per-shingle hashes — the
-    // partial (map-side) min must combine BEFORE the exchange so the
-    // shuffle carries |S|·numHashes rows, and no document text or shingle
-    // array may appear past the scan
+    // come from the ONE-PASS mergeable minhash_merge aggregate — partial
+    // (map-side) buffers must combine BEFORE the exchange so the shuffle
+    // carries one k-long array per (partition, source), and the pair
+    // join's long format explodes only AFTER aggregation (|S|·k rows)
     val p = plan(graft.queries.DedupQueries.qSourceOverlapMinhash(spark, sf))
     assert(!p.contains("CartesianProduct"), p.linesIterator.take(30).mkString("\n"))
-    assert(count(p, "partial_min|partial min") >= 1 ||
-      count(p, "HashAggregate.*min") >= 2, // partial + final min agg pair
-      s"partial min aggregate missing — signature shuffle not map-side combined:\n$p")
-    // the pair join keys on (seed) with narrow (source, h) rows; the
-    // estimate agg partial-combines too
+    assert(count(p, "minhash_merge") >= 2, // partial + final agg pair
+      s"mergeable minhash_merge aggregate missing from the plan:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"typed-imperative signature agg should plan as ObjectHashAggregate:\n$p")
+    // the pair join keys on (seed) with narrow (source, h) rows
     assert(count(p, "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin") >= 1,
       s"signature pair join must be an equi-join:\n$p")
   }
