@@ -20,7 +20,8 @@ import org.apache.spark.util.sketch.CountMinSketch
   * used as-is — functions-not-UDFs) but exposes neither a re-aggregation
   * nor a point lookup over the resulting binary sketches, so coarser
   * granularities would have to re-scan raw events. [[CmsMergeAgg]] closes
-  * that: it is the engine's one genuine UDAF-shaped need (SURVEY §2.11
+  * that: it is one of the engine's two genuine UDAF-shaped needs — the
+  * other is [[MinhashMergeAgg]] below, same justification (SURVEY §2.11
   * deliberately has none elsewhere) — mergeable BINARY state that no
   * built-in aggregate or window can combine — implemented as a
   * `TypedImperativeAggregate[CountMinSketch]` so partial aggregation
