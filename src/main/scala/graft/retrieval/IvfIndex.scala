@@ -138,7 +138,13 @@ object IvfIndex {
       idCol: String,
       vecCol: String,
       centroids: Array[(Int, Array[Float])]): DataFrame =
-    emb.withColumn("centroid_id", best(vecCol, centroids).getField("cid"))
+    // same >32 dispatch as assignScored: past ~32 centroids the
+    // greatest-of-structs expression re-decodes the row vector once per
+    // centroid (it cost vs_knn_ivf 15 s at sf1/c=141 — evaluated inside
+    // the probe join — vs ~1 s through the bulk kernel)
+    if (centroids.length <= 32)
+      emb.withColumn("centroid_id", best(vecCol, centroids).getField("cid"))
+    else assignScored(emb, idCol, vecCol, centroids).drop("centroid_cos")
 
   /** Like [[assign]] but also keeps the cosine to the owning centroid —
     * the per-vector angular offset the triangle-inequality pruning in
