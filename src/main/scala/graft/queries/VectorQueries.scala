@@ -877,12 +877,12 @@ object VectorQueries {
     * exactly this: fixed c=16 at 10× corpus = 10× vectors per probed
     * list, and the PQ tier's ADC prune dropped below its recall floor
     * (CORRECTNESS_sf1 history / NOTES round 6). */
-  private def ivfCentroidCount(emb: DataFrame): Int =
+  private[graft] def ivfCentroidCount(emb: DataFrame): Int =
     math.max(16, math.round(math.sqrt(emb.count().toDouble)).toInt)
 
   /** Probe width expressed in 16-list units by the callers; scale with c
     * so the scanned CORPUS FRACTION (nprobe/c) stays constant. */
-  private def scaledNprobe(nprobe16: Int, c: Int): Int =
+  private[graft] def scaledNprobe(nprobe16: Int, c: Int): Int =
     math.max(nprobe16, math.round(nprobe16 * c / 16.0).toInt)
 
   /** IVF-PQ: product-quantized probe scans with ADC scoring

@@ -175,3 +175,35 @@ class BulkAssignSpec extends SparkSpec {
       "all but the lowest-id copy must be removed")
   }
 }
+
+/** Pins the IVF family's scale rules (the sf1 gate's round-6 findings):
+  * √n centroids with a floor that keeps every driver-gate SF on the
+  * historical c=16 config, and probe width preserving the scanned
+  * corpus FRACTION as c grows. */
+class IvfScaleRuleSpec extends SparkSpec {
+  import graft.queries.VectorQueries.{ivfCentroidCount, scaledNprobe}
+
+  private def embOf(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(_.toLong).toDF("vec_id")
+  }
+
+  test("centroid count: floor 16 at driver-gate sizes, √n beyond") {
+    assert(ivfCentroidCount(embOf(200)) == 16)   // sf0.01
+    assert(ivfCentroidCount(embOf(256)) == 16)   // boundary: √256 = 16
+    assert(ivfCentroidCount(embOf(2000)) == 45)  // sf0.1
+    assert(ivfCentroidCount(embOf(20000)) == 141) // sf1 — past the 32-centroid
+    // threshold, so assignment dispatches to the bulk kernel
+  }
+
+  test("probe width preserves the scan fraction as c scales") {
+    assert(scaledNprobe(6, 16) == 6)    // historical config untouched
+    assert(scaledNprobe(4, 16) == 4)
+    // fraction nprobe/c stays ~3/8 and ~1/4 at sf1's c=141
+    assert(scaledNprobe(6, 141) == 53)
+    assert(math.abs(53.0 / 141 - 6.0 / 16) < 0.01)
+    assert(scaledNprobe(4, 141) == 35)
+    // never narrower than the caller's floor
+    assert(scaledNprobe(6, 8) == 6)
+  }
+}
