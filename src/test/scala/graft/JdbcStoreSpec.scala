@@ -130,3 +130,51 @@ class JdbcStoreSpec extends SparkSpec {
     assert(JdbcScopeStore.stat(url, "applied_writes") == before)
   }
 }
+
+/** The receipt-commit race: [[DedupingScopeBatchWriter]] documents that
+  * two CONCURRENT deliveries of an uncommitted batch can both write
+  * (at-least-once) and that making the ledger commit a conditional
+  * insert closes the window in the store's durability domain.
+  * [[JdbcTokenLedger]] IS that conditional insert (primary-key INSERT,
+  * duplicate swallowed) — prove first-writer-wins under a real race. */
+class JdbcLedgerRaceSpec extends SparkSpec {
+
+  test("concurrent token commits: exactly one insert wins, all see committed") {
+    val dbDir = java.nio.file.Files.createTempDirectory("jdbc-ledger")
+      .resolve("db").toString
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val ledger = new JdbcTokenLedger(url)
+    val token = "tok-race-1"
+    assert(!ledger.committed(token))
+    val threads = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      val fs = (0 until threads).map { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            gate.await()
+            try ledger.commit(token)
+            catch { case _: Throwable => errs.incrementAndGet() }
+          }
+        })
+      }
+      gate.countDown()
+      fs.foreach(_.get())
+    } finally pool.shutdown()
+    // commit() swallows duplicate-key losers — no caller ever sees a
+    // failure for an already-durable receipt
+    assert(errs.get() == 0)
+    assert(ledger.committed(token))
+    // the receipts table holds exactly ONE row for the token
+    val conn = JdbcScopeStore.connect(url)
+    try {
+      val q = conn.prepareStatement(
+        "SELECT count(*) FROM graft_receipts WHERE token = ?")
+      q.setString(1, token)
+      val rs = q.executeQuery(); rs.next()
+      assert(rs.getLong(1) == 1L)
+    } finally conn.close()
+  }
+}
