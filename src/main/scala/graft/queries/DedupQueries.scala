@@ -989,9 +989,10 @@ object DedupQueries {
     * one row per source pair with `err_ok = |Ĵ − J| ≤ ε`. The oracle
     * derives the pair list + all-TRUE from the documents table alone, so
     * the driver's DuckDB gate turns red the moment the estimator drifts
-    * past ε on any pair. ε = 0.1 ≈ 2.3σ at J=0.5 with 128 hashes, and the
-    * seeded signatures are deterministic — measured max error at sf0.01
-    * is well inside the floor (headroom recorded in NOTES.md). */
+    * past ε on any pair. At k=1024 components (the sizing rationale on
+    * [[OverlapHashes]]) the measured MAX error over all 1900 sf1 pairs is
+    * 0.047, so ε = 0.1 holds with ≥2× headroom where the gate actually
+    * runs; the signatures are seeded and deterministic. */
   def qSourceOverlapMinhashGate(s: SparkSession, d: String): DataFrame = {
     val eps = 0.1
     val ss = sourceShingles(s, d)

@@ -878,7 +878,12 @@ object VectorQueries {
     * list, and the PQ tier's ADC prune dropped below its recall floor
     * (CORRECTNESS_sf1 history / NOTES round 6). */
   private[graft] def ivfCentroidCount(emb: DataFrame): Int =
-    math.max(16, math.round(math.sqrt(emb.count().toDouble)).toInt)
+    ivfCentroidCount(emb.count())
+
+  /** [[ivfCentroidCount]] from an already-known corpus count — callers
+    * that need `n` for other sizing too pay the count action once. */
+  private[graft] def ivfCentroidCount(n: Long): Int =
+    math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
 
   /** Probe width expressed in 16-list units by the callers; scale with c
     * so the scanned CORPUS FRACTION (nprobe/c) stays constant. */
@@ -894,7 +899,8 @@ object VectorQueries {
       overfetch: Int = 8): DataFrame = {
     import graft.retrieval.IvfIndex
     val emb = Tables.embeddings(s, d)
-    val c = ivfCentroidCount(emb)
+    val n = emb.count()
+    val c = ivfCentroidCount(n)
     val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", c)
     val cb = IvfIndex.trainPq(emb, "vec_id", "embedding", m = 8, ks = 16)
     val index = IvfIndex.withPq(
@@ -911,7 +917,7 @@ object VectorQueries {
     // constant fraction of the probe scan at any n. At the driver-gate
     // SFs (probed ≤ 750) the max() keeps the historical config.
     val probedPerQuery =
-      emb.count().toDouble * scaledNprobe(nprobe, c) / c
+      n.toDouble * scaledNprobe(nprobe, c) / c
     val eff = math.max(overfetch, math.ceil(0.1 * probedPerQuery / 5).toInt)
     IvfIndex.searchPq(index, "vec_id", "embedding", queries, centroids, cb,
       nprobe = scaledNprobe(nprobe, c), k = 5, overfetch = eff)

@@ -132,7 +132,14 @@ object JdbcScopeStore {
     if (hit == 0) {
       val ins = conn.prepareStatement(
         "INSERT INTO graft_stats (k, v) VALUES ('applied_writes', 1)")
-      try ins.executeUpdate() finally ins.close()
+      try ins.executeUpdate()
+      catch { // lost the bootstrap race on a fresh store: the row exists
+        case e: SQLException if e.getSQLState == "23505" =>
+          val re = conn.prepareStatement(
+            "UPDATE graft_stats SET v = v + 1 WHERE k = 'applied_writes'")
+          try re.executeUpdate() finally re.close()
+      }
+      finally ins.close()
     }
     val q = conn.prepareStatement("SELECT v FROM graft_stats WHERE k = 'applied_writes'")
     try { val rs = q.executeQuery(); rs.next(); rs.getLong(1) } finally q.close()
@@ -190,7 +197,13 @@ class JdbcScopeBatchWriter(url: String) extends ScopeBatchWriter {
         conn.commit() // per-doc durability, like the reference's CQL loop
         afterDocCommit(total)
       }
-    } finally conn.close()
+    } finally {
+      // a doc failure leaves an open transaction; Derby throws on
+      // close-with-active-tx (25001), which would mask the root cause —
+      // roll back first, swallowing rollback's own errors
+      try conn.rollback() catch { case _: SQLException => () }
+      conn.close()
+    }
   }
 }
 

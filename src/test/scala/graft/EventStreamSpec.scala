@@ -221,7 +221,11 @@ class EventStreamSpec extends SparkSpec {
       .map(m => (m.user_id, m.cohort_day.toString, m.day_offset)).toSet
     // batch twin on the same rows: distinct (cohort_day, day_offset, user)
     // — qRetention's `activity` relation, from which active_n/cohort_n roll up
-    val days = evs.map(e => e.user_id -> e.ts.toLocalDateTime.toLocalDate)
+    // derive days via the SAME UTC conversion the operator's epochDay
+    // pins — toLocalDateTime would use the JVM default zone and shift
+    // the expected cohort day on a non-UTC JVM
+    val days = evs.map(e => e.user_id ->
+      e.ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate)
     val cohort = days.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
     val batch = days.map { case (u, day) =>
       (u, cohort(u).toString,
