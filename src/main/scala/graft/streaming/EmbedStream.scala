@@ -59,23 +59,24 @@ object EmbedStream {
     * exist yet (first arrival). */
   def reportFor(s: SparkSession, b: DataFrame, corpusDir: String,
       batchId: Long, c: Int = 16, t: Double = 0.35): (DataFrame, DataFrame) = {
-    val seeds = loadOrInitSeeds(s, corpusDir, b, c)
-    val assigned = seeds match {
-      case Some(sd) => VectorQueries.assignToSeeds(b, sd, c).localCheckpoint()
+    loadOrInitSeeds(s, corpusDir, b, c) match {
+      case Some(sd) =>
+        // the one probe kernel every caller shares: batch-only assignment
+        // against the fixed seeds, match vs the STORED (vec_id,
+        // cluster_id) assignments of strictly earlier batches — the
+        // corpus is never re-assigned (see scaladoc: replay idempotence)
+        val (report, assigned) = VectorQueries.probeAssignedCorpus(
+          b, sd, readCorpus(s, corpusDir, batchId), c, t)
+        (report, assigned.select(col("vec_id"), col("embedding"), col("cluster_id")))
       case None => // only when the batch itself is empty: nothing to seed
-        b.withColumn("cluster_id", lit(null).cast("long"))
+        val assigned = b.withColumn("cluster_id", lit(null).cast("long"))
           .select(col("vec_id"), col("cluster_id"), col("embedding"))
-    }
-    // corpus = strictly EARLIER batches (see scaladoc: replay idempotence)
-    val report = readCorpus(s, corpusDir, batchId) match {
-      case Some(corpus) => VectorQueries.matchReport(assigned, corpus, t)
-      case None => // no corpus yet: everything is genuinely new
-        assigned.select(col("vec_id"), col("cluster_id"),
+        val report = assigned.select(col("vec_id"), col("cluster_id"),
           lit(0L).as("n_matches"),
           lit(null).cast("long").as("best_old_id"),
           lit(null).cast("double").as("best_cos"))
+        (report, assigned.select(col("vec_id"), col("embedding"), col("cluster_id")))
     }
-    (report, assigned.select(col("vec_id"), col("embedding"), col("cluster_id")))
   }
 
   private def fsOf(s: SparkSession, dir: String) = {
