@@ -305,16 +305,32 @@ object IvfIndex {
       index: DataFrame,
       centroids: Array[(Int, Array[Float])],
       path: String): Unit = {
-    val spark = index.sparkSession
-    import spark.implicits._
     index.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("centroid_id").parquet(s"$path/lists")
+    writeCentroids(index.sparkSession, centroids, path)
+  }
+
+  /** Persist just the centroid table (`$path/centroids`, the [[load]]
+    * layout) — split out so stores that manage their own lists layout
+    * (the streaming index) share the artifact format. */
+  def writeCentroids(
+      spark: SparkSession,
+      centroids: Array[(Int, Array[Float])],
+      path: String): Unit = {
+    import spark.implicits._
     centroids.toSeq.map { case (cid, v) => (cid, v.toSeq) }
       .toDF("centroid_id", "centroid")
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/centroids")
   }
+
+  /** Load just the centroid table written by [[writeCentroids]]. */
+  def loadCentroids(spark: SparkSession, path: String): Array[(Int, Array[Float])] =
+    spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
 
   /** Incremental refresh of a persisted index: assign the new batch to
     * the EXISTING centroids and append to their lists — the O(batch)
@@ -640,11 +656,29 @@ object IvfIndex {
       nprobe: Int,
       k: Int,
       overfetch: Int = 8): DataFrame = {
-    import graft.functions.VectorFunctions.{cosineQ8, quantizeQ8}
-    import spark.implicits._
     val (lists, centroids) = load(spark, path)
     require(lists.columns.contains("q8"),
       s"index at $path has no q8 column — build it via withQ8 before write")
+    searchQ8Lists(lists, idCol, vecCol, queries, centroids, nprobe, k, overfetch)
+  }
+
+  /** The two-phase body of [[searchQ8Stored]] over an explicit lists
+    * relation — callers that pre-filter their stored lists (the streaming
+    * index store reads only strictly-earlier batch directories,
+    * [[graft.streaming.EmbedStream]]) compose the filter with the same
+    * narrow probe scan. */
+  def searchQ8Lists(
+      lists: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: Seq[(Long, Array[Float])],
+      centroids: Array[(Int, Array[Float])],
+      nprobe: Int,
+      k: Int,
+      overfetch: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineQ8, quantizeQ8}
+    val spark = lists.sparkSession
+    import spark.implicits._
     val probeDf = probes(queries, centroids, nprobe).toDF("query_id", "p_cid")
     val queryDf = queries.toDF("query_id", "qv")
       .withColumn("qq8", quantizeQ8(col("qv")))

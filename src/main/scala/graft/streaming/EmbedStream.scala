@@ -79,6 +79,113 @@ object EmbedStream {
     }
   }
 
+  /** Streaming ingest into a STORED IVF index (the scale tier of
+    * [[start]]): each micro-batch (a) reports its top-k nearest corpus
+    * neighbors through the narrow two-phase q8 probe
+    * ([[graft.retrieval.IvfIndex.searchQ8Lists]]) over the lists
+    * accumulated by strictly-earlier batches — the probe phase scans
+    * only (vec_id, centroid_id, q8), never the float vectors — then
+    * (b) appends itself to `indexDir/lists/batch=<id>` partitioned by
+    * centroid_id, WITH q8 codes, so the store it probes and the store it
+    * grows are the same partition-pruned IVF index. Centroids fix at the
+    * first non-empty batch ([[graft.retrieval.IvfIndex.buildCentroids]]
+    * on that batch; persisted in the [[graft.retrieval.IvfIndex.load]]
+    * layout) — re-seeding after drift is the stored-index retrain
+    * lifecycle, exactly as for [[start]]'s flat seeds. Replay discipline
+    * is identical too: overwrite-mode batch dirs + strictly-before probe
+    * reads make a replayed micro-batch byte-idempotent. */
+  def startIvf(s: SparkSession, input: DataFrame, indexDir: String,
+      reportDir: String, checkpointDir: String, c: Int = 16, k: Int = 5,
+      nprobe: Int = 4, overfetch: Int = 8): StreamingQuery =
+    input.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.select(col("vec_id"), col("embedding"))
+          .localCheckpoint()
+        val (report, assigned) =
+          ivfReportFor(s, b, indexDir, batchId, c, k, nprobe, overfetch)
+        report.write.mode("overwrite").parquet(s"$reportDir/batch=$batchId")
+        assigned.write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(s"$indexDir/lists/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** One IVF micro-batch's (top-k report, assigned-batch-to-store) pair —
+    * exposed for byte-for-byte replay reproduction in tests. The batch
+    * doubles as the query set; it is micro-batch-sized by construction
+    * (the driver-side query seq is the same bounded shape every IVF
+    * search call takes). */
+  def ivfReportFor(s: SparkSession, b: DataFrame, indexDir: String,
+      batchId: Long, c: Int = 16, k: Int = 5, nprobe: Int = 4,
+      overfetch: Int = 8): (DataFrame, DataFrame) = {
+    import graft.retrieval.IvfIndex
+    import org.apache.spark.sql.types.{BinaryType, DoubleType, IntegerType, LongType, StructField, StructType}
+    val emptyReport = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("query_id", LongType),
+        StructField("neighbor_id", LongType),
+        StructField("score", DoubleType), StructField("rank", IntegerType))))
+    loadOrInitCentroids(s, indexDir, b, c) match {
+      case Some(cents) =>
+        val assigned = IvfIndex.withQ8(
+          IvfIndex.assign(b, "vec_id", "embedding", cents), "embedding")
+          .localCheckpoint()
+        val report = readLists(s, indexDir, batchId) match {
+          case Some(lists) =>
+            val queries = b.collect()
+              .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+            IvfIndex.searchQ8Lists(lists, "vec_id", "embedding", queries,
+              cents, nprobe, k, overfetch)
+          case None => emptyReport // no corpus yet
+        }
+        (report, assigned)
+      case None => // only when the batch itself is empty: nothing to seed
+        val assigned = b
+          .withColumn("centroid_id", lit(null).cast(IntegerType))
+          .withColumn("q8", lit(null).cast(BinaryType))
+        (emptyReport, assigned)
+    }
+  }
+
+  /** Fixed centroids, initialized from the first non-empty batch (the
+    * same idempotent-overwrite contract as [[loadOrInitSeeds]]). */
+  private def loadOrInitCentroids(s: SparkSession, indexDir: String,
+      b: DataFrame, c: Int): Option[Array[(Int, Array[Float])]] = {
+    import graft.retrieval.IvfIndex
+    val (fs, p) = fsOf(s, s"$indexDir/centroids")
+    if (hasParquet(fs, p)) Some(IvfIndex.loadCentroids(s, indexDir))
+    else if (b.isEmpty) None
+    else {
+      val cents = IvfIndex.buildCentroids(b, "vec_id", "embedding", c)
+      IvfIndex.writeCentroids(s, cents, indexDir)
+      Some(cents)
+    }
+  }
+
+  /** The IVF lists accumulated by batches STRICTLY BEFORE `beforeBatch`
+    * (each batch dir is partitioned by centroid_id, so a "has data" check
+    * must look one level down), or None before the first commit. */
+  private def readLists(s: SparkSession, indexDir: String,
+      beforeBatch: Long): Option[DataFrame] = {
+    val (fs, root) = fsOf(s, s"$indexDir/lists")
+    if (!fs.exists(root)) return None
+    val parts = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filter(st => st.getPath.getName.drop("batch=".length).toLongOption
+        .exists(_ < beforeBatch))
+      .filter(st => fs.listStatus(st.getPath).exists(sub =>
+        sub.isDirectory && hasParquet(fs, sub.getPath)))
+      .map(_.getPath.toString)
+    if (parts.isEmpty) None
+    else {
+      // basePath: each batch dir nests centroid_id=* partitions, so the
+      // multi-dir read needs the common root to infer one partitioning
+      val lists = s.read.option("basePath", root.toString).parquet(parts: _*)
+      if (lists.isEmpty) None else Some(lists)
+    }
+  }
+
   private def fsOf(s: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)

@@ -78,4 +78,90 @@ class EmbedStreamSpec extends SparkSpec {
         if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
     assert(replayed == r1, "replayed batch must reproduce the same report")
   }
+
+  // 4 orthogonal families + small deterministic wobble: within-family
+  // cosine ≈ 1, across ≈ 0 — so each vector's true neighbors are its
+  // family and a one-list probe suffices
+  private def famVec(fam: Int, salt: Long): Seq[Float] = {
+    val rnd = new java.util.Random(salt * 6271L + fam)
+    Seq.tabulate(dim) { i =>
+      if (i == fam) 1.0f
+      else if (i >= 8) (0.01 * rnd.nextGaussian()).toFloat
+      else 0f
+    }
+  }
+
+  test("stored-IVF probe: stream≡batch parity, narrow probe scan, recall floor") {
+    import graft.retrieval.IvfIndex
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val frame = input.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val dir = java.nio.file.Files.createTempDirectory("embstream-ivf").toString
+    val batch0 = (0 until 40).map(i => (i.toLong, famVec(i % 4, i)))
+    val batch1 = (100 until 112).map(i => (i.toLong, famVec(i % 4, i)))
+    val q = EmbedStream.startIvf(spark, frame, s"$dir/index", s"$dir/reports",
+      s"$dir/ckpt", c = 4, k = 5, nprobe = 2)
+    try {
+      input.addData(batch0: _*)
+      q.processAllAvailable()
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // first batch: index seeded, no corpus to probe
+    assert(spark.read.parquet(s"$dir/reports/batch=0").count() == 0)
+    // the store accumulated both batches with assignment + q8 codes
+    val lists = spark.read.option("basePath", s"$dir/index/lists")
+      .parquet(s"$dir/index/lists/batch=0", s"$dir/index/lists/batch=1")
+    assert(lists.count() == 52 &&
+      lists.filter(col("centroid_id").isNull || col("q8").isNull).count() == 0)
+
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val streamed = key(spark.read.parquet(s"$dir/reports/batch=1"))
+
+    // batch twin: the same two-phase q8 search, called directly over the
+    // batch-0 lists — the streamed report must be byte-identical
+    val cents = IvfIndex.loadCentroids(spark, s"$dir/index")
+    val direct = IvfIndex.searchQ8Lists(
+      spark.read.parquet(s"$dir/index/lists/batch=0"), "vec_id", "embedding",
+      batch1.map { case (id, v) => (id, v.toArray) }, cents, nprobe = 2, k = 5)
+    assert(streamed == key(direct), "stream must equal the batch search")
+
+    // recall floor vs driver-side brute force (the vs_knn_ivf_q8_recall
+    // contract): every query's top-5 from the probed lists must recover
+    // ≥ 0.8 of the true top-5 over the batch-0 corpus
+    val got = spark.read.parquet(s"$dir/reports/batch=1").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def cosL(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    batch1.foreach { case (qid, qv) =>
+      val truth = batch0.map { case (id, v) => (id, cosL(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+      val recall = (got.getOrElse(qid, Set.empty) & truth).size / 5.0
+      assert(recall >= 0.8, s"query $qid recall $recall < 0.8")
+    }
+
+    // replay: re-running batch 1 with its own pre-crash writes on disk
+    // reproduces the same report (strictly-before list read), and its
+    // probe phase scans only (vec_id, centroid_id, q8) — never floats
+    val b1 = spark.read.parquet(s"$dir/index/lists/batch=1")
+      .select(col("vec_id"), col("embedding"))
+    val (replay, _) = EmbedStream.ivfReportFor(spark, b1, s"$dir/index", 1L,
+      c = 4, k = 5, nprobe = 2)
+    assert(key(replay) == streamed, "replayed IVF batch must reproduce the report")
+    val p = replay.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.exists(l => l.contains("q8") && !l.contains("embedding")),
+      s"no narrow probe scan:\n${scans.mkString("\n")}")
+  }
 }
