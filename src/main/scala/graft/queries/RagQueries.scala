@@ -250,6 +250,96 @@ object RagQueries {
       |FROM range(1, 6) r
       |ORDER BY job_id""".stripMargin
 
+  /** rag_mmr parity gate (VERDICT r6 item 4 — the one SURVEY operator that
+    * was spec-only): the MMR retrieval strategy's greedy
+    * relevance-vs-diversity re-rank ([[Retrieval.mmrSelect]], declared by
+    * the reference's factory, GraphRetrieverFactory.py:152-161) must
+    * agree — ids AND selection order — with a driver-side recomputation
+    * over the same scored pool for the 5 fixed queries. The pool is
+    * rebuilt independently by the brute window-rank plan (the
+    * rag_retrieve_topk_gate twin) and the greedy argmax re-run in a local
+    * index loop that shares no selection code with mmrSelect; the
+    * arithmetic contract (codegen cosine scores, float-upcast dot-product
+    * similarity, first-max tiebreak in pool order) is replicated exactly,
+    * so every comparison both sides make is decided on identical doubles
+    * and the booleans are stable. */
+  def qMmrGate(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    import s.implicits._
+    val c = corpus(s, d)
+    val embedder = new HashEmbedder(384)
+    val k = Retrieval.capsByScope("chunk").k
+    val lambda = 0.35
+    val engine = gateQueryTexts.zipWithIndex.flatMap { case (q, qi) =>
+      Retrieval.retrieve(c, embedder, q, "chunk", expand = false,
+          strategy = Retrieval.Mmr(lambda))
+        .zipWithIndex.map { case (r, i) => (qi.toLong, (i + 1).toLong, r.rowId) }
+    }.toDF("query_id", "rank", "e_row")
+
+    val qdf = gateQueryTexts.zipWithIndex
+      .map { case (q, qi) => (qi.toLong, embedder.embed(q)) }
+      .toDF("query_id", "qv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("rowId"))
+    // the same pool the engine ranked, via the differently-planned brute
+    // twin, WITH embeddings for the driver-side diversity recomputation
+    val pools = c.filter(col("scope") === "chunk")
+      .join(broadcast(qdf))
+      .withColumn("score", cosine(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("rowId"),
+        col("score"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getSeq[Float](4).toArray)))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sortBy(_._1)).toMap
+
+    // cosine with mmrSelect's exact accumulation order (min-length loop,
+    // per-element float→double upcast) so similarity doubles match bit
+    // for bit — a near-tie must fall the same way on both sides
+    def cosL(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length && i < b.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      val dn = math.sqrt(na) * math.sqrt(nb)
+      if (dn == 0.0) 0.0 else dot / dn
+    }
+    val recomputed = pools.toSeq.flatMap { case (qi, pool) =>
+      val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val rem = scala.collection.mutable.ArrayBuffer.range(0, pool.length)
+      while (sel.length < k && rem.nonEmpty) {
+        var bestPos = 0; var bestV = Double.NegativeInfinity
+        var p = 0
+        while (p < rem.length) {
+          val i = rem(p)
+          val maxSim = if (sel.isEmpty) 0.0
+            else sel.iterator.map(j => cosL(pool(i)._4, pool(j)._4)).max
+          val v = lambda * pool(i)._3 - (1 - lambda) * maxSim
+          if (v > bestV) { bestV = v; bestPos = p } // first max wins ties
+          p += 1
+        }
+        sel += rem.remove(bestPos)
+      }
+      sel.toSeq.zipWithIndex.map { case (i, r) =>
+        (qi, (r + 1).toLong, pool(i)._2)
+      }
+    }.toDF("query_id", "rank", "r_row")
+
+    engine.join(recomputed, Seq("query_id", "rank"), "full_outer")
+      .select(col("query_id"), col("rank"),
+        (col("e_row") === col("r_row")).as("parity_ok"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qMmrGateSql: String =
+    """SELECT q.range AS query_id, r.range AS rank, TRUE AS parity_ok
+      |FROM range(5) q, range(1, 11) r
+      |ORDER BY query_id, rank""".stripMargin
+
   /** J3 graph expansion as a pure-relational 2-hop BFS over documents
     * (edge keys: hop 1 = same source, hop 2 = same lang), breadth-capped
     * per hop like the scope retrievers (adjacent_k) — oracle-checked. */
@@ -365,6 +455,7 @@ object RagQueries {
     "rag_retrieve_topk_gate" -> (qRetrieveTopkGate _),
     "rag_agent_events_gate" -> (qAgentEventsGate _),
     "rag_agent_batch_gate" -> (qAgentBatchGate _),
+    "rag_mmr_gate" -> (qMmrGate _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -377,5 +468,6 @@ object RagQueries {
     "rag_retrieve_topk_gate" -> qRetrieveTopkGateSql,
     "rag_agent_events_gate" -> qAgentEventsGateSql,
     "rag_agent_batch_gate" -> qAgentBatchGateSql,
+    "rag_mmr_gate" -> qMmrGateSql,
   )
 }
