@@ -43,4 +43,99 @@ object Compaction {
     df.repartition(n).write.mode("overwrite").parquet(outPath)
     n
   }
+
+  /** Fold a streaming store's `batch=<id>` delta directories (ids
+    * strictly below `upTo`) into ONE compacted `batch=<maxFolded>`
+    * directory — the maintenance pass behind
+    * [[graft.streaming.EmbedStream]]'s stores, which otherwise grow one
+    * micro-batch directory forever.
+    *
+    * Layout-preserving: the folded dir keeps the store's row schema
+    * (the `batch` discovery column is delivery bookkeeping and is
+    * dropped) and optional `partitionCols` sub-layout, and it keeps the
+    * LARGEST folded id as its name — so any reader filtering `batch <
+    * N` (the strictly-before replay discipline) sees exactly the rows
+    * it saw before for every N > maxFolded. Passing `upTo` = the
+    * highest batch id present is replay-safe: foreachBatch can only
+    * redeliver the latest uncommitted batch, whose probes read `batch <
+    * latest` — all folded.
+    *
+    * Crash-safe via stage-then-swap with a durable marker: the full
+    * union stages into `compact.tmp` plus a `_folded_upto=<m>` marker
+    * BEFORE any original is deleted; the swap deletes originals ≤ m and
+    * renames. A re-run after a crash at ANY point either discards an
+    * incomplete stage (no marker/_SUCCESS yet — originals intact) or
+    * completes the recorded swap (stage is a superset of whatever was
+    * already deleted). Like every maintenance rewrite here, run it
+    * between micro-batches (foreachBatch serializes naturally), not
+    * concurrently with probes of the same store.
+    *
+    * Returns true iff a fold happened (≥2 foldable dirs). */
+  def foldBatchDirs(s: org.apache.spark.sql.SparkSession, root: String,
+      upTo: Long, targetBytes: Long = 128L << 20,
+      partitionCols: Seq[String] = Nil): Boolean = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootP)) return false
+    val tmp = new Path(rootP, "compact.tmp")
+    resumeFold(fs, rootP, tmp) // finish a crashed swap before planning
+    val folds = batchDirs(fs, rootP).filter(_._1 < upTo)
+    if (folds.length < 2) return false
+    val m = folds.map(_._1).max
+    val df = s.read.option("basePath", root)
+      .parquet(folds.map(_._2.toString): _*)
+      .drop("batch")
+    fs.delete(tmp, true)
+    val n = planFileCount(df, targetBytes)
+    // with partition columns, hash on them so each partition value's
+    // rows concentrate in one task → ~one output file per value
+    val rep = if (partitionCols.isEmpty) df.repartition(n)
+      else df.repartition(n, partitionCols.map(col): _*)
+    val w = rep.write.mode("overwrite")
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+      .parquet(tmp.toString)
+    fs.create(new Path(tmp, s"_folded_upto=$m"), true).close()
+    finishFold(fs, rootP, tmp)
+    true
+  }
+
+  private def batchDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .flatMap { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith("batch=")) None
+        else name.drop("batch=".length).toLongOption.map(_ -> st.getPath)
+      }
+
+  private def stageMarker(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs.exists(tmp)) None
+    else fs.listStatus(tmp).map(_.getPath.getName)
+      .find(_.startsWith("_folded_upto="))
+      .flatMap(_.drop("_folded_upto=".length).toLongOption)
+
+  /** Swap a fully-staged fold in: delete originals ≤ m, rename. The
+    * marker rides inside the renamed dir (underscore-prefixed files are
+    * invisible to parquet readers) and is removed last, so there is no
+    * instant where the stage looks discardable while originals are
+    * already gone. */
+  private def finishFold(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path): Unit =
+    stageMarker(fs, tmp).foreach { m =>
+      batchDirs(fs, root).filter(_._1 <= m).foreach(d => fs.delete(d._2, true))
+      val live = new org.apache.hadoop.fs.Path(root, s"batch=$m")
+      fs.rename(tmp, live)
+      fs.delete(new org.apache.hadoop.fs.Path(live, s"_folded_upto=$m"), false)
+    }
+
+  private def resumeFold(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path): Unit =
+    stageMarker(fs, tmp) match {
+      case Some(_) if fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")) =>
+        finishFold(fs, root, tmp) // crashed mid-swap: stage is complete
+      case _ => fs.delete(tmp, true) // crashed mid-stage: originals intact
+    }
 }

@@ -148,6 +148,26 @@ object EmbedStream {
     }
   }
 
+  /** Small-file hygiene for the flat corpus store ([[start]]): fold the
+    * `batch=<id>` dirs with id < upTo into one compacted dir
+    * ([[graft.operators.Compaction.foldBatchDirs]] — layout-preserving,
+    * replay-safe, crash-safe). Safe `upTo` = the highest batch id
+    * present: only that batch can still replay, and its probes read
+    * strictly-earlier batches, all of which fold. Run it between
+    * micro-batches on the maintenance cadence. */
+  def compactCorpus(s: SparkSession, corpusDir: String, upTo: Long,
+      targetBytes: Long = 128L << 20): Boolean =
+    graft.operators.Compaction.foldBatchDirs(s, corpusDir, upTo, targetBytes)
+
+  /** [[compactCorpus]] for the stored IVF index ([[startIvf]]): folds
+    * `indexDir/lists/batch=*`, preserving the centroid_id partitioning
+    * the probes prune on — after the fold each centroid's list is ~one
+    * file instead of one per micro-batch. */
+  def compactIndex(s: SparkSession, indexDir: String, upTo: Long,
+      targetBytes: Long = 128L << 20): Boolean =
+    graft.operators.Compaction.foldBatchDirs(s, s"$indexDir/lists", upTo,
+      targetBytes, partitionCols = Seq("centroid_id"))
+
   /** Fixed centroids, initialized from the first non-empty batch (the
     * same idempotent-overwrite contract as [[loadOrInitSeeds]]). */
   private def loadOrInitCentroids(s: SparkSession, indexDir: String,

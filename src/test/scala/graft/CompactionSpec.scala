@@ -27,6 +27,62 @@ class CompactionSpec extends SparkSpec {
       frag.collect().map(_.toSeq).toSet)
   }
 
+  test("foldBatchDirs: deltas fold into one batch dir, rows and visibility kept") {
+    val root = java.nio.file.Files.createTempDirectory("fold").toString
+    (0L to 3L).foreach { b =>
+      spark.range(b * 100, b * 100 + 100)
+        .select(col("id"), md5(col("id").cast("string")).as("pay"))
+        .repartition(5).write.parquet(s"$root/batch=$b")
+    }
+    val before = spark.read.parquet(s"$root/batch=0", s"$root/batch=1",
+      s"$root/batch=2").collect().map(_.toSeq).toSet
+
+    // upTo=3: ids 0..2 fold into batch=2; batch=3 (the only id that may
+    // still replay) is untouched
+    assert(Compaction.foldBatchDirs(spark, root, upTo = 3L))
+    val dirs = new java.io.File(root).listFiles().map(_.getName).sorted.toSeq
+    assert(dirs == Seq("batch=2", "batch=3"), s"dirs after fold: $dirs")
+    val folded = spark.read.parquet(s"$root/batch=2")
+    assert(folded.collect().map(_.toSeq).toSet == before,
+      "strictly-before readers of the replay batch see identical rows")
+    assert(folded.inputFiles.length < 15,
+      s"compaction must shrink the 15 delta files: ${folded.inputFiles.length}")
+    // idempotent: a second pass has a single foldable dir → no-op
+    assert(!Compaction.foldBatchDirs(spark, root, upTo = 3L))
+  }
+
+  test("foldBatchDirs: a crash between delete and rename resumes losslessly") {
+    val root = java.nio.file.Files.createTempDirectory("foldcrash").toString
+    (0L to 2L).foreach { b =>
+      spark.range(b * 10, b * 10 + 10).select(col("id"))
+        .write.parquet(s"$root/batch=$b")
+    }
+    val all = spark.read.parquet(s"$root/batch=0", s"$root/batch=1")
+      .collect().map(_.getLong(0)).toSet
+
+    // hand-build the exact on-disk state of a fold that crashed after
+    // staging AND after deleting one original: stage = full union +
+    // marker + _SUCCESS, batch=0 already gone
+    spark.read.parquet(s"$root/batch=0", s"$root/batch=1")
+      .repartition(1).write.parquet(s"$root/compact.tmp")
+    new java.io.File(s"$root/compact.tmp/_folded_upto=1").createNewFile()
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    rm(java.nio.file.Paths.get(root, "batch=0"))
+
+    // the next maintenance pass completes the recorded swap first —
+    // with upTo=2 nothing NEW is foldable afterwards (just the
+    // resumed batch=1 plus the replayable batch=2)
+    assert(!Compaction.foldBatchDirs(spark, root, upTo = 2L))
+    val dirs = new java.io.File(root).listFiles().map(_.getName).sorted.toSeq
+    assert(dirs == Seq("batch=1", "batch=2"), s"dirs after resume: $dirs")
+    assert(spark.read.parquet(s"$root/batch=1").collect()
+      .map(_.getLong(0)).toSet == all, "no rows lost across the crash")
+  }
+
   test("zvalueN generalizes zvalue and interleaves three columns") {
     import spark.implicits._
     val df = Seq((3L, 5L, 9L)).toDF("x", "y", "w")

@@ -164,4 +164,66 @@ class EmbedStreamSpec extends SparkSpec {
     assert(scans.exists(l => l.contains("q8") && !l.contains("embedding")),
       s"no narrow probe scan:\n${scans.mkString("\n")}")
   }
+
+  test("store compaction: batch dirs fold, replays still reproduce their reports") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val frame = input.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val dir = java.nio.file.Files.createTempDirectory("embstream-compact").toString
+    val q = EmbedStream.start(spark, frame, s"$dir/corpus", s"$dir/reports",
+      s"$dir/ckpt", c = 4)
+    val batches = (0 until 3).map(b =>
+      (b * 10 until b * 10 + 10).map(i => (i.toLong + 100 * b, famVec(i % 4, i))))
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val before = spark.read.parquet(s"$dir/corpus/batch=0",
+      s"$dir/corpus/batch=1", s"$dir/corpus/batch=2")
+      .collect().map(_.toSeq).toSet
+    val r2 = spark.read.parquet(s"$dir/reports/batch=2")
+      .collect().map(_.toSeq).toSet
+
+    // fold everything the replayable batch (id 2) probes
+    assert(EmbedStream.compactCorpus(spark, s"$dir/corpus", upTo = 2L))
+    val dirs = new java.io.File(s"$dir/corpus").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(dirs == Seq("batch=1", "batch=2"), s"after fold: $dirs")
+    assert(spark.read.parquet(s"$dir/corpus/batch=1", s"$dir/corpus/batch=2")
+      .collect().map(_.toSeq).toSet == before, "fold keeps every stored row")
+
+    // a post-crash replay of batch 2 probes the compacted store and
+    // reproduces the exact pre-compaction report
+    val b2 = spark.read.parquet(s"$dir/corpus/batch=2")
+      .select(col("vec_id"), col("embedding"))
+    val (replay, _) = EmbedStream.reportFor(spark, b2, s"$dir/corpus", 2L, c = 4)
+    assert(replay.collect().map(_.toSeq).toSet == r2,
+      "replay over the compacted store must be byte-identical")
+
+    // same pass over the IVF store: centroid_id layout survives the fold
+    val input2 = MemoryStream[(Long, Seq[Float])]
+    val frame2 = input2.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val q2 = EmbedStream.startIvf(spark, frame2, s"$dir/index", s"$dir/ivfrep",
+      s"$dir/ckpt2", c = 4, k = 3, nprobe = 2)
+    try {
+      batches.foreach { b => input2.addData(b: _*); q2.processAllAvailable() }
+    } finally q2.stop()
+    val ivfR2 = spark.read.parquet(s"$dir/ivfrep/batch=2")
+      .collect().map(_.toSeq).toSet
+    assert(EmbedStream.compactIndex(spark, s"$dir/index", upTo = 2L))
+    val listDirs = new java.io.File(s"$dir/index/lists").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(listDirs == Seq("batch=1", "batch=2"), s"after fold: $listDirs")
+    assert(new java.io.File(s"$dir/index/lists/batch=1").listFiles()
+      .exists(_.getName.startsWith("centroid_id=")),
+      "folded lists keep the centroid_id partition layout")
+    val ib2 = spark.read.parquet(s"$dir/index/lists/batch=2")
+      .select(col("vec_id"), col("embedding"))
+    val (ivfReplay, _) = EmbedStream.ivfReportFor(spark, ib2, s"$dir/index", 2L,
+      c = 4, k = 3, nprobe = 2)
+    assert(ivfReplay.collect().map(_.toSeq).toSet == ivfR2,
+      "IVF replay over the compacted index must be byte-identical")
+  }
 }
