@@ -443,29 +443,40 @@ object VectorQueries {
     // boundary is a TakeOrdered top-k + 1-row agg, nothing corpus-sized
     // reaches the driver. n ≤ 1 is degenerate by contract: no corpus to
     // probe, empty report.
-    val n = emb.count()
-    val kBatch = math.ceil(n * 0.1).toInt
-    val thrRow = emb.orderBy(col("vec_id").desc).limit(kBatch)
-      .agg(min(col("vec_id"))).collect()(0)
-    val thr = if (thrRow.isNullAt(0)) Long.MaxValue else thrRow.getLong(0)
     // The corpus side's seeds + assignments persist ONCE per sf-dir (the
-    // stored-assignment discipline EmbedStream runs continuously); every
-    // probe after the first assigns only the arriving batch — per-probe
-    // work is O(batch × cluster members), independent of corpus size.
-    val dir = probeStores.getOrElseUpdate(d, {
+    // stored-assignment discipline EmbedStream runs continuously), along
+    // with the deterministic split boundary; every probe after the first
+    // assigns only the arriving batch — per-probe work is
+    // O(batch × cluster members), independent of corpus size.
+    val (dir, thr) = probeStores.getOrElseUpdate(d, {
+      val n = emb.count()
+      val kBatch = math.ceil(n * 0.1).toInt
+      val thrRow = emb.orderBy(col("vec_id").desc).limit(kBatch)
+        .agg(min(col("vec_id"))).collect()(0)
+      val thr0 = if (thrRow.isNullAt(0)) Long.MaxValue else thrRow.getLong(0)
       val tmp = java.nio.file.Files.createTempDirectory("graft_probe_store")
         .toString
-      writeAssignedCorpus(emb.filter(col("vec_id") < thr), tmp, c)
-      tmp
+      writeAssignedCorpus(emb.filter(col("vec_id") < thr0), tmp, c)
+      (tmp, thr0)
     })
     probeStored(s, emb.filter(col("vec_id") >= thr), dir, t)
       .orderBy(col("vec_id"))
   }
 
-  /** One probe store dir per sf-dir — bounded (a session sees a handful
-    * of sf-dirs), content under java.io.tmpdir like every spec fixture. */
+  /** One (probe store dir, split boundary) per sf-dir — bounded (a
+    * session sees a handful of sf-dirs), content under java.io.tmpdir
+    * like every spec fixture. */
   private val probeStores =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+
+  /** The loaded store relations, persisted per store dir (the same
+    * ingest-once / query-many lifecycle as [[Tables.embeddings]] — a
+    * production probe store keeps its hot assignments resident; without
+    * this every probe would re-decode the corpus-sized parquet). */
+  private val storeSeedsCache = Caches.register(
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+  private val storeAssignedCache = Caches.register(
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame])
 
   /** One-time persisted preparation of a probe corpus: the fixed seed
     * table under `dir/_seeds` and the full (vec_id, cluster_id,
@@ -477,7 +488,10 @@ object VectorQueries {
       c: Int = 16): Unit = {
     val seeds = seededCentroids(corpus, c).localCheckpoint()
     seeds.write.mode("overwrite").parquet(s"$dir/_seeds")
-    assignToSeeds(corpus, seeds, c)
+    // cluster-keyed layout: probes join on cluster_id, so store the
+    // corpus hashed by it (the flat-file twin of the IVF store's
+    // partitionBy(centroid_id))
+    assignToSeeds(corpus, seeds, c).repartition(col("cluster_id"))
       .write.mode("overwrite").parquet(s"$dir/assigned")
   }
 
@@ -488,11 +502,22 @@ object VectorQueries {
     * Report-identical to [[probeNewAgainstCorpus]] over the same data. */
   def probeStored(s: SparkSession, batch: DataFrame, dir: String,
       t: Double = 0.35): DataFrame = {
-    val seeds = s.read.parquet(s"$dir/_seeds")
-    val c = seeds.count().toInt // bounded: c rows by the codebook contract
-    probeAssignedCorpus(batch, seeds,
-      Some(s.read.parquet(s"$dir/assigned")), c, t)._1
+    val seeds = storeSeedsCache.getOrElseUpdate(dir,
+      s.read.parquet(s"$dir/_seeds").persist())
+    val assigned = storeAssignedCache.getOrElseUpdate(dir,
+      // re-spread on the probe-join key at cache fill: a small store
+      // reads back as one coalesced partition, which would serialize
+      // the per-cluster match join on a single task
+      s.read.parquet(s"$dir/assigned").repartition(col("cluster_id"))
+        .persist())
+    // c rides with the cache — bounded by the codebook contract, and
+    // counting the persisted 16-row frame per probe is a wasted job
+    val c = storeSeedCount.getOrElseUpdate(dir, seeds.count().toInt)
+    probeAssignedCorpus(batch, seeds, Some(assigned), c, t)._1
   }
+
+  private val storeSeedCount =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
 
   /** One-shot probe kernel — derives the stored artifacts in-flight:
     * corpus-seeded centroids, corpus assignment, then the shared
