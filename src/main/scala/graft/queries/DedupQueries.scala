@@ -791,17 +791,24 @@ object DedupQueries {
     * 100 TB the n-gram key would be a 128-bit hash instead of the string
     * (same plan, narrower shuffle); the string key here keeps the result
     * bit-exact against the DuckDB oracle. */
-  def qDedupSubstring(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, w) → the token-[[SubstringW]]-gram postings (doc_id, pos,
+    * g) — the one derivation the coverage report and the rewrite share. */
+  private def substringNgrams(toks: DataFrame): DataFrame = {
     val W = SubstringW
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-    val ng = toks
+    toks
       .filter(size(col("w")) >= W)
       .select(col("doc_id"), explode(
         transform(sequence(lit(1), size(col("w")) - (W - 1)),
           i => struct(i.as("pos"),
             concat_ws(" ", slice(col("w"), i, lit(W))).as("g")))).as("u"))
       .select(col("doc_id"), col("u.pos").as("pos"), col("u.g").as("g"))
+  }
+
+  def qDedupSubstring(s: SparkSession, d: String): DataFrame = {
+    val W = SubstringW
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+    val ng = substringNgrams(toks)
     val dup = ng.groupBy(col("g"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
@@ -843,6 +850,106 @@ object DedupQueries {
       |  coalesce(c.dup_tokens, 0)::BIGINT AS dup_tokens,
       |  round(coalesce(c.dup_tokens, 0) / len(w)::DOUBLE, 4) AS dup_frac
       |FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Duplicated-substring REMOVAL (the second half of Lee et al. 2022,
+    * arXiv:2107.06499 — [[qDedupSubstring]] measures the duplicated
+    * spans, this op actually cuts them and emits the cleaned document):
+    * every token covered by a corpus-duplicated [[SubstringW]]-gram is
+    * dropped and the survivors are re-joined in order; the gate hashes
+    * the reconstructed text, so a single mis-kept or mis-dropped token
+    * anywhere in the corpus fails the compare.
+    *
+    * Coverage is decided RELATIONALLY with no W× position explode: token
+    * rows (p, tag=1) and duplicated-gram occurrence rows (p, tag=0)
+    * union into one per-doc stream, and a running `max(occurrence p)`
+    * window gives each token the nearest occurrence at-or-before it —
+    * covered ⟺ that occurrence is < W positions back. One corpus-order
+    * token explode, the same postings shuffle as the measurement query,
+    * and one doc-keyed window: every exchange is keyed by doc_id or the
+    * gram, never doc×doc. At 100 TB the reconstruction agg is the same
+    * ordered-concat hash-agg shape as the chunk rollup (array_sort over
+    * collect_list — a single combinable aggregation, no second window).
+    */
+  def qDedupSubstringRewrite(s: SparkSession, d: String): DataFrame = {
+    val W = SubstringW
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+    val ng = substringNgrams(toks)
+    val dup = ng.groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("g"))
+    val occ = ng.join(dup, "g")
+      .select(col("doc_id"), col("pos").as("p"), lit(0).as("tag"),
+        lit(null).cast("string").as("tok"))
+    val tokRows = toks
+      .select(col("doc_id"), posexplode(col("w")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), lit(1).as("tag"),
+        col("col").as("tok"))
+    val ww = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"), col("tag"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val kept = tokRows.unionByName(occ)
+      .withColumn("last_occ", max(when(col("tag") === 0, col("p"))).over(ww))
+      .filter(col("tag") === 1 &&
+        (col("last_occ").isNull || col("p") - col("last_occ") >= W))
+    val agg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+            x => x.getField("tok")))).as("clean_md5"))
+    toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        (col("n_tokens") - col("n_kept")).as("n_removed"),
+        round((col("n_tokens") - col("n_kept")).cast("double") /
+          col("n_tokens"), 4).as("removed_frac"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Same union+running-max coverage decision, token by token, so both
+    * engines keep byte-identical survivor sets before hashing. */
+  val qDedupSubstringRewriteSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents),
+      |ng AS (
+      |  SELECT doc_id, unnest([{'pos': i, 'g': array_to_string(w[i:i+7], ' ')}
+      |    FOR i IN range(1, len(w)-6)], recursive := true)
+      |  FROM tok WHERE len(w) >= 8),
+      |dup AS (SELECT g FROM ng GROUP BY g HAVING count(*) >= 2),
+      |occ AS (
+      |  SELECT ng.doc_id AS doc_id, ng.pos AS p, 0 AS tag, NULL::VARCHAR AS tok
+      |  FROM ng JOIN dup USING (g)),
+      |t AS (
+      |  SELECT doc_id, unnest([{'p': i, 'tok': w[i]}
+      |    FOR i IN range(1, len(w)+1)], recursive := true)
+      |  FROM tok),
+      |u AS (
+      |  SELECT doc_id, p, 1 AS tag, tok FROM t
+      |  UNION ALL SELECT doc_id, p, tag, tok FROM occ),
+      |m AS (
+      |  SELECT doc_id, p, tag, tok,
+      |    max(CASE WHEN tag = 0 THEN p END) OVER (
+      |      PARTITION BY doc_id ORDER BY p, tag
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) last_occ
+      |  FROM u),
+      |kept AS (
+      |  SELECT doc_id, p, tok FROM m
+      |  WHERE tag = 1 AND (last_occ IS NULL OR p - last_occ >= 8)),
+      |agg AS (
+      |  SELECT doc_id, count(*)::BIGINT n_kept,
+      |    md5(string_agg(tok, ' ' ORDER BY p)) clean_md5
+      |  FROM kept GROUP BY 1)
+      |SELECT tok.doc_id AS doc_id, len(w)::BIGINT AS n_tokens,
+      |  coalesce(n_kept, 0)::BIGINT AS n_kept,
+      |  (len(w) - coalesce(n_kept, 0))::BIGINT AS n_removed,
+      |  round((len(w) - coalesce(n_kept, 0)) / len(w)::DOUBLE, 4) AS removed_frac,
+      |  coalesce(clean_md5, md5('')) AS clean_md5
+      |FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id
       |ORDER BY doc_id""".stripMargin
 
   /** Soft dedup — dedup-aware sampling weights instead of hard removal:
@@ -1057,6 +1164,7 @@ object DedupQueries {
     "dd_simhash_clusters" -> (qDedupClusters _),
     "dd_simhash_clusters_stars" -> (qDedupClustersStars _),
     "dd_substring" -> (qDedupSubstring _),
+    "dd_substring_rewrite" -> (qDedupSubstringRewrite _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1078,5 +1186,6 @@ object DedupQueries {
     "dd_simhash_clusters" -> qDedupClustersSql,
     "dd_simhash_clusters_stars" -> qDedupClustersSql, // CC variants agree
     "dd_substring" -> qDedupSubstringSql,
+    "dd_substring_rewrite" -> qDedupSubstringRewriteSql,
   )
 }

@@ -185,6 +185,173 @@ object SearchQueries {
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Weighted-query BM25: same saturation/idf arithmetic as
+    * [[bm25Scores]], but each (query_id, term) carries a weight that
+    * scales its contribution — the scoring half of relevance-model query
+    * expansion. qtermsW = (query_id, term, wt), small, broadcast. */
+  private def bm25ScoresWeighted(docs: DataFrame, qtermsW: DataFrame): DataFrame = {
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val postings = docs
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .join(broadcast(qtermsW), "term")
+      .groupBy(col("query_id"), col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"), max(col("wt")).as("wt"))
+    val dfreq = postings.select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    postings
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        col("wt") * col("idf") * (col("tf") * lit(K1 + 1)) /
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("contrib")), 4).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** Feedback docs / expansion terms / interpolation weight for RM3. */
+  private val FbDocs = 10
+  private val ExpTerms = 8
+  private val Lambda = 0.5
+
+  /** RM3 pseudo-relevance-feedback query expansion (Lavrenko & Croft
+    * 2001, "Relevance-Based Language Models", SIGIR; the RM3
+    * interpolation form from Abdul-Jaleel et al. 2004, TREC — both
+    * public papers): run BM25, take the top-[[FbDocs]] feedback docs per
+    * query, estimate a relevance model p(t|R) ∝ Σ_d (tf_{t,d}/dl_d)·s_d
+    * over them, pick the top-[[ExpTerms]] non-query terms, interpolate
+    * original and expansion weights λ : (1−λ), and re-score the corpus
+    * with the weighted query. Output: final top-5 per query.
+    *
+    * Scale shape — the expansion machinery never touches corpus-scale
+    * data un-pruned: both corpus passes prune the token stream with a
+    * BROADCAST term-table join before aggregating (the [[bm25Scores]]
+    * shape), the feedback-doc token pull broadcasts the Q×[[FbDocs]]
+    * feedback table into the scan, and every intermediate relation
+    * between the passes is O(Q · terms) rows. Two passes over the corpus
+    * is the intrinsic cost of pseudo-relevance feedback (the second pass
+    * needs postings for terms unknown until the first completes); a
+    * served deployment replaces both with stored-index probes
+    * ([[qBm25Stored]]'s bucket-pruned scan) and keeps stages 2–3
+    * unchanged.
+    *
+    * Cross-engine determinism: relevance-model weights are rounded to
+    * 6 dp BEFORE ranking/normalizing (term tiebreak), final weights
+    * rounded to 6 dp, scores to 4 dp with doc_id tiebreak — so both
+    * engines select identical expansion terms and identical rankings. */
+  def qBm25Rm3(s: SparkSession, d: String): DataFrame = {
+    val docs = tokenized(s, d)
+    val (_, qterms) = queryTerms(s, Bm25Queries)
+    // stage 1: feedback docs = BM25 top-FbDocs per query
+    val wfb = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val fb = bm25Scores(docs, qterms)
+      .withColumn("r", row_number().over(wfb))
+      .filter(col("r") <= FbDocs)
+      .select(col("query_id"), col("doc_id"), col("score"))
+    // stage 2: relevance model over the feedback docs' tokens
+    val fbt = docs
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .join(broadcast(fb), "doc_id")
+      .groupBy(col("query_id"), col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
+        max(col("score")).as("score"))
+    val wts = fbt.groupBy(col("query_id"), col("term"))
+      .agg(round(sum(col("tf") * col("score") / col("dl")), 6).as("wt"))
+    val wexp = Window.partitionBy(col("query_id"))
+      .orderBy(col("wt").desc, col("term"))
+    val sel = wts.join(qterms, Seq("query_id", "term"), "left_anti")
+      .withColumn("r", row_number().over(wexp))
+      .filter(col("r") <= ExpTerms)
+      .select(col("query_id"), col("term"), col("wt"))
+    // stage 3: interpolate λ·uniform(original) + (1−λ)·normalized(expansion)
+    val qcnt = qterms.groupBy(col("query_id")).agg(count(lit(1)).as("c"))
+    val orig = qterms.join(qcnt, "query_id")
+      .select(col("query_id"), col("term"),
+        round(lit(Lambda) / col("c"), 6).as("wt"))
+    val norm = sel.groupBy(col("query_id")).agg(sum(col("wt")).as("s"))
+    val expw = sel.join(norm, "query_id")
+      .select(col("query_id"), col("term"),
+        round(lit(1 - Lambda) * col("wt") / col("s"), 6).as("wt"))
+    val scored = bm25ScoresWeighted(docs, orig.unionByName(expw))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score"), col("n_terms_hit"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qBm25Rm3Sql: String = {
+    val values = Bm25Queries
+      .map { case (id, q) => s"(${id}::BIGINT, '$q')" }.mkString(", ")
+    s"""WITH ${bm25Sql(
+      s"""q(query_id, qtext) AS (VALUES $values),
+         |qt AS (
+         |  SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) term
+         |  FROM q)""".stripMargin)},
+       |fb AS (
+       |  SELECT query_id, doc_id, score FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score DESC, doc_id) r
+       |    FROM bm25) WHERE r <= $FbDocs),
+       |fbt AS (
+       |  SELECT fb.query_id, t.term, t.doc_id,
+       |    count(*) tf, max(t.dl) dl, max(fb.score) score
+       |  FROM (SELECT doc_id, dl, unnest(w) term FROM d2) t
+       |  JOIN fb USING (doc_id)
+       |  GROUP BY 1, 2, 3),
+       |wts AS (
+       |  SELECT query_id, term, round(sum(tf * score / dl), 6) wt
+       |  FROM fbt GROUP BY 1, 2),
+       |sel AS (
+       |  SELECT query_id, term, wt FROM (
+       |    SELECT w.*, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY wt DESC, term) r
+       |    FROM wts w
+       |    WHERE NOT EXISTS (SELECT 1 FROM qt
+       |      WHERE qt.query_id = w.query_id AND qt.term = w.term))
+       |  WHERE r <= $ExpTerms),
+       |qcnt AS (SELECT query_id, count(*) c FROM qt GROUP BY 1),
+       |norm AS (SELECT query_id, sum(wt) s FROM sel GROUP BY 1),
+       |qtw AS (
+       |  SELECT qt.query_id, qt.term, round($Lambda::DOUBLE / c, 6) wt
+       |  FROM qt JOIN qcnt USING (query_id)
+       |  UNION ALL
+       |  SELECT sel.query_id, sel.term,
+       |    round(${1 - Lambda}::DOUBLE * wt / s, 6)
+       |  FROM sel JOIN norm USING (query_id)),
+       |post2 AS (
+       |  SELECT qtw.query_id, qtw.term, t.doc_id, t.dl,
+       |    count(*) tf, max(qtw.wt) wt
+       |  FROM (SELECT doc_id, dl, unnest(w) term FROM d2) t
+       |  JOIN qtw ON t.term = qtw.term
+       |  GROUP BY 1, 2, 3, 4),
+       |dfreq2 AS (
+       |  SELECT term, count(*) df
+       |  FROM (SELECT DISTINCT term, doc_id FROM post2) GROUP BY 1),
+       |rm3 AS (
+       |  SELECT query_id, doc_id,
+       |    round(sum(wt *
+       |      ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)) *
+       |      (tf * ${K1 + 1}::DOUBLE) /
+       |      (tf + $K1::DOUBLE * (${1 - B}::DOUBLE + $B::DOUBLE * dl / avgdl))), 4) score,
+       |    count(*) n_terms_hit
+       |  FROM post2 JOIN dfreq2 USING (term), stats
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank::INTEGER AS rank, doc_id, score, n_terms_hit
+       |FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) rank
+       |  FROM rm3)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Hybrid retrieval: dense cosine top-20 and sparse BM25 top-20 fused by
     * reciprocal rank (k=60), top-10 per query. Query docs are ids 0..4:
     * the dense side uses their embedding vectors, the sparse side their
@@ -405,6 +572,7 @@ object SearchQueries {
     "ks_bm25_stored" -> (qBm25Stored _),
     "ks_bm25_deltas" -> (qBm25Deltas _),
     "ks_hybrid_rrf" -> (qHybridRrf _),
+    "ks_rm3" -> (qBm25Rm3 _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -416,5 +584,6 @@ object SearchQueries {
     // merged from per-batch deltas
     "ks_bm25_deltas" -> qBm25Sql,
     "ks_hybrid_rrf" -> qHybridRrfSql,
+    "ks_rm3" -> qBm25Rm3Sql,
   )
 }

@@ -88,6 +88,49 @@ class DedupDispatchSpec extends SparkSpec {
     assert(out(4L) == ((16L, 16L, 1.0)), "within-doc repeat covers both copies")
   }
 
+  test("substring rewrite: cleaned text is exact on the crafted corpus") {
+    import spark.implicits._
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // same corpus as the coverage fixture; expectations are the cleaned
+    // TEXTS, so the keep/drop decision and reassembly are value-checked
+    val docs = Seq(
+      (0L, "a b c d e f g h i j", "en", "web", 19L),
+      (1L, "a b c d e f g h i j", "en", "web", 19L),
+      (2L, "a b c d e f g h x y", "en", "web", 19L),
+      (3L, "u1 u2 u3 u4 u5 u6 u7", "en", "web", 20L),
+      (4L, "p q r s t u v w p q r s t u v w", "en", "web", 31L))
+    val dir = java.nio.file.Files.createTempDirectory("ddsubrw").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = DedupQueries.qDedupSubstringRewrite(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(5)))).toMap
+    assert(out(0L) == ((10L, 0L, 10L, md5(""))), "exact dup fully removed")
+    assert(out(1L) == ((10L, 0L, 10L, md5(""))))
+    assert(out(2L) == ((10L, 2L, 8L, md5("x y"))),
+      "shared leading 8-gram cut, unique tail survives in order")
+    assert(out(3L) == ((7L, 7L, 0L, md5("u1 u2 u3 u4 u5 u6 u7"))),
+      "below-threshold doc unchanged")
+    assert(out(4L) == ((16L, 0L, 16L, md5(""))),
+      "within-doc repeat removes both copies")
+  }
+
+  test("substring rewrite removal count equals the measurement query corpus-wide") {
+    // the two operators decide coverage with DIFFERENT relational programs
+    // (lag-window interval union vs union+running-max) — their per-doc
+    // token counts agreeing on real data is a strong cross-check of both
+    val measured = DedupQueries.qDedupSubstring(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rewritten = DedupQueries.qDedupSubstringRewrite(spark, sf).collect()
+    assert(rewritten.nonEmpty)
+    rewritten.foreach { r =>
+      assert(r.getLong(3) == measured(r.getLong(0)),
+        s"doc ${r.getLong(0)}: removed ${r.getLong(3)} != dup ${measured(r.getLong(0))}")
+    }
+  }
+
   test("substring spans at sf0.01: coverage invariants hold corpus-wide") {
     val sf = "/root/testdata/sf0.01"
     val rows = DedupQueries.qDedupSubstring(spark, sf).collect()

@@ -99,6 +99,100 @@ class SearchQueriesSpec extends SparkSpec {
     }
   }
 
+  /** Full RM3 reference (driver-side, mirrors the operator's rounding) on
+    * a corpus small enough to hand-trace. */
+  private def rm3Ref(corpus: Seq[(Long, String)], queries: Seq[(Long, Seq[String])],
+      fbDocs: Int = 10, expTerms: Int = 8, lambda: Double = 0.5)
+      : Map[(Long, Long), Double] = {
+    def rnd(x: Double, p: Int): Double =
+      BigDecimal(x).setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val toks = corpus.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq }.toMap
+    val n = corpus.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    queries.flatMap { case (qid, qts) =>
+      val terms = qts.distinct
+      def bm25(weights: Seq[(String, Double)]): Map[Long, Double] =
+        toks.flatMap { case (id, w) =>
+          val s = weights.map { case (t, wt) =>
+            val tf = w.count(_ == t).toDouble
+            if (tf == 0) 0.0
+            else {
+              val df = toks.values.count(_.contains(t)).toDouble
+              val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+              wt * idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * w.size / avgdl))
+            }
+          }.sum
+          if (s > 0) Some(id -> rnd(s, 4)) else None
+        }
+      val fb = bm25(terms.map(_ -> 1.0)).toSeq
+        .sortBy { case (id, s) => (-s, id) }.take(fbDocs)
+      val wts = fb.flatMap { case (id, s) =>
+        val w = toks(id)
+        w.distinct.map(t => t -> w.count(_ == t).toDouble / w.size * s)
+      }.groupBy(_._1).view.mapValues(v => rnd(v.map(_._2).sum, 6)).toMap
+      val sel = wts.filterNot { case (t, _) => terms.contains(t) }.toSeq
+        .sortBy { case (t, wt) => (-wt, t) }.take(expTerms)
+      val sum = sel.map(_._2).sum
+      val weights = terms.map(_ -> rnd(lambda / terms.size, 6)) ++
+        sel.map { case (t, wt) => t -> rnd((1 - lambda) * wt / sum, 6) }
+      bm25(weights).toSeq.sortBy { case (id, s) => (-s, id) }.take(5)
+        .map { case (id, s) => (qid, id) -> s }
+    }.toMap
+  }
+
+  test("RM3 expansion matches the driver-side reference on a fixture corpus") {
+    import spark.implicits._
+    // enough lexical structure that feedback docs introduce NEW terms:
+    // "hash join" retrieves docs 0/1/3/4 whose other tokens (sort, merge,
+    // window, scan, table, probe) become the expansion candidates
+    val corpus: Seq[(Long, String)] = Seq(
+      0L -> "hash join hash join probe",
+      1L -> "hash join sort merge window scan",
+      2L -> "sort merge window scan batch",
+      3L -> "join probe table scan",
+      4L -> "hash table probe build",
+      5L -> "filter project exchange batch")
+    val dir = java.nio.file.Files.createTempDirectory("rm3fix").toString
+    corpus.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = SearchQueries.qBm25Rm3(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val want = rm3Ref(corpus,
+      SearchQueries.Bm25Queries.map { case (id, q) => id -> q.split(" ").toSeq })
+    assert(got.keySet == want.keySet,
+      s"result sets differ:\n got ${got.keySet}\nwant ${want.keySet}")
+    got.foreach { case (k, s) =>
+      assert(math.abs(s - want(k)) < 1e-3, s"$k: $s vs ${want(k)}")
+    }
+    // expansion must actually move the needle: some returned doc scores on
+    // expansion terms it shares with the feedback set even when it misses
+    // every original query term (doc 5 shares no term with any query 0
+    // feedback doc, docs 2/3/4 ride expansion terms into query 0's list)
+    val q0 = got.keySet.collect { case (0L, d) => d }
+    assert(q0.exists(d => !Seq("hash", "join").exists(t =>
+      corpus.toMap.apply(d).split(" ").contains(t))),
+      s"query 0 top-5 $q0 must include an expansion-only doc")
+  }
+
+  test("RM3 scale shape: both corpus passes broadcast-prune; no cartesian") {
+    val df = SearchQueries.qBm25Rm3(spark, sf)
+    df.collect()
+    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), "no cartesian anywhere")
+    // every join that touches the corpus-sized token stream is broadcast
+    // (feedback pull, term prune in both passes, df/stats attachment)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
+      s"expected >=4 broadcast joins in the two-pass plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side joins must not shuffle-sort:\n$plan")
+  }
+
   test("stored-index BM25: identical output; term filter pushed into the postings scan") {
     val direct = SearchQueries.qBm25(spark, sf).collect().toSeq
     val df = SearchQueries.qBm25Stored(spark, sf)
