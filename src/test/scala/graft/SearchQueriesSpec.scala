@@ -193,6 +193,34 @@ class SearchQueriesSpec extends SparkSpec {
       s"corpus-side joins must not shuffle-sort:\n$plan")
   }
 
+  test("stored-index RM3: identical output; expanded terms pushed into the probe scan") {
+    val direct = SearchQueries.qBm25Rm3(spark, sf).collect().toSeq
+    val df = SearchQueries.qBm25Rm3Stored(spark, sf)
+    val stored = df.collect().toSeq
+    assert(stored == direct, "index-served RM3 must equal the direct scan")
+    // the final (stage-3) probe carries the EXPANDED term set as pushed
+    // In(term,…) literals — the plan is a pruned index scan, and the
+    // expansion genuinely widened it beyond the original query terms
+    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"expanded terms must push into the postings scan:\n$plan")
+    val pushed = "In\\(term, \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    val nPushed = pushed.split(",").length
+    val nOrig = SearchQueries.Bm25Queries.flatMap(_._2.split(" ")).distinct.size
+    assert(nPushed > nOrig,
+      s"stage-3 probe should carry expansion terms too: $nPushed <= $nOrig")
+    // the forward table serves by-document pulls as a bucket-pruned probe
+    val idx = SearchQueries.bm25Index(spark, sf)
+    val fwd = spark.table(idx.fwdTable).filter(col("doc_id") === 0L)
+    fwd.collect()
+    val fplan = fwd.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(fplan.contains("SelectedBucketsCount: 1 out of 8"),
+      s"by-doc pull must bucket-prune the forward index:\n$fplan")
+  }
+
   test("stored-index BM25: identical output; term filter pushed into the postings scan") {
     val direct = SearchQueries.qBm25(spark, sf).collect().toSeq
     val df = SearchQueries.qBm25Stored(spark, sf)
