@@ -380,6 +380,62 @@ object TextQueries {
       |FROM norm n LEFT JOIN perdoc p ON n.doc_id = p.doc_id CROSS JOIN tot
       |ORDER BY doc_id""".stripMargin
 
+  /** CCNet head/middle/tail bucketing (Wenzek et al. 2020 — the paper's
+    * actual output artifact: each language's corpus split into perplexity
+    * terciles, head = most-fluent third kept for LM training, tail
+    * discarded or down-weighted). The LM score is [[qCharLmBits]]'s
+    * char-trigram bits; the tercile is an `ntile(3)` per language,
+    * total-ordered on (bits NULLS FIRST, doc_id) so assignment is
+    * deterministic and engine-identical (sub-3-char docs carry null bits
+    * and land in the head by that explicit rule — both engines must
+    * spell NULLS FIRST, Spark and DuckDB default opposite ways).
+    *
+    * Scale shape: the scoring pass is [[qCharLmBits]]'s (broadcast model,
+    * zero corpus shuffle); bucketing adds ONE window shuffle partitioned
+    * by lang — the same per-language exchange any per-language curation
+    * step pays, and skew across languages is bounded by the corpus's
+    * language mix, not by any single key. */
+  def qCcnetBuckets(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("bits").asc_nulls_first, col("doc_id"))
+    qCharLmBits(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .withColumn("tier", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("bits"),
+        col("tier"),
+        when(col("tier") === 1, lit("head"))
+          .when(col("tier") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qCcnetBucketsSql: String =
+    """WITH norm AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t
+      |  FROM documents),
+      |tri AS (
+      |  SELECT doc_id, unnest([substr(t, i, 3) FOR i IN range(1, len(t)-1)]) g
+      |  FROM norm WHERE len(t) >= 3),
+      |cnt AS (SELECT g, count(*) c FROM tri GROUP BY 1),
+      |tot AS (SELECT sum(c) s FROM cnt),
+      |perdoc AS (
+      |  SELECT tri.doc_id AS doc_id, count(*) n_tris, avg(log2(c)) al
+      |  FROM tri JOIN cnt USING (g) GROUP BY 1),
+      |bits AS (
+      |  SELECT n.doc_id AS doc_id, round(log2(s) - al, 4) AS bits
+      |  FROM norm n LEFT JOIN perdoc p ON n.doc_id = p.doc_id CROSS JOIN tot),
+      |tiers AS (
+      |  SELECT b.doc_id, d.lang, b.bits,
+      |    ntile(3) OVER (PARTITION BY d.lang
+      |      ORDER BY b.bits ASC NULLS FIRST, b.doc_id) tier
+      |  FROM bits b JOIN documents d ON b.doc_id = d.doc_id)
+      |SELECT doc_id, lang, bits, tier::INTEGER AS tier,
+      |  CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+      |    ELSE 'tail' END AS bucket
+      |FROM tiers ORDER BY doc_id""".stripMargin
+
   /** PII redaction pass (the pre-filter every training-data pipeline
     * runs): per-source detection counts and the characters removed by
     * redaction. The synthetic corpus carries no PII, so the harness
@@ -633,6 +689,7 @@ object TextQueries {
     "td_quality_rules" -> (qQualityRules _),
     "td_c4_clean" -> (qC4Clean _),
     "td_charlm_bits" -> (qCharLmBits _),
+    "td_ccnet_buckets" -> (qCcnetBuckets _),
     "td_quality_tiers" -> (qQualityTiers _),
   )
 
@@ -650,6 +707,7 @@ object TextQueries {
     "td_quality_rules" -> qQualityRulesSql,
     "td_c4_clean" -> qC4CleanSql,
     "td_charlm_bits" -> qCharLmBitsSql,
+    "td_ccnet_buckets" -> qCcnetBucketsSql,
     "td_quality_tiers" -> qQualityTiersSql,
   )
 }

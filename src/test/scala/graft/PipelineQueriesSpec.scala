@@ -117,6 +117,43 @@ class PipelineQueriesSpec extends SparkSpec {
       s"trigram model must broadcast:\n${plan.linesIterator.take(25).mkString("\n")}")
   }
 
+  test("CCNet buckets: tercile assignment equals a driver-side recomputation") {
+    val sf = "/root/testdata/sf0.001"
+    // the score relation the buckets derive from
+    val bits = graft.queries.TextQueries.qCharLmBits(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val lang = graft.queries.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // ntile(3) semantics: per lang, sort (bits NULLS FIRST, doc_id); the
+    // first n mod 3 terciles take one extra row
+    val want = lang.groupBy(_._2).flatMap { case (_, docs) =>
+      val ordered = docs.keys.toSeq
+        .sortBy(id => (bits(id).isDefined, bits(id).getOrElse(0.0), id))
+      val n = ordered.size
+      val base = n / 3
+      val sizes = (0 until 3).map(i => base + (if (i < n % 3) 1 else 0))
+      val bounds = sizes.scanLeft(0)(_ + _)
+      ordered.zipWithIndex.map { case (id, i) =>
+        id -> bounds.indexWhere(_ > i)
+      }
+    }
+    val got = graft.queries.TextQueries.qCcnetBuckets(spark, sf).collect()
+    assert(got.length == lang.size, "one row per doc")
+    got.foreach { r =>
+      val (id, tier, bucket) = (r.getLong(0), r.getInt(3), r.getString(4))
+      assert(tier == want(id), s"doc $id: tier $tier != ${want(id)}")
+      assert(bucket == Seq("head", "middle", "tail")(tier - 1))
+    }
+    // terciles are balanced within each language (ntile's contract)
+    got.groupBy(_.getString(1)).foreach { case (l, rs) =>
+      val sizes = rs.groupBy(_.getInt(3)).view.mapValues(_.size).values.toSeq
+      assert(sizes.max - sizes.min <= 1, s"lang $l terciles unbalanced: $sizes")
+    }
+  }
+
   test("DSIR: target-like raw docs outrank raw-vocabulary docs and get selected") {
     import spark.implicits._
     // target sources speak vocabulary A; raw docs speak vocabulary B —
