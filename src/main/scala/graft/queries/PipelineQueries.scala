@@ -420,6 +420,80 @@ object PipelineQueries {
       .orderBy(col("stage"))
   }
 
+  /** Round-7 curation funnel — the composed pipeline a curator actually
+    * runs with the NEW operators, in the order the cheap filters prune
+    * for the expensive ones: C4 line cleaning keeps the doc
+    * ([[TextQueries.qC4Clean]]), its duplicated-span fraction stays
+    * under 0.5 ([[DedupQueries.qDedupSubstring]]'s coverage — the same
+    * relation the rewrite removes), it sits in CCNet's head or middle
+    * tercile ([[TextQueries.qCcnetBuckets]]), and it wins exact dedup
+    * among the survivors (min doc_id per fingerprint). Same
+    * one-annotated-frame + stack shape as [[qFilterFunnel]] (stage
+    * unions would re-evaluate the expensive subtrees per branch). The
+    * tercile is computed corpus-wide, then filtered — the CCNet artifact
+    * is corpus-relative by definition. */
+  def qCurationFunnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val flags = docs
+      .join(TextQueries.qC4Clean(s, d)
+        .select(col("doc_id"), col("c4_keep")), "doc_id")
+      .join(DedupQueries.qDedupSubstring(s, d)
+        .select(col("doc_id"), col("dup_frac")), "doc_id")
+      .join(TextQueries.qCcnetBuckets(s, d)
+        .select(col("doc_id"), col("tier")), "doc_id")
+      .withColumn("span_ok", col("c4_keep") && col("dup_frac") <= 0.5)
+      .withColumn("tier_ok", col("span_ok") && col("tier") <= 2)
+      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fp"), col("tier_ok")).orderBy(col("doc_id"))))
+      .withColumn("kept", col("tier_ok") && col("rn") === 1)
+    flags.agg(
+      count(lit(1)).as("c0"),
+      sum(when(col("c4_keep"), 1L).otherwise(0L)).as("c1"),
+      sum(when(col("span_ok"), 1L).otherwise(0L)).as("c2"),
+      sum(when(col("tier_ok"), 1L).otherwise(0L)).as("c3"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("c4"))
+      .select(expr(
+        """stack(5, '0_raw', c0, '1_c4', c1, '2_span', c2,
+          |'3_tercile', c3, '4_dedup', c4) as (stage, n_docs)""".stripMargin))
+      .orderBy(col("stage"))
+  }
+
+  // the sub-oracles are spliced AFTER stripMargin: qC4CleanSql contains
+  // `||` concatenations at line starts, and an outer stripMargin would
+  // strip their first pipe
+  val qCurationFunnelSql: String =
+    s"""WITH c4 AS (
+       |  SELECT doc_id, c4_keep FROM (@C4@)),
+       |sub AS (
+       |  SELECT doc_id, dup_frac FROM (@SUB@)),
+       |cc AS (
+       |  SELECT doc_id, tier FROM (@CC@)),
+       |flags AS (
+       |  SELECT d.doc_id, d.text, c4.c4_keep,
+       |    (c4.c4_keep AND sub.dup_frac <= 0.5::DOUBLE) span_ok,
+       |    (c4.c4_keep AND sub.dup_frac <= 0.5::DOUBLE AND cc.tier <= 2) tier_ok
+       |  FROM documents d
+       |  JOIN c4 ON d.doc_id = c4.doc_id
+       |  JOIN sub ON d.doc_id = sub.doc_id
+       |  JOIN cc ON d.doc_id = cc.doc_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+       |      tier_ok
+       |    ORDER BY doc_id) rn
+       |  FROM flags)
+       |SELECT '0_raw' AS stage, count(*)::BIGINT AS n_docs FROM ranked
+       |UNION ALL SELECT '1_c4', sum(CASE WHEN c4_keep THEN 1 ELSE 0 END)::BIGINT FROM ranked
+       |UNION ALL SELECT '2_span', sum(CASE WHEN span_ok THEN 1 ELSE 0 END)::BIGINT FROM ranked
+       |UNION ALL SELECT '3_tercile', sum(CASE WHEN tier_ok THEN 1 ELSE 0 END)::BIGINT FROM ranked
+       |UNION ALL SELECT '4_dedup', sum(CASE WHEN tier_ok AND rn = 1 THEN 1 ELSE 0 END)::BIGINT FROM ranked
+       |ORDER BY stage""".stripMargin
+      .replace("@C4@", TextQueries.qC4CleanSql)
+      .replace("@SUB@", DedupQueries.qDedupSubstringSql)
+      .replace("@CC@", TextQueries.qCcnetBucketsSql)
+
   val qFilterFunnelSql: String =
     s"""WITH qr AS (SELECT doc_id, gopher_pass FROM (${TextQueries.qQualityRulesSql})),
        |train AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
@@ -778,6 +852,7 @@ object PipelineQueries {
     "td_pack_sequences" -> (qPackSequences _),
     "td_mix_temperature" -> ((s: SparkSession, d: String) => qMixTemperature(s, d)),
     "td_filter_funnel" -> (qFilterFunnel _),
+    "td_curation_funnel" -> (qCurationFunnel _),
     "td_weighted_sample" -> ((s: SparkSession, d: String) => qWeightedSample(s, d)),
     "td_dsir" -> ((s: SparkSession, d: String) => qDsirWeights(s, d)),
     "td_zorder" -> (qZorderValues _),
@@ -795,6 +870,7 @@ object PipelineQueries {
     "td_pack_sequences" -> qPackSequencesSql,
     "td_mix_temperature" -> qMixTemperatureSql,
     "td_filter_funnel" -> qFilterFunnelSql,
+    "td_curation_funnel" -> qCurationFunnelSql,
     "td_weighted_sample" -> qWeightedSampleSql,
     "td_dsir" -> qDsirWeightsSql,
     "td_zorder" -> qZorderValuesSql,

@@ -536,20 +536,24 @@ object SearchQueries {
       reclaimOrphanTables(s,
         Seq(idx.postingsTable, idx.dfreqTable, idx.fwdTable))
       val docs = tokenized(s, d)
-      val postings = docs
+      docs
         .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
         .groupBy(col("term"), col("doc_id"), col("dl"))
         .agg(count(lit(1)).as("tf"))
-      postings
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "term").sortBy("term", "doc_id")
         .saveAsTable(idx.postingsTable)
-      postings.groupBy(col("term"))
+      // derive the companion tables from the stored postings — the
+      // tokenize+explode pass runs ONCE; dfreq aggregates a zero-exchange
+      // bucketed read, and the forward copy is a re-bucket of the stored
+      // rows, not a recomputation
+      val stored = s.table(idx.postingsTable)
+      stored.groupBy(col("term"))
         .agg(countDistinct(col("doc_id")).as("df"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "term").sortBy("term")
         .saveAsTable(idx.dfreqTable)
-      postings
+      stored
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "doc_id").sortBy("doc_id", "term")
         .saveAsTable(idx.fwdTable)

@@ -136,7 +136,9 @@ object IndexStream {
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "term").sortBy("term")
       .saveAsTable(idx.dfreqTable)
-    postings(s, indexDir)
+    // forward copy re-buckets the STORED postings (one delta-merge pass
+    // above, not two)
+    s.table(idx.postingsTable)
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "doc_id").sortBy("doc_id", "term")
       .saveAsTable(idx.fwdTable)

@@ -117,6 +117,23 @@ class PipelineQueriesSpec extends SparkSpec {
       s"trigram model must broadcast:\n${plan.linesIterator.take(25).mkString("\n")}")
   }
 
+  test("curation funnel: monotone stages that agree with the standalone operators") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = PipelineQueries.qCurationFunnel(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("0_raw", "1_c4", "2_span", "3_tercile", "4_dedup"))
+    val ordered = Seq("0_raw", "1_c4", "2_span", "3_tercile", "4_dedup").map(rows)
+    assert(ordered.sliding(2).forall(p => p(0) >= p(1)),
+      s"funnel must be non-increasing: $ordered")
+    assert(ordered.last > 0, "some docs survive the whole funnel")
+    assert(ordered.head > ordered.last, "the funnel actually filters")
+    // stage 1 must equal the standalone C4 keep count — the composition
+    // reuses the operator, it doesn't reimplement it
+    val c4Keep = graft.queries.TextQueries.qC4Clean(spark, sf).collect()
+      .count(_.getBoolean(3)).toLong
+    assert(rows("1_c4") == c4Keep, s"${rows("1_c4")} != standalone $c4Keep")
+  }
+
   test("CCNet buckets: tercile assignment equals a driver-side recomputation") {
     val sf = "/root/testdata/sf0.001"
     // the score relation the buckets derive from
