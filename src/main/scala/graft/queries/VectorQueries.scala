@@ -1031,6 +1031,51 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Matryoshka prefix-dimension two-phase ANN (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning", NeurIPS — public paper: MRL
+    * embeddings are trained so every prefix is itself a usable
+    * representation, and retrieval runs a cheap low-dim pass + exact
+    * re-rank). Phase 1 scores every candidate on the first `prefixDims`
+    * coordinates only — with a column-stored prefix this is a scan
+    * reading dims/`prefixDims`× less data (here the slice happens
+    * in-expression; the stored form is the `searchQ8Stored` narrow-probe
+    * pattern applied dimension-wise). Phase 2 re-ranks the 5×`overfetch`
+    * survivors with the exact full-dim cosine.
+    *
+    * Scale shape: identical to [[qKnnQuant]] — one broadcast of the
+    * query table through a single corpus scan, pre-shuffle
+    * WindowGroupLimit top-k per phase; the second phase touches only
+    * Q×5×overfetch rows. The synthetic embeddings are NOT MRL-trained,
+    * so the prefix carries less signal than a trained model's would —
+    * which is exactly what the measured recall floor gate prices in. */
+  def qKnnMrlParam(s: SparkSession, d: String, prefixDims: Int,
+      overfetch: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val coarse = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cscore", cosine(
+        slice(col("embedding"), 1, prefixDims), slice(col("qv"), 1, prefixDims)))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("vec_id"))
+    val cands = coarse
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= 5 * overfetch)
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    cands
+      .withColumn("score", cosine(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** 64 of 384 dims (6× cheaper coarse pass), 8× overfetch. */
+  def qKnnMrl(s: SparkSession, d: String): DataFrame =
+    qKnnMrlParam(s, d, prefixDims = 64, overfetch = 8)
+
   /** Driver-checkable recall gates for the approximate ANN paths (VERDICT
     * r3 item 3). Each emits one row per query: `(query_id, recall_ok)`
     * where `recall_ok = recall@5 vs the exact brute-force neighbors ≥
@@ -1080,6 +1125,12 @@ object VectorQueries {
     recallReport(qKnnBrute(s, d),
       qKnnPqParam(s, d, nprobe = 6, overfetch = 16), floor = 0.2)
 
+  /** MRL recall@5 per query — floor set from measured per-query recall
+    * at sf0.01/sf0.1/sf1 (see the spec + NOTES; untrained synthetic
+    * prefixes, so the floor prices in the weakest query's headroom). */
+  def qKnnMrlRecall(s: SparkSession, d: String): DataFrame =
+    recallReport(qKnnBrute(s, d), qKnnMrl(s, d), floor = 0.4)
+
   private def recallOracleSql(floor: Double): String =
     s"""SELECT vec_id AS query_id, $floor::DOUBLE AS floor, TRUE AS recall_ok
        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
@@ -1097,6 +1148,8 @@ object VectorQueries {
     "vs_knn_pq" -> (qKnnPq _),
     "vs_knn_ivf_recall" -> (qKnnIvfRecall _),
     "vs_knn_pq_recall" -> (qKnnPqRecall _),
+    "vs_knn_mrl" -> (qKnnMrl _),
+    "vs_knn_mrl_recall" -> (qKnnMrlRecall _),
     "vs_knn_lsh_recall" -> (qKnnLshRecall _),
     "vs_knn_ivf_q8_recall" -> (qKnnIvfQ8Recall _),
   )
@@ -1113,6 +1166,7 @@ object VectorQueries {
     // their recall twins below carry the hash-checked quality gate
     "vs_knn_ivf_recall" -> recallOracleSql(0.4),
     "vs_knn_pq_recall" -> recallOracleSql(0.2),
+    "vs_knn_mrl_recall" -> recallOracleSql(0.4),
     "vs_knn_lsh_recall" -> recallOracleSql(0.2),
     "vs_knn_ivf_q8_recall" -> recallOracleSql(0.4),
   )

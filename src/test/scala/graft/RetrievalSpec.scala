@@ -188,6 +188,27 @@ class RetrievalSpec extends SparkSpec {
       s"hot list: ${listSizes.max} of $total rows")
   }
 
+  test("MRL two-phase: full-prefix config is exactly brute force; shipped floor has headroom") {
+    import graft.queries.VectorQueries
+    val sf = "/root/testdata/sf0.001"
+    // prefix = all 384 dims → phase-1 ordering IS the exact ordering, so
+    // the two-phase plan must reproduce brute force bit-for-bit
+    val brute = VectorQueries.qKnnBrute(spark, sf).collect().toSeq
+    val full = VectorQueries.qKnnMrlParam(spark, sf,
+      prefixDims = 384, overfetch = 8).collect().toSeq
+    assert(full == brute, "full-prefix MRL must equal brute force")
+    // shipped config (64 dims, 8× overfetch): measure per-query recall
+    // and require headroom over the 0.4 gate floor on the weakest query
+    val truth = brute.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val got = VectorQueries.qKnnMrl(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).count(t).toDouble / t.size }
+    assert(recalls.min >= 0.4,
+      s"weakest query must clear the gate floor: ${recalls.toSeq.sorted}")
+  }
+
   test("IVF q8 probe path returns the float path's exact results") {
     import graft.retrieval.IvfIndex
     val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
