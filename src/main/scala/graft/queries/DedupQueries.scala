@@ -792,8 +792,9 @@ object DedupQueries {
     * (same plan, narrower shuffle); the string key here keeps the result
     * bit-exact against the DuckDB oracle. */
   /** (doc_id, w) → the token-[[SubstringW]]-gram postings (doc_id, pos,
-    * g) — the one derivation the coverage report and the rewrite share. */
-  private def substringNgrams(toks: DataFrame): DataFrame = {
+    * g) — the one derivation the coverage report, the rewrite and the
+    * streamed postings deltas ([[graft.streaming.SpanStream]]) share. */
+  private[graft] def substringNgrams(toks: DataFrame): DataFrame = {
     val W = SubstringW
     toks
       .filter(size(col("w")) >= W)
@@ -804,11 +805,13 @@ object DedupQueries {
       .select(col("doc_id"), col("u.pos").as("pos"), col("u.g").as("g"))
   }
 
-  def qDedupSubstring(s: SparkSession, d: String): DataFrame = {
+  /** Coverage report over postings-shaped relations — ng (doc_id, pos,
+    * g) and lens (doc_id, n_tokens) — the ONE kernel behind the direct
+    * query and the delta-maintained index path, so stream ≡ batch is an
+    * invariant of sharing, not a coincidence. */
+  private[graft] def substringCoverage(ng: DataFrame,
+      lens: DataFrame): DataFrame = {
     val W = SubstringW
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-    val ng = substringNgrams(toks)
     val dup = ng.groupBy(col("g"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
@@ -822,12 +825,19 @@ object DedupQueries {
         .otherwise(least(lit(W), col("pos") - col("prev"))))
       .groupBy(col("doc_id"))
       .agg(sum(col("contrib")).cast("long").as("dup_tokens"))
-    toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+    lens
       .join(cov, Seq("doc_id"), "left")
       .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
       .withColumn("dup_frac",
         round(col("dup_tokens").cast("double") / col("n_tokens"), 4))
       .orderBy(col("doc_id"))
+  }
+
+  def qDedupSubstring(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+    substringCoverage(substringNgrams(toks),
+      toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens")))
   }
 
   val qDedupSubstringSql: String =
@@ -851,6 +861,30 @@ object DedupQueries {
       |  round(coalesce(c.dup_tokens, 0) / len(w)::DOUBLE, 4) AS dup_frac
       |FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id
       |ORDER BY doc_id""".stripMargin
+
+  private val spanDeltaCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Coverage served off a DELTA-MAINTAINED postings index — the
+    * batch-runnable twin of [[graft.streaming.SpanStream]]'s micro-batch
+    * loop (the `ks_bm25_deltas` pattern), so the driver's DuckDB gate
+    * checks the merge-on-read span-index semantics. The corpus splits
+    * into 3 pseudo-batches (pmod(doc_id, 3) — deterministic arrival)
+    * whose n-gram deltas land exactly as the stream writes them; the
+    * report reads the merged postings, so cross-batch duplicated spans
+    * are found exactly. Output provably identical to [[qDedupSubstring]]
+    * (same oracle). Built once per sf-dir. */
+  def qDedupSubstringDeltas(s: SparkSession, d: String): DataFrame = {
+    val dir = spanDeltaCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("spandeltas").toString
+      val docs = Tables.documents(s, d).selectExpr("doc_id", "text")
+      (0 until 3).foreach { b =>
+        graft.streaming.SpanStream.writeDelta(
+          docs.filter(pmod(col("doc_id"), lit(3)) === b), dir, b.toLong)
+      }
+      dir
+    })
+    graft.streaming.SpanStream.coverage(s, dir)
+  }
 
   /** Duplicated-substring REMOVAL (the second half of Lee et al. 2022,
     * arXiv:2107.06499 — [[qDedupSubstring]] measures the duplicated
@@ -1165,6 +1199,7 @@ object DedupQueries {
     "dd_simhash_clusters_stars" -> (qDedupClustersStars _),
     "dd_substring" -> (qDedupSubstring _),
     "dd_substring_rewrite" -> (qDedupSubstringRewrite _),
+    "dd_substring_deltas" -> (qDedupSubstringDeltas _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1187,5 +1222,8 @@ object DedupQueries {
     "dd_simhash_clusters_stars" -> qDedupClustersSql, // CC variants agree
     "dd_substring" -> qDedupSubstringSql,
     "dd_substring_rewrite" -> qDedupSubstringRewriteSql,
+    // delta-maintained span index: same coverage over the same postings,
+    // merged from per-batch deltas
+    "dd_substring_deltas" -> qDedupSubstringSql,
   )
 }
