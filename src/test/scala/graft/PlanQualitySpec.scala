@@ -287,4 +287,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(count(pm, "HashAggregate") >= 2,
       s"partial totals must still hash-aggregate map-side:\n$pm")
   }
+
+  test("C4 clean: one scan, no exchange before the output sort") {
+    // the whole split→judge→filter→reassemble program is per-row Column
+    // algebra — any hash exchange means a shuffle crept into what must
+    // stay an embarrassingly-parallel filter pass
+    val p = plan(graft.queries.TextQueries.qC4Clean(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"C4 cleaning must not shuffle:\n$p")
+    // compact plan strings mark whole-stage codegen stages with "*(n)"
+    assert(count(p, "\\*\\(\\d+\\) Project") >= 1,
+      s"rule evaluation must codegen:\n$p")
+  }
+
+  test("substring rewrite: exchanges keyed by gram or doc only; no cartesian") {
+    val p = plan(graft.queries.DedupQueries.qDedupSubstringRewrite(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"no doc×doc anywhere:\n$p")
+    // every hashpartitioning key is the gram or the doc id — a shuffle on
+    // anything else (e.g. token text) would be corpus-volume
+    val keys = "Exchange hashpartitioning\\(([a-z_0-9#]+)".r
+      .findAllMatchIn(p).map(_.group(1).takeWhile(_ != '#')).toSet
+    assert(keys.subsetOf(Set("g", "doc_id")),
+      s"unexpected shuffle keys $keys in:\n$p")
+  }
 }
