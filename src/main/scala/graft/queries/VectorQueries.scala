@@ -1076,6 +1076,51 @@ object VectorQueries {
   def qKnnMrl(s: SparkSession, d: String): DataFrame =
     qKnnMrlParam(s, d, prefixDims = 64, overfetch = 8)
 
+  private val mrlStoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** STORED-prefix MRL — the production layout of [[qKnnMrl]]: the
+    * 64-dim prefix is materialized as its own parquet column, so the
+    * phase-1 probe scan reads (vec_id, prefix) ONLY (ReadSchema-asserted
+    * in RetrievalSpec — the full 384-dim column never leaves disk for
+    * non-candidates, the `searchQ8Stored` narrow-probe contract applied
+    * dimension-wise), and phase 2 fetches full vectors by candidate id.
+    * Output identical to the in-memory path (spec-asserted). */
+  def qKnnMrlStored(s: SparkSession, d: String): DataFrame = {
+    val prefixDims = 64
+    val path = mrlStoreCache.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("mrlstore").toString + "/emb"
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          slice(col("embedding"), 1, prefixDims).as("prefix"),
+          col("embedding"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    val store = s.read.parquet(path)
+    val queries = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("vec_id"))
+    val cands = store.select(col("vec_id"), col("prefix"))
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cscore",
+        cosine(col("prefix"), slice(col("qv"), 1, prefixDims)))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= 5 * 8)
+      .select(col("query_id"), col("vec_id"), col("qv"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    cands
+      .join(store.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("score", cosine(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Driver-checkable recall gates for the approximate ANN paths (VERDICT
     * r3 item 3). Each emits one row per query: `(query_id, recall_ok)`
     * where `recall_ok = recall@5 vs the exact brute-force neighbors ≥

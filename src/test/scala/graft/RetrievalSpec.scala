@@ -209,6 +209,23 @@ class RetrievalSpec extends SparkSpec {
       s"weakest query must clear the gate floor: ${recalls.toSeq.sorted}")
   }
 
+  test("stored-prefix MRL: identical results; probe scan never reads the full vector") {
+    import graft.queries.VectorQueries
+    val sf = "/root/testdata/sf0.001"
+    val inMem = VectorQueries.qKnnMrl(spark, sf).collect().toSeq
+    val df = VectorQueries.qKnnMrlStored(spark, sf)
+    val stored = df.collect().toSeq
+    assert(stored == inMem, "stored-prefix MRL must equal the in-memory path")
+    // phase-1 probe reads (vec_id, prefix) only — the 384-dim embedding
+    // column must appear in exactly one scan (the candidate fetch), never
+    // in the corpus-wide coarse scan
+    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    val schemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.exists(l => l.contains("prefix") && !l.contains("embedding")),
+      s"coarse probe must scan the narrow prefix column only:\n${schemas.mkString("\n")}")
+  }
+
   test("IVF q8 probe path returns the float path's exact results") {
     import graft.retrieval.IvfIndex
     val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
