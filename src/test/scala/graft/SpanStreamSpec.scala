@@ -51,6 +51,27 @@ class SpanStreamSpec extends SparkSpec {
     assert(before.head.getLong(2) == 16L, "within-doc repeat fully covered")
   }
 
+  test("batch dirs fold under compaction; coverage byte-identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("spanc").toString
+    (0 until 4).foreach { b =>
+      SpanStream.writeDelta(
+        Seq((b.toLong, s"w$b x1 x2 x3 x4 x5 x6 x7 x8")).toDF("doc_id", "text"),
+        dir, b.toLong)
+    }
+    val before = SpanStream.coverage(spark, dir).collect().toSeq
+    assert(graft.operators.Compaction.foldBatchDirs(spark, s"$dir/ng", upTo = 4L))
+    assert(graft.operators.Compaction.foldBatchDirs(spark, s"$dir/doclen", upTo = 4L))
+    val after = SpanStream.coverage(spark, dir).collect().toSeq
+    assert(after == before, "folded store must serve identical coverage")
+    // the fold actually reduced the directory count
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ngDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/ng"))
+      .count(_.getPath.getName.startsWith("batch="))
+    assert(ngDirs == 1, s"4 deltas must fold into one dir, got $ngDirs")
+  }
+
   test("empty index base case: coverage over no deltas is empty, not an error") {
     val dir = java.nio.file.Files.createTempDirectory("spane").toString
     assert(SpanStream.coverage(spark, dir).collect().isEmpty)
