@@ -58,8 +58,10 @@ object SearchQueries {
     * term) relation (small, broadcast); dfreq/stats broadcast too, so
     * the only corpus-sized input is the (already pruned) postings side. */
   private[graft] def scoreIndex(post: DataFrame, dfreq: DataFrame,
-      stats: DataFrame, qterms: DataFrame, k: Int = 5,
-      weighted: Boolean = false): DataFrame = {
+      stats: DataFrame, qterms: DataFrame, k: Int = 5): DataFrame = {
+    // a wt column on qterms scales each term's contribution (the RM3
+    // interpolated query model) — same convention as [[bm25Scores]]
+    val weighted = qterms.columns.contains("wt")
     val base = post
       .join(broadcast(qterms), "term")
       .join(broadcast(dfreq), "term")
@@ -92,25 +94,31 @@ object SearchQueries {
     val stats = docs.agg(
       count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     // prune the corpus token stream to query terms BEFORE aggregating:
-    // the broadcast hash join keeps the explode inside one codegen stage
+    // the broadcast hash join keeps the explode inside one codegen stage;
+    // in weighted mode qterms carries a per-(query, term) wt column that
+    // scales each term's contribution (the RM3 interpolated query model)
+    val weighted = qterms.columns.contains("wt")
+    val aggCols =
+      count(lit(1)).as("tf") +:
+        (if (weighted) Seq(max(col("wt")).as("wt")) else Nil)
     val postings = docs
       .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
       .join(broadcast(qterms), "term")
       .groupBy(col("query_id"), col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(aggCols.head, aggCols.tail: _*)
     // document frequency per term over the pruned postings (distinct docs
     // per term is query-independent; distinct first so a term shared by
     // two queries counts each doc once)
     val dfreq = postings.select(col("term"), col("doc_id")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val sat = col("idf") * (col("tf") * lit(K1 + 1)) /
+      (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl")))
     postings
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("contrib",
-        col("idf") * (col("tf") * lit(K1 + 1)) /
-          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .withColumn("contrib", if (weighted) col("wt") * sat else sat)
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(col("contrib")), 4).as("score"),
         count(lit(1)).as("n_terms_hit"))
@@ -187,33 +195,6 @@ object SearchQueries {
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
-  /** Weighted-query BM25: same saturation/idf arithmetic as
-    * [[bm25Scores]], but each (query_id, term) carries a weight that
-    * scales its contribution — the scoring half of relevance-model query
-    * expansion. qtermsW = (query_id, term, wt), small, broadcast. */
-  private def bm25ScoresWeighted(docs: DataFrame, qtermsW: DataFrame): DataFrame = {
-    val stats = docs.agg(
-      count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val postings = docs
-      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
-      .join(broadcast(qtermsW), "term")
-      .groupBy(col("query_id"), col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"), max(col("wt")).as("wt"))
-    val dfreq = postings.select(col("term"), col("doc_id")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    postings
-      .join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("contrib",
-        col("wt") * col("idf") * (col("tf") * lit(K1 + 1)) /
-          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(sum(col("contrib")), 4).as("score"),
-        count(lit(1)).as("n_terms_hit"))
-  }
-
   /** Feedback docs / expansion terms / interpolation weight for RM3. */
   private val FbDocs = 10
   private val ExpTerms = 8
@@ -261,7 +242,7 @@ object SearchQueries {
       .groupBy(col("query_id"), col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
         max(col("score")).as("score"))
-    val scored = bm25ScoresWeighted(docs, rm3QueryModel(fbt, qterms))
+    val scored = bm25Scores(docs, rm3QueryModel(fbt, qterms))
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     scored
@@ -341,8 +322,7 @@ object SearchQueries {
     val qtw = qtwRows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
       .toSeq.toDF("query_id", "term", "wt")
     val terms2 = qtwRows.map(_.getString(1)).distinct.toSeq
-    scoreIndex(post(terms2), dfreq(terms2), stats, qtw, k = 5,
-      weighted = true)
+    scoreIndex(post(terms2), dfreq(terms2), stats, qtw, k = 5)
   }
 
   val qBm25Rm3Sql: String = {

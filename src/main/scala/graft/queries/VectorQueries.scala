@@ -1072,9 +1072,15 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The shipped MRL config — ONE definition for the in-memory path, the
+    * stored-prefix layout and the recall gate, so a retune cannot leave
+    * the stored column and the probe cutoff silently disagreeing. */
+  private val MrlPrefixDims = 64
+  private val MrlOverfetch = 8
+
   /** 64 of 384 dims (6× cheaper coarse pass), 8× overfetch. */
   def qKnnMrl(s: SparkSession, d: String): DataFrame =
-    qKnnMrlParam(s, d, prefixDims = 64, overfetch = 8)
+    qKnnMrlParam(s, d, prefixDims = MrlPrefixDims, overfetch = MrlOverfetch)
 
   private val mrlStoreCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
@@ -1087,7 +1093,7 @@ object VectorQueries {
     * dimension-wise), and phase 2 fetches full vectors by candidate id.
     * Output identical to the in-memory path (spec-asserted). */
   def qKnnMrlStored(s: SparkSession, d: String): DataFrame = {
-    val prefixDims = 64
+    val prefixDims = MrlPrefixDims
     val path = mrlStoreCache.getOrElseUpdate(d, {
       val p = java.nio.file.Files.createTempDirectory("mrlstore").toString + "/emb"
       Tables.embeddings(s, d)
@@ -1107,7 +1113,7 @@ object VectorQueries {
       .withColumn("cscore",
         cosine(col("prefix"), slice(col("qv"), 1, prefixDims)))
       .withColumn("crank", row_number().over(wc))
-      .filter(col("crank") <= 5 * 8)
+      .filter(col("crank") <= 5 * MrlOverfetch)
       .select(col("query_id"), col("vec_id"), col("qv"))
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
