@@ -986,6 +986,74 @@ object DedupQueries {
       |FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Line-level exact dedup (RefinedWeb, Penedo et al. 2023 — public
+    * paper: drop individual LINES duplicated across the corpus, the
+    * between-document boilerplate killer C4/FineWeb pipelines run before
+    * document-level dedup). The corpus has no newlines, so lines are the
+    * same deterministic 8-word pseudo-lines the C4 harness uses (no
+    * injection here — the phrase-pool-templated corpus repeats lines
+    * naturally); a line survives iff its exact text occurs once
+    * corpus-wide, and the gate hashes each document's reassembled
+    * surviving text.
+    *
+    * Scale shape: one corpus-order line explode, one map-side-combinable
+    * count keyed by line text, the flag join keyed the same way, and the
+    * ordered-concat reassembly hash-agg — exchanges carry line text or
+    * doc_id only, the [[qDedupSubstring]] family profile. */
+  def qLineDedup(s: SparkSession, d: String): DataFrame = {
+    val lineW = 8
+    val lines = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), ceil(size(col("w")) / lit(lineW.toDouble)).cast("int")),
+          j => concat_ws(" ", slice(col("w"), (j - lit(1)) * lineW + 1, lit(lineW))))))
+      .select(col("doc_id"), (col("pos") + 1).as("line_no"),
+        col("col").as("line"))
+    val cnt = lines.groupBy(col("line")).agg(count(lit(1)).as("c"))
+    val agg = lines.join(cnt, "line")
+      .filter(col("c") === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+            x => x.getField("line")))).as("clean_md5"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        ceil(size(split(trim(col("text")), "\\s+")) / lit(lineW.toDouble))
+          .cast("int").as("n_lines"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        round((col("n_lines") - coalesce(col("n_kept"), lit(0))).cast("double") /
+          col("n_lines"), 4).as("dup_line_frac"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qLineDedupSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents),
+      |l AS (
+      |  SELECT doc_id, unnest([{'line_no': j,
+      |      'line': array_to_string(w[(j-1)*8+1 : (j-1)*8+8], ' ')}
+      |    FOR j IN range(1, ceil(len(w) / 8.0)::INT + 1)], recursive := true)
+      |  FROM t),
+      |c AS (SELECT line, count(*) c FROM l GROUP BY 1),
+      |kept AS (
+      |  SELECT doc_id, line_no, l.line FROM l JOIN c USING (line) WHERE c = 1),
+      |agg AS (
+      |  SELECT doc_id, count(*)::INTEGER n_kept,
+      |    md5(string_agg(line, ' ' ORDER BY line_no)) m
+      |  FROM kept GROUP BY 1),
+      |nl AS (SELECT doc_id, ceil(len(w) / 8.0)::INT n_lines FROM t)
+      |SELECT nl.doc_id AS doc_id, n_lines,
+      |  coalesce(n_kept, 0)::INTEGER AS n_kept,
+      |  round((n_lines - coalesce(n_kept, 0)) / n_lines::DOUBLE, 4) AS dup_line_frac,
+      |  coalesce(m, md5('')) AS clean_md5
+      |FROM nl LEFT JOIN agg ON nl.doc_id = agg.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Soft dedup — dedup-aware sampling weights instead of hard removal:
     * every document weighs 1/|its near-dup cluster| (isolated docs weigh
     * 1), so a cluster of n near-copies contributes ONE document's worth of
@@ -1200,6 +1268,7 @@ object DedupQueries {
     "dd_substring" -> (qDedupSubstring _),
     "dd_substring_rewrite" -> (qDedupSubstringRewrite _),
     "dd_substring_deltas" -> (qDedupSubstringDeltas _),
+    "dd_line_dedup" -> (qLineDedup _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1225,5 +1294,6 @@ object DedupQueries {
     // delta-maintained span index: same coverage over the same postings,
     // merged from per-batch deltas
     "dd_substring_deltas" -> qDedupSubstringSql,
+    "dd_line_dedup" -> qLineDedupSql,
   )
 }

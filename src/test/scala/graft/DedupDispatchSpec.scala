@@ -131,6 +131,37 @@ class DedupDispatchSpec extends SparkSpec {
     }
   }
 
+  test("line dedup: cleaned text exact on a crafted corpus; rule fires corpus-wide") {
+    import spark.implicits._
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val shared = "b1 b2 b3 b4 b5 b6 b7 b8" // boilerplate line in docs 0 and 1
+    val docs = Seq(
+      (0L, s"$shared u1 u2 u3 u4 u5 u6 u7 u8", "en", "web", 40L),
+      (1L, s"$shared v1 v2 v3 v4 v5 v6 v7 v8", "en", "web", 40L),
+      (2L, s"$shared $shared", "en", "web", 40L), // within-doc repeat: both drop
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9", "en", "web", 20L)) // 2 unique lines
+    val dir = java.nio.file.Files.createTempDirectory("ddline").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = DedupQueries.qLineDedup(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(4)))).toMap
+    assert(out(0L) == ((2, 1, md5("u1 u2 u3 u4 u5 u6 u7 u8"))),
+      "shared boilerplate line cut, unique line survives")
+    assert(out(1L) == ((2, 1, md5("v1 v2 v3 v4 v5 v6 v7 v8"))))
+    assert(out(2L) == ((2, 0, md5(""))), "within-doc repeated line drops both")
+    assert(out(3L) == ((2, 2, md5("w1 w2 w3 w4 w5 w6 w7 w8 w9"))),
+      "short tail line is its own unique line")
+    // the phrase-pool corpus must actually repeat lines across docs
+    val corpus = DedupQueries.qLineDedup(spark, sf).collect()
+    assert(corpus.exists(r => r.getInt(2) < r.getInt(1)),
+      "some real doc loses a duplicated line")
+    assert(corpus.exists(r => r.getInt(2) == r.getInt(1)),
+      "some real doc keeps every line")
+  }
+
   test("substring spans at sf0.01: coverage invariants hold corpus-wide") {
     val sf = "/root/testdata/sf0.01"
     val rows = DedupQueries.qDedupSubstring(spark, sf).collect()
