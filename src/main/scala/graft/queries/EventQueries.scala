@@ -921,6 +921,70 @@ object EventQueries {
       |      (1.0::DOUBLE / n_a + 1.0::DOUBLE / n_b)), 0.0::DOUBLE), 4) AS z
       |FROM j""".stripMargin
 
+  /** SCD2-style change history (Kimball's type-2 slowly-changing
+    * dimension, the standard warehouse pattern): collapse each user's
+    * event stream into maximal runs of an unchanged attribute
+    * (event_type here) and emit one versioned validity interval per run —
+    * valid_from = run start, valid_to = next run's start (open interval,
+    * 'current' on the live row), the exact layout a dimension-table merge
+    * writes.
+    *
+    * Scale shape: the run flag is a lag + running sum over ONE
+    * user_id-keyed sort (the qSessionize idiom — deliberately not the
+    * rn-minus-rn gaps-and-islands form, whose second window would key on
+    * (user_id, attr) and force a second corpus exchange); the run rollup
+    * and the lead() stitching both re-use the same user_id clustering, so
+    * the whole history build is one shuffle of the event stream plus
+    * per-user window passes — no self-join of events against events,
+    * which is the naive SCD2 formulation that dies at 100 TB. */
+  def qScd2(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val flagged = Tables.events(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("chg",
+        when(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"), 1).otherwise(0))
+      .withColumn("version", sum(col("chg")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = flagged
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("event_type"), // constant within a run
+        min(col("ts")).as("from_ts"), count(lit(1)).as("n_events"))
+    val byVersion = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    runs
+      .withColumn("to_ts", lead(col("from_ts"), 1).over(byVersion))
+      .select(col("user_id"), col("version"), col("event_type"),
+        date_format(col("from_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        coalesce(date_format(col("to_ts"), "yyyy-MM-dd HH:mm:ss"),
+          lit("current")).as("valid_to"),
+        col("n_events"), col("to_ts").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val qScd2Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END chg
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |versioned AS (
+      |  SELECT *, (sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT ver
+      |  FROM flagged),
+      |runs AS (
+      |  SELECT user_id, ver, min(event_type) event_type,
+      |    min(ts) from_ts, count(*)::BIGINT n_events
+      |  FROM versioned GROUP BY 1, 2),
+      |stitched AS (
+      |  SELECT *, lead(from_ts) OVER (PARTITION BY user_id ORDER BY ver) to_ts
+      |  FROM runs)
+      |SELECT user_id, ver AS "version", event_type,
+      |  strftime(from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |  coalesce(strftime(to_ts, '%Y-%m-%d %H:%M:%S'), 'current') AS valid_to,
+      |  n_events, to_ts IS NULL AS is_current
+      |FROM stitched ORDER BY user_id, ver""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_reach_sketch" -> (qReachSketchRollup _),
     "ev_reach_sketch_gate" -> (qReachSketchGate _),
@@ -950,6 +1014,7 @@ object EventQueries {
     "ev_ab_lift" -> (qAbLift _),
     "ev_markov_eval" -> (qMarkovEval _),
     "ev_top_paths" -> (qTopPaths _),
+    "ev_scd2" -> (qScd2 _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -987,5 +1052,6 @@ object EventQueries {
     "ev_ab_lift" -> qAbLiftSql,
     "ev_markov_eval" -> qMarkovEvalSql,
     "ev_top_paths" -> qTopPathsSql,
+    "ev_scd2" -> qScd2Sql,
   )
 }

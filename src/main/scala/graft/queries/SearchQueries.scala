@@ -621,6 +621,260 @@ object SearchQueries {
     graft.streaming.IndexStream.search(s, dir)
   }
 
+  /** Exact phrase search over POSITIONAL postings — the Lucene
+    * PhraseQuery semantics the bag-of-words ranker cannot express: the
+    * query terms must occur CONSECUTIVELY, in order. Runs the same fixed
+    * query set as [[qBm25]], so the pair demonstrates exactly what
+    * position data buys (phrase df ≪ term df).
+    *
+    * The match is relational, not an array program: a token row
+    * (doc_id, pos, term) joined against the broadcast (query_id, term,
+    * offset) phrase table yields candidate START positions
+    * (start = pos − offset), and a start is a real occurrence iff ALL
+    * |phrase| offsets report it — a count(distinct offset) = qlen filter.
+    * Scale shape: the corpus-side posexplode is pruned by the broadcast
+    * phrase-term join BEFORE any shuffle (only positions of query terms
+    * move, same contract as [[bm25Scores]]); the occurrence check
+    * shuffles those pruned rows once on (query_id, doc_id, start).
+    * Scoring: BM25 saturation over the PHRASE tf with the phrase's own
+    * per-query df — one scalar expression per surviving doc, so the 4dp
+    * round is engine-exact. */
+  def qPhrase(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qoff = Bm25Queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        posexplode(split(col("qtext"), " ")).as(Seq("off", "term")))
+    val qlen = qoff.groupBy(col("query_id")).agg(count(lit(1)).as("qlen"))
+    val toks = tokenized(s, d)
+    val pos = toks.select(col("doc_id"), col("dl"),
+        posexplode(col("w")).as(Seq("p0", "term")))
+      .withColumn("pos", col("p0") + 1) // 1-based, = DuckDB generate_subscripts
+    phraseRank(pos, qoff, qlen,
+      toks.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")))
+  }
+
+  /** Match + score + top-k stage shared by the direct and stored phrase
+    * paths (one implementation, two physical feeders — the
+    * [[scoreIndex]]/[[bm25Scores]] relationship). `pos` carries
+    * (doc_id, dl, pos, term) rows already restricted to SOME superset of
+    * the query terms. */
+  private def phraseRank(pos: DataFrame, qoff: DataFrame, qlen: DataFrame,
+      stats: DataFrame): DataFrame = {
+    val hits = pos.join(broadcast(qoff), "term")
+      .withColumn("start", col("pos") - col("off"))
+      .filter(col("start") >= 1)
+    val perDoc = hits
+      .groupBy(col("query_id"), col("doc_id"), col("dl"), col("start"))
+      .agg(countDistinct(col("off")).as("n_off"))
+      .join(broadcast(qlen), "query_id")
+      .filter(col("n_off") === col("qlen"))
+      .groupBy(col("query_id"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("phrase_tf"))
+    val dfreq = perDoc.groupBy(col("query_id")).agg(count(lit(1)).as("df"))
+    val sat = col("idf") * (col("phrase_tf") * lit(K1 + 1)) /
+      (col("phrase_tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    perDoc
+      .join(broadcast(dfreq), "query_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("score", round(sat, 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("phrase_tf"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qPhraseSql: String = {
+    val values = Bm25Queries
+      .map { case (id, q) => s"(${id}::BIGINT, '$q')" }.mkString(", ")
+    s"""WITH q(query_id, qtext) AS (VALUES $values),
+       |qoff AS (
+       |  SELECT query_id, unnest(string_split(qtext, ' ')) term,
+       |    generate_subscripts(string_split(qtext, ' '), 1) - 1 qo
+       |  FROM q),
+       |qlen AS (SELECT query_id, count(*) qlen FROM qoff GROUP BY 1),
+       |docs AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') w
+       |  FROM documents),
+       |d2 AS (SELECT doc_id, w, len(w) dl FROM docs),
+       |stats AS (SELECT count(*) n_docs, avg(dl) avgdl FROM d2),
+       |pos AS (
+       |  SELECT doc_id, dl, unnest(w) term, generate_subscripts(w, 1) pos
+       |  FROM d2),
+       |hits AS (
+       |  SELECT query_id, doc_id, dl, pos - qo AS start, qo
+       |  FROM pos JOIN qoff USING (term) WHERE pos - qo >= 1),
+       |occ AS (
+       |  SELECT query_id, doc_id, dl, start, count(DISTINCT qo) n_off
+       |  FROM hits GROUP BY 1, 2, 3, 4),
+       |perdoc AS (
+       |  SELECT query_id, doc_id, dl, count(*)::BIGINT phrase_tf
+       |  FROM occ JOIN qlen USING (query_id)
+       |  WHERE n_off = qlen GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT query_id, count(*) df FROM perdoc GROUP BY 1),
+       |scored AS (
+       |  SELECT query_id, doc_id, phrase_tf,
+       |    round(
+       |      ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)) *
+       |      (phrase_tf * ${K1 + 1}::DOUBLE) /
+       |      (phrase_tf + $K1::DOUBLE * (${1 - B}::DOUBLE + $B::DOUBLE * dl / avgdl)), 4) score
+       |  FROM perdoc JOIN dfreq USING (query_id), stats)
+       |SELECT query_id, rank::INTEGER AS rank, doc_id, phrase_tf, score
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY score DESC, doc_id) rank
+       |      FROM scored)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The positional index: (term, doc_id, dl, positions) bucketed by term
+    * — the companion table a positions-aware engine stores INSIDE its
+    * postings (Lucene's .prx/.pos files); kept as its own bucketed table
+    * here so the frequency-only probes never pay the positions IO. Built
+    * once per sf-dir, [[bm25Index]] lifecycle (same bucket count, same
+    * orphan reclaim, same pinned bucketed-scan conf). */
+  private val phraseIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  def phraseIndex(s: SparkSession, d: String): (String, String) = {
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    phraseIndexCache.getOrElseUpdate(d, {
+      val suffix = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes).map("%02x".format(_)).mkString.take(8)
+      val table = s"bm25_pos_$suffix"
+      reclaimOrphanTables(s, Seq(table))
+      val statsPath = java.nio.file.Files
+        .createTempDirectory("bm25pos").toString + "/stats"
+      val toks = tokenized(s, d)
+      toks.select(col("doc_id"), col("dl"),
+          posexplode(col("w")).as(Seq("p0", "term")))
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(sort_array(collect_list(col("p0") + 1)).as("positions"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "term").sortBy("term", "doc_id")
+        .saveAsTable(table)
+      toks.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+        .write.mode("overwrite").parquet(statsPath)
+      (table, statsPath)
+    })
+  }
+
+  /** [[qPhrase]] served off the stored positional index — identical
+    * output (same oracle): the probe arrives as an `In(term, …)` pushed
+    * filter on the bucketed positions table (bucket-pruned scan, the
+    * [[qBm25Stored]] contract), the positions array explodes back into
+    * the (doc_id, pos, term) rows the shared [[phraseRank]] kernel
+    * consumes, and everything downstream is the one implementation. At
+    * 100 TB the direct path's corpus posexplode is the index build;
+    * THIS plan is the per-query cost: O(query-term position lists). */
+  def qPhraseStored(s: SparkSession, d: String): DataFrame = {
+    val (table, statsPath) = phraseIndex(s, d)
+    import s.implicits._
+    val qoff = Bm25Queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        posexplode(split(col("qtext"), " ")).as(Seq("off", "term")))
+    val qlen = qoff.groupBy(col("query_id")).agg(count(lit(1)).as("qlen"))
+    val terms = Bm25Queries.flatMap(_._2.split(" ")).distinct
+    val pos = s.table(table)
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), col("term"),
+        explode(col("positions")).as("pos"))
+    phraseRank(pos, qoff, qlen, s.read.parquet(statsPath))
+  }
+
+  /** Fuzzy (edit-distance ≤ 1) keyword search — typo-tolerant term
+    * matching via the SymSpell delete-neighborhood (Garbe's public
+    * algorithm, the standard spell-index trick): two strings are within
+    * Levenshtein distance 1 ONLY IF their {self} ∪ {single-char deletes}
+    * key sets intersect, so candidate generation is an EQUI-join on
+    * delete keys — |vocab|·(len+1) key rows hash-joined against the tiny
+    * query-key side — never the vocab × query-terms cross join the naive
+    * formulation needs (and which a 100 TB vocab cannot pay). The true
+    * Levenshtein check then verifies the survivors, so the neighborhood
+    * is a pruner, not the semantics: the match set is EXACTLY
+    * {(q, t) : lev(t, corrupt(q)) ≤ 1}, which is what the oracle
+    * recomputes with its (small, oracle-only) cross join.
+    *
+    * The query side runs the fixed [[Bm25Queries]] set with each term ≥ 3
+    * chars deterministically corrupted (one char deleted at an
+    * md5-derived index, the portable-hash idiom) — so exact lookup
+    * genuinely fails and the fuzzy expansion is what recovers the
+    * ranking. Scoring: plain BM25 over the expanded (query, term) set. */
+  def qFuzzy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokenized(s, d)
+    val qt0 = Bm25Queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(split(col("qtext"), " ")).as("term")).distinct()
+    // delete position: md5-derived, 1-based — identical arithmetic in
+    // the oracle; terms shorter than 3 chars pass through uncorrupted
+    val hi = conv(substring(md5(col("term")), 1, 4), 16, 10).cast("int") %
+      length(col("term")) + 1
+    val qc = qt0.select(col("query_id"),
+      when(length(col("term")) >= 3,
+        concat(col("term").substr(lit(1), hi - 1),
+          col("term").substr(hi + 1, lit(64))))
+        .otherwise(col("term")).as("ct"))
+    val vocab = toks.select(explode(col("w")).as("term")).distinct()
+    val qterms = symspellMatch(vocab, qc)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    bm25Scores(toks, qterms)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score"), col("n_terms_hit"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The SymSpell candidate join + Levenshtein verify on its own:
+    * vocab (term) × qc (query_id, ct) → the exact distance-≤1 match set
+    * (query_id, term). Factored so the spec can pin equivalence with the
+    * naive cross-join formulation on a crafted vocabulary (including the
+    * transposition case, which is distance 2 and must NOT match). */
+  private[graft] def symspellMatch(vocab: DataFrame, qc: DataFrame): DataFrame = {
+    def keys(c: String): String =
+      s"array_union(array($c), transform(sequence(1, length($c)), " +
+        s"i -> concat(substr($c, 1, i - 1), substr($c, i + 1, length($c)))))"
+    val vk = vocab.select(col("term"), explode(expr(keys("term"))).as("k"))
+    val qk = qc.select(col("query_id"), col("ct"),
+      explode(expr(keys("ct"))).as("k")).distinct()
+    vk.join(broadcast(qk), "k")
+      .select(col("query_id"), col("ct"), col("term")).distinct()
+      .filter(levenshtein(col("term"), col("ct")) <= 1)
+      .select(col("query_id"), col("term")).distinct()
+  }
+
+  val qFuzzySql: String = {
+    val values = Bm25Queries
+      .map { case (id, q) => s"(${id}::BIGINT, '$q')" }.mkString(", ")
+    val hiSql = "(('0x' || substr(md5(term), 1, 4))::BIGINT % length(term) + 1)"
+    s"""WITH ${bm25Sql(
+      s"""q(query_id, qtext) AS (VALUES $values),
+         |qt0 AS (
+         |  SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) term
+         |  FROM q),
+         |qc AS (
+         |  SELECT query_id,
+         |    CASE WHEN length(term) >= 3 THEN
+         |      substr(term, 1, $hiSql - 1) || substr(term, $hiSql + 1, 64)
+         |    ELSE term END ct
+         |  FROM qt0),
+         |vocab AS (SELECT DISTINCT unnest(w) term FROM d2),
+         |qt AS (
+         |  SELECT DISTINCT qc.query_id, v.term
+         |  FROM qc JOIN vocab v ON levenshtein(v.term, qc.ct) <= 1)""".stripMargin)},
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) rank
+       |  FROM bm25)
+       |SELECT query_id, rank::INTEGER AS rank, doc_id, score, n_terms_hit
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ks_bm25" -> (qBm25 _),
     "ks_bm25_stored" -> (qBm25Stored _),
@@ -628,6 +882,9 @@ object SearchQueries {
     "ks_hybrid_rrf" -> (qHybridRrf _),
     "ks_rm3" -> (qBm25Rm3 _),
     "ks_rm3_stored" -> (qBm25Rm3Stored _),
+    "ks_phrase" -> (qPhrase _),
+    "ks_phrase_stored" -> (qPhraseStored _),
+    "ks_fuzzy" -> (qFuzzy _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -643,5 +900,10 @@ object SearchQueries {
     // index-served RM3: provably identical output (same stages over the
     // same postings, served from the materialized index)
     "ks_rm3_stored" -> qBm25Rm3Sql,
+    "ks_phrase" -> qPhraseSql,
+    // positional-index path: provably identical output (the positions
+    // explode feeds the same phraseRank kernel)
+    "ks_phrase_stored" -> qPhraseSql,
+    "ks_fuzzy" -> qFuzzySql,
   )
 }

@@ -276,6 +276,52 @@ object EventStream {
       }
   }
 
+  /** SCD2 state: the open run's attribute value and version counter. */
+  case class Scd2State(lastType: String, version: Long)
+
+  /** Emitted exactly once per run START — the append-only half of the
+    * type-2 dimension history. */
+  case class Scd2Mark(user_id: Long, version: Long, event_type: String,
+      valid_from: Timestamp)
+
+  /** Streaming SCD2 maintenance — the incremental twin of the batch
+    * change-history build ([[graft.queries.EventQueries.qScd2]]): each
+    * arriving event either continues the user's open run (no output) or
+    * closes it and emits the NEW version's [[Scd2Mark]]. The marks
+    * relation is exactly the batch output's (user_id, version,
+    * event_type, valid_from) columns; `lead(valid_from)` over it (and a
+    * count join for n_events) reproduces the full interval table, so a
+    * dimension store can append marks and never rewrite history —
+    * the type-2 write discipline.
+    *
+    * State per user is ONE (type, version) pair — O(distinct users),
+    * independent of history length. Shares the arrival-order premise of
+    * [[transitions]] (event time respected across batches; the nightly
+    * batch recompute corrects true stragglers). Stream ≡ batch is
+    * asserted in EventStreamSpec, including a run that spans a
+    * micro-batch boundary emitting NO spurious version. */
+  def scd2Marks(events: Dataset[TEv]): Dataset[Scd2Mark] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Mark](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[TEv], state: GroupState[Scd2State]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Mark]
+          var st = state.getOption
+          sorted.foreach { e =>
+            if (!st.exists(_.lastType == e.event_type)) {
+              val v = st.map(_.version + 1).getOrElse(1L)
+              out += Scd2Mark(userId, v, e.event_type, e.ts)
+              st = Some(Scd2State(e.event_type, v))
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** EWMA state/emission: the running fold (`ewma` after `n_events`
     * events). One row per user per micro-batch carries the latest
     * smoothed value downstream. */

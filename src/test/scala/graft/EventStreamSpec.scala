@@ -271,6 +271,53 @@ class EventStreamSpec extends SparkSpec {
     assert(got(1L).ewma == 0.75 * (0.75 * 1.0 + 0.25 * 2.0) + 0.25 * 4.0)
   }
 
+  test("streaming scd2: cross-batch run continuation; marks equal the batch history") {
+    import graft.streaming.EventStream.{Scd2Mark, TEv}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TEv]
+    val q = EventStream.scd2Marks(input.toDS())
+      .writeStream.format("memory").queryName("scd2")
+      .outputMode(OutputMode.Append()).start()
+    val b1 = Seq(TEv(1, 1, ts(0), "A"), TEv(1, 2, ts(5), "A"),
+      TEv(2, 3, ts(1), "C"))
+    val b2 = Seq(
+      TEv(1, 4, ts(10), "A"),  // run continues ACROSS the batch boundary
+      TEv(1, 5, ts(20), "B"),  // new version
+      TEv(2, 6, ts(11), "D"))
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(spark.table("scd2").count() == 2,
+        "batch 1: one mark per user's opening run")
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val marks = spark.table("scd2").as[Scd2Mark].collect()
+    assert(marks.length == 4,
+      s"continuation must not re-mark: ${marks.toSeq}")
+    // batch twin: qScd2 over the same rows written as an events fixture —
+    // the marks are exactly its (user_id, version, event_type, valid_from)
+    val dir = java.nio.file.Files.createTempDirectory("scd2stream").toString
+    (b1 ++ b2).toDF()
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.queries.EventQueries.qScd2(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    // format the mark timestamps through the SAME Spark formatter the
+    // batch query uses, so both sides share one session-zone rendering
+    val got = marks.toSeq.toDF()
+      .select(col("user_id"), col("version"), col("event_type"),
+        org.apache.spark.sql.functions
+          .date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("vf"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(got == batch, s"stream $got != batch $batch")
+  }
+
   test("streaming asof enrich: latest prior click within lookback, null when none") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[Ev]

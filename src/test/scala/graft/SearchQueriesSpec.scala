@@ -292,6 +292,92 @@ class SearchQueriesSpec extends SparkSpec {
     assert(spark.table(idx.dfreqTable).count() > 0)
   }
 
+  test("phrase search: consecutive-match semantics on a hand-traced fixture") {
+    import spark.implicits._
+    // query 0 = "hash join": docs 0 (starts 1,4 → tf 2) and 2 (tf 1)
+    // match; docs 1/3 contain BOTH terms but never consecutively in
+    // order — the rows bag-of-words BM25 would return and phrase must not
+    val corpus: Seq[(Long, String)] = Seq(
+      0L -> "hash join x hash join",
+      1L -> "join hash z join",
+      2L -> "y hash join",
+      3L -> "hash z join",
+      4L -> "window merge sort end",   // query 1's only true phrase hit
+      5L -> "window merge x sort")
+    val dir = java.nio.file.Files.createTempDirectory("phrasefix").toString
+    corpus.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SearchQueries.qPhrase(spark, dir).collect()
+    val tf = rows.map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(tf.keySet.filter(_._1 == 0L).map(_._2) == Set(0L, 2L),
+      s"query 0 phrase hits: ${tf.keySet}")
+    assert(tf((0L, 0L)) == 2L && tf((0L, 2L)) == 1L)
+    assert(tf.keySet.filter(_._1 == 1L).map(_._2) == Set(4L),
+      "3-term phrase needs all three consecutive, in order")
+    // score = single BM25 saturation expression over the phrase tf with
+    // the phrase's own df — hand-check doc 0 / query 0
+    val n = corpus.size.toDouble
+    val avgdl = corpus.map(_._2.split(" ").length).sum.toDouble / n
+    val (df0, tf0, dl0) = (2.0, 2.0, 5.0)
+    val idf = math.log(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+    val want = idf * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl0 / avgdl))
+    val got = rows.find(r => r.getLong(0) == 0L && r.getLong(2) == 0L)
+      .get.getDouble(4)
+    assert(math.abs(got - want) < 1e-3, s"score $got vs ref $want")
+  }
+
+  test("stored positional index: identical output; term probe is a pruned bucketed scan") {
+    val direct = SearchQueries.qPhrase(spark, sf).collect().toSeq
+    val df = SearchQueries.qPhraseStored(spark, sf)
+    val stored = df.collect().toSeq
+    assert(stored == direct, "positional-index phrase path must equal direct")
+    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"phrase terms must push into the positions scan:\n$plan")
+    assert("SelectedBucketsCount: [0-7] out of 8".r.findFirstIn(plan).isDefined,
+      s"positions probe must bucket-prune:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("symspell match set equals the naive cross-join levenshtein filter") {
+    import spark.implicits._
+    val vocab = Seq("hash", "join", "hashx", "hsh", "hask", "ahsh", "josh",
+      "jion", "windw", "window", "a", "ab").toDF("term")
+    val qc = Seq(0L -> "hash", 1L -> "jion", 2L -> "windw", 3L -> "ab")
+      .toDF("query_id", "ct")
+    val got = SearchQueries.symspellMatch(vocab, qc).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val naive = vocab.crossJoin(qc)
+      .filter(levenshtein(col("term"), col("ct")) <= 1)
+      .select(col("query_id"), col("term")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == naive, s"symspell $got != naive $naive")
+    // the neighborhood is exact, not approximate: transposition "ahsh" is
+    // Levenshtein distance 2 from "hash" and must be absent
+    assert(!got.contains((0L, "ahsh")))
+    // and genuine distance-1 families are all present: deletion, insertion,
+    // substitution against "hash"
+    assert(Set("hash", "hsh", "hashx", "hask").forall(t => got((0L, t))))
+  }
+
+  test("fuzzy search recovers every corrupted query without a cartesian plan") {
+    val df = SearchQueries.qFuzzy(spark, sf)
+    val rows = df.collect()
+    // each fixed query's terms were deterministically corrupted, so exact
+    // lookup fails — the expansion must still rank docs for ALL queries
+    assert(rows.map(_.getLong(0)).toSet ==
+      SearchQueries.Bm25Queries.map(_._1).toSet,
+      "every corrupted query recovers results through the fuzzy expansion")
+    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      s"candidate generation must be the delete-key equi-join:\n$plan")
+  }
+
   test("scale shape: query-term pruning broadcasts; top-k plans pre-shuffle WindowGroupLimit") {
     val df = SearchQueries.qBm25(spark, sf)
     df.collect()
