@@ -58,7 +58,8 @@ object SearchQueries {
     * term) relation (small, broadcast); dfreq/stats broadcast too, so
     * the only corpus-sized input is the (already pruned) postings side. */
   private[graft] def scoreIndex(post: DataFrame, dfreq: DataFrame,
-      stats: DataFrame, qterms: DataFrame, k: Int = 5): DataFrame = {
+      stats: DataFrame, qterms: DataFrame, k: Int = 5,
+      excludeSelf: Boolean = false): DataFrame = {
     // a wt column on qterms scales each term's contribution (the RM3
     // interpolated query model) — same convention as [[bm25Scores]]
     val weighted = qterms.columns.contains("wt")
@@ -70,11 +71,15 @@ object SearchQueries {
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
     val sat = col("idf") * (col("tf") * lit(K1 + 1)) /
       (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl")))
-    val scored = base
+    val agg = base
       .withColumn("contrib", if (weighted) col("wt") * sat else sat)
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(col("contrib")), 4).as("score"),
         count(lit(1)).as("n_terms_hit"))
+    // query-by-document mode (MoreLikeThis): the seed is its own best
+    // match — drop the (q, q) row after aggregation, before ranking
+    val scored =
+      if (excludeSelf) agg.filter(col("doc_id") =!= col("query_id")) else agg
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     scored
@@ -785,6 +790,86 @@ object SearchQueries {
     phraseRank(pos, qoff, qlen, s.read.parquet(statsPath))
   }
 
+  /** More-like-this seed documents and expansion width (Lucene's
+    * MoreLikeThis defaults scaled to the corpus: maxQueryTerms). */
+  private val MltSeeds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
+  private val MltTerms = 8
+
+  /** Query-by-document retrieval — Lucene's MoreLikeThis (public API
+    * semantics): each seed document's most characteristic terms (top
+    * [[MltTerms]] by tf·idf, the MLT selection criterion) become a
+    * keyword query, and BM25 ranks the rest of the corpus against it,
+    * seed excluded. This is THE similar-docs feature every search
+    * deployment ships, and it exercises the inverted+forward index pair
+    * end to end: the term-vector pull is a bucket-pruned FORWARD-table
+    * probe by doc id (no tokenization, no corpus scan), the search is a
+    * bucket-pruned INVERTED-table probe by the selected terms.
+    *
+    * Two bounded driver collects, both intrinsic to a served plan (the
+    * [[qBm25Rm3Stored]] contract): the seed term vectors (≤ seeds ×
+    * doc-length rows) so the df probe and selection are driver-pushable
+    * literals, and the selected terms (≤ seeds × [[MltTerms]]) so the
+    * final scan carries In(term, …). Determinism: term selection ranks
+    * the 6dp-rounded tf·idf with term-string tiebreak; doc ranking is
+    * the shared 4dp-rounded BM25 with doc-id tiebreak. */
+  def qMoreLikeThis(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = bm25Index(s, d)
+    val stats = s.read.parquet(idx.statsPath)
+    val seedRows = s.table(idx.fwdTable)
+      .filter(col("doc_id").isin(MltSeeds: _*))
+      .select(col("doc_id").as("query_id"), col("term"), col("tf"))
+      .collect()
+    val seedTerms = seedRows.map(_.getString(1)).distinct.toSeq
+    val seedt = seedRows.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq.toDF("query_id", "term", "tf")
+    val wsel = Window.partitionBy(col("query_id"))
+      .orderBy(col("tw").desc, col("term"))
+    val selRows = seedt
+      .join(s.table(idx.dfreqTable).filter(col("term").isin(seedTerms: _*)),
+        "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("tw", round(col("tf") *
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))), 6))
+      .withColumn("r", row_number().over(wsel))
+      .filter(col("r") <= MltTerms)
+      .select(col("query_id"), col("term"))
+      .collect()
+    val terms2 = selRows.map(_.getString(1)).distinct.toSeq
+    val qterms = selRows.map(r => (r.getLong(0), r.getString(1)))
+      .toSeq.toDF("query_id", "term")
+    scoreIndex(
+      s.table(idx.postingsTable).filter(col("term").isin(terms2: _*)),
+      s.table(idx.dfreqTable).filter(col("term").isin(terms2: _*)),
+      stats, qterms, k = 5, excludeSelf = true)
+  }
+
+  val qMoreLikeThisSql: String = {
+    val seeds = MltSeeds.mkString(", ")
+    s"""WITH ${bm25Sql(
+      s"""fullpost AS (SELECT doc_id, unnest(w) term FROM d2),
+         |post0 AS (SELECT doc_id, term, count(*) tf FROM fullpost GROUP BY 1, 2),
+         |gdf AS (SELECT term, count(*) df FROM post0 GROUP BY 1),
+         |seedt AS (
+         |  SELECT p.doc_id query_id, p.term,
+         |    round(p.tf * ln(1.0::DOUBLE +
+         |      (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)), 6) tw
+         |  FROM post0 p JOIN gdf USING (term), stats
+         |  WHERE p.doc_id IN ($seeds)),
+         |qt AS (
+         |  SELECT query_id, term FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY tw DESC, term) r
+         |    FROM seedt) WHERE r <= $MltTerms)""".stripMargin)},
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) rank
+       |  FROM bm25 WHERE doc_id <> query_id)
+       |SELECT query_id, rank::INTEGER AS rank, doc_id, score, n_terms_hit
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Fuzzy (edit-distance ≤ 1) keyword search — typo-tolerant term
     * matching via the SymSpell delete-neighborhood (Garbe's public
     * algorithm, the standard spell-index trick): two strings are within
@@ -885,6 +970,7 @@ object SearchQueries {
     "ks_phrase" -> (qPhrase _),
     "ks_phrase_stored" -> (qPhraseStored _),
     "ks_fuzzy" -> (qFuzzy _),
+    "ks_mlt" -> (qMoreLikeThis _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -905,5 +991,6 @@ object SearchQueries {
     // explode feeds the same phraseRank kernel)
     "ks_phrase_stored" -> qPhraseSql,
     "ks_fuzzy" -> qFuzzySql,
+    "ks_mlt" -> qMoreLikeThisSql,
   )
 }

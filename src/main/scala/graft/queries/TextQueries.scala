@@ -701,6 +701,7 @@ object TextQueries {
     "td_charlm_bits" -> (qCharLmBits _),
     "td_ccnet_buckets" -> (qCcnetBuckets _),
     "td_quality_tiers" -> (qQualityTiers _),
+    "td_drift" -> (qDrift _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -719,5 +720,111 @@ object TextQueries {
     "td_charlm_bits" -> qCharLmBitsSql,
     "td_ccnet_buckets" -> qCcnetBucketsSql,
     "td_quality_tiers" -> qQualityTiersSql,
+    "td_drift" -> qDriftSql,
   )
+
+  /** Per-source distribution drift — the corpus-monitoring report a
+    * training-data pipeline runs between snapshots: split each source's
+    * documents into two deterministic halves (doc_id parity — in
+    * production, yesterday's snapshot vs today's), build the add-one-
+    * smoothed unigram distribution of each half over their UNION
+    * vocabulary, and report the KL divergence both ways. A drifting
+    * source (vocabulary churn, topic shift, spam injection) shows a
+    * rising KL long before downstream evals move.
+    *
+    * Scale shape: one token explode into a (source, half, term) count —
+    * map-side combinable, the only corpus-sized shuffle; the half totals
+    * and vocabulary sizes are |sources|-row broadcasts; the KL sum
+    * shuffles one row per (source, term) — vocabulary-sized, not
+    * corpus-sized. Both KL sums are rounded 4dp (sum-order ulp noise,
+    * the established cross-engine float contract). */
+  def qDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(
+      col("source"), (col("doc_id") % 2).as("half"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val cnt = tok.groupBy(col("source"), col("half"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val tot = tok.groupBy(col("source"), col("half"))
+      .agg(count(lit(1)).as("n"))
+    val a = cnt.filter(col("half") === 0)
+      .select(col("source"), col("term"), col("c").as("ca"))
+    val b = cnt.filter(col("half") === 1)
+      .select(col("source"), col("term"), col("c").as("cb"))
+    val pair = a.join(b, Seq("source", "term"), "full_outer")
+      .select(col("source"), col("term"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val vsz = pair.groupBy(col("source")).agg(count(lit(1)).as("v"))
+    val na = tot.filter(col("half") === 0)
+      .select(col("source"), col("n").as("na"))
+    val nb = tot.filter(col("half") === 1)
+      .select(col("source"), col("n").as("nb"))
+    val sm = pair
+      .join(broadcast(vsz), "source")
+      .join(broadcast(na), Seq("source"), "left")
+      .join(broadcast(nb), Seq("source"), "left")
+      .withColumn("pa", (col("ca") + 1).cast("double") /
+        (coalesce(col("na"), lit(0L)) + col("v")))
+      .withColumn("pb", (col("cb") + 1).cast("double") /
+        (coalesce(col("nb"), lit(0L)) + col("v")))
+    val nd = docs.groupBy(col("source")).agg(
+      sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_docs_a"),
+      sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("n_docs_b"))
+    sm.groupBy(col("source"))
+      .agg(round(sum(col("pa") * log(col("pa") / col("pb"))), 4).as("kl_ab"),
+        round(sum(col("pb") * log(col("pb") / col("pa"))), 4).as("kl_ba"))
+      .join(broadcast(vsz.select(col("source"), col("v").as("vocab"))), "source")
+      .join(broadcast(na.select(col("source"), col("na").as("n_tokens_a"))),
+        Seq("source"), "left")
+      .join(broadcast(nb.select(col("source"), col("nb").as("n_tokens_b"))),
+        Seq("source"), "left")
+      .join(broadcast(nd), "source")
+      .select(col("source"), col("n_docs_a"), col("n_docs_b"),
+        coalesce(col("n_tokens_a"), lit(0L)).as("n_tokens_a"),
+        coalesce(col("n_tokens_b"), lit(0L)).as("n_tokens_b"),
+        col("vocab"), col("kl_ab"), col("kl_ba"))
+      .orderBy(col("source"))
+  }
+
+  val qDriftSql: String =
+    """WITH tok AS (
+      |  SELECT source, doc_id % 2 AS h,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) term
+      |  FROM documents),
+      |cnt AS (SELECT source, h, term, count(*)::BIGINT c FROM tok GROUP BY 1, 2, 3),
+      |tot AS (SELECT source, h, count(*)::BIGINT n FROM tok GROUP BY 1, 2),
+      |pair AS (
+      |  SELECT coalesce(a.source, b.source) source,
+      |    coalesce(a.term, b.term) term,
+      |    coalesce(a.c, 0) ca, coalesce(b.c, 0) cb
+      |  FROM (SELECT source, term, c FROM cnt WHERE h = 0) a
+      |  FULL OUTER JOIN (SELECT source, term, c FROM cnt WHERE h = 1) b
+      |    ON a.source = b.source AND a.term = b.term),
+      |vsz AS (SELECT source, count(*)::BIGINT v FROM pair GROUP BY 1),
+      |na AS (SELECT source, n FROM tot WHERE h = 0),
+      |nb AS (SELECT source, n FROM tot WHERE h = 1),
+      |sm AS (
+      |  SELECT p.source,
+      |    (ca + 1)::DOUBLE / (coalesce(na.n, 0) + v) pa,
+      |    (cb + 1)::DOUBLE / (coalesce(nb.n, 0) + v) pb
+      |  FROM pair p JOIN vsz USING (source)
+      |  LEFT JOIN na USING (source) LEFT JOIN nb USING (source)),
+      |kl AS (
+      |  SELECT source, round(sum(pa * ln(pa / pb)), 4) kl_ab,
+      |    round(sum(pb * ln(pb / pa)), 4) kl_ba
+      |  FROM sm GROUP BY 1),
+      |nd AS (
+      |  SELECT source,
+      |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT n_docs_a,
+      |    sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT n_docs_b
+      |  FROM documents GROUP BY 1)
+      |SELECT source, n_docs_a, n_docs_b,
+      |  coalesce(na.n, 0)::BIGINT AS n_tokens_a,
+      |  coalesce(nb.n, 0)::BIGINT AS n_tokens_b,
+      |  v AS vocab, kl_ab, kl_ba
+      |FROM kl JOIN vsz USING (source)
+      |LEFT JOIN na USING (source) LEFT JOIN nb USING (source)
+      |JOIN nd USING (source)
+      |ORDER BY source""".stripMargin
 }

@@ -171,6 +171,32 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("drift: hand-computed smoothed KL; stable source reads ~0, shifted source reads high") {
+    import spark.implicits._
+    // src_stable: identical halves → KL exactly 0 after smoothing;
+    // src_shift: hand-traceable 3-token halves → KL = 0.2·ln(1.5) each way
+    // (pa = {0.6, 0.4}, pb = {0.4, 0.6} over vocab {a, b}, add-one, V=2);
+    // src_swap: disjoint vocab halves → large drift both directions
+    val docs = Seq(
+      (0L, "a b", "src_stable"), (1L, "a b", "src_stable"),
+      (2L, "a a b", "src_shift"), (3L, "a b b", "src_shift"),
+      (4L, "x x x y", "src_swap"), (5L, "z z w w", "src_swap"))
+    val dir = java.nio.file.Files.createTempDirectory("driftfix").toString
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.qDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(6), r.getDouble(7))).toMap
+    assert(got("src_stable") == ((0.0, 0.0)), s"stable: ${got("src_stable")}")
+    val want = BigDecimal(0.2 * math.log(1.5))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("src_shift") == ((want, want)), s"shift: ${got("src_shift")}")
+    assert(got("src_swap")._1 > 5 * want && got("src_swap")._2 > 5 * want,
+      s"disjoint vocab must dominate: ${got("src_swap")}")
+  }
+
   test("DSIR: target-like raw docs outrank raw-vocabulary docs and get selected") {
     import spark.implicits._
     // target sources speak vocabulary A; raw docs speak vocabulary B —

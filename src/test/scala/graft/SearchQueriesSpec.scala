@@ -378,6 +378,43 @@ class SearchQueriesSpec extends SparkSpec {
       s"candidate generation must be the delete-key equi-join:\n$plan")
   }
 
+  test("more-like-this: nearest doc wins, seed excluded, selected terms pushed") {
+    import spark.implicits._
+    // seeds are doc_ids 0..4; docs 5/7 are crafted near-duplicates of
+    // seeds 0/1, doc 6 shares nothing with seed 0 beyond 'delta'
+    val corpus: Seq[(Long, String)] = Seq(
+      0L -> "alpha beta alpha gamma",
+      1L -> "hash join probe",
+      2L -> "sort merge spill",
+      3L -> "window frame bound",
+      4L -> "scan filter project",
+      5L -> "alpha beta gamma delta",
+      6L -> "delta epsilon zeta",
+      7L -> "hash join build probe table")
+    val dir = java.nio.file.Files.createTempDirectory("mltfix").toString
+    corpus.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SearchQueries.qMoreLikeThis(spark, dir).collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)),
+      "the seed must never match itself")
+    val top1 = rows.filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top1(0L) == 5L, s"seed 0's nearest is its near-duplicate: $top1")
+    assert(top1(1L) == 7L, s"seed 1's nearest is its near-duplicate: $top1")
+
+    // real data: every seed queries, exclusion holds, term probe pushed
+    val df = SearchQueries.qMoreLikeThis(spark, sf)
+    val real = df.collect()
+    assert(real.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(real.forall(r => r.getLong(0) != r.getLong(2)))
+    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"selected MLT terms must push into the postings probe:\n$plan")
+  }
+
   test("scale shape: query-term pruning broadcasts; top-k plans pre-shuffle WindowGroupLimit") {
     val df = SearchQueries.qBm25(spark, sf)
     df.collect()
