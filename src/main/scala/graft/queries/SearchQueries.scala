@@ -611,8 +611,14 @@ object SearchQueries {
     * merged view; output is provably identical to [[qBm25]] (same
     * oracle). Built once per sf-dir — the index lifecycle, same as
     * [[bm25Index]]. */
-  def qBm25Deltas(s: SparkSession, d: String): DataFrame = {
-    val dir = deltaIndexCache.getOrElseUpdate(d, {
+  def qBm25Deltas(s: SparkSession, d: String): DataFrame =
+    graft.streaming.IndexStream.search(s, deltaDir(s, d))
+
+  /** The 3-pseudo-batch delta index for an sf-dir, built once — shared
+    * by the BM25 and phrase delta-serving gates (one delivery, every
+    * component maintained from it, exactly like a real index flush). */
+  private def deltaDir(s: SparkSession, d: String): String =
+    deltaIndexCache.getOrElseUpdate(d, {
       val dir = java.nio.file.Files.createTempDirectory("bm25deltas").toString
       val docs = Tables.documents(s, d).selectExpr("doc_id", "text")
       (0 until 3).foreach { b =>
@@ -623,8 +629,15 @@ object SearchQueries {
       }
       dir
     })
-    graft.streaming.IndexStream.search(s, dir)
-  }
+
+  /** [[qPhrase]] served off the DELTA-MAINTAINED positional component —
+    * the streamed-index twin ([[qBm25Deltas]] relationship): per-batch
+    * position lists union into the full positional postings, and the
+    * shared [[phraseRank]] kernel scores them. Same oracle as
+    * [[qPhrase]]: the delta merge is provably the batch relation under
+    * the append-only doc_id contract. */
+  def qPhraseDeltas(s: SparkSession, d: String): DataFrame =
+    graft.streaming.IndexStream.searchPhrase(s, deltaDir(s, d))
 
   /** Exact phrase search over POSITIONAL postings — the Lucene
     * PhraseQuery semantics the bag-of-words ranker cannot express: the
@@ -645,11 +658,7 @@ object SearchQueries {
     * per-query df — one scalar expression per surviving doc, so the 4dp
     * round is engine-exact. */
   def qPhrase(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val qoff = Bm25Queries.toDF("query_id", "qtext")
-      .select(col("query_id"),
-        posexplode(split(col("qtext"), " ")).as(Seq("off", "term")))
-    val qlen = qoff.groupBy(col("query_id")).agg(count(lit(1)).as("qlen"))
+    val (_, qoff, qlen) = phraseQuery(s)
     val toks = tokenized(s, d)
     val pos = toks.select(col("doc_id"), col("dl"),
         posexplode(col("w")).as(Seq("p0", "term")))
@@ -663,7 +672,21 @@ object SearchQueries {
     * [[scoreIndex]]/[[bm25Scores]] relationship). `pos` carries
     * (doc_id, dl, pos, term) rows already restricted to SOME superset of
     * the query terms. */
-  private def phraseRank(pos: DataFrame, qoff: DataFrame, qlen: DataFrame,
+  /** The fixed query set as phrase relations: (distinct terms,
+    * (query_id, off, term) offsets, (query_id, qlen) lengths) — the ONE
+    * phrase-query tokenization shared by the direct, stored and streamed
+    * serving paths (the [[queryTerms]] contract). */
+  private[graft] def phraseQuery(s: SparkSession)
+      : (Seq[String], DataFrame, DataFrame) = {
+    import s.implicits._
+    val qoff = Bm25Queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        posexplode(split(col("qtext"), " ")).as(Seq("off", "term")))
+    val qlen = qoff.groupBy(col("query_id")).agg(count(lit(1)).as("qlen"))
+    (Bm25Queries.flatMap(_._2.split(" ")).distinct, qoff, qlen)
+  }
+
+  private[graft] def phraseRank(pos: DataFrame, qoff: DataFrame, qlen: DataFrame,
       stats: DataFrame): DataFrame = {
     val hits = pos.join(broadcast(qoff), "term")
       .withColumn("start", col("pos") - col("off"))
@@ -777,12 +800,7 @@ object SearchQueries {
     * THIS plan is the per-query cost: O(query-term position lists). */
   def qPhraseStored(s: SparkSession, d: String): DataFrame = {
     val (table, statsPath) = phraseIndex(s, d)
-    import s.implicits._
-    val qoff = Bm25Queries.toDF("query_id", "qtext")
-      .select(col("query_id"),
-        posexplode(split(col("qtext"), " ")).as(Seq("off", "term")))
-    val qlen = qoff.groupBy(col("query_id")).agg(count(lit(1)).as("qlen"))
-    val terms = Bm25Queries.flatMap(_._2.split(" ")).distinct
+    val (terms, qoff, qlen) = phraseQuery(s)
     val pos = s.table(table)
       .filter(col("term").isin(terms: _*))
       .select(col("doc_id"), col("dl"), col("term"),
@@ -971,6 +989,7 @@ object SearchQueries {
     "ks_phrase_stored" -> (qPhraseStored _),
     "ks_fuzzy" -> (qFuzzy _),
     "ks_mlt" -> (qMoreLikeThis _),
+    "ks_phrase_deltas" -> (qPhraseDeltas _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -992,5 +1011,8 @@ object SearchQueries {
     "ks_phrase_stored" -> qPhraseSql,
     "ks_fuzzy" -> qFuzzySql,
     "ks_mlt" -> qMoreLikeThisSql,
+    // delta-maintained positional component: same phrase relation,
+    // merged from per-batch deltas
+    "ks_phrase_deltas" -> qPhraseSql,
   )
 }

@@ -50,10 +50,20 @@ object IndexStream {
   def writeDelta(batch: DataFrame, indexDir: String, batchId: Long): Unit = {
     val tok = SearchQueries.tokenizeDocs(
       batch.select(col("doc_id"), col("text"))).localCheckpoint()
-    val postings = tok
-      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+    // one explode pass feeds BOTH the positional and frequency postings:
+    // tf = |positions| by construction, so the components cannot drift
+    // (the .pos/.doc-file pairing real engines flush together)
+    val positional = tok
+      .select(col("doc_id"), col("dl"),
+        posexplode(col("w")).as(Seq("p0", "term")))
       .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(sort_array(collect_list(col("p0") + 1)).as("positions"))
+      .localCheckpoint()
+    positional.write.mode("overwrite")
+      .parquet(s"$indexDir/positions/batch=$batchId")
+    val postings = positional
+      .select(col("term"), col("doc_id"), col("dl"),
+        size(col("positions")).cast("long").as("tf"))
       .localCheckpoint()
     postings.write.mode("overwrite")
       .parquet(s"$indexDir/postings/batch=$batchId")
@@ -94,6 +104,10 @@ object IndexStream {
     component(s, s"$indexDir/stats", "n_docs BIGINT, sum_dl BIGINT")
       .agg(sum(col("n_docs")).as("n_docs"),
         (sum(col("sum_dl")) / sum(col("n_docs")).cast("double")).as("avgdl"))
+  def positions(s: SparkSession, indexDir: String): DataFrame =
+    component(s, s"$indexDir/positions",
+      "term STRING, doc_id BIGINT, dl INT, positions ARRAY<INT>")
+      .select(col("term"), col("doc_id"), col("dl"), col("positions"))
 
   /** BM25 top-k served straight off the streamed (uncompacted) index —
     * the same scorer as the stored-table path, so stream ≡ batch is an
@@ -106,6 +120,22 @@ object IndexStream {
       postings(s, indexDir).filter(col("term").isin(terms: _*)),
       dfreq(s, indexDir).filter(col("term").isin(terms: _*)),
       stats(s, indexDir), qterms, k)
+  }
+
+  /** Phrase top-k served off the streamed POSITIONAL component — the
+    * delta-maintained twin of [[SearchQueries.qPhraseStored]]: the
+    * per-batch position lists union into the full positional postings
+    * (same append-only doc_id contract as the frequency components), the
+    * probe restricts to the phrase terms, and the shared
+    * [[SearchQueries.phraseRank]] kernel does the rest — so stream ≡
+    * batch is structural, not tested-in. */
+  def searchPhrase(s: SparkSession, indexDir: String): DataFrame = {
+    val (terms, qoff, qlen) = SearchQueries.phraseQuery(s)
+    val pos = positions(s, indexDir)
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), col("term"),
+        explode(col("positions")).as("pos"))
+    SearchQueries.phraseRank(pos, qoff, qlen, stats(s, indexDir))
   }
 
   /** Fold the accumulated deltas into bucketed serving tables (the
@@ -144,6 +174,24 @@ object IndexStream {
       .saveAsTable(idx.fwdTable)
     stats(s, indexDir).write.mode("overwrite").parquet(idx.statsPath)
     idx
+  }
+
+  /** Fold the positional deltas into the bucketed positional serving
+    * table (the [[SearchQueries.phraseIndex]] layout: `bucketBy(8,
+    * term)`, sorted within buckets). Additive to [[compact]] on purpose
+    * — frequency-only deployments never pay the positions IO, matching
+    * the separate-.pos-file layout of the batch-built index. */
+  def compactPositions(s: SparkSession, indexDir: String): String = {
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(indexDir.getBytes).map("%02x".format(_)).mkString.take(8)
+    val table = s"bm25s_pos_$suffix"
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    SearchQueries.reclaimOrphanTables(s, Seq(table))
+    positions(s, indexDir)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "term").sortBy("term", "doc_id")
+      .saveAsTable(table)
+    table
   }
 
   /** BM25 top-k off a compacted index — the serving-path probe

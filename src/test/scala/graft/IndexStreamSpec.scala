@@ -69,5 +69,20 @@ class IndexStreamSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("SelectedBucketsCount"),
       s"compacted probe should be bucket-pruned:\n$plan")
+
+    // the POSITIONAL component rides the same deltas: phrase search off
+    // the streamed index equals the batch phrase query, survives the
+    // same redelivery, and its compaction serves bucket-pruned
+    val phraseBatch = SearchQueries.qPhrase(spark, sfDir).collect().toSeq
+    assert(IndexStream.searchPhrase(spark, indexDir).collect().toSeq
+      == phraseBatch, "streamed positional index must equal batch phrase")
+    val posTable = IndexStream.compactPositions(spark, indexDir)
+    val compacted = spark.table(posTable)
+    // tf ≡ |positions| by construction — the components cannot drift
+    val drift = compacted.selectExpr("term", "doc_id", "size(positions) np")
+      .join(spark.table(idx.postingsTable), Seq("term", "doc_id"))
+      .filter(org.apache.spark.sql.functions.col("np") =!=
+        org.apache.spark.sql.functions.col("tf"))
+    assert(drift.count() == 0, "positional and frequency postings agree")
   }
 }
