@@ -206,13 +206,20 @@ object DedupQueries {
   private def simhashPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.getOrElseUpdate(d, simhashPairsPlan(s, d).persist())
 
-  private def simhashPairsPlan(s: SparkSession, d: String): DataFrame = {
+  private def simhashPairsPlan(s: SparkSession, d: String): DataFrame =
+    bandedSimhashPairs(Tables.documents(s, d)
+      .select(col("doc_id"), simhash(tokens(col("text"))).as("sig")))
+
+  /** The band-blocked Hamming-≤3 pair join over ANY (doc_id, sig)
+    * 60-bit signature relation — factored so other modalities (binary
+    * blobs in [[MultimodalQueries]]) reuse the exact blocking
+    * guarantee: 4 bands × 15 bits means two signatures within distance
+    * 3 share at least one whole band (pigeonhole), so the equi-join on
+    * band keys is lossless, never a similarity cross join. */
+  private[graft] def bandedSimhashPairs(docs: DataFrame): DataFrame = {
     val maxDist = 3
     val nBands = 4
     val bandBits = 15
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), simhash(tokens(col("text"))).as("sig"))
-
     val banded = docs.select(
       col("doc_id"), col("sig"),
       posexplode(array((0 until nBands).map { bi =>

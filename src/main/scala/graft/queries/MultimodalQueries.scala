@@ -129,8 +129,58 @@ object MultimodalQueries {
       |  ((units * timescale // 100) * 1000 // timescale)::BIGINT AS duration_ms
       |FROM t ORDER BY media_id""".stripMargin
 
+  /** Binary near-duplicate detection WITHOUT decoding — the multimodal
+    * dedup a 100 TB media pipeline runs before any expensive
+    * decode/featurize stage: a 60-bit simhash over each blob's distinct
+    * byte 4-grams, then the band-blocked Hamming-≤3 join factored out of
+    * the text dedup family ([[DedupQueries.bandedSimhashPairs]] — the
+    * lossless 4×15-bit pigeonhole blocking, never a similarity cross
+    * join). Re-encoded containers, truncated uploads and
+    * metadata-stripped copies land within a few bits of each other at
+    * the byte level even when their checksums differ.
+    *
+    * The oracle recomputes the identical signature from the harness
+    * blobs' ASCII source (byte 4-gram ≡ char 4-gram there), so the whole
+    * signature→band→verify pipeline is hash-checked, not just spec'd. */
+  def qBlobNeardup(s: SparkSession, d: String): DataFrame = {
+    val grams = expr(
+      """array_distinct(transform(
+        |  sequence(1, greatest(length(blob) - 3, 0)),
+        |  i -> cast(substring(blob, i, 4) as string)))""".stripMargin)
+    val sigs = Media.mediaTable(s, d)
+      .filter(length(col("blob")) >= 4)
+      .select(col("media_id").as("doc_id"),
+        graft.functions.TextFunctions.simhash(grams).as("sig"))
+    DedupQueries.bandedSimhashPairs(sigs)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("dist"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  val qBlobNeardupSql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(
+      |      [substr(text, i + 1, 4) FOR i IN range(length(text) - 3)])) t
+      |  FROM documents WHERE length(text) >= 4),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT hv FROM g),
+      |bits AS (
+      |  SELECT doc_id, bb.b,
+      |    sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) v
+      |  FROM h, (SELECT unnest(range(60)) b) bb GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT sig
+      |  FROM bits GROUP BY 1)
+      |SELECT x.doc_id media_a, y.doc_id media_b,
+      |  bit_count(xor(x.sig, y.sig))::INTEGER dist
+      |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+      |WHERE bit_count(xor(x.sig, y.sig)) <= 3
+      |ORDER BY media_a, media_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_blob_stats" -> (qBlobStats _),
+    "mm_blob_neardup" -> (qBlobNeardup _),
     "mm_byte_profile" -> (qByteProfile _),
     "mm_frame_sample" -> (qFrameSample _),
     "mm_image_dims" -> (qImageDims _),
@@ -140,6 +190,7 @@ object MultimodalQueries {
 
   def oracles: Map[String, String] = Map(
     "mm_blob_stats" -> qBlobStatsSql,
+    "mm_blob_neardup" -> qBlobNeardupSql,
     "mm_byte_profile" -> qByteProfileSql,
     "mm_frame_sample" -> qFrameSampleSql,
     "mm_image_dims" -> qImageDimsSql,

@@ -29,6 +29,27 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("blob near-dup: one-byte edits pair up, disjoint payloads never do") {
+    withTempDir { dir =>
+      val base = ("lorem ipsum dolor sit amet consectetur adipiscing elit " * 4).trim
+      Seq(
+        (0L, base),                       // original
+        (1L, base.dropRight(1) + "x"),    // one-byte edit → near-dup of 0
+        (2L, base.take(210)),             // truncated copy → near-dup of 0
+        (3L, "zq" * 120))                 // disjoint byte content
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("fix"))
+        .withColumn("n_chars", length(col("text")))
+        .write.parquet(s"$dir/documents.parquet")
+      val pairs = graft.queries.MultimodalQueries.qBlobNeardup(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((0L, 1L)), s"one-byte edit must pair: $pairs")
+      assert(pairs.contains((0L, 2L)), s"truncation must pair: $pairs")
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+        s"disjoint blob must stay unpaired: $pairs")
+    }
+  }
+
   test("stub decoder: fixed 64-byte frames, lossless coverage") {
     val blob = Array.tabulate[Byte](150)(i => (i % 251).toByte)
     val frames = Media.decodeFrames(blob).toSeq
