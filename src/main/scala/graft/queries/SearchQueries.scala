@@ -808,6 +808,24 @@ object SearchQueries {
     phraseRank(pos, qoff, qlen, s.read.parquet(statsPath))
   }
 
+  /** Ad-hoc single-query BM25 off the stored index — the serving-path
+    * entry the HTTP shim exposes as `GET /search`: the query string is
+    * normalized exactly like document text (trim/lower/whitespace
+    * split), its terms become the pushed `In(term, …)` probe, and the
+    * plan is [[qBm25Stored]]'s per-query cost — O(query-term postings)
+    * regardless of corpus size. */
+  def searchStored(s: SparkSession, d: String, query: String,
+      k: Int = 5): DataFrame = {
+    val idx = bm25Index(s, d)
+    val normalized = query.trim.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).mkString(" ")
+    val (terms, qterms) = queryTerms(s, Seq(0L -> normalized))
+    scoreIndex(
+      s.table(idx.postingsTable).filter(col("term").isin(terms: _*)),
+      s.table(idx.dfreqTable).filter(col("term").isin(terms: _*)),
+      s.read.parquet(idx.statsPath), qterms, k)
+  }
+
   /** More-like-this seed documents and expansion width (Lucene's
     * MoreLikeThis defaults scaled to the corpus: maxQueryTerms). */
   private val MltSeeds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)

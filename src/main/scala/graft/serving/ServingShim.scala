@@ -47,7 +47,8 @@ class ServingShim(
     port: Int = 0,
     maxJobs: Int = 10,
     sseTimeoutMs: Long = 10000,
-    metrics: () => Seq[graft.ingest.StageMetric] = () => Nil) {
+    metrics: () => Seq[graft.ingest.StageMetric] = () => Nil,
+    search: Option[(String, Int) => Seq[ServingShim.SearchHit]] = None) {
 
   /** One job's live trail: events append as the runner emits them;
     * `done` flips after the last one. Append-only so any number of
@@ -89,6 +90,36 @@ class ServingShim(
         respond(ex, 405, """{"error": "method not allowed"}""", "application/json")
       else respond(ex, 200, ServingShim.prometheusText(metrics()),
         "text/plain; version=0.0.4")
+    }
+  })
+
+  // GET /search?q=<terms>&k=<n> — synchronous keyword retrieval, the
+  // query-service front of the stored-index path
+  // (SearchQueries.searchStored wired in by the deployment). Absent
+  // wiring → 404, so job-only shims don't grow a dead endpoint.
+  server.createContext("/search", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = guard(ex) {
+      (ex.getRequestMethod, search) match {
+        case ("GET", Some(fn)) =>
+          val params = ServingShim.queryParams(ex.getRequestURI.getRawQuery)
+          params.get("q").filter(_.trim.nonEmpty) match {
+            case None =>
+              respond(ex, 400, """{"error": "missing q"}""", "application/json")
+            case Some(q) =>
+              val k = params.get("k").flatMap(_.toIntOption)
+                .filter(x => x > 0 && x <= 100).getOrElse(5)
+              val hits = fn(q, k).map { h =>
+                s"""{"rank": ${h.rank}, "doc_id": ${h.docId}, "score": ${h.score}}"""
+              }.mkString("[", ", ", "]")
+              respond(ex, 200,
+                s"""{"query": ${ServingShim.quote(q)}, "k": $k, "hits": $hits}""",
+                "application/json")
+          }
+        case ("GET", None) =>
+          respond(ex, 404, """{"error": "search not configured"}""", "application/json")
+        case _ =>
+          respond(ex, 405, """{"error": "method not allowed"}""", "application/json")
+      }
     }
   })
 
@@ -210,6 +241,22 @@ object ServingShim {
 
   private val EventsPath = "/jobs/([^/]+)/events".r
   private val JobPath = "/jobs/([^/]+)".r
+
+  /** One search result row as served by `GET /search`. */
+  case class SearchHit(rank: Int, docId: Long, score: Double)
+
+  /** Parse a raw query string (`a=1&b=x%20y`) — last value wins,
+    * URL-decoded as UTF-8. */
+  def queryParams(raw: String): Map[String, String] =
+    Option(raw).toSeq.flatMap(_.split("&"))
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.nonEmpty =>
+            Some(java.net.URLDecoder.decode(k, "UTF-8") ->
+              java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }.toMap
 
   /** Prometheus text exposition (format 0.0.4) of the per-stage ingest
     * gauges — one series per metric with (run_id, stage) labels, the

@@ -378,6 +378,16 @@ class SearchQueriesSpec extends SparkSpec {
       s"candidate generation must be the delete-key equi-join:\n$plan")
   }
 
+  test("ad-hoc searchStored: normalization + ranking equal the fixed-query stored path") {
+    val adhoc = SearchQueries.searchStored(spark, sf, "  Hash   JOIN ", 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val fixed = SearchQueries.qBm25Stored(spark, sf).collect()
+      .filter(_.getLong(0) == 0L) // query 0 = "hash join"
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(adhoc == fixed,
+      s"ad-hoc path must normalize and rank like the fixed set: $adhoc vs $fixed")
+  }
+
   test("more-like-this: nearest doc wins, seed excluded, selected terms pushed") {
     import spark.implicits._
     // seeds are doc_ids 0..4; docs 5/7 are crafted near-duplicates of

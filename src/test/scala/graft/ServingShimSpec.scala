@@ -177,6 +177,38 @@ class ServingShimSpec extends SparkSpec {
     }
   }
 
+  test("GET /search: stored-index retrieval over real sockets; 400/404 edges") {
+    // wired to the REAL stored-index path over the sf0.001 corpus — the
+    // deployment shape, not a stub
+    val sf = "/root/testdata/sf0.001"
+    val engineSearch = (q: String, k: Int) =>
+      graft.queries.SearchQueries.searchStored(spark, sf, q, k).collect()
+        .map(r => ServingShim.SearchHit(r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    val shim = new ServingShim(() => healthyStatus, runner,
+      search = Some(engineSearch))
+    val port = shim.start()
+    try {
+      val c = java.net.http.HttpClient.newHttpClient()
+      val r = get(c, port, "/search?q=hash%20join&k=3")
+      assert(r.statusCode() == 200, r.body())
+      // served hits ≡ the engine's own ranking for the same query
+      val want = engineSearch("hash join", 3)
+      val got = """\{"rank": (\d+), "doc_id": (\d+), "score": ([-0-9.E]+)\}""".r
+        .findAllMatchIn(r.body())
+        .map(m => ServingShim.SearchHit(m.group(1).toInt, m.group(2).toLong,
+          m.group(3).toDouble)).toSeq
+      assert(got == want, s"served $got != engine $want")
+      assert(want.nonEmpty && want.map(_.rank) == (1 to want.size))
+      assert(get(c, port, "/search?k=3").statusCode() == 400, "missing q")
+      assert(get(c, port, "/search?q=").statusCode() == 400, "empty q")
+    } finally shim.stop()
+    // a shim without search wiring 404s rather than growing a dead endpoint
+    withShim() { (port2, c2) =>
+      assert(get(c2, port2, "/search?q=x").statusCode() == 404)
+    }
+  }
+
   test("request-body JSON readers handle escapes and reject absent keys") {
     assert(ServingShim.jsonString("""{"query": "a \"b\" \n c"}""", "query")
       .contains("a \"b\" \n c"))
