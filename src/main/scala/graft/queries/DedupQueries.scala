@@ -509,8 +509,9 @@ object DedupQueries {
        |  WHERE bit_count(xor(x.sig, y.sig)) <= 3)""".stripMargin
 
   /** Recursive connected-component closure over `pairs(a, b)` →
-    * `comp(node, label)` with label = component min. */
-  private val ccClosureSql: String =
+    * `comp(node, label)` with label = component min. Shared with the
+    * multimodal blob-cluster oracle ([[MultimodalQueries]]). */
+  private[graft] val ccClosureSql: String =
     """edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
       |reach(a, b) AS (
       |  SELECT a, b FROM edges

@@ -142,23 +142,48 @@ object MultimodalQueries {
     * The oracle recomputes the identical signature from the harness
     * blobs' ASCII source (byte 4-gram ≡ char 4-gram there), so the whole
     * signature→band→verify pipeline is hash-checked, not just spec'd. */
-  def qBlobNeardup(s: SparkSession, d: String): DataFrame = {
-    val grams = expr(
-      """array_distinct(transform(
-        |  sequence(1, greatest(length(blob) - 3, 0)),
-        |  i -> cast(substring(blob, i, 4) as string)))""".stripMargin)
-    val sigs = Media.mediaTable(s, d)
-      .filter(length(col("blob")) >= 4)
-      .select(col("media_id").as("doc_id"),
-        graft.functions.TextFunctions.simhash(grams).as("sig"))
-    DedupQueries.bandedSimhashPairs(sigs)
+  /** The blob near-dup pair relation, materialized once per sf-dir (the
+    * dd family's pairsCache lifecycle): both the pair report and the
+    * cluster rollup derive from it. */
+  private val blobPairsCache = Caches.register(
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+
+  private def blobPairs(s: SparkSession, d: String): DataFrame =
+    blobPairsCache.getOrElseUpdate(d, {
+      val grams = expr(
+        """array_distinct(transform(
+          |  sequence(1, greatest(length(blob) - 3, 0)),
+          |  i -> cast(substring(blob, i, 4) as string)))""".stripMargin)
+      val sigs = Media.mediaTable(s, d)
+        .filter(length(col("blob")) >= 4)
+        .select(col("media_id").as("doc_id"),
+          graft.functions.TextFunctions.simhash(grams).as("sig"))
+      DedupQueries.bandedSimhashPairs(sigs).persist()
+    })
+
+  def qBlobNeardup(s: SparkSession, d: String): DataFrame =
+    blobPairs(s, d)
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
         col("dist"))
       .orderBy(col("media_a"), col("media_b"))
-  }
 
-  val qBlobNeardupSql: String =
-    """WITH g AS (
+  /** Blob dedup CLUSTERS — the action a media pipeline takes on the pair
+    * relation: connected components over the near-dup graph (the shared
+    * min-label fixpoint kernel, [[DedupQueries.componentLabels]]) with
+    * the canonical survivor = min media id, exactly the text family's
+    * dd_simhash_clusters semantics applied to undecoded binary. */
+  def qBlobClusters(s: SparkSession, d: String): DataFrame =
+    DedupQueries.componentLabels(s, blobPairs(s, d))
+      .groupBy(col("label").as("keep_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        (count(lit(1)) - 1).as("n_removed"))
+      .orderBy(col("keep_id"))
+
+  /** Blob 60-bit signature prologue (byte 4-gram ≡ char 4-gram on the
+    * ASCII harness blobs) — shared by the pair and cluster oracles the
+    * way the dd family single-sources simhashSigSql. */
+  private val blobSigSql: String =
+    """g AS (
       |  SELECT doc_id,
       |    unnest(list_distinct(
       |      [substr(text, i + 1, 4) FOR i IN range(length(text) - 3)])) t
@@ -171,16 +196,31 @@ object MultimodalQueries {
       |sig AS (
       |  SELECT doc_id,
       |    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT sig
-      |  FROM bits GROUP BY 1)
+      |  FROM bits GROUP BY 1)""".stripMargin
+
+  val qBlobNeardupSql: String =
+    s"""WITH $blobSigSql
       |SELECT x.doc_id media_a, y.doc_id media_b,
       |  bit_count(xor(x.sig, y.sig))::INTEGER dist
       |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
       |WHERE bit_count(xor(x.sig, y.sig)) <= 3
       |ORDER BY media_a, media_b""".stripMargin
 
+  val qBlobClustersSql: String =
+    s"""WITH RECURSIVE $blobSigSql,
+      |pairs AS (
+      |  SELECT x.doc_id a, y.doc_id b
+      |  FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+      |  WHERE bit_count(xor(x.sig, y.sig)) <= 3),
+      |${DedupQueries.ccClosureSql}
+      |SELECT label AS keep_id, count(*)::BIGINT AS cluster_size,
+      |  (count(*) - 1)::BIGINT AS n_removed
+      |FROM comp GROUP BY label ORDER BY keep_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_blob_stats" -> (qBlobStats _),
     "mm_blob_neardup" -> (qBlobNeardup _),
+    "mm_blob_clusters" -> (qBlobClusters _),
     "mm_byte_profile" -> (qByteProfile _),
     "mm_frame_sample" -> (qFrameSample _),
     "mm_image_dims" -> (qImageDims _),
@@ -191,6 +231,7 @@ object MultimodalQueries {
   def oracles: Map[String, String] = Map(
     "mm_blob_stats" -> qBlobStatsSql,
     "mm_blob_neardup" -> qBlobNeardupSql,
+    "mm_blob_clusters" -> qBlobClustersSql,
     "mm_byte_profile" -> qByteProfileSql,
     "mm_frame_sample" -> qFrameSampleSql,
     "mm_image_dims" -> qImageDimsSql,

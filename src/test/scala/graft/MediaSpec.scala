@@ -47,6 +47,11 @@ class MediaSpec extends SparkSpec {
       assert(pairs.contains((0L, 2L)), s"truncation must pair: $pairs")
       assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
         s"disjoint blob must stay unpaired: $pairs")
+      // clusters: {0,1,2} collapse to keep_id 0; singleton 3 never appears
+      val clusters = graft.queries.MultimodalQueries.qBlobClusters(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(clusters.toSeq == Seq((0L, 3L, 2L)),
+        s"edit+truncation family must form one cluster: ${clusters.toSeq}")
     }
   }
 
