@@ -121,4 +121,48 @@ class KmeansStreamSpec extends SparkSpec {
     assert(fit(finalC) >= fit(seeds) - 1e-9,
       s"drifted fit ${fit(finalC)} < seed fit ${fit(seeds)}")
   }
+
+  test("drifted centroids power an IVF index; recall holds the family floor") {
+    import graft.retrieval.IvfIndex
+    val vecs = graft.queries.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      .sortBy(_._1)
+    val dir = java.nio.file.Files.createTempDirectory("kmivf").toString
+    (0 until 3).foreach { i =>
+      KmeansStream.processBatch(
+        vecs.filter(_._1 % 3 == i).toDF("vec_id", "embedding"), dir, i.toLong, C)
+    }
+    // the maintenance loop's output IS an IVF codebook: cast the drifted
+    // double means to the index's float centroids and build/probe as usual
+    val cents = KmeansStream.centroids(spark, dir).collect()
+      .map(r => (r.getLong(0).toInt,
+        r.getSeq[Double](1).iterator.map(_.toFloat).toArray))
+    assert(cents.length == C)
+    val emb = graft.queries.Tables.embeddings(spark, sfDir)
+    val index = IvfIndex.assign(emb, "vec_id", "embedding", cents)
+    val queries = vecs.take(10).map { case (id, v) => (id, v) }
+    val got = IvfIndex.search(index, "vec_id", "embedding", queries, cents,
+      nprobe = 3, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // brute-force truth, driver-side
+    def cosF(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); nx += a(i).toDouble * a(i)
+        ny += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val recalls = queries.map { case (qid, qv) =>
+      val truth = vecs.filter(_._1 != qid)
+        .map { case (id, v) => (cosF(qv, v), id) }
+        .sortBy { case (s, id) => (-s, id) }.take(5).map(_._2).toSet
+      (got.getOrElse(qid, Set.empty[Long]) & truth).size / 5.0
+    }
+    val mean = recalls.sum / recalls.size
+    // the vs_knn_ivf_recall family floor at a comparable scan fraction
+    assert(mean >= 0.4, s"mean recall $mean under drifted centroids")
+  }
 }

@@ -310,4 +310,42 @@ class PlanQualitySpec extends SparkSpec {
     assert(keys.subsetOf(Set("g", "doc_id")),
       s"unexpected shuffle keys $keys in:\n$p")
   }
+
+  test("drift: token count partial-aggregates map-side; KL stages are vocab-sized") {
+    val p = plan(graft.queries.TextQueries.qDrift(spark, sf))
+    // the one corpus-sized aggregation must combine before its exchange
+    assert(p.contains("partial_count") || count(p, "HashAggregate.*Partial") >= 1,
+      s"(source, half, term) count must partial-agg:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // totals/vocab sizes broadcast back — the KL rollup never joins the
+    // vocab relation through a shuffled join
+    assert(count(p, "BroadcastHashJoin") >= 3,
+      s"per-source stats must broadcast onto the pair relation:\n$p")
+  }
+
+  test("phrase search: corpus posexplode prunes via broadcast before any exchange") {
+    val p = plan(graft.queries.SearchQueries.qPhrase(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"phrase-term and qlen joins must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must filter before the final window shuffle:\n$p")
+  }
+
+  test("blob near-dup: band join is an equi-join; signature agg partials map-side") {
+    val p = plan(graft.queries.MultimodalQueries.qBlobNeardup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band blocking must stay an equi-join:\n$p")
+  }
+
+  test("scd2: one corpus exchange keyed by user; run stitch reuses the clustering") {
+    val p = plan(graft.queries.EventQueries.qScd2(spark, sf))
+    // lag/cumsum window, run rollup, lead stitch — the event stream must
+    // not shuffle on anything except user_id (+ the run rollup's
+    // (user_id, version) and the output sort's range partitioning)
+    val keys = "Exchange hashpartitioning\\(([a-z_0-9#]+)".r
+      .findAllMatchIn(p).map(_.group(1).takeWhile(_ != '#')).toSet
+    assert(keys.subsetOf(Set("user_id")),
+      s"unexpected shuffle keys $keys in:\n$p")
+  }
 }
