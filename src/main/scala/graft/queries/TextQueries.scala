@@ -740,51 +740,53 @@ object TextQueries {
     * the established cross-engine float contract). */
   def qDrift(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val tok = docs.select(
-      col("source"), (col("doc_id") % 2).as("half"),
-      explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
-    val cnt = tok.groupBy(col("source"), col("half"), col("term"))
+    val cnt = driftCounts(docs.filter(col("doc_id") % 2 === 0))
+    val cntB = driftCounts(docs.filter(col("doc_id") % 2 === 1))
+    val nd = docs.groupBy(col("source")).agg(
+      sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_docs_a"),
+      sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("n_docs_b"))
+    smoothedKl(cnt, cntB)
+      .join(broadcast(nd), "source")
+      .select(col("source"), col("n_docs_a"), col("n_docs_b"),
+        col("n_tokens_a"), col("n_tokens_b"),
+        col("vocab"), col("kl_ab"), col("kl_ba"))
+      .orderBy(col("source"))
+  }
+
+  /** One side's unigram counts — (source, term, c): the relation the
+    * drift kernel consumes and [[graft.streaming.DriftStream]] persists
+    * as its reference. */
+  private[graft] def driftCounts(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("c"))
-    val tot = tok.groupBy(col("source"), col("half"))
-      .agg(count(lit(1)).as("n"))
-    val a = cnt.filter(col("half") === 0)
-      .select(col("source"), col("term"), col("c").as("ca"))
-    val b = cnt.filter(col("half") === 1)
-      .select(col("source"), col("term"), col("c").as("cb"))
+
+  /** THE drift kernel, shared by the batch report and the streaming
+    * monitor: add-one-smoothed unigram distributions of two count
+    * relations over their per-source UNION vocabulary → per-source
+    * two-way KL (4dp), plus the token totals and vocabulary size. Work
+    * after the inputs is vocabulary-sized, never corpus-sized. */
+  private[graft] def smoothedKl(cntA: DataFrame, cntB: DataFrame): DataFrame = {
+    val a = cntA.select(col("source"), col("term"), col("c").as("ca"))
+    val b = cntB.select(col("source"), col("term"), col("c").as("cb"))
     val pair = a.join(b, Seq("source", "term"), "full_outer")
       .select(col("source"), col("term"),
         coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
-    val vsz = pair.groupBy(col("source")).agg(count(lit(1)).as("v"))
-    val na = tot.filter(col("half") === 0)
-      .select(col("source"), col("n").as("na"))
-    val nb = tot.filter(col("half") === 1)
-      .select(col("source"), col("n").as("nb"))
-    val sm = pair
+    val vsz = pair.groupBy(col("source")).agg(count(lit(1)).as("v"),
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    pair
       .join(broadcast(vsz), "source")
-      .join(broadcast(na), Seq("source"), "left")
-      .join(broadcast(nb), Seq("source"), "left")
-      .withColumn("pa", (col("ca") + 1).cast("double") /
-        (coalesce(col("na"), lit(0L)) + col("v")))
-      .withColumn("pb", (col("cb") + 1).cast("double") /
-        (coalesce(col("nb"), lit(0L)) + col("v")))
-    val nd = docs.groupBy(col("source")).agg(
-      sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_docs_a"),
-      sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("n_docs_b"))
-    sm.groupBy(col("source"))
+      .withColumn("pa", (col("ca") + 1).cast("double") / (col("na") + col("v")))
+      .withColumn("pb", (col("cb") + 1).cast("double") / (col("nb") + col("v")))
+      .groupBy(col("source"))
       .agg(round(sum(col("pa") * log(col("pa") / col("pb"))), 4).as("kl_ab"),
         round(sum(col("pb") * log(col("pb") / col("pa"))), 4).as("kl_ba"))
-      .join(broadcast(vsz.select(col("source"), col("v").as("vocab"))), "source")
-      .join(broadcast(na.select(col("source"), col("na").as("n_tokens_a"))),
-        Seq("source"), "left")
-      .join(broadcast(nb.select(col("source"), col("nb").as("n_tokens_b"))),
-        Seq("source"), "left")
-      .join(broadcast(nd), "source")
-      .select(col("source"), col("n_docs_a"), col("n_docs_b"),
-        coalesce(col("n_tokens_a"), lit(0L)).as("n_tokens_a"),
-        coalesce(col("n_tokens_b"), lit(0L)).as("n_tokens_b"),
-        col("vocab"), col("kl_ab"), col("kl_ba"))
-      .orderBy(col("source"))
+      .join(broadcast(vsz), "source")
+      .select(col("source"), col("na").as("n_tokens_a"),
+        col("nb").as("n_tokens_b"), col("v").as("vocab"),
+        col("kl_ab"), col("kl_ba"))
   }
 
   val qDriftSql: String =
