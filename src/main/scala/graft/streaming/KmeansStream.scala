@@ -117,6 +117,28 @@ object KmeansStream {
         }.sortBy(_._1))
   }
 
+  /** Drop superseded state snapshots, keeping the newest `keepLast`
+    * batch dirs — the small-file hygiene pass for a long-lived monitor
+    * (per-batch state is c·dim rows, but the directory count grows
+    * forever without it). keepLast ≥ 2 is replay-safe: foreachBatch can
+    * only redeliver the most recent uncommitted batch, which reads its
+    * PREDECESSOR's state — always within the kept window. */
+  def prune(s: SparkSession, dir: String, keepLast: Int = 2): Int = {
+    require(keepLast >= 2, "keepLast < 2 breaks the replay read")
+    val base = new org.apache.hadoop.fs.Path(s"$dir/centroids")
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return 0
+    val ids = fs.listStatus(base).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch=") => n.drop(6).toLong }
+      .toSeq.sorted
+    val doomed = ids.dropRight(keepLast)
+    doomed.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(base, s"batch=$id"), true)
+    }
+    doomed.size
+  }
+
   /** The live centroid table — what an IVF rebuild/re-assignment reads. */
   def centroids(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -318,6 +318,47 @@ class EventStreamSpec extends SparkSpec {
     assert(got == batch, s"stream $got != batch $batch")
   }
 
+  test("property: scd2 marks equal the batch history on random streams and splits") {
+    import graft.streaming.EventStream.{Scd2Mark, TEv}
+    implicit val sqlCtx = spark.sqlContext
+    val types = Array("A", "B", "C")
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // event times strictly increasing per user so arrival order can
+      // respect event time (the operator's documented premise)
+      val evs = (0 until 60).map { i =>
+        TEv(rnd.nextInt(4).toLong + 1, i.toLong, ts(i), types(rnd.nextInt(3)))
+      }
+      // random batch boundaries, delivery in event order
+      val cuts = Seq(rnd.nextInt(30) + 1, rnd.nextInt(29) + 31).sorted
+      val batches = Seq(evs.take(cuts(0)),
+        evs.slice(cuts(0), cuts(1)), evs.drop(cuts(1)))
+      val name = s"scd2prop$seed"
+      val input = MemoryStream[TEv]
+      val q = EventStream.scd2Marks(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val got = spark.table(name).as[Scd2Mark].collect()
+        .map(m => (m.user_id, m.version, m.event_type,
+          m.valid_from.getTime)).toSet
+      // driver-side batch fold over the full ordered stream
+      val want = evs.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+        val runs = es.sortBy(e => (e.ts.getTime, e.event_id))
+          .foldLeft(List.empty[(String, Long)]) { (acc, e) =>
+            if (acc.headOption.exists(_._1 == e.event_type)) acc
+            else (e.event_type, e.ts.getTime) :: acc
+          }.reverse
+        runs.zipWithIndex.map { case ((t, from), i) =>
+          (u, (i + 1).toLong, t, from)
+        }
+      }.toSet
+      assert(got == want, s"seed $seed: $got != $want")
+    }
+  }
+
   test("streaming asof enrich: latest prior click within lookback, null when none") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[Ev]

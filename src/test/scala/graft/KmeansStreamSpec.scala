@@ -94,6 +94,11 @@ class KmeansStreamSpec extends SparkSpec {
     // counts are lossless: every delivered vector fed exactly one update
     assert(got.map(_._3).sum == vecs.size.toLong)
 
+    // state pruning keeps the newest snapshots; the live table and the
+    // replay read (predecessor state) both survive it
+    assert(KmeansStream.prune(spark, dir, keepLast = 2) == 1)
+    assert(KmeansStream.centroids(spark, dir).count() == C)
+
     // redelivery of the LAST batch (at-least-once foreachBatch): the
     // strictly-before read recomputes from batch 1's state and rewrites
     // the same bytes — the live table is unchanged
