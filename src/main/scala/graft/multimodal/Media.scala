@@ -183,6 +183,42 @@ object Media {
       mid_frac: Double,
       sample: String)
 
+  /** One 4×4 thumbnail per media item. */
+  case class MediaThumb(media_id: Long, kind: String, thumb: Seq[Int])
+
+  /** RESIZE through the stub decoder: the first frame's 64 bytes as an
+    * 8×8 grid, 2×2 average-pooled (floor) to a 4×4 thumbnail — the
+    * downsample every image pipeline runs before featurization,
+    * expressed on the deterministic fake so tests and the DuckDB oracle
+    * are exact. A real deployment swaps [[decodeFrames]] for a codec and
+    * this pooling for the library resize; the batched mapPartitions
+    * boundary (the mapInPandas batch shape) is the part that carries to
+    * 100 TB unchanged. Short blobs zero-pad the frame, matching the
+    * decoder contract's fixed frame width. */
+  def resize(media: DataFrame): Dataset[MediaThumb] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("blob"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { case (id, kind, blob) =>
+            val frame = new Array[Int](FrameBytes)
+            var i = 0
+            while (i < FrameBytes) {
+              frame(i) = if (i < blob.length) blob(i) & 0xff else 0
+              i += 1
+            }
+            val thumb = for (b <- 0 until 16) yield {
+              val p = (b / 4) * 16 + (b % 4) * 2
+              (frame(p) + frame(p + 1) + frame(p + 8) + frame(p + 9)) / 4
+            }
+            MediaThumb(id, kind, thumb)
+          }
+        }
+      }
+  }
+
   /** Feature extraction: batched mapPartitions over (id, kind, blob) rows.
     * Batch shape mirrors mapInPandas: the decoder sees `BatchSize` blobs at
     * a time, so a vectorized/codec backend can amortize per-call cost. */

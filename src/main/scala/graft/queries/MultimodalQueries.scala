@@ -71,6 +71,30 @@ object MultimodalQueries {
       |     FOR i IN range(least(8, (length(text) + 31) // 32))], '') AS sample
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** The resize verb through the batched decoder boundary
+    * ([[Media.resize]]): first frame → 4×4 average-pooled thumbnail. The
+    * oracle recomputes every pooled cell from the blob's ASCII source
+    * arithmetically, so the grid layout, padding and floor-mean are all
+    * hash-checked. */
+  def qThumb(s: SparkSession, d: String): DataFrame =
+    Media.resize(Media.mediaTable(s, d)).toDF()
+      .select(col("media_id"), col("kind"), col("thumb"))
+      .orderBy(col("media_id"))
+
+  val qThumbSql: String = {
+    val cells = (0 until 16).map { b =>
+      val p = (b / 4) * 16 + (b % 4) * 2 + 1 // 1-based top-left of the 2x2
+      def px(q: Int) =
+        s"(CASE WHEN $q <= length(text) THEN ascii(substr(text, $q, 1)) ELSE 0 END)"
+      s"((${px(p)} + ${px(p + 1)} + ${px(p + 8)} + ${px(p + 9)}) // 4)::INTEGER"
+    }.mkString("[", ",\n      |   ", "]")
+    s"""SELECT doc_id AS media_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |    ELSE 'video' END AS kind,
+      |  $cells AS thumb
+      |FROM documents ORDER BY media_id""".stripMargin
+  }
+
   /** Real header decode (VERDICT r3 item 5): every document wrapped in a
     * structurally valid PNG/JPEG container ([[Media.imageTable]]), then
     * dimensions + format probed FROM THE BYTES by the pure-JVM
@@ -221,6 +245,7 @@ object MultimodalQueries {
     "mm_blob_stats" -> (qBlobStats _),
     "mm_blob_neardup" -> (qBlobNeardup _),
     "mm_blob_clusters" -> (qBlobClusters _),
+    "mm_thumb" -> (qThumb _),
     "mm_byte_profile" -> (qByteProfile _),
     "mm_frame_sample" -> (qFrameSample _),
     "mm_image_dims" -> (qImageDims _),
@@ -232,6 +257,7 @@ object MultimodalQueries {
     "mm_blob_stats" -> qBlobStatsSql,
     "mm_blob_neardup" -> qBlobNeardupSql,
     "mm_blob_clusters" -> qBlobClustersSql,
+    "mm_thumb" -> qThumbSql,
     "mm_byte_profile" -> qByteProfileSql,
     "mm_frame_sample" -> qFrameSampleSql,
     "mm_image_dims" -> qImageDimsSql,

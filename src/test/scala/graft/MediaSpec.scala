@@ -29,6 +29,23 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("resize: 2x2 average pool of the first frame, zero-padded, hand-checked") {
+    // 64 bytes = 8x8 grid of increasing values: cell (r, c) = r*8 + c +
+    // 32 (printable); the 2x2 floor-mean at block (br, bc) is
+    // (4*(2*br*8 + 2*bc) + 0+1+8+9)/4 = 16*br + 2*bc + 4 + 32
+    val full = (0 until 64).map(i => (i + 32).toChar).mkString
+    val short = full.take(10) // pads with 0 beyond byte 10
+    val m = mediaOf((0L, "image", full), (1L, "audio", short))
+    val got = Media.resize(m).collect().map(t => t.media_id -> t.thumb).toMap
+    val wantFull = for (b <- 0 until 16)
+      yield 16 * (b / 4) + 2 * (b % 4) + 4 + 32
+    assert(got(0L) == wantFull, s"full-frame thumb ${got(0L)}")
+    // short blob: only bytes 0..9 present — block (0,0) averages
+    // (32+33+40+41)/4 = 36.5 -> 36; blocks past the padded data are 0
+    assert(got(1L).head == 36 && got(1L).last == 0, s"padded thumb ${got(1L)}")
+    assert(got(1L).length == 16)
+  }
+
   test("blob near-dup: one-byte edits pair up, disjoint payloads never do") {
     withTempDir { dir =>
       val base = ("lorem ipsum dolor sit amet consectetur adipiscing elit " * 4).trim
