@@ -36,6 +36,63 @@ object PipelineQueries {
       |      FROM documents)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** GROUP-leakage-safe splitting — the eval-hygiene fix for
+    * [[qSplitAssign]]: keying the train/val/test bucket on the
+    * DOCUMENT id lets exact-duplicate documents straddle the split
+    * boundary (the model trains on its own test set). Here the bucket
+    * keys on the duplicate-group fingerprint (md5 of the text), so
+    * every copy of a document lands in ONE split by construction —
+    * the "split by group" rule every leakage-aware pipeline applies.
+    * The report also MEASURES what the naive split would have leaked:
+    * `doc_split_leaky_groups` counts fingerprint groups the id-keyed
+    * buckets scatter across splits — the reason this operator exists.
+    * (Near-zero at small SF where dup groups are rare; the replicated
+    * sf1 corpus, where every document has 10 copies, shows the leak at
+    * full force — and PipelineQueriesSpec forces it on a fixture.)
+    *
+    * Scale shape: two map-side-combinable aggs keyed by fingerprint
+    * (group spans, per-split group counts) and a 1-row leak total
+    * broadcast-crossed onto the 3-row report. */
+  def qSplitGrouped(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("gkey"))
+    def bucket(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 4), 16, 10).cast("int") % 100
+    def splitOf(b: org.apache.spark.sql.Column) =
+      when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    val tagged = docs
+      .withColumn("gsplit", splitOf(bucket(col("gkey"))))
+      .withColumn("dsplit", splitOf(bucket(col("doc_id").cast("string"))))
+    val leaky = tagged.groupBy(col("gkey"))
+      .agg(countDistinct(col("dsplit")).as("nd"))
+      .agg(sum(when(col("nd") > 1, 1L).otherwise(0L))
+        .as("doc_split_leaky_groups"))
+    tagged.groupBy(col("gsplit").as("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("gkey")).as("n_groups"))
+      .crossJoin(broadcast(leaky))
+      .orderBy(col("split"))
+  }
+
+  val qSplitGroupedSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, md5(text) gkey,
+      |    CASE WHEN gb < 90 THEN 'train' WHEN gb < 95 THEN 'val'
+      |         ELSE 'test' END gsplit,
+      |    CASE WHEN db < 90 THEN 'train' WHEN db < 95 THEN 'val'
+      |         ELSE 'test' END dsplit
+      |  FROM (SELECT doc_id, text,
+      |          ('0x' || substr(md5(md5(text)), 1, 4))::INTEGER % 100 gb,
+      |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INTEGER % 100 db
+      |        FROM documents)),
+      |leaky AS (
+      |  SELECT sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT doc_split_leaky_groups
+      |  FROM (SELECT gkey, count(DISTINCT dsplit) nd FROM t GROUP BY 1))
+      |SELECT gsplit AS split, count(*)::BIGINT AS n_docs,
+      |  count(DISTINCT gkey)::BIGINT AS n_groups, doc_split_leaky_groups
+      |FROM t CROSS JOIN leaky
+      |GROUP BY 1, 4 ORDER BY split""".stripMargin
+
   /** Domain-mixing rates toward a uniform target across sources: each
     * source's sampling rate = min(1, target_share / actual_share), i.e.
     * total / (k·n). Over-represented domains downsample; the rest pass
@@ -844,6 +901,7 @@ object PipelineQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "td_split_assign" -> (qSplitAssign _),
+    "td_split_grouped" -> (qSplitGrouped _),
     "td_mix_weights" -> (qMixWeights _),
     "td_mix_sample" -> (qMixSample _),
     "td_contamination" -> (qContamination _),
@@ -862,6 +920,7 @@ object PipelineQueries {
 
   def oracles: Map[String, String] = Map(
     "td_split_assign" -> qSplitAssignSql,
+    "td_split_grouped" -> qSplitGroupedSql,
     "td_mix_weights" -> qMixWeightsSql,
     "td_mix_sample" -> qMixSampleSql,
     "td_contamination" -> qContaminationSql,

@@ -171,6 +171,36 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("grouped split: dup copies stay in one split; the naive leak is measured") {
+    import spark.implicits._
+    // ids 0 and 1 bucket to test/train under the id-keyed split (md5
+    // arithmetic, precomputed) — giving both the SAME text forces the
+    // exact leak the grouped split exists to prevent
+    val docs = Seq(
+      (0L, "dup dup dup"), (1L, "dup dup dup"),
+      (2L, "solo two"), (3L, "solo three"), (4L, "solo four"))
+    val dir = java.nio.file.Files.createTempDirectory("gsplitfix").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("fix"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = PipelineQueries.qSplitGrouped(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // the id-keyed split scatters the dup pair (doc 0 → test, doc 1 →
+    // train): exactly one leaky group measured
+    assert(rows.values.head._3 == 1L, s"leak must be measured: $rows")
+    // under the grouped split both copies land together: total groups =
+    // 4, and every split's n_docs ≥ n_groups with equality except where
+    // the dup pair landed
+    assert(rows.values.map(_._2).sum == 4L, s"4 fingerprint groups: $rows")
+    val dupSplit = rows.find { case (_, (nd, ng, _)) => nd == ng + 1 }
+    assert(dupSplit.nonEmpty && rows.values.map(_._1).sum == 5L,
+      s"dup pair must land in ONE split: $rows")
+  }
+
   test("drift: hand-computed smoothed KL; stable source reads ~0, shifted source reads high") {
     import spark.implicits._
     // src_stable: identical halves → KL exactly 0 after smoothing;
