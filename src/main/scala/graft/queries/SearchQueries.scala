@@ -59,12 +59,22 @@ object SearchQueries {
     * the only corpus-sized input is the (already pruned) postings side. */
   private[graft] def scoreIndex(post: DataFrame, dfreq: DataFrame,
       stats: DataFrame, qterms: DataFrame, k: Int = 5,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      candidates: Option[DataFrame] = None): DataFrame = {
     // a wt column on qterms scales each term's contribution (the RM3
     // interpolated query model) — same convention as [[bm25Scores]]
     val weighted = qterms.columns.contains("wt")
-    val base = post
+    // candidates = a (query_id, doc_id) admission set: MaxScore's pruned
+    // scoring restricts aggregation to docs the bound says can still
+    // reach the top k — the semi-join drops the rest BEFORE the
+    // per-(query, doc) shuffle, which is where the pruning saves work
+    val joined = post
       .join(broadcast(qterms), "term")
+    val admitted = candidates match {
+      case Some(c) => joined.join(c, Seq("query_id", "doc_id"), "left_semi")
+      case None    => joined
+    }
+    val base = admitted
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
@@ -521,6 +531,8 @@ object SearchQueries {
       reclaimOrphanTables(s,
         Seq(idx.postingsTable, idx.dfreqTable, idx.fwdTable))
       val docs = tokenized(s, d)
+      docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+        .write.mode("overwrite").parquet(idx.statsPath)
       docs
         .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
         .groupBy(col("term"), col("doc_id"), col("dl"))
@@ -533,8 +545,19 @@ object SearchQueries {
       // bucketed read, and the forward copy is a re-bucket of the stored
       // rows, not a recomputation
       val stored = s.table(idx.postingsTable)
+      // per-term metadata: document frequency AND the stored max impact —
+      // the largest tf/dl-saturation value any posting of the term
+      // reaches (Lucene's "impacts"; the MaxScore upper bound is
+      // idf(df) · max_sat, both derivable from this one row at query
+      // time). Computed at build over the same double arithmetic the
+      // scorer uses, so UB ≥ every per-doc contribution EXACTLY.
+      val avgdlB = s.read.parquet(idx.statsPath)
+        .select(col("avgdl")).head.getDouble(0)
+      val satB = col("tf") * lit(K1 + 1) /
+        (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / lit(avgdlB)))
       stored.groupBy(col("term"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          max(satB).as("max_sat"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "term").sortBy("term")
         .saveAsTable(idx.dfreqTable)
@@ -542,8 +565,6 @@ object SearchQueries {
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "doc_id").sortBy("doc_id", "term")
         .saveAsTable(idx.fwdTable)
-      docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-        .write.mode("overwrite").parquet(idx.statsPath)
       idx
     })
   }
@@ -597,6 +618,212 @@ object SearchQueries {
       .filter(col("term").isin(terms: _*))
     val stats = s.read.parquet(idx.statsPath)
     scoreIndex(post, dfreq, stats, qterms)
+  }
+
+  /** Safety margin between the MaxScore bound and the entry threshold:
+    * the ranking compares scores ROUNDED to 4 dp, so a doc is provably
+    * outside the top k only when its bound sits a full rounding step
+    * below the threshold (round4(s) for any s < θ−1e-4 is ≤ θ−1e-4 < θ).
+    * The margin also dwarfs summation-order float noise (~1e-12). */
+  private val MaxscoreMargin = 1e-4
+
+  /** MaxScore dynamic pruning (Turtle & Flood 1995, "Query evaluation:
+    * strategies and optimizations", IP&M — public paper; the per-term
+    * stored upper bound is Lucene's impacts metadata) served off the
+    * stored index — top-k BM25 WITHOUT scoring every matching document.
+    *
+    * Where exact scoring aggregates a contribution row for every
+    * (query term × posting), MaxScore admits a document to the scoring
+    * aggregation only if the bound says it can still reach the top k:
+    *   1. UB(q,t) = idf(t) · max_sat(t) — per-term score ceilings from
+    *      the dfreq row's stored max impact (build-time metadata, no
+    *      corpus work at query time).
+    *   2. Seed pass: fully score just the docs matching the single
+    *      highest-UB term; the k-th best rounded score is the entry
+    *      threshold θ — a true achieved score, so the real k-th best is
+    *      ≥ θ. Only trusted when the seed matched ≥ k docs (else no
+    *      pruning — graceful degrade to exact).
+    *   3. Essential terms: sort the query's terms by UB ascending; the
+    *      maximal prefix whose TOTAL UB sum < θ − margin is
+    *      non-essential. A doc matching only non-essential terms scores
+    *      ≤ that sum, so it cannot enter the top k; every potential
+    *      winner matches ≥ 1 essential term.
+    *   4. Candidates = docs with ≥ 1 essential-term posting; the full
+    *      scoring aggregation runs over candidate postings only.
+    * The pruning is LOSSLESS (same oracle as [[qBm25]]): step 3's bound
+    * plus the rounding margin proves every pruned doc ranks strictly
+    * below rank k under the rounded-score/doc_id order.
+    *
+    * Scale shape: this is what a served top-k pays at 100 TB — the UB
+    * and θ relations are O(|terms|) and O(k·|queries|) (two bounded
+    * driver collects, the [[qBm25Rm3Stored]] In-pushdown contract); the
+    * seed and candidate probes are bucket-pruned In(term, …) scans; and
+    * the one corpus-sized stage left (the per-(query,doc) score shuffle)
+    * now moves only candidate rows. High-idf rare terms — exactly the
+    * queries whose exact postings volume is dominated by their common
+    * co-terms — prune hardest. */
+  private[graft] def maxscorePruned(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val k = 5
+    val idx = bm25Index(s, d)
+    val (terms, qterms) = queryTerms(s, Bm25Queries)
+    val post = s.table(idx.postingsTable).filter(col("term").isin(terms: _*))
+    val dfreq = s.table(idx.dfreqTable).filter(col("term").isin(terms: _*))
+    val stats = s.read.parquet(idx.statsPath)
+    // per-(query, term) upper bounds — ≤ |queries|·|terms| rows
+    val ub = qterms
+      .join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("term"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) * col("max_sat")).as("ub"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq.groupBy(_._1)
+    // seed term = the query's highest-UB term (term-string tiebreak)
+    val seedDf = ub.map { case (q, ts) =>
+      (q, ts.maxBy(t => (t._3, t._2))._2)
+    }.toSeq.toDF("query_id", "term")
+    val seedDocs = post.join(broadcast(seedDf), "term")
+      .select(col("query_id"), col("doc_id"))
+    val thetas = scoreIndex(post, dfreq, stats, qterms, k,
+        candidates = Some(seedDocs))
+      .filter(col("rank") === k)
+      .select(col("query_id"), col("score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val essDf = ub.flatMap { case (q, ts) =>
+      thetas.get(q) match {
+        case None => ts.map(t => (q, t._2)) // seed matched < k docs
+        case Some(theta) =>
+          val asc = ts.sortBy(t => (t._3, t._2))
+          val cum = asc.scanLeft(0.0)(_ + _._3).tail
+          asc.zip(cum).collect {
+            case (t, c) if c >= theta - MaxscoreMargin => (q, t._2)
+          }
+      }
+    }.toSeq.toDF("query_id", "term")
+    val cand = post.join(broadcast(essDf), "term")
+      .select(col("query_id"), col("doc_id"))
+    (cand,
+      scoreIndex(post, dfreq, stats, qterms, k, candidates = Some(cand)))
+  }
+
+  /** [[maxscorePruned]]'s ranked result — identical output to [[qBm25]]
+    * (same oracle); the hash gate proves the pruning lossless. */
+  def qMaxscore(s: SparkSession, d: String): DataFrame =
+    maxscorePruned(s, d)._2
+
+  /** Snippet window width, in tokens. */
+  private val SnippetW = 8
+
+  /** KWIC snippet extraction (keyword-in-context, Luhn 1960; the
+    * best-fragment selection every search engine ships as result
+    * highlighting — Lucene's Highlighter picks fragments the same way:
+    * maximize query-term coverage, earliest on ties) for the BM25 top-k.
+    *
+    * For each (query, top-5 doc): candidate windows are the
+    * [[SnippetW]]-token spans STARTING at a query-term occurrence (the
+    * optimal cover's first term is itself a match, so anchoring at
+    * matches loses nothing); the winner maximizes DISTINCT query terms
+    * covered, ties to the earliest start. Occurrences come from the
+    * stored positional index — the same `.pos`-style probe the phrase
+    * path uses — so snippet selection reads O(query-term position lists)
+    * plus the k texts, never re-tokenizing the corpus.
+    *
+    * Scale shape: the match relation is (top-k docs × their query-term
+    * occurrences) — Q·k docs regardless of corpus size; the
+    * window self-join is keyed on (query_id, doc_id) within that tiny
+    * relation; the final text pull pushes a ≤ Q·k-element In(doc_id)
+    * into the documents scan (bounded driver collect, the MLT
+    * contract). Determinism: coverage counts are integers; ties break
+    * on start position, then ranking rides the stored top-k's
+    * (rounded score, doc_id) order. */
+  def qSnippets(s: SparkSession, d: String): DataFrame = {
+    val (posTable, _) = phraseIndex(s, d)
+    val (terms, qterms) = queryTerms(s, Bm25Queries)
+    val top = qBm25Stored(s, d).select(col("query_id"), col("rank"), col("doc_id"))
+    val matches = s.table(posTable)
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
+      .join(broadcast(qterms), "term")
+      .join(broadcast(top.select(col("query_id"), col("doc_id"))),
+        Seq("query_id", "doc_id"), "left_semi")
+    val windows = matches
+      .join(matches.select(col("query_id"), col("doc_id"),
+          col("term").as("t2"), col("pos").as("p2")),
+        Seq("query_id", "doc_id"))
+      .filter(col("p2") >= col("pos") &&
+        col("p2") < col("pos") + lit(SnippetW))
+      .groupBy(col("query_id"), col("doc_id"), col("pos"))
+      .agg(countDistinct(col("t2")).as("n_cover"))
+    val wb = Window.partitionBy(col("query_id"), col("doc_id"))
+      .orderBy(col("n_cover").desc, col("pos"))
+    val best = windows.withColumn("rn", row_number().over(wb))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("doc_id"),
+        col("pos").as("snip_start"), col("n_cover"))
+    // bounded collect (≤ |queries|·k ids) → pushed In() on the text scan
+    val docIds = best.select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val toks = Tables.documents(s, d)
+      .filter(col("doc_id").isin(docIds: _*))
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+    best
+      .join(broadcast(top), Seq("query_id", "doc_id"))
+      .join(broadcast(toks), "doc_id")
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("snip_start").cast("long").as("snip_start"),
+        col("n_cover"),
+        concat_ws(" ",
+          slice(col("w"), col("snip_start").cast("int"), lit(SnippetW)))
+          .as("snippet"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qSnippetsSql: String = {
+    val values = Bm25Queries
+      .map { case (id, q) => s"(${id}::BIGINT, '$q')" }.mkString(", ")
+    s"""WITH ${bm25Sql(
+      s"""q(query_id, qtext) AS (VALUES $values),
+         |qt AS (
+         |  SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) term
+         |  FROM q)""".stripMargin)},
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) rank
+       |  FROM bm25),
+       |top AS (
+       |  SELECT query_id, rank::INTEGER rank, doc_id
+       |  FROM ranked WHERE rank <= 5),
+       |pos AS (
+       |  SELECT doc_id, unnest(w) term, generate_subscripts(w, 1) pos
+       |  FROM d2),
+       |m AS (
+       |  SELECT t.query_id, t.doc_id, p.term, p.pos
+       |  FROM top t
+       |  JOIN pos p ON p.doc_id = t.doc_id
+       |  JOIN qt ON qt.query_id = t.query_id AND qt.term = p.term),
+       |win AS (
+       |  SELECT m1.query_id, m1.doc_id, m1.pos,
+       |    count(DISTINCT m2.term) n_cover
+       |  FROM m m1 JOIN m m2
+       |    ON m1.query_id = m2.query_id AND m1.doc_id = m2.doc_id
+       |    AND m2.pos >= m1.pos AND m2.pos < m1.pos + $SnippetW
+       |  GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT query_id, doc_id, pos snip_start, n_cover,
+       |    row_number() OVER (PARTITION BY query_id, doc_id
+       |      ORDER BY n_cover DESC, pos) rn
+       |  FROM win)
+       |SELECT b.query_id, t.rank, b.doc_id,
+       |  b.snip_start::BIGINT AS snip_start, b.n_cover,
+       |  array_to_string(d.w[b.snip_start : b.snip_start + ${SnippetW - 1}], ' ') AS snippet
+       |FROM best b
+       |JOIN top t ON t.query_id = b.query_id AND t.doc_id = b.doc_id
+       |JOIN docs d ON d.doc_id = b.doc_id
+       |WHERE b.rn = 1
+       |ORDER BY b.query_id, t.rank""".stripMargin
   }
 
   private val deltaIndexCache =
@@ -1008,6 +1235,8 @@ object SearchQueries {
     "ks_fuzzy" -> (qFuzzy _),
     "ks_mlt" -> (qMoreLikeThis _),
     "ks_phrase_deltas" -> (qPhraseDeltas _),
+    "ks_maxscore" -> (qMaxscore _),
+    "ks_snippets" -> (qSnippets _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1032,5 +1261,9 @@ object SearchQueries {
     // delta-maintained positional component: same phrase relation,
     // merged from per-batch deltas
     "ks_phrase_deltas" -> qPhraseSql,
+    // MaxScore dynamic pruning: provably lossless (the bound argument in
+    // the scaladoc), so the exact-scoring oracle IS the gate
+    "ks_maxscore" -> qBm25Sql,
+    "ks_snippets" -> qSnippetsSql,
   )
 }
