@@ -985,6 +985,112 @@ object EventQueries {
       |  n_events, to_ts IS NULL AS is_current
       |FROM stitched ORDER BY user_id, ver""".stripMargin
 
+  /** Attribution lookback window, in days. */
+  private val AttribWindowDays = 3
+
+  /** Multi-touch marketing attribution (the standard model set every
+    * analytics product ships — last-touch, first-touch, linear, and
+    * position-based/U-shaped per e.g. the public Google Analytics
+    * attribution-model documentation): each purchase distributes one
+    * unit of conversion credit over the click/view touches the same user
+    * made in the preceding [[AttribWindowDays]]-day window, and the
+    * report totals credit per (model, touch type).
+    *
+    * U-shaped splits 40/40 between first and last touch and 20 across
+    * the middle (degenerating to 100% at n=1 and 50/50 at n=2).
+    *
+    * Scale shape: the conversion×touch pair-up is ONE user_id-keyed
+    * shuffle (both sides partition by user; the time-window filter runs
+    * inside the join), the three rank/count windows share that
+    * partitioning so no further exchange, and the model stack explodes
+    * 4× before a tiny (model, type)-keyed final aggregation. Pair volume
+    * is bounded by per-user activity × the lookback window, not corpus
+    * size; a skew-heavy deployment would band the join on (user_id,
+    * day(ts)) like the range-incidents operator. Determinism: first/last
+    * ranks tiebreak on touch event_id; credits are exact rationals
+    * summed then rounded to 4 dp. */
+  def qAttribution(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val conv = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts").as("cts"))
+    val touch = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("ts").as("tts"), col("event_type"))
+    val pairs = conv.join(touch, "user_id")
+      .filter(col("tts") < col("cts") &&
+        col("tts") >= col("cts") - expr(s"INTERVAL $AttribWindowDays DAYS"))
+    val wAsc = Window.partitionBy(col("conv_id"))
+      .orderBy(col("tts").asc, col("touch_id").asc)
+    val wDesc = Window.partitionBy(col("conv_id"))
+      .orderBy(col("tts").desc, col("touch_id").desc)
+    val wN = Window.partitionBy(col("conv_id"))
+    val credited = pairs
+      .withColumn("rn_asc", row_number().over(wAsc))
+      .withColumn("rn_desc", row_number().over(wDesc))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("last_touch",
+        when(col("rn_desc") === 1, lit(1.0)).otherwise(lit(0.0)))
+      .withColumn("first_touch",
+        when(col("rn_asc") === 1, lit(1.0)).otherwise(lit(0.0)))
+      .withColumn("linear", lit(1.0) / col("n"))
+      .withColumn("position_based",
+        when(col("n") === 1, lit(1.0))
+          .when(col("n") === 2, lit(0.5))
+          .when(col("rn_asc") === 1 || col("rn_desc") === 1, lit(0.4))
+          .otherwise(lit(0.2) / (col("n") - 2)))
+    credited
+      .select(col("event_type"), expr(
+        """stack(4,
+          |  'last_touch', last_touch,
+          |  'first_touch', first_touch,
+          |  'linear', linear,
+          |  'position_based', position_based) AS (model, credit)""".stripMargin))
+      .groupBy(col("model"), col("event_type"))
+      .agg(round(sum(col("credit")), 4).as("credit"),
+        count(when(col("credit") > 0, lit(1))).as("n_touches"))
+      .orderBy(col("model"), col("event_type"))
+  }
+
+  val qAttributionSql: String =
+    s"""WITH conv AS (
+       |  SELECT user_id, event_id conv_id, ts cts
+       |  FROM events WHERE event_type = 'purchase'),
+       |touch AS (
+       |  SELECT user_id, event_id touch_id, ts tts, event_type
+       |  FROM events WHERE event_type IN ('click', 'view')),
+       |pairs AS (
+       |  SELECT conv_id, touch_id, tts, event_type
+       |  FROM conv JOIN touch USING (user_id)
+       |  WHERE tts < cts AND tts >= cts - INTERVAL $AttribWindowDays DAY),
+       |ranked AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY conv_id ORDER BY tts, touch_id) rn_asc,
+       |    row_number() OVER (PARTITION BY conv_id ORDER BY tts DESC, touch_id DESC) rn_desc,
+       |    count(*) OVER (PARTITION BY conv_id) n
+       |  FROM pairs),
+       |credited AS (
+       |  SELECT event_type,
+       |    CASE WHEN rn_desc = 1 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END last_touch,
+       |    CASE WHEN rn_asc = 1 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END first_touch,
+       |    1.0::DOUBLE / n AS linear,
+       |    CASE WHEN n = 1 THEN 1.0::DOUBLE
+       |         WHEN n = 2 THEN 0.5::DOUBLE
+       |         WHEN rn_asc = 1 OR rn_desc = 1 THEN 0.4::DOUBLE
+       |         ELSE 0.2::DOUBLE / (n - 2) END position_based
+       |  FROM ranked),
+       |stacked AS (
+       |  SELECT event_type, 'last_touch' model, last_touch credit FROM credited
+       |  UNION ALL
+       |  SELECT event_type, 'first_touch', first_touch FROM credited
+       |  UNION ALL
+       |  SELECT event_type, 'linear', linear FROM credited
+       |  UNION ALL
+       |  SELECT event_type, 'position_based', position_based FROM credited)
+       |SELECT model, event_type, round(sum(credit), 4) AS credit,
+       |  count(*) FILTER (WHERE credit > 0) AS n_touches
+       |FROM stacked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_reach_sketch" -> (qReachSketchRollup _),
     "ev_reach_sketch_gate" -> (qReachSketchGate _),
@@ -1015,6 +1121,7 @@ object EventQueries {
     "ev_markov_eval" -> (qMarkovEval _),
     "ev_top_paths" -> (qTopPaths _),
     "ev_scd2" -> (qScd2 _),
+    "ev_attribution" -> (qAttribution _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1053,5 +1160,6 @@ object EventQueries {
     "ev_markov_eval" -> qMarkovEvalSql,
     "ev_top_paths" -> qTopPathsSql,
     "ev_scd2" -> qScd2Sql,
+    "ev_attribution" -> qAttributionSql,
   )
 }
