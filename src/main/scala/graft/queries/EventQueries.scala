@@ -985,6 +985,70 @@ object EventQueries {
       |  n_events, to_ts IS NULL AS is_current
       |FROM stitched ORDER BY user_id, ver""".stripMargin
 
+  /** Sliding-reach window width (hours) and estimator error budget. */
+  private val SlidingReachHours = 24
+  private val SlidingReachBudget = 0.05
+
+  /** Trailing-24h distinct users per hour from MERGED hourly HLL
+    * sketches — the pre-aggregated sketch-cube pattern (Heule et al.
+    * 2013, "HyperLogLog in Practice", EDBT — public paper: HLL unions
+    * are lossless, so any window is the merge of its buckets' sketches).
+    * Raw events are touched ONCE to build |hours| sketch rows; every
+    * sliding window after that merges ≤ 24 sketches, so a dashboard
+    * serving hundreds of windows never re-scans the corpus — the shape
+    * that matters at 100 TB, where per-window countDistinct over raw
+    * events would re-shuffle user ids once per window.
+    *
+    * The window join replicates the SKETCH rows 24× (hours × 24 rows
+    * total, corpus-independent), not the events. Output is a
+    * hash-checked gate: per target hour, the merged-sketch estimate must
+    * sit within [[SlidingReachBudget]] of the exact trailing distinct
+    * (computed from deduped (hour, user) pairs — also corpus-bounded),
+    * and `n_hours_merged` re-derives the window bucketing in the oracle
+    * so the bucket logic itself is hash-checked, not just the booleans. */
+  def qSlidingReach(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val hourly = e.groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val targets = hourly.select(col("h").as("t"))
+    val windowed = hourly.select(col("h"), col("sk"),
+        explode(sequence(lit(0), lit(SlidingReachHours - 1))).as("off"))
+      .withColumn("t", expr("h + make_interval(0, 0, 0, 0, off, 0, 0)"))
+      .join(targets, "t")
+    val est = windowed
+      .groupBy(col("t"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
+        count(lit(1)).as("n_hours_merged"))
+    val hu = e.select(date_trunc("hour", col("ts")).as("h"),
+      col("user_id")).distinct()
+    val exact = hu.select(col("h"), col("user_id"),
+        explode(sequence(lit(0), lit(SlidingReachHours - 1))).as("off"))
+      .withColumn("t", expr("h + make_interval(0, 0, 0, 0, off, 0, 0)"))
+      .join(targets, "t")
+      .groupBy(col("t"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    est.join(exact, "t")
+      .select(date_format(col("t"), "yyyy-MM-dd HH:mm:ss").as("hour_s"),
+        col("n_hours_merged"),
+        round(lit(SlidingReachBudget), 2).as("budget"),
+        (abs(col("est_users") - col("exact_users")).cast("double") /
+          col("exact_users").cast("double") <= SlidingReachBudget)
+          .as("est_ok"))
+      .orderBy(col("hour_s"))
+  }
+
+  val qSlidingReachSql: String =
+    s"""WITH hu AS (
+       |  SELECT DISTINCT date_trunc('hour', ts) h, user_id FROM events),
+       |hours AS (SELECT DISTINCT h FROM hu),
+       |win AS (
+       |  SELECT t.h t, s.h src FROM hours t JOIN hours s
+       |  ON s.h <= t.h AND s.h > t.h - INTERVAL $SlidingReachHours HOUR)
+       |SELECT strftime(t, '%Y-%m-%d %H:%M:%S') AS hour_s,
+       |  count(DISTINCT src) AS n_hours_merged,
+       |  $SlidingReachBudget::DOUBLE AS budget, TRUE AS est_ok
+       |FROM win GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Attribution lookback window, in days. */
   private val AttribWindowDays = 3
 
@@ -1122,6 +1186,7 @@ object EventQueries {
     "ev_top_paths" -> (qTopPaths _),
     "ev_scd2" -> (qScd2 _),
     "ev_attribution" -> (qAttribution _),
+    "ev_sliding_reach" -> (qSlidingReach _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1161,5 +1226,6 @@ object EventQueries {
     "ev_top_paths" -> qTopPathsSql,
     "ev_scd2" -> qScd2Sql,
     "ev_attribution" -> qAttributionSql,
+    "ev_sliding_reach" -> qSlidingReachSql,
   )
 }
