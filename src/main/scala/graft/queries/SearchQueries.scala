@@ -826,6 +826,52 @@ object SearchQueries {
        |ORDER BY b.query_id, t.rank""".stripMargin
   }
 
+  /** Per-query facet counts over the full BM25 match set (Lucene
+    * faceting semantics: for each hit-set, document counts per metadata
+    * field value — the refinement panel every search UI ships). The
+    * match set comes from the bucket-pruned postings probe (docs sharing
+    * ≥ 1 query term); metadata arrives by joining the column-pruned
+    * documents scan on doc_id — the docvalues pattern: at 100 TB the
+    * (doc_id, lang, source) projection is a narrow columnar read, and
+    * the join shuffles only the match set + that projection, never text.
+    * Counts are exact integers — no rounding concerns. */
+  def qFacets(s: SparkSession, d: String): DataFrame = {
+    val idx = bm25Index(s, d)
+    val (terms, qterms) = queryTerms(s, Bm25Queries)
+    val matched = s.table(idx.postingsTable)
+      .filter(col("term").isin(terms: _*))
+      .join(broadcast(qterms), "term")
+      .select(col("query_id"), col("doc_id")).distinct()
+    val meta = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"))
+    matched.join(meta, "doc_id")
+      .select(col("query_id"),
+        expr("stack(2, 'lang', lang, 'source', source) AS (facet, facet_value)"))
+      .groupBy(col("query_id"), col("facet"), col("facet_value"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("query_id"), col("facet"), col("facet_value"))
+  }
+
+  val qFacetsSql: String = {
+    val values = Bm25Queries
+      .map { case (id, q) => s"(${id}::BIGINT, '$q')" }.mkString(", ")
+    s"""WITH ${bm25Sql(
+      s"""q(query_id, qtext) AS (VALUES $values),
+         |qt AS (
+         |  SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) term
+         |  FROM q)""".stripMargin)},
+       |matched AS (SELECT DISTINCT query_id, doc_id FROM post),
+       |joined AS (
+       |  SELECT m.query_id, d.lang, d.source
+       |  FROM matched m JOIN documents d USING (doc_id)),
+       |stacked AS (
+       |  SELECT query_id, 'lang' facet, lang facet_value FROM joined
+       |  UNION ALL
+       |  SELECT query_id, 'source', source FROM joined)
+       |SELECT query_id, facet, facet_value, count(*) AS n_docs
+       |FROM stacked GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
   private val deltaIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -1237,6 +1283,7 @@ object SearchQueries {
     "ks_phrase_deltas" -> (qPhraseDeltas _),
     "ks_maxscore" -> (qMaxscore _),
     "ks_snippets" -> (qSnippets _),
+    "ks_facets" -> (qFacets _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1265,5 +1312,6 @@ object SearchQueries {
     // the scaladoc), so the exact-scoring oracle IS the gate
     "ks_maxscore" -> qBm25Sql,
     "ks_snippets" -> qSnippetsSql,
+    "ks_facets" -> qFacetsSql,
   )
 }
