@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` table — the core
@@ -540,6 +541,75 @@ object DedupQueries {
        |$rounds
        |SELECT r10.node AS node, round(r10.rank * n.n, 6) AS rank_scaled
        |FROM r10, n ORDER BY node""".stripMargin
+  }
+
+  /** Fixed-round synchronous label propagation (Raghavan et al. 2007,
+    * "Near linear time algorithm to detect community structures in
+    * large-scale networks", Phys. Rev. E — public paper) over an
+    * undirected pair list: label_0(v) = v; each round every node adopts
+    * the most frequent label among its NEIGHBORS (smallest label on
+    * ties). Synchronous updates + the min tiebreak make every round
+    * deterministic (the paper's random asynchronous order trades
+    * determinism for convergence speed); a FIXED round count sidesteps
+    * synchronous LPA's known oscillation on near-bipartite structures
+    * and bounds the pass cost — what a production community pass runs.
+    *
+    * Scale shape: each round is one (node, label)-keyed join + one
+    * map-side-combinable count + one per-node window, all on the same
+    * key — document content never moves, and lineage is truncated per
+    * round (the [[componentLabels]] iterative-DataFrame idiom). Where
+    * connected components merges every touching near-dup blob, LPA
+    * splits chains bridged by a single weak edge into their dense
+    * cores — the finer-grained cluster view a dedup reviewer wants. */
+  private[graft] def lpaLabels(pairs: DataFrame, rounds: Int): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("dst"))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cnt").desc, col("label").asc)
+    (1 to rounds).foreach { _ =>
+      labels = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** LPA communities on the simhash near-dup graph, 4 synchronous
+    * rounds (diameter of dense near-dup cores is tiny — the
+    * [[componentLabels]] observation — so 4 rounds settle them). */
+  def qDedupLpa(s: SparkSession, d: String): DataFrame =
+    lpaLabels(simhashPairs(s, d), rounds = 4)
+      .withColumnRenamed("label", "comm").orderBy(col("node"))
+
+  val qDedupLpaSql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""l$i AS (
+         |  SELECT src node, lbl FROM (
+         |    SELECT e.src, l.lbl, count(*) cnt,
+         |      row_number() OVER (PARTITION BY e.src
+         |        ORDER BY count(*) DESC, l.lbl) rn
+         |    FROM edges e JOIN l${i - 1} l ON l.node = e.dst
+         |    GROUP BY e.src, l.lbl)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $simhashSigSql,
+       |${simhashPairsSql("doc_a", "doc_b")},
+       |edges AS (
+       |  SELECT doc_a src, doc_b dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |l0 AS (SELECT DISTINCT src node, src lbl FROM edges),
+       |$rounds
+       |SELECT node, lbl AS comm FROM l4 ORDER BY node""".stripMargin
   }
 
   val qDedupTrianglesSql: String =
@@ -1270,6 +1340,7 @@ object DedupQueries {
     "dd_triangles" -> (qDedupTriangles _),
     "dd_incremental" -> (qDedupIncremental _),
     "dd_pagerank" -> ((s: SparkSession, d: String) => qDedupPagerank(s, d)),
+    "dd_lpa" -> (qDedupLpa _),
     "dd_survivors" -> (qDedupSurvivors _),
     "dd_simhash_clusters" -> (qDedupClusters _),
     "dd_simhash_clusters_stars" -> (qDedupClustersStars _),
@@ -1294,6 +1365,7 @@ object DedupQueries {
     "dd_triangles" -> qDedupTrianglesSql,
     "dd_incremental" -> qDedupIncrementalSql,
     "dd_pagerank" -> qDedupPagerankSql,
+    "dd_lpa" -> qDedupLpaSql,
     "dd_survivors" -> qDedupSurvivorsSql,
     "dd_simhash_clusters" -> qDedupClustersSql,
     "dd_simhash_clusters_stars" -> qDedupClustersSql, // CC variants agree

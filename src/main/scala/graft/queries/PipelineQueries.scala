@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset-assembly operators a training-data pipeline runs after
@@ -899,8 +900,68 @@ object PipelineQueries {
       |  ('n_chars_matches_text'), ('n_chars_positive'), ('text_not_empty')) c(name)
       |ORDER BY constraint_name""".stripMargin
 
+  /** Deterministic per-epoch training order (the seeded reshuffle every
+    * multi-epoch training run needs for reproducibility — e.g. the
+    * public T5/C4 and Pile training setups reshuffle per epoch from a
+    * seed): position of doc d in epoch e = rank of md5(d ":" e) — a new
+    * pseudo-random permutation per epoch, identical on every rerun,
+    * derivable for ANY doc without materializing the order.
+    *
+    * The ranking is the scale-correct two-level global sort-rank (the
+    * range-partitioned sort idiom): bucket by the key's first hex byte,
+    * rank WITHIN (epoch, bucket) — a distributed window — and add each
+    * bucket's global offset from a 256-row prefix sum that broadcasts
+    * back. No global single-partition window ever exists; the plan
+    * holds at any corpus size. Output: the first 10 positions per epoch
+    * plus an order-sensitive per-epoch checksum (Σ pos·(doc_id mod p))
+    * computed over the FULL permutation, so the hash gate proves the
+    * entire order, not just its head. */
+  def qEpochShuffle(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.documents(s, d).select(col("doc_id"))
+      .crossJoin(broadcast(
+        s.range(2).select(col("id").cast("int").as("epoch"))))
+      .withColumn("key", md5(concat(col("doc_id"), lit(":"), col("epoch"))))
+      .withColumn("bucket", substring(col("key"), 1, 2))
+    val wB = Window.partitionBy(col("epoch"), col("bucket"))
+      .orderBy(col("key"), col("doc_id"))
+    val local = keyed.withColumn("lrank", row_number().over(wB))
+    // 2 epochs × ≤256 buckets — the offset relation is tiny by
+    // construction; its prefix-sum window is over ≤256 rows per epoch
+    val wOff = Window.partitionBy(col("epoch")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("epoch"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .select(col("epoch"), col("bucket"), col("off"))
+    val pos = local
+      .join(broadcast(offsets), Seq("epoch", "bucket"))
+      .withColumn("pos", col("off") + col("lrank"))
+    val checksum = pos.groupBy(col("epoch"))
+      .agg(sum(col("pos") * (col("doc_id") % 1000003)).as("epoch_checksum"))
+    pos.filter(col("pos") <= 10)
+      .join(broadcast(checksum), "epoch")
+      .select(col("epoch"), col("pos"), col("doc_id"), col("epoch_checksum"))
+      .orderBy(col("epoch"), col("pos"))
+  }
+
+  val qEpochShuffleSql: String =
+    """WITH k AS (
+      |  SELECT e.epoch, d.doc_id, md5(d.doc_id || ':' || e.epoch) skey
+      |  FROM documents d CROSS JOIN (VALUES (0), (1)) e(epoch)),
+      |p AS (
+      |  SELECT epoch, doc_id,
+      |    row_number() OVER (PARTITION BY epoch ORDER BY skey, doc_id) pos
+      |  FROM k),
+      |c AS (
+      |  SELECT epoch, sum(pos * (doc_id % 1000003))::BIGINT cs
+      |  FROM p GROUP BY 1)
+      |SELECT p.epoch, p.pos, p.doc_id, c.cs AS epoch_checksum
+      |FROM p JOIN c USING (epoch)
+      |WHERE pos <= 10 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "td_split_assign" -> (qSplitAssign _),
+    "td_epoch_shuffle" -> (qEpochShuffle _),
     "td_split_grouped" -> (qSplitGrouped _),
     "td_mix_weights" -> (qMixWeights _),
     "td_mix_sample" -> (qMixSample _),
@@ -920,6 +981,7 @@ object PipelineQueries {
 
   def oracles: Map[String, String] = Map(
     "td_split_assign" -> qSplitAssignSql,
+    "td_epoch_shuffle" -> qEpochShuffleSql,
     "td_split_grouped" -> qSplitGroupedSql,
     "td_mix_weights" -> qMixWeightsSql,
     "td_mix_sample" -> qMixSampleSql,
