@@ -338,6 +338,52 @@ class PlanQualitySpec extends SparkSpec {
       s"band blocking must stay an equi-join:\n$p")
   }
 
+  test("maxscore: candidate admission is a semi-join over pushed term probes") {
+    val p = plan(graft.queries.SearchQueries.qMaxscore(spark, sf))
+    assert(p.contains("In(term"),
+      s"query terms must push into the postings scan:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"candidate admission must be a semi-join, not a rescore:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("facets: metadata join reads a narrow documents projection, never text") {
+    val p = plan(graft.queries.SearchQueries.qFacets(spark, sf))
+    val readSchemas = "ReadSchema: [^\\n]+".r.findAllIn(p).toSeq
+    val docScan = readSchemas.filter(_.contains("lang"))
+    assert(docScan.nonEmpty, s"documents scan missing:\n$p")
+    docScan.foreach(rs =>
+      assert(!rs.contains("text"), s"facet metadata scan reads text: $rs"))
+  }
+
+  test("epoch shuffle: rank windows are bucket-partitioned, never single-partition") {
+    val p = plan(graft.queries.PipelineQueries.qEpochShuffle(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the two-level rank must not plan a global window:\n$p")
+    assert(count(p, "Window") >= 2, s"local rank + offset windows:\n$p")
+  }
+
+  test("sliding reach: window replication joins stay equi-joins on the hour key") {
+    val p = plan(graft.queries.EventQueries.qSlidingReach(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"sketch window merge must be an equi-join:\n$p")
+  }
+
+  test("attribution: conversion-touch pair-up is an equi-join keyed by user") {
+    val p = plan(graft.queries.EventQueries.qAttribution(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the time-window filter must ride the user_id equi-join:\n$p")
+  }
+
+  test("lpa: rounds shuffle (node, label) pairs only — no text columns") {
+    val p = plan(graft.queries.DedupQueries.qDedupLpa(spark, sf))
+    assert(!p.toLowerCase.contains("text#"),
+      s"document content must never enter the LPA loop:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("scd2: one corpus exchange keyed by user; run stitch reuses the clustering") {
     val p = plan(graft.queries.EventQueries.qScd2(spark, sf))
     // lag/cumsum window, run rollup, lead stitch — the event stream must
