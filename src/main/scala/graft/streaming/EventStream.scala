@@ -322,6 +322,58 @@ object EventStream {
       }
   }
 
+  /** Last-touch attribution mark: purchase `conv_id` credited to the
+    * user's latest in-window touch. */
+  case class AttribMark(user_id: Long, conv_id: Long, touch_id: Long,
+      touch_type: String, conv_ts: Timestamp)
+
+  /** Per-user attribution state: the best (latest) touch seen so far. */
+  case class TouchState(touch_id: Long, touch_type: String, tsMicros: Long)
+
+  /** Streaming last-touch attribution — the incremental twin of
+    * [[graft.queries.EventQueries.qAttribution]]'s last_touch model: a
+    * conversion credits the user's most recent click/view within the
+    * lookback window, emitted the moment the purchase arrives instead
+    * of a nightly recompute. State is ONE (touch_id, type, ts) triple
+    * per user — the latest touch dominates every later conversion's
+    * last-touch choice, so earlier touches never need retaining (the
+    * reason last-touch is the O(1)-state attribution model; linear and
+    * U-shaped need the window's full touch list). A touch credits every
+    * later in-window conversion and survives its first purchase, exactly
+    * like the batch pair-up. Arrival-order premise as [[transitions]];
+    * ordering/tiebreaks use microsecond timestamps + event_id, matching
+    * the batch window's (tts, touch_id) order. */
+  def attributionMarks(events: Dataset[TEv],
+      windowDays: Int = 3): Dataset[AttribMark] = {
+    import events.sparkSession.implicits._
+    val windowUs = windowDays.toLong * 86400L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, AttribMark](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[TEv], state: GroupState[TouchState]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttribMark]
+          var st = state.getOption
+          sorted.foreach { e =>
+            e.event_type match {
+              case "click" | "view" =>
+                st = Some(TouchState(e.event_id, e.event_type, micros(e.ts)))
+              case "purchase" =>
+                val c = micros(e.ts)
+                st.foreach { t =>
+                  if (t.tsMicros < c && t.tsMicros >= c - windowUs)
+                    out += AttribMark(userId, e.event_id, t.touch_id,
+                      t.touch_type, e.ts)
+                }
+              case _ => ()
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** EWMA state/emission: the running fold (`ewma` after `n_events`
     * events). One row per user per micro-batch carries the latest
     * smoothed value downstream. */

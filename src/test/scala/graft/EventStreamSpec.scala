@@ -523,4 +523,70 @@ class EventStreamSpec extends SparkSpec {
     assert(key(c5) == key(oneShot),
       "streamed store must equal the batch ingest of the final raw set")
   }
+
+  test("attribution marks: cross-batch last touch credits later conversions") {
+    import graft.streaming.EventStream.{AttribMark, TEv}
+    implicit val sqlCtx = spark.sqlContext
+    // batch 1: user 1 clicks; batch 2: purchase (credits the click) and a
+    // view; batch 3: second purchase (credits the VIEW, not the click) and
+    // a purchase 4+ days later (credits nothing: window expired)
+    val b1 = Seq(TEv(1L, 10L, tsH(10, 0), "click"))
+    val b2 = Seq(TEv(1L, 11L, tsH(11, 0), "purchase"),
+      TEv(1L, 12L, tsH(12, 0), "view"))
+    val b3 = Seq(TEv(1L, 13L, tsH(13, 0), "purchase"),
+      TEv(1L, 14L, Timestamp.valueOf("2026-01-09 13:00:00"), "purchase"))
+    val input = MemoryStream[TEv]
+    val q = EventStream.attributionMarks(input.toDS())
+      .writeStream.format("memory").queryName("attrib1")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(b1, b2, b3).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("attrib1").as[AttribMark].collect()
+      .map(m => (m.conv_id, m.touch_id, m.touch_type)).toSet
+    assert(got == Set((11L, 10L, "click"), (13L, 12L, "view")), s"got $got")
+  }
+
+  test("property: attribution marks equal the batch last-touch pick on random streams") {
+    import graft.streaming.EventStream.{AttribMark, TEv}
+    implicit val sqlCtx = spark.sqlContext
+    val types = Array("click", "view", "purchase", "error")
+    val windowUs = 3L * 86400L * 1000000L
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      // 5-hour spacing: 60 events span 295h >> the 72h window, so the
+      // property exercises in-window, expired and missing-touch cases
+      val evs = (0 until 60).map { i =>
+        TEv(rnd.nextInt(4).toLong + 1, i.toLong,
+          Timestamp.valueOf(java.time.LocalDateTime
+            .of(2026, 1, 1, 0, 0).plusHours(5L * i)
+            .format(java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd HH:mm:ss"))),
+          types(rnd.nextInt(4)))
+      }
+      val cuts = Seq(rnd.nextInt(30) + 1, rnd.nextInt(29) + 31).sorted
+      val batches = Seq(evs.take(cuts(0)),
+        evs.slice(cuts(0), cuts(1)), evs.drop(cuts(1)))
+      val name = s"attribprop$seed"
+      val input = MemoryStream[TEv]
+      val q = EventStream.attributionMarks(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val got = spark.table(name).as[AttribMark].collect()
+        .map(m => (m.conv_id, m.touch_id, m.touch_type)).toSet
+      // driver-side batch pick: per purchase, the latest in-window touch
+      def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+      val want = evs.filter(_.event_type == "purchase").flatMap { c =>
+        evs.filter(t => Set("click", "view").contains(t.event_type) &&
+            t.user_id == c.user_id &&
+            us(t.ts) < us(c.ts) && us(t.ts) >= us(c.ts) - windowUs)
+          .sortBy(t => (us(t.ts), t.event_id)).lastOption
+          .map(t => (c.event_id, t.event_id, t.event_type))
+      }.toSet
+      assert(got == want, s"seed $seed: $got vs $want")
+    }
+  }
 }
