@@ -1198,22 +1198,13 @@ object SearchQueries {
     * genuinely fails and the fuzzy expansion is what recovers the
     * ranking. Scoring: plain BM25 over the expanded (query, term) set. */
   def qFuzzy(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val toks = tokenized(s, d)
-    val qt0 = Bm25Queries.toDF("query_id", "qtext")
-      .select(col("query_id"),
-        explode(split(col("qtext"), " ")).as("term")).distinct()
     // delete position: md5-derived, 1-based — identical arithmetic in
     // the oracle; terms shorter than 3 chars pass through uncorrupted
-    val hi = conv(substring(md5(col("term")), 1, 4), 16, 10).cast("int") %
-      length(col("term")) + 1
-    val qc = qt0.select(col("query_id"),
-      when(length(col("term")) >= 3,
-        concat(col("term").substr(lit(1), hi - 1),
-          col("term").substr(hi + 1, lit(64))))
-        .otherwise(col("term")).as("ct"))
+    val qc = corruptedTerms(s)
     val vocab = toks.select(explode(col("w")).as("term")).distinct()
     val qterms = symspellMatch(vocab, qc)
+      .select(col("query_id"), col("term")).distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     bm25Scores(toks, qterms)
@@ -1239,7 +1230,87 @@ object SearchQueries {
     vk.join(broadcast(qk), "k")
       .select(col("query_id"), col("ct"), col("term")).distinct()
       .filter(levenshtein(col("term"), col("ct")) <= 1)
-      .select(col("query_id"), col("term")).distinct()
+      .select(col("query_id"), col("ct"), col("term")).distinct()
+  }
+
+  /** The deterministically corrupted query-term relation (query_id, ct)
+    * shared by [[qFuzzy]] and [[qSuggest]] — md5-indexed single-char
+    * delete, identical arithmetic in both oracles. */
+  private def corruptedTerms(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val hi = conv(substring(md5(col("term")), 1, 4), 16, 10).cast("int") %
+      length(col("term")) + 1
+    Bm25Queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(split(col("qtext"), " ")).as("term")).distinct()
+      .select(col("query_id"),
+        when(length(col("term")) >= 3,
+          concat(col("term").substr(lit(1), hi - 1),
+            col("term").substr(hi + 1, lit(64))))
+          .otherwise(col("term")).as("ct"))
+  }
+
+  /** Did-you-mean suggestion (the spell-correct feature over the same
+    * SymSpell delete-neighborhood as [[qFuzzy]]; ranking follows the
+    * public SymSpell/Norvig-corrector rule: smallest edit distance
+    * first, then CORPUS FREQUENCY — the noisy-channel prior — then the
+    * term string for a total order). For each corrupted query term, the
+    * best vocabulary correction within distance 1; an exact vocabulary
+    * hit suggests itself (distance 0 dominates). Document frequency
+    * comes from the pruned candidate set only — the df lookup joins the
+    * ≤ |candidates| surviving terms, never the whole vocabulary. */
+  def qSuggest(s: SparkSession, d: String): DataFrame = {
+    val toks = tokenized(s, d)
+    val qc = corruptedTerms(s)
+    val vocab = toks.select(explode(col("w")).as("term")).distinct()
+    val cand = symspellMatch(vocab, qc)
+      .withColumn("dist", levenshtein(col("ct"), col("term")))
+    val dfreq = toks
+      .select(col("doc_id"), explode(col("w")).as("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("query_id"), col("ct"))
+      .orderBy(col("dist").asc, col("df").desc, col("term").asc)
+    cand.join(dfreq, "term")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("ct").as("corrupted"),
+        col("term").as("suggestion"), col("dist"), col("df"))
+      .orderBy(col("query_id"), col("corrupted"))
+  }
+
+  val qSuggestSql: String = {
+    val values = Bm25Queries
+      .map { case (id, q) => s"(${id}::BIGINT, '$q')" }.mkString(", ")
+    val hiSql = "(('0x' || substr(md5(term), 1, 4))::BIGINT % length(term) + 1)"
+    s"""WITH q(query_id, qtext) AS (VALUES $values),
+       |qt0 AS (
+       |  SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) term
+       |  FROM q),
+       |qc AS (
+       |  SELECT query_id,
+       |    CASE WHEN length(term) >= 3 THEN
+       |      substr(term, 1, $hiSql - 1) || substr(term, $hiSql + 1, 64)
+       |    ELSE term END ct
+       |  FROM qt0),
+       |docs AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') w
+       |  FROM documents),
+       |vocab AS (SELECT DISTINCT unnest(w) term FROM docs),
+       |dfreq AS (
+       |  SELECT term, count(*) df FROM (
+       |    SELECT DISTINCT doc_id, unnest(w) term FROM docs)
+       |  GROUP BY 1),
+       |cand AS (
+       |  SELECT qc.query_id, qc.ct, v.term,
+       |    levenshtein(qc.ct, v.term) dist
+       |  FROM qc JOIN vocab v ON levenshtein(v.term, qc.ct) <= 1),
+       |ranked AS (
+       |  SELECT c.query_id, c.ct, c.term, c.dist, f.df,
+       |    row_number() OVER (PARTITION BY c.query_id, c.ct
+       |      ORDER BY c.dist, f.df DESC, c.term) rn
+       |  FROM cand c JOIN dfreq f ON f.term = c.term)
+       |SELECT query_id, ct AS corrupted, term AS suggestion, dist, df
+       |FROM ranked WHERE rn = 1 ORDER BY query_id, corrupted""".stripMargin
   }
 
   val qFuzzySql: String = {
@@ -1284,6 +1355,7 @@ object SearchQueries {
     "ks_maxscore" -> (qMaxscore _),
     "ks_snippets" -> (qSnippets _),
     "ks_facets" -> (qFacets _),
+    "ks_suggest" -> (qSuggest _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1313,5 +1385,6 @@ object SearchQueries {
     "ks_maxscore" -> qBm25Sql,
     "ks_snippets" -> qSnippetsSql,
     "ks_facets" -> qFacetsSql,
+    "ks_suggest" -> qSuggestSql,
   )
 }

@@ -349,7 +349,7 @@ class SearchQueriesSpec extends SparkSpec {
     val qc = Seq(0L -> "hash", 1L -> "jion", 2L -> "windw", 3L -> "ab")
       .toDF("query_id", "ct")
     val got = SearchQueries.symspellMatch(vocab, qc).collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSet
+      .map(r => (r.getLong(0), r.getString(2))).toSet
     val naive = vocab.crossJoin(qc)
       .filter(levenshtein(col("term"), col("ct")) <= 1)
       .select(col("query_id"), col("term")).collect()
