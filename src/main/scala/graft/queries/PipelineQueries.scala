@@ -959,9 +959,56 @@ object PipelineQueries {
       |FROM p JOIN c USING (epoch)
       |WHERE pos <= 10 ORDER BY 1, 2""".stripMargin
 
+  /** k-anonymity threshold for the release report. */
+  private val KAnon = 5
+
+  /** k-anonymity suppression report (Sweeney 2002, "k-anonymity: a model
+    * for protecting privacy", IJUFKS — public paper): group the corpus
+    * by its quasi-identifier tuple (lang, source, length decile — the
+    * released metadata an attacker could join on), and report per
+    * (lang, source) how many QI groups fall below k and how many rows a
+    * k-anonymous release would have to suppress or generalize. The
+    * pre-release privacy audit every dataset publisher runs next to PII
+    * redaction.
+    *
+    * Scale shape: one map-side-combinable QI-group count, then a
+    * (lang, source)-keyed rollup of the group relation — corpus touched
+    * once, everything after is |QI groups|-sized. Integer counts only. */
+  def qKAnonymity(s: SparkSession, d: String): DataFrame = {
+    val groups = Tables.documents(s, d)
+      .withColumn("len_bucket", (col("n_chars") / 100).cast("long"))
+      .groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("gn"))
+    groups
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_groups"),
+        count(when(col("gn") < KAnon, lit(1))).as("n_small_groups"),
+        coalesce(sum(when(col("gn") < KAnon, col("gn"))), lit(0L))
+          .as("rows_suppressed"),
+        sum(col("gn")).as("n_rows"))
+      .withColumn("suppression_frac",
+        round(col("rows_suppressed").cast("double") /
+          col("n_rows").cast("double"), 4))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val qKAnonymitySql: String =
+    s"""WITH g AS (
+       |  SELECT lang, source, (n_chars // 100) len_bucket, count(*) gn
+       |  FROM documents GROUP BY 1, 2, 3)
+       |SELECT lang, source,
+       |  count(*) AS n_groups,
+       |  count(*) FILTER (WHERE gn < $KAnon) AS n_small_groups,
+       |  coalesce(sum(gn) FILTER (WHERE gn < $KAnon), 0)::BIGINT AS rows_suppressed,
+       |  sum(gn)::BIGINT AS n_rows,
+       |  round(coalesce(sum(gn) FILTER (WHERE gn < $KAnon), 0)::DOUBLE
+       |    / sum(gn), 4) AS suppression_frac
+       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "td_split_assign" -> (qSplitAssign _),
     "td_epoch_shuffle" -> (qEpochShuffle _),
+    "td_k_anonymity" -> (qKAnonymity _),
     "td_split_grouped" -> (qSplitGrouped _),
     "td_mix_weights" -> (qMixWeights _),
     "td_mix_sample" -> (qMixSample _),
@@ -982,6 +1029,7 @@ object PipelineQueries {
   def oracles: Map[String, String] = Map(
     "td_split_assign" -> qSplitAssignSql,
     "td_epoch_shuffle" -> qEpochShuffleSql,
+    "td_k_anonymity" -> qKAnonymitySql,
     "td_split_grouped" -> qSplitGroupedSql,
     "td_mix_weights" -> qMixWeightsSql,
     "td_mix_sample" -> qMixSampleSql,

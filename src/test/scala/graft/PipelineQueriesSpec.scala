@@ -278,4 +278,24 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"llr model must broadcast:\n${plan.linesIterator.take(25).mkString("\n")}")
   }
+
+  test("k-anonymity: hand-counted suppression on a crafted QI table") {
+    import spark.implicits._
+    // en/web: one group of 6 (len 100-199) and one of 2 (len 0-99) ->
+    // 1 small group, 2 suppressed rows. fr/web: single group of 5 (= k,
+    // NOT small). Buckets pin the /100 integer division.
+    val docs =
+      (1L to 6L).map(i => (i, "x" * 150, "en", "web", 150L)) ++
+        Seq((7L, "y", "en", "web", 50L), (8L, "y", "en", "web", 51L)) ++
+        (9L to 13L).map(i => (i, "z" * 100, "fr", "web", 100L))
+    val dir = java.nio.file.Files.createTempDirectory("kanon").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.PipelineQueries.qKAnonymity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6))).toMap
+    assert(got(("en", "web")) == (2L, 1L, 2L, 8L, 0.25))
+    assert(got(("fr", "web")) == (1L, 0L, 0L, 5L, 0.0))
+  }
 }
