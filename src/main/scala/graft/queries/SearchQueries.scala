@@ -36,8 +36,8 @@ import org.apache.spark.sql.functions._
   */
 object SearchQueries {
 
-  private val K1 = 1.2
-  private val B = 0.75
+  private[graft] val K1 = 1.2
+  private[graft] val B = 0.75
 
   /** (doc_id, text) → (doc_id, w: token array, dl: doc length) — the one
     * tokenization both the batch queries and the streamed index deltas
@@ -663,10 +663,17 @@ object SearchQueries {
     * queries whose exact postings volume is dominated by their common
     * co-terms — prune hardest. */
   private[graft] def maxscorePruned(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    maxscoreIndex(s, bm25Index(s, d))
+
+  /** [[maxscorePruned]] over ANY impacts-bearing index (the built
+    * [[bm25Index]] or a streamed index folded by
+    * [[graft.streaming.IndexStream.compact]] — both carry the max_sat
+    * column, so pruned serving works identically off either). */
+  private[graft] def maxscoreIndex(s: SparkSession, idx: Bm25Index)
       : (DataFrame, DataFrame) = {
     import s.implicits._
     val k = 5
-    val idx = bm25Index(s, d)
     val (terms, qterms) = queryTerms(s, Bm25Queries)
     val post = s.table(idx.postingsTable).filter(col("term").isin(terms: _*))
     val dfreq = s.table(idx.dfreqTable).filter(col("term").isin(terms: _*))

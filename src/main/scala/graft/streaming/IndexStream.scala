@@ -162,7 +162,20 @@ object IndexStream {
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "term").sortBy("term", "doc_id")
       .saveAsTable(idx.postingsTable)
-    dfreq(s, indexDir)
+    stats(s, indexDir).write.mode("overwrite").parquet(idx.statsPath)
+    // per-term metadata mirrors bm25Index's impacts-bearing layout:
+    // df AND max_sat, both derived from the stored postings with the
+    // CURRENT global avgdl — impacts must be recomputed at fold time
+    // because avgdl drifts as deltas accumulate (a per-batch max under
+    // the batch-local avgdl would not bound the merged scorer)
+    val avgdlC = s.read.parquet(idx.statsPath)
+      .select(col("avgdl")).head.getDouble(0)
+    val satC = col("tf") * lit(SearchQueries.K1 + 1) /
+      (col("tf") + lit(SearchQueries.K1) *
+        (lit(1 - SearchQueries.B) +
+          lit(SearchQueries.B) * col("dl") / lit(avgdlC)))
+    s.table(idx.postingsTable).groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"), max(satC).as("max_sat"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "term").sortBy("term")
       .saveAsTable(idx.dfreqTable)
@@ -172,7 +185,6 @@ object IndexStream {
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "doc_id").sortBy("doc_id", "term")
       .saveAsTable(idx.fwdTable)
-    stats(s, indexDir).write.mode("overwrite").parquet(idx.statsPath)
     idx
   }
 

@@ -70,6 +70,14 @@ class IndexStreamSpec extends SparkSpec {
     assert(plan.contains("SelectedBucketsCount"),
       s"compacted probe should be bucket-pruned:\n$plan")
 
+    // the compacted layout carries the impacts metadata (max_sat under
+    // the MERGED avgdl), so MaxScore pruned serving works off a
+    // stream-folded index exactly as off the built one — and stays
+    // lossless vs exact scoring
+    val pruned = rows(SearchQueries.maxscoreIndex(spark, idx)._2)
+    assert(pruned == batch,
+      s"maxscore off the compacted index must equal exact:\n$pruned\nvs\n$batch")
+
     // the POSITIONAL component rides the same deltas: phrase search off
     // the streamed index equals the batch phrase query, survives the
     // same redelivery, and its compaction serves bucket-pruned
