@@ -747,9 +747,18 @@ object SearchQueries {
     * on start position, then ranking rides the stored top-k's
     * (rounded score, doc_id) order. */
   def qSnippets(s: SparkSession, d: String): DataFrame = {
-    val (posTable, _) = phraseIndex(s, d)
     val (terms, qterms) = queryTerms(s, Bm25Queries)
     val top = qBm25Stored(s, d).select(col("query_id"), col("rank"), col("doc_id"))
+    snippetsFor(s, d, top, terms, qterms)
+  }
+
+  /** The snippet kernel behind [[qSnippets]] and the ad-hoc
+    * [[searchPage]] serving path: best [[SnippetW]]-token window per
+    * (query, doc) of `top` — one positional-index probe + the tiny
+    * within-doc window self-join. */
+  private def snippetsFor(s: SparkSession, d: String, top: DataFrame,
+      terms: Seq[String], qterms: DataFrame): DataFrame = {
+    val (posTable, _) = phraseIndex(s, d)
     val matches = s.table(posTable)
       .filter(col("term").isin(terms: _*))
       .select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
@@ -849,6 +858,13 @@ object SearchQueries {
       .filter(col("term").isin(terms: _*))
       .join(broadcast(qterms), "term")
       .select(col("query_id"), col("doc_id")).distinct()
+    facetsFor(s, d, matched)
+  }
+
+  /** The facet kernel behind [[qFacets]] and [[searchPage]]: per-query
+    * (facet, value) doc counts for a (query_id, doc_id) match set. */
+  private def facetsFor(s: SparkSession, d: String,
+      matched: DataFrame): DataFrame = {
     val meta = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"))
     matched.join(meta, "doc_id")
@@ -1104,6 +1120,37 @@ object SearchQueries {
       s.table(idx.postingsTable).filter(col("term").isin(terms: _*)),
       s.table(idx.dfreqTable).filter(col("term").isin(terms: _*)),
       s.read.parquet(idx.statsPath), qterms, k)
+  }
+
+  /** One fully-assembled search result page for an ad-hoc query — the
+    * SERP a search frontend renders: ranked hits with KWIC snippets,
+    * plus facet counts over the FULL match set (not just the page).
+    * Composes the stored-index probe ([[searchStored]]'s plan), the
+    * [[snippetsFor]] positional kernel and the [[facetsFor]] metadata
+    * rollup — three bucket/In-pruned probes total, no corpus scan.
+    * Returns (hits with snippets, facets). */
+  def searchPage(s: SparkSession, d: String, query: String,
+      k: Int = 5): (DataFrame, DataFrame) = {
+    val idx = bm25Index(s, d)
+    val normalized = query.trim.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).mkString(" ")
+    val (terms, qterms) = queryTerms(s, Seq(0L -> normalized))
+    val post = s.table(idx.postingsTable).filter(col("term").isin(terms: _*))
+    val ranked = scoreIndex(post,
+      s.table(idx.dfreqTable).filter(col("term").isin(terms: _*)),
+      s.read.parquet(idx.statsPath), qterms, k)
+    val snips = snippetsFor(s, d,
+      ranked.select(col("query_id"), col("rank"), col("doc_id")),
+      terms, qterms)
+    val hits = ranked.join(
+        snips.select(col("doc_id"), col("snippet"), col("n_cover")),
+        Seq("doc_id"), "left")
+      .select(col("rank"), col("doc_id"), col("score"),
+        coalesce(col("snippet"), lit("")).as("snippet"))
+      .orderBy(col("rank"))
+    val matched = post.join(broadcast(qterms), "term")
+      .select(col("query_id"), col("doc_id")).distinct()
+    (hits, facetsFor(s, d, matched))
   }
 
   /** More-like-this seed documents and expansion width (Lucene's

@@ -48,7 +48,8 @@ class ServingShim(
     maxJobs: Int = 10,
     sseTimeoutMs: Long = 10000,
     metrics: () => Seq[graft.ingest.StageMetric] = () => Nil,
-    search: Option[(String, Int) => Seq[ServingShim.SearchHit]] = None) {
+    search: Option[(String, Int) => Seq[ServingShim.SearchHit]] = None,
+    page: Option[(String, Int) => ServingShim.SearchPage] = None) {
 
   /** One job's live trail: events append as the runner emits them;
     * `done` flips after the last one. Append-only so any number of
@@ -108,12 +109,28 @@ class ServingShim(
             case Some(q) =>
               val k = params.get("k").flatMap(_.toIntOption)
                 .filter(x => x > 0 && x <= 100).getOrElse(5)
-              val hits = fn(q, k).map { h =>
-                s"""{"rank": ${h.rank}, "doc_id": ${h.docId}, "score": ${h.score}}"""
-              }.mkString("[", ", ", "]")
-              respond(ex, 200,
-                s"""{"query": ${ServingShim.quote(q)}, "k": $k, "hits": $hits}""",
-                "application/json")
+              // full=1 + a wired page fn → the assembled SERP (snippeted
+              // hits + facets); otherwise the plain ranked-hit list
+              (params.get("full").contains("1"), page) match {
+                case (true, Some(pfn)) =>
+                  val p = pfn(q, k)
+                  val hits = p.hits.map { h =>
+                    s"""{"rank": ${h.rank}, "doc_id": ${h.docId}, "score": ${h.score}, "snippet": ${ServingShim.quote(h.snippet)}}"""
+                  }.mkString("[", ", ", "]")
+                  val facets = p.facets.map { f =>
+                    s"""{"facet": ${ServingShim.quote(f.facet)}, "value": ${ServingShim.quote(f.value)}, "n_docs": ${f.nDocs}}"""
+                  }.mkString("[", ", ", "]")
+                  respond(ex, 200,
+                    s"""{"query": ${ServingShim.quote(q)}, "k": $k, "hits": $hits, "facets": $facets}""",
+                    "application/json")
+                case _ =>
+                  val hits = fn(q, k).map { h =>
+                    s"""{"rank": ${h.rank}, "doc_id": ${h.docId}, "score": ${h.score}}"""
+                  }.mkString("[", ", ", "]")
+                  respond(ex, 200,
+                    s"""{"query": ${ServingShim.quote(q)}, "k": $k, "hits": $hits}""",
+                    "application/json")
+              }
           }
         case ("GET", None) =>
           respond(ex, 404, """{"error": "search not configured"}""", "application/json")
@@ -244,6 +261,16 @@ object ServingShim {
 
   /** One search result row as served by `GET /search`. */
   case class SearchHit(rank: Int, docId: Long, score: Double)
+
+  /** A rich hit (with its KWIC snippet) on the full result page. */
+  case class RichHit(rank: Int, docId: Long, score: Double, snippet: String)
+
+  /** One facet count row: (facet dimension, value, matching docs). */
+  case class FacetCount(facet: String, value: String, nDocs: Long)
+
+  /** The assembled result page `GET /search?full=1` serves: ranked
+    * snippeted hits plus facet counts over the full match set. */
+  case class SearchPage(hits: Seq[RichHit], facets: Seq[FacetCount])
 
   /** Parse a raw query string (`a=1&b=x%20y`) — last value wins,
     * URL-decoded as UTF-8. */

@@ -209,6 +209,45 @@ class ServingShimSpec extends SparkSpec {
     }
   }
 
+  test("GET /search?full=1: the assembled SERP with snippets and facets") {
+    val sf = "/root/testdata/sf0.001"
+    val engineSearch = (q: String, k: Int) =>
+      graft.queries.SearchQueries.searchStored(spark, sf, q, k).collect()
+        .map(r => ServingShim.SearchHit(r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    val enginePage = (q: String, k: Int) => {
+      val (hits, facets) = graft.queries.SearchQueries.searchPage(spark, sf, q, k)
+      ServingShim.SearchPage(
+        hits.collect().map(r => ServingShim.RichHit(
+          r.getInt(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSeq,
+        facets.collect().map(r => ServingShim.FacetCount(
+          r.getString(1), r.getString(2), r.getLong(3))).toSeq)
+    }
+    val shim = new ServingShim(() => healthyStatus, runner,
+      search = Some(engineSearch), page = Some(enginePage))
+    val port = shim.start()
+    try {
+      val c = java.net.http.HttpClient.newHttpClient()
+      val r = get(c, port, "/search?q=hash%20join&k=3&full=1")
+      assert(r.statusCode() == 200, r.body())
+      // ranks + doc ids agree with the plain stored-index ranking
+      val plain = engineSearch("hash join", 3)
+      val served = """"rank": (\d+), "doc_id": (\d+)""".r
+        .findAllMatchIn(r.body()).map(m => (m.group(1).toInt, m.group(2).toLong)).toSeq
+      assert(served == plain.map(h => (h.rank, h.docId)), r.body())
+      // every hit carries a snippet containing a query term; facets present
+      val snips = """"snippet": "([^"]*)"""".r
+        .findAllMatchIn(r.body()).map(_.group(1)).toSeq
+      assert(snips.size == plain.size && snips.forall(s =>
+        s.contains("hash") || s.contains("join")), r.body())
+      assert(r.body().contains(""""facet": "lang""""), r.body())
+      assert(r.body().contains(""""facet": "source""""), r.body())
+      // without full=1 the plain shape is unchanged (no snippet key)
+      val r2 = get(c, port, "/search?q=hash%20join&k=3")
+      assert(r2.statusCode() == 200 && !r2.body().contains("snippet"))
+    } finally shim.stop()
+  }
+
   test("request-body JSON readers handle escapes and reject absent keys") {
     assert(ServingShim.jsonString("""{"query": "a \"b\" \n c"}""", "query")
       .contains("a \"b\" \n c"))
