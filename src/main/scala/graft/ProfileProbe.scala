@@ -42,20 +42,15 @@ object ProfileProbe {
     (1 to 3).foreach { i =>
       time(s"probeStored #$i") {
         // the cached-store path exactly as qEmbIncremental runs it
-        val dirField = VectorQueries.getClass.getDeclaredField("probeStores")
-        dirField.setAccessible(true)
-        val dir = dirField.get(VectorQueries)
-          .asInstanceOf[scala.collection.concurrent.TrieMap[String, (String, Long)]](sfDir)._1
+        val dir = VectorQueries.probeStoreDir(sfDir)
+          .getOrElse(sys.error(s"no probe store yet for $sfDir — run qEmbIncremental first"))
         VectorQueries.probeStored(spark, batch, dir).orderBy(col("vec_id")).count()
       }
     }
     // decomposed: batch assignment alone, then the match join alone
-    val seeds = spark.read.parquet({
-      val dirField = VectorQueries.getClass.getDeclaredField("probeStores")
-      dirField.setAccessible(true)
-      dirField.get(VectorQueries)
-        .asInstanceOf[scala.collection.concurrent.TrieMap[String, (String, Long)]](sfDir)._1
-    } + "/_seeds")
+    val seeds = spark.read.parquet(
+      VectorQueries.probeStoreDir(sfDir)
+        .getOrElse(sys.error(s"no probe store yet for $sfDir")) + "/_seeds")
     (1 to 2).foreach { i =>
       time(s"batch assign+ckpt #$i")(
         VectorQueries.assignToSeeds(batch, seeds, 16).localCheckpoint().count())

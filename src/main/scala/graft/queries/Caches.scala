@@ -28,10 +28,22 @@ object Caches {
     m
   }
 
+  /** Closers for caches whose keys are DERIVED from an sf-dir (e.g. the
+    * incremental-probe store's temp dir): the registry sweep below can
+    * only evict keys equal to the sf-dir itself, so derived-key owners
+    * register a callback that maps the closing sf-dir (None = all) to
+    * their own eviction. */
+  private val closers =
+    new java.util.concurrent.CopyOnWriteArrayList[Option[String] => Unit]()
+
+  private[queries] def addCloser(f: Option[String] => Unit): Unit =
+    closers.add(f)
+
   /** Unpersist and drop every cached relation for one sf-dir. Blocking by
     * default: a lifecycle close is rare and callers expect the storage to
     * be measurably freed when it returns (the spec relies on it too). */
   def close(sfDir: String, blocking: Boolean = true): Unit = {
+    closers.forEach(_(Some(sfDir)))
     registries.forEach { m =>
       m.remove(sfDir).foreach(_.unpersist(blocking))
     }
@@ -39,6 +51,7 @@ object Caches {
 
   /** Unpersist and drop everything (session teardown). */
   def closeAll(blocking: Boolean = true): Unit = {
+    closers.forEach(_(None))
     registries.forEach { m =>
       m.keySet.toSeq.foreach(d => m.remove(d).foreach(_.unpersist(blocking)))
     }

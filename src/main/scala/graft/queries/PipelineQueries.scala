@@ -913,9 +913,12 @@ object PipelineQueries {
     * bucket's global offset from a 256-row prefix sum that broadcasts
     * back. No global single-partition window ever exists; the plan
     * holds at any corpus size. Output: the first 10 positions per epoch
-    * plus an order-sensitive per-epoch checksum (Σ pos·(doc_id mod p))
-    * computed over the FULL permutation, so the hash gate proves the
-    * entire order, not just its head. */
+    * plus an order-sensitive per-epoch checksum
+    * (Σ (pos mod p)·(doc_id mod q) mod p, p=100003, q=1009 — modular
+    * terms keep the 64-bit sum exact at any realistic corpus size, so
+    * both engines agree without ANSI/overflow divergence) computed over
+    * the FULL permutation, so the hash gate proves the entire order,
+    * not just its head. */
   def qEpochShuffle(s: SparkSession, d: String): DataFrame = {
     val keyed = Tables.documents(s, d).select(col("doc_id"))
       .crossJoin(broadcast(
@@ -936,8 +939,14 @@ object PipelineQueries {
     val pos = local
       .join(broadcast(offsets), Seq("epoch", "bucket"))
       .withColumn("pos", col("off") + col("lrank"))
+    // bounded modular terms: each term < 100003, so a 64-bit sum is
+    // exact below ~9e13 rows per epoch — Spark's non-ANSI long sum and
+    // DuckDB's HUGEINT sum agree everywhere in that range (an unbounded
+    // pos·id product would wrap Spark's long near 6M docs while the
+    // oracle's HUGEINT kept going — a gate divergence, not an engine one)
     val checksum = pos.groupBy(col("epoch"))
-      .agg(sum(col("pos") * (col("doc_id") % 1000003)).as("epoch_checksum"))
+      .agg(sum((col("pos") % 100003) * (col("doc_id") % 1009) % 100003)
+        .as("epoch_checksum"))
     pos.filter(col("pos") <= 10)
       .join(broadcast(checksum), "epoch")
       .select(col("epoch"), col("pos"), col("doc_id"), col("epoch_checksum"))
@@ -953,7 +962,7 @@ object PipelineQueries {
       |    row_number() OVER (PARTITION BY epoch ORDER BY skey, doc_id) pos
       |  FROM k),
       |c AS (
-      |  SELECT epoch, sum(pos * (doc_id % 1000003))::BIGINT cs
+      |  SELECT epoch, sum((pos % 100003) * (doc_id % 1009) % 100003)::BIGINT cs
       |  FROM p GROUP BY 1)
       |SELECT p.epoch, p.pos, p.doc_id, c.cs AS epoch_checksum
       |FROM p JOIN c USING (epoch)

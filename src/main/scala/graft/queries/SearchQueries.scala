@@ -1284,7 +1284,6 @@ object SearchQueries {
     vk.join(broadcast(qk), "k")
       .select(col("query_id"), col("ct"), col("term")).distinct()
       .filter(levenshtein(col("term"), col("ct")) <= 1)
-      .select(col("query_id"), col("ct"), col("term")).distinct()
   }
 
   /** The deterministically corrupted query-term relation (query_id, ct)

@@ -469,6 +469,12 @@ object VectorQueries {
   private val probeStores =
     scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
 
+  /** The prepared probe-store dir for an sf-dir, if qEmbIncremental has
+    * built one — for diagnostics tooling (ProfileProbe), which otherwise
+    * reached in by field reflection. */
+  private[graft] def probeStoreDir(sfDir: String): Option[String] =
+    probeStores.get(sfDir).map(_._1)
+
   /** The loaded store relations, persisted per store dir (the same
     * ingest-once / query-many lifecycle as [[Tables.embeddings]] — a
     * production probe store keeps its hot assignments resident; without
@@ -518,6 +524,25 @@ object VectorQueries {
 
   private val storeSeedCount =
     scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  // the store caches above are keyed by the DERIVED store dir, not the
+  // sf-dir — Caches.close(sfDir)'s registry sweep can't find them, so
+  // evict them through the closer hook (the corpus-sized persisted
+  // assignment is exactly what a lifecycle close must free)
+  Caches.addCloser { which =>
+    val dirs = which match {
+      case Some(d) => probeStores.remove(d).map(_._1).toSeq
+      case None =>
+        val all = probeStores.values.map(_._1).toSeq
+        probeStores.clear(); all
+    }
+    dirs.foreach { dir =>
+      storeSeedsCache.remove(dir).foreach(_.unpersist(true))
+      storeAssignedCache.remove(dir).foreach(_.unpersist(true))
+      storeSeedCount.remove(dir)
+    }
+    if (which.isEmpty) storeSeedCount.clear()
+  }
 
   /** One-shot probe kernel — derives the stored artifacts in-flight:
     * corpus-seeded centroids, corpus assignment, then the shared

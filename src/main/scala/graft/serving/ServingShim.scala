@@ -273,14 +273,19 @@ object ServingShim {
   case class SearchPage(hits: Seq[RichHit], facets: Seq[FacetCount])
 
   /** Parse a raw query string (`a=1&b=x%20y`) — last value wins,
-    * URL-decoded as UTF-8. */
+    * URL-decoded as UTF-8. A pair with a malformed percent-escape is
+    * DROPPED rather than thrown: the handlers then see the parameter as
+    * absent and answer 400 "missing q" — a client error — instead of
+    * the guard converting URLDecoder's IllegalArgumentException into a
+    * 500 server fault. */
   def queryParams(raw: String): Map[String, String] =
     Option(raw).toSeq.flatMap(_.split("&"))
       .flatMap { kv =>
         kv.split("=", 2) match {
           case Array(k, v) if k.nonEmpty =>
-            Some(java.net.URLDecoder.decode(k, "UTF-8") ->
+            try Some(java.net.URLDecoder.decode(k, "UTF-8") ->
               java.net.URLDecoder.decode(v, "UTF-8"))
+            catch { case _: IllegalArgumentException => None }
           case _ => None
         }
       }.toMap

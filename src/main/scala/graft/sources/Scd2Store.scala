@@ -81,6 +81,19 @@ object Scd2JdbcWriter {
   /** One mark, inside the caller's open transaction. Returns false for a
     * replay/stale mark (caller rolls back the partial close-update). */
   private def applyOne(conn: Connection, m: Scd2Mark): Boolean = {
+    // out-of-order guard: a mark older than the user's newest stored
+    // version is stale (its successor already closed the interval it
+    // would open) — inserting it anyway would create a SECOND
+    // is_current=true row, since the close-update below only closes
+    // versions < this mark's. The PK collision check alone cannot catch
+    // this case (the stale version number may never have been applied).
+    val newer = conn.prepareStatement(
+      "SELECT 1 FROM graft_scd2 WHERE user_id = ? AND version > ?")
+    try {
+      newer.setLong(1, m.user_id); newer.setLong(2, m.version)
+      val rs = newer.executeQuery()
+      try { if (rs.next()) return false } finally rs.close()
+    } finally newer.close()
     val close = conn.prepareStatement(
       """UPDATE graft_scd2 SET valid_to = ?, is_current = false
         |WHERE user_id = ? AND is_current = true AND version < ?""".stripMargin)

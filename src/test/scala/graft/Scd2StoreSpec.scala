@@ -60,6 +60,16 @@ class Scd2StoreSpec extends SparkSpec {
     // newer current row
     assert(w.apply(Seq(Scd2Harness.marks(2))) == 0L)
     assert(w.history() == wantHistory)
+    // an out-of-order NEVER-APPLIED version (v2 lost then redelivered
+    // after v3) must also be rejected: its successor already closed the
+    // interval it would open, and inserting it would create a second
+    // is_current row for the user
+    val w2 = new Scd2JdbcWriter(s"jdbc:derby:${dbDir}2;create=true")
+    val gap = Seq(Scd2Harness.marks(0), Scd2Harness.marks(3)) // v1, v3
+    assert(w2.apply(gap) == 2L)
+    assert(w2.apply(Seq(Scd2Harness.marks(2))) == 0L, "late v2 rejected")
+    assert(w2.currentRows().filter(_._1 == 1L).map(r => (r._2, r._3)) ==
+      Seq((3L, "A")), "exactly one current row for user 1")
   }
 
   test("exactly-once history across a mid-apply process kill") {

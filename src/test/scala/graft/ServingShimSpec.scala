@@ -202,6 +202,19 @@ class ServingShimSpec extends SparkSpec {
       assert(want.nonEmpty && want.map(_.rank) == (1 to want.size))
       assert(get(c, port, "/search?k=3").statusCode() == 400, "missing q")
       assert(get(c, port, "/search?q=").statusCode() == 400, "empty q")
+      // a malformed percent-escape is a CLIENT error: the undecodable
+      // pair drops out and the handler answers 400, never a 500 (raw
+      // socket: the JDK URI client would reject the escape before send)
+      val sock = new java.net.Socket("127.0.0.1", port)
+      try {
+        val out = sock.getOutputStream
+        out.write(("GET /search?q=%zz HTTP/1.1\r\nHost: x\r\n" +
+          "Connection: close\r\n\r\n").getBytes("US-ASCII"))
+        out.flush()
+        val status = new String(sock.getInputStream.readAllBytes, "US-ASCII")
+          .linesIterator.next()
+        assert(status.contains("400"), s"bad escape should 400: $status")
+      } finally sock.close()
     } finally shim.stop()
     // a shim without search wiring 404s rather than growing a dead endpoint
     withShim() { (port2, c2) =>
