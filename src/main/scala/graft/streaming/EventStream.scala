@@ -393,6 +393,49 @@ object EventStream {
     * bit-for-bit (same IEEE sequence, same order — the cross-batch
     * smoothing invariant EventStreamSpec asserts). Arrival-order premise
     * as [[transitions]]. */
+  /** Holt state/emission: the (level, trend) pair after `n_events`
+    * observations — level tracks the smoothed value, trend its smoothed
+    * per-step change, so `level + h·trend` is the h-step forecast. */
+  case class HoltOut(user_id: Long, n_events: Long,
+      level: Double, trend: Double)
+
+  /** Streaming Holt double exponential smoothing (Holt 1957, reprinted
+    * IJF 2004 — public paper; the trend-aware extension of [[ewma]]):
+    *   l_i = α·v_i + (1−α)·(l_{i−1} + b_{i−1})
+    *   b_i = β·(l_i − l_{i−1}) + (1−β)·b_{i−1}
+    * Initialization per the standard convention: l_1 = v_1, b_1 = 0 (a
+    * single point carries no trend); the second point onward runs the
+    * coupled recurrence. Like EWMA this is the textbook streaming-state
+    * recurrence — one (n, level, trend) triple per user, updated in
+    * (ts, event_id) order within each micro-batch and carried across
+    * batches, so the last emission equals a driver-side fold over the
+    * full ordered stream bit-for-bit (same IEEE sequence, same order —
+    * the EventStreamSpec property). Arrival-order premise as
+    * [[transitions]]. */
+  def holt(events: Dataset[VEv], alpha: Double = 0.25,
+      beta: Double = 0.1): Dataset[HoltOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[HoltOut, HoltOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[VEv], state: GroupState[HoltOut]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(HoltOut(userId, 0L, 0.0, 0.0))
+          sorted.foreach { e =>
+            st =
+              if (st.n_events == 0L) HoltOut(userId, 1L, e.value, 0.0)
+              else {
+                val l = alpha * e.value + (1 - alpha) * (st.level + st.trend)
+                val b = beta * (l - st.level) + (1 - beta) * st.trend
+                HoltOut(userId, st.n_events + 1, l, b)
+              }
+          }
+          state.update(st)
+          Iterator.single(st)
+      }
+  }
+
   def ewma(events: Dataset[VEv], alpha: Double = 0.25): Dataset[EwmaOut] = {
     import events.sparkSession.implicits._
     events

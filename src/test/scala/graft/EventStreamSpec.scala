@@ -589,4 +589,40 @@ class EventStreamSpec extends SparkSpec {
       assert(got == want, s"seed $seed: $got vs $want")
     }
   }
+
+  test("streaming holt: cross-batch level/trend equal the driver-side fold") {
+    import graft.streaming.EventStream.{HoltOut, VEv}
+    implicit val sqlCtx = spark.sqlContext
+    val (alpha, beta) = (0.25, 0.1)
+    val input = MemoryStream[VEv]
+    val q = EventStream.holt(input.toDS(), alpha, beta)
+      .writeStream.format("memory").queryName("holt")
+      .outputMode(OutputMode.Append()).start()
+    // a rising series: Holt's trend must become positive and the 1-step
+    // forecast must beat plain EWMA's lag on the ramp
+    val evs = Seq(
+      VEv(1, 1, ts(0), 1.0), VEv(1, 2, ts(1), 2.0),  // batch 1
+      VEv(1, 3, ts(5), 3.0), VEv(1, 4, ts(6), 4.0),  // batch 2
+      VEv(2, 5, ts(7), 7.0))                          // single point: no trend
+    try {
+      input.addData(evs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(evs.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("holt").as[HoltOut].collect()
+      .groupBy(_.user_id).view.mapValues(_.maxBy(_.n_events)).toMap
+    // driver-side fold over the full ordered stream — bit-exact parity
+    def fold(vs: Seq[Double]): (Double, Double) =
+      vs.tail.foldLeft((vs.head, 0.0)) { case ((l0, b0), v) =>
+        val l = alpha * v + (1 - alpha) * (l0 + b0)
+        val b = beta * (l - l0) + (1 - beta) * b0
+        (l, b)
+      }
+    val (l1, b1) = fold(Seq(1.0, 2.0, 3.0, 4.0))
+    assert(got(1L).level == l1 && got(1L).trend == b1,
+      s"user 1: ${got(1L)} != ($l1, $b1)")
+    assert(b1 > 0, "rising series must carry a positive trend")
+    assert(got(2L) == HoltOut(2L, 1L, 7.0, 0.0), "single point: no trend")
+  }
 }
