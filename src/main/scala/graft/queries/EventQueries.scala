@@ -770,6 +770,67 @@ object EventQueries {
       |    (acc, x) -> acc * 0.75::DOUBLE + x * 0.25::DOUBLE), 6) AS ewma
       |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  /** Batch Holt double exponential smoothing (Holt 1957; the trend-aware
+    * second-order sibling of [[qEventEwma]]) — the COUPLED two-variable
+    * recurrence l_i = α·v_i + (1−α)(l+b), b_i = β(l_i−l) + (1−β)b as an
+    * ordered fold whose accumulator is a STRUCT: Spark's aggregate() and
+    * DuckDB's list_reduce both thread a (level, trend) pair through the
+    * per-user value list in identical IEEE order, so the rounded outputs
+    * hash-match. Init per the standard convention (l₁ = v₁, b₁ = 0),
+    * which is also the streaming twin's state seed
+    * ([[graft.streaming.EventStream.holt]] — parity spec'd). Same scale
+    * shape as EWMA: one (user)-keyed shuffle, session-scale arrays. */
+  def qEventHolt(s: SparkSession, d: String,
+      alpha: Double = 0.25, beta: Double = 0.1): DataFrame = {
+    val vals = transform(
+      array_sort(collect_list(struct(col("ts"), col("event_id"), col("value")))),
+      x => x.getField("value"))
+    val a = alpha; val om = 1 - alpha; val bt = beta; val obt = 1 - beta
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), vals.as("vals"))
+      .select(col("user_id"), col("n_events"),
+        expr(
+          s"""aggregate(
+             |  slice(vals, 2, greatest(size(vals) - 1, 0)),
+             |  named_struct('l', element_at(vals, 1), 'b', cast(0.0 as double)),
+             |  (acc, x) -> named_struct(
+             |    'l', cast($a as double) * x + cast($om as double) * (acc.l + acc.b),
+             |    'b', cast($bt as double) * ((cast($a as double) * x + cast($om as double) * (acc.l + acc.b)) - acc.l)
+             |         + cast($obt as double) * acc.b))""".stripMargin).as("h"))
+      .select(col("user_id"), col("n_events"),
+        round(col("h.l"), 6).as("level"),
+        round(col("h.b"), 6).as("trend"),
+        round(col("h.l") + col("h.b"), 6).as("forecast_1"))
+      .orderBy(col("user_id"))
+  }
+
+  // NB: a list_reduce STRUCT accumulator would be the natural oracle
+  // form, but DuckDB (1.0) updates the accumulator's fields in place
+  // field-by-field, so the 'b' lambda would read the already-updated
+  // 'l' — a silent semantics divergence. The recursive-CTE fold below
+  // threads the pair explicitly with the same arithmetic the Spark
+  // aggregate() runs, in the same order, so the outputs are bit-equal.
+  val qEventHoltSql: String =
+    """WITH RECURSIVE v AS (
+      |  SELECT user_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) i
+      |  FROM events),
+      |n AS (SELECT user_id, count(*) n_events FROM v GROUP BY 1),
+      |r AS (
+      |  SELECT user_id, 1::BIGINT AS i, value::DOUBLE AS l, 0.0::DOUBLE AS b
+      |  FROM v WHERE i = 1
+      |  UNION ALL
+      |  SELECT r.user_id, r.i + 1,
+      |    0.25::DOUBLE * v.value + 0.75::DOUBLE * (r.l + r.b),
+      |    0.1::DOUBLE * ((0.25::DOUBLE * v.value + 0.75::DOUBLE * (r.l + r.b)) - r.l)
+      |      + 0.9::DOUBLE * r.b
+      |  FROM r JOIN v ON v.user_id = r.user_id AND v.i = r.i + 1)
+      |SELECT r.user_id, n.n_events, round(r.l, 6) AS level,
+      |  round(r.b, 6) AS trend, round(r.l + r.b, 6) AS forecast_1
+      |FROM r JOIN n ON n.user_id = r.user_id AND r.i = n.n_events
+      |ORDER BY r.user_id""".stripMargin
+
   /** Markov next-event model, trained and EVALUATED in one relational
     * program — the mini ML pipeline (hash split → fit → score → metric)
     * that composes the engine's own pieces: users hash-split 80/20
@@ -1211,6 +1272,7 @@ object EventQueries {
     "ev_transitions" -> (qEventTransitions _),
     "ev_anomalies" -> (qValueAnomalies _),
     "ev_ewma" -> ((s: SparkSession, d: String) => qEventEwma(s, d)),
+    "ev_holt" -> ((s: SparkSession, d: String) => qEventHolt(s, d)),
     "ev_ab_lift" -> (qAbLift _),
     "ev_markov_eval" -> (qMarkovEval _),
     "ev_top_paths" -> (qTopPaths _),
@@ -1251,6 +1313,7 @@ object EventQueries {
     "ev_transitions" -> qEventTransitionsSql,
     "ev_anomalies" -> qValueAnomaliesSql,
     "ev_ewma" -> qEventEwmaSql,
+    "ev_holt" -> qEventHoltSql,
     "ev_ab_lift" -> qAbLiftSql,
     "ev_markov_eval" -> qMarkovEvalSql,
     "ev_top_paths" -> qTopPathsSql,

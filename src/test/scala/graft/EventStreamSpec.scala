@@ -624,5 +624,19 @@ class EventStreamSpec extends SparkSpec {
       s"user 1: ${got(1L)} != ($l1, $b1)")
     assert(b1 > 0, "rising series must carry a positive trend")
     assert(got(2L) == HoltOut(2L, 1L, 7.0, 0.0), "single point: no trend")
+    // stream ≡ batch: the relational fold (ev_holt) over the same rows
+    // lands on the same rounded (level, trend) pair
+    val dir = java.nio.file.Files.createTempDirectory("holtfix").toString
+    evs.map(e => (e.event_id, e.ts, e.user_id, "x", e.value, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batchQ = graft.queries.EventQueries.qEventHolt(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    got.foreach { case (u, h) =>
+      val (bl, bb) = batchQ(u)
+      assert(math.rint(h.level * 1e6) / 1e6 == bl &&
+        math.rint(h.trend * 1e6) / 1e6 == bb,
+        s"user $u stream $h vs batch ($bl, $bb)")
+    }
   }
 }
