@@ -831,6 +831,92 @@ object EventQueries {
       |FROM r JOIN n ON n.user_id = r.user_id AND r.i = n.n_events
       |ORDER BY r.user_id""".stripMargin
 
+  /** Association-rule support floor and report width. */
+  private val AssocMinSupport = 3
+  private val AssocTopK = 50
+
+  /** Association rules over per-user purchase baskets (Agrawal &
+    * Srikant 1994, "Fast algorithms for mining association rules",
+    * VLDB — public paper): basket = the distinct purchased item ids
+    * (the `k` prop) per user; for every ordered item pair with joint
+    * support ≥ [[AssocMinSupport]] baskets, report
+    * support = P(a,b), confidence = P(b|a), lift = conf / P(b) — the
+    * market-basket report every commerce analytics stack ships. Top
+    * [[AssocTopK]] rules by (rounded lift, antecedent, consequent).
+    *
+    * Scale shape: the basket self-join is keyed by user (pair volume
+    * Σ |basket|² — bounded by catalog × basket density, never corpus²),
+    * the pair counts map-side combine into ≤ |catalog|² groups, and the
+    * per-item counts + basket total are broadcast back. Giant-basket
+    * corpora would cap |basket| or move to SON/FP-growth partitioning;
+    * the relational shape here is the exact-count baseline those
+    * approximate. Determinism: metrics rounded to 4 dp BEFORE ranking,
+    * (a, b) total tiebreak. */
+  def qAssocRules(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .distinct()
+    val nBaskets = items.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemN = items.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val pairs = items.select(col("user_id"), col("item").as("a"))
+      .join(items.select(col("user_id"), col("item").as("b")), "user_id")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= AssocMinSupport)
+    // both rule directions from the one canonical pair relation
+    val directed = pairs.unionAll(pairs.select(
+      col("b").as("a"), col("a").as("b"), col("n_ab")))
+    val scored = directed
+      .join(broadcast(itemN.withColumnRenamed("item", "a")
+        .withColumnRenamed("n_item", "n_a")), "a")
+      .join(broadcast(itemN.withColumnRenamed("item", "b")
+        .withColumnRenamed("n_item", "n_b")), "b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("a"), col("b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_baskets"), 4).as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), 4).as("confidence"),
+        round(col("n_ab").cast("double") * col("n_baskets") /
+          (col("n_a") * col("n_b")), 4).as("lift"))
+    // total order (lift, a, b) is unique → orderBy+limit plans
+    // TakeOrderedAndProject (per-partition partial top-k, no global
+    // sort or single-partition window)
+    scored
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(AssocTopK)
+  }
+
+  val qAssocRulesSql: String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT user_id, json_extract(props, '$$.k')::INT item
+       |  FROM events WHERE event_type = 'purchase'),
+       |nb AS (SELECT count(DISTINCT user_id) n_baskets FROM items),
+       |itemn AS (SELECT item, count(*) n_item FROM items GROUP BY 1),
+       |pairs AS (
+       |  SELECT x.item a, y.item b, count(*) n_ab
+       |  FROM items x JOIN items y
+       |    ON x.user_id = y.user_id AND x.item < y.item
+       |  GROUP BY 1, 2 HAVING count(*) >= $AssocMinSupport),
+       |directed AS (
+       |  SELECT a, b, n_ab FROM pairs
+       |  UNION ALL SELECT b, a, n_ab FROM pairs),
+       |scored AS (
+       |  SELECT d.a, d.b, d.n_ab,
+       |    round(d.n_ab::DOUBLE / nb.n_baskets, 4) support,
+       |    round(d.n_ab::DOUBLE / na.n_item, 4) confidence,
+       |    round(d.n_ab::DOUBLE * nb.n_baskets / (na.n_item * nbi.n_item), 4) lift
+       |  FROM directed d
+       |  JOIN itemn na ON na.item = d.a
+       |  JOIN itemn nbi ON nbi.item = d.b
+       |  CROSS JOIN nb)
+       |SELECT a, b, n_ab, support, confidence, lift
+       |FROM (SELECT *, row_number() OVER (ORDER BY lift DESC, a, b) rn
+       |      FROM scored)
+       |WHERE rn <= $AssocTopK
+       |ORDER BY lift DESC, a, b""".stripMargin
+
   /** Markov next-event model, trained and EVALUATED in one relational
     * program — the mini ML pipeline (hash split → fit → score → metric)
     * that composes the engine's own pieces: users hash-split 80/20
@@ -1273,6 +1359,7 @@ object EventQueries {
     "ev_anomalies" -> (qValueAnomalies _),
     "ev_ewma" -> ((s: SparkSession, d: String) => qEventEwma(s, d)),
     "ev_holt" -> ((s: SparkSession, d: String) => qEventHolt(s, d)),
+    "ev_assoc_rules" -> (qAssocRules _),
     "ev_ab_lift" -> (qAbLift _),
     "ev_markov_eval" -> (qMarkovEval _),
     "ev_top_paths" -> (qTopPaths _),
@@ -1314,6 +1401,7 @@ object EventQueries {
     "ev_anomalies" -> qValueAnomaliesSql,
     "ev_ewma" -> qEventEwmaSql,
     "ev_holt" -> qEventHoltSql,
+    "ev_assoc_rules" -> qAssocRulesSql,
     "ev_ab_lift" -> qAbLiftSql,
     "ev_markov_eval" -> qMarkovEvalSql,
     "ev_top_paths" -> qTopPathsSql,
