@@ -670,11 +670,11 @@ object SearchQueries {
     * [[bm25Index]] or a streamed index folded by
     * [[graft.streaming.IndexStream.compact]] — both carry the max_sat
     * column, so pruned serving works identically off either). */
-  private[graft] def maxscoreIndex(s: SparkSession, idx: Bm25Index)
+  private[graft] def maxscoreIndex(s: SparkSession, idx: Bm25Index,
+      queries: Seq[(Long, String)] = Bm25Queries, k: Int = 5)
       : (DataFrame, DataFrame) = {
     import s.implicits._
-    val k = 5
-    val (terms, qterms) = queryTerms(s, Bm25Queries)
+    val (terms, qterms) = queryTerms(s, queries)
     val post = s.table(idx.postingsTable).filter(col("term").isin(terms: _*))
     val dfreq = s.table(idx.dfreqTable).filter(col("term").isin(terms: _*))
     val stats = s.read.parquet(idx.statsPath)
@@ -1136,9 +1136,10 @@ object SearchQueries {
       .filter(_.nonEmpty).mkString(" ")
     val (terms, qterms) = queryTerms(s, Seq(0L -> normalized))
     val post = s.table(idx.postingsTable).filter(col("term").isin(terms: _*))
-    val ranked = scoreIndex(post,
-      s.table(idx.dfreqTable).filter(col("term").isin(terms: _*)),
-      s.read.parquet(idx.statsPath), qterms, k)
+    // the page ranks through MaxScore — provably identical to exact
+    // scoring (the ks_maxscore bound), so the SERVED path pays the
+    // pruned aggregation cost by default
+    val ranked = maxscoreIndex(s, idx, Seq(0L -> normalized), k)._2
     val snips = snippetsFor(s, d,
       ranked.select(col("query_id"), col("rank"), col("doc_id")),
       terms, qterms)
