@@ -1153,19 +1153,28 @@ object EventQueries {
     * (computed from deduped (hour, user) pairs — also corpus-bounded),
     * and `n_hours_merged` re-derives the window bucketing in the oracle
     * so the bucket logic itself is hash-checked, not just the booleans. */
+  /** The sliding-window merge over an (h, sk) hourly-sketch relation —
+    * the ONE kernel behind [[qSlidingReach]] and the streamed ledger
+    * ([[graft.streaming.ReachStream]]): replicate each sketch row onto
+    * the ≤ [[SlidingReachHours]] target hours it serves and union per
+    * target. Targets = hours present in the relation. */
+  private[graft] def slidingReachEst(hourly: DataFrame): DataFrame = {
+    val targets = hourly.select(col("h").as("t"))
+    hourly.select(col("h"), col("sk"),
+        explode(sequence(lit(0), lit(SlidingReachHours - 1))).as("off"))
+      .withColumn("t", expr("h + make_interval(0, 0, 0, 0, off, 0, 0)"))
+      .join(targets, "t")
+      .groupBy(col("t"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
+        count(lit(1)).as("n_hours_merged"))
+  }
+
   def qSlidingReach(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
     val hourly = e.groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
     val targets = hourly.select(col("h").as("t"))
-    val windowed = hourly.select(col("h"), col("sk"),
-        explode(sequence(lit(0), lit(SlidingReachHours - 1))).as("off"))
-      .withColumn("t", expr("h + make_interval(0, 0, 0, 0, off, 0, 0)"))
-      .join(targets, "t")
-    val est = windowed
-      .groupBy(col("t"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
-        count(lit(1)).as("n_hours_merged"))
+    val est = slidingReachEst(hourly)
     // Exact twin via sweep-line interval union (the gate's ground truth,
     // and itself scale-shaped): a user active at hour h is IN the count
     // for targets [h, h+23], so per user the covered targets are a union
