@@ -831,6 +831,133 @@ object EventQueries {
       |FROM r JOIN n ON n.user_id = r.user_id AND r.i = n.n_events
       |ORDER BY r.user_id""".stripMargin
 
+  /** Holt-Winters parameters: smoothing (level, trend, season) and the
+    * season length (hours per day — the synthetic series' true period). */
+  private val HwAlpha = 0.25
+  private val HwBeta = 0.05
+  private val HwGamma = 0.2
+  private val HwM = 24
+
+  /** Additive Holt-Winters triple exponential smoothing (Winters 1960,
+    * Management Science — public paper) over each event type's hourly
+    * count series: level, trend AND a rotating 24-slot season vector
+    *   ŝ = s.head;  l' = α(v−ŝ) + (1−α)(l+b);  b' = β(l'−l) + (1−β)b
+    *   s ← s.tail :+ (γ(v−l') + (1−γ)ŝ)
+    * — the third-order sibling of [[qEventEwma]]/[[qEventHolt]], again
+    * expressed as an ordered fold whose accumulator (a struct carrying
+    * the season QUEUE as an array) no window can produce. Standard
+    * init: l₀ = mean of season 1, b₀ = (mean₂ − mean₁)/m, s₀ = the
+    * SECOND season's deviations from mean₁ (the most recent seasonal
+    * estimate when the fold starts); the fold consumes points 2m+1…n. The series is the
+    * DENSIFIED hour axis (missing (type, hour) cells are true zeros —
+    * a count series' absence IS its value), so the fold length is
+    * time-bounded: 720 points per type at EVERY scale factor, which is
+    * why the corpus-sized work here is exactly one (type, hour) count
+    * and nothing else grows with data volume.
+    *
+    * Output: per (event_type, slot 0–23) the final seasonal, plus the
+    * shared level/trend/one-step forecast (l + b + s.head). Oracle:
+    * recursive-CTE fold with a LIST state column — identical arithmetic
+    * in identical order, the [[qEventHolt]] contract (and the same
+    * reason: DuckDB's struct list_reduce mutates fields in place). */
+  def qHoltWinters(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val bounds = e.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val axis = bounds.select(
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val types = e.select(col("event_type")).distinct()
+    val counts = e.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val series = types.crossJoin(axis)
+      .join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("cnt"), lit(0L)).cast("double").as("v"))
+    val vals = transform(
+      array_sort(collect_list(struct(col("h"), col("v")))),
+      x => x.getField("v"))
+    val a = HwAlpha; val oa = 1 - HwAlpha
+    val bt = HwBeta; val obt = 1 - HwBeta
+    val g = HwGamma; val og = 1 - HwGamma
+    val m = HwM
+    val folded = series.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), vals.as("vals"))
+      .withColumn("hw", expr(
+        s"""aggregate(
+           |  slice(vals, ${2 * m + 1}, greatest(size(vals) - ${2 * m}, 0)),
+           |  named_struct(
+           |    'l', aggregate(slice(vals, 1, $m), cast(0.0 as double), (p, q) -> p + q) / cast($m as double),
+           |    'b', (aggregate(slice(vals, ${m + 1}, $m), cast(0.0 as double), (p, q) -> p + q) / cast($m as double)
+           |          - aggregate(slice(vals, 1, $m), cast(0.0 as double), (p, q) -> p + q) / cast($m as double)) / cast($m as double),
+           |    's', transform(slice(vals, ${m + 1}, $m),
+           |           q -> q - aggregate(slice(vals, 1, $m), cast(0.0 as double), (p, q) -> p + q) / cast($m as double))),
+           |  (acc, x) -> named_struct(
+           |    'l', cast($a as double) * (x - element_at(acc.s, 1)) + cast($oa as double) * (acc.l + acc.b),
+           |    'b', cast($bt as double) * ((cast($a as double) * (x - element_at(acc.s, 1)) + cast($oa as double) * (acc.l + acc.b)) - acc.l) + cast($obt as double) * acc.b,
+           |    's', concat(slice(acc.s, 2, ${m - 1}), array(
+           |      cast($g as double) * (x - (cast($a as double) * (x - element_at(acc.s, 1)) + cast($oa as double) * (acc.l + acc.b))) + cast($og as double) * element_at(acc.s, 1)))))""".stripMargin))
+    folded
+      .select(col("event_type"), col("n"),
+        col("hw.l").as("l"), col("hw.b").as("b"),
+        element_at(col("hw.s"), 1).as("s_head"),
+        posexplode(col("hw.s")).as(Seq("j0", "seasonal")))
+      .select(col("event_type"),
+        ((col("n") + col("j0")) % m).as("slot"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("l"), 6).as("level"),
+        round(col("b"), 6).as("trend"),
+        round(col("l") + col("b") + col("s_head"), 6).as("forecast_next"))
+      .orderBy(col("event_type"), col("slot"))
+  }
+
+  val qHoltWintersSql: String =
+    """WITH RECURSIVE bounds AS (
+      |  SELECT date_trunc('hour', min(ts)) h0, date_trunc('hour', max(ts)) h1
+      |  FROM events),
+      |axis AS (
+      |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) h FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |cnt AS (
+      |  SELECT event_type, date_trunc('hour', ts) h, count(*) c
+      |  FROM events GROUP BY 1, 2),
+      |series AS (
+      |  SELECT t.event_type, a.h, coalesce(c.c, 0)::DOUBLE v
+      |  FROM types t CROSS JOIN axis a
+      |  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.h = a.h),
+      |vl AS (
+      |  SELECT event_type, count(*)::BIGINT n, list(v ORDER BY h) vals
+      |  FROM series GROUP BY 1),
+      |ini AS (
+      |  SELECT event_type, n, vals,
+      |    list_reduce(vals[1:24], (p, q) -> p + q) / 24.0::DOUBLE mean1,
+      |    list_reduce(vals[25:48], (p, q) -> p + q) / 24.0::DOUBLE mean2
+      |  FROM vl),
+      |r AS (
+      |  SELECT event_type, n, vals, 48::BIGINT i,
+      |    mean1 l, (mean2 - mean1) / 24.0::DOUBLE b,
+      |    list_transform(vals[25:48], q -> q - mean1) s
+      |  FROM ini
+      |  UNION ALL
+      |  SELECT event_type, n, vals, i + 1,
+      |    0.25::DOUBLE * (vals[i + 1] - s[1]) + 0.75::DOUBLE * (l + b),
+      |    0.05::DOUBLE * ((0.25::DOUBLE * (vals[i + 1] - s[1]) + 0.75::DOUBLE * (l + b)) - l)
+      |      + 0.95::DOUBLE * b,
+      |    s[2:24] || [0.2::DOUBLE * (vals[i + 1]
+      |        - (0.25::DOUBLE * (vals[i + 1] - s[1]) + 0.75::DOUBLE * (l + b)))
+      |      + 0.8::DOUBLE * s[1]]
+      |  FROM r WHERE i < n),
+      |fin AS (SELECT * FROM r WHERE i = n),
+      |expl AS (
+      |  SELECT event_type, n, l, b, s[1] s_head,
+      |    unnest(s) sv, generate_subscripts(s, 1) j
+      |  FROM fin)
+      |SELECT event_type, (n + j - 1) % 24 AS slot,
+      |  round(sv, 6) AS seasonal, round(l, 6) AS level,
+      |  round(b, 6) AS trend, round(l + b + s_head, 6) AS forecast_next
+      |FROM expl ORDER BY event_type, slot""".stripMargin
+
   /** Association-rule support floor and report width. */
   private val AssocMinSupport = 3
   private val AssocTopK = 50
@@ -1368,6 +1495,7 @@ object EventQueries {
     "ev_anomalies" -> (qValueAnomalies _),
     "ev_ewma" -> ((s: SparkSession, d: String) => qEventEwma(s, d)),
     "ev_holt" -> ((s: SparkSession, d: String) => qEventHolt(s, d)),
+    "ev_holt_winters" -> (qHoltWinters _),
     "ev_assoc_rules" -> (qAssocRules _),
     "ev_ab_lift" -> (qAbLift _),
     "ev_markov_eval" -> (qMarkovEval _),
@@ -1410,6 +1538,7 @@ object EventQueries {
     "ev_anomalies" -> qValueAnomaliesSql,
     "ev_ewma" -> qEventEwmaSql,
     "ev_holt" -> qEventHoltSql,
+    "ev_holt_winters" -> qHoltWintersSql,
     "ev_assoc_rules" -> qAssocRulesSql,
     "ev_ab_lift" -> qAbLiftSql,
     "ev_markov_eval" -> qMarkovEvalSql,
