@@ -884,6 +884,11 @@ object EventQueries {
     val m = HwM
     val folded = series.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), vals.as("vals"))
+      // explicit precondition: the init needs two full seasons and the
+      // fold at least one more point — a shorter series yields zero
+      // rows on BOTH engines (the oracle guards identically) instead of
+      // a silent empty-slice divergence
+      .filter(col("n") >= 2 * m + 1)
       .withColumn("hw", expr(
         s"""aggregate(
            |  slice(vals, ${2 * m + 1}, greatest(size(vals) - ${2 * m}, 0)),
@@ -933,7 +938,7 @@ object EventQueries {
       |  SELECT event_type, n, vals,
       |    list_reduce(vals[1:24], (p, q) -> p + q) / 24.0::DOUBLE mean1,
       |    list_reduce(vals[25:48], (p, q) -> p + q) / 24.0::DOUBLE mean2
-      |  FROM vl),
+      |  FROM vl WHERE n >= 49),
       |r AS (
       |  SELECT event_type, n, vals, 48::BIGINT i,
       |    mean1 l, (mean2 - mean1) / 24.0::DOUBLE b,
@@ -1263,6 +1268,22 @@ object EventQueries {
   private val SlidingReachHours = 24
   private val SlidingReachBudget = 0.05
 
+  /** The sliding-window merge over an (h, sk) hourly-sketch relation —
+    * the ONE kernel behind [[qSlidingReach]] and the streamed ledger
+    * ([[graft.streaming.ReachStream]]): replicate each sketch row onto
+    * the ≤ [[SlidingReachHours]] target hours it serves and union per
+    * target. Targets = hours present in the relation. */
+  private[graft] def slidingReachEst(hourly: DataFrame): DataFrame = {
+    val targets = hourly.select(col("h").as("t"))
+    hourly.select(col("h"), col("sk"),
+        explode(sequence(lit(0), lit(SlidingReachHours - 1))).as("off"))
+      .withColumn("t", expr("h + make_interval(0, 0, 0, 0, off, 0, 0)"))
+      .join(targets, "t")
+      .groupBy(col("t"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
+        count(lit(1)).as("n_hours_merged"))
+  }
+
   /** Trailing-24h distinct users per hour from MERGED hourly HLL
     * sketches — the pre-aggregated sketch-cube pattern (Heule et al.
     * 2013, "HyperLogLog in Practice", EDBT — public paper: HLL unions
@@ -1280,22 +1301,6 @@ object EventQueries {
     * (computed from deduped (hour, user) pairs — also corpus-bounded),
     * and `n_hours_merged` re-derives the window bucketing in the oracle
     * so the bucket logic itself is hash-checked, not just the booleans. */
-  /** The sliding-window merge over an (h, sk) hourly-sketch relation —
-    * the ONE kernel behind [[qSlidingReach]] and the streamed ledger
-    * ([[graft.streaming.ReachStream]]): replicate each sketch row onto
-    * the ≤ [[SlidingReachHours]] target hours it serves and union per
-    * target. Targets = hours present in the relation. */
-  private[graft] def slidingReachEst(hourly: DataFrame): DataFrame = {
-    val targets = hourly.select(col("h").as("t"))
-    hourly.select(col("h"), col("sk"),
-        explode(sequence(lit(0), lit(SlidingReachHours - 1))).as("off"))
-      .withColumn("t", expr("h + make_interval(0, 0, 0, 0, off, 0, 0)"))
-      .join(targets, "t")
-      .groupBy(col("t"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
-        count(lit(1)).as("n_hours_merged"))
-  }
-
   def qSlidingReach(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
     val hourly = e.groupBy(date_trunc("hour", col("ts")).as("h"))

@@ -393,6 +393,26 @@ object EventStream {
     * bit-for-bit (same IEEE sequence, same order — the cross-batch
     * smoothing invariant EventStreamSpec asserts). Arrival-order premise
     * as [[transitions]]. */
+  def ewma(events: Dataset[VEv], alpha: Double = 0.25): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaOut, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[VEv], state: GroupState[EwmaOut]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(EwmaOut(userId, 0L, 0.0))
+          sorted.foreach { e =>
+            st =
+              if (st.n_events == 0L) EwmaOut(userId, 1L, e.value)
+              else EwmaOut(userId, st.n_events + 1,
+                st.ewma * (1 - alpha) + e.value * alpha)
+          }
+          state.update(st)
+          Iterator.single(st)
+      }
+  }
+
   /** Holt state/emission: the (level, trend) pair after `n_events`
     * observations — level tracks the smoothed value, trend its smoothed
     * per-step change, so `level + h·trend` is the h-step forecast. */
@@ -430,26 +450,6 @@ object EventStream {
                 val b = beta * (l - st.level) + (1 - beta) * st.trend
                 HoltOut(userId, st.n_events + 1, l, b)
               }
-          }
-          state.update(st)
-          Iterator.single(st)
-      }
-  }
-
-  def ewma(events: Dataset[VEv], alpha: Double = 0.25): Dataset[EwmaOut] = {
-    import events.sparkSession.implicits._
-    events
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[EwmaOut, EwmaOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (userId: Long, evs: Iterator[VEv], state: GroupState[EwmaOut]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.getOrElse(EwmaOut(userId, 0L, 0.0))
-          sorted.foreach { e =>
-            st =
-              if (st.n_events == 0L) EwmaOut(userId, 1L, e.value)
-              else EwmaOut(userId, st.n_events + 1,
-                st.ewma * (1 - alpha) + e.value * alpha)
           }
           state.update(st)
           Iterator.single(st)
