@@ -860,7 +860,9 @@ object EventQueries {
     * recursive-CTE fold with a LIST state column — identical arithmetic
     * in identical order, the [[qEventHolt]] contract (and the same
     * reason: DuckDB's struct list_reduce mutates fields in place). */
-  def qHoltWinters(s: SparkSession, d: String): DataFrame = {
+  /** The densified (event_type, n, vals) hourly count series — shared
+    * by [[qHoltWinters]] and [[qHwBacktest]]. */
+  private def hourlySeries(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
     val bounds = e.agg(
       date_trunc("hour", min(col("ts"))).as("h0"),
@@ -878,31 +880,42 @@ object EventQueries {
     val vals = transform(
       array_sort(collect_list(struct(col("h"), col("v")))),
       x => x.getField("v"))
+    series.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), vals.as("vals"))
+  }
+
+  /** The Holt-Winters init+fold over `vals[1..upto]` as a SQL-expression
+    * string (shared verbatim by the full fit and the backtest's
+    * truncated fit — `upto` is a SQL expression for the fold's end). */
+  private def hwFoldExpr(upto: String): String = {
     val a = HwAlpha; val oa = 1 - HwAlpha
     val bt = HwBeta; val obt = 1 - HwBeta
     val g = HwGamma; val og = 1 - HwGamma
     val m = HwM
-    val folded = series.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), vals.as("vals"))
+    s"""aggregate(
+       |  slice(vals, ${2 * m + 1}, greatest(($upto) - ${2 * m}, 0)),
+       |  named_struct(
+       |    'l', aggregate(slice(vals, 1, $m), cast(0.0 as double), (p, q) -> p + q) / cast($m as double),
+       |    'b', (aggregate(slice(vals, ${m + 1}, $m), cast(0.0 as double), (p, q) -> p + q) / cast($m as double)
+       |          - aggregate(slice(vals, 1, $m), cast(0.0 as double), (p, q) -> p + q) / cast($m as double)) / cast($m as double),
+       |    's', transform(slice(vals, ${m + 1}, $m),
+       |           q -> q - aggregate(slice(vals, 1, $m), cast(0.0 as double), (p, q) -> p + q) / cast($m as double))),
+       |  (acc, x) -> named_struct(
+       |    'l', cast($a as double) * (x - element_at(acc.s, 1)) + cast($oa as double) * (acc.l + acc.b),
+       |    'b', cast($bt as double) * ((cast($a as double) * (x - element_at(acc.s, 1)) + cast($oa as double) * (acc.l + acc.b)) - acc.l) + cast($obt as double) * acc.b,
+       |    's', concat(slice(acc.s, 2, ${m - 1}), array(
+       |      cast($g as double) * (x - (cast($a as double) * (x - element_at(acc.s, 1)) + cast($oa as double) * (acc.l + acc.b))) + cast($og as double) * element_at(acc.s, 1)))))""".stripMargin
+  }
+
+  def qHoltWinters(s: SparkSession, d: String): DataFrame = {
+    val m = HwM
+    val folded = hourlySeries(s, d)
       // explicit precondition: the init needs two full seasons and the
       // fold at least one more point — a shorter series yields zero
       // rows on BOTH engines (the oracle guards identically) instead of
       // a silent empty-slice divergence
       .filter(col("n") >= 2 * m + 1)
-      .withColumn("hw", expr(
-        s"""aggregate(
-           |  slice(vals, ${2 * m + 1}, greatest(size(vals) - ${2 * m}, 0)),
-           |  named_struct(
-           |    'l', aggregate(slice(vals, 1, $m), cast(0.0 as double), (p, q) -> p + q) / cast($m as double),
-           |    'b', (aggregate(slice(vals, ${m + 1}, $m), cast(0.0 as double), (p, q) -> p + q) / cast($m as double)
-           |          - aggregate(slice(vals, 1, $m), cast(0.0 as double), (p, q) -> p + q) / cast($m as double)) / cast($m as double),
-           |    's', transform(slice(vals, ${m + 1}, $m),
-           |           q -> q - aggregate(slice(vals, 1, $m), cast(0.0 as double), (p, q) -> p + q) / cast($m as double))),
-           |  (acc, x) -> named_struct(
-           |    'l', cast($a as double) * (x - element_at(acc.s, 1)) + cast($oa as double) * (acc.l + acc.b),
-           |    'b', cast($bt as double) * ((cast($a as double) * (x - element_at(acc.s, 1)) + cast($oa as double) * (acc.l + acc.b)) - acc.l) + cast($obt as double) * acc.b,
-           |    's', concat(slice(acc.s, 2, ${m - 1}), array(
-           |      cast($g as double) * (x - (cast($a as double) * (x - element_at(acc.s, 1)) + cast($oa as double) * (acc.l + acc.b))) + cast($og as double) * element_at(acc.s, 1)))))""".stripMargin))
+      .withColumn("hw", expr(hwFoldExpr("size(vals)")))
     folded
       .select(col("event_type"), col("n"),
         col("hw.l").as("l"), col("hw.b").as("b"),
@@ -916,6 +929,89 @@ object EventQueries {
         round(col("l") + col("b") + col("s_head"), 6).as("forecast_next"))
       .orderBy(col("event_type"), col("slot"))
   }
+
+  /** Holt-Winters backtest: hold out the final season (24 hours), fit
+    * on the rest, and score the h-step-ahead forecasts
+    * (ŷ_h = l + h·b + s[h]) against the held-out actuals — the
+    * walk-away backtest every forecasting deployment runs before
+    * trusting a model. Reported per event type: forecast MAE and the
+    * seasonal-naive baseline's MAE (ŷ_h = the same hour yesterday),
+    * both over the 24 holdout points. The report does NOT assert the
+    * model beats the baseline — that's data-dependent; it measures.
+    * Same time-bounded cost shape as [[qHoltWinters]]. */
+  def qHwBacktest(s: SparkSession, d: String): DataFrame = {
+    val m = HwM
+    hourlySeries(s, d)
+      // train needs 2 seasons + >= 1 fold point, plus the holdout season
+      .filter(col("n") >= 3 * m + 1)
+      .withColumn("hw", expr(hwFoldExpr(s"size(vals) - $m")))
+      .withColumn("mae_hw", expr(
+        s"""aggregate(
+           |  transform(sequence(1, $m), h ->
+           |    abs(hw.l + cast(h as double) * hw.b + element_at(hw.s, h)
+           |        - element_at(vals, size(vals) - $m + h))),
+           |  cast(0.0 as double), (p, q) -> p + q) / cast($m as double)""".stripMargin))
+      .withColumn("mae_snaive", expr(
+        s"""aggregate(
+           |  transform(sequence(1, $m), h ->
+           |    abs(element_at(vals, size(vals) - ${2 * m} + h)
+           |        - element_at(vals, size(vals) - $m + h))),
+           |  cast(0.0 as double), (p, q) -> p + q) / cast($m as double)""".stripMargin))
+      .select(col("event_type"), col("n"),
+        round(col("mae_hw"), 4).as("mae_hw"),
+        round(col("mae_snaive"), 4).as("mae_snaive"))
+      .orderBy(col("event_type"))
+  }
+
+  val qHwBacktestSql: String =
+    """WITH RECURSIVE bounds AS (
+      |  SELECT date_trunc('hour', min(ts)) h0, date_trunc('hour', max(ts)) h1
+      |  FROM events),
+      |axis AS (
+      |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) h FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |cnt AS (
+      |  SELECT event_type, date_trunc('hour', ts) h, count(*) c
+      |  FROM events GROUP BY 1, 2),
+      |series AS (
+      |  SELECT t.event_type, a.h, coalesce(c.c, 0)::DOUBLE v
+      |  FROM types t CROSS JOIN axis a
+      |  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.h = a.h),
+      |vl AS (
+      |  SELECT event_type, count(*)::BIGINT n, list(v ORDER BY h) vals
+      |  FROM series GROUP BY 1),
+      |ini AS (
+      |  SELECT event_type, n, vals,
+      |    list_reduce(vals[1:24], (p, q) -> p + q) / 24.0::DOUBLE mean1,
+      |    list_reduce(vals[25:48], (p, q) -> p + q) / 24.0::DOUBLE mean2
+      |  FROM vl WHERE n >= 73),
+      |r AS (
+      |  SELECT event_type, n, vals, 48::BIGINT i,
+      |    mean1 l, (mean2 - mean1) / 24.0::DOUBLE b,
+      |    list_transform(vals[25:48], q -> q - mean1) s
+      |  FROM ini
+      |  UNION ALL
+      |  SELECT event_type, n, vals, i + 1,
+      |    0.25::DOUBLE * (vals[i + 1] - s[1]) + 0.75::DOUBLE * (l + b),
+      |    0.05::DOUBLE * ((0.25::DOUBLE * (vals[i + 1] - s[1]) + 0.75::DOUBLE * (l + b)) - l)
+      |      + 0.95::DOUBLE * b,
+      |    s[2:24] || [0.2::DOUBLE * (vals[i + 1]
+      |        - (0.25::DOUBLE * (vals[i + 1] - s[1]) + 0.75::DOUBLE * (l + b)))
+      |      + 0.8::DOUBLE * s[1]]
+      |  FROM r WHERE i < n - 24),
+      |fin AS (SELECT * FROM r WHERE i = n - 24),
+      |err AS (
+      |  SELECT f.event_type, f.n,
+      |    list_reduce(list_transform(generate_series(1, 24), h ->
+      |      abs(f.l + h::DOUBLE * f.b + f.s[h] - f.vals[f.n - 24 + h])),
+      |      (p, q) -> p + q) / 24.0::DOUBLE mae_hw,
+      |    list_reduce(list_transform(generate_series(1, 24), h ->
+      |      abs(f.vals[f.n - 48 + h] - f.vals[f.n - 24 + h])),
+      |      (p, q) -> p + q) / 24.0::DOUBLE mae_snaive
+      |  FROM fin f)
+      |SELECT event_type, n, round(mae_hw, 4) AS mae_hw,
+      |  round(mae_snaive, 4) AS mae_snaive
+      |FROM err ORDER BY event_type""".stripMargin
 
   val qHoltWintersSql: String =
     """WITH RECURSIVE bounds AS (
@@ -1501,6 +1597,7 @@ object EventQueries {
     "ev_ewma" -> ((s: SparkSession, d: String) => qEventEwma(s, d)),
     "ev_holt" -> ((s: SparkSession, d: String) => qEventHolt(s, d)),
     "ev_holt_winters" -> (qHoltWinters _),
+    "ev_hw_backtest" -> (qHwBacktest _),
     "ev_assoc_rules" -> (qAssocRules _),
     "ev_ab_lift" -> (qAbLift _),
     "ev_markov_eval" -> (qMarkovEval _),
@@ -1544,6 +1641,7 @@ object EventQueries {
     "ev_ewma" -> qEventEwmaSql,
     "ev_holt" -> qEventHoltSql,
     "ev_holt_winters" -> qHoltWintersSql,
+    "ev_hw_backtest" -> qHwBacktestSql,
     "ev_assoc_rules" -> qAssocRulesSql,
     "ev_ab_lift" -> qAbLiftSql,
     "ev_markov_eval" -> qMarkovEvalSql,

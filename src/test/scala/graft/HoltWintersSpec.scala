@@ -71,4 +71,32 @@ class HoltWintersSpec extends SparkSpec {
       assert(rows.length == m, "one row per season slot")
     }
   }
+
+  test("backtest: truncated fit + h-step forecasts match the driver replication") {
+    val e = graft.queries.Tables.events(spark, sf)
+    val counts = e.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime) -> r.getLong(2)).toMap
+    val hours = {
+      val b = e.agg(date_trunc("hour", min(col("ts"))),
+        date_trunc("hour", max(col("ts")))).head()
+      (b.getTimestamp(0).getTime to b.getTimestamp(1).getTime by 3600000L).toArray
+    }
+    val got = EventQueries.qHwBacktest(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (tpe, (maeHw, maeSn)) =>
+      val vals = hours.map(h => counts.getOrElse((tpe, h), 0L).toDouble)
+      val n = vals.length
+      val (l, b, s) = ref(vals.take(n - m))
+      val wantHw = (1 to m).map(h =>
+        math.abs(l + h * b + s(h - 1) - vals(n - m + h - 1))).sum / m
+      val wantSn = (1 to m).map(h =>
+        math.abs(vals(n - 2 * m + h - 1) - vals(n - m + h - 1))).sum / m
+      assert(math.abs(maeHw - wantHw) < 1e-4, s"$tpe mae_hw $maeHw vs $wantHw")
+      assert(math.abs(maeSn - wantSn) < 1e-4, s"$tpe mae_snaive $maeSn vs $wantSn")
+      assert(maeHw >= 0 && maeSn >= 0)
+    }
+  }
 }
