@@ -895,6 +895,126 @@ object SearchQueries {
        |FROM stacked GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }
 
+  /** Proximity rerank pool width and output k. */
+  private val ProxPool = 20
+  private val ProxK = 5
+
+  /** Proximity-boosted ranking (the term-distance relevance signal —
+    * Lucene's sloppy-phrase/span scoring, Tao & Zhai 2007 "An
+    * exploration of proximity measures in information retrieval",
+    * SIGIR — public paper): rerank the BM25 top-[[ProxPool]] by
+    * score + 1/(1 + minspan), where minspan is the SMALLEST token
+    * window containing every matched query term of the doc (docs
+    * matching one distinct term get no bonus). Two-phase by design —
+    * the span search runs over the top pool only, never the corpus:
+    * position lists arrive via the bucket-pruned positional probe
+    * restricted to pool docs, and the span program is the classic
+    * anchor-at-occurrence cover (for each occurrence p₀: the earliest
+    * position ≥ p₀ of EACH term; a window exists iff all terms have
+    * one; span = max − p₀ + 1), a self-join bounded by per-doc
+    * query-term occurrences — Q·pool·occ² worst case, corpus-size
+    * independent. Determinism: spans are integers; the boost is an
+    * exact rational added to the 4dp score, re-rounded to 6dp, doc_id
+    * tiebreak. */
+  def qProximity(s: SparkSession, d: String): DataFrame = {
+    val idx = bm25Index(s, d)
+    val (terms, qterms) = queryTerms(s, Bm25Queries)
+    val pool = scoreIndex(
+      s.table(idx.postingsTable).filter(col("term").isin(terms: _*)),
+      s.table(idx.dfreqTable).filter(col("term").isin(terms: _*)),
+      s.read.parquet(idx.statsPath), qterms, ProxPool)
+      .select(col("query_id"), col("doc_id"), col("score"))
+    val (posTable, _) = phraseIndex(s, d)
+    val occ = s.table(posTable)
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("term"), explode(col("positions")).as("p"))
+      .join(broadcast(qterms), "term")
+      .join(broadcast(pool.select(col("query_id"), col("doc_id"))),
+        Seq("query_id", "doc_id"), "left_semi")
+    val nTerms = occ.groupBy(col("query_id"), col("doc_id"))
+      .agg(countDistinct(col("term")).as("n_terms"))
+    val anchors = occ.select(col("query_id"), col("doc_id"), col("p").as("p0"))
+    val nxt = anchors
+      .join(occ.select(col("query_id"), col("doc_id"),
+          col("term"), col("p")),
+        Seq("query_id", "doc_id"))
+      .filter(col("p") >= col("p0"))
+      .groupBy(col("query_id"), col("doc_id"), col("p0"), col("term"))
+      .agg(min(col("p")).as("np"))
+    val spans = nxt.groupBy(col("query_id"), col("doc_id"), col("p0"))
+      .agg(count(lit(1)).as("nt"), max(col("np")).as("e"))
+      .join(nTerms, Seq("query_id", "doc_id"))
+      .filter(col("nt") === col("n_terms") && col("n_terms") >= 2)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(min(col("e") - col("p0") + 1).as("minspan"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score2").desc, col("doc_id"))
+    pool.join(spans, Seq("query_id", "doc_id"), "left")
+      .withColumn("score2", round(col("score") +
+        when(col("minspan").isNotNull, lit(1.0) / (col("minspan") + 1))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= ProxK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score2").as("score"),
+        coalesce(col("minspan"), lit(0L)).as("minspan"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qProximitySql: String = {
+    val values = Bm25Queries
+      .map { case (id, q) => s"(${id}::BIGINT, '$q')" }.mkString(", ")
+    s"""WITH ${bm25Sql(
+      s"""q(query_id, qtext) AS (VALUES $values),
+         |qt AS (
+         |  SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) term
+         |  FROM q)""".stripMargin)},
+       |pool AS (
+       |  SELECT query_id, doc_id, score FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score DESC, doc_id) rnk
+       |    FROM bm25)
+       |  WHERE rnk <= $ProxPool),
+       |pos AS (
+       |  SELECT doc_id, unnest(w) term, generate_subscripts(w, 1) p
+       |  FROM d2),
+       |occ AS (
+       |  SELECT pl.query_id, pl.doc_id, po.term, po.p
+       |  FROM pool pl
+       |  JOIN pos po ON po.doc_id = pl.doc_id
+       |  JOIN qt ON qt.query_id = pl.query_id AND qt.term = po.term),
+       |nterms AS (
+       |  SELECT query_id, doc_id, count(DISTINCT term) n_terms
+       |  FROM occ GROUP BY 1, 2),
+       |nxt AS (
+       |  SELECT a.query_id, a.doc_id, a.p p0, o.term, min(o.p) np
+       |  FROM (SELECT query_id, doc_id, p FROM occ) a
+       |  JOIN occ o ON o.query_id = a.query_id AND o.doc_id = a.doc_id
+       |    AND o.p >= a.p
+       |  GROUP BY 1, 2, 3, 4),
+       |spans AS (
+       |  SELECT x.query_id, x.doc_id, min(x.e - x.p0 + 1) minspan
+       |  FROM (
+       |    SELECT n.query_id, n.doc_id, n.p0, count(*) nt, max(n.np) e
+       |    FROM nxt n GROUP BY 1, 2, 3) x
+       |  JOIN nterms t ON t.query_id = x.query_id AND t.doc_id = x.doc_id
+       |  WHERE x.nt = t.n_terms AND t.n_terms >= 2
+       |  GROUP BY 1, 2),
+       |boosted AS (
+       |  SELECT pl.query_id, pl.doc_id,
+       |    round(pl.score + CASE WHEN sp.minspan IS NOT NULL
+       |      THEN 1.0::DOUBLE / (sp.minspan + 1) ELSE 0.0::DOUBLE END, 6) score,
+       |    coalesce(sp.minspan, 0)::BIGINT minspan
+       |  FROM pool pl
+       |  LEFT JOIN spans sp
+       |    ON sp.query_id = pl.query_id AND sp.doc_id = pl.doc_id)
+       |SELECT query_id, rank::INTEGER AS rank, doc_id, score, minspan
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY score DESC, doc_id) rank
+       |      FROM boosted)
+       |WHERE rank <= $ProxK ORDER BY query_id, rank""".stripMargin
+  }
+
   private val deltaIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -1410,6 +1530,7 @@ object SearchQueries {
     "ks_snippets" -> (qSnippets _),
     "ks_facets" -> (qFacets _),
     "ks_suggest" -> (qSuggest _),
+    "ks_proximity" -> (qProximity _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1440,5 +1561,6 @@ object SearchQueries {
     "ks_snippets" -> qSnippetsSql,
     "ks_facets" -> qFacetsSql,
     "ks_suggest" -> qSuggestSql,
+    "ks_proximity" -> qProximitySql,
   )
 }
