@@ -1014,10 +1014,56 @@ object PipelineQueries {
        |    / sum(gn), 4) AS suppression_frac
        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** l-diversity floor for the companion audit. */
+  private val LDiv = 3
+
+  /** l-diversity audit (Machanavajjhala et al. 2007, "l-diversity:
+    * privacy beyond k-anonymity", TKDD — public paper): k-anonymity
+    * alone fails when a QI group's SENSITIVE values are homogeneous
+    * (everyone in the group shares the attribute, so membership reveals
+    * it). Re-using [[qKAnonymity]]'s quasi-identifier tuple with
+    * `source` as the sensitive attribute, report per lang how many QI
+    * groups carry fewer than l=[[LDiv]] distinct sensitive values and
+    * the affected row fraction — the companion check a release audit
+    * runs next to the k-anonymity one. Same one-scan shape. */
+  def qLDiversity(s: SparkSession, d: String): DataFrame = {
+    val groups = Tables.documents(s, d)
+      .withColumn("len_bucket", (col("n_chars") / 100).cast("long"))
+      .groupBy(col("lang"), col("len_bucket"))
+      .agg(count(lit(1)).as("gn"),
+        countDistinct(col("source")).as("n_sensitive"))
+    groups
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_groups"),
+        count(when(col("n_sensitive") < LDiv, lit(1))).as("n_low_diversity"),
+        coalesce(sum(when(col("n_sensitive") < LDiv, col("gn"))), lit(0L))
+          .as("rows_affected"),
+        sum(col("gn")).as("n_rows"))
+      .withColumn("affected_frac",
+        round(col("rows_affected").cast("double") /
+          col("n_rows").cast("double"), 4))
+      .orderBy(col("lang"))
+  }
+
+  val qLDiversitySql: String =
+    s"""WITH g AS (
+       |  SELECT lang, (n_chars // 100) len_bucket, count(*) gn,
+       |    count(DISTINCT source) n_sensitive
+       |  FROM documents GROUP BY 1, 2)
+       |SELECT lang,
+       |  count(*) AS n_groups,
+       |  count(*) FILTER (WHERE n_sensitive < $LDiv) AS n_low_diversity,
+       |  coalesce(sum(gn) FILTER (WHERE n_sensitive < $LDiv), 0)::BIGINT AS rows_affected,
+       |  sum(gn)::BIGINT AS n_rows,
+       |  round(coalesce(sum(gn) FILTER (WHERE n_sensitive < $LDiv), 0)::DOUBLE
+       |    / sum(gn), 4) AS affected_frac
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "td_split_assign" -> (qSplitAssign _),
     "td_epoch_shuffle" -> (qEpochShuffle _),
     "td_k_anonymity" -> (qKAnonymity _),
+    "td_l_diversity" -> (qLDiversity _),
     "td_split_grouped" -> (qSplitGrouped _),
     "td_mix_weights" -> (qMixWeights _),
     "td_mix_sample" -> (qMixSample _),
@@ -1039,6 +1085,7 @@ object PipelineQueries {
     "td_split_assign" -> qSplitAssignSql,
     "td_epoch_shuffle" -> qEpochShuffleSql,
     "td_k_anonymity" -> qKAnonymitySql,
+    "td_l_diversity" -> qLDiversitySql,
     "td_split_grouped" -> qSplitGroupedSql,
     "td_mix_weights" -> qMixWeightsSql,
     "td_mix_sample" -> qMixSampleSql,

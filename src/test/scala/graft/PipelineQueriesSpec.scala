@@ -298,4 +298,22 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got(("en", "web")) == (2L, 1L, 2L, 8L, 0.25))
     assert(got(("fr", "web")) == (1L, 0L, 0L, 5L, 0.0))
   }
+
+  test("l-diversity: homogeneous sensitive values flag the group") {
+    import spark.implicits._
+    // en/len-1 group: 4 docs, ALL from one source -> low diversity
+    // (n_sensitive 1 < 3). en/len-0: 3 docs from 3 sources -> diverse.
+    val docs =
+      (1L to 4L).map(i => (i, "x" * 150, "en", "web", 150L)) ++
+        Seq((5L, "y", "en", "a", 50L), (6L, "y", "en", "b", 51L),
+          (7L, "y", "en", "c", 52L))
+    val dir = java.nio.file.Files.createTempDirectory("ldiv").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.PipelineQueries.qLDiversity(spark, dir).head()
+    assert(r.getString(0) == "en")
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1L, s"groups: $r")
+    assert(r.getLong(3) == 4L && r.getLong(4) == 7L, s"rows: $r")
+    assert(r.getDouble(5) == 0.5714, s"frac: $r")
+  }
 }
