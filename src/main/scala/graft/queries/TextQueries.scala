@@ -685,8 +685,221 @@ object TextQueries {
       |  TRUE AS bounds_ok
       |FROM w ORDER BY doc_id""".stripMargin
 
+  /** Gopher repetition filters (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * arXiv:2112.11446 — Appendix A's public quality heuristics): reject
+    * documents whose content is dominated by internal repetition —
+    * duplicate lines, a single over-represented word 2-gram, or
+    * duplicated word 5-grams. The synthetic corpus has neither line
+    * structure nor natural repetition, so — exactly like [[qPiiRedact]]
+    * and [[qC4Clean]] — the harness injects both deterministically, with
+    * the identical construction in the oracle:
+    *   - repetition: docs with md5(doc_id)%3 = 0 get their first 8 words
+    *     re-appended (duplicated 5-grams + a boosted 2-gram);
+    *   - lines: the [[qC4Clean]] 8-word pseudo-lines, where line j > 1
+    *     is replaced by line 1 when md5(doc_id,j)%5 = 0 (duplicate
+    *     lines).
+    * Per doc: duplicate-line fraction, duplicate-line character
+    * fraction, most-common-2-gram character fraction, and the character
+    * fraction covered by duplicated 5-grams (coverage union via the
+    * [[DedupQueries.qDedupSubstring]] running-max window — no 5×
+    * position explode), plus the paper's keep decision (thresholds 0.30
+    * / 0.20 / 0.20 / 0.15, compared on the 6dp-ROUNDED values so both
+    * engines take identical branches at boundaries).
+    *
+    * Scale shape: three passes over the projected word arrays, each
+    * shuffling only doc-keyed derived rows (lines, grams, positions —
+    * never raw text); the window and every aggregation share the doc_id
+    * key. At 100 TB each metric is a map-side-combinable count plus one
+    * per-doc window — the same per-document-bounded work as
+    * [[qQualityRules]], just over derived units. */
+  def qGopherRep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lineW = 8
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w0"))
+      .select(col("doc_id"),
+        when(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 3 === 0,
+          concat(col("w0"), slice(col("w0"), 1, lineW)))
+          .otherwise(col("w0")).as("w"))
+      .select(col("doc_id"), col("w"),
+        length(array_join(col("w"), "")).as("total_chars"))
+
+    // pseudo-lines: 8-word windows; line j>1 duplicates line 1 when
+    // md5(doc_id, j) % 5 = 0
+    val first8 = concat_ws(" ", slice(col("w"), 1, lineW))
+    val lines = transform(
+      sequence(lit(1), ceil(size(col("w")) / lit(lineW.toDouble)).cast("int")),
+      j => {
+        val own = concat_ws(" ", slice(col("w"), (j - lit(1)) * lineW + 1, lit(lineW)))
+        val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("_"), j.cast("string"))), 1, 8), 16, 10).cast("long")
+        when(j > 1 && h % 5 === 0, first8).otherwise(own)
+      })
+    val lineAgg = base
+      .select(col("doc_id"), explode(lines).as("line"))
+      .groupBy(col("doc_id"), col("line"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("ll", length(col("line")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_lines"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("cnt") >= 2, (col("cnt") - 1) * col("ll")).otherwise(0L)).as("dup_chars"),
+        sum(col("cnt") * col("ll")).as("line_chars"))
+
+    // most common word 2-gram, chars = word chars (no separator); ties
+    // broken on the smaller gram string so both engines pick one winner
+    val top2 = base.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("total_chars"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(
+            concat(element_at(col("w"), i), lit(" "),
+              element_at(col("w"), i + 1)).as("g"),
+            (length(element_at(col("w"), i)) +
+              length(element_at(col("w"), i + 1))).as("glen")))).as("b"))
+      .select(col("doc_id"), col("total_chars"), col("b.g"), col("b.glen"))
+      .groupBy(col("doc_id"), col("total_chars"), col("g"), col("glen"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("g").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), (col("cnt") * col("glen")).as("top_chars"))
+
+    // duplicated-5-gram coverage: dup starts cover [pos, pos+4]; a token
+    // is covered iff the nearest dup start at-or-before is < 5 back
+    val g5 = base.filter(size(col("w")) >= 5)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - 4),
+          i => struct(i.as("pos"),
+            array_join(slice(col("w"), i, lit(5)), " ").as("g")))).as("b"))
+      .select(col("doc_id"), col("b.pos"), col("b.g"))
+    val dupStarts = g5.join(
+      g5.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("doc_id"), col("g")),
+      Seq("doc_id", "g"), "left_semi")
+      .select(col("doc_id"), col("pos"), lit(0).as("wlen"), lit(0).as("tag"))
+    val toks = base
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w"))),
+          p => struct(p.as("pos"),
+            length(element_at(col("w"), p)).as("wlen")))).as("t"))
+      .select(col("doc_id"), col("t.pos"), col("t.wlen"), lit(1).as("tag"))
+    val wCov = Window.partitionBy(col("doc_id"))
+      .orderBy(col("pos").asc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cov5 = toks.unionAll(dupStarts)
+      .withColumn("last0", max(when(col("tag") === 0, col("pos"))).over(wCov))
+      .filter(col("tag") === 1)
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("last0").isNotNull && col("pos") - col("last0") <= 4,
+        col("wlen")).otherwise(0L)).as("dup5_chars"))
+
+    val f = base.select(col("doc_id"), col("total_chars"))
+      .join(lineAgg, Seq("doc_id"))
+      .join(top2, Seq("doc_id"), "left")
+      .join(cov5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        round((col("n_lines") - col("n_distinct")) /
+          col("n_lines").cast("double"), 6).as("dup_line_frac"),
+        round(coalesce(col("dup_chars") /
+          nullif(col("line_chars"), lit(0)).cast("double"), lit(0.0)), 6)
+          .as("dup_line_char_frac"),
+        round(coalesce(col("top_chars") /
+          nullif(col("total_chars"), lit(0)).cast("double"), lit(0.0)), 6)
+          .as("top_2gram_frac"),
+        round(coalesce(col("dup5_chars") /
+          nullif(col("total_chars"), lit(0)).cast("double"), lit(0.0)), 6)
+          .as("dup_5gram_frac"))
+    f.select(col("doc_id"), col("n_lines"), col("dup_line_frac"),
+      col("dup_line_char_frac"), col("top_2gram_frac"), col("dup_5gram_frac"),
+      (col("dup_line_frac") <= 0.30 && col("dup_line_char_frac") <= 0.20 &&
+        col("top_2gram_frac") <= 0.20 && col("dup_5gram_frac") <= 0.15)
+        .as("gopher_keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qGopherRepSql: String =
+    """WITH t0 AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w0 FROM documents),
+      |tc AS (
+      |  SELECT doc_id,
+      |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 3 = 0
+      |      THEN list_concat(w0, w0[1:8]) ELSE w0 END w
+      |  FROM t0),
+      |tw AS (SELECT doc_id, w, length(array_to_string(w, '')) total_chars FROM tc),
+      |l AS (
+      |  SELECT doc_id, [
+      |      CASE WHEN j > 1 AND ('0x' || substr(md5(doc_id || '_' || j), 1, 8))::BIGINT
+      |          % 5 = 0
+      |        THEN array_to_string(w[1:8], ' ')
+      |        ELSE array_to_string(w[(j-1)*8+1 : (j-1)*8+8], ' ') END
+      |    FOR j IN range(1, ceil(len(w) / 8.0)::INT + 1)] lines
+      |  FROM tw),
+      |pl AS (
+      |  SELECT doc_id, line, count(*) cnt, length(line) ll
+      |  FROM (SELECT doc_id, unnest(lines) line FROM l) GROUP BY 1, 2, 4),
+      |la AS (
+      |  SELECT doc_id, sum(cnt)::BIGINT n_lines, count(*) n_distinct,
+      |    sum(CASE WHEN cnt >= 2 THEN (cnt - 1) * ll ELSE 0 END) dup_chars,
+      |    sum(cnt * ll) line_chars
+      |  FROM pl GROUP BY 1),
+      |b2 AS (
+      |  SELECT doc_id, unnest([{'g': w[i] || ' ' || w[i+1],
+      |      'glen': length(w[i]) + length(w[i+1])}
+      |    FOR i IN range(1, len(w))], recursive := true)
+      |  FROM tw WHERE len(w) >= 2),
+      |c2 AS (SELECT doc_id, g, glen, count(*) cnt FROM b2 GROUP BY 1, 2, 3),
+      |t2 AS (
+      |  SELECT doc_id, cnt * glen top_chars FROM (
+      |    SELECT doc_id, glen, cnt, g,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) rn
+      |    FROM c2) WHERE rn = 1),
+      |g5 AS (
+      |  SELECT doc_id, unnest([{'pos': i, 'g': array_to_string(w[i:i+4], ' ')}
+      |    FOR i IN range(1, len(w) - 3)], recursive := true)
+      |  FROM tw WHERE len(w) >= 5),
+      |d5 AS (SELECT doc_id, g FROM g5 GROUP BY 1, 2 HAVING count(*) >= 2),
+      |st AS (SELECT g5.doc_id doc_id, g5.pos pos FROM g5 JOIN d5 USING (doc_id, g)),
+      |tk AS (
+      |  SELECT doc_id, unnest([{'pos': p, 'wlen': length(w[p])}
+      |    FOR p IN range(1, len(w) + 1)], recursive := true)
+      |  FROM tw),
+      |u AS (
+      |  SELECT doc_id, pos, wlen, 1 tag FROM tk
+      |  UNION ALL SELECT doc_id, pos, 0, 0 FROM st),
+      |cv AS (
+      |  SELECT doc_id, pos, wlen, tag,
+      |    max(CASE WHEN tag = 0 THEN pos END) OVER (
+      |      PARTITION BY doc_id ORDER BY pos, tag ROWS UNBOUNDED PRECEDING) last0
+      |  FROM u),
+      |c5 AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN tag = 1 AND last0 IS NOT NULL AND pos - last0 <= 4
+      |      THEN wlen ELSE 0 END) dup5_chars
+      |  FROM cv GROUP BY 1),
+      |f AS (
+      |  SELECT tw.doc_id doc_id, la.n_lines n_lines,
+      |    round((la.n_lines - la.n_distinct) / la.n_lines::DOUBLE, 6) dup_line_frac,
+      |    round(coalesce(la.dup_chars / nullif(la.line_chars, 0)::DOUBLE,
+      |      0.0::DOUBLE), 6) dup_line_char_frac,
+      |    round(coalesce(t2.top_chars / nullif(tw.total_chars, 0)::DOUBLE,
+      |      0.0::DOUBLE), 6) top_2gram_frac,
+      |    round(coalesce(c5.dup5_chars / nullif(tw.total_chars, 0)::DOUBLE,
+      |      0.0::DOUBLE), 6) dup_5gram_frac
+      |  FROM tw JOIN la USING (doc_id)
+      |    LEFT JOIN t2 ON t2.doc_id = tw.doc_id
+      |    LEFT JOIN c5 ON c5.doc_id = tw.doc_id)
+      |SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+      |  top_2gram_frac, dup_5gram_frac,
+      |  (dup_line_frac <= 0.30::DOUBLE AND dup_line_char_frac <= 0.20::DOUBLE
+      |    AND top_2gram_frac <= 0.20::DOUBLE
+      |    AND dup_5gram_frac <= 0.15::DOUBLE) AS gopher_keep
+      |FROM f ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "td_bpe_roundtrip" -> (qBpeRoundtrip _),
+    "td_gopher_rep" -> (qGopherRep _),
     "td_pii_redact" -> (qPiiRedact _),
     "td_text_profile" -> (qTextProfile _),
     "td_chunk_docs" -> (qChunkDocs _),
@@ -706,6 +919,7 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "td_bpe_roundtrip" -> qBpeRoundtripSql,
+    "td_gopher_rep" -> qGopherRepSql,
     "td_pii_redact" -> qPiiRedactSql,
     "td_text_profile" -> qTextProfileSql,
     "td_chunk_docs" -> qChunkDocsSql,
