@@ -1059,6 +1059,111 @@ object EventQueries {
       |  round(b, 6) AS trend, round(l + b + s_head, 6) AS forecast_next
       |FROM expl ORDER BY event_type, slot""".stripMargin
 
+  /** CUSUM slack and alarm threshold, in standard-deviation units. */
+  private val CusumK = 0.5
+  private val CusumH = 4.0
+
+  /** CUSUM changepoint detection (Page 1954, "Continuous inspection
+    * schemes", Biometrika — public paper) over each event type's
+    * densified hourly count series: the two-sided tabular CUSUM
+    *   S⁺_i = max(0, S⁺_{i−1} + z_i − κ),  S⁻_i = max(0, S⁻_{i−1} − z_i − κ)
+    * with z_i the standardized count, slack κ = [[CusumK]]·σ and alarm
+    * threshold h = [[CusumH]]·σ — the sequential drift detector that
+    * catches sustained small shifts a pointwise z-score test
+    * ([[qEventAnomalies]]) misses. Reported per type: final S⁺/S⁻, how
+    * many points sat above the alarm line, and the first alarm index
+    * (0 = never; the state is NOT reset at alarms — this is the
+    * monitoring report, not the restart protocol).
+    *
+    * Cross-engine determinism: mean and σ are computed by an ordered
+    * fold over the same series array BOTH engines hold (0-seeded sum ≡
+    * first-element-seeded sum in IEEE — 0+x is exact) and ROUNDED to
+    * 6dp before standardization, so the fold consumes bit-identical
+    * inputs and the recurrence ([[qEventHolt]] pattern) is bit-equal.
+    * Same scale shape as [[qHoltWinters]]: the only corpus-sized work
+    * is one (type, hour) count; the fold is time-bounded (720 points
+    * per type at every SF). */
+  def qEventCusum(s: SparkSession, d: String): DataFrame = {
+    val k = CusumK; val h = CusumH
+    val z = s"""(CASE WHEN sd = cast(0.0 as double) THEN cast(0.0 as double)
+               | ELSE (x - mean) / sd END)""".stripMargin
+    val spNext = s"greatest(cast(0.0 as double), acc.sp + $z - cast($k as double))"
+    val snNext = s"greatest(cast(0.0 as double), acc.sn - $z - cast($k as double))"
+    val alarm = s"($spNext > cast($h as double) OR $snNext > cast($h as double))"
+    hourlySeries(s, d)
+      .withColumn("mean", expr(
+        "round(aggregate(vals, cast(0.0 as double), (p, q) -> p + q) / cast(n as double), 6)"))
+      .withColumn("sd", expr(
+        """round(sqrt(aggregate(vals, cast(0.0 as double),
+          |  (p, q) -> p + (q - mean) * (q - mean)) / cast(n as double)), 6)""".stripMargin))
+      .withColumn("c", expr(
+        s"""aggregate(vals,
+           |  named_struct('sp', cast(0.0 as double), 'sn', cast(0.0 as double),
+           |    'na', 0L, 'fi', 0L, 'i', 0L),
+           |  (acc, x) -> named_struct(
+           |    'sp', $spNext,
+           |    'sn', $snNext,
+           |    'na', acc.na + (CASE WHEN $alarm THEN 1L ELSE 0L END),
+           |    'fi', CASE WHEN acc.fi > 0L THEN acc.fi
+           |               WHEN $alarm THEN acc.i + 1L ELSE 0L END,
+           |    'i', acc.i + 1L))""".stripMargin))
+      .select(col("event_type"), col("n"),
+        round(col("c.sp"), 6).as("cusum_pos"),
+        round(col("c.sn"), 6).as("cusum_neg"),
+        col("c.na").as("n_alarm_points"),
+        col("c.fi").as("first_alarm_i"))
+      .orderBy(col("event_type"))
+  }
+
+  val qEventCusumSql: String = {
+    val z = """(CASE WHEN sd = 0.0::DOUBLE THEN 0.0::DOUBLE
+              | ELSE (vals[i + 1] - mean) / sd END)""".stripMargin
+    val spNext = s"greatest(0.0::DOUBLE, sp + $z - 0.5::DOUBLE)"
+    val snNext = s"greatest(0.0::DOUBLE, sn - $z - 0.5::DOUBLE)"
+    val alarm = s"($spNext > 4.0::DOUBLE OR $snNext > 4.0::DOUBLE)"
+    s"""WITH RECURSIVE bounds AS (
+       |  SELECT date_trunc('hour', min(ts)) h0, date_trunc('hour', max(ts)) h1
+       |  FROM events),
+       |axis AS (
+       |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) h FROM bounds),
+       |types AS (SELECT DISTINCT event_type FROM events),
+       |cnt AS (
+       |  SELECT event_type, date_trunc('hour', ts) h, count(*) c
+       |  FROM events GROUP BY 1, 2),
+       |series AS (
+       |  SELECT t.event_type, a.h, coalesce(c.c, 0)::DOUBLE v
+       |  FROM types t CROSS JOIN axis a
+       |  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.h = a.h),
+       |vl AS (
+       |  SELECT event_type, count(*)::BIGINT n, list(v ORDER BY h) vals
+       |  FROM series GROUP BY 1),
+       |st AS (
+       |  SELECT event_type, n, vals,
+       |    round(list_reduce(vals, (p, q) -> p + q) / n::DOUBLE, 6) mean
+       |  FROM vl),
+       |sd AS (
+       |  SELECT event_type, n, vals, mean,
+       |    round(sqrt(list_reduce(list_transform(vals, q -> (q - mean) * (q - mean)),
+       |      (p, q) -> p + q) / n::DOUBLE), 6) sd
+       |  FROM st),
+       |r AS (
+       |  SELECT event_type, n, vals, mean, sd, 0::BIGINT i,
+       |    0.0::DOUBLE sp, 0.0::DOUBLE sn, 0::BIGINT na, 0::BIGINT fi
+       |  FROM sd
+       |  UNION ALL
+       |  SELECT event_type, n, vals, mean, sd, i + 1,
+       |    $spNext,
+       |    $snNext,
+       |    na + CASE WHEN $alarm THEN 1 ELSE 0 END,
+       |    CASE WHEN fi > 0 THEN fi
+       |         WHEN $alarm THEN i + 1 ELSE 0 END
+       |  FROM r WHERE i < n)
+       |SELECT event_type, n, round(sp, 6) AS cusum_pos,
+       |  round(sn, 6) AS cusum_neg, na::BIGINT AS n_alarm_points,
+       |  fi::BIGINT AS first_alarm_i
+       |FROM r WHERE i = n ORDER BY event_type""".stripMargin
+  }
+
   /** Association-rule support floor and report width. */
   private val AssocMinSupport = 3
   private val AssocTopK = 50
@@ -1598,6 +1703,7 @@ object EventQueries {
     "ev_holt" -> ((s: SparkSession, d: String) => qEventHolt(s, d)),
     "ev_holt_winters" -> (qHoltWinters _),
     "ev_hw_backtest" -> (qHwBacktest _),
+    "ev_cusum" -> (qEventCusum _),
     "ev_assoc_rules" -> (qAssocRules _),
     "ev_ab_lift" -> (qAbLift _),
     "ev_markov_eval" -> (qMarkovEval _),
@@ -1642,6 +1748,7 @@ object EventQueries {
     "ev_holt" -> qEventHoltSql,
     "ev_holt_winters" -> qHoltWintersSql,
     "ev_hw_backtest" -> qHwBacktestSql,
+    "ev_cusum" -> qEventCusumSql,
     "ev_assoc_rules" -> qAssocRulesSql,
     "ev_ab_lift" -> qAbLiftSql,
     "ev_markov_eval" -> qMarkovEvalSql,
