@@ -612,6 +612,82 @@ object DedupQueries {
        |SELECT node, lbl AS comm FROM l4 ORDER BY node""".stripMargin
   }
 
+  /** k-core peel parameters: core order and the fixed round budget. */
+  private val KcoreK = 3
+  private val KcoreRounds = 8
+
+  /** Fixed-round k-core peeling (Seidman 1983, "Network structure and
+    * minimum degree", Social Networks — public paper) over the simhash
+    * near-dup pair graph: iteratively drop nodes with fewer than
+    * [[KcoreK]] neighbors in the surviving subgraph. Where
+    * [[componentLabels]] merges everything touching and [[lpaLabels]]
+    * finds dense communities, the k-core isolates the CLIQUE-LIKE dup
+    * nuclei — nodes held in the core only by already-peeled hangers-on
+    * fall with them, so chains and stars vanish and near-identical
+    * blobs survive. A FIXED round budget ([[KcoreRounds]]) keeps both
+    * engines deterministic regardless of convergence (both run exactly
+    * R rounds; KcoreSpec proves R reaches the true fixpoint on the
+    * test graphs, the [[qDedupPagerank]] contract).
+    *
+    * Scale shape: each round is two node-keyed semi-joins + one
+    * map-side-combinable degree count over the materialized edge list —
+    * shuffles carry (node) and (src, dst) ids only, never text;
+    * lineage is truncated per round. Peeling is monotone (kept sets
+    * only shrink), so round cost falls as the graph erodes. Output:
+    * surviving nodes with their within-core degree. */
+  def qDedupKcore(s: SparkSession, d: String): DataFrame =
+    kcoreNodes(pairGraph(s, d), KcoreK, KcoreRounds).orderBy(col("node"))
+
+  /** [[qDedupKcore]]'s peel over an undirected pair list (columns `a`,
+    * `b`; each edge once): surviving (node, core_deg) after `rounds`
+    * peel rounds at core order `k`. */
+  private[graft] def kcoreNodes(pairs: DataFrame, k: Int, rounds: Int)
+      : DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var kept = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      kept = edges
+        .join(kept.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(kept.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("node"))
+        .localCheckpoint()
+    }
+    edges
+      .join(kept.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(kept.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  val qDedupKcoreSql: String = {
+    val rounds = (1 to KcoreRounds).map { i =>
+      // MATERIALIZED: each round references the previous one twice —
+      // DuckDB inlines plain CTEs, which would re-evaluate the whole
+      // chain 2^R times
+      s"""k$i AS MATERIALIZED (
+         |  SELECT src node FROM (
+         |    SELECT e.src, count(*) d
+         |    FROM edges e JOIN k${i - 1} x ON x.node = e.src
+         |                 JOIN k${i - 1} y ON y.node = e.dst
+         |    GROUP BY e.src)
+         |  WHERE d >= $KcoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $simhashSigSql,
+       |${simhashPairsSql("doc_a", "doc_b")},
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a src, doc_b dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |k0 AS MATERIALIZED (SELECT DISTINCT src node FROM edges),
+       |$rounds
+       |SELECT e.src AS node, count(*)::BIGINT AS core_deg
+       |FROM edges e JOIN k$KcoreRounds x ON x.node = e.src
+       |             JOIN k$KcoreRounds y ON y.node = e.dst
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val qDedupTrianglesSql: String =
     s"""WITH $simhashSigSql,
       |${simhashPairsSql("doc_a", "doc_b")}
@@ -1341,6 +1417,7 @@ object DedupQueries {
     "dd_incremental" -> (qDedupIncremental _),
     "dd_pagerank" -> ((s: SparkSession, d: String) => qDedupPagerank(s, d)),
     "dd_lpa" -> (qDedupLpa _),
+    "dd_kcore" -> (qDedupKcore _),
     "dd_survivors" -> (qDedupSurvivors _),
     "dd_simhash_clusters" -> (qDedupClusters _),
     "dd_simhash_clusters_stars" -> (qDedupClustersStars _),
@@ -1366,6 +1443,7 @@ object DedupQueries {
     "dd_incremental" -> qDedupIncrementalSql,
     "dd_pagerank" -> qDedupPagerankSql,
     "dd_lpa" -> qDedupLpaSql,
+    "dd_kcore" -> qDedupKcoreSql,
     "dd_survivors" -> qDedupSurvivorsSql,
     "dd_simhash_clusters" -> qDedupClustersSql,
     "dd_simhash_clusters_stars" -> qDedupClustersSql, // CC variants agree

@@ -1,0 +1,70 @@
+package graft
+
+import graft.queries.DedupQueries
+import org.apache.spark.sql.functions._
+
+/** k-core peeling (dd_kcore): crafted graphs exercising the peel
+  * cascade, plus the fixed-round-budget-reaches-fixpoint proof on the
+  * real sf0.001 pair graph (the pagerank/LPA round-budget contract).
+  */
+class KcoreSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def pairsDf(edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    edges.toDF("a", "b")
+  }
+
+  /** Driver-side peel to TRUE fixpoint. */
+  private def refKcore(edges: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+    val und = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    var kept = und.map(_._1).toSet
+    var changed = true
+    while (changed) {
+      val deg = und.filter(e => kept(e._1) && kept(e._2))
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val next = kept.filter(v => deg.getOrElse(v, 0) >= k)
+      changed = next != kept
+      kept = next
+    }
+    und.filter(e => kept(e._1) && kept(e._2))
+      .groupBy(_._1).map { case (v, es) => v -> es.size }
+  }
+
+  test("a chain hanging off a clique peels away; the clique survives") {
+    // 4-clique {1,2,3,4} + chain 4-10-11-12: every chain node has deg<=2,
+    // and peeling cascades down the chain (10 only held up by 11, etc.)
+    val clique = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val chain = Seq(4L -> 10L, 10L -> 11L, 11L -> 12L)
+    val got = DedupQueries.kcoreNodes(pairsDf(clique ++ chain), 3, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"3-core is exactly the clique at clique degree: $got")
+  }
+
+  test("a node held up only by peeled neighbors falls with them") {
+    // hub 0 touches three deg-1 leaves and one 4-clique member: raw
+    // deg(0)=4 >= 3, but after the leaves peel, deg(0)=1 -> 0 peels too
+    val clique = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val hub = Seq(0L -> 20L, 0L -> 21L, 0L -> 22L, 0L -> 1L)
+    val got = DedupQueries.kcoreNodes(pairsDf(clique ++ hub), 3, 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 4L), s"hub 0 cascades out: $got")
+  }
+
+  test("engine output equals the driver-side TRUE fixpoint on sf0.001") {
+    // proves the fixed 8-round budget reaches the fixpoint on the real
+    // pair graph (rounds beyond convergence are no-ops by monotonicity)
+    val pairs = graft.queries.DedupQueries.qDedupSimhash(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = refKcore(pairs, 3)
+    val got = DedupQueries.qDedupKcore(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got == want, "8 peel rounds reach the true fixpoint")
+    assert(got.nonEmpty, "the 3-core is non-empty on this corpus")
+    assert(got.size < pairs.flatMap(e => Seq(e._1, e._2)).distinct.size,
+      "peeling removes some nodes")
+  }
+}
