@@ -210,6 +210,123 @@ object SearchQueries {
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Fixed boolean query set: (query_id, must, should, must_not) over
+    * the corpus vocabulary — the [[Bm25Queries]] contract. Query 3 has
+    * no must clause (pure OR + NOT); query 2 is a pure AND. */
+  val BoolQueries: Seq[(Long, Seq[String], Seq[String], Seq[String])] = Seq(
+    (0L, Seq("hash", "join"), Seq("sort"), Seq("vector")),
+    (1L, Seq("stream"), Seq("window", "merge"), Seq("batch")),
+    (2L, Seq("filter", "scan", "table"), Nil, Nil),
+    (3L, Nil, Seq("query", "vector"), Seq("data")),
+    (4L, Seq("spark", "data"), Seq("batch"), Seq("hash")))
+
+  /** Boolean retrieval (Lucene's BooleanQuery semantics — public
+    * Lucene behavior): a document matches iff it contains EVERY `must`
+    * term, NO `must_not` term, and — when there are no must clauses —
+    * at least one `should` term (minimum_should_match = 1); `should`
+    * terms it does contain add BM25 score but are never required.
+    * Matching docs rank by the summed BM25 of their (must ∪ should)
+    * hits (rounded 4 dp, doc_id tiebreak), top 10 per query.
+    *
+    * Relational form: ONE clause-tagged (query_id, term, clause) table
+    * broadcast-prunes the token stream exactly like [[bm25Scores]];
+    * the per-(query, doc) aggregation then counts must/should hits,
+    * flags any must_not hit, and sums score in the same pass — AND is
+    * `n_must_hit = n_must`, NOT is `any_not = 0`, OR is
+    * `n_should_hit >= 1`. No anti-join, no intersect: clause logic
+    * rides the one aggregation the scorer already pays, so the plan
+    * shape (and its 100 TB story — only postings for query terms ever
+    * shuffle) is identical to plain BM25's. */
+  def qBoolean(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val clauses = BoolQueries.flatMap { case (id, m, sh, n) =>
+      m.map(t => (id, t, "must")) ++ sh.map(t => (id, t, "should")) ++
+        n.map(t => (id, t, "not"))
+    }.toDF("query_id", "term", "clause")
+    val nMust = BoolQueries.map { case (id, m, _, _) => (id, m.size) }
+      .toDF("query_id", "n_must")
+    val docs = tokenized(s, d)
+    val stats = docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val postings = docs
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .join(broadcast(clauses), "term")
+      .groupBy(col("query_id"), col("term"), col("clause"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = postings.select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val sat = col("idf") * (col("tf") * lit(K1 + 1)) /
+      (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl")))
+    val agg = postings
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        when(col("clause") === "not", lit(0.0)).otherwise(sat))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        sum(when(col("clause") === "must", 1L).otherwise(0L)).as("n_must_hit"),
+        sum(when(col("clause") === "should", 1L).otherwise(0L)).as("n_should_hit"),
+        max(when(col("clause") === "not", 1).otherwise(0)).as("any_not"),
+        round(sum(col("contrib")), 4).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    agg.join(broadcast(nMust), "query_id")
+      .filter(col("n_must_hit") === col("n_must") && col("any_not") === 0 &&
+        (col("n_must") > 0 || col("n_should_hit") >= 1))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
+        col("n_must_hit"), col("n_should_hit"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qBooleanSql: String = {
+    val clauseVals = BoolQueries.flatMap { case (id, m, sh, n) =>
+      m.map(t => s"(${id}::BIGINT, '$t', 'must')") ++
+        sh.map(t => s"(${id}::BIGINT, '$t', 'should')") ++
+        n.map(t => s"(${id}::BIGINT, '$t', 'not')")
+    }.mkString(", ")
+    val nMustVals = BoolQueries
+      .map { case (id, m, _, _) => s"(${id}::BIGINT, ${m.size})" }.mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') w
+       |  FROM documents),
+       |d2 AS (SELECT doc_id, w, len(w) dl FROM docs),
+       |stats AS (SELECT count(*) n_docs, avg(dl) avgdl FROM d2),
+       |qt(query_id, term, clause) AS (VALUES $clauseVals),
+       |nm(query_id, n_must) AS (VALUES $nMustVals),
+       |post AS (
+       |  SELECT qt.query_id, qt.term, qt.clause, t.doc_id, t.dl, count(*) tf
+       |  FROM (SELECT doc_id, dl, unnest(w) term FROM d2) t
+       |  JOIN qt USING (term)
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |dfreq AS (
+       |  SELECT term, count(*) df FROM (SELECT DISTINCT term, doc_id FROM post)
+       |  GROUP BY 1),
+       |agg AS (
+       |  SELECT query_id, doc_id,
+       |    sum(CASE WHEN clause = 'must' THEN 1 ELSE 0 END)::BIGINT n_must_hit,
+       |    sum(CASE WHEN clause = 'should' THEN 1 ELSE 0 END)::BIGINT n_should_hit,
+       |    max(CASE WHEN clause = 'not' THEN 1 ELSE 0 END) any_not,
+       |    round(sum(CASE WHEN clause = 'not' THEN 0.0::DOUBLE ELSE
+       |      ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)) *
+       |      (tf * ${K1 + 1}::DOUBLE) /
+       |      (tf + $K1::DOUBLE * (${1 - B}::DOUBLE + $B::DOUBLE * dl / avgdl)) END), 4) score
+       |  FROM post JOIN dfreq USING (term), stats
+       |  GROUP BY 1, 2),
+       |m AS (
+       |  SELECT a.query_id, a.doc_id, a.score, a.n_must_hit, a.n_should_hit,
+       |    row_number() OVER (
+       |      PARTITION BY a.query_id ORDER BY a.score DESC, a.doc_id) rn
+       |  FROM agg a JOIN nm USING (query_id)
+       |  WHERE a.n_must_hit = nm.n_must AND a.any_not = 0
+       |    AND (nm.n_must > 0 OR a.n_should_hit >= 1))
+       |SELECT query_id, rn::INTEGER AS rank, doc_id, score,
+       |  n_must_hit, n_should_hit
+       |FROM m WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Feedback docs / expansion terms / interpolation weight for RM3. */
   private val FbDocs = 10
   private val ExpTerms = 8
@@ -1516,6 +1633,7 @@ object SearchQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ks_bm25" -> (qBm25 _),
+    "ks_boolean" -> (qBoolean _),
     "ks_bm25_stored" -> (qBm25Stored _),
     "ks_bm25_deltas" -> (qBm25Deltas _),
     "ks_hybrid_rrf" -> (qHybridRrf _),
@@ -1535,6 +1653,7 @@ object SearchQueries {
 
   def oracles: Map[String, String] = Map(
     "ks_bm25" -> qBm25Sql,
+    "ks_boolean" -> qBooleanSql,
     // stored-index path: provably identical output (same scoring over the
     // same postings, served from the materialized index)
     "ks_bm25_stored" -> qBm25Sql,
