@@ -456,6 +456,55 @@ object EventStream {
       }
   }
 
+  /** One observation of a monitored series: `seq` is the point's
+    * position in the series (e.g. the densified hour index an upstream
+    * windowed count assigns). */
+  case class SeriesPoint(event_type: String, seq: Long, v: Double)
+
+  /** CUSUM monitor state/emission — the
+    * [[graft.queries.EventQueries.qEventCusum]] output tuple. */
+  case class CusumOut(event_type: String, n: Long, sp: Double, sn: Double,
+      n_alarm_points: Long, first_alarm_i: Long)
+
+  /** Streaming CUSUM monitor (Page 1954 — the batch query's deployment
+    * form): folds the two-sided tabular CUSUM over arriving series
+    * points with REFERENCE (mean, sd) per type calibrated on a baseline
+    * window — a live monitor cannot standardize against statistics of a
+    * series that hasn't finished, so calibration is an input here where
+    * the batch report derives it from the full series (feed the batch
+    * stats in and the folds agree bit-for-bit: same IEEE sequence, same
+    * order — the CusumSpec parity). State is one 5-tuple per type
+    * (bounded by |types|, never by stream length); points fold in `seq`
+    * order within each micro-batch and the state carries across
+    * batches. Emits the latest state once per batch per type; alarm
+    * counting does not reset, matching the batch report. */
+  def cusum(points: Dataset[SeriesPoint], ref: Map[String, (Double, Double)],
+      k: Double = 0.5, h: Double = 4.0): Dataset[CusumOut] = {
+    import points.sparkSession.implicits._
+    val bc = points.sparkSession.sparkContext.broadcast(ref)
+    points
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumOut, CusumOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (t: String, it: Iterator[SeriesPoint], state: GroupState[CusumOut]) =>
+          val (mean, sd) = bc.value.getOrElse(t, (0.0, 0.0))
+          val sorted = it.toSeq.sortBy(_.seq)
+          var st = state.getOption.getOrElse(CusumOut(t, 0L, 0.0, 0.0, 0L, 0L))
+          sorted.foreach { p =>
+            val z = if (sd == 0.0) 0.0 else (p.v - mean) / sd
+            val sp = math.max(0.0, st.sp + z - k)
+            val sn = math.max(0.0, st.sn - z - k)
+            val alarm = sp > h || sn > h
+            st = CusumOut(t, st.n + 1, sp, sn,
+              st.n_alarm_points + (if (alarm) 1L else 0L),
+              if (st.first_alarm_i > 0L) st.first_alarm_i
+              else if (alarm) st.n + 1 else 0L)
+          }
+          state.update(st)
+          Iterator.single(st)
+      }
+  }
+
   private def toOut(userId: Long, s: SessionState): SessionOut =
     SessionOut(userId, s.sessionSeq, s.nEvents,
       new Timestamp(s.startMs), new Timestamp(s.lastMs),

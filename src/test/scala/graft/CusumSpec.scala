@@ -62,6 +62,66 @@ class CusumSpec extends SparkSpec {
     assert(rows.exists(_.getLong(5) > 0), "some type alarms")
   }
 
+  test("streaming cusum: cross-batch state equals the batch fold on the real series") {
+    import graft.streaming.EventStream
+    import graft.streaming.EventStream.{CusumOut, SeriesPoint}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // rebuild the densified per-type series exactly as the batch query
+    val e = graft.queries.Tables.events(spark, sf)
+    val counts = e.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hh"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime) -> r.getLong(2)).toMap
+    val b = e.agg(date_trunc("hour", min(col("ts"))),
+      date_trunc("hour", max(col("ts")))).head()
+    val hours = (b.getTimestamp(0).getTime to b.getTimestamp(1).getTime
+      by 3600000L).toArray
+    val types = counts.keys.map(_._1).toSeq.distinct.sorted
+    val series = types.map { t =>
+      t -> hours.map(hh => counts.getOrElse((t, hh), 0L).toDouble)
+    }.toMap
+
+    // reference (mean, sd) = the batch query's own rounded calibration
+    val ref = series.view.mapValues { vals =>
+      val mean = r6(vals.foldLeft(0.0)(_ + _) / vals.length)
+      (mean, r6(math.sqrt(vals.foldLeft(0.0)(
+        (p, q) => p + (q - mean) * (q - mean)) / vals.length)))
+    }.toMap
+
+    val pts = types.flatMap(t => series(t).zipWithIndex.map {
+      case (v, i) => SeriesPoint(t, i + 1L, v)
+    })
+    val input = MemoryStream[SeriesPoint]
+    val q = EventStream.cusum(input.toDS(), ref)
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, rest) = pts.partition(_.seq <= 200)
+      val (b2, b3) = rest.partition(_.seq <= 500)
+      Seq(b1, b2, b3).foreach { batch =>
+        input.addData(batch: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("cusum_stream").as[CusumOut].collect()
+      .groupBy(_.event_type).view.mapValues(_.maxBy(_.n)).toMap
+
+    // parity vs ev_cusum (rounded fields) — same series, same calibration
+    val batchRows = graft.queries.EventQueries.qEventCusum(spark, sf).collect()
+    batchRows.foreach { r =>
+      val t = r.getString(0)
+      val s = got(t)
+      assert(s.n == r.getLong(1), s"$t: n")
+      assert(r6(s.sp) == r.getDouble(2) && r6(s.sn) == r.getDouble(3),
+        s"$t: (${r6(s.sp)}, ${r6(s.sn)}) != (${r.getDouble(2)}, ${r.getDouble(3)})")
+      assert(s.n_alarm_points == r.getLong(4) && s.first_alarm_i == r.getLong(5),
+        s"$t: alarms (${s.n_alarm_points}, ${s.first_alarm_i})")
+    }
+  }
+
   test("cusum catches a sustained small shift a pointwise z-test misses") {
     // 200 points: N=150 baseline of alternating 10/12, then 50 at 13 —
     // a ~1σ shift no single point of which is a 3σ outlier
