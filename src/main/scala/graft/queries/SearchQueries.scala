@@ -327,6 +327,128 @@ object SearchQueries {
        |FROM m WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** BM25F field split and weights: pseudo-title = the first
+    * [[TitleWords]] words, body = the rest; title hits count
+    * [[TitleBoost]]×. */
+  private val TitleWords = 8
+  private val TitleBoost = 2.0
+
+  /** BM25F field-weighted ranking (Robertson, Zaragoza & Taylor 2004,
+    * "Simple BM25 extension to multiple weighted fields", CIKM — public
+    * paper): per-field term frequencies are length-normalized within
+    * their OWN field (each field has its own average length), scaled by
+    * the field weight, and summed into one pseudo-frequency t̃f BEFORE
+    * saturation — score = Σ_t idf(t) · t̃f / (k1 + t̃f). This is how a
+    * real engine boosts title hits without the score blowing up when a
+    * term repeats across fields (weighting AFTER saturation — a naive
+    * per-field BM25 sum — over-rewards multi-field matches; the paper's
+    * point). The synthetic corpus has no field structure, so the
+    * harness derives deterministic pseudo-fields (title = first
+    * [[TitleWords]] words, body = rest — same construction in the
+    * oracle). Doc-level idf (a term's df counts a doc once wherever it
+    * appears); top-5 per query on the 4dp-rounded score, doc_id
+    * tiebreak ([[qBm25]] contract).
+    *
+    * Scale shape: identical to [[bm25Scores]] — the field explode is
+    * still one pass over the token stream, pruned by the broadcast
+    * query-term table before any aggregation; field average lengths are
+    * a 2-row broadcast. t̃f sums exactly 2 field rows per (query, term,
+    * doc) — IEEE-commutative, so no rounding is needed before
+    * saturation. */
+  def qBm25F(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qterms = Bm25Queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(split(col("qtext"), " ")).as("term")).distinct()
+    val toks = tokenized(s, d)
+    val fields = toks.select(col("doc_id"),
+        explode(array(
+          struct(lit("title").as("fld"), slice(col("w"), 1, TitleWords).as("fw")),
+          struct(lit("body").as("fld"),
+            slice(col("w"), lit(TitleWords + 1),
+              greatest(size(col("w")) - TitleWords, lit(0))).as("fw")))).as("f"))
+      .select(col("doc_id"), col("f.fld"), col("f.fw"),
+        size(col("f.fw")).as("fdl"))
+    val avgF = fields.groupBy(col("fld")).agg(avg(col("fdl")).as("avgdl_f"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"))
+    val postings = fields
+      .select(col("doc_id"), col("fld"), col("fdl"), explode(col("fw")).as("term"))
+      .join(broadcast(qterms), "term")
+      .groupBy(col("query_id"), col("term"), col("doc_id"), col("fld"), col("fdl"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = postings.select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tfn = postings
+      .join(broadcast(avgF), "fld")
+      .withColumn("wf",
+        when(col("fld") === "title", lit(TitleBoost)).otherwise(lit(1.0)))
+      .groupBy(col("query_id"), col("term"), col("doc_id"))
+      .agg(sum(col("wf") * col("tf") /
+        (lit(1.0) + lit(B) * (col("fdl") / col("avgdl_f") - lit(1.0)))).as("tft"))
+    val scored = tfn
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("idf") * col("tft") / (lit(K1) + col("tft"))), 4).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
+        col("n_terms_hit"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qBm25FSql: String = {
+    val values = Bm25Queries
+      .map { case (id, q) => s"(${id}::BIGINT, '$q')" }.mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') w
+       |  FROM documents),
+       |d2 AS (SELECT doc_id, w, len(w) dl FROM docs),
+       |fields AS (
+       |  SELECT doc_id, 'title' fld, w[1:$TitleWords] fw FROM d2
+       |  UNION ALL SELECT doc_id, 'body', w[${TitleWords + 1}:len(w)] FROM d2),
+       |f2 AS (SELECT doc_id, fld, fw, len(fw) fdl FROM fields),
+       |avg_f AS (SELECT fld, avg(fdl) avgdl_f FROM f2 GROUP BY 1),
+       |stats AS (SELECT count(*) n_docs FROM d2),
+       |q(query_id, qtext) AS (VALUES $values),
+       |qt AS (
+       |  SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) term
+       |  FROM q),
+       |post AS (
+       |  SELECT qt.query_id, qt.term, t.doc_id, t.fld, t.fdl, count(*) tf
+       |  FROM (SELECT doc_id, fld, fdl, unnest(fw) term FROM f2) t
+       |  JOIN qt USING (term)
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |dfreq AS (
+       |  SELECT term, count(*) df FROM (SELECT DISTINCT term, doc_id FROM post)
+       |  GROUP BY 1),
+       |tfn AS (
+       |  SELECT query_id, term, doc_id,
+       |    sum((CASE WHEN fld = 'title' THEN $TitleBoost::DOUBLE
+       |         ELSE 1.0::DOUBLE END) * tf /
+       |        (1.0::DOUBLE + $B::DOUBLE * (fdl / a.avgdl_f - 1.0::DOUBLE))) tft
+       |  FROM post JOIN avg_f a USING (fld) GROUP BY 1, 2, 3),
+       |sc AS (
+       |  SELECT query_id, doc_id,
+       |    round(sum(
+       |      ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)) *
+       |      tft / ($K1::DOUBLE + tft)), 4) score,
+       |    count(*) n_terms_hit
+       |  FROM tfn JOIN dfreq USING (term), stats
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) rank
+       |  FROM sc)
+       |SELECT query_id, rank::INTEGER AS rank, doc_id, score, n_terms_hit
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Feedback docs / expansion terms / interpolation weight for RM3. */
   private val FbDocs = 10
   private val ExpTerms = 8
@@ -1634,6 +1756,7 @@ object SearchQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ks_bm25" -> (qBm25 _),
     "ks_boolean" -> (qBoolean _),
+    "ks_bm25f" -> (qBm25F _),
     "ks_bm25_stored" -> (qBm25Stored _),
     "ks_bm25_deltas" -> (qBm25Deltas _),
     "ks_hybrid_rrf" -> (qHybridRrf _),
@@ -1654,6 +1777,7 @@ object SearchQueries {
   def oracles: Map[String, String] = Map(
     "ks_bm25" -> qBm25Sql,
     "ks_boolean" -> qBooleanSql,
+    "ks_bm25f" -> qBm25FSql,
     // stored-index path: provably identical output (same scoring over the
     // same postings, served from the materialized index)
     "ks_bm25_stored" -> qBm25Sql,
