@@ -1059,6 +1059,76 @@ object EventQueries {
       |  round(b, 6) AS trend, round(l + b + s_head, 6) AS forecast_next
       |FROM expl ORDER BY event_type, slot""".stripMargin
 
+  /** RFM segmentation (Hughes 1994's recency/frequency/monetary scoring
+    * — the standard public marketing-analytics segmentation; quintile
+    * scoring per the common formulation): per user over purchase
+    * events — hours since last purchase (vs the corpus's latest
+    * purchase), purchase count, and summed value — each scored into
+    * quintiles (5 = best; ties broken on user_id so both engines cut
+    * identically), plus the conventional segment labels from the (r, f)
+    * cell. The windows rank the AGGREGATED per-user relation (one row
+    * per user — never corpus-sized); at true scale the quintile cut
+    * becomes two-pass percentile thresholds, same outputs. */
+  def qEventRfm(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+    val agg = p.groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("freq"),
+        round(sum(col("value")), 4).as("monetary"))
+    val maxTs = p.agg(max(unix_micros(col("ts"))).as("max_us"))
+    val base = agg.crossJoin(broadcast(maxTs))
+      .select(col("user_id"),
+        // integer division (Spark `div`), matching DuckDB `//` exactly —
+        // float `/`+cast can truncate differently at exact-hour bounds
+        expr("(max_us - last_us) div 3600000000").as("recency_hours"),
+        col("freq"), col("monetary"))
+    val rW = Window.orderBy(col("recency_hours").desc, col("user_id"))
+    val fW = Window.orderBy(col("freq").asc, col("user_id"))
+    val mW = Window.orderBy(col("monetary").asc, col("user_id"))
+    base
+      .withColumn("r_score", ntile(5).over(rW))
+      .withColumn("f_score", ntile(5).over(fW))
+      .withColumn("m_score", ntile(5).over(mW))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+          .when(col("r_score") >= 4, "recent")
+          .when(col("f_score") >= 4, "at_risk")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+          .otherwise("regular"))
+      .select(col("user_id"), col("recency_hours"), col("freq"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        col("segment"))
+      .orderBy(col("user_id"))
+  }
+
+  val qEventRfmSql: String =
+    """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |agg AS (
+      |  SELECT user_id, max(epoch_us(ts)) last_us, count(*) freq,
+      |    round(sum(value), 4) monetary
+      |  FROM p GROUP BY 1),
+      |mx AS (SELECT max(epoch_us(ts)) max_us FROM p),
+      |base AS (
+      |  SELECT user_id,
+      |    ((max_us - last_us) // 3600000000)::BIGINT recency_hours,
+      |    freq, monetary
+      |  FROM agg, mx),
+      |sc AS (
+      |  SELECT user_id, recency_hours, freq, monetary,
+      |    ntile(5) OVER (ORDER BY recency_hours DESC, user_id) r_score,
+      |    ntile(5) OVER (ORDER BY freq ASC, user_id) f_score,
+      |    ntile(5) OVER (ORDER BY monetary ASC, user_id) m_score
+      |  FROM base)
+      |SELECT user_id, recency_hours, freq, monetary,
+      |  r_score::INTEGER AS r_score, f_score::INTEGER AS f_score,
+      |  m_score::INTEGER AS m_score,
+      |  CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+      |       WHEN r_score >= 4 THEN 'recent'
+      |       WHEN f_score >= 4 THEN 'at_risk'
+      |       WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+      |       ELSE 'regular' END AS segment
+      |FROM sc ORDER BY user_id""".stripMargin
+
   /** CUSUM slack and alarm threshold, in standard-deviation units. */
   private val CusumK = 0.5
   private val CusumH = 4.0
@@ -1704,6 +1774,7 @@ object EventQueries {
     "ev_holt_winters" -> (qHoltWinters _),
     "ev_hw_backtest" -> (qHwBacktest _),
     "ev_cusum" -> (qEventCusum _),
+    "ev_rfm" -> (qEventRfm _),
     "ev_assoc_rules" -> (qAssocRules _),
     "ev_ab_lift" -> (qAbLift _),
     "ev_markov_eval" -> (qMarkovEval _),
@@ -1749,6 +1820,7 @@ object EventQueries {
     "ev_holt_winters" -> qHoltWintersSql,
     "ev_hw_backtest" -> qHwBacktestSql,
     "ev_cusum" -> qEventCusumSql,
+    "ev_rfm" -> qEventRfmSql,
     "ev_assoc_rules" -> qAssocRulesSql,
     "ev_ab_lift" -> qAbLiftSql,
     "ev_markov_eval" -> qMarkovEvalSql,

@@ -897,9 +897,61 @@ object TextQueries {
       |    AND dup_5gram_frac <= 0.15::DOUBLE) AS gopher_keep
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Corpus-level top word 3-grams (the WIMBD corpus-analysis pattern —
+    * Elazar et al. 2023, "What's In My Big Data?", arXiv:2310.20707 —
+    * public paper; its most-common-n-grams report): the top-20 3-grams
+    * by total occurrence count with the containing-doc count alongside,
+    * tie-broken on the gram string. The what's-in-my-corpus diagnostic
+    * that surfaces boilerplate, templates and contamination candidates
+    * before any filter is written.
+    *
+    * Scale shape: one token-stream pass; the (gram) count is map-side
+    * combinable and the distinct-doc count shuffles (gram, doc) pairs
+    * once; the top-20 is TakeOrderedAndProject (no global sort, no
+    * single-partition window — the [[EventQueries]] assoc-rules
+    * lesson). At 100 TB the heavy-hitter report rides a CMS sketch
+    * instead ([[graft.functions.SketchAggregates]]); this is the exact
+    * form. */
+  def qTopNgrams(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - 2),
+          i => array_join(slice(col("w"), i, lit(3)), " "))).as("g"))
+    val top = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_occ"), count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("g").asc)
+      .limit(20)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_occ").desc, col("g").asc)))
+      .select(col("rank"), col("g").as("gram"), col("n_occ"), col("n_docs"))
+      .orderBy(col("rank"))
+  }
+
+  val qTopNgramsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents),
+      |ng AS (
+      |  SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ')
+      |    FOR i IN range(1, len(w) - 1)]) g
+      |  FROM t WHERE len(w) >= 3),
+      |agg AS (
+      |  SELECT g, count(*) n_occ, count(DISTINCT doc_id) n_docs
+      |  FROM ng GROUP BY 1),
+      |top AS (
+      |  SELECT g, n_occ, n_docs,
+      |    row_number() OVER (ORDER BY n_occ DESC, g) rnk
+      |  FROM agg)
+      |SELECT rnk::INTEGER AS rank, g AS gram, n_occ::BIGINT AS n_occ,
+      |  n_docs::BIGINT AS n_docs
+      |FROM top WHERE rnk <= 20 ORDER BY rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "td_bpe_roundtrip" -> (qBpeRoundtrip _),
     "td_gopher_rep" -> (qGopherRep _),
+    "td_top_ngrams" -> (qTopNgrams _),
     "td_pii_redact" -> (qPiiRedact _),
     "td_text_profile" -> (qTextProfile _),
     "td_chunk_docs" -> (qChunkDocs _),
@@ -920,6 +972,7 @@ object TextQueries {
   def oracles: Map[String, String] = Map(
     "td_bpe_roundtrip" -> qBpeRoundtripSql,
     "td_gopher_rep" -> qGopherRepSql,
+    "td_top_ngrams" -> qTopNgramsSql,
     "td_pii_redact" -> qPiiRedactSql,
     "td_text_profile" -> qTextProfileSql,
     "td_chunk_docs" -> qChunkDocsSql,
