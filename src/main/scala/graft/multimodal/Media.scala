@@ -173,6 +173,88 @@ object Media {
   def decodeFrames(blob: Array[Byte]): Iterator[Array[Byte]] =
     blob.grouped(FrameBytes)
 
+  /** One 60-bit perceptual signature per media item. */
+  case class MediaHash(media_id: Long, kind: String, phash: Long)
+
+  /** Perceptual dHash (Krawetz's difference hash — public recipe:
+    * downsample, then one bit per horizontal gradient sign) through the
+    * batched decode boundary: nearest-neighbor-resize the blob to a
+    * [[HashCols]]×[[HashRows]] grid (cell k samples byte ⌊k·L/70⌋), then
+    * bit(r,c) = 1 iff cell(r,c) < cell(r,c+1) — 6 comparisons × 10 rows
+    * = 60 bits, sized for the 4×15-bit banding kernel every 60-bit
+    * signature here shares. Gradient SIGNS are invariant under any
+    * strictly monotone brightness/contrast map, which is what lets the
+    * hash match a re-encoded copy that byte-level hashing
+    * ([[graft.queries.MultimodalQueries]]'s blob simhash) misses.
+    * Empty blobs hash to 0. */
+  def dhash(media: DataFrame): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("blob"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { case (id, kind, blob) =>
+            val L = blob.length
+            var h = 0L
+            if (L > 0) {
+              val cell = new Array[Int](HashRows * HashCols)
+              var k = 0
+              while (k < cell.length) {
+                cell(k) = blob((k.toLong * L / cell.length).toInt) & 0xff
+                k += 1
+              }
+              var r = 0
+              while (r < HashRows) {
+                var c = 0
+                while (c < HashCols - 1) {
+                  if (cell(r * HashCols + c) < cell(r * HashCols + c + 1))
+                    h |= 1L << (r * (HashCols - 1) + c)
+                  c += 1
+                }
+                r += 1
+              }
+            }
+            MediaHash(id, kind, h)
+          }
+        }
+      }
+  }
+
+  val HashRows = 10
+  val HashCols = 7
+
+  /** A deterministic "decode → re-encode" twin of every blob: +32 global
+    * brightness plus a per-byte jitter of ((id·31 + j·7) mod 3) − 1 —
+    * the harness stand-in for the lossy round-trip (format conversion,
+    * quality change) that leaves an image visually identical but
+    * byte-distinct. ASCII payloads stay under 255, so the brightness
+    * shift never saturates and only the ±1 jitter can flip a gradient
+    * sign — the realistic near-but-not-equal dHash neighborhood the
+    * pair query thresholds on. Ids shift by `idOffset` so originals and
+    * re-encodes coexist in one relation. */
+  def reencoded(media: DataFrame, idOffset: Long): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("blob"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { case (id, kind, blob) =>
+            val out = new Array[Byte](blob.length)
+            var j = 0
+            while (j < blob.length) {
+              val jitter = ((id * 31 + j.toLong * 7) % 3).toInt - 1
+              out(j) = ((blob(j) & 0xff) + 32 + jitter).toByte
+              j += 1
+            }
+            (id + idOffset, kind, out)
+          }
+        }
+      }
+      .toDF("media_id", "kind", "blob")
+  }
+
   /** Per-item features computed behind the batch boundary. */
   case class MediaFeatures(
       media_id: Long,

