@@ -1744,7 +1744,71 @@ object EventQueries {
        |  count(*) FILTER (WHERE credit > 0) AS n_touches
        |FROM stacked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Funnel step-latency percentiles — the "HOW LONG do users take
+    * between steps" companion to [[qEventFunnel]]'s "how many make it":
+    * per user, the first view, the first click at-or-after it, the
+    * first purchase at-or-after that (pure timestamp semantics — no
+    * event-file-order dependence, so both engines derive identical
+    * anchors), then p50/p90/mean of the two transition latencies in
+    * seconds. The conversion-speed report every growth/ops dashboard
+    * carries next to the funnel counts.
+    *
+    * Scale shape: three conditional-min aggregations keyed by user_id
+    * (map-side combinable) stitched by user-keyed equi-joins — the
+    * event stream shuffles once per stage and only (user_id, ts) pairs
+    * move; the percentile agg sees ≤ one row per converting user. */
+  def qFunnelLatency(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+    val tv = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("tv"))
+    val tc = ev.filter(col("event_type") === "click")
+      .join(tv, "user_id").filter(col("us") >= col("tv"))
+      .groupBy(col("user_id"), col("tv")).agg(min(col("us")).as("tc"))
+    val tp = ev.filter(col("event_type") === "purchase")
+      .join(tc, "user_id").filter(col("us") >= col("tc"))
+      .groupBy(col("user_id"), col("tc")).agg(min(col("us")).as("tp"))
+    val vc = tc.select(
+      round((col("tc") - col("tv")) / 1000000.0, 6).as("lat_s"))
+      .withColumn("step", lit("1_view_to_click"))
+    val cp = tp.select(
+      round((col("tp") - col("tc")) / 1000000.0, 6).as("lat_s"))
+      .withColumn("step", lit("2_click_to_purchase"))
+    vc.unionByName(cp)
+      .groupBy(col("step"))
+      .agg(count(lit(1)).as("n_users"),
+        round(expr("percentile(lat_s, 0.5)"), 4).as("p50_s"),
+        round(expr("percentile(lat_s, 0.9)"), 4).as("p90_s"),
+        round(avg(col("lat_s")), 4).as("mean_s"))
+      .orderBy(col("step"))
+  }
+
+  val qFunnelLatencySql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type FROM events),
+      |tv AS (SELECT user_id, min(us) tv FROM ev
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |tc AS (SELECT ev.user_id, tv.tv, min(us) tc FROM ev
+      |  JOIN tv ON ev.user_id = tv.user_id
+      |  WHERE event_type = 'click' AND us >= tv.tv GROUP BY 1, 2),
+      |tp AS (SELECT ev.user_id, tc.tc, min(us) tp FROM ev
+      |  JOIN tc ON ev.user_id = tc.user_id
+      |  WHERE event_type = 'purchase' AND us >= tc.tc GROUP BY 1, 2),
+      |lat AS (
+      |  SELECT '1_view_to_click' step, round((tc - tv) / 1000000.0, 6) lat_s
+      |  FROM tc
+      |  UNION ALL
+      |  SELECT '2_click_to_purchase' step, round((tp - tc) / 1000000.0, 6) lat_s
+      |  FROM tp)
+      |SELECT step, count(*)::BIGINT n_users,
+      |  round(quantile_cont(lat_s, 0.5), 4) p50_s,
+      |  round(quantile_cont(lat_s, 0.9), 4) p90_s,
+      |  round(avg(lat_s), 4) mean_s
+      |FROM lat GROUP BY 1 ORDER BY step""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_funnel_latency" -> (qFunnelLatency _),
     "ev_reach_sketch" -> (qReachSketchRollup _),
     "ev_reach_sketch_gate" -> (qReachSketchGate _),
     "ev_user_reach_gate" -> (qUserReachGate _),
@@ -1807,6 +1871,7 @@ object EventQueries {
     "ev_retention" -> qRetentionSql,
     "ev_range_incidents" -> qRangeIncidentsSql,
     "ev_funnel" -> qEventFunnelSql,
+    "ev_funnel_latency" -> qFunnelLatencySql,
     "ev_pivot" -> qEventPivotSql,
     // approx_percentile estimates aren't SQL-reproducible; the gate row
     // IS the check — any rank-budget violation flips a boolean and

@@ -772,6 +772,17 @@ object VectorQueries {
     * partitions·c·dim aggregated rows regardless of corpus size; the
     * corpus itself never shuffles in any round. */
   def kmeansAssign(embIn: DataFrame, c: Int = 8, rounds: Int = 3): DataFrame = {
+    val (emb, seeds) = kmeansFit(embIn, c, rounds)
+    assignToSeedsScored(emb, seeds, c)
+      .select(col("vec_id"), col("cluster_id"), col("rc"))
+  }
+
+  /** The Lloyd loop factored out of [[kmeansAssign]] so quality reports
+    * ([[qSilhouette]]) can reuse the FITTED centroids instead of
+    * re-deriving them: returns (double-cast checkpointed corpus, final
+    * (cid, cv) seed table). */
+  private[graft] def kmeansFit(embIn: DataFrame, c: Int,
+      rounds: Int): (DataFrame, DataFrame) = {
     val s = embIn.sparkSession
     import s.implicits._
     val emb = embIn
@@ -788,8 +799,7 @@ object VectorQueries {
       }.sortBy(_._1)
       seeds = next.toDF("cid", "cv")
     }
-    assignToSeedsScored(emb, seeds, c)
-      .select(col("vec_id"), col("cluster_id"), col("rc"))
+    (emb, seeds)
   }
 
   /** Per-cluster element-wise mean — the bulk path (VERDICT r5 "do this"
@@ -844,14 +854,14 @@ object VectorQueries {
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), c, rounds)
       .orderBy(col("vec_id"))
 
-  /** Unrolled k-means oracle: s0 = seeded pick; per round r, a{r} =
-    * argmax-assignment against s{r} and s{r+1} = rounded per-cluster
-    * means in long (cluster, pos) form; final = assignment against the
-    * last centroids, emitting the winning rounded cosine. */
-  val qKmeansSql: String = {
-    val c = 8; val rounds = 3
+  /** Shared unrolled-Lloyd CTE prologue (e, s0, a0..a{rounds-1},
+    * s1..s{rounds}) for the k-means-family oracles — [[qKmeansSql]] and
+    * [[qSilhouetteSql]] both score against the final `s{rounds}`
+    * centroid table this builds. Ends with a trailing comma so callers
+    * append their own CTEs. */
+  private def kmeansPrologueSql(c: Int, rounds: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+    sb ++= s"""e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
               |s0 AS (SELECT vec_id cid, v cv FROM e
               |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $c),
               |""".stripMargin
@@ -868,15 +878,88 @@ object VectorQueries {
                 |  GROUP BY cluster_id, pos) GROUP BY cluster_id),
                 |""".stripMargin
     }
-    sb ++= s"""fin AS (SELECT vec_id, cid cluster_id, rc FROM (
-              |  SELECT e.vec_id, s.cid,
-              |    round(list_cosine_similarity(e.v, s.cv), 6) rc,
-              |    row_number() OVER (PARTITION BY e.vec_id
-              |      ORDER BY round(list_cosine_similarity(e.v, s.cv), 6) DESC, s.cid) rn
-              |  FROM e CROSS JOIN s$rounds s) WHERE rn = 1)
-              |SELECT vec_id, cluster_id, rc FROM fin ORDER BY vec_id""".stripMargin
     sb.toString
   }
+
+  /** Unrolled k-means oracle: s0 = seeded pick; per round r, a{r} =
+    * argmax-assignment against s{r} and s{r+1} = rounded per-cluster
+    * means in long (cluster, pos) form; final = assignment against the
+    * last centroids, emitting the winning rounded cosine. */
+  val qKmeansSql: String = {
+    val rounds = 3
+    s"""WITH ${kmeansPrologueSql(8, rounds)}fin AS (SELECT vec_id, cid cluster_id, rc FROM (
+       |  SELECT e.vec_id, s.cid,
+       |    round(list_cosine_similarity(e.v, s.cv), 6) rc,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_cosine_similarity(e.v, s.cv), 6) DESC, s.cid) rn
+       |  FROM e CROSS JOIN s$rounds s) WHERE rn = 1)
+       |SELECT vec_id, cluster_id, rc FROM fin ORDER BY vec_id""".stripMargin
+  }
+
+  /** Clustering-quality report over the FITTED k-means: the simplified
+    * (centroid-based) silhouette (Rousseeuw 1987, "Silhouettes: a
+    * graphical aid..." — public paper; the centroid approximation is the
+    * standard large-n variant since per-point pairwise silhouette is
+    * O(n²)). With cosine distance d = 1 − cos and own cluster = nearest
+    * centroid, a = 1 − rc1 ≤ b = 1 − rc2, so s = (rc1 − rc2)/(1 − rc2)
+    * ∈ [0, 1]: how decisively each point belongs to its cluster. The
+    * per-cluster rollup (n, mean/min/max silhouette) is the "did the
+    * clustering actually separate anything" gate a pipeline checks
+    * before trusting cluster-based dedup (SemDeDup) or IVF sizing on a
+    * new corpus.
+    *
+    * Scale shape: one broadcast cross of the c-row centroid table, the
+    * per-point top-2 resolves inside a map-side-combinable
+    * collect-sort-slice over c bounded entries, and the rollup shuffles
+    * c rows. Nothing is corpus×corpus; the report is constant-size. */
+  def qSilhouette(s: SparkSession, d: String, c: Int = 8,
+      rounds: Int = 3): DataFrame = {
+    val (emb, seeds) = kmeansFit(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), c, rounds)
+    val top2 = emb.crossJoin(broadcast(seeds))
+      .withColumn("rc", round(cosine(col("embedding"), col("cv")), 6))
+      .groupBy(col("vec_id"))
+      .agg(slice(sort_array(collect_list(
+        struct(col("rc"), (-col("cid")).as("negc"))), asc = false), 1, 2).as("t"))
+      .select(col("vec_id"),
+        (-col("t")(0)("negc")).as("cluster_id"),
+        col("t")(0)("rc").as("rc1"),
+        // Lloyd drops empty clusters, so a degenerate corpus can leave a
+        // single surviving centroid — no competing cluster means the
+        // conventional s = 0, same as the tie guard below
+        when(size(col("t")) >= 2, element_at(col("t"), 2)("rc")).as("rc2"))
+    top2
+      .withColumn("sil",
+        when(col("rc2").isNull || lit(1.0) - col("rc2") <= 0, lit(0.0))
+          .otherwise(round((col("rc1") - col("rc2")) / (lit(1.0) - col("rc2")), 6)))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("sil")), 4).as("mean_sil"),
+        min(col("sil")).as("min_sil"),
+        max(col("sil")).as("max_sil"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** The silhouette oracle rides the same unrolled-Lloyd prologue as
+    * [[qKmeansSql]], then ranks every (point, centroid) rounded cosine
+    * and folds rank-1/rank-2 into the identical (rc1 − rc2)/(1 − rc2)
+    * arithmetic. */
+  val qSilhouetteSql: String =
+    s"""WITH ${kmeansPrologueSql(8, 3)}sc AS (
+       |  SELECT e.vec_id, s.cid,
+       |    round(list_cosine_similarity(e.v, s.cv), 6) rc
+       |  FROM e CROSS JOIN s3 s),
+       |rk AS (SELECT vec_id, cid, rc, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY rc DESC, cid) rn FROM sc),
+       |t1 AS (SELECT vec_id, cid cluster_id, rc rc1 FROM rk WHERE rn = 1),
+       |t2 AS (SELECT vec_id, rc rc2 FROM rk WHERE rn = 2),
+       |sil AS (SELECT t1.vec_id, t1.cluster_id,
+       |  CASE WHEN 1.0 - t2.rc2 <= 0 THEN 0.0
+       |       ELSE round((t1.rc1 - t2.rc2) / (1.0 - t2.rc2), 6) END sv
+       |  FROM t1 JOIN t2 USING (vec_id))
+       |SELECT cluster_id, count(*)::BIGINT n, round(avg(sv), 4) mean_sil,
+       |  min(sv) min_sil, max(sv) max_sil
+       |FROM sil GROUP BY 1 ORDER BY cluster_id""".stripMargin
 
   /** Per-label centroid stats: mean norm + count (vector agg exercise —
     * element-wise array aggregation via HOFs, one shuffle on label). */
@@ -1281,6 +1364,45 @@ object VectorQueries {
   def qKnnMrlRecall(s: SparkSession, d: String): DataFrame =
     recallReport(qKnnBrute(s, d), qKnnMrl(s, d), floor = 0.4)
 
+  /** IVF tuning curve — the nprobe sweep a deployment runs to pick its
+    * recall/cost operating point before committing a 100 TB index
+    * config: mean recall@5 over the 10 standard queries vs the
+    * independently-planned brute twin, at probe widths 1/2/4/6 of the
+    * scale-ruled centroid count. `recall_ok` gates each config against
+    * a measured floor (set with ≥2× headroom from sf0.01/sf0.1/sf1
+    * runs); `monotone_ok` pins that widening the probe never loses
+    * recall — candidate sets are supersets as nprobe grows, and a true
+    * top-5 neighbor admitted to ANY candidate set re-ranks into the
+    * top-5 because at most 4 vectors beat it globally on the exact
+    * score. A violation means the re-rank or tie-break broke, which no
+    * single-config gate would catch. */
+  def qIvfRecallCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val truth = qKnnBrute(s, d)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val total = truth.count().toDouble
+    val configs = Seq((1, 0.10), (2, 0.15), (4, 0.30), (6, 0.40))
+    val measured = configs.map { case (np, floor) =>
+      val ann = qKnnIvfParam(s, d, nprobe = np)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits =
+        truth.join(ann, Seq("query_id", "neighbor_id"), "left_semi").count()
+      (np, floor, hits / total)
+    }
+    val rows = measured.zipWithIndex.map { case ((np, floor, rec), i) =>
+      (np, floor, rec >= floor, i == 0 || rec >= measured(i - 1)._3)
+    }
+    rows.toDF("nprobe", "floor", "recall_ok", "monotone_ok")
+      .orderBy(col("nprobe"))
+  }
+
+  val qIvfRecallCurveSql: String =
+    """SELECT nprobe, floor::DOUBLE AS floor, recall_ok, monotone_ok
+      |FROM (VALUES (1, 0.10, TRUE, TRUE), (2, 0.15, TRUE, TRUE),
+      |  (4, 0.30, TRUE, TRUE), (6, 0.40, TRUE, TRUE))
+      |  t(nprobe, floor, recall_ok, monotone_ok)
+      |ORDER BY nprobe""".stripMargin
+
   private def recallOracleSql(floor: Double): String =
     s"""SELECT vec_id AS query_id, $floor::DOUBLE AS floor, TRUE AS recall_ok
        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
@@ -1305,6 +1427,8 @@ object VectorQueries {
     "vs_knn_filtered" -> (qKnnFiltered _),
     "vs_knn_ivf_filtered" -> (qKnnIvfFiltered _),
     "vs_knn_ivf_filtered_recall" -> (qKnnIvfFilteredRecall _),
+    "vs_silhouette" -> ((s: SparkSession, d: String) => qSilhouette(s, d)),
+    "vs_ivf_recall_curve" -> (qIvfRecallCurve _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1326,5 +1450,7 @@ object VectorQueries {
     // vs_knn_ivf_filtered: approximate — rows-only; its recall twin
     // carries the hash-checked quality gate vs the filtered ground truth
     "vs_knn_ivf_filtered_recall" -> recallOracleSql(0.4),
+    "vs_silhouette" -> qSilhouetteSql,
+    "vs_ivf_recall_curve" -> qIvfRecallCurveSql,
   )
 }
