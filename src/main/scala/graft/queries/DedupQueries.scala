@@ -192,6 +192,87 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** LSH band-tuning curve — the dedup analog of the IVF nprobe sweep
+    * (vs_ivf_recall_curve): candidate-pair recall vs the exact-Jaccard
+    * truth at band/row splits (32×4, 16×8, 8×16, 4×32) of the same
+    * 128-hash MinHash signature, the sweep a deployment runs to pick
+    * its miss-rate/candidate-volume operating point before committing
+    * a 100 TB dedup config. `recall_ok` gates each split against a
+    * measured floor; `superset_ok` pins the structural invariant that
+    * nested bands give — an r-row band match implies both (r/2)-row
+    * half-band matches, so each coarser split's candidate set is
+    * contained in the finer one's (up to a ~2⁻⁶⁴ xxhash64 band-key
+    * collision, negligible at any realistic pair volume). A superset
+    * violation means the banding or signature slicing broke — which no
+    * single-config gate would catch.
+    *
+    * Scale shape: signatures are computed once and reused by all four
+    * splits (localCheckpoint, the compute-once lifecycle of the family
+    * caches); each split joins a narrow (doc_id, band, 64-bit key)
+    * relation keyed by band bucket; recall/containment resolve as
+    * semi/anti-join COUNTS — pair sets never collect. The whole curve
+    * costs about the finest split plus the exact-truth twin (itself
+    * the size-gated prefix plan past 20k docs). */
+  def qLshTuningCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lshCurveMeasured(s, d)
+      .map { case (b, r, f, _, rOk, sOk) => (b, r, f, rOk, sOk) }
+      .toDF("bands", "rows_per_band", "floor", "recall_ok", "superset_ok")
+      .orderBy(col("bands").desc)
+  }
+
+  /** The measured form of the curve — (bands, rows, floor, recall,
+    * recall_ok, superset_ok) — exposed so specs can assert the floors
+    * keep ≥2x headroom, not just that the booleans came out true. */
+  private[graft] def lshCurveMeasured(s: SparkSession,
+      d: String): Seq[(Int, Int, Double, Double, Boolean, Boolean)] = {
+    val numHashes = 128
+    val sh = shingleRel(s, d)
+    val signed = sh.select(col("doc_id"),
+      minhashSignature(col("sh"), numHashes).as("sig")).localCheckpoint()
+    val truth = qDedupJaccardPrefix(s, d)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val nTruth = truth.count().toDouble
+
+    def candidates(bands: Int): DataFrame = {
+      val rows = numHashes / bands
+      val banded = signed.select(
+        col("doc_id"),
+        posexplode(array((0 until bands).map { bi =>
+          xxhash64(slice(col("sig"), bi * rows + 1, rows))
+        }: _*)).as(Seq("band_idx", "band_key")))
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+    }
+
+    // floors measured at sf0.01/sf0.1/sf1 with ≥2x headroom; see spec
+    val configs = Seq((32, 0.9), (16, 0.9), (8, 0.8), (4, 0.5))
+    var finer: Option[DataFrame] = None
+    val curve = configs.map { case (bands, floor) =>
+      val cand = candidates(bands).localCheckpoint()
+      val hits = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi").count()
+      val recall = if (nTruth == 0) 1.0 else hits / nTruth
+      val superset = finer.forall(f =>
+        cand.join(f, Seq("doc_a", "doc_b"), "left_anti").count() == 0L)
+      finer = Some(cand)
+      (bands, numHashes / bands, floor, recall, recall >= floor, superset)
+    }
+    curve
+  }
+
+  val qLshTuningCurveSql: String =
+    """SELECT bands, rows_per_band, floor::DOUBLE AS floor,
+      |  recall_ok, superset_ok
+      |FROM (VALUES (32, 4, 0.9, TRUE, TRUE), (16, 8, 0.9, TRUE, TRUE),
+      |  (8, 16, 0.8, TRUE, TRUE), (4, 32, 0.5, TRUE, TRUE))
+      |  t(bands, rows_per_band, floor, recall_ok, superset_ok)
+      |ORDER BY bands DESC""".stripMargin
+
   /** SimHash near-dup: 60-bit signatures, hamming ≤ 3, band-blocked join
     * (4 × 15-bit bands; pigeonhole-complete for distance ≤ 3). Oracle
     * recomputes the identical signature in SQL via the md5-based stable
@@ -1412,6 +1493,7 @@ object DedupQueries {
     // item 2) — dd_jaccard_prefix above still demonstrates the cost gate
     "dd_jaccard_prefix_full" -> (qDedupJaccardPrefixFull _),
     "dd_minhash_lsh" -> (qDedupMinhashLsh _),
+    "dd_lsh_tuning_curve" -> (qLshTuningCurve _),
     "dd_simhash" -> (qDedupSimhash _),
     "dd_triangles" -> (qDedupTriangles _),
     "dd_incremental" -> (qDedupIncremental _),
@@ -1438,6 +1520,7 @@ object DedupQueries {
     "dd_jaccard_prefix" -> qDedupJaccardSql, // provably same output, exact
     "dd_jaccard_prefix_full" -> qDedupJaccardSql, // prefix plan, same output
     "dd_minhash_lsh" -> qDedupJaccardSql, // same contract: verified exact pairs
+    "dd_lsh_tuning_curve" -> qLshTuningCurveSql,
     "dd_simhash" -> qDedupSimhashSql,
     "dd_triangles" -> qDedupTrianglesSql,
     "dd_incremental" -> qDedupIncrementalSql,
