@@ -1775,14 +1775,20 @@ object EventQueries {
     val cp = tp.select(
       round((col("tp") - col("tc")) / 1000000.0, 6).as("lat_s"))
       .withColumn("step", lit("2_click_to_purchase"))
-    vc.unionByName(cp)
-      .groupBy(col("step"))
+    funnelLatencyRollup(vc.unionByName(cp))
+  }
+
+  /** Shared percentile rollup over (step, lat_s) transition latencies —
+    * one kernel serving both the batch report above and the streaming
+    * anchor ledger ([[graft.streaming.EventStream.funnelLatencyReport]]),
+    * so stream and batch can only disagree on the anchors themselves. */
+  private[graft] def funnelLatencyRollup(lat: DataFrame): DataFrame =
+    lat.groupBy(col("step"))
       .agg(count(lit(1)).as("n_users"),
         round(expr("percentile(lat_s, 0.5)"), 4).as("p50_s"),
         round(expr("percentile(lat_s, 0.9)"), 4).as("p90_s"),
         round(avg(col("lat_s")), 4).as("mean_s"))
       .orderBy(col("step"))
-  }
 
   val qFunnelLatencySql: String =
     """WITH ev AS (

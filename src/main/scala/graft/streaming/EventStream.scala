@@ -322,6 +322,75 @@ object EventStream {
       }
   }
 
+  /** Per-user funnel anchors as they become known: first view, first
+    * click at-or-after it, first purchase at-or-after that (micros;
+    * MinValue = unset). */
+  case class AnchorState(tvUs: Long, tcUs: Long, tpUs: Long)
+
+  /** Emitted exactly once per (user, anchor) the moment that anchor
+    * becomes known. */
+  case class AnchorMark(user_id: Long, anchor: String, ts: Timestamp)
+
+  /** Streaming funnel anchors — the incremental twin of the batch
+    * step-latency report's anchor derivation
+    * ([[graft.queries.EventQueries.qFunnelLatency]]): each user's first
+    * view, first click at-or-after it and first purchase at-or-after
+    * that are monotone in event time, so under the family's
+    * arrival-order premise (micro-batches drain in event-time order —
+    * the CDC/ingest-edge premise shared with [[transitions]] and
+    * [[retention]]; a true late-arriving anchor is what the nightly
+    * batch recompute corrects) one 3-long state per user maintains them
+    * exactly. Each anchor emits one [[AnchorMark]] when it locks;
+    * downstream, [[funnelLatencyReport]] turns the append-only ledger
+    * into the live latency report through the SAME rollup kernel as the
+    * batch query — proven stream ≡ batch in EventStreamSpec. */
+  def funnelAnchors(events: Dataset[TEv]): Dataset[AnchorMark] = {
+    import events.sparkSession.implicits._
+    val Unset = Long.MinValue
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnchorState, AnchorMark](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[TEv], state: GroupState[AnchorState]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnchorMark]
+          var st = state.getOption.getOrElse(AnchorState(Unset, Unset, Unset))
+          sorted.foreach { e =>
+            val us = micros(e.ts)
+            e.event_type match {
+              case "view" if st.tvUs == Unset =>
+                st = st.copy(tvUs = us); out += AnchorMark(userId, "view", e.ts)
+              case "click" if st.tvUs != Unset && st.tcUs == Unset && us >= st.tvUs =>
+                st = st.copy(tcUs = us); out += AnchorMark(userId, "click", e.ts)
+              case "purchase" if st.tcUs != Unset && st.tpUs == Unset && us >= st.tcUs =>
+                st = st.copy(tpUs = us); out += AnchorMark(userId, "purchase", e.ts)
+              case _ =>
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** The live step-latency report over the anchor ledger: fold the
+    * marks back to per-user (tv, tc, tp) — each anchor was emitted at
+    * most once, so `min` is the identity pick — and feed the batch
+    * query's own percentile rollup. */
+  def funnelLatencyReport(marks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def at(a: String) =
+      min(when(col("anchor") === a, unix_micros(col("ts"))))
+    val t = marks.groupBy(col("user_id"))
+      .agg(at("view").as("tv"), at("click").as("tc"), at("purchase").as("tp"))
+    val vc = t.filter(col("tc").isNotNull)
+      .select(round((col("tc") - col("tv")) / 1000000.0, 6).as("lat_s"))
+      .withColumn("step", lit("1_view_to_click"))
+    val cp = t.filter(col("tp").isNotNull)
+      .select(round((col("tp") - col("tc")) / 1000000.0, 6).as("lat_s"))
+      .withColumn("step", lit("2_click_to_purchase"))
+    graft.queries.EventQueries.funnelLatencyRollup(vc.unionByName(cp))
+  }
+
   /** Last-touch attribution mark: purchase `conv_id` credited to the
     * user's latest in-window touch. */
   case class AttribMark(user_id: Long, conv_id: Long, touch_id: Long,

@@ -639,4 +639,63 @@ class EventStreamSpec extends SparkSpec {
         s"user $u stream $h vs batch ($bl, $bb)")
     }
   }
+
+  test("funnel anchors: pre-view clicks rejected, anchors lock once across batches") {
+    import graft.streaming.EventStream.{AnchorMark, TEv}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TEv]
+    val q = EventStream.funnelAnchors(input.toDS())
+      .writeStream.format("memory").queryName("anchors")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: click BEFORE the first view must not anchor; the view
+      // locks in the same batch
+      input.addData(
+        TEv(1, 1, ts(0), "click"), TEv(1, 2, ts(5), "view"),
+        TEv(2, 3, ts(0), "view"))
+      q.processAllAvailable()
+      // batch 2 bridges state: user 1's first valid click locks (the
+      // second click is silent), then the purchase; user 2's purchase
+      // without any click stays rejected
+      input.addData(
+        TEv(1, 4, ts(10), "click"), TEv(1, 5, ts(12), "click"),
+        TEv(1, 6, ts(15), "purchase"),
+        TEv(2, 7, ts(3), "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("anchors").as[AnchorMark].collect()
+      .map(m => (m.user_id, m.anchor, m.ts)).toSet
+    assert(got == Set(
+      (1L, "view", ts(5)), (1L, "click", ts(10)), (1L, "purchase", ts(15)),
+      (2L, "view", ts(0))))
+  }
+
+  test("funnel anchors: ledger report equals the batch latency query on testdata") {
+    import graft.streaming.EventStream.TEv
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // event-time-ordered delivery (the family's arrival-order premise):
+    // sort the corpus by ts and drain it as three contiguous batches
+    val evs = graft.queries.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "ts", "event_type")
+      .as[TEv].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[TEv]
+    val q = EventStream.funnelAnchors(input.toDS())
+      .writeStream.format("memory").queryName("anchors_sf")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { b =>
+        input.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val stream = EventStream.funnelLatencyReport(spark.table("anchors_sf"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val batch = graft.queries.EventQueries.qFunnelLatency(spark, sf)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(stream.toSeq == batch.toSeq,
+      s"stream ${stream.toSeq} != batch ${batch.toSeq}")
+  }
 }
