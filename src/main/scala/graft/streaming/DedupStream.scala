@@ -1,8 +1,9 @@
 package graft.streaming
 
-import graft.functions.TextFunctions.fingerprint
-import org.apache.spark.sql.DataFrame
+import graft.functions.TextFunctions.{fingerprint, jaccardShingles, minhashSignature, shingles}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming exact deduplication — the incremental twin of
   * [[graft.queries.DedupQueries.qDedupExact]]: documents arrive as a
@@ -48,4 +49,149 @@ object DedupStream {
     deduped
       .groupBy(window(col("ts"), window_))
       .agg(count(lit(1)).as("n_retained"))
+}
+
+/** Streaming NEAR-duplicate maintenance — the incremental twin of
+  * [[graft.queries.DedupQueries.qDedupMinhashLsh]] (the last dedup
+  * family member without one; exact dedup has [[DedupStream]],
+  * embedding near-dup has [[EmbedStream]]). The MinHash band index is
+  * the materialized state: every micro-batch writes its band postings
+  * and shingle sets as `batch=<id>` deltas (doc_ids never repeat
+  * across batches, so the union of deltas IS the index — the
+  * [[IndexStream]] ledger discipline, overwrite-by-path making
+  * redelivered batches byte-identical no-ops), probes the NEW docs
+  * against the STORED index (new→old, |batch|×collisions — the corpus
+  * never re-pairs against itself) plus the within-batch self-join,
+  * verifies candidates with exact Jaccard, and appends the verified
+  * pairs. Union of pair deltas ≡ the batch LSH on the accumulated
+  * corpus: every pair's later-arriving side lands in exactly one
+  * batch, where it is found either cross-batch or within-batch —
+  * asserted in DedupStreamSpec.
+  *
+  * At 100 TB: per-batch cost is O(batch × collisions); the band-key
+  * probe and the candidate-bounded shingle fetch are doc_id-keyed
+  * joins against the stored state, and the pair ledger compacts with
+  * [[graft.operators.Compaction]] like the other streaming stores. */
+object MinhashStream {
+
+  private val NumHashes = 128
+  private val Bands = 32
+  private val Threshold = 0.8
+
+  /** Start maintaining the near-dup index at `indexDir` from a
+    * streaming (doc_id long, text string) frame. */
+  def start(s: SparkSession, input: DataFrame, indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    input.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeDelta(batch, indexDir, batchId)
+      }
+      .start()
+
+  /** One micro-batch: index the batch, probe it, append verified pairs.
+    * Exposed so specs can reproduce a redelivered batch byte-for-byte. */
+  def writeDelta(batch: DataFrame, indexDir: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val rows = NumHashes / Bands
+    val sh = batch
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
+    val banded = sh
+      .select(col("doc_id"),
+        minhashSignature(col("sh"), NumHashes).as("sig"))
+      .select(col("doc_id"),
+        posexplode(array((0 until Bands).map { bi =>
+          xxhash64(slice(col("sig"), bi * rows + 1, rows))
+        }: _*)).as(Seq("band_idx", "band_key")))
+      .localCheckpoint()
+
+    // probe the STRICTLY-BEFORE stored postings (the [[EmbedStream]]
+    // replay discipline: a redelivered batch must not see its own
+    // earlier write), so cross-batch and within-batch candidates
+    // partition cleanly and a pair can never be found twice
+    val storedBands = before(s, s"$indexDir/bands", batchId,
+      "doc_id BIGINT, band_idx INT, band_key BIGINT")
+    val cross = banded.as("a")
+      .join(storedBands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+    val within = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+    val cand = cross.unionByName(within).dropDuplicates("new_id", "old_id")
+
+    // verify with exact Jaccard: batch-side shingles are in hand, the
+    // old side is a doc_id-keyed fetch from the stored shingle state
+    val oldSh = before(s, s"$indexDir/shingles", batchId,
+      "doc_id BIGINT, sh ARRAY<STRING>").unionByName(sh)
+    val pairs = cand
+      .join(sh.select(col("doc_id").as("new_id"), col("sh").as("sh_a")), "new_id")
+      .join(oldSh.select(col("doc_id").as("old_id"), col("sh").as("sh_b")), "old_id")
+      .withColumn("jaccard", jaccardShingles(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= Threshold)
+      .select(least(col("new_id"), col("old_id")).as("doc_a"),
+        greatest(col("new_id"), col("old_id")).as("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+
+    pairs.write.mode("overwrite").parquet(s"$indexDir/pairs/batch=$batchId")
+    banded.write.mode("overwrite").parquet(s"$indexDir/bands/batch=$batchId")
+    sh.write.mode("overwrite").parquet(s"$indexDir/shingles/batch=$batchId")
+    ()
+  }
+
+  private def empty(s: SparkSession, schema: String): DataFrame =
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+
+  /** The component restricted to batches strictly before `beforeBatch`
+    * — the probe-side view a replayed micro-batch must get. */
+  private def before(s: SparkSession, dir: String, beforeBatch: Long,
+      schema: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val cols = schema.split(",").map(_.trim.split(" ")(0))
+    if (!fs.exists(p)) return empty(s, schema)
+    val parts = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filter(_.getPath.getName.drop("batch=".length).toLongOption
+        .exists(_ < beforeBatch))
+      // an empty delta dir has no part files to infer a schema from
+      .filter(st => fs.listStatus(st.getPath)
+        .exists(_.getPath.getName.endsWith(".parquet")))
+      .map(_.getPath.toString)
+    if (parts.isEmpty) empty(s, schema)
+    else s.read.parquet(parts: _*).select(cols.map(col).toIndexedSeq: _*)
+  }
+
+  /** Merge-on-read view of the accumulated verified near-dup pairs —
+    * the batch query's (doc_a, doc_b, jaccard) contract. A batch with
+    * no near-dups writes an empty delta, so this rides the
+    * schema-tolerant strictly-before reader with an unbounded cutoff. */
+  def pairs(s: SparkSession, indexDir: String): DataFrame =
+    before(s, s"$indexDir/pairs", Long.MaxValue,
+      "doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE")
+
+  /** Small-file hygiene for all three stores: fold `batch=<id>` dirs
+    * with id < upTo ([[graft.operators.Compaction.foldBatchDirs]] —
+    * layout-preserving, replay-safe; the fold lands as `batch=<max
+    * folded id>`, so the strictly-before probe view keeps its
+    * semantics). Safe `upTo` = the highest batch id present, same as
+    * [[EmbedStream.compactCorpus]]. */
+  def compact(s: SparkSession, indexDir: String, upTo: Long,
+      targetBytes: Long = 128L << 20): Boolean = {
+    val a = graft.operators.Compaction.foldBatchDirs(
+      s, s"$indexDir/bands", upTo, targetBytes)
+    val b = graft.operators.Compaction.foldBatchDirs(
+      s, s"$indexDir/shingles", upTo, targetBytes)
+    val c = graft.operators.Compaction.foldBatchDirs(
+      s, s"$indexDir/pairs", upTo, targetBytes)
+    a || b || c
+  }
 }

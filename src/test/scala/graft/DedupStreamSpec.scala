@@ -139,4 +139,73 @@ class DedupStreamSpec extends SparkSpec {
     assert(streamFps.toSeq == batchFps.toSeq)
     assert(streamFps.length == 20)
   }
+
+  test("minhash stream: accumulated pairs equal the batch LSH on testdata") {
+    import graft.streaming.MinhashStream
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("mh-stream").toString
+    val docs = graft.queries.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    // drain the corpus as three deterministic micro-batches (doc_id mod),
+    // exercising within-batch, cross-batch and no-pair cases together
+    (0 until 3).foreach { b =>
+      MinhashStream.writeDelta(
+        docs.filter(col("doc_id") % 3 === b), s"$dir/idx", b.toLong)
+    }
+    val stream = MinhashStream.pairs(spark, s"$dir/idx")
+      .orderBy(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = graft.queries.DedupQueries.qDedupMinhashLsh(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(stream.nonEmpty, "fixture corpus must contain near-dups")
+    assert(stream == batch, s"stream pairs != batch LSH pairs")
+  }
+
+  test("minhash stream: a redelivered batch is a byte-identical no-op") {
+    import graft.streaming.MinhashStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mh-replay").toString
+    val a = "the quick brown fox jumps over the lazy dog tonight"
+    val docs1 = Seq((1L, a), (2L, "completely unrelated body of text here"))
+      .toDF("doc_id", "text")
+    val docs2 = Seq((3L, a), (4L, "another singleton document"))
+      .toDF("doc_id", "text")
+    MinhashStream.writeDelta(docs1, s"$dir/idx", 0L)
+    MinhashStream.writeDelta(docs2, s"$dir/idx", 1L)
+    val first = MinhashStream.pairs(spark, s"$dir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(first == Set((1L, 3L, 1.0)), s"cross-batch exact dup pair: $first")
+    // crash-replay of batch 1: the strictly-before probe view must not
+    // see batch 1's own earlier write, so the rewrite is byte-identical
+    MinhashStream.writeDelta(docs2, s"$dir/idx", 1L)
+    val second = MinhashStream.pairs(spark, s"$dir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(second == first, s"replay changed the ledger: $second")
+  }
+
+  test("minhash stream: compaction preserves pairs and later probes") {
+    import graft.streaming.MinhashStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mh-compact").toString
+    val a = "shared duplicated text body for the compaction probe case"
+    MinhashStream.writeDelta(
+      Seq((1L, a), (2L, "unrelated first text")).toDF("doc_id", "text"),
+      s"$dir/idx", 0L)
+    MinhashStream.writeDelta(
+      Seq((3L, "unrelated second text")).toDF("doc_id", "text"),
+      s"$dir/idx", 1L)
+    val preFold = MinhashStream.pairs(spark, s"$dir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(MinhashStream.compact(spark, s"$dir/idx", upTo = 2L))
+    val postFold = MinhashStream.pairs(spark, s"$dir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(postFold == preFold)
+    // a batch arriving AFTER the fold must still probe the folded state
+    MinhashStream.writeDelta(
+      Seq((4L, a)).toDF("doc_id", "text"), s"$dir/idx", 2L)
+    val afterNew = MinhashStream.pairs(spark, s"$dir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterNew == preFold + ((1L, 4L)), s"folded probe miss: $afterNew")
+  }
 }
