@@ -961,6 +961,149 @@ object VectorQueries {
        |  min(sv) min_sil, max(sv) max_sil
        |FROM sil GROUP BY 1 ORDER BY cluster_id""".stripMargin
 
+  /** Result of the distributed power iteration: corpus size, Rayleigh
+    * quotient per iteration, final eigenpair (v, lambda), the eigenpair
+    * residual ‖Cv − λv‖ and trace(C). */
+  private[graft] case class PcaResult(n: Long, rayleighs: Seq[Double],
+      v: Array[Double], lambda: Double, residual: Double, trace: Double)
+
+  /** Dominant principal component of the embedding corpus — power
+    * iteration (the classic von Mises iteration; public textbook
+    * method) on the covariance C = G/n − μμᵀ. The 100 TB shape is the
+    * Gram accumulation: one mapPartitions pass folds each task's rows
+    * into a LOCAL dim×dim upper-triangular sum (the [[kmeansMeans]]
+    * partial-sum discipline — the corpus never shuffles and nothing
+    * n·dim² ever materializes), partials·dim(dim+1)/2 rows aggregate,
+    * and the dim²-bounded Gram collects like the c-row centroid and
+    * codebook tables. The 384² eigen-iteration is then driver-side
+    * arithmetic — the same bounded-small-side rule as PqCodebooks.
+    *
+    * Spectrum caveat: on a near-isotropic corpus the dominant
+    * DIRECTION is ill-defined (tiny eigengap), but the residual bound
+    * ‖Cv − λv‖ ≤ ε·λ still certifies v as an ε-approximate eigenpair
+    * — that, not direction identity, is what the gate asserts. */
+  private[graft] def pcaPower(embIn: DataFrame, iters: Int = 65536): PcaResult = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
+    val emb = embIn
+      .selectExpr("transform(embedding, x -> cast(x as double)) AS embedding")
+    val schema = StructType(Seq(
+      StructField("n", LongType),
+      StructField("sv", ArrayType(DoubleType)),
+      StructField("g", ArrayType(DoubleType))))
+    val partials = emb.mapPartitions { rows =>
+      var n = 0L
+      var sv: Array[Double] = null
+      var g: Array[Double] = null
+      rows.foreach { row =>
+        val v = row.getSeq[Double](0)
+        val dim = v.length
+        if (sv == null) { sv = new Array[Double](dim); g = new Array[Double](dim * (dim + 1) / 2) }
+        var i = 0; var k = 0
+        while (i < dim) {
+          sv(i) += v(i)
+          var j = i
+          while (j < dim) { g(k) += v(i) * v(j); j += 1; k += 1 }
+          i += 1
+        }
+        n += 1L
+      }
+      if (n == 0L) Iterator.empty
+      else Iterator.single(Row(n, sv.toSeq, g.toSeq))
+    }(Encoders.row(schema))
+    val cp = partials.localCheckpoint()
+    val n = cp.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    require(n > 0, "pcaPower: empty corpus")
+    def sumArray(c: String): Array[Double] = {
+      val rows = cp.select(posexplode(col(c)))
+        .groupBy(col("pos")).agg(sum(col("col")).as("s"))
+        .collect() // bounded by dim² — the centroid/codebook collect rule
+      val out = new Array[Double](rows.length)
+      rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
+      out
+    }
+    val sv = sumArray("sv")
+    val g = sumArray("g")
+    val dim = sv.length
+    val mu = sv.map(_ / n)
+    // dense covariance from the upper-triangular Gram
+    val cM = Array.ofDim[Double](dim, dim)
+    var i = 0; var k = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val v = g(k) / n - mu(i) * mu(j)
+        cM(i)(j) = v; cM(j)(i) = v
+        j += 1; k += 1
+      }
+      i += 1
+    }
+    val trace = (0 until dim).map(p => cM(p)(p)).sum
+    def matVec(v: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { r =>
+        var s = 0.0; var c = 0
+        while (c < dim) { s += cM(r)(c) * v(c); c += 1 }
+        s
+      }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def norm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    val rayleighs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // adaptive: a near-degenerate eigengap (λ2/λ1 → 1) needs more
+    // sweeps to push the residual under budget, and each sweep is dim²
+    // driver flops — run to convergence, cap far above any real need
+    var it = 0
+    var done = false
+    while (it < iters && !done) {
+      val w = matVec(v)
+      val rq = dot(v, w)
+      rayleighs += rq
+      val res = norm(Array.tabulate(dim)(p => w(p) - rq * v(p)))
+      done = res <= 1e-3 * math.max(math.abs(rq), 1e-300)
+      val nw = norm(w)
+      if (nw > 1e-300) v = w.map(_ / nw) // C = 0: any unit v is an eigenvector
+      it += 1
+    }
+    val w = matVec(v)
+    val lambda = dot(v, w)
+    val residual = norm(Array.tabulate(dim)(p => w(p) - lambda * v(p)))
+    PcaResult(n, rayleighs.toSeq, v, lambda, residual, trace)
+  }
+
+  /** The PCA gate (vs_pca_gate): run [[pcaPower]] on the corpus and
+    * certify the eigenpair — unit-norm v, a nondecreasing Rayleigh
+    * quotient (power iteration on a PSD covariance is monotone; a
+    * violation means the Gram aggregation or the iteration broke),
+    * eigenpair residual within ε·λ, and an explained-variance share in
+    * (0, 1]. All booleans have wide numeric margins, so the gate is
+    * deterministic under partial-sum reordering even though the Gram's
+    * last float bits are not. */
+  def qPcaGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val r = pcaPower(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+    val unitOk = math.abs(
+      math.sqrt(r.v.map(x => x * x).sum) - 1.0) < 1e-9
+    val monoOk = r.rayleighs.sliding(2).forall {
+      case Seq(a, b) => b >= a - 1e-9 * math.max(1.0, math.abs(a))
+      case _ => true
+    }
+    val resOk = r.trace < 1e-12 || r.residual <= 0.01 * math.max(r.lambda, 1e-300)
+    val explained = if (r.trace < 1e-12) 0.0 else r.lambda / r.trace
+    val explOk = r.trace < 1e-12 || (explained > 0.0 && explained <= 1.0 + 1e-12)
+    Seq((r.v.length, 65536, 0.01, unitOk, monoOk, resOk, explOk))
+      .toDF("dim", "max_iters", "residual_budget",
+        "unit_norm_ok", "monotone_ok", "residual_ok", "explained_ok")
+  }
+
+  val qPcaGateSql: String =
+    """SELECT len(embedding)::INT AS dim, 65536 AS max_iters,
+      |  0.01::DOUBLE AS residual_budget,
+      |  TRUE AS unit_norm_ok, TRUE AS monotone_ok,
+      |  TRUE AS residual_ok, TRUE AS explained_ok
+      |FROM embeddings LIMIT 1""".stripMargin
+
   /** Per-label centroid stats: mean norm + count (vector agg exercise —
     * element-wise array aggregation via HOFs, one shuffle on label). */
   def qLabelStats(s: SparkSession, d: String): DataFrame = {
@@ -1429,6 +1572,7 @@ object VectorQueries {
     "vs_knn_ivf_filtered_recall" -> (qKnnIvfFilteredRecall _),
     "vs_silhouette" -> ((s: SparkSession, d: String) => qSilhouette(s, d)),
     "vs_ivf_recall_curve" -> (qIvfRecallCurve _),
+    "vs_pca_gate" -> (qPcaGate _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1452,5 +1596,6 @@ object VectorQueries {
     "vs_knn_ivf_filtered_recall" -> recallOracleSql(0.4),
     "vs_silhouette" -> qSilhouetteSql,
     "vs_ivf_recall_curve" -> qIvfRecallCurveSql,
+    "vs_pca_gate" -> qPcaGateSql,
   )
 }
