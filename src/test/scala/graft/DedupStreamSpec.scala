@@ -208,4 +208,44 @@ class DedupStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(afterNew == preFold + ((1L, 4L)), s"folded probe miss: $afterNew")
   }
+
+  test("property: minhash stream equals batch LSH under ANY corpus partition") {
+    import graft.streaming.MinhashStream
+    import spark.implicits._
+    // doc_ids never repeat and every pair's later side lands in exactly
+    // one batch (found cross-batch or within-batch), so the contract
+    // holds for ANY assignment of docs to batches, not just time splits
+    val bases = Seq(
+      "the quick brown fox jumps over the lazy dog again",
+      "pack my box with five dozen liquor jugs tonight ok",
+      "sphinx of black quartz judge my vow completely now")
+    (1 to 2).foreach { seed =>
+      val rnd = new scala.util.Random(700 + seed)
+      val docs = (0L until 24L).map { id =>
+        val b = bases(rnd.nextInt(bases.length)).split(" ")
+        // occasional one-word tweak: near-dups on both sides of J=0.8
+        val w = if (rnd.nextBoolean()) b
+          else b.updated(rnd.nextInt(b.length), s"tweak${rnd.nextInt(3)}")
+        (id, w.mkString(" "))
+      }
+      val sfDir = java.nio.file.Files.createTempDirectory(s"mhprop$seed").toString
+      docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
+        .withColumn("source", lit("web")).withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$sfDir/documents.parquet")
+      val idx = s"$sfDir/idx"
+      val nBatches = 2 + rnd.nextInt(3)
+      val assign = docs.map { case (id, t) => (rnd.nextInt(nBatches), id, t) }
+      (0 until nBatches).foreach { b =>
+        MinhashStream.writeDelta(
+          assign.filter(_._1 == b).map(x => (x._2, x._3)).toDF("doc_id", "text"),
+          idx, b.toLong)
+      }
+      val stream = MinhashStream.pairs(spark, idx).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.queries.DedupQueries.qDedupMinhashLsh(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(batch.nonEmpty, s"seed $seed produced no near-dups")
+      assert(stream == batch, s"seed $seed: stream $stream != batch $batch")
+    }
+  }
 }
