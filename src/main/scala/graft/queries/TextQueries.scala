@@ -1069,6 +1069,7 @@ object TextQueries {
     "td_ccnet_buckets" -> (qCcnetBuckets _),
     "td_quality_tiers" -> (qQualityTiers _),
     "td_drift" -> (qDrift _),
+    "td_curriculum" -> (qCurriculum _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1091,7 +1092,70 @@ object TextQueries {
     "td_ccnet_buckets" -> qCcnetBucketsSql,
     "td_quality_tiers" -> qQualityTiersSql,
     "td_drift" -> qDriftSql,
+    "td_curriculum" -> qCurriculumSql,
   )
+
+  /** Curriculum phase assembly (Bengio et al. 2009, "Curriculum
+    * Learning", ICML — public paper): order the corpus easy→hard by a
+    * deterministic difficulty score (0.7·ln(1+tokens) + 0.3·mean word
+    * length — longer documents with longer words are harder; the score
+    * is a seam where a model-based difficulty like td_charlm_bits drops
+    * in) and cut it into four phases at the exact score quartiles. The
+    * per-(phase, lang) report is what a staged-training pipeline checks
+    * before emitting phase manifests: does each phase carry enough
+    * mass, and does the easy phase concentrate one language?
+    *
+    * Scale shape: NO global sort — phases come from comparing each
+    * score to the three quartile boundaries (one exact-percentile agg →
+    * three broadcast doubles), the distributed alternative to a
+    * single-partition ntile window (the td_pack_sequences trap). Scores
+    * sit on a 6dp grid and boundaries are either grid points or strict
+    * interpolations between them, so the boundary comparisons are
+    * engine-stable. */
+  def qCurriculum(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      expr("size(split(trim(text), '\\\\s+'))").cast("double").as("ntok"),
+      length(regexp_replace(col("text"), "\\s", "")).cast("double").as("nchr"))
+      .withColumn("score", round(
+        lit(0.7) * log(lit(1.0) + col("ntok")) +
+          lit(0.3) * (col("nchr") / greatest(col("ntok"), lit(1.0))), 6))
+    val qs = scored.agg(
+      expr("percentile(score, 0.25)"), expr("percentile(score, 0.5)"),
+      expr("percentile(score, 0.75)")).head()
+    val (q1, q2, q3) = (qs.getDouble(0), qs.getDouble(1), qs.getDouble(2))
+    scored
+      .withColumn("phase", lit(1)
+        + when(col("score") > q1, 1).otherwise(0)
+        + when(col("score") > q2, 1).otherwise(0)
+        + when(col("score") > q3, 1).otherwise(0))
+      .groupBy(col("phase"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("score")), 4).as("mean_score"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .orderBy(col("phase"), col("lang"))
+  }
+
+  val qCurriculumSql: String =
+    """WITH sc AS (
+      |  SELECT doc_id, lang,
+      |    len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS ntok,
+      |    length(regexp_replace(text, '\s', '', 'g'))::DOUBLE AS nchr
+      |  FROM documents),
+      |s2 AS (
+      |  SELECT doc_id, lang,
+      |    round(0.7::DOUBLE * ln(1.0::DOUBLE + ntok)
+      |      + 0.3::DOUBLE * (nchr / greatest(ntok, 1.0::DOUBLE)), 6) AS score
+      |  FROM sc),
+      |qs AS (SELECT quantile_cont(score, 0.25) q1,
+      |  quantile_cont(score, 0.5) q2, quantile_cont(score, 0.75) q3 FROM s2)
+      |SELECT 1 + (score > q1)::INT + (score > q2)::INT + (score > q3)::INT
+      |    AS phase,
+      |  lang, count(*)::BIGINT AS n_docs, round(avg(score), 4) AS mean_score,
+      |  min(score) AS min_score, max(score) AS max_score
+      |FROM s2, qs
+      |GROUP BY 1, 2 ORDER BY phase, lang""".stripMargin
 
   /** Per-source distribution drift — the corpus-monitoring report a
     * training-data pipeline runs between snapshots: split each source's
