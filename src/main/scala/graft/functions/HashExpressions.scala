@@ -239,6 +239,12 @@ object HashKernels {
     x ^ (x >>> 33)
   }
 
+  /** Uniform 64-bit hash of a long key (golden-ratio spread + the same
+    * murmur-style avalanche as the string family) — the KMV sketch's
+    * order statistic ([[KmvAgg]]). */
+  def hashLong(v: Long): Long =
+    avalanche(v * 0x9e3779b97f4a7c15L + 0x165667b19e3779f9L)
+
   def minhash(arr: ArrayData, k: Int): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()

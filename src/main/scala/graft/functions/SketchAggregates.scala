@@ -54,6 +54,13 @@ object SketchFunctions {
   def minhashAgg(element: Column, k: Int): Column =
     GraftBridge.column(
       MinhashMergeAgg(GraftBridge.expression(element), k).toAggregateExpression())
+
+  /** Mergeable KMV distinct sketch ([[KmvAgg]]): the k smallest distinct
+    * hashes of the group's keys — supports union, Jaccard AND
+    * intersection estimates over the rollup (see [[Kmv]]). */
+  def kmvSketch(key: Column, k: Int): Column =
+    GraftBridge.column(
+      KmvAgg(GraftBridge.expression(key), k).toAggregateExpression())
 }
 
 /** UNION of binary count-min sketches (same eps/confidence/seed). The
@@ -236,4 +243,135 @@ case class MinhashMergeAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): MinhashMergeAgg =
     copy(child = newChild)
+}
+
+/** Mergeable KMV (k-minimum-values) distinct sketch (Bar-Yossef et al.
+  * 2002, "Counting distinct elements in a data stream" / Beyer et al.
+  * 2007 — public papers): the k smallest distinct hash values of the
+  * group's elements. The third justified UDAF shape: bounded ORDERED-SET
+  * state (k longs) that no built-in aggregate maintains — and the one
+  * sketch algebra the HLL family lacks: because the state is the actual
+  * k-min sample, two sketches support set INTERSECTION and Jaccard
+  * estimates (take the k smallest of the union; the fraction present in
+  * both input samples estimates J), not just union cardinality.
+  *
+  * Estimator contract (k-bounded arrays, computed over the ≤|groups|-row
+  * rollup, never the raw data): fewer than k values ⇒ the sketch IS the
+  * exact distinct hash set; otherwise D̂ = (k−1)/u(k) with u(k) the kth
+  * order statistic mapped to (0,1) — σ/D ≈ 1/√(k−2).
+  *
+  * Scale shape mirrors [[CmsMergeAgg]]: one pass over 100 TB of events
+  * yields an 8·k-byte sketch per group; every coarser rollup and every
+  * intersection/union estimate merges k-long arrays at cost ∝ GROUPS. */
+case class KmvAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+    // keep only the k smallest (signed order — the estimator maps it to
+    // the unsigned unit interval monotonically, so any fixed total order
+    // on uniform hashes is valid)
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last()) {
+      if (buf.add(h)) { buf.pollLast(); () }
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, HashKernels.hashLong(v match {
+      case i: java.lang.Integer => i.toLong
+      case l: java.lang.Long => l.longValue()
+    }))
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) add(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < bytes.length / 8) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_sketch"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"kmv_sketch expects an integral key column, got $other")
+    }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvAgg =
+    copy(child = newChild)
+}
+
+/** Driver-side estimator algebra over evaluated KMV sketch arrays —
+  * k-bounded inputs, constant work; lives next to the aggregate so the
+  * sketch layout and its estimators stay one unit. */
+object Kmv {
+
+  private def frac(h: Long): Double =
+    (h.toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
+
+  /** Distinct estimate: exact when the sketch is under-full. */
+  def estimate(sketch: Array[Long], k: Int): Double =
+    if (sketch.length < k) sketch.length.toDouble
+    else (k - 1).toDouble / frac(sketch(k - 1))
+
+  /** The union's KMV sketch: k smallest of the merged samples. */
+  def union(a: Array[Long], b: Array[Long], k: Int): Array[Long] =
+    (a.toSet ++ b.toSet).toArray.sorted.take(k)
+
+  /** Jaccard estimate: fraction of the union's k-min sample present in
+    * BOTH input samples. */
+  def jaccard(a: Array[Long], b: Array[Long], k: Int): Double = {
+    val u = union(a, b, k)
+    if (u.isEmpty) return 0.0
+    val as = a.toSet; val bs = b.toSet
+    u.count(h => as.contains(h) && bs.contains(h)).toDouble / u.length
+  }
+
+  /** Intersection cardinality estimate: Ĵ · |A ∪ B|̂. */
+  def intersection(a: Array[Long], b: Array[Long], k: Int): Double =
+    jaccard(a, b, k) * estimate(union(a, b, k), k)
 }

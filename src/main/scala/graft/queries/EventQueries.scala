@@ -1813,8 +1813,73 @@ object EventQueries {
       |  round(avg(lat_s), 4) mean_s
       |FROM lat GROUP BY 1 ORDER BY step""".stripMargin
 
+  /** Audience-overlap gate (ev_reach_intersect_gate) — the set-algebra
+    * report the HLL reach family cannot produce: how many users did BOTH
+    * of (view, click), (click, purchase), (view, purchase), estimated
+    * from per-type KMV sketches ([[graft.functions.KmvAgg]] — k smallest
+    * distinct user-id hashes; the k-min SAMPLE supports intersection and
+    * Jaccard, where HLL registers only union). One pass over the events
+    * builds |types| 8·k-byte sketches; every overlap estimate is
+    * k-bounded driver arithmetic on that rollup. The gate computes the
+    * exact overlap too (distinct-user semi-joins — the diagnostic twin,
+    * same pattern as the recall gates' brute-force truth) and checks the
+    * estimate within rel_budget: |D̂∩ − D∩| ≤ max(budget·D∩, 75).
+    * Budget = 0.15 vs a measured ~1/√k ≈ 3% σ per component at k=1024
+    * (≥3x headroom; the absolute floor covers small true overlaps where
+    * relative bounds are meaningless). */
+  private[graft] def reachIntersectMeasured(s: SparkSession,
+      d: String): Seq[(String, Long, Double, Double, Boolean)] = {
+    import graft.functions.{Kmv, SketchFunctions}
+    val k = 1024
+    val budget = 0.15
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"))
+    val sketches = ev
+      .groupBy(col("event_type"))
+      .agg(SketchFunctions.kmvSketch(col("user_id"), k).as("sk"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    val users = ev.distinct().localCheckpoint()
+    def uset(t: String) = users.filter(col("event_type") === t)
+      .select(col("user_id"))
+    Seq(("view", "click"), ("click", "purchase"), ("view", "purchase"))
+      .map { case (a, b) =>
+        val exact = uset(a).join(uset(b), Seq("user_id"), "left_semi").count()
+        val est = Kmv.intersection(
+          sketches.getOrElse(a, Array.empty), sketches.getOrElse(b, Array.empty), k)
+        val ok = math.abs(est - exact) <= math.max(budget * exact, 75.0)
+        (s"${a}_$b", exact, budget, est, ok)
+      }
+  }
+
+  def qReachIntersectGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    reachIntersectMeasured(s, d)
+      .map { case (pair, exact, budget, _, ok) => (pair, exact, budget, ok) }
+      .toDF("pair", "n_exact", "rel_budget", "est_ok")
+      .orderBy(col("pair"))
+  }
+
+  val qReachIntersectGateSql: String =
+    """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+      |x AS (
+      |  SELECT 'view_click' AS pair, count(*)::BIGINT AS n_exact FROM (
+      |    SELECT user_id FROM u WHERE event_type = 'view'
+      |    INTERSECT SELECT user_id FROM u WHERE event_type = 'click')
+      |  UNION ALL
+      |  SELECT 'click_purchase', count(*)::BIGINT FROM (
+      |    SELECT user_id FROM u WHERE event_type = 'click'
+      |    INTERSECT SELECT user_id FROM u WHERE event_type = 'purchase')
+      |  UNION ALL
+      |  SELECT 'view_purchase', count(*)::BIGINT FROM (
+      |    SELECT user_id FROM u WHERE event_type = 'view'
+      |    INTERSECT SELECT user_id FROM u WHERE event_type = 'purchase'))
+      |SELECT pair, n_exact, 0.15::DOUBLE AS rel_budget, TRUE AS est_ok
+      |FROM x ORDER BY pair""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_funnel_latency" -> (qFunnelLatency _),
+    "ev_reach_intersect_gate" -> (qReachIntersectGate _),
     "ev_reach_sketch" -> (qReachSketchRollup _),
     "ev_reach_sketch_gate" -> (qReachSketchGate _),
     "ev_user_reach_gate" -> (qUserReachGate _),
@@ -1878,6 +1943,7 @@ object EventQueries {
     "ev_range_incidents" -> qRangeIncidentsSql,
     "ev_funnel" -> qEventFunnelSql,
     "ev_funnel_latency" -> qFunnelLatencySql,
+    "ev_reach_intersect_gate" -> qReachIntersectGateSql,
     "ev_pivot" -> qEventPivotSql,
     // approx_percentile estimates aren't SQL-reproducible; the gate row
     // IS the check — any rank-budget violation flips a boolean and
