@@ -49,7 +49,8 @@ class ServingShim(
     sseTimeoutMs: Long = 10000,
     metrics: () => Seq[graft.ingest.StageMetric] = () => Nil,
     search: Option[(String, Int) => Seq[ServingShim.SearchHit]] = None,
-    page: Option[(String, Int) => ServingShim.SearchPage] = None) {
+    page: Option[(String, Int) => ServingShim.SearchPage] = None,
+    neardup: Option[String => Seq[(Long, Double)]] = None) {
 
   /** One job's live trail: events append as the runner emits them;
     * `done` flips after the last one. Append-only so any number of
@@ -134,6 +135,35 @@ class ServingShim(
           }
         case ("GET", None) =>
           respond(ex, 404, """{"error": "search not configured"}""", "application/json")
+        case _ =>
+          respond(ex, 405, """{"error": "method not allowed"}""", "application/json")
+      }
+    }
+  })
+
+  // POST /neardup {"text": ...} — the ingest-edge admission check: is
+  // this document a near-duplicate of anything already admitted? Wired
+  // by the deployment to the streaming MinHash index's single-doc probe
+  // (MinhashStream.probeText); absent wiring → 404, like /search.
+  server.createContext("/neardup", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = guard(ex) {
+      (ex.getRequestMethod, neardup) match {
+        case ("POST", Some(fn)) =>
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          ServingShim.jsonString(body, "text").filter(_.trim.nonEmpty) match {
+            case None =>
+              respond(ex, 400, """{"error": "missing text"}""", "application/json")
+            case Some(text) =>
+              val hits = fn(text)
+              val hitsJson = hits.map { case (id, j) =>
+                s"""{"doc_id": $id, "jaccard": $j}"""
+              }.mkString("[", ", ", "]")
+              respond(ex, 200,
+                s"""{"duplicate": ${hits.nonEmpty}, "hits": $hitsJson}""",
+                "application/json")
+          }
+        case ("POST", None) =>
+          respond(ex, 404, """{"error": "neardup not configured"}""", "application/json")
         case _ =>
           respond(ex, 405, """{"error": "method not allowed"}""", "application/json")
       }

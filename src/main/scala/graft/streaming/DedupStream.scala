@@ -178,6 +178,48 @@ object MinhashStream {
     before(s, s"$indexDir/pairs", Long.MaxValue,
       "doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE")
 
+  /** Admission-check probe for ONE candidate document against the
+    * accumulated index — the serving-path form of [[writeDelta]]'s
+    * probe (wired behind `POST /neardup` on the shim): band the text
+    * with the same signature kernel, broadcast its ≤[[Bands]] band keys
+    * against the stored postings, fetch only candidate shingle sets,
+    * verify exact Jaccard. Cost is collisions-bounded, never a corpus
+    * scan of the text itself. Returns (doc_id, jaccard) matches ≥ the
+    * threshold, best first. */
+  def probeText(s: SparkSession, indexDir: String, text: String,
+      threshold: Double = Threshold): Seq[(Long, Double)] = {
+    import s.implicits._
+    val rows = NumHashes / Bands
+    val one = Seq(text).toDF("text")
+      .select(shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    if (one.isEmpty) return Nil
+    val probe = one
+      .select(col("sh"), minhashSignature(col("sh"), NumHashes).as("sig"))
+      .select(col("sh"),
+        posexplode(array((0 until Bands).map { bi =>
+          xxhash64(slice(col("sig"), bi * rows + 1, rows))
+        }: _*)).as(Seq("band_idx", "band_key")))
+      .localCheckpoint()
+    val stored = before(s, s"$indexDir/bands", Long.MaxValue,
+      "doc_id BIGINT, band_idx INT, band_key BIGINT")
+    val cand = stored
+      .join(broadcast(probe.select(col("band_idx"), col("band_key"))),
+        Seq("band_idx", "band_key"))
+      .select(col("doc_id")).distinct()
+    val oldSh = before(s, s"$indexDir/shingles", Long.MaxValue,
+      "doc_id BIGINT, sh ARRAY<STRING>")
+    cand.join(oldSh, "doc_id")
+      .crossJoin(broadcast(probe.select(col("sh").as("probe_sh")).limit(1)))
+      .withColumn("jaccard", jaccardShingles(col("probe_sh"), col("sh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .toSeq
+  }
+
   /** Small-file hygiene for all three stores: fold `batch=<id>` dirs
     * with id < upTo ([[graft.operators.Compaction.foldBatchDirs]] —
     * layout-preserving, replay-safe; the fold lands as `batch=<max

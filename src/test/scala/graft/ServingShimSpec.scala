@@ -268,4 +268,40 @@ class ServingShimSpec extends SparkSpec {
     assert(ServingShim.jsonInt("""{"top_k": 12}""", "top_k").contains(12))
     assert(ServingShim.jsonInt("""{"top_k": "12"}""", "top_k").isEmpty)
   }
+
+  test("POST /neardup: admission check against the streaming MinHash index") {
+    import graft.streaming.MinhashStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shim-neardup").toString
+    val admitted = "the quick brown fox jumps over the lazy dog tonight"
+    MinhashStream.writeDelta(
+      Seq((7L, admitted), (8L, "an unrelated admitted document body"))
+        .toDF("doc_id", "text"),
+      s"$dir/idx", 0L)
+    val shim = new ServingShim(() => healthyStatus, runner,
+      neardup = Some(t => MinhashStream.probeText(spark, s"$dir/idx", t)))
+    val port = shim.start()
+    val c = HttpClient.newHttpClient()
+    try {
+      // exact duplicate of an admitted doc → rejected with jaccard 1.0
+      val dup = post(c, port, "/neardup",
+        s"""{"text": ${ServingShim.quote(admitted)}}""")
+      assert(dup.statusCode() == 200)
+      assert(dup.body().contains(""""duplicate": true"""), dup.body())
+      assert(dup.body().contains(""""doc_id": 7"""), dup.body())
+      assert(dup.body().contains(""""jaccard": 1.0"""), dup.body())
+      // novel document → admitted
+      val novel = post(c, port, "/neardup",
+        """{"text": "completely fresh never before seen writing"}""")
+      assert(novel.statusCode() == 200)
+      assert(novel.body().contains(""""duplicate": false"""), novel.body())
+      // edges: missing text → 400; GET → 405
+      assert(post(c, port, "/neardup", """{"nope": 1}""").statusCode() == 400)
+      assert(get(c, port, "/neardup").statusCode() == 405)
+    } finally { shim.stop(); () }
+    // unwired shim → 404 (job-only deployments don't grow the endpoint)
+    withShim() { (p2, c2) =>
+      assert(post(c2, p2, "/neardup", """{"text": "x"}""").statusCode() == 404)
+    }
+  }
 }
