@@ -410,4 +410,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(keys.subsetOf(Set("user_id")),
       s"unexpected shuffle keys $keys in:\n$p")
   }
+
+  test("curriculum: phases come from boundary compares, never a global sort window") {
+    val p = plan(graft.queries.TextQueries.qCurriculum(spark, sf))
+    // the single-partition ntile trap: no Window operator at all — the
+    // quartile cut is an agg plus three broadcast literal compares
+    assert(!p.contains("Window"), s"global-sort window leaked into:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("silhouette: the centroid cross is a broadcast, never a cartesian") {
+    val p = plan(graft.queries.VectorQueries.qSilhouette(spark, sf, c = 4, rounds = 1))
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the c-row centroid table must broadcast onto the corpus scan")
+  }
+
+  test("funnel latency: stage anchors shuffle (user, micros) pairs only") {
+    val p = plan(graft.queries.EventQueries.qFunnelLatency(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    // every exchange keys on the user (stage joins + conditional mins);
+    // the final percentile rollup keys on the step label
+    val keys = "Exchange hashpartitioning\\(([a-z_0-9#]+)".r
+      .findAllMatchIn(p).map(_.group(1).takeWhile(_ != '#')).toSet
+    assert(keys.subsetOf(Set("user_id", "step")),
+      s"unexpected shuffle keys $keys in:\n$p")
+  }
 }
