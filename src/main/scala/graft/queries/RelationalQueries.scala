@@ -122,6 +122,52 @@ object RelationalQueries {
       |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** TPC-H Q7-style volume shipping: revenue flowing between a nation
+    * pair in either direction, by (supplier nation, customer nation,
+    * ship year) — the 6-table join (lineitem ⋈ orders ⋈ customer ⋈
+    * supplier ⋈ nation×2) whose plan quality rests entirely on the dim
+    * chains broadcasting so the fact table shuffles at most once on the
+    * orderkey. The pair filter lands on the two broadcast nation copies,
+    * so it prunes before the fact join, not after. */
+  def q7NationVolume(s: SparkSession, d: String): DataFrame = {
+    val (na, nb) = ("NATION_1", "NATION_2")
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val cust = Tables.customer(s, d)
+    val sup = Tables.supplier(s, d)
+    val natS = Tables.nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      .filter(col("supp_nation").isin(na, nb))
+    val natC = Tables.nation(s, d)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      .filter(col("cust_nation").isin(na, nb))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q7Sql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  year(l_shipdate)::INT AS l_year,
+      |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+      |  AND sn.n_name <> cn.n_name
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   /** Left-semi join (EXISTS): orders having at least one late-shipped item. */
   def qSemiJoin(s: SparkSession, d: String): DataFrame = {
     val late = Tables.lineitem(s, d)
@@ -336,6 +382,7 @@ object RelationalQueries {
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q3_top_orders" -> (q3TopOrders _),
     "q5_region_revenue" -> (q5RegionRevenue _),
+    "q7_nation_volume" -> (q7NationVolume _),
     "q_semi_join" -> (qSemiJoin _),
     "q_anti_join" -> (qAntiJoin _),
     "q_window_top_orders" -> (qWindowTopOrders _),
@@ -354,6 +401,7 @@ object RelationalQueries {
     "q6_forecast_revenue" -> q6Sql,
     "q3_top_orders" -> q3Sql,
     "q5_region_revenue" -> q5Sql,
+    "q7_nation_volume" -> q7Sql,
     "q_semi_join" -> qSemiJoinSql,
     "q_anti_join" -> qAntiJoinSql,
     "q_window_top_orders" -> qWindowTopOrdersSql,

@@ -411,6 +411,17 @@ class PlanQualitySpec extends SparkSpec {
       s"unexpected shuffle keys $keys in:\n$p")
   }
 
+  test("q7: all four dim chains broadcast; the fact side shuffles once at most") {
+    val p = plan(graft.queries.RelationalQueries.q7NationVolume(spark, sf))
+    assert(count(p, "BroadcastHashJoin") >= 4, s"dim chains must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // one orderkey exchange for lineitem ⋈ orders at most (AQE may
+    // broadcast orders at test SF); the nation-pair filters prune on the
+    // broadcast side, never as a post-join fact filter
+    assert(count(p, "Exchange hashpartitioning\\((l_orderkey|o_orderkey)") <= 2,
+      s"fact side must shuffle on the orderkey only:\n$p")
+  }
+
   test("curriculum: phases come from boundary compares, never a global sort window") {
     val p = plan(graft.queries.TextQueries.qCurriculum(spark, sf))
     // the single-partition ntile trap: no Window operator at all — the
