@@ -73,7 +73,24 @@ object Compaction {
     * Returns true iff a fold happened (≥2 foldable dirs). */
   def foldBatchDirs(s: org.apache.spark.sql.SparkSession, root: String,
       upTo: Long, targetBytes: Long = 128L << 20,
-      partitionCols: Seq[String] = Nil): Boolean = {
+      partitionCols: Seq[String] = Nil): Boolean =
+    rewriteBatchDirs(s, root, upTo, targetBytes, partitionCols,
+      identity, minDirs = 2)
+
+  /** [[foldBatchDirs]] with a caller-supplied REWRITE of the folded
+    * content — the index-retrain form
+    * ([[graft.streaming.EmbedStream.retrainIvf]]): same batch-dir
+    * discovery, staging, durable marker and crash-resume protocol, but
+    * the staged frame is `rewrite(union)` instead of the union itself
+    * (e.g. a re-assignment under rebuilt centroids). `minDirs` = 1
+    * because a rewrite is worthwhile even over a single accumulated
+    * dir; the rewrite must be deterministic so a crashed swap's re-run
+    * stages identical content. */
+  def rewriteBatchDirs(s: org.apache.spark.sql.SparkSession, root: String,
+      upTo: Long, targetBytes: Long = 128L << 20,
+      partitionCols: Seq[String] = Nil,
+      rewrite: DataFrame => DataFrame = identity,
+      minDirs: Int = 1): Boolean = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.functions.col
     val rootP = new Path(root)
@@ -82,11 +99,11 @@ object Compaction {
     val tmp = new Path(rootP, "compact.tmp")
     resumeFold(fs, rootP, tmp) // finish a crashed swap before planning
     val folds = batchDirs(fs, rootP).filter(_._1 < upTo)
-    if (folds.length < 2) return false
+    if (folds.length < minDirs) return false
     val m = folds.map(_._1).max
-    val df = s.read.option("basePath", root)
+    val df = rewrite(s.read.option("basePath", root)
       .parquet(folds.map(_._2.toString): _*)
-      .drop("batch")
+      .drop("batch"))
     fs.delete(tmp, true)
     val n = planFileCount(df, targetBytes)
     // with partition columns, hash on them so each partition value's

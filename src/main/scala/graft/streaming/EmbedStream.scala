@@ -168,6 +168,71 @@ object EmbedStream {
     graft.operators.Compaction.foldBatchDirs(s, s"$indexDir/lists", upTo,
       targetBytes, partitionCols = Seq("centroid_id"))
 
+  /** Stored-index RETRAIN — the re-seeding-after-drift lifecycle the
+    * scaladocs above promise: when list skew (max/mean) exceeds
+    * `maxSkew`, rebuild the centroids from the ACCUMULATED lists,
+    * re-assign every stored vector under them (q8 codes recomputed),
+    * and swap the rewritten lists in through the compaction protocol
+    * ([[graft.operators.Compaction.rewriteBatchDirs]] — staged, durable
+    * marker, crash-resumable). Skew is the right trigger for the same
+    * reason as [[graft.retrieval.IvfIndex.refresh]]: a hot list turns
+    * every probe that touches it into a near-full scan; balanced drift
+    * costs recall slowly and is the recall floor's job.
+    *
+    * CONTRACT: run while the stream is quiescent (stopped, or between
+    * micro-batches with the last batch committed) — the rewrite covers
+    * every batch dir, so a redelivered batch overwriting the folded dir
+    * would lose the fold. Centroids write FIRST: a crash between the
+    * centroid write and the list swap leaves probes degraded (new
+    * geometry over old assignments — results stay verified-exact
+    * subsets, recall dips) but REPAIRABLE — the skew that triggered the
+    * retrain is computed from the unswapped lists, so re-running the
+    * maintenance pass stages the identical deterministic rebuild and
+    * completes the swap. Returns true iff a retrain happened.
+    *
+    * `c` ≤ 0 (the default) re-derives the centroid count from the
+    * CURRENT corpus under the scale rule
+    * ([[VectorQueries.ivfCentroidCount]]) — the point of retraining a
+    * grown index is rarely the same c it started with (the r6 sf1 gate
+    * caught exactly this fixed-c recall cliff), and a hot list often
+    * cannot be split without more centroids. */
+  def retrainIvf(s: SparkSession, indexDir: String, c: Int = 0,
+      maxSkew: Double = 4.0, targetBytes: Long = 128L << 20): Boolean = {
+    import graft.retrieval.IvfIndex
+    readLists(s, indexDir, Long.MaxValue) match {
+      case None => false
+      case Some(lists) =>
+        val counts = lists.groupBy(col("centroid_id")).count()
+          .collect().map(_.getLong(1))
+        val cents0 = IvfIndex.loadCentroids(s, indexDir)
+        if (counts.isEmpty || cents0.isEmpty) return false
+        val skew = counts.max.toDouble / (counts.sum.toDouble / cents0.length)
+        if (skew <= maxSkew) return false
+        val all = lists.select(col("vec_id"), col("embedding"))
+          .localCheckpoint()
+        val cEff =
+          if (c > 0) c else VectorQueries.ivfCentroidCount(counts.sum)
+        val rebuilt = IvfIndex.buildCentroids(all, "vec_id", "embedding", cEff)
+        // thrash guard: if the deterministic rebuild cannot improve the
+        // balance (the hot list is a genuinely hot natural cluster —
+        // k-means re-finds it), skip the swap; repeated maintenance
+        // passes then converge to no-ops instead of rewriting the store
+        // every cadence for nothing
+        val newCounts = IvfIndex.assign(all, "vec_id", "embedding", rebuilt)
+          .groupBy(col("centroid_id")).count().collect().map(_.getLong(1))
+        val newSkew =
+          newCounts.max.toDouble / (newCounts.sum.toDouble / rebuilt.length)
+        if (newSkew >= skew) return false
+        IvfIndex.writeCentroids(s, rebuilt, indexDir)
+        graft.operators.Compaction.rewriteBatchDirs(
+          s, s"$indexDir/lists", Long.MaxValue, targetBytes,
+          partitionCols = Seq("centroid_id"),
+          rewrite = df => IvfIndex.withQ8(
+            IvfIndex.assign(df.select(col("vec_id"), col("embedding")),
+              "vec_id", "embedding", rebuilt), "embedding"))
+    }
+  }
+
   /** Fixed centroids, initialized from the first non-empty batch (the
     * same idempotent-overwrite contract as [[loadOrInitSeeds]]). */
   private def loadOrInitCentroids(s: SparkSession, indexDir: String,

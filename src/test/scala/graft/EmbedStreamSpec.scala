@@ -226,4 +226,96 @@ class EmbedStreamSpec extends SparkSpec {
     assert(ivfReplay.collect().map(_.toSeq).toSet == ivfR2,
       "IVF replay over the compacted index must be byte-identical")
   }
+
+  test("stored-IVF retrain: skew triggers a rebuild, recall recovers, no-op after") {
+    import graft.retrieval.IvfIndex
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val frame = input.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val dir = java.nio.file.Files.createTempDirectory("embstream-retrain").toString
+    // batch 0 spans four balanced families (centroids seed one per
+    // family); the later batches drift into a FAT family-0-aligned blob
+    // of four separable subfamilies — everything lands in list 0 (hot),
+    // and a rebuild CAN rebalance by splitting the subfamilies (with
+    // c = 4 the max possible skew is 4.0, so the trigger here is 2.5)
+    def driftVec(salt: Long): Seq[Float] = {
+      val rnd = new java.util.Random(salt * 7013L)
+      val sub = 4 + (salt % 4).toInt
+      Seq.tabulate(dim) { i =>
+        if (i == 0) 1.0f
+        else if (i == sub) 0.8f
+        else if (i >= 8) (0.01 * rnd.nextGaussian()).toFloat
+        else 0f
+      }
+    }
+    val batch0 = (0 until 24).map(i => (i.toLong, famVec(i % 4, i)))
+    val drift = (100 until 160).map(i => (i.toLong, driftVec(i)))
+    val q = EmbedStream.startIvf(spark, frame, s"$dir/index", s"$dir/reports",
+      s"$dir/ckpt", c = 4, k = 5, nprobe = 2)
+    try {
+      input.addData(batch0: _*)
+      q.processAllAvailable()
+      input.addData(drift.take(30): _*)
+      q.processAllAvailable()
+      input.addData(drift.drop(30): _*)
+      q.processAllAvailable()
+    } finally q.stop() // quiescent — the retrain contract
+
+    def skewOf(nLists: Int): Double = {
+      val counts = spark.read.parquet(s"$dir/index/lists")
+        .groupBy(col("centroid_id")).count().collect().map(_.getLong(1))
+      counts.max.toDouble / (counts.sum.toDouble / nLists)
+    }
+    val skewBefore = skewOf(4)
+    assert(skewBefore > 2.5, s"fixture must drift into skew, got $skewBefore")
+    val total = spark.read.parquet(s"$dir/index/lists").count()
+
+    // a crashed mid-stage attempt (tmp, no marker) must be discarded;
+    // the retrain grows c (4 → 8) — the grown corpus needs more lists
+    // to split the hot blob, the scale-rule story
+    val tmpDir = new java.io.File(s"$dir/index/lists/compact.tmp")
+    tmpDir.mkdirs()
+    assert(EmbedStream.retrainIvf(spark, s"$dir/index", c = 8, maxSkew = 2.5),
+      "retrain must trigger")
+    assert(!tmpDir.exists(), "crashed stage must be cleaned up")
+
+    // every vector survives, reassigned with q8, in ONE folded dir
+    val lists = spark.read.parquet(s"$dir/index/lists")
+    assert(lists.count() == total)
+    assert(lists.filter(col("centroid_id").isNull || col("q8").isNull).count() == 0)
+    val batchDirs = new java.io.File(s"$dir/index/lists").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(batchDirs.length == 1, batchDirs.map(_.getName).mkString(","))
+    assert(skewOf(8) <= 2.5, s"rebuild must balance the lists, got ${skewOf(8)}")
+
+    // probes over the rebuilt, swapped index: at full probe width the
+    // two-phase q8 search must equal driver-side brute force exactly —
+    // the swapped lists carry every vector with consistent codes
+    val cents = IvfIndex.loadCentroids(spark, s"$dir/index")
+    val queries = (0 until 4).map(f => (f.toLong + 900L, famVec(f, 9000L + f).toArray))
+    val res = IvfIndex.searchQ8Lists(
+      spark.read.parquet(s"$dir/index/lists"), "vec_id", "embedding",
+      queries, cents, nprobe = 8, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def cosL(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    queries.foreach { case (qid, qv) =>
+      val truth = (batch0 ++ drift)
+        .map { case (id, v) => (id, cosL(qv.toSeq, v)) }
+        .sortBy { case (id, sc) => (-sc, id) }.take(5).map(_._1).toSet
+      assert(res.getOrElse(qid, Set.empty) == truth,
+        s"query $qid: ${res.getOrElse(qid, Set.empty)} != brute $truth")
+    }
+
+    // balanced index → the next maintenance pass is a no-op
+    assert(!EmbedStream.retrainIvf(spark, s"$dir/index", c = 8, maxSkew = 2.5))
+  }
 }
