@@ -1877,9 +1877,64 @@ object EventQueries {
       |SELECT pair, n_exact, 0.15::DOUBLE AS rel_budget, TRUE AS est_ok
       |FROM x ORDER BY pair""".stripMargin
 
+  /** Sample-ratio-mismatch check (Fabijan et al. 2019, "Diagnosing
+    * Sample Ratio Mismatch in Online Controlled Experiments", KDD —
+    * public paper): the FIRST validity gate every experimentation
+    * platform runs before reading ev_ab_lift — is the 50/50 hash
+    * assignment actually delivering 50/50 among the users observed, per
+    * event type and overall? A skewed ratio means logging or triggering
+    * bias, and every downstream lift number is suspect. χ² for two
+    * equal-expectation cells reduces to (n_a − n_b)²/(n_a + n_b);
+    * threshold 10.83 = χ²₁ at α = 0.001 (the deliberately-strict SRM
+    * convention — an experimenter investigates, not shrugs). Exact
+    * integer counts + one closed-form division → fully hash-checkable.
+    * One distinct + one agg; only (type, user, variant) rows shuffle. */
+  def qSrmCheck(s: SparkSession, d: String): DataFrame = {
+    val variant = when(
+      conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 2 === 0, "A").otherwise("B")
+    val byType = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"), variant.as("variant"))
+      .distinct()
+    val overall = byType
+      .select(lit("_overall").as("event_type"), col("user_id"), col("variant"))
+      .distinct()
+    byType.unionByName(overall)
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(col("variant") === "A", 1)).as("n_a"),
+        count(when(col("variant") === "B", 1)).as("n_b"))
+      .withColumn("chi2", round(
+        (col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) /
+          (col("n_a") + col("n_b")).cast("double"), 6))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("chi2"),
+        lit(10.83).as("threshold"), (col("chi2") <= 10.83).as("srm_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  val qSrmCheckSql: String =
+    """WITH bt AS (
+      |  SELECT DISTINCT event_type, user_id,
+      |    CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::INTEGER % 2 = 0
+      |         THEN 'A' ELSE 'B' END variant
+      |  FROM events),
+      |u AS (SELECT event_type, user_id, variant FROM bt
+      |  UNION SELECT DISTINCT '_overall', user_id, variant FROM bt),
+      |c AS (SELECT event_type,
+      |    count(CASE WHEN variant = 'A' THEN 1 END) n_a,
+      |    count(CASE WHEN variant = 'B' THEN 1 END) n_b
+      |  FROM u GROUP BY 1)
+      |SELECT event_type, n_a, n_b,
+      |  round((n_a - n_b) * (n_a - n_b) / (n_a + n_b)::DOUBLE, 6) AS chi2,
+      |  10.83::DOUBLE AS threshold,
+      |  round((n_a - n_b) * (n_a - n_b) / (n_a + n_b)::DOUBLE, 6) <= 10.83::DOUBLE
+      |    AS srm_ok
+      |FROM c ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_funnel_latency" -> (qFunnelLatency _),
     "ev_reach_intersect_gate" -> (qReachIntersectGate _),
+    "ev_srm_check" -> (qSrmCheck _),
     "ev_reach_sketch" -> (qReachSketchRollup _),
     "ev_reach_sketch_gate" -> (qReachSketchGate _),
     "ev_user_reach_gate" -> (qUserReachGate _),
@@ -1944,6 +1999,7 @@ object EventQueries {
     "ev_funnel" -> qEventFunnelSql,
     "ev_funnel_latency" -> qFunnelLatencySql,
     "ev_reach_intersect_gate" -> qReachIntersectGateSql,
+    "ev_srm_check" -> qSrmCheckSql,
     "ev_pivot" -> qEventPivotSql,
     // approx_percentile estimates aren't SQL-reproducible; the gate row
     // IS the check — any rank-budget violation flips a boolean and
