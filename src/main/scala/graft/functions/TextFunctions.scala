@@ -62,6 +62,24 @@ object TextFunctions {
     org.apache.spark.sql.GraftBridge.column(
       MinHashSignature(org.apache.spark.sql.GraftBridge.expression(shingleCol), numHashes))
 
+  /** THE LSH band layout, defined once: explode a `sig` minhash-array
+    * column into (…carry cols, band_idx, band_key) rows, where band_key
+    * = xxhash64 of the band's contiguous `numHashes / bands` signature
+    * slice. Every consumer — the batch LSH join, the tuning curve's
+    * nested-band containment gate, the streaming index's postings and
+    * the serving probe — shares this one definition, so they cannot
+    * drift on slicing or hashing (the containment and stream ≡ batch
+    * invariants all assume byte-identical banding). */
+  def minhashBands(signed: org.apache.spark.sql.DataFrame,
+      numHashes: Int, bands: Int): org.apache.spark.sql.DataFrame = {
+    val rows = numHashes / bands
+    val carry = signed.columns.filter(_ != "sig").map(col)
+    signed.select((carry :+
+      posexplode(array((0 until bands).map { bi =>
+        xxhash64(slice(col("sig"), bi * rows + 1, rows))
+      }: _*)).as(Seq("band_idx", "band_key"))).toIndexedSeq: _*)
+  }
+
   /** SimHash over 60 bits (native [[SimHash60]] expression): md5-derived
     * per-distinct-token hashes voting per bit — value-identical to the SQL
     * form `('0x'||substr(md5(t),1,15))::BIGINT`, so oracle-reproducible. */

@@ -170,7 +170,6 @@ object DedupQueries {
   def qDedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val numHashes = 128
     val bands = 32
-    val rows = numHashes / bands // 4
     val sh = shingleRel(s, d)
     val signed = sh.select(col("doc_id"),
       minhashSignature(col("sh"), numHashes).as("sig"))
@@ -178,11 +177,7 @@ object DedupQueries {
     // LSH: explode into (band_idx, band_key) buckets; pair within bucket.
     // The banded relation stays narrow — (doc_id, band, 64-bit key) — so
     // the self-join shuffles ~bands×N tiny rows, never the shingle arrays.
-    val banded = signed.select(
-      col("doc_id"),
-      posexplode(array((0 until bands).map { bi =>
-        xxhash64(slice(col("sig"), bi * rows + 1, rows))
-      }: _*)).as(Seq("band_idx", "band_key")))
+    val banded = minhashBands(signed, numHashes, bands)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -245,12 +240,7 @@ object DedupQueries {
     val nTruth = truth.count().toDouble
 
     def candidates(bands: Int): DataFrame = {
-      val rows = numHashes / bands
-      val banded = signed.select(
-        col("doc_id"),
-        posexplode(array((0 until bands).map { bi =>
-          xxhash64(slice(col("sig"), bi * rows + 1, rows))
-        }: _*)).as(Seq("band_idx", "band_key")))
+      val banded = minhashBands(signed, numHashes, bands)
       banded.as("a")
         .join(banded.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
@@ -285,12 +275,7 @@ object DedupQueries {
     val signed = sh.select(col("doc_id"),
       minhashSignature(col("sh"), numHashes).as("sig")).localCheckpoint()
     Seq(32, 16, 8, 4).map { bands =>
-      val rows = numHashes / bands
-      val banded = signed.select(
-        col("doc_id"),
-        posexplode(array((0 until bands).map { bi =>
-          xxhash64(slice(col("sig"), bi * rows + 1, rows))
-        }: _*)).as(Seq("band_idx", "band_key")))
+      val banded = minhashBands(signed, numHashes, bands)
       val n = banded.as("a")
         .join(banded.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
@@ -439,7 +424,6 @@ object DedupQueries {
   def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
     val numHashes = 128
     val bands = 32
-    val rows = numHashes / bands
     val isNew = col("doc_id") % 5 === 0
     val docs = Tables.documents(s, d)
     val fp = docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
@@ -449,11 +433,7 @@ object DedupQueries {
     val sh = shingleRel(s, d)
     val signed = sh.select(col("doc_id"),
       minhashSignature(col("sh"), numHashes).as("sig"))
-    val banded = signed.select(
-      col("doc_id"),
-      posexplode(array((0 until bands).map { bi =>
-        xxhash64(slice(col("sig"), bi * rows + 1, rows))
-      }: _*)).as(Seq("band_idx", "band_key")))
+    val banded = minhashBands(signed, numHashes, bands)
     val cand = banded.filter(isNew).as("a")
       .join(banded.filter(!isNew).as("b"),
         col("a.band_idx") === col("b.band_idx") &&

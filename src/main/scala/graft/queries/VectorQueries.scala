@@ -943,7 +943,10 @@ object VectorQueries {
   /** The silhouette oracle rides the same unrolled-Lloyd prologue as
     * [[qKmeansSql]], then ranks every (point, centroid) rounded cosine
     * and folds rank-1/rank-2 into the identical (rc1 − rc2)/(1 − rc2)
-    * arithmetic. */
+    * arithmetic. t2 joins LEFT with a NULL guard so a degenerate corpus
+    * whose Lloyd run collapses to one surviving centroid (no rn = 2
+    * row) yields s = 0 exactly like the engine's missing-rc2 branch,
+    * instead of silently dropping every row. */
   val qSilhouetteSql: String =
     s"""WITH ${kmeansPrologueSql(8, 3)}sc AS (
        |  SELECT e.vec_id, s.cid,
@@ -954,9 +957,9 @@ object VectorQueries {
        |t1 AS (SELECT vec_id, cid cluster_id, rc rc1 FROM rk WHERE rn = 1),
        |t2 AS (SELECT vec_id, rc rc2 FROM rk WHERE rn = 2),
        |sil AS (SELECT t1.vec_id, t1.cluster_id,
-       |  CASE WHEN 1.0 - t2.rc2 <= 0 THEN 0.0
+       |  CASE WHEN t2.rc2 IS NULL OR 1.0 - t2.rc2 <= 0 THEN 0.0
        |       ELSE round((t1.rc1 - t2.rc2) / (1.0 - t2.rc2), 6) END sv
-       |  FROM t1 JOIN t2 USING (vec_id))
+       |  FROM t1 LEFT JOIN t2 USING (vec_id))
        |SELECT cluster_id, count(*)::BIGINT n, round(avg(sv), 4) mean_sil,
        |  min(sv) min_sil, max(sv) max_sil
        |FROM sil GROUP BY 1 ORDER BY cluster_id""".stripMargin

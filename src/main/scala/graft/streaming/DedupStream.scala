@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.functions.TextFunctions.{fingerprint, jaccardShingles, minhashSignature, shingles}
+import graft.functions.TextFunctions.{fingerprint, jaccardShingles, minhashBands, minhashSignature, shingles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -93,18 +93,13 @@ object MinhashStream {
     * Exposed so specs can reproduce a redelivered batch byte-for-byte. */
   def writeDelta(batch: DataFrame, indexDir: String, batchId: Long): Unit = {
     val s = batch.sparkSession
-    val rows = NumHashes / Bands
     val sh = batch
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
-    val banded = sh
-      .select(col("doc_id"),
-        minhashSignature(col("sh"), NumHashes).as("sig"))
-      .select(col("doc_id"),
-        posexplode(array((0 until Bands).map { bi =>
-          xxhash64(slice(col("sig"), bi * rows + 1, rows))
-        }: _*)).as(Seq("band_idx", "band_key")))
+    val banded = minhashBands(
+      sh.select(col("doc_id"), minhashSignature(col("sh"), NumHashes).as("sig")),
+      NumHashes, Bands)
       .localCheckpoint()
 
     // probe the STRICTLY-BEFORE stored postings (the [[EmbedStream]]
@@ -189,17 +184,13 @@ object MinhashStream {
   def probeText(s: SparkSession, indexDir: String, text: String,
       threshold: Double = Threshold): Seq[(Long, Double)] = {
     import s.implicits._
-    val rows = NumHashes / Bands
     val one = Seq(text).toDF("text")
       .select(shingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
     if (one.isEmpty) return Nil
-    val probe = one
-      .select(col("sh"), minhashSignature(col("sh"), NumHashes).as("sig"))
-      .select(col("sh"),
-        posexplode(array((0 until Bands).map { bi =>
-          xxhash64(slice(col("sig"), bi * rows + 1, rows))
-        }: _*)).as(Seq("band_idx", "band_key")))
+    val probe = minhashBands(
+      one.select(col("sh"), minhashSignature(col("sh"), NumHashes).as("sig")),
+      NumHashes, Bands)
       .localCheckpoint()
     val stored = before(s, s"$indexDir/bands", Long.MaxValue,
       "doc_id BIGINT, band_idx INT, band_key BIGINT")

@@ -213,12 +213,18 @@ object EmbedStream {
         val cEff =
           if (c > 0) c else VectorQueries.ivfCentroidCount(counts.sum)
         val rebuilt = IvfIndex.buildCentroids(all, "vec_id", "embedding", cEff)
+        // ONE assignment pass serves both the thrash guard and the
+        // staged rewrite (the full-corpus assign is the retrain's
+        // dominant cost — don't pay it twice)
+        val reassigned = IvfIndex.withQ8(
+          IvfIndex.assign(all, "vec_id", "embedding", rebuilt), "embedding")
+          .localCheckpoint()
         // thrash guard: if the deterministic rebuild cannot improve the
         // balance (the hot list is a genuinely hot natural cluster —
         // k-means re-finds it), skip the swap; repeated maintenance
         // passes then converge to no-ops instead of rewriting the store
         // every cadence for nothing
-        val newCounts = IvfIndex.assign(all, "vec_id", "embedding", rebuilt)
+        val newCounts = reassigned
           .groupBy(col("centroid_id")).count().collect().map(_.getLong(1))
         val newSkew =
           newCounts.max.toDouble / (newCounts.sum.toDouble / rebuilt.length)
@@ -227,9 +233,7 @@ object EmbedStream {
         graft.operators.Compaction.rewriteBatchDirs(
           s, s"$indexDir/lists", Long.MaxValue, targetBytes,
           partitionCols = Seq("centroid_id"),
-          rewrite = df => IvfIndex.withQ8(
-            IvfIndex.assign(df.select(col("vec_id"), col("embedding")),
-              "vec_id", "embedding", rebuilt), "embedding"))
+          rewrite = _ => reassigned)
     }
   }
 

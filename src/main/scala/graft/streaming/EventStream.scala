@@ -347,12 +347,19 @@ object EventStream {
   def funnelAnchors(events: Dataset[TEv]): Dataset[AnchorMark] = {
     import events.sparkSession.implicits._
     val Unset = Long.MinValue
+    // batch anchors are PURE timestamp comparisons (us >= tv admits a
+    // click at the same instant as the view), so within one timestamp
+    // the fold must apply prerequisite stages first — view before click
+    // before purchase — or a same-instant pair sorted click-first would
+    // silently drop the click the batch query counts at latency 0
+    val stageRank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[AnchorState, AnchorMark](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, evs: Iterator[TEv], state: GroupState[AnchorState]) =>
-          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val sorted = evs.toSeq.sortBy(e =>
+            (micros(e.ts), stageRank.getOrElse(e.event_type, 3), e.event_id))
           val out = scala.collection.mutable.ArrayBuffer.empty[AnchorMark]
           var st = state.getOption.getOrElse(AnchorState(Unset, Unset, Unset))
           sorted.foreach { e =>

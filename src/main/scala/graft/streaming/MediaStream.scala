@@ -55,11 +55,7 @@ object MediaStream {
     import s.implicits._
     blobs.select(col("media_id"), col("blob"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.grouped(Media.BatchSize).flatMap(_.map {
-          case (id, blob) => probeAny(id, blob)
-        })
-      }
+      .mapPartitions(_.map { case (id, blob) => probeAny(id, blob) })
   }
 
   /** Start maintaining the metadata ledger at `ledgerDir` from a
@@ -81,17 +77,30 @@ object MediaStream {
     ()
   }
 
-  /** Merge-on-read view of the accumulated metadata ledger. */
+  /** Merge-on-read view of the accumulated metadata ledger. Reads ONLY
+    * `batch=<id>` dirs (never a naive root read): a crashed compact can
+    * leave `compact.tmp` beside the deltas until the next maintenance
+    * pass resumes it, and naive partition discovery would throw on the
+    * mixed layout — the same listing discipline as the MinHash and IVF
+    * stores. */
   def metadata(s: SparkSession, ledgerDir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(ledgerDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      s.read.parquet(ledgerDir).drop("batch")
-    else s.createDataFrame(
+    val empty = s.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL(
         "media_id BIGINT, kind STRING, format STRING, width INT, " +
           "height INT, sample_rate INT, channels INT, duration_ms BIGINT"))
+    if (!fs.exists(p)) return empty
+    val parts = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filter(st => fs.listStatus(st.getPath)
+        .exists(_.getPath.getName.endsWith(".parquet")))
+      .map(_.getPath.toString)
+    if (parts.isEmpty) empty
+    else s.read.parquet(parts: _*)
+      .select(col("media_id"), col("kind"), col("format"), col("width"),
+        col("height"), col("sample_rate"), col("channels"), col("duration_ms"))
   }
 
   /** Small-file hygiene, same contract as the other streaming stores. */

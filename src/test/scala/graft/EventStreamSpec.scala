@@ -656,18 +656,23 @@ class EventStreamSpec extends SparkSpec {
       q.processAllAvailable()
       // batch 2 bridges state: user 1's first valid click locks (the
       // second click is silent), then the purchase; user 2's purchase
-      // without any click stays rejected
+      // without any click stays rejected; user 3's whole journey lands
+      // at ONE instant with the click FIRST by event_id — the batch
+      // semantics (us >= tv) count it, so the stream must too
       input.addData(
         TEv(1, 4, ts(10), "click"), TEv(1, 5, ts(12), "click"),
         TEv(1, 6, ts(15), "purchase"),
-        TEv(2, 7, ts(3), "purchase"))
+        TEv(2, 7, ts(3), "purchase"),
+        TEv(3, 8, ts(20), "purchase"), TEv(3, 9, ts(20), "click"),
+        TEv(3, 10, ts(20), "view"))
       q.processAllAvailable()
     } finally q.stop()
     val got = spark.table("anchors").as[AnchorMark].collect()
       .map(m => (m.user_id, m.anchor, m.ts)).toSet
     assert(got == Set(
       (1L, "view", ts(5)), (1L, "click", ts(10)), (1L, "purchase", ts(15)),
-      (2L, "view", ts(0))))
+      (2L, "view", ts(0)),
+      (3L, "view", ts(20)), (3L, "click", ts(20)), (3L, "purchase", ts(20))))
   }
 
   test("funnel anchors: ledger report equals the batch latency query on testdata") {
