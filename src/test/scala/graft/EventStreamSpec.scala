@@ -675,6 +675,48 @@ class EventStreamSpec extends SparkSpec {
       (3L, "view", ts(20)), (3L, "click", ts(20)), (3L, "purchase", ts(20))))
   }
 
+  test("property: funnel anchors equal the batch report on random tie-dense streams") {
+    import graft.streaming.EventStream.TEv
+    implicit val sqlCtx = spark.sqlContext
+    val types = Array("view", "click", "purchase", "error")
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(4200 + seed)
+      // minutes drawn from a SMALL range so same-instant collisions are
+      // common — the equal-timestamp ordering class the review caught
+      val evs = (0 until 80).map { i =>
+        TEv(rnd.nextInt(5).toLong + 1, i.toLong,
+          ts(rnd.nextInt(12)), types(rnd.nextInt(4)))
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"funprop$seed").toString
+      evs.map(e => (e.event_id, e.ts, e.user_id, e.event_type, 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      // event-time-ordered delivery with prerequisite stages first
+      // within one instant (the arrival premise the operator documents);
+      // cuts land anywhere, including mid-timestamp
+      val rank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+      val ordered = evs.sortBy(e =>
+        (e.ts.getTime, rank.getOrElse(e.event_type, 3), e.event_id))
+      val cuts = Seq(rnd.nextInt(40) + 1, rnd.nextInt(39) + 41).sorted
+      val name = s"funprop$seed"
+      val input = MemoryStream[TEv]
+      val q = EventStream.funnelAnchors(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        Seq(ordered.take(cuts(0)), ordered.slice(cuts(0), cuts(1)),
+          ordered.drop(cuts(1))).foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val stream = EventStream.funnelLatencyReport(spark.table(name))
+        .collect().map(_.toSeq).toSeq
+      val batch = graft.queries.EventQueries.qFunnelLatency(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(stream == batch, s"seed $seed: $stream != $batch")
+    }
+  }
+
   test("funnel anchors: ledger report equals the batch latency query on testdata") {
     import graft.streaming.EventStream.TEv
     implicit val sqlCtx = spark.sqlContext
