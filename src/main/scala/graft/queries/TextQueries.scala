@@ -1070,6 +1070,7 @@ object TextQueries {
     "td_quality_tiers" -> (qQualityTiers _),
     "td_drift" -> (qDrift _),
     "td_curriculum" -> (qCurriculum _),
+    "td_dataset_card" -> (qDatasetCard _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1093,7 +1094,57 @@ object TextQueries {
     "td_quality_tiers" -> qQualityTiersSql,
     "td_drift" -> qDriftSql,
     "td_curriculum" -> qCurriculumSql,
+    "td_dataset_card" -> qDatasetCardSql,
   )
+
+  /** Dataset card (Gebru et al. 2021, "Datasheets for Datasets", CACM —
+    * public practice): the one-row headline summary a corpus release
+    * ships — volume (docs/tokens/chars), composition (languages,
+    * sources, the dominant language and its share), and integrity
+    * (distinct normalized texts → exact-dup rate) — composed from the
+    * SAME kernels the detailed reports use (tokenCount, fingerprint),
+    * so the card can never disagree with the reports it summarizes.
+    * One corpus scan + a one-row broadcast for the top-language join;
+    * every aggregate is map-side combinable. */
+  def qDatasetCard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val totals = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount(col("text"))).as("n_tokens"),
+      sum(length(col("text"))).cast("long").as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(fingerprint(col("text"))).as("n_unique_texts"))
+    val topLang = docs.groupBy(col("lang")).count()
+      .orderBy(col("count").desc, col("lang"))
+      .limit(1)
+      .select(col("lang").as("top_lang"), col("count").as("top_lang_docs"))
+    totals.crossJoin(broadcast(topLang))
+      .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_langs"), col("n_sources"), col("n_unique_texts"),
+        round(lit(1.0) - col("n_unique_texts") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"),
+        col("top_lang"),
+        round(col("top_lang_docs") / col("n_docs").cast("double"), 6)
+          .as("top_lang_share"))
+  }
+
+  val qDatasetCardSql: String =
+    """WITH t AS (SELECT
+      |    count(*) AS n_docs,
+      |    sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS n_tokens,
+      |    sum(length(text))::BIGINT AS n_chars,
+      |    count(DISTINCT lang) AS n_langs,
+      |    count(DISTINCT source) AS n_sources,
+      |    count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+      |      AS n_unique_texts
+      |  FROM documents),
+      |tl AS (SELECT lang AS top_lang, count(*) AS top_lang_docs
+      |  FROM documents GROUP BY 1 ORDER BY count(*) DESC, lang LIMIT 1)
+      |SELECT n_docs, n_tokens, n_chars, n_langs, n_sources, n_unique_texts,
+      |  round(1.0::DOUBLE - n_unique_texts / n_docs::DOUBLE, 6) AS dup_rate,
+      |  top_lang, round(top_lang_docs / n_docs::DOUBLE, 6) AS top_lang_share
+      |FROM t, tl""".stripMargin
 
   /** Curriculum phase assembly (Bengio et al. 2009, "Curriculum
     * Learning", ICML — public paper): order the corpus easy→hard by a
