@@ -1931,10 +1931,124 @@ object EventQueries {
       |    AS srm_ok
       |FROM c ORDER BY event_type""".stripMargin
 
+  /** CUPED variance reduction (Deng et al. 2013, "Improving the
+    * Sensitivity of Online Controlled Experiments by Utilizing
+    * Pre-Experiment Data", WSDM — public paper): the third leg of the
+    * experimentation toolkit next to ev_ab_lift and ev_srm_check.
+    * Covariate x = each user's PRE-period purchase count (Jan 1–15),
+    * outcome y = converted in the experiment period (Jan 16–30);
+    * θ = cov(x,y)/var(x), adjusted outcome y′ = y − θ(x − x̄), giving
+    * var(y′) = var(y) − cov²/var(x) — the same treatment-effect
+    * estimate with strictly less variance, i.e. the same experiment
+    * decided in fewer days. Reported: θ, both variances, the reduction
+    * share, and the raw vs adjusted B−A effect.
+    *
+    * Every statistic derives from ONE corpus scan's integer moment sums
+    * (x, y are counts/indicators, so Σx, Σy, Σxy, Σx² are exact and the
+    * closed-form doubles are engine-identical); the moment row is
+    * 1-row, the rest is driver arithmetic. */
+  def qCupedLift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    val variant = when(
+      conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 2 === 0, "A").otherwise("B")
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"), variant.as("v"))
+    val perUser = ev
+      .groupBy(col("user_id"), col("v"))
+      .agg(
+        sum(when(col("ts") < cutoff && col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("x"),
+        max(when(col("ts") >= cutoff && col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("y"),
+        max(when(col("ts") >= cutoff, 1L).otherwise(0L)).as("in_exp"))
+      .filter(col("in_exp") === 1L)
+    val m = perUser.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+      count(when(col("v") === "A", 1)).as("na"),
+      sum(when(col("v") === "A", col("x")).otherwise(0L)).as("sxa"),
+      sum(when(col("v") === "A", col("y")).otherwise(0L)).as("sya"),
+      count(when(col("v") === "B", 1)).as("nb"),
+      sum(when(col("v") === "B", col("x")).otherwise(0L)).as("sxb"),
+      sum(when(col("v") === "B", col("y")).otherwise(0L)).as("syb")).head()
+    val (n, sx, sy, sxy, sxx) = (m.getLong(0).toDouble, m.getLong(1).toDouble,
+      m.getLong(2).toDouble, m.getLong(3).toDouble, m.getLong(4).toDouble)
+    val (na, sxa, sya) = (m.getLong(5).toDouble, m.getLong(6).toDouble,
+      m.getLong(7).toDouble)
+    val (nb, sxb, syb) = (m.getLong(8).toDouble, m.getLong(9).toDouble,
+      m.getLong(10).toDouble)
+    val xbar = sx / n
+    val varX = sxx / n - xbar * xbar
+    val cov = sxy / n - xbar * (sy / n)
+    val theta = if (varX <= 0) 0.0 else cov / varX
+    val varY = sy / n - (sy / n) * (sy / n) // y² = y for a 0/1 outcome
+    val varCuped = varY - theta * cov
+    val reduction = if (varY <= 0) 0.0 else 1.0 - varCuped / varY
+    val rawDiff = syb / nb - sya / na
+    val adjDiff = (syb / nb - theta * (sxb / nb - xbar)) -
+      (sya / na - theta * (sxa / na - xbar))
+    // HALF_UP (= away from zero on both signs) matches DuckDB's round
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((m.getLong(0), r6(theta), r6(varY), r6(varCuped), r6(reduction),
+      r6(rawDiff), r6(adjDiff)))
+      .toDF("n_users", "theta", "var_y", "var_cuped", "var_reduction",
+        "raw_diff", "adj_diff")
+  }
+
+  val qCupedLiftSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_type,
+      |    CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::INTEGER % 2 = 0
+      |         THEN 'A' ELSE 'B' END v
+      |  FROM events),
+      |pu AS (
+      |  SELECT user_id, v,
+      |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+      |             AND event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT x,
+      |    max(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |             AND event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT y,
+      |    max(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |             THEN 1 ELSE 0 END) in_exp
+      |  FROM ev GROUP BY 1, 2),
+      |m AS (
+      |  SELECT count(*)::BIGINT n, sum(x)::BIGINT sx, sum(y)::BIGINT sy,
+      |    sum(x*y)::BIGINT sxy, sum(x*x)::BIGINT sxx,
+      |    count(CASE WHEN v = 'A' THEN 1 END)::BIGINT na,
+      |    sum(CASE WHEN v = 'A' THEN x ELSE 0 END)::BIGINT sxa,
+      |    sum(CASE WHEN v = 'A' THEN y ELSE 0 END)::BIGINT sya,
+      |    count(CASE WHEN v = 'B' THEN 1 END)::BIGINT nb,
+      |    sum(CASE WHEN v = 'B' THEN x ELSE 0 END)::BIGINT sxb,
+      |    sum(CASE WHEN v = 'B' THEN y ELSE 0 END)::BIGINT syb
+      |  FROM pu WHERE in_exp = 1),
+      |c AS (
+      |  SELECT n, sx::DOUBLE / n xbar,
+      |    sxx::DOUBLE / n - (sx::DOUBLE / n) * (sx::DOUBLE / n) var_x,
+      |    sxy::DOUBLE / n - (sx::DOUBLE / n) * (sy::DOUBLE / n) cov,
+      |    sy::DOUBLE / n - (sy::DOUBLE / n) * (sy::DOUBLE / n) var_y,
+      |    sya::DOUBLE / na mya, sxa::DOUBLE / na mxa,
+      |    syb::DOUBLE / nb myb, sxb::DOUBLE / nb mxb
+      |  FROM m),
+      |t AS (SELECT *, CASE WHEN var_x <= 0 THEN 0.0::DOUBLE
+      |    ELSE cov / var_x END theta FROM c)
+      |SELECT n AS n_users, round(theta, 6) AS theta,
+      |  round(var_y, 6) AS var_y,
+      |  round(var_y - theta * cov, 6) AS var_cuped,
+      |  CASE WHEN var_y <= 0 THEN 0.0::DOUBLE
+      |       ELSE round(1.0::DOUBLE - (var_y - theta * cov) / var_y, 6)
+      |  END AS var_reduction,
+      |  round(myb - mya, 6) AS raw_diff,
+      |  round((myb - theta * (mxb - xbar)) - (mya - theta * (mxa - xbar)), 6)
+      |    AS adj_diff
+      |FROM t""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_funnel_latency" -> (qFunnelLatency _),
     "ev_reach_intersect_gate" -> (qReachIntersectGate _),
     "ev_srm_check" -> (qSrmCheck _),
+    "ev_cuped" -> (qCupedLift _),
     "ev_reach_sketch" -> (qReachSketchRollup _),
     "ev_reach_sketch_gate" -> (qReachSketchGate _),
     "ev_user_reach_gate" -> (qUserReachGate _),
@@ -2000,6 +2114,7 @@ object EventQueries {
     "ev_funnel_latency" -> qFunnelLatencySql,
     "ev_reach_intersect_gate" -> qReachIntersectGateSql,
     "ev_srm_check" -> qSrmCheckSql,
+    "ev_cuped" -> qCupedLiftSql,
     "ev_pivot" -> qEventPivotSql,
     // approx_percentile estimates aren't SQL-reproducible; the gate row
     // IS the check — any rank-budget violation flips a boolean and
