@@ -1986,9 +1986,15 @@ object EventQueries {
     val varY = sy / n - (sy / n) * (sy / n) // y² = y for a 0/1 outcome
     val varCuped = varY - theta * cov
     val reduction = if (varY <= 0) 0.0 else 1.0 - varCuped / varY
-    val rawDiff = syb / nb - sya / na
-    val adjDiff = (syb / nb - theta * (sxb / nb - xbar)) -
-      (sya / na - theta * (sxa / na - xbar))
+    // an empty variant arm (every observed user hashed to one side —
+    // possible at tiny SF) has no defined lift: emit 0.0 instead of
+    // NaN, which BigDecimal would reject; mirrors the varX<=0 θ guard
+    // and the oracle's one-arm CASE
+    val oneArm = na == 0 || nb == 0
+    val rawDiff = if (oneArm) 0.0 else syb / nb - sya / na
+    val adjDiff = if (oneArm) 0.0
+      else (syb / nb - theta * (sxb / nb - xbar)) -
+        (sya / na - theta * (sxa / na - xbar))
     // HALF_UP (= away from zero on both signs) matches DuckDB's round
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -2039,9 +2045,12 @@ object EventQueries {
       |  CASE WHEN var_y <= 0 THEN 0.0::DOUBLE
       |       ELSE round(1.0::DOUBLE - (var_y - theta * cov) / var_y, 6)
       |  END AS var_reduction,
-      |  round(myb - mya, 6) AS raw_diff,
-      |  round((myb - theta * (mxb - xbar)) - (mya - theta * (mxa - xbar)), 6)
-      |    AS adj_diff
+      |  CASE WHEN mya IS NULL OR myb IS NULL THEN 0.0::DOUBLE
+      |       ELSE round(myb - mya, 6) END AS raw_diff,
+      |  CASE WHEN mya IS NULL OR myb IS NULL THEN 0.0::DOUBLE
+      |       ELSE round((myb - theta * (mxb - xbar))
+      |                  - (mya - theta * (mxa - xbar)), 6)
+      |  END AS adj_diff
       |FROM t""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -75,10 +75,14 @@ object MultimodalQueries {
     * ([[Media.resize]]): first frame → 4×4 average-pooled thumbnail. The
     * oracle recomputes every pooled cell from the blob's ASCII source
     * arithmetically, so the grid layout, padding and floor-mean are all
-    * hash-checked. */
+    * hash-checked. The 16 cells are emitted as one '-'-joined scalar so
+    * the harness can sort/hash the column (array columns are unhashable
+    * in the pandas normalizer). */
   def qThumb(s: SparkSession, d: String): DataFrame =
     Media.resize(Media.mediaTable(s, d)).toDF()
-      .select(col("media_id"), col("kind"), col("thumb"))
+      .select(
+        col("media_id"), col("kind"),
+        array_join(col("thumb").cast("array<string>"), "-").as("thumb"))
       .orderBy(col("media_id"))
 
   val qThumbSql: String = {
@@ -91,7 +95,7 @@ object MultimodalQueries {
     s"""SELECT doc_id AS media_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
       |    ELSE 'video' END AS kind,
-      |  $cells AS thumb
+      |  array_to_string($cells, '-') AS thumb
       |FROM documents ORDER BY media_id""".stripMargin
   }
 

@@ -180,9 +180,31 @@ object MinhashStream {
     * against the stored postings, fetch only candidate shingle sets,
     * verify exact Jaccard. Cost is collisions-bounded, never a corpus
     * scan of the text itself. Returns (doc_id, jaccard) matches ≥ the
-    * threshold, best first. */
+    * threshold, best first.
+    *
+    * Safe to serve concurrently with [[compact]]: the dir listing and
+    * the Parquet reads are not atomic, so a fold can delete a listed
+    * `batch=` dir mid-probe — the probe then retries against a fresh
+    * listing (the folded dir carries the same rows, so the retry sees
+    * an equivalent index; bounded retries, the store quiesces after
+    * one fold). */
   def probeText(s: SparkSession, indexDir: String, text: String,
       threshold: Double = Threshold): Seq[(Long, Double)] = {
+    def fileGone(e: Throwable): Boolean =
+      e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
+        fileGone(e.getCause))
+    var attempt = 0
+    while (true) {
+      try return probeTextOnce(s, indexDir, text, threshold)
+      catch {
+        case e: Throwable if fileGone(e) && attempt < 3 => attempt += 1
+      }
+    }
+    Nil // unreachable
+  }
+
+  private def probeTextOnce(s: SparkSession, indexDir: String, text: String,
+      threshold: Double): Seq[(Long, Double)] = {
     import s.implicits._
     val one = Seq(text).toDF("text")
       .select(shingles(col("text"), 3).as("sh"))

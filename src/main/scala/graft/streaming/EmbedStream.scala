@@ -182,13 +182,16 @@ object EmbedStream {
     * CONTRACT: run while the stream is quiescent (stopped, or between
     * micro-batches with the last batch committed) — the rewrite covers
     * every batch dir, so a redelivered batch overwriting the folded dir
-    * would lose the fold. Centroids write FIRST: a crash between the
-    * centroid write and the list swap leaves probes degraded (new
-    * geometry over old assignments — results stay verified-exact
-    * subsets, recall dips) but REPAIRABLE — the skew that triggered the
-    * retrain is computed from the unswapped lists, so re-running the
-    * maintenance pass stages the identical deterministic rebuild and
-    * completes the swap. Returns true iff a retrain happened.
+    * would lose the fold. A `_retrain_pending` marker is written before
+    * the first visible mutation and removed after the swap commits, so
+    * a crash anywhere between (including between the centroid write and
+    * the list swap, where probes see new geometry over old assignments —
+    * degraded but verified-exact subsets) is REPAIRED unconditionally by
+    * the next maintenance pass: the marker bypasses the skew and thrash
+    * gates, whose inputs are no longer self-consistent mid-swap (the
+    * re-derived centroid count can differ from the count that produced
+    * the stored lists), and the deterministic rebuild re-stages and
+    * completes the identical swap. Returns true iff a retrain happened.
     *
     * `c` ≤ 0 (the default) re-derives the centroid count from the
     * CURRENT corpus under the scale rule
@@ -202,12 +205,14 @@ object EmbedStream {
     readLists(s, indexDir, Long.MaxValue) match {
       case None => false
       case Some(lists) =>
+        val (mfs, marker) = fsOf(s, s"$indexDir/_retrain_pending")
+        val pending = mfs.exists(marker)
         val counts = lists.groupBy(col("centroid_id")).count()
           .collect().map(_.getLong(1))
         val cents0 = IvfIndex.loadCentroids(s, indexDir)
         if (counts.isEmpty || cents0.isEmpty) return false
         val skew = counts.max.toDouble / (counts.sum.toDouble / cents0.length)
-        if (skew <= maxSkew) return false
+        if (!pending && skew <= maxSkew) return false
         val all = lists.select(col("vec_id"), col("embedding"))
           .localCheckpoint()
         val cEff =
@@ -228,12 +233,17 @@ object EmbedStream {
           .groupBy(col("centroid_id")).count().collect().map(_.getLong(1))
         val newSkew =
           newCounts.max.toDouble / (newCounts.sum.toDouble / rebuilt.length)
-        if (newSkew >= skew) return false
+        // a pending repair must complete even if the rebuild no longer
+        // beats the (mid-swap, inconsistent) measured skew
+        if (!pending && newSkew >= skew) return false
+        mfs.create(marker, true).close()
         IvfIndex.writeCentroids(s, rebuilt, indexDir)
-        graft.operators.Compaction.rewriteBatchDirs(
+        val swapped = graft.operators.Compaction.rewriteBatchDirs(
           s, s"$indexDir/lists", Long.MaxValue, targetBytes,
           partitionCols = Seq("centroid_id"),
           rewrite = _ => reassigned)
+        mfs.delete(marker, false)
+        swapped
     }
   }
 

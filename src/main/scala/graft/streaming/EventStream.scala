@@ -324,8 +324,13 @@ object EventStream {
 
   /** Per-user funnel anchors as they become known: first view, first
     * click at-or-after it, first purchase at-or-after that (micros;
-    * MinValue = unset). */
-  case class AnchorState(tvUs: Long, tcUs: Long, tpUs: Long)
+    * MinValue = unset). `pendCUs`/`pendPUs` carry the latest instant at
+    * which a click/purchase arrived BEFORE its prerequisite anchor was
+    * known — only a prerequisite locking at exactly that instant (the
+    * one delivery the event-time-ordered premise still allows to land
+    * in a later micro-batch) can resurrect it. */
+  case class AnchorState(tvUs: Long, tcUs: Long, tpUs: Long,
+      pendCUs: Long = Long.MinValue, pendPUs: Long = Long.MinValue)
 
   /** Emitted exactly once per (user, anchor) the moment that anchor
     * becomes known. */
@@ -339,8 +344,14 @@ object EventStream {
     * arrival-order premise (micro-batches drain in event-time order —
     * the CDC/ingest-edge premise shared with [[transitions]] and
     * [[retention]]; a true late-arriving anchor is what the nightly
-    * batch recompute corrects) one 3-long state per user maintains them
-    * exactly. Each anchor emits one [[AnchorMark]] when it locks;
+    * batch recompute corrects) one fixed-size state per user maintains
+    * them exactly. The premise leaves EQUAL timestamps unordered across
+    * batch cuts: a click delivered one batch before its same-instant
+    * first view still counts in the batch query (`us >= tv`), so the
+    * state carries the latest pre-anchor click/purchase instant and
+    * resurrects it when the prerequisite locks at exactly that instant
+    * — no ordering assumption remains beyond event-time monotonicity.
+    * Each anchor emits one [[AnchorMark]] when it locks;
     * downstream, [[funnelLatencyReport]] turns the append-only ledger
     * into the live latency report through the SAME rollup kernel as the
     * batch query — proven stream ≡ batch in EventStreamSpec. */
@@ -362,15 +373,42 @@ object EventStream {
             (micros(e.ts), stageRank.getOrElse(e.event_type, 3), e.event_id))
           val out = scala.collection.mutable.ArrayBuffer.empty[AnchorMark]
           var st = state.getOption.getOrElse(AnchorState(Unset, Unset, Unset))
+          def tsOf(us: Long): Timestamp = {
+            val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+            t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+            t
+          }
+          // a purchase pending at the instant the click anchor just
+          // locked was delivered before its prerequisite (a tie split
+          // across a batch cut) — the batch query counts it at latency 0
+          def resurrectPurchase(): Unit =
+            if (st.tpUs == Unset && st.pendPUs != Unset &&
+                st.pendPUs == st.tcUs) {
+              st = st.copy(tpUs = st.pendPUs)
+              out += AnchorMark(userId, "purchase", tsOf(st.tpUs))
+            }
           sorted.foreach { e =>
             val us = micros(e.ts)
             e.event_type match {
               case "view" if st.tvUs == Unset =>
                 st = st.copy(tvUs = us); out += AnchorMark(userId, "view", e.ts)
+                if (st.tcUs == Unset && st.pendCUs != Unset && st.pendCUs == us) {
+                  st = st.copy(tcUs = us)
+                  out += AnchorMark(userId, "click", tsOf(us))
+                  resurrectPurchase()
+                }
               case "click" if st.tvUs != Unset && st.tcUs == Unset && us >= st.tvUs =>
                 st = st.copy(tcUs = us); out += AnchorMark(userId, "click", e.ts)
+                resurrectPurchase()
+              case "click" if st.tvUs == Unset =>
+                // prerequisite not yet known: only a view locking at this
+                // same instant can admit it later (event time is monotone
+                // across batches, ties excepted) — keep the latest
+                st = st.copy(pendCUs = math.max(st.pendCUs, us))
               case "purchase" if st.tcUs != Unset && st.tpUs == Unset && us >= st.tcUs =>
                 st = st.copy(tpUs = us); out += AnchorMark(userId, "purchase", e.ts)
+              case "purchase" if st.tcUs == Unset =>
+                st = st.copy(pendPUs = math.max(st.pendPUs, us))
               case _ =>
             }
           }

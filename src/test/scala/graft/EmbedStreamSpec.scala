@@ -318,4 +318,51 @@ class EmbedStreamSpec extends SparkSpec {
     // balanced index → the next maintenance pass is a no-op
     assert(!EmbedStream.retrainIvf(spark, s"$dir/index", c = 8, maxSkew = 2.5))
   }
+
+  test("stored-IVF retrain repair: a pending marker forces the swap to complete") {
+    import graft.retrieval.IvfIndex
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val frame = input.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val dir = java.nio.file.Files.createTempDirectory("embstream-repair").toString
+    val rows = (0 until 32).map(i => (i.toLong, famVec(i % 4, i)))
+    val q = EmbedStream.startIvf(spark, frame, s"$dir/index", s"$dir/reports",
+      s"$dir/ckpt", c = 4, k = 5, nprobe = 2)
+    try { input.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+
+    // the 4 equal families under c=4 are balanced: without a marker the
+    // maintenance pass is a no-op (the existing trigger contract)
+    assert(!EmbedStream.retrainIvf(spark, s"$dir/index", c = 8, maxSkew = 2.5))
+
+    // simulate the crash window: a previous retrain attempt wrote the
+    // marker AND the new c=8 centroids, then died before the list swap —
+    // probes now see new geometry over old (c=4) assignments, and the
+    // skew measured against the stored lists can sit below the trigger
+    val all = spark.read.parquet(s"$dir/index/lists")
+      .select(col("vec_id"), col("embedding"))
+    val rebuilt = IvfIndex.buildCentroids(all, "vec_id", "embedding", 8)
+    new java.io.File(s"$dir/index/_retrain_pending").createNewFile()
+    IvfIndex.writeCentroids(spark, rebuilt, s"$dir/index")
+
+    // the repair pass must complete the swap unconditionally
+    assert(EmbedStream.retrainIvf(spark, s"$dir/index", c = 8, maxSkew = 2.5),
+      "pending repair must bypass the skew/thrash gates and swap")
+    assert(!new java.io.File(s"$dir/index/_retrain_pending").exists(),
+      "marker must be cleared after the swap commits")
+
+    // lists now consistent with the swapped c=8 geometry: every vector
+    // present, re-assigned, exact search parity at full probe width
+    val lists = spark.read.parquet(s"$dir/index/lists")
+    assert(lists.count() == rows.length)
+    val cents = IvfIndex.loadCentroids(spark, s"$dir/index")
+    assert(cents.length == 8)
+    val storedIds = lists.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(storedIds.subsetOf(cents.map(_._1).toSet),
+      s"assignments must reference the swapped geometry: $storedIds")
+
+    // and the repaired state is stable: next pass is a no-op again
+    assert(!EmbedStream.retrainIvf(spark, s"$dir/index", c = 8, maxSkew = 2.5))
+  }
 }

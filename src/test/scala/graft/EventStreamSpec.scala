@@ -664,7 +664,14 @@ class EventStreamSpec extends SparkSpec {
         TEv(1, 6, ts(15), "purchase"),
         TEv(2, 7, ts(3), "purchase"),
         TEv(3, 8, ts(20), "purchase"), TEv(3, 9, ts(20), "click"),
-        TEv(3, 10, ts(20), "view"))
+        TEv(3, 10, ts(20), "view"),
+        // user 4: the whole same-instant journey delivered REVERSED
+        // ACROSS BATCH CUTS — purchase and click land this batch, the
+        // view only in the next; the batch query (us >= tv) counts all
+        // three at latency 0, so the stream must resurrect them
+        TEv(4, 11, ts(30), "purchase"), TEv(4, 12, ts(30), "click"))
+      q.processAllAvailable()
+      input.addData(TEv(4, 13, ts(30), "view"))
       q.processAllAvailable()
     } finally q.stop()
     val got = spark.table("anchors").as[AnchorMark].collect()
@@ -672,7 +679,8 @@ class EventStreamSpec extends SparkSpec {
     assert(got == Set(
       (1L, "view", ts(5)), (1L, "click", ts(10)), (1L, "purchase", ts(15)),
       (2L, "view", ts(0)),
-      (3L, "view", ts(20)), (3L, "click", ts(20)), (3L, "purchase", ts(20))))
+      (3L, "view", ts(20)), (3L, "click", ts(20)), (3L, "purchase", ts(20)),
+      (4L, "view", ts(30)), (4L, "click", ts(30)), (4L, "purchase", ts(30))))
   }
 
   test("property: funnel anchors equal the batch report on random tie-dense streams") {
@@ -691,12 +699,11 @@ class EventStreamSpec extends SparkSpec {
       evs.map(e => (e.event_id, e.ts, e.user_id, e.event_type, 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
-      // event-time-ordered delivery with prerequisite stages first
-      // within one instant (the arrival premise the operator documents);
-      // cuts land anywhere, including mid-timestamp
-      val rank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
-      val ordered = evs.sortBy(e =>
-        (e.ts.getTime, rank.getOrElse(e.event_type, 3), e.event_id))
+      // event-time-ordered delivery, ARBITRARY order within an instant
+      // (the operator's only premise is event-time monotonicity across
+      // batches — equal-timestamp events may split across cuts with the
+      // prerequisite last); cuts land anywhere, including mid-timestamp
+      val ordered = evs.sortBy(e => (e.ts.getTime, e.event_id))
       val cuts = Seq(rnd.nextInt(40) + 1, rnd.nextInt(39) + 41).sorted
       val name = s"funprop$seed"
       val input = MemoryStream[TEv]
