@@ -79,6 +79,7 @@ object LanguageMap {
     "php" -> "php", "swift" -> "swift", "m" -> "objective-c",
     "sh" -> "bash", "bash" -> "bash", "zsh" -> "bash",
     "sql" -> "sql", "r" -> "r", "jl" -> "julia", "lua" -> "lua",
+    "hs" -> "haskell", "ml" -> "ocaml", "mli" -> "ocaml",
     "pl" -> "perl", "html" -> "html", "css" -> "css",
     "yaml" -> "yaml", "yml" -> "yaml", "json" -> "json",
     "toml" -> "toml", "md" -> "markdown", "rst" -> "markdown",

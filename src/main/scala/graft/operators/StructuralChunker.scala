@@ -21,6 +21,13 @@ import scala.collection.mutable.ArrayBuffer
   *    (plus contiguous decorator lines) to the last following line whose
   *    indent is deeper than the header's; blanks and comments never close
   *    a span.
+  *  - layout languages (Haskell/OCaml): top-level declarations begin at
+  *    column 0 (the layout rule / conventional toplevel form) and span
+  *    until the next column-0 code line; a column-0 line opening with a
+  *    non-identifier (a closing bracket, an operator continuation) or
+  *    re-binding the SAME name (type signature + equation pairs) extends
+  *    the current span. Comments are `--` + nested `{- -}` (Haskell) and
+  *    nested `(* *)` (OCaml).
   *
   * The scanner is deliberately conservative: if the file ends inside a
   * string/comment or with unbalanced braces (truncated or pathological
@@ -53,10 +60,11 @@ object StructuralChunker {
     "scala", "java", "javascript", "typescript", "js", "ts", "c", "cpp",
     "c++", "csharp", "c#", "go", "rust", "kotlin", "swift", "php")
   private val IndentLangs = Set("python", "py")
+  private val LayoutLangs = Set("haskell", "ocaml")
 
   def isStructural(language: String): Boolean = {
     val l = language.toLowerCase
-    BraceLangs.contains(l) || IndentLangs.contains(l)
+    BraceLangs.contains(l) || IndentLangs.contains(l) || LayoutLangs.contains(l)
   }
 
   /** Keyword-led declaration headers (shared with [[Chunker.BoundaryPattern]]
@@ -84,9 +92,18 @@ object StructuralChunker {
     private val lineComment: Seq[String] = lang match {
       case "python" | "py"       => Seq("#")
       case "sql" | "lua"         => Seq("--")
+      case "haskell"             => Seq("--")
+      case "ocaml"               => Seq.empty // (* *) only
       case _                     => Seq("//")
     }
-    private val nestedBlocks = lang == "scala" // scala nests /* */
+    private val (blockStart, blockEnd) = lang match {
+      case "haskell" => ("{-", "-}")
+      case "ocaml"   => ("(*", "*)")
+      case _         => ("/*", "*/")
+    }
+    // scala nests /* */; both layout languages nest their block comments
+    private val nestedBlocks =
+      lang == "scala" || lang == "haskell" || lang == "ocaml"
     // state: 0 = code; 1 = block comment (depth in blockDepth);
     // 2 = "-string; 3 = '-string; 4 = `-string; 5 = """-string; 6 = '''-string
     var state: Int = 0
@@ -107,7 +124,7 @@ object StructuralChunker {
           case 0 =>
             if (lineComment.exists(startsWith)) { // rest of line is comment
               while (i < n) { sb.append(' '); i += 1 }
-            } else if (!IndentLangs.contains(lang) && startsWith("/*")) {
+            } else if (!IndentLangs.contains(lang) && startsWith(blockStart)) {
               state = 1; blockDepth = 1; sb.append("  "); i += 2
             } else if (startsWith("\"\"\"")) {
               state = 5; sb.append("   "); i += 3
@@ -138,10 +155,10 @@ object StructuralChunker {
               sb.append(c); i += 1
             }
           case 1 =>
-            if (startsWith("*/")) {
+            if (startsWith(blockEnd)) {
               blockDepth -= 1; if (blockDepth == 0) state = 0
               sb.append("  "); i += 2
-            } else if (nestedBlocks && startsWith("/*")) {
+            } else if (nestedBlocks && startsWith(blockStart)) {
               blockDepth += 1; sb.append("  "); i += 2
             } else { sb.append(' '); i += 1 }
           case 2 =>
@@ -179,6 +196,7 @@ object StructuralChunker {
     val lang = language.toLowerCase
     if (!isStructural(lang)) None
     else if (IndentLangs.contains(lang)) parseIndent(text)
+    else if (LayoutLangs.contains(lang)) parseLayout(text, lang)
     else parseBraces(text, lang)
   }
 
@@ -308,6 +326,84 @@ object StructuralChunker {
       i += 1
     }
     Some(assignDepths(decls.sortBy(d => (d.startChar, -d.endChar)).toSeq))
+  }
+
+  /** Declaration keywords that OPEN a layout-language toplevel item; any
+    * other identifier-led column-0 line is a value binding ("bind"). */
+  private val LayoutKeywords = Set(
+    // Haskell
+    "data", "newtype", "type", "class", "instance", "module", "import",
+    "foreign", "infix", "infixl", "infixr",
+    // OCaml
+    "let", "and", "exception", "open", "external", "val", "method",
+    "functor", "include")
+
+  /** Layout-language span recovery (Haskell/OCaml): a toplevel
+    * declaration starts at a column-0 code line led by an identifier or
+    * keyword and runs until the next such line — indented continuations,
+    * blanks and comments never close a span, and a column-0 line that
+    * re-binds the SAME head name (Haskell signature + equation groups,
+    * OCaml `and`-chains keep their own keyword) extends the span, so a
+    * function's type signature, equations and guards stay one unit. A
+    * column-0 line led by a non-identifier (closing bracket, operator
+    * section continuation) also extends. The scan is comment/string
+    * aware via [[Scanner]]; EOF inside a block comment or string means
+    * the input is untrustworthy → None (windowed fallback). */
+  private def parseLayout(text: String, lang: String): Option[Seq[Decl]] = {
+    val (lines, offs) = splitKeepOffsets(text)
+    val sc = new Scanner(lang)
+    val scans = lines.map(sc.scan)
+    if (!sc.inCodeAtEof) return None
+    def headWord(code: String): String =
+      code.takeWhile(ch => ch.isLetterOrDigit || ch == '_' || ch == '\'')
+    // bound name: for keyword-led lines the identifier after the keyword
+    // (skipping OCaml `rec`), else the head word itself (a Haskell
+    // signature/equation head, e.g. `foo :: …` / `foo x = …`, binds foo)
+    def boundName(code: String): String = {
+      val w = headWord(code)
+      if (LayoutKeywords.contains(w)) {
+        val rest = code.drop(w.length).dropWhile(_ == ' ')
+        val r2 = if (rest.startsWith("rec ")) rest.drop(4) else rest
+        headWord(r2)
+      } else w
+    }
+    final case class OpenDecl(start: Int, kind: String, name: String)
+    val decls = ArrayBuffer.empty[Decl]
+    var open: Option[OpenDecl] = None
+    var lastCode = -1 // last non-blank code line seen (span end candidate)
+    def close(endLine: Int): Unit = open.foreach { o =>
+      decls += Decl(offs(o.start),
+        math.min(text.length, offs(endLine) + lines(endLine).length + 1),
+        o.start, endLine, 0, o.kind, o.name)
+      open = None
+    }
+    var i = 0
+    while (i < lines.length) {
+      val code = scans(i).code
+      if (code.trim.nonEmpty) {
+        val startsAtZero = !code.charAt(0).isWhitespace
+        val w = headWord(code)
+        if (startsAtZero && w.nonEmpty && !w.charAt(0).isDigit) {
+          val name = boundName(code)
+          val sameGroup = open.exists(o =>
+            o.name.nonEmpty && name == o.name && !LayoutKeywords.contains(w))
+          if (!sameGroup) {
+            if (open.isDefined) close(lastCode)
+            val kind = if (LayoutKeywords.contains(w)) w else "bind"
+            open = Some(OpenDecl(i, kind, name))
+          }
+        } else if (startsAtZero && open.isEmpty) {
+          // column-0 non-identifier with nothing open: freestanding
+          // toplevel expression — give it a span so coverage gaps stay
+          // merge-sized
+          open = Some(OpenDecl(i, "block", ""))
+        }
+        lastCode = i
+      }
+      i += 1
+    }
+    if (open.isDefined && lastCode >= 0) close(lastCode)
+    Some(decls.sortBy(d => (d.startChar, -d.endChar)).toSeq)
   }
 
   // ---------------------------------------------------------------------

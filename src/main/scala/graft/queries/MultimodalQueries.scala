@@ -173,21 +173,30 @@ object MultimodalQueries {
   /** The blob near-dup pair relation, materialized once per sf-dir (the
     * dd family's pairsCache lifecycle): both the pair report and the
     * cluster rollup derive from it. */
-  private val blobPairsCache = Caches.register(
+  private val blobSigsCache = Caches.register(
     scala.collection.concurrent.TrieMap.empty[String, DataFrame])
 
-  private def blobPairs(s: SparkSession, d: String): DataFrame =
-    blobPairsCache.getOrElseUpdate(d, {
+  /** The (doc_id, sig) blob signature relation — one map pass over the
+    * blobs, shared by the pair report and the cluster rollup. */
+  private def blobSigs(s: SparkSession, d: String): DataFrame =
+    blobSigsCache.getOrElseUpdate(d, {
       val grams = expr(
         """array_distinct(transform(
           |  sequence(1, greatest(length(blob) - 3, 0)),
           |  i -> cast(substring(blob, i, 4) as string)))""".stripMargin)
-      val sigs = Media.mediaTable(s, d)
+      Media.mediaTable(s, d)
         .filter(length(col("blob")) >= 4)
         .select(col("media_id").as("doc_id"),
           graft.functions.TextFunctions.simhash(grams).as("sig"))
-      DedupQueries.bandedSimhashPairs(sigs).persist()
+        .persist()
     })
+
+  private val blobPairsCache = Caches.register(
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+
+  private def blobPairs(s: SparkSession, d: String): DataFrame =
+    blobPairsCache.getOrElseUpdate(d,
+      DedupQueries.bandedSimhashPairs(blobSigs(s, d)).persist())
 
   def qBlobNeardup(s: SparkSession, d: String): DataFrame =
     blobPairs(s, d)
@@ -199,9 +208,48 @@ object MultimodalQueries {
     * relation: connected components over the near-dup graph (the shared
     * min-label fixpoint kernel, [[DedupQueries.componentLabels]]) with
     * the canonical survivor = min media id, exactly the text family's
-    * dd_simhash_clusters semantics applied to undecoded binary. */
+    * dd_simhash_clusters semantics applied to undecoded binary.
+    *
+    * Scale shape (VERDICT r7 item 3): identical signatures are
+    * CONTRACTED before the banded join — k byte-identical copies (the
+    * dominant media-dedup population: re-uploads, mirrors, the sf1
+    * replicated corpus) would otherwise feed k(k−1)/2 distance-0 edges
+    * into CC for every group. The banded join and the fixpoint run on
+    * one representative (min doc_id) per DISTINCT signature, then
+    * labels expand back through the (sig → rep) map — semantics
+    * identical to full-pair CC (an identical-sig group is a dist-0
+    * clique through its rep; two groups connect iff any cross pair
+    * shares a band, iff their reps do, since banding is sig-determined),
+    * while edge volume is bounded by distinct-signature count, which
+    * replication does not grow. The labeled membership relation is
+    * materialized once per sf-dir (the dd family's labelsCache
+    * lifecycle — CC's cost is fixpoint-round-dominated, so production
+    * computes it per corpus snapshot, not per report). */
+  private val blobMembersCache = Caches.register(
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+
+  /** (doc_id, label) for every blob in the near-dup pair graph —
+    * label = the component's min media id. */
+  private def blobMembers(s: SparkSession, d: String): DataFrame =
+    blobMembersCache.getOrElseUpdate(d, {
+      val sigs = blobSigs(s, d)
+      val grp = sigs.groupBy(col("sig"))
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("gn"))
+      val repLabels = DedupQueries.componentLabels(
+        s, DedupQueries.bandedSimhashPairs(
+          grp.select(col("rep").as("doc_id"), col("sig"))))
+      sigs.join(grp, "sig")
+        .join(repLabels.withColumnRenamed("node", "rep"), Seq("rep"), "left")
+        // a doc is in the pair graph iff its rep has a near-dup edge OR
+        // its own signature group is a ≥2 clique; the component's min id
+        // is the min rep (reps are per-sig minima, labels are min reps)
+        .filter(col("label").isNotNull || col("gn") >= 2)
+        .select(col("doc_id"), coalesce(col("label"), col("rep")).as("label"))
+        .persist()
+    })
+
   def qBlobClusters(s: SparkSession, d: String): DataFrame =
-    DedupQueries.componentLabels(s, blobPairs(s, d))
+    blobMembers(s, d)
       .groupBy(col("label").as("keep_id"))
       .agg(count(lit(1)).as("cluster_size"),
         (count(lit(1)) - 1).as("n_removed"))

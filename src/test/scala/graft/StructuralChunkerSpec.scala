@@ -224,4 +224,90 @@ class StructuralChunkerSpec extends AnyFunSuite {
     assert(StructuralChunker.chunk("x", "scala", 10).map(_.text) == Seq("x"))
     assert(StructuralChunker.chunkProse("x", 10).map(_.text) == Seq("x"))
   }
+
+  // ---------------- layout languages (VERDICT r7 item 6) ----------------
+
+  private val haskellSrc =
+    """module Demo (run) where
+      |
+      |import Data.List (sort)
+      |
+      |-- | double every element {- not a real comment open
+      |double :: [Int] -> [Int]
+      |double xs = map (*2) xs
+      |  where go = "a string with = and module inside"
+      |
+      |{- block {- nested -} still a comment
+      |   run :: looks like a signature but is not -}
+      |data Shape
+      |  = Circle Double
+      |  | Square Double
+      |
+      |run :: IO ()
+      |run = do
+      |  let ys = double [1, 2, 3]
+      |  print (sort ys)
+      |""".stripMargin
+
+  test("haskell: column-0 spans, signature+equation grouped, nested {- -} ignored") {
+    val decls = StructuralChunker.parse(haskellSrc, "haskell").get
+    val byName = decls.map(d => d.name -> d).toMap
+    // signature + equations + indented where are ONE span named double
+    assert(byName.contains("double"))
+    assert(byName("double").kind == "bind")
+    val dbl = haskellSrc.substring(byName("double").startChar, byName("double").endChar)
+    assert(dbl.contains("double ::") && dbl.contains("where go"),
+      s"signature and where-clause must share the span: $dbl")
+    // the commented-out fake signature must not produce a decl
+    assert(!decls.exists(d => d.kind == "bind" && d.name == "run" &&
+      haskellSrc.substring(d.startChar, d.endChar).contains("looks like")))
+    assert(byName.contains("Demo") && byName("Demo").kind == "module")
+    assert(byName.contains("Shape") && byName("Shape").kind == "data")
+    // the data constructors (indented | lines) stay inside Shape's span
+    val shape = haskellSrc.substring(byName("Shape").startChar, byName("Shape").endChar)
+    assert(shape.contains("| Square"))
+    val chunks = StructuralChunker.chunk(haskellSrc, "haskell", maxChars = 120)
+    invariants(haskellSrc, chunks, 120)
+  }
+
+  private val ocamlSrc =
+    """(* module header (* nested *) comment *)
+      |open Printf
+      |
+      |type shape =
+      |  | Circle of float
+      |  | Square of float
+      |
+      |let area s = match s with
+      |  | Circle r -> 3.14159 *. r *. r
+      |  | Square a -> a *. a
+      |
+      |let rec fact n =
+      |  if n <= 1 then 1 else n * fact (n - 1)
+      |
+      |let () = printf "%f %d\n" (area (Circle 1.0)) (fact 5)
+      |""".stripMargin
+
+  test("ocaml: let/type spans with indented match arms, nested (* *) ignored") {
+    val decls = StructuralChunker.parse(ocamlSrc, "ocaml").get
+    val byName = decls.map(d => d.name -> d).toMap
+    assert(byName.contains("shape") && byName("shape").kind == "type")
+    assert(byName.contains("area") && byName("area").kind == "let")
+    assert(byName.contains("fact") && byName("fact").kind == "let")
+    val area = ocamlSrc.substring(byName("area").startChar, byName("area").endChar)
+    assert(area.contains("| Square a"), s"match arms must stay in span: $area")
+    val chunks = StructuralChunker.chunk(ocamlSrc, "ocaml", maxChars = 100)
+    invariants(ocamlSrc, chunks, 100)
+    // a small declaration is never split across chunks
+    assert(chunks.exists(_.text.contains(area.trim.take(20))))
+  }
+
+  test("layout languages: truncated block comment falls back to windows") {
+    val bad = "let f x = x\n(* never closed\nlet g y = y\n"
+    assert(StructuralChunker.parse(bad, "ocaml").isEmpty)
+    val chunks = StructuralChunker.chunk(bad, "ocaml", maxChars = 20)
+    assert(chunks.nonEmpty && chunks.forall(_.text.length <= 20))
+    val bad2 = "foo :: Int\n{- open {- forever\nbar = 1\n"
+    assert(StructuralChunker.parse(bad2, "haskell").isEmpty)
+  }
 }
