@@ -51,7 +51,17 @@ object Bpe {
   def trainOnDict(
       dict: Seq[(String, Long)],
       numMerges: Int,
-      minPairCount: Long = 2L): Seq[(String, String)] = {
+      minPairCount: Long = 2L): Seq[(String, String)] =
+    trainOnDictCounted(dict, numMerges, minPairCount)
+      .map { case (l, r, _) => (l, r) }
+
+  /** [[trainOnDict]] returning each merge WITH its selection-time pair
+    * count — the form the `td_bpe_merges` oracle gate hashes (the count
+    * pins the pair statistics, not just the argmax sequence). */
+  def trainOnDictCounted(
+      dict: Seq[(String, Long)],
+      numMerges: Int,
+      minPairCount: Long = 2L): Seq[(String, String, Long)] = {
     // each word as its mutable symbol sequence, weighted by count
     val words: Array[(mutable.ArrayBuffer[String], Long)] = dict.iterator
       .filter(_._1.nonEmpty)
@@ -62,7 +72,7 @@ object Bpe {
         (syms, c)
       }
       .toArray
-    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    val merges = mutable.ArrayBuffer.empty[(String, String, Long)]
     var step = 0
     var exhausted = false
     while (step < numMerges && !exhausted) {
@@ -85,8 +95,8 @@ object Bpe {
         }
       best match {
         case None => exhausted = true
-        case Some(((l, r), _)) =>
-          merges += ((l, r))
+        case Some(((l, r), cnt)) =>
+          merges += ((l, r, cnt))
           val lr = l + r
           words.foreach { case (syms, _) =>
             var i = 0

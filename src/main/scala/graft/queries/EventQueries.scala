@@ -277,6 +277,49 @@ object EventQueries {
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** Interval join: EVERY click within 30 minutes at-or-after each view
+    * by the same user (the all-pairs companion to [[qAsofClick]]'s
+    * nearest-one semantics — the exposure×response relation an ads or
+    * recommendation pipeline materializes before attribution modeling).
+    * Plans as a shuffled equi-join on user_id with the time range as a
+    * join-level filter — never a cross join; per-user activity bounds
+    * the pair fan-out. The streaming twin
+    * ([[graft.streaming.EventStream.intervalPairs]]) runs the SAME
+    * relation through Spark's native watermarked stream-stream join and
+    * is proven stream ≡ batch in EventStreamSpec. */
+  def qIntervalPairs(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    views.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        round((unix_micros(col("click_ts")) - unix_micros(col("view_ts"))) /
+          lit(1000000.0), 6).as("delay_s"))
+      .orderBy(col("user_id"), col("view_id"), col("click_id"))
+  }
+
+  val qIntervalPairsSql: String =
+    """WITH v AS (
+      |  SELECT user_id, event_id view_id, ts view_ts
+      |  FROM events WHERE event_type = 'view'),
+      |c AS (
+      |  SELECT user_id, event_id click_id, ts click_ts
+      |  FROM events WHERE event_type = 'click')
+      |SELECT v.user_id, v.view_id, c.click_id,
+      |  round((epoch_us(c.click_ts) - epoch_us(v.view_ts)) / 1000000.0, 6)
+      |    AS delay_s
+      |FROM v JOIN c ON v.user_id = c.user_id
+      |  AND c.click_ts >= v.view_ts
+      |  AND c.click_ts <= v.view_ts + INTERVAL 30 MINUTE
+      |ORDER BY v.user_id, view_id, click_id""".stripMargin
+
   /** Range join: per-incident activity counts — every event falling in a
     * 10-minute window opened by selected error events, joined WITHOUT an
     * equality key via [[graft.operators.RangeJoin]] interval binning (a
@@ -2071,6 +2114,7 @@ object EventQueries {
     "ev_user_reach_approx" -> (qUserReachApprox _),
     "ev_trailing_hour" -> (qTrailingHour _),
     "ev_asof_click" -> (qAsofClick _),
+    "ev_interval_pairs" -> (qIntervalPairs _),
     "ev_asof_click_merge" -> (qAsofClickMerge _),
     "ev_cms_topk" -> (qCmsTopUsers _),
     "ev_retention" -> (qRetention _),
@@ -2112,6 +2156,7 @@ object EventQueries {
     "ev_session_window" -> qSessionizeSql, // same sessions, native operator
     "ev_trailing_hour" -> qTrailingHourSql,
     "ev_asof_click" -> qAsofClickSql,
+    "ev_interval_pairs" -> qIntervalPairsSql,
     // same oracle, custom-operator plan (AsofJoinPlan → AsofMergeJoinExec)
     "ev_asof_click_merge" -> qAsofClickSql,
     // ev_cms_topk itself is rows-only (sketch-seeded estimates); the gate

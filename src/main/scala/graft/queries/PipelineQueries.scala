@@ -1059,8 +1059,60 @@ object PipelineQueries {
        |    / sum(gn), 4) AS affected_frac
        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Rendezvous (highest-random-weight) shard assignment + the
+    * grow-by-one rebalance report (Thaler & Ravishankar 1998, "Using
+    * name-based mappings to increase hit rates", IEEE/ACM ToN — the
+    * public HRW scheme; the consistent-placement primitive a 100 TB
+    * corpus store uses so adding capacity does NOT reshuffle the world).
+    * Each doc scores every shard with a 60-bit md5-derived hash and
+    * lands on the argmax; the report compares the 16-shard and 17-shard
+    * placements per old shard. HRW's contract — visible in the gated
+    * values — is that growth moves docs ONLY to the new shard (an old
+    * shard's score order among themselves is unchanged), at ~1/17 of
+    * each shard. One projection pass (17 struct scores per row,
+    * codegen'd array_max), one 16-row groupBy — no shuffle of the
+    * corpus itself. */
+  def qShardRebalance(s: SparkSession, d: String): DataFrame = {
+    def score(sid: Int) =
+      conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("_"), lit(sid.toString))), 1, 15), 16, 10)
+        .cast("bigint")
+    val scores = array((0 until 17).map(sid =>
+      struct(score(sid).as("h"), lit(sid).as("sid"))): _*)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_max(slice(scores, 1, 16)).getField("sid").as("shard16"),
+        array_max(scores).getField("sid").as("shard17"))
+      .groupBy(col("shard16").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("shard17") =!= col("shard16"), 1L).otherwise(0L))
+          .as("n_moved"),
+        // HRW invariant: every move lands on the NEW shard (16)
+        sum(when(col("shard17") =!= col("shard16") &&
+          col("shard17") =!= lit(16), 1L).otherwise(0L)).as("n_misrouted"))
+      .orderBy(col("shard_id"))
+  }
+
+  val qShardRebalanceSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, s,
+      |    ('0x' || substr(md5(doc_id::VARCHAR || '_' || s::VARCHAR), 1, 15))::BIGINT hv
+      |  FROM documents, range(17) t(s)),
+      |a AS (
+      |  SELECT doc_id,
+      |    arg_max(CASE WHEN s < 16 THEN s END,
+      |            CASE WHEN s < 16 THEN hv END) shard16,
+      |    arg_max(s, hv) shard17
+      |  FROM h GROUP BY doc_id)
+      |SELECT shard16 AS shard_id, count(*)::BIGINT n_docs,
+      |  sum(CASE WHEN shard17 <> shard16 THEN 1 ELSE 0 END)::BIGINT n_moved,
+      |  sum(CASE WHEN shard17 <> shard16 AND shard17 <> 16
+      |           THEN 1 ELSE 0 END)::BIGINT n_misrouted
+      |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "td_split_assign" -> (qSplitAssign _),
+    "td_shard_rebalance" -> (qShardRebalance _),
     "td_epoch_shuffle" -> (qEpochShuffle _),
     "td_k_anonymity" -> (qKAnonymity _),
     "td_l_diversity" -> (qLDiversity _),
@@ -1083,6 +1135,7 @@ object PipelineQueries {
 
   def oracles: Map[String, String] = Map(
     "td_split_assign" -> qSplitAssignSql,
+    "td_shard_rebalance" -> qShardRebalanceSql,
     "td_epoch_shuffle" -> qEpochShuffleSql,
     "td_k_anonymity" -> qKAnonymitySql,
     "td_l_diversity" -> qLDiversitySql,

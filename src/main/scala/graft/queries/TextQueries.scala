@@ -1049,9 +1049,88 @@ object TextQueries {
       |SELECT a, b, n_pair::BIGINT AS n_pair, pmi
       |FROM scored ORDER BY pmi DESC, a, b LIMIT 30""".stripMargin
 
+  /** The learned BPE merge table itself, hash-gated (the roundtrip gate
+    * above proves tokenize∘detokenize is exact, but ANY merge table
+    * round-trips — this gate pins the TRAINER: which pair wins each
+    * round, with what corpus-weighted count). First 8 merges of
+    * [[graft.operators.Bpe.trainOnDictCounted]] over the standard
+    * word-frequency dictionary ([[graft.operators.Bpe.dictQuery]]:
+    * one map-side-combinable shuffle, vocabulary-keyed, top-65536 cap —
+    * the collect is cap-bounded by construction). The oracle re-derives
+    * all 8 rounds in DuckDB with one recursive CTE per round (greedy
+    * left-to-right merge = repeated first-occurrence replacement, which
+    * cannot create an earlier match because the merged symbol differs
+    * from both halves), so argmax, tie-break (count desc, pair lex) and
+    * the merge-application semantics are all cross-checked. 8 rounds is
+    * the unrolled-oracle budget (the k-means gate's pattern), not an
+    * engine limit — the engine trains 200 for the roundtrip gate. */
+  def qBpeMerges(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Bpe
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .filter(col("text").rlike("\\S")).select(col("text"))
+    val dict = Bpe.dictQuery(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    Bpe.trainOnDictCounted(dict, numMerges = 8).zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1L, l, r, c) }
+      .toDF("merge_rank", "lhs", "rhs", "n_pair")
+      .orderBy(col("merge_rank"))
+  }
+
+  val qBpeMergesSql: String = {
+    // one (best-pair, recursive-apply, new-words) block per round —
+    // programmatically unrolled so all 8 share one body
+    def round(i: Int): String = {
+      val prev = if (i == 1) "s0" else s"s${i - 1}"
+      s"""p$i AS MATERIALIZED (
+         |  SELECT pr.l l, pr.r r, sum(c)::BIGINT cnt FROM (
+         |    SELECT unnest([{'l': sy[j+1], 'r': sy[j+2]}
+         |                   FOR j IN range(len(sy) - 1)]) pr, c
+         |    FROM (SELECT string_split(syms, ' ') sy, c FROM $prev))
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i WHERE cnt >= 2
+         |        ORDER BY cnt DESC, l, r LIMIT 1),
+         |r$i AS (
+         |  SELECT syms, c FROM $prev
+         |  UNION ALL
+         |  SELECT trim(substr(ps, 1, pos - 1) || ' ' || l || r ||
+         |              substr(ps, pos + len(l) + len(r) + 2)), c
+         |  FROM (SELECT syms, c, l, r,
+         |          ' ' || syms || ' ' ps,
+         |          position((' ' || l || ' ' || r || ' ')
+         |                   IN (' ' || syms || ' ')) pos
+         |        FROM r$i, b$i)
+         |  WHERE pos > 0),
+         |s$i AS MATERIALIZED (
+         |  SELECT syms, c FROM r$i, b$i
+         |  WHERE position((' ' || l || ' ' || r || ' ')
+         |                 IN (' ' || syms || ' ')) = 0)""".stripMargin
+    }
+    val rounds = (1 to 8).map(round).mkString(",\n")
+    val sel = (1 to 8).map(i =>
+      s"SELECT $i::BIGINT merge_rank, l lhs, r rhs, cnt n_pair FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE w0 AS (
+       |  SELECT word, count(*)::BIGINT c FROM (
+       |    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+       |                              x -> x <> '')) word
+       |    FROM documents WHERE regexp_matches(text, '\\S'))
+       |  GROUP BY word),
+       |wd AS (SELECT word, c FROM w0 ORDER BY c DESC, word LIMIT 65536),
+       |s0 AS MATERIALIZED (
+       |  SELECT array_to_string(
+       |    [substr(word, j + 1, 1) FOR j IN range(length(word))] || ['</w>'],
+       |    ' ') syms, c
+       |  FROM wd),
+       |$rounds
+       |$sel
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "td_pmi" -> (qPmi _),
     "td_bpe_roundtrip" -> (qBpeRoundtrip _),
+    "td_bpe_merges" -> (qBpeMerges _),
     "td_gopher_rep" -> (qGopherRep _),
     "td_top_ngrams" -> (qTopNgrams _),
     "td_pii_redact" -> (qPiiRedact _),
@@ -1076,6 +1155,7 @@ object TextQueries {
   def oracles: Map[String, String] = Map(
     "td_pmi" -> qPmiSql,
     "td_bpe_roundtrip" -> qBpeRoundtripSql,
+    "td_bpe_merges" -> qBpeMergesSql,
     "td_gopher_rep" -> qGopherRepSql,
     "td_top_ngrams" -> qTopNgramsSql,
     "td_pii_redact" -> qPiiRedactSql,

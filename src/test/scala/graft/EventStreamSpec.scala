@@ -724,6 +724,32 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("interval join: native stream-stream join equals the batch relation on testdata") {
+    import graft.streaming.EventStream.TEv
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val evs = graft.queries.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "ts", "event_type")
+      .as[TEv].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[TEv]
+    val q = graft.streaming.EventStream.intervalPairs(input.toDS())
+      .writeStream.format("memory").queryName("ivpairs")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { b =>
+        input.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val stream = spark.table("ivpairs")
+      .orderBy(col("user_id"), col("view_id"), col("click_id"))
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.queries.EventQueries.qIntervalPairs(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(stream.nonEmpty, "fixture must produce view-click pairs")
+    assert(stream == batch, s"stream ${stream.size} rows != batch ${batch.size}")
+  }
+
   test("funnel anchors: ledger report equals the batch latency query on testdata") {
     import graft.streaming.EventStream.TEv
     implicit val sqlCtx = spark.sqlContext
