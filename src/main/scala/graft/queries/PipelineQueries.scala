@@ -1059,6 +1059,88 @@ object PipelineQueries {
        |    / sum(gn), 4) AS affected_frac
        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** t-closeness threshold: groups whose rounded source-distribution
+    * distance from the corpus-wide distribution exceeds this leak
+    * membership signal. 0.52 sits with ≥0.02 margin from the discrete
+    * rational distances the harness corpus produces on BOTH sides (the
+    * group shares are small-denominator fractions, so distances cluster
+    * at values like 0.45/0.5/0.55 — a 0.5 cut would gate on float dust). */
+  private val TClose = 0.52
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007, "t-Closeness:
+    * Privacy Beyond k-Anonymity and l-Diversity", ICDE — public paper):
+    * the third leg of the release-audit trio next to [[qKAnonymity]] and
+    * [[qLDiversity]]. k-anonymity bounds group SIZE, l-diversity bounds
+    * sensitive-value COUNT, but a group can pass both while its
+    * sensitive distribution differs wildly from the corpus baseline —
+    * that skew is itself the leak. Distance = total variation
+    * (the categorical-ground-distance EMD the paper uses):
+    * 0.5·Σ_present |p_group − p_global| + 0.5·(1 − Σ_present p_global),
+    * where the second term accounts for globally-present sources ABSENT
+    * from the group without materializing the group×source zero matrix —
+    * the shuffle stays on observed (group, source) rows. Same
+    * quasi-identifier groups as l-diversity (lang × length bucket);
+    * per-lang rollup with rows affected, mirrored shape. */
+  def qTCloseness(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val total = docs.count().toDouble
+    val global = docs.groupBy(col("source"))
+      .agg((count(lit(1)) / total).as("p_global"))
+    val cells = docs
+      .withColumn("len_bucket", (col("n_chars") / 100).cast("long"))
+      .groupBy(col("lang"), col("len_bucket"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val gt = cells.groupBy(col("lang"), col("len_bucket"))
+      .agg(sum(col("c")).as("tot"))
+    val dist = cells
+      .join(broadcast(global), "source")
+      .join(gt, Seq("lang", "len_bucket"))
+      .groupBy(col("lang"), col("len_bucket"))
+      .agg(sum(abs(col("c") / col("tot") - col("p_global"))).as("absdev"),
+        sum(col("p_global")).as("p_present"),
+        sum(col("c")).as("gn"))
+      .withColumn("dist",
+        round(lit(0.5) * col("absdev") + lit(0.5) * (lit(1.0) - col("p_present")), 4))
+    dist.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_groups"),
+        count(when(col("dist") > TClose, lit(1))).as("n_far"),
+        coalesce(sum(when(col("dist") > TClose, col("gn"))), lit(0L))
+          .as("rows_affected"),
+        sum(col("gn")).as("n_rows"),
+        round(max(col("dist")), 4).as("max_dist"))
+      .withColumn("affected_frac",
+        round(col("rows_affected").cast("double") /
+          col("n_rows").cast("double"), 4))
+      .orderBy(col("lang"))
+  }
+
+  val qTClosenessSql: String =
+    s"""WITH gp AS (
+       |  SELECT source,
+       |    count(*)::DOUBLE / (SELECT count(*) FROM documents) p_global
+       |  FROM documents GROUP BY 1),
+       |cells AS (
+       |  SELECT lang, (n_chars // 100) len_bucket, source, count(*) c
+       |  FROM documents GROUP BY 1, 2, 3),
+       |gt AS (SELECT lang, len_bucket, sum(c) tot FROM cells GROUP BY 1, 2),
+       |d AS (
+       |  SELECT cells.lang, cells.len_bucket,
+       |    round(0.5 * sum(abs(cells.c / gt.tot - gp.p_global))
+       |          + 0.5 * (1 - sum(gp.p_global)), 4) dist,
+       |    sum(cells.c) gn
+       |  FROM cells JOIN gt USING (lang, len_bucket)
+       |    JOIN gp ON cells.source = gp.source
+       |  GROUP BY 1, 2)
+       |SELECT lang,
+       |  count(*) AS n_groups,
+       |  count(*) FILTER (WHERE dist > $TClose) AS n_far,
+       |  coalesce(sum(gn) FILTER (WHERE dist > $TClose), 0)::BIGINT AS rows_affected,
+       |  sum(gn)::BIGINT AS n_rows,
+       |  round(max(dist), 4) AS max_dist,
+       |  round(coalesce(sum(gn) FILTER (WHERE dist > $TClose), 0)::DOUBLE
+       |    / sum(gn), 4) AS affected_frac
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Rendezvous (highest-random-weight) shard assignment + the
     * grow-by-one rebalance report (Thaler & Ravishankar 1998, "Using
     * name-based mappings to increase hit rates", IEEE/ACM ToN — the
@@ -1113,6 +1195,7 @@ object PipelineQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "td_split_assign" -> (qSplitAssign _),
     "td_shard_rebalance" -> (qShardRebalance _),
+    "td_t_closeness" -> (qTCloseness _),
     "td_epoch_shuffle" -> (qEpochShuffle _),
     "td_k_anonymity" -> (qKAnonymity _),
     "td_l_diversity" -> (qLDiversity _),
@@ -1136,6 +1219,7 @@ object PipelineQueries {
   def oracles: Map[String, String] = Map(
     "td_split_assign" -> qSplitAssignSql,
     "td_shard_rebalance" -> qShardRebalanceSql,
+    "td_t_closeness" -> qTClosenessSql,
     "td_epoch_shuffle" -> qEpochShuffleSql,
     "td_k_anonymity" -> qKAnonymitySql,
     "td_l_diversity" -> qLDiversitySql,

@@ -87,6 +87,50 @@ object VectorQueries {
       |SELECT query_id, neighbor_id, round(score, 6) AS score, rank
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Hard-negative mining — the metric-learning data-prep step next to
+    * ANN serving (Xiong et al. 2021, "Approximate Nearest Neighbor
+    * Negative Contrastive Learning for Dense Text Retrieval", ICLR —
+    * public paper: train-time negatives should be the most CONFUSABLE
+    * items, not random ones): for each standard query vector, the top-5
+    * most-similar vectors with a DIFFERENT label. Same broadcast-query
+    * brute scan shape as [[qKnnBrute]] with the label inequality pushed
+    * into the join condition (the scan prunes before scoring); the
+    * production path swaps in the IVF tier exactly as search does —
+    * mining and serving share the index. Exact, so fully hash-gated. */
+  def qHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("q_label"))
+    val scored = emb.join(broadcast(queries),
+        col("vec_id") =!= col("query_id") && col("label") =!= col("q_label"))
+      .withColumn("score", cosine(col("embedding"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("negative_id"),
+        col("label").as("neg_label"), round(col("score"), 6).as("score"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qHardNegativesSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label lbl, embedding::DOUBLE[] v FROM embeddings),
+      |q AS (SELECT vec_id query_id, lbl q_lbl, v qv FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id negative_id, e.lbl neg_label,
+      |    list_cosine_similarity(e.v, q.qv) score
+      |  FROM e, q WHERE e.vec_id <> q.query_id AND e.lbl <> q.q_lbl),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, negative_id) rank
+      |  FROM scored)
+      |SELECT query_id, negative_id, neg_label, round(score, 6) AS score, rank
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs above a threshold (the
     * embedding-space variant of document dedup), via **exact**
     * triangle-inequality cluster pruning — never an all-pairs cartesian.
@@ -1555,6 +1599,7 @@ object VectorQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vs_knn_brute" -> (qKnnBrute _),
+    "vs_hard_negatives" -> (qHardNegatives _),
     "vs_knn_quant" -> (qKnnQuant _),
     "vs_emb_neardup" -> (qEmbNearDup _),
     "vs_semdedup" -> ((s: SparkSession, d: String) => qSemDedup(s, d)),
@@ -1580,6 +1625,7 @@ object VectorQueries {
 
   def oracles: Map[String, String] = Map(
     "vs_knn_brute" -> qKnnBruteSql,
+    "vs_hard_negatives" -> qHardNegativesSql,
     "vs_knn_quant" -> qKnnBruteSql, // q8 prune + exact re-rank: identical output
     "vs_emb_neardup" -> qEmbNearDupSql,
     "vs_semdedup" -> qSemDedupSql,
