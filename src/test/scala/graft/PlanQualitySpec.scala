@@ -447,4 +447,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(keys.subsetOf(Set("user_id", "step")),
       s"unexpected shuffle keys $keys in:\n$p")
   }
+
+  test("interval pairs: equi-join on user with the range as join filter") {
+    val p = plan(graft.queries.EventQueries.qIntervalPairs(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the BETWEEN must ride a user_id hash join, never nested-loop:\n$p")
+    assert(count(p, "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin") >= 1)
+    assert(p.contains("PushedFilters:") && p.contains("event_type"),
+      "view/click filters must reach the scan")
+  }
+
+  test("shard rebalance: one projection pass, no corpus shuffle beyond the 16-row agg") {
+    val full = plan(graft.queries.PipelineQueries.qShardRebalance(spark, sf))
+    // AQE prints final + initial plans; assert on the final one only
+    val p = full.split("== Initial Plan ==").head
+    assert(!p.contains("Join"), "HRW scoring is per-row; no join expected")
+    // exactly the aggregate's exchange (partial → final) plus the
+    // 16-row output sort — the corpus itself never reshuffles
+    assert(count(p, "Exchange hashpartitioning") <= 1,
+      s"corpus-sized shuffle crept into the HRW pass:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"),
+      s"scan must prune to doc_id, got: $readSchema")
+  }
+
+  test("hard negatives: label inequality prunes inside the broadcast join") {
+    val p = plan(graft.queries.VectorQueries.qHardNegatives(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 10-row query side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("NOT (label"), // the label filter rides the join, pre-scoring
+      s"label inequality must appear in the join condition:\n$p")
+  }
 }

@@ -43,6 +43,32 @@ pairs AS (
 SELECT a, b FROM pairs
 """
 
+# mm_blob_clusters prologue: byte-4-gram simhash over the media blobs
+# (byte 4-gram == char 4-gram on the ASCII harness blobs) — verbatim the
+# blobSigSql CTEs of MultimodalQueries; the pair relation this produces
+# is the one the stock mm_blob_neardup oracle hash-checks.
+BLOB_PAIRS_SQL = """
+WITH g AS (
+  SELECT doc_id,
+    unnest(list_distinct(
+      [substr(text, i + 1, 4) FOR i IN range(length(text) - 3)])) t
+  FROM documents WHERE length(text) >= 4),
+h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT hv FROM g),
+bits AS (
+  SELECT doc_id, bb.b,
+    sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) v
+  FROM h, (SELECT unnest(range(60)) b) bb GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id,
+    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT sig
+  FROM bits GROUP BY 1),
+pairs AS (
+  SELECT x.doc_id a, y.doc_id b
+  FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.sig, y.sig)) <= 3)
+SELECT a, b FROM pairs
+"""
+
 
 def union_find(pairs):
     parent = {}
@@ -177,6 +203,22 @@ def main(sf_dir, out_dir, json_dir):
     ok &= compare(con, "td_soft_dedup", out_dir, soft,
                   ["source", "n_docs", "eff_docs", "n_chars", "eff_chars"],
                   json_dir)
+
+    # mm_blob_clusters: same closure treatment over the blob-simhash pair
+    # relation (the stock recursive-CTE closure exceeds 90 CPU-minutes at
+    # sf1 — the same oracle-cost cliff as the five dd closures above).
+    # Only checked when the Verify dump contains the query's output.
+    if glob.glob(f"{out_dir}/mm_blob_clusters/*.parquet"):
+        print("computing blob signature pairs in DuckDB...", flush=True)
+        bpairs = con.execute(BLOB_PAIRS_SQL).fetchall()
+        print(f"{len(bpairs)} blob pairs", flush=True)
+        blabel = union_find(bpairs)
+        bsizes = defaultdict(int)
+        for v, l in blabel.items():
+            bsizes[l] += 1
+        bclusters = [(l, s, s - 1) for l, s in sorted(bsizes.items())]
+        ok &= compare(con, "mm_blob_clusters", out_dir, bclusters,
+                      ["keep_id", "cluster_size", "n_removed"], json_dir)
     return 0 if ok else 1
 
 
