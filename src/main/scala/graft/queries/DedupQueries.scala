@@ -742,11 +742,27 @@ object DedupQueries {
     * peel rounds at core order `k`. */
   private[graft] def kcoreNodes(pairs: DataFrame, k: Int, rounds: Int)
       : DataFrame = {
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+    val edgesRaw = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
+    // right-size the peel rounds (the componentLabels rule): each round
+    // is several shuffled jobs over the edge list, so at small edge
+    // counts 32-partition rounds are pure scheduler overhead; ~500k
+    // edges per partition keeps real-scale graphs fully parallel
+    val parts = math.max(1, math.min(
+      pairs.sparkSession.sparkContext.defaultParallelism,
+      (edgesRaw.count() / 500000L).toInt + 1))
+    val edges = edgesRaw.repartition(parts, col("src")).localCheckpoint()
     var kept = edges.select(col("src").as("node")).distinct().localCheckpoint()
-    (1 to rounds).foreach { _ =>
+    // peeling only shrinks the kept set and each round's output depends
+    // only on the previous set, so size-unchanged IS the fixpoint — all
+    // remaining rounds would be identity. Near-dup graphs are clique-
+    // dense, so this typically exits after 2-3 of the budgeted rounds
+    // (the oracle unrolls the full budget; fixpoint makes that equal).
+    var prevN = -1L
+    var i = 0
+    var converged = false
+    while (i < rounds && !converged) {
       kept = edges
         .join(kept.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(kept.select(col("node").as("dst")), Seq("dst"), "left_semi")
@@ -754,6 +770,10 @@ object DedupQueries {
         .filter(col("deg") >= k)
         .select(col("src").as("node"))
         .localCheckpoint()
+      val n = kept.count()
+      converged = n == prevN
+      prevN = n
+      i += 1
     }
     edges
       .join(kept.select(col("node").as("src")), Seq("src"), "left_semi")
