@@ -661,10 +661,16 @@ object DedupQueries {
     * splits chains bridged by a single weak edge into their dense
     * cores — the finer-grained cluster view a dedup reviewer wants. */
   private[graft] def lpaLabels(pairs: DataFrame, rounds: Int): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edgesRaw = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .repartition(col("dst"))
       .localCheckpoint()
+    // the componentLabels/kcore scale rule: ~500k edges per partition
+    // (min 1) — per-round jobs over a small checkpointed edge list stop
+    // paying 32-task scheduler overhead, real-scale graphs stay parallel
+    val parts = math.max(1, math.min(
+      pairs.sparkSession.sparkContext.defaultParallelism,
+      (edgesRaw.count() / 500000L).toInt + 1))
+    val edges = edgesRaw.repartition(parts, col("dst")).localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
@@ -988,10 +994,17 @@ object DedupQueries {
         sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head
       (r.getLong(0), r.getDecimal(1))
     }
-    var edges = pairs
+    val edges0 = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(true)
+    // the shared iterative-graph scale rule (~500k edges/partition,
+    // min 1): star rounds are several shuffled jobs each, so small
+    // graphs stop paying 32-task scheduler overhead per round
+    val parts = math.max(1, math.min(
+      s.sparkContext.defaultParallelism,
+      (edges0.count() / 500000L).toInt + 1))
+    var edges = edges0.repartition(parts, col("src")).localCheckpoint(true)
     var prev: Option[(Long, java.math.BigDecimal)] = None
     var converged = false
     var iter = 0
