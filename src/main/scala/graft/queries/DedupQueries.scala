@@ -1531,8 +1531,105 @@ object DedupQueries {
       |FROM inter JOIN cnt ca ON ca.source = sa JOIN cnt cb ON cb.source = sb
       |ORDER BY src_a, src_b""".stripMargin
 
+  /** Sorted-Neighborhood blocking: normalized-key prefix width and the
+    * sliding-window size (Hernández & Stolfo used w≈10 on records;
+    * text corpora need less — near-identical docs share long prefixes). */
+  private val SnmKeyLen = 24
+  private val SnmWindow = 5
+
+  /** Sorted-Neighborhood dedup (Hernández & Stolfo 1995, "The
+    * merge/purge problem for large databases", SIGMOD — public paper):
+    * the third blocking strategy next to hash blocking (MinHash-LSH
+    * bands) and bit blocking (SimHash pigeonhole) — ORDER blocking.
+    * Sort the corpus by a normalized key (lowercased alphanumeric
+    * prefix); only records within [[SnmWindow]] positions of each other
+    * are candidates; verify candidates with exact shingle Jaccard.
+    * Catches near-dups whose edits sit past the key prefix (they sort
+    * adjacent) with O(n·w) candidates — no similarity join at all.
+    *
+    * Scale shape: the global sort position is the two-level bucket rank
+    * ([[PipelineQueries.qEpochShuffle]]'s idiom): rank within 2-char
+    * key-prefix buckets (order-preserving — a bucket is a prefix range)
+    * plus each bucket's broadcast prefix-sum offset; no single-partition
+    * window ever exists. Candidates come from an equi-join on
+    * block = pos/w with each row probing its own and the next block —
+    * every within-window pair shares one of those block pairs — filtered
+    * to 0 < Δpos < w. Verification joins the shared shingle relation
+    * onto the candidate ids only. */
+  def qSortedNeighborhood(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "),
+          1, SnmKeyLen).as("skey"))
+      .withColumn("bucket", substring(col("skey"), 1, 2))
+    val wB = Window.partitionBy(col("bucket"))
+      .orderBy(col("skey"), col("doc_id"))
+    val local = keyed.withColumn("lrank", row_number().over(wB))
+    // ≤ |charset|² buckets — the offset relation is bounded tiny; its
+    // prefix-sum window runs over that relation, never the corpus
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("off"))
+    val pos = local.join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), (col("off") + col("lrank")).as("pos"))
+      .withColumn("blk", floor(col("pos") / SnmWindow))
+    val probe = pos
+      .select(col("doc_id").as("ida"), col("pos").as("pos_a"),
+        explode(array(col("blk"), col("blk") + 1)).as("jblk"))
+    val cand = probe
+      .join(pos.select(col("doc_id").as("idb"), col("pos").as("pos_b"),
+        col("blk").as("jblk")), "jblk")
+      .filter(col("pos_b") > col("pos_a") &&
+        col("pos_b") - col("pos_a") < SnmWindow)
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"))
+    val sh = shingleRel(s, d)
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", jaccardShingles(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qSortedNeighborhoodSql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |    substring(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+       |      1, $SnmKeyLen) skey
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY skey, doc_id) pos
+       |  FROM keyed),
+       |cand AS (
+       |  SELECT least(a.doc_id, b.doc_id) doc_a,
+       |    greatest(a.doc_id, b.doc_id) doc_b
+       |  FROM pos a JOIN pos b
+       |    ON b.pos > a.pos AND b.pos - a.pos < $SnmWindow),
+       |tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)])) s
+       |  FROM tok WHERE len(w) >= 3),
+       |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) i
+       |  FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+       |              JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(i / (ca.n + cb.n - i)::DOUBLE, 4) AS jaccard
+       |FROM inter JOIN cnt ca ON ca.doc_id = doc_a
+       |           JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE i / (ca.n + cb.n - i)::DOUBLE >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (qDedupExact _),
+    "dd_sorted_neighborhood" -> (qSortedNeighborhood _),
     "dd_source_overlap" -> (qSourceOverlap _),
     "dd_source_overlap_minhash" -> (qSourceOverlapMinhash _),
     "dd_source_overlap_minhash_gate" -> (qSourceOverlapMinhashGate _),
@@ -1562,6 +1659,7 @@ object DedupQueries {
 
   def oracles: Map[String, String] = Map(
     "dd_exact" -> qDedupExactSql,
+    "dd_sorted_neighborhood" -> qSortedNeighborhoodSql,
     "dd_source_overlap" -> qSourceOverlapSql,
     // dd_source_overlap_minhash: approximate — rows-only; its gate twin
     // below carries the hash-checked ε floor

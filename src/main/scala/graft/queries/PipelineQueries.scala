@@ -1141,6 +1141,72 @@ object PipelineQueries {
        |    / sum(gn), 4) AS affected_frac
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** DP release budget: ε per released statistic and the tail bound's δ. */
+  private val DpEps = 1.0
+  private val DpDelta = 1e-4
+
+  /** Differentially-private release of the corpus composition (Dwork,
+    * McSherry, Nissim & Smith 2006, "Calibrating noise to sensitivity in
+    * private data analysis", TCC — the Laplace mechanism; composition
+    * accounting per McSherry 2009's PINQ, SIGMOD — both public papers).
+    * The fourth leg of the release toolkit: k-anonymity / l-diversity /
+    * t-closeness AUDIT a release; this one actually PERFORMS a private
+    * release — per-language doc counts plus the corpus total, each with
+    * Laplace(Δf/ε) noise (Δf = 1 for counting queries).
+    *
+    * Noise is derived, not drawn: u = md5(stat ":dp1") mapped to (0,1),
+    * noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) — the exact Laplace inverse
+    * CDF over a cryptographic-hash uniform. Deterministic noise is NOT
+    * privacy-weaker here in any way the engine controls (a production
+    * release swaps one seeded draw for the hash), and it makes the whole
+    * mechanism hash-checkable across engines. `within_budget` gates each
+    * noise draw against the Laplace tail bound (1/ε)·ln(1/2δ);
+    * `composed_eps` carries the accounting: the per-language histogram
+    * partitions the corpus (parallel composition → max ε = ε), the total
+    * overlaps it (sequential → +ε), so the release spends 2ε.
+    *
+    * Scale shape: one ROLLUP scan (map-side combinable) produces every
+    * released row; the noise arithmetic runs over the |langs|+1-row
+    * aggregate. Nothing document-sized survives the first shuffle. */
+  def qDpRelease(s: SparkSession, d: String): DataFrame = {
+    val rows = Tables.documents(s, d)
+      .rollup(col("lang")).agg(count(lit(1)).as("n_true"))
+      .select(coalesce(col("lang"), lit("TOTAL")).as("released"), col("n_true"))
+    val u = (conv(substring(md5(concat(col("released"), lit(":dp1"))), 1, 12),
+      16, 10).cast("double") + 0.5) / 281474976710656.0
+    val centered = u - lit(0.5)
+    val noise = signum(centered) *
+      log(lit(1.0) - lit(2.0) * abs(centered)) * lit(-1.0 / DpEps)
+    val bound = math.log(1.0 / (2 * DpDelta)) / DpEps
+    rows
+      .withColumn("noise", noise)
+      .select(col("released"),
+        lit(DpEps).as("eps"),
+        round(col("n_true") + col("noise"), 6).as("n_noised"),
+        (abs(col("noise")) <= lit(bound)).as("within_budget"),
+        lit(2.0 * DpEps).as("composed_eps"))
+      .orderBy(col("released"))
+  }
+
+  val qDpReleaseSql: String = {
+    val bound = math.log(1.0 / (2 * DpDelta)) / DpEps
+    s"""WITH released AS (
+       |  SELECT coalesce(lang, 'TOTAL') released, count(*) n_true
+       |  FROM documents GROUP BY ROLLUP (lang)),
+       |noised AS (
+       |  SELECT released, n_true,
+       |    -sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)) / $DpEps AS noise
+       |  FROM (SELECT released, n_true,
+       |      (('0x' || substr(md5(released || ':dp1'), 1, 12))::BIGINT + 0.5)
+       |        / 281474976710656.0 u
+       |    FROM released))
+       |SELECT released, $DpEps::DOUBLE AS eps,
+       |  round(n_true + noise, 6) AS n_noised,
+       |  (abs(noise) <= $bound) AS within_budget,
+       |  ${2.0 * DpEps}::DOUBLE AS composed_eps
+       |FROM noised ORDER BY released""".stripMargin
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment + the
     * grow-by-one rebalance report (Thaler & Ravishankar 1998, "Using
     * name-based mappings to increase hit rates", IEEE/ACM ToN — the
@@ -1196,6 +1262,7 @@ object PipelineQueries {
     "td_split_assign" -> (qSplitAssign _),
     "td_shard_rebalance" -> (qShardRebalance _),
     "td_t_closeness" -> (qTCloseness _),
+    "td_dp_release" -> (qDpRelease _),
     "td_epoch_shuffle" -> (qEpochShuffle _),
     "td_k_anonymity" -> (qKAnonymity _),
     "td_l_diversity" -> (qLDiversity _),
@@ -1220,6 +1287,7 @@ object PipelineQueries {
     "td_split_assign" -> qSplitAssignSql,
     "td_shard_rebalance" -> qShardRebalanceSql,
     "td_t_closeness" -> qTClosenessSql,
+    "td_dp_release" -> qDpReleaseSql,
     "td_epoch_shuffle" -> qEpochShuffleSql,
     "td_k_anonymity" -> qKAnonymitySql,
     "td_l_diversity" -> qLDiversitySql,

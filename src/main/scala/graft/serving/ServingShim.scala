@@ -50,7 +50,8 @@ class ServingShim(
     metrics: () => Seq[graft.ingest.StageMetric] = () => Nil,
     search: Option[(String, Int) => Seq[ServingShim.SearchHit]] = None,
     page: Option[(String, Int) => ServingShim.SearchPage] = None,
-    neardup: Option[String => Seq[(Long, Double)]] = None) {
+    neardup: Option[String => Seq[(Long, Double)]] = None,
+    vsearch: Option[(Either[String, Array[Float]], Int) => Seq[(Long, Double)]] = None) {
 
   /** One job's live trail: events append as the runner emits them;
     * `done` flips after the last one. Append-only so any number of
@@ -166,6 +167,43 @@ class ServingShim(
           respond(ex, 404, """{"error": "neardup not configured"}""", "application/json")
         case _ =>
           respond(ex, 405, """{"error": "method not allowed"}""", "application/json")
+      }
+    }
+  })
+
+  // POST /vsearch {"vector": [...], "k": n} | {"text": ..., "k": n} —
+  // the dense-retrieval front door: a single-query probe of the streamed
+  // IVF store (EmbedStream.probeVector wired in by the deployment; the
+  // text form additionally routes through the deployment's Embedder
+  // inside the wired closure). Absent wiring → 404, like /search.
+  server.createContext("/vsearch", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = guard(ex) {
+      (ex.getRequestMethod, vsearch) match {
+        case ("POST", Some(fn)) =>
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          val k = ServingShim.jsonInt(body, "k")
+            .filter(x => x > 0 && x <= 100).getOrElse(5)
+          val query: Option[Either[String, Array[Float]]] =
+            ServingShim.jsonFloatArray(body, "vector").map(Right(_))
+              .orElse(ServingShim.jsonString(body, "text")
+                .filter(_.trim.nonEmpty).map(Left(_)))
+          query match {
+            case None =>
+              respond(ex, 400, """{"error": "missing vector or text"}""",
+                "application/json")
+            case Some(q) =>
+              val hits = fn(q, k).zipWithIndex.map { case ((id, sc), i) =>
+                s"""{"rank": ${i + 1}, "doc_id": $id, "score": $sc}"""
+              }.mkString("[", ", ", "]")
+              respond(ex, 200, s"""{"k": $k, "hits": $hits}""",
+                "application/json")
+          }
+        case ("POST", None) =>
+          respond(ex, 404, """{"error": "vsearch not configured"}""",
+            "application/json")
+        case _ =>
+          respond(ex, 405, """{"error": "method not allowed"}""",
+            "application/json")
       }
     }
   })
@@ -364,6 +402,21 @@ object ServingShim {
     val m = ("\"" + java.util.regex.Pattern.quote(key) +
       "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(body)
     m.map(g => unescape(g.group(1)))
+  }
+
+  /** Parse a flat JSON number-array field (`"key": [0.1, -2, 3e-1]`).
+    * Nested arrays/objects are out of contract (the request bodies are
+    * the shim's flat shapes); a malformed element drops the field, so
+    * the handler answers 400 rather than 500. */
+  def jsonFloatArray(body: String, key: String): Option[Array[Float]] = {
+    val m = ("\"" + java.util.regex.Pattern.quote(key) +
+      "\"\\s*:\\s*\\[([^\\]]*)\\]").r.findFirstMatchIn(body)
+    m.flatMap { g =>
+      val parts = g.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+      if (parts.isEmpty) None
+      else try Some(parts.map(_.toFloat))
+      catch { case _: NumberFormatException => None }
+    }
   }
 
   def jsonInt(body: String, key: String): Option[Int] = {

@@ -247,6 +247,57 @@ object EmbedStream {
     }
   }
 
+  /** Serving-path single-vector search of the accumulated IVF store —
+    * the dense twin of [[DedupStream.probeText]], wired behind
+    * `POST /vsearch` on the shim: load the stored centroids, scan the
+    * `nprobe` nearest lists' int8 codes, exact-rerank the overfetched
+    * survivors in float (the [[graft.retrieval.IvfIndex.searchQ8Lists]]
+    * kernel with a one-query batch). Cost is probed-lists-bounded,
+    * never a corpus scan; returns (vec_id, cosine) best-first, empty
+    * before the first committed batch.
+    *
+    * Safe to serve concurrently with [[compactIndex]]: a fold can
+    * delete a listed `batch=` dir between the listing and the read, so
+    * the probe retries against a fresh listing (bounded retries — the
+    * folded dir carries the same rows). NOT safe concurrently with
+    * [[retrainIvf]], whose own contract already requires quiescence:
+    * it rewrites the geometry the probe is reading. */
+  def probeVector(s: SparkSession, indexDir: String, vec: Array[Float],
+      k: Int = 5, nprobe: Int = 4, overfetch: Int = 8): Seq[(Long, Double)] = {
+    def fileGone(e: Throwable): Boolean =
+      e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
+        fileGone(e.getCause))
+    var attempt = 0
+    while (true) {
+      try return probeVectorOnce(s, indexDir, vec, k, nprobe, overfetch)
+      catch {
+        case e: Throwable if fileGone(e) && attempt < 3 => attempt += 1
+      }
+    }
+    Nil // unreachable
+  }
+
+  private def probeVectorOnce(s: SparkSession, indexDir: String,
+      vec: Array[Float], k: Int, nprobe: Int,
+      overfetch: Int): Seq[(Long, Double)] = {
+    import graft.retrieval.IvfIndex
+    val (fs, p) = fsOf(s, s"$indexDir/centroids")
+    if (!hasParquet(fs, p)) return Nil
+    val cents = IvfIndex.loadCentroids(s, indexDir)
+    readLists(s, indexDir, Long.MaxValue) match {
+      case None => Nil
+      case Some(lists) =>
+        // query id -1: the kernel excludes id == query_id self-matches,
+        // and stored vec_ids are non-negative by the store contract
+        IvfIndex.searchQ8Lists(lists, "vec_id", "embedding",
+          Seq((-1L, vec)), cents, nprobe, k, overfetch)
+          .orderBy(col("rank"))
+          .collect()
+          .map(r => (r.getLong(1), r.getDouble(2)))
+          .toSeq
+    }
+  }
+
   /** Fixed centroids, initialized from the first non-empty batch (the
     * same idempotent-overwrite contract as [[loadOrInitSeeds]]). */
   private def loadOrInitCentroids(s: SparkSession, indexDir: String,

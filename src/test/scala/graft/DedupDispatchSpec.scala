@@ -243,4 +243,35 @@ class DedupDispatchSpec extends SparkSpec {
     assert(math.abs(effTotal - expected) < 0.01,
       s"effective corpus size $effTotal vs clusters+isolated $expected")
   }
+
+  test("sorted neighborhood: adjacency blocking on a crafted corpus") {
+    import spark.implicits._
+    // d0/d1: near-dups sharing their whole prefix — MUST sort adjacent
+    // and verify ≥0.8. d2 shares d0's first words only (candidate by
+    // adjacency, rejected by verification). d5/d9 are far apart in key
+    // space — never candidates despite being near-dups of nothing.
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (0L, base + " one", "en", "web", 60L),
+      (1L, base + " two", "en", "web", 60L),
+      (2L, "the quick brown cat sat still on a completely different mat entirely", "en", "web", 60L),
+      (5L, "zebra stripes pattern in the wild savanna at dusk tonight", "en", "web", 50L),
+      (9L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "web", 50L))
+    val dir = java.nio.file.Files.createTempDirectory("ddsnm").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.DedupQueries.qSortedNeighborhood(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out.keySet == Set((0L, 1L)), s"only the prefix-adjacent near-dup pair: $out")
+    assert(out((0L, 1L)) >= 0.8)
+  }
+
+  test("sorted neighborhood pairs are verified-exact: subset of the full Jaccard join") {
+    val snm = graft.queries.DedupQueries.qSortedNeighborhood(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = graft.queries.DedupQueries.qDedupJaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(snm.subsetOf(full),
+      s"SNM must emit a verified subset of the exact pair relation: ${snm -- full}")
+  }
 }

@@ -316,4 +316,44 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(r.getLong(3) == 4L && r.getLong(4) == 7L, s"rows: $r")
     assert(r.getDouble(5) == 0.5714, s"frac: $r")
   }
+
+  test("DP release: noise is the analytic Laplace inverse-CDF of the hash draw") {
+    import spark.implicits._
+    def write(docs: Seq[(Long, String, String, String, Long)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("dprel").toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val base = (1L to 10L).map(i => (i, s"doc $i", if (i <= 7) "en" else "fr", "web", 10L))
+    val out = graft.queries.PipelineQueries.qDpRelease(spark, write(base))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getBoolean(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set("en", "fr", "TOTAL"))
+    // recompute the mechanism independently: u from md5, Laplace icdf
+    def expectedNoise(stat: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((stat + ":dp1").getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(12)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 281474976710656.0
+      val c = u - 0.5
+      -math.signum(c) * math.log(1 - 2 * math.abs(c))
+    }
+    for ((stat, truth) <- Seq(("en", 7.0), ("fr", 3.0), ("TOTAL", 10.0))) {
+      val (eps, noised, ok, composed) = out(stat)
+      assert(eps == 1.0 && composed == 2.0)
+      val want = BigDecimal(truth + expectedNoise(stat))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(noised == want, s"$stat: served $noised, analytic $want")
+      assert(ok == (math.abs(expectedNoise(stat)) <= math.log(5000.0)),
+        s"$stat budget gate")
+    }
+    // deterministic noise depends only on the stat name: growing a
+    // language moves its release by exactly the true delta
+    val grown = base ++ (11L to 15L).map(i => (i, s"doc $i", "en", "web", 10L))
+    val out2 = graft.queries.PipelineQueries.qDpRelease(spark, write(grown))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(out2("en") - out("en")._2 - 5.0) < 1e-9)
+    assert(out2("fr") == out("fr")._2)
+  }
 }

@@ -304,4 +304,66 @@ class ServingShimSpec extends SparkSpec {
       assert(post(c2, p2, "/neardup", """{"text": "x"}""").statusCode() == 404)
     }
   }
+
+  test("POST /vsearch: dense retrieval against the streamed IVF store") {
+    import graft.retrieval.IvfIndex
+    import graft.streaming.EmbedStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dim = 8
+    def vec(seed: Long): Array[Float] = {
+      val rnd = new java.util.Random(seed)
+      Array.fill(dim)(rnd.nextGaussian().toFloat)
+    }
+    val corpus = (0 until 10).map(i => (i.toLong, vec(i * 7919L + 3).toSeq))
+    val dir = java.nio.file.Files.createTempDirectory("shim-vsearch").toString
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val cents = IvfIndex.buildCentroids(corpusDf, "vec_id", "embedding", 4)
+    IvfIndex.writeCentroids(spark, cents, dir)
+    // the startIvf lists layout: batch=<id>/centroid_id=<c> with q8 codes
+    IvfIndex.withQ8(IvfIndex.assign(corpusDf, "vec_id", "embedding", cents),
+        "embedding")
+      .write.partitionBy("centroid_id").parquet(s"$dir/lists/batch=0")
+    // the text form routes through the deployment's embedder; the toy
+    // one here maps a text deterministically onto a corpus vector
+    def toyEmbed(t: String): Array[Float] = vec((t.length % 10) * 7919L + 3)
+    val shim = new ServingShim(() => healthyStatus, runner,
+      vsearch = Some((q, k) => q match {
+        case Right(v) => EmbedStream.probeVector(spark, dir, v, k, nprobe = 4)
+        case Left(t) => EmbedStream.probeVector(spark, dir, toyEmbed(t), k, nprobe = 4)
+      }))
+    val port = shim.start()
+    val c = HttpClient.newHttpClient()
+    try {
+      // exact stored vector → itself at rank 1, cosine 1
+      val body = corpus(3)._2.mkString("[", ", ", "]")
+      val r = post(c, port, "/vsearch", s"""{"vector": $body, "k": 3}""")
+      assert(r.statusCode() == 200, r.body())
+      assert(r.body().contains(""""rank": 1, "doc_id": 3, "score": 1.0"""), r.body())
+      // the probe agrees with the search kernel run directly
+      val direct = IvfIndex.searchQ8Lists(
+        spark.read.option("basePath", s"$dir/lists").parquet(s"$dir/lists/batch=0"),
+        "vec_id", "embedding", Seq((-1L, corpus(3)._2.toArray)), cents, 4, 3)
+        .orderBy(col("rank")).collect().map(r => (r.getLong(1), r.getDouble(2)))
+      val served = """"doc_id": (-?\d+), "score": ([-0-9.E]+)""".r
+        .findAllMatchIn(r.body())
+        .map(m => (m.group(1).toLong, m.group(2).toDouble)).toSeq
+      assert(served == direct.toSeq, s"served $served vs direct ${direct.toSeq}")
+      // text form: the wired embedder maps length%10 → corpus id 7
+      val t = post(c, port, "/vsearch", s"""{"text": ${ServingShim.quote("x" * 7)}, "k": 1}""")
+      assert(t.statusCode() == 200, t.body())
+      assert(t.body().contains(""""doc_id": 7, "score": 1.0"""), t.body())
+      // edges: no vector/text → 400; GET → 405
+      assert(post(c, port, "/vsearch", """{"k": 2}""").statusCode() == 400)
+      assert(get(c, port, "/vsearch").statusCode() == 405)
+    } finally { shim.stop(); () }
+    // empty store → empty hits (serving before the first commit)
+    val emptyDir = java.nio.file.Files.createTempDirectory("shim-vsearch-empty").toString
+    assert(EmbedStream.probeVector(spark, emptyDir, vec(1L)).isEmpty)
+    // unwired shim → 404
+    withShim() { (p2, c2) =>
+      assert(post(c2, p2, "/vsearch", """{"vector": [1, 0]}""").statusCode() == 404)
+    }
+  }
 }
