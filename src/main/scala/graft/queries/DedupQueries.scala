@@ -1531,6 +1531,74 @@ object DedupQueries {
       |FROM inter JOIN cnt ca ON ca.source = sa JOIN cnt cb ON cb.source = sb
       |ORDER BY src_a, src_b""".stripMargin
 
+  /** Containment threshold: fraction of the SMALLER shingle set that
+    * must appear in the larger one. */
+  private val ContainThreshold = 0.9
+
+  /** Shingle-containment near-dup (Broder 1997, "On the resemblance and
+    * containment of documents", SEQUENCES — the paper's SECOND measure):
+    * containment C = |A∩B| / min(|A|,|B|) flags a document nearly
+    * CONTAINED in another — a quoted post, a file embedded in a bundle,
+    * a doc re-issued with a long preamble — which resemblance
+    * (Jaccard) misses whenever the size ratio is large (J ≤ |A|/|B|
+    * caps at the ratio, so a 10× wrapper can never pass 0.8 Jaccard
+    * no matter how completely it swallows the smaller doc).
+    *
+    * Scale shape: identical to [[qDedupJaccard]] — the inverted-index
+    * self-join on the shared shingle relation (shuffle keyed by
+    * shingle, candidate width bounded by per-shingle document
+    * frequency), one intersection count per co-occurring pair, then
+    * size-table joins. Containment adds arithmetic, not shuffles. The
+    * rare-prefix filter deliberately does NOT apply (its lossless bound
+    * is resemblance-specific); the postings join IS the scale path.
+    * Output carries the Jaccard beside the containment plus a
+    * `resemblance_missed` flag for the pairs only this operator finds. */
+  def qDedupContainment(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRel(s, d)
+    val posting = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val cnt = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val inter = posting.as("a")
+      .join(posting.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .withColumn("containment",
+        col("inter").cast("double") /
+          least(col("ca.n"), col("cb.n")).cast("double"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("ca.n") + col("cb.n") - col("inter")).cast("double"))
+      .filter(col("containment") >= ContainThreshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 4).as("containment"),
+        round(col("jaccard"), 4).as("jaccard"),
+        (col("jaccard") < JaccardThreshold).as("resemblance_missed"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qDedupContainmentSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)])) s
+       |  FROM tok WHERE len(w) >= 3),
+       |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id i, b.doc_id j, count(*) inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i AS doc_a, j AS doc_b,
+       |  round(inter / least(ca.n, cb.n)::DOUBLE, 4) AS containment,
+       |  round(inter / (ca.n + cb.n - inter)::DOUBLE, 4) AS jaccard,
+       |  (inter / (ca.n + cb.n - inter)::DOUBLE < $JaccardThreshold)
+       |    AS resemblance_missed
+       |FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+       |WHERE inter / least(ca.n, cb.n)::DOUBLE >= $ContainThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Sorted-Neighborhood blocking: normalized-key prefix width and the
     * sliding-window size (Hernández & Stolfo used w≈10 on records;
     * text corpora need less — near-identical docs share long prefixes). */
@@ -1630,6 +1698,7 @@ object DedupQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (qDedupExact _),
     "dd_sorted_neighborhood" -> (qSortedNeighborhood _),
+    "dd_containment" -> (qDedupContainment _),
     "dd_source_overlap" -> (qSourceOverlap _),
     "dd_source_overlap_minhash" -> (qSourceOverlapMinhash _),
     "dd_source_overlap_minhash_gate" -> (qSourceOverlapMinhashGate _),
@@ -1660,6 +1729,7 @@ object DedupQueries {
   def oracles: Map[String, String] = Map(
     "dd_exact" -> qDedupExactSql,
     "dd_sorted_neighborhood" -> qSortedNeighborhoodSql,
+    "dd_containment" -> qDedupContainmentSql,
     "dd_source_overlap" -> qSourceOverlapSql,
     // dd_source_overlap_minhash: approximate — rows-only; its gate twin
     // below carries the hash-checked ε floor

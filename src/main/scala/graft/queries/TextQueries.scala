@@ -1127,7 +1127,113 @@ object TextQueries {
        |ORDER BY merge_rank""".stripMargin
   }
 
+  /** Vocabulary-growth curve + Heaps-law fit (Heaps 1978, "Information
+    * Retrieval: Computational and Theoretical Aspects"; Herdan 1960 —
+    * the public V(N) ≈ k·N^β law): walk the corpus in doc_id order,
+    * record cumulative (tokens seen, distinct vocabulary) at each
+    * corpus decile, and fit β/k by least squares over the log-log
+    * points. The tokenizer/vocab-budget planning readout a pipeline
+    * consults before committing a vocabulary size — β says how fast
+    * new text keeps minting new types at 100 TB.
+    *
+    * Scale shape: the corpus order is the two-level bucket rank
+    * ([[PipelineQueries.qEpochShuffle]]'s idiom — doc_id-range buckets
+    * are order-preserving, offsets broadcast; no single-partition
+    * window). A token's first appearance is one map-side-combinable
+    * `min(rank)` agg over the exploded token stream, so the heavy
+    * relation shuffles (token, rank) pairs exactly once; everything
+    * after runs on ≤10-row frames. The regression is closed-form
+    * covar/var over those 10 points. */
+  def qHeapsLaw(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val n = docs.count().toDouble // one bounded scalar, like qTCloseness
+    val bucketed = docs.select(col("doc_id"), col("text"))
+      .withColumn("bucket", floor(col("doc_id") / 65536).cast("long"))
+    val wB = w.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val local = bucketed.withColumn("lrank", row_number().over(wB))
+    val wOff = w.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    val ranked = local.join(broadcast(offsets), "bucket")
+      .withColumn("rk", col("boff") + col("lrank"))
+      .withColumn("dec",
+        least(lit(10L), ceil(lit(10.0) * col("rk").cast("double") / lit(n)))
+          .cast("int"))
+      .select(col("doc_id"), col("text"), col("rk"), col("dec"))
+    // tokens seen per decile (whitespace tokens; empty docs count 0)
+    val wCum = w.orderBy(col("dec"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val nCum = ranked
+      .groupBy(col("dec")).agg(sum(tokenCount(col("text"))).as("ntok"))
+      .withColumn("n_tokens_cum", sum(col("ntok")).over(wCum))
+    // each TYPE (lowercased token) enters the vocabulary at its first
+    // rank — one min-agg over the exploded stream
+    val firstDec = ranked
+      .select(col("rk"), explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("rk")).as("frk"))
+      .withColumn("fdec",
+        least(lit(10L), ceil(lit(10.0) * col("frk").cast("double") / lit(n)))
+          .cast("int"))
+      .groupBy(col("fdec").as("dec")).agg(count(lit(1)).as("vnew"))
+    val curve = nCum
+      .join(firstDec, Seq("dec"), "left")
+      .withColumn("vocab_cum",
+        sum(coalesce(col("vnew"), lit(0L))).over(wCum))
+      .filter(col("n_tokens_cum") > 0 && col("vocab_cum") > 0)
+      .select(col("dec").as("decile"), col("n_tokens_cum"), col("vocab_cum"))
+    val fit = curve
+      .select(log(col("n_tokens_cum").cast("double")).as("x"),
+        log(col("vocab_cum").cast("double")).as("y"))
+      .agg((covar_pop(col("x"), col("y")) / var_pop(col("x"))).as("beta"),
+        avg(col("x")).as("ax"), avg(col("y")).as("ay"))
+      .select(round(col("beta"), 6).as("beta"),
+        round(exp(col("ay") - col("beta") * col("ax")), 4).as("k_coef"))
+    curve.crossJoin(broadcast(fit)).orderBy(col("decile"))
+  }
+
+  val qHeapsLawSql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) rk,
+      |    count(*) OVER () nd
+      |  FROM documents),
+      |dd AS (
+      |  SELECT doc_id, text, rk,
+      |    least(10, ceil(10.0 * rk / nd))::INT dcl
+      |  FROM ranked),
+      |ncum AS (
+      |  SELECT dcl, sum(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END))
+      |    OVER (ORDER BY dcl) n_tokens_cum
+      |  FROM dd GROUP BY dcl),
+      |firstrk AS (
+      |  SELECT tok, min(rk) frk FROM (
+      |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) tok, rk
+      |    FROM dd WHERE length(trim(text)) > 0)
+      |  GROUP BY tok),
+      |vrows AS (
+      |  SELECT least(10, ceil(10.0 * frk
+      |      / (SELECT count(*) FROM documents)))::INT dcl, count(*) vn
+      |  FROM firstrk GROUP BY 1),
+      |curve AS (
+      |  SELECT n.dcl AS decile, n.n_tokens_cum::BIGINT n_tokens_cum,
+      |    sum(coalesce(v.vn, 0)) OVER (ORDER BY n.dcl)::BIGINT vocab_cum
+      |  FROM ncum n LEFT JOIN vrows v ON v.dcl = n.dcl),
+      |pts AS (
+      |  SELECT decile, n_tokens_cum, vocab_cum,
+      |    ln(n_tokens_cum::DOUBLE) x, ln(vocab_cum::DOUBLE) y
+      |  FROM curve WHERE n_tokens_cum > 0 AND vocab_cum > 0),
+      |fit AS (
+      |  SELECT round(covar_pop(x, y) / var_pop(x), 6) beta,
+      |    round(exp(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x)), 4) k_coef
+      |  FROM pts)
+      |SELECT decile, n_tokens_cum, vocab_cum, beta, k_coef
+      |FROM pts, fit ORDER BY decile""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "td_heaps" -> (qHeapsLaw _),
     "td_pmi" -> (qPmi _),
     "td_bpe_roundtrip" -> (qBpeRoundtrip _),
     "td_bpe_merges" -> (qBpeMerges _),
@@ -1153,6 +1259,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "td_heaps" -> qHeapsLawSql,
     "td_pmi" -> qPmiSql,
     "td_bpe_roundtrip" -> qBpeRoundtripSql,
     "td_bpe_merges" -> qBpeMergesSql,

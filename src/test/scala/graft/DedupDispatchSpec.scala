@@ -266,6 +266,33 @@ class DedupDispatchSpec extends SparkSpec {
     assert(out((0L, 1L)) >= 0.8)
   }
 
+  test("containment: a swallowed doc flags at containment 1.0 where Jaccard misses") {
+    import spark.implicits._
+    // d1 is wholly contained in d0 (a 4x wrapper): containment = 1.0 but
+    // J = |small|/|big| << 0.8 — the pair ONLY containment finds. d2/d3
+    // share nothing with them.
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val pad = (1 to 30).map(i => s"pad$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$pad $small ${pad.replace("pad", "tail")}", "en", "web", 300L),
+      (1L, small, "en", "web", 50L),
+      (2L, "one two three four five six seven eight nine ten", "en", "web", 50L),
+      (3L, "uno dos tres cuatro cinco seis siete ocho nueve", "en", "web", 50L))
+    val dir = java.nio.file.Files.createTempDirectory("ddcont").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.DedupQueries.qDedupContainment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out.keySet == Set((0L, 1L)), s"only the swallowed pair: $out")
+    val (c, j, missed) = out((0L, 1L))
+    assert(c == 1.0, s"full containment: $c")
+    assert(j < 0.8 && missed, s"resemblance must miss it: j=$j")
+    // and the Jaccard operator indeed does not emit the pair
+    val jac = graft.queries.DedupQueries.qDedupJaccard(spark, dir).collect()
+    assert(!jac.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
+  }
+
   test("sorted neighborhood pairs are verified-exact: subset of the full Jaccard join") {
     val snm = graft.queries.DedupQueries.qSortedNeighborhood(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

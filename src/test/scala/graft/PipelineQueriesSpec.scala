@@ -317,6 +317,32 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(r.getDouble(5) == 0.5714, s"frac: $r")
   }
 
+  test("Heaps curve: exact growth on a crafted corpus; closed-form fit matches") {
+    import spark.implicits._
+    // doc i carries one shared token and one fresh type: after decile d
+    // (one doc per decile), tokens seen = 2d, vocabulary = 1 + d
+    val docs = (1L to 10L).map(i => (i, s"w new$i", "en", "web", 10L))
+    val dir = java.nio.file.Files.createTempDirectory("heaps").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.TextQueries.qHeapsLaw(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val d = i + 1
+      assert(r.getInt(0) == d)
+      assert(r.getLong(1) == 2L * d, s"tokens at decile $d: $r")
+      assert(r.getLong(2) == 1L + d, s"vocab at decile $d: $r")
+    }
+    // closed-form least squares over the same 10 log-log points
+    val pts = (1 to 10).map(d => (math.log(2.0 * d), math.log(1.0 + d)))
+    val (ax, ay) = (pts.map(_._1).sum / 10, pts.map(_._2).sum / 10)
+    val beta = pts.map(p => (p._1 - ax) * (p._2 - ay)).sum /
+      pts.map(p => (p._1 - ax) * (p._1 - ax)).sum
+    val k = math.exp(ay - beta * ax)
+    assert(math.abs(rows.head.getDouble(3) - beta) < 1e-5, s"beta ${rows.head}")
+    assert(math.abs(rows.head.getDouble(4) - k) < 1e-3, s"k ${rows.head}")
+  }
+
   test("DP release: noise is the analytic Laplace inverse-CDF of the hash draw") {
     import spark.implicits._
     def write(docs: Seq[(Long, String, String, String, Long)]): String = {
