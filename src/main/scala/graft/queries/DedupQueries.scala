@@ -1625,6 +1625,18 @@ object DedupQueries {
     * to 0 < Δpos < w. Verification joins the shared shingle relation
     * onto the candidate ids only. */
   def qSortedNeighborhood(s: SparkSession, d: String): DataFrame = {
+    // checkpoint the narrow (doc_id, pos, blk) relation: BOTH sides of
+    // the candidate join read it, and without truncation each side
+    // re-evaluates the whole rank subtree (plan-pinned in PlanQualitySpec)
+    val pos = snmPositions(s, d).localCheckpoint()
+    sortedNeighborhoodFrom(s, d, pos)
+  }
+
+  /** [[qSortedNeighborhood]]'s global sort position (the two-level
+    * bucket rank) and window block — exposed pre-checkpoint so
+    * PlanQualitySpec can pin the bucketed-window shape the checkpoint
+    * otherwise truncates out of the executed plan. */
+  private[graft] def snmPositions(s: SparkSession, d: String): DataFrame = {
     val keyed = Tables.documents(s, d)
       .select(col("doc_id"),
         substring(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "),
@@ -1640,9 +1652,13 @@ object DedupQueries {
     val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
       .withColumn("off", coalesce(sum(col("bn")).over(wOff), lit(0L)))
       .select(col("bucket"), col("off"))
-    val pos = local.join(broadcast(offsets), "bucket")
+    local.join(broadcast(offsets), "bucket")
       .select(col("doc_id"), (col("off") + col("lrank")).as("pos"))
       .withColumn("blk", floor(col("pos") / SnmWindow))
+  }
+
+  private def sortedNeighborhoodFrom(s: SparkSession, d: String,
+      pos: DataFrame): DataFrame = {
     val probe = pos
       .select(col("doc_id").as("ida"), col("pos").as("pos_a"),
         explode(array(col("blk"), col("blk") + 1)).as("jblk"))

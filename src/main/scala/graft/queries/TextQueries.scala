@@ -1157,12 +1157,16 @@ object TextQueries {
     val offsets = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
       .withColumn("boff", coalesce(sum(col("bn")).over(wOff), lit(0L)))
       .select(col("bucket"), col("boff"))
+    // checkpoint: the tokens-per-decile and type-first-appearance
+    // branches BOTH read the ranked relation — truncation evaluates the
+    // rank (and its corpus scan) once (plan-pinned in PlanQualitySpec)
     val ranked = local.join(broadcast(offsets), "bucket")
       .withColumn("rk", col("boff") + col("lrank"))
       .withColumn("dec",
         least(lit(10L), ceil(lit(10.0) * col("rk").cast("double") / lit(n)))
           .cast("int"))
       .select(col("doc_id"), col("text"), col("rk"), col("dec"))
+      .localCheckpoint()
     // tokens seen per decile (whitespace tokens; empty docs count 0)
     val wCum = w.orderBy(col("dec"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

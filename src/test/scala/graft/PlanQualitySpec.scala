@@ -479,4 +479,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("NOT (label"), // the label filter rides the join, pre-scoring
       s"label inequality must appear in the join condition:\n$p")
   }
+
+  test("sorted neighborhood: bucketed rank windows; candidate join is an equi-join") {
+    // the rank stage (pre-checkpoint): corpus-sized window partitions by
+    // the key-prefix bucket; the only single-partition stage is the
+    // ≤|charset|²-row offset prefix sum
+    val pr = plan(graft.queries.DedupQueries.snmPositions(spark, sf))
+      .split("== Initial Plan ==").head // AQE echoes the pre-AQE tree below
+    assert(pr.contains("windowspecdefinition(bucket"),
+      s"SNM rank must window within key-prefix buckets:\n$pr")
+    assert(count(pr, "Exchange SinglePartition") <= 1,
+      s"only the bounded bucket-offset prefix sum may single-partition:\n$pr")
+    // the full query: window blocking stays an equi-join
+    val p = plan(graft.queries.DedupQueries.qSortedNeighborhood(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"window blocking must stay an equi-join:\n$p")
+  }
+
+  test("heaps curve: type first-appearance agg partials map-side; no corpus-global window") {
+    val p = plan(graft.queries.TextQueries.qHeapsLaw(spark, sf))
+    assert(count(p, "partial_min") >= 1,
+      s"min(rank) per type must partial-aggregate map-side:\n$p")
+    val globals = "Exchange SinglePartition".r.findAllMatchIn(p).length
+    // the ≤10-row decile cumsums and the 2-row fit may single-partition;
+    // the corpus-sized rank may not — bounded count is the proxy
+    assert(globals <= 4, s"too many single-partition stages ($globals):\n$p")
+    assert(count(p, "Window") >= 2, s"two-level rank windows expected:\n$p")
+  }
 }
