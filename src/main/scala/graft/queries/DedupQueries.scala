@@ -1599,6 +1599,101 @@ object DedupQueries {
        |WHERE inter / least(ca.n, cb.n)::DOUBLE >= $ContainThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Relative edit-similarity floor for verified pairs. */
+  private val EditSimThreshold = 0.8
+
+  /** Edit-distance near-dup audit (Levenshtein 1966; Navarro 2001, "A
+    * guided tour to approximate string matching", ACM Computing Surveys
+    * — public): verify the simhash-blocked near-identical class with
+    * the actual character-level edit distance — the similarity a
+    * reviewer means by "these differ by a few edits". Shingle Jaccard
+    * is bag-of-ngram overlap (reorder-insensitive) and simhash is
+    * weighted-feature hamming; the DP distance is the sequence-aware
+    * ground truth both approximate.
+    *
+    * Scale guards, in order: identical fingerprints contract to ONE
+    * representative before blocking (the mm_blob_clusters rule — k
+    * exact copies would otherwise feed k(k−1)/2 zero-distance pairs
+    * into the DP); candidates come from the pigeonhole band join, never
+    * a cross join; and each doc verifies against its ANCHOR only — the
+    * minimum-id banded neighbor — not every neighbor. The anchor star
+    * is the load-bearing guard: a near-dup family of f members has
+    * f(f−1)/2 pairs but only f−1 (member, anchor) edges, and the
+    * O(len·len) DP is the most expensive per-row kernel in the dedup
+    * family (measured 82 ns/cell ≈ 7 ms per 300-char pair — the
+    * all-pairs form burned 25k core-seconds at sf1 before this guard).
+    * The narrow DP relation is checkpointed so filter/projection
+    * pushdown cannot re-evaluate the DP. Output: (doc_id, anchor_id,
+    * edit_dist, edit_sim ≥ [[EditSimThreshold]]). */
+  def qDedupEditDistance(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val reps = docs
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(docs, "doc_id")
+      .select(col("doc_id"), col("text"), normalized(col("text")).as("nt"))
+      .localCheckpoint()
+    val anchors = bandedSimhashPairs(
+      reps.select(col("doc_id"), simhash(tokens(col("text"))).as("sig")))
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("anchor_id"))
+    val verified = anchors
+      .join(reps.select(col("doc_id"), col("nt").as("tb")), "doc_id")
+      .join(reps.select(col("doc_id").as("anchor_id"), col("nt").as("ta")),
+        "anchor_id")
+      .select(col("doc_id"), col("anchor_id"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+        greatest(length(col("ta")), length(col("tb"))).as("ml"))
+      .localCheckpoint()
+    verified
+      .withColumn("edit_sim",
+        when(col("ml") === 0, lit(1.0))
+          .otherwise(round(lit(1.0) -
+            col("edit_dist").cast("double") / col("ml").cast("double"), 4)))
+      .filter(col("edit_sim") >= EditSimThreshold)
+      .select(col("doc_id"), col("anchor_id"), col("edit_dist"), col("edit_sim"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupEditDistanceSql: String =
+    s"""WITH reps AS (
+       |  SELECT d.doc_id, d.text,
+       |    regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g') nt
+       |  FROM documents d JOIN (
+       |    SELECT min(doc_id) doc_id FROM documents
+       |    GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) k
+       |  USING (doc_id)),
+       |tok AS (
+       |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) t
+       |  FROM reps),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT hv FROM tok),
+       |bits AS (
+       |  SELECT doc_id, bb.b,
+       |    sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) v
+       |  FROM h, (SELECT unnest(range(60)) b) bb GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT sig
+       |  FROM bits GROUP BY 1),
+       |pairs AS (
+       |  SELECT x.doc_id doc_a, y.doc_id doc_b
+       |  FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.sig, y.sig)) <= 3),
+       |anchors AS (
+       |  SELECT doc_b AS doc_id, min(doc_a) AS anchor_id
+       |  FROM pairs GROUP BY doc_b),
+       |verified AS (
+       |  SELECT n.doc_id, n.anchor_id,
+       |    levenshtein(a.nt, b.nt)::BIGINT edit_dist,
+       |    CASE WHEN greatest(length(a.nt), length(b.nt)) = 0 THEN 1.0
+       |      ELSE round(1 - levenshtein(a.nt, b.nt)::DOUBLE
+       |        / greatest(length(a.nt), length(b.nt)), 4) END edit_sim
+       |  FROM anchors n JOIN reps a ON a.doc_id = n.anchor_id
+       |                 JOIN reps b ON b.doc_id = n.doc_id)
+       |SELECT doc_id, anchor_id, edit_dist, edit_sim
+       |FROM verified WHERE edit_sim >= $EditSimThreshold
+       |ORDER BY doc_id""".stripMargin
+
   /** Sorted-Neighborhood blocking: normalized-key prefix width and the
     * sliding-window size (Hernández & Stolfo used w≈10 on records;
     * text corpora need less — near-identical docs share long prefixes). */
@@ -1715,6 +1810,7 @@ object DedupQueries {
     "dd_exact" -> (qDedupExact _),
     "dd_sorted_neighborhood" -> (qSortedNeighborhood _),
     "dd_containment" -> (qDedupContainment _),
+    "dd_edit_distance" -> (qDedupEditDistance _),
     "dd_source_overlap" -> (qSourceOverlap _),
     "dd_source_overlap_minhash" -> (qSourceOverlapMinhash _),
     "dd_source_overlap_minhash_gate" -> (qSourceOverlapMinhashGate _),
@@ -1746,6 +1842,7 @@ object DedupQueries {
     "dd_exact" -> qDedupExactSql,
     "dd_sorted_neighborhood" -> qSortedNeighborhoodSql,
     "dd_containment" -> qDedupContainmentSql,
+    "dd_edit_distance" -> qDedupEditDistanceSql,
     "dd_source_overlap" -> qSourceOverlapSql,
     // dd_source_overlap_minhash: approximate — rows-only; its gate twin
     // below carries the hash-checked ε floor

@@ -1753,8 +1753,81 @@ object SearchQueries {
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Prefix width the wildcard query set truncates each term to. */
+  private val WildcardPrefixLen = 4
+
+  /** Prefix (trailing-wildcard) search — Lucene's PrefixQuery / the
+    * term-dictionary range scan (Zobel & Moffat 2006, "Inverted files
+    * for text search engines", ACM Computing Surveys §8 — public):
+    * each query term truncates to its [[WildcardPrefixLen]]-char prefix
+    * and matches EVERY vocabulary term sharing it ("hash join" →
+    * `hash* join*`); the expanded term set then scores through the
+    * standard pruned BM25.
+    *
+    * Scale shape: expansion runs against the DICTIONARY, not the
+    * corpus — the distinct-term relation joins the broadcast prefix
+    * table on the computed (plen, prefix) key, an EQUI-join (the
+    * dictionary-sorted range scan's relational twin; no LIKE scan, no
+    * nested loop). The matched terms then prune the token stream
+    * before aggregation exactly like every other ks_ query, so corpus
+    * cost is O(matched-term postings). */
+  def qWildcard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokenized(s, d)
+    val pref = Bm25Queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(split(col("qtext"), " ")).as("term")).distinct()
+      .select(col("query_id"),
+        substring(col("term"), 1, WildcardPrefixLen).as("prefix"))
+      .withColumn("plen", length(col("prefix")))
+      .distinct()
+    // ≤ |query terms| distinct prefix lengths — the dictionary keys
+    // itself once per length, then the match is a broadcast equi-join
+    val plens = pref.select(col("plen")).distinct()
+    val vocab = toks.select(explode(col("w")).as("term")).distinct()
+    val qterms = vocab
+      .join(broadcast(plens), expr("length(term) >= plen"))
+      .withColumn("prefix", expr("substring(term, 1, plen)"))
+      .join(broadcast(pref), Seq("plen", "prefix"))
+      .select(col("query_id"), col("term")).distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    bm25Scores(toks, qterms)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score"), col("n_terms_hit"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qWildcardSql: String = {
+    val values = Bm25Queries
+      .map { case (id, q) => s"(${id}::BIGINT, '$q')" }.mkString(", ")
+    s"""WITH ${bm25Sql(
+      s"""q(query_id, qtext) AS (VALUES $values),
+         |qt0 AS (
+         |  SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) term
+         |  FROM q),
+         |qp AS (
+         |  SELECT DISTINCT query_id, substr(term, 1, $WildcardPrefixLen) prefix
+         |  FROM qt0),
+         |vocab AS (SELECT DISTINCT unnest(w) term FROM d2),
+         |qt AS (
+         |  SELECT DISTINCT qp.query_id, v.term
+         |  FROM qp JOIN vocab v
+         |    ON length(v.term) >= length(qp.prefix)
+         |   AND substr(v.term, 1, length(qp.prefix)) = qp.prefix)""".stripMargin)},
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) rank
+       |  FROM bm25)
+       |SELECT query_id, rank::INTEGER AS rank, doc_id, score, n_terms_hit
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ks_bm25" -> (qBm25 _),
+    "ks_wildcard" -> (qWildcard _),
     "ks_boolean" -> (qBoolean _),
     "ks_bm25f" -> (qBm25F _),
     "ks_bm25_stored" -> (qBm25Stored _),
@@ -1794,6 +1867,7 @@ object SearchQueries {
     // explode feeds the same phraseRank kernel)
     "ks_phrase_stored" -> qPhraseSql,
     "ks_fuzzy" -> qFuzzySql,
+    "ks_wildcard" -> qWildcardSql,
     "ks_mlt" -> qMoreLikeThisSql,
     // delta-maintained positional component: same phrase relation,
     // merged from per-batch deltas

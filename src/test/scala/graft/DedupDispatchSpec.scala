@@ -293,6 +293,48 @@ class DedupDispatchSpec extends SparkSpec {
     assert(!jac.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
   }
 
+  test("edit distance: exact DP value on a crafted corpus; exact copies contract first") {
+    import spark.implicits._
+    // d0 ≡ d1 ≡ d2 (exact copies — must contract to ONE representative),
+    // d3 = d0 with two words SWAPPED: identical distinct-token set, so
+    // simhash (order-blind) blocks them at distance 0 — and the edit
+    // distance is the signal that separates reorder from copy,
+    // d4 shares nothing
+    val base = "the quick brown fox jumps over the lazy dog again today"
+    val swapped = "the brown quick fox jumps over the lazy dog again today"
+    val docs = Seq(
+      (0L, base, "en", "web", 55L), (1L, base, "en", "web", 55L),
+      (2L, base, "en", "web", 55L), (3L, swapped, "en", "web", 55L),
+      (4L, "completely unrelated writing with nothing shared at all", "en", "web", 55L))
+    val dir = java.nio.file.Files.createTempDirectory("ddedit").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.DedupQueries.qDedupEditDistance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // exactly one audit row: doc 3 against its anchor (representative 0)
+    // — never 1 or 2 (contracted away before blocking)
+    assert(out.keySet == Set((3L, 0L)), s"contracted representatives only: $out")
+    // reference Wagner–Fischer DP, independent of both engines
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val (dist, sim) = out((3L, 0L))
+    val want = lev(base, swapped)
+    assert(dist == want.toLong, s"DP distance: got $dist, reference $want")
+    assert(sim == BigDecimal(1.0 - want.toDouble / base.length)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"sim $sim")
+  }
+
   test("sorted neighborhood pairs are verified-exact: subset of the full Jaccard join") {
     val snm = graft.queries.DedupQueries.qSortedNeighborhood(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

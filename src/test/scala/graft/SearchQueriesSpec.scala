@@ -425,6 +425,37 @@ class SearchQueriesSpec extends SparkSpec {
       s"selected MLT terms must push into the postings probe:\n$plan")
   }
 
+  test("wildcard: prefix expansion is dictionary-exact and an equi-join in the plan") {
+    import spark.implicits._
+    // crafted corpus: 'hash join' expands hash* (hashing, hashmap, hash)
+    // and join* (join, joined) but NOT 'has' (shorter than the prefix)
+    // or 'josh'/'ahash' (prefix mismatch)
+    val docs = Seq(
+      (0L, "hashing tables quickly", "en", "web", 22L),
+      (1L, "hashmap lookup cost", "en", "web", 19L),
+      (2L, "hash join strategies", "en", "web", 20L),
+      (3L, "joined relations stream", "en", "web", 23L),
+      (4L, "josh has a cat", "en", "web", 14L))
+    val dir = java.nio.file.Files.createTempDirectory("kswild").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SearchQueries.qWildcard(spark, dir).collect()
+    val q0docs = rows.filter(_.getLong(0) == 0L).map(_.getLong(2)).toSet
+    assert(q0docs == Set(0L, 1L, 2L, 3L),
+      s"'hash join' must reach every hash*/join* doc and no other: $q0docs")
+    // the full-corpus run: dictionary expansion must plan as an
+    // equi-join (the range-scan twin), never LIKE-over-vocab nested loop
+    val df = SearchQueries.qWildcard(spark, sf)
+    df.collect()
+    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      s"prefix match must be the (plen, prefix) equi-join:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      "per-query top-k must filter before the final window shuffle")
+  }
+
   test("scale shape: query-term pruning broadcasts; top-k plans pre-shuffle WindowGroupLimit") {
     val df = SearchQueries.qBm25(spark, sf)
     df.collect()
