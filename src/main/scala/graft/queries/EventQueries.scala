@@ -2096,7 +2096,171 @@ object EventQueries {
       |  END AS adj_diff
       |FROM t""".stripMargin
 
+  /** Difference-in-differences lift (Ashenfelter 1978 / Card & Krueger
+    * 1994's design, the textbook panel-data estimator — public
+    * methodology): the fourth experimentation leg next to
+    * [[qAbLift]]/[[qSrmCheck]]/[[qCupedLift]], for the case where the
+    * treatment went out at a KNOWN time rather than behind a hash gate —
+    * compare each arm's post-vs-pre change so any shared time trend
+    * cancels: DiD = (ȳ_B,post − ȳ_B,pre) − (ȳ_A,post − ȳ_A,pre).
+    * Reuses ev_cuped's period boundary and ev_ab_lift's hash arms.
+    *
+    * Scale shape: one events scan → per-(user, period) conversion (a
+    * map-side-combinable max), cell moments per (variant, period) —
+    * a 4-row relation — then scalar double math on the collapsed frame.
+    * SE is the independent-cell pooled form √(Σ s²ᵢ/nᵢ) from the same
+    * exact integer moments (binary outcome: s² = p(1−p)·n/(n−1)). */
+  def qDidLift(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    val variant = when(
+      conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 2 === 0, "A").otherwise("B")
+    val perUser = Tables.events(s, d)
+      .select(col("user_id"), variant.as("v"),
+        when(col("ts") < cutoff, "pre").otherwise("post").as("period"),
+        (col("event_type") === "purchase").cast("int").as("p"))
+      .groupBy(col("v"), col("period"), col("user_id"))
+      .agg(max(col("p")).as("y"))
+    val cells = perUser.groupBy(col("v"), col("period"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("c"))
+      .withColumn("m", col("c").cast("double") / col("n"))
+      // binary outcome: unbiased cell variance from the same counts
+      .withColumn("s2", col("m") * (lit(1.0) - col("m")) *
+        col("n") / (col("n") - lit(1.0)))
+    def cell(v: String, p: String, suffix: String): DataFrame =
+      cells.filter(col("v") === v && col("period") === p)
+        .select(col("n").as(s"n_$suffix"), col("m").as(s"m_$suffix"),
+          col("s2").as(s"s2_$suffix"))
+    cell("A", "pre", "a0").crossJoin(cell("A", "post", "a1"))
+      .crossJoin(cell("B", "pre", "b0")).crossJoin(cell("B", "post", "b1"))
+      .withColumn("did", (col("m_b1") - col("m_b0")) - (col("m_a1") - col("m_a0")))
+      .withColumn("se", sqrt(
+        col("s2_a0") / col("n_a0") + col("s2_a1") / col("n_a1") +
+          col("s2_b0") / col("n_b0") + col("s2_b1") / col("n_b1")))
+      .select(
+        round(col("m_a0"), 6).as("mean_a_pre"),
+        round(col("m_a1"), 6).as("mean_a_post"),
+        round(col("m_b0"), 6).as("mean_b_pre"),
+        round(col("m_b1"), 6).as("mean_b_post"),
+        round(col("did"), 6).as("did"),
+        round(col("se"), 6).as("se"),
+        round(col("did") / nullif(col("se"), lit(0.0)), 4).as("t_stat"))
+  }
+
+  val qDidLiftSql: String =
+    """WITH pu AS (
+      |  SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::INTEGER % 2 = 0
+      |              THEN 'A' ELSE 'B' END v,
+      |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'pre' ELSE 'post' END period,
+      |    user_id, max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) y
+      |  FROM events GROUP BY 1, 2, 3),
+      |cells AS (
+      |  SELECT v, period, count(*) n, sum(y)::BIGINT c,
+      |    sum(y)::DOUBLE / count(*) m,
+      |    (sum(y)::DOUBLE / count(*)) * (1 - sum(y)::DOUBLE / count(*))
+      |      * count(*) / (count(*) - 1.0) s2
+      |  FROM pu GROUP BY 1, 2),
+      |j AS (
+      |  SELECT
+      |    a0.n n_a0, a0.m m_a0, a0.s2 s2_a0, a1.n n_a1, a1.m m_a1, a1.s2 s2_a1,
+      |    b0.n n_b0, b0.m m_b0, b0.s2 s2_b0, b1.n n_b1, b1.m m_b1, b1.s2 s2_b1
+      |  FROM (SELECT * FROM cells WHERE v = 'A' AND period = 'pre') a0
+      |  CROSS JOIN (SELECT * FROM cells WHERE v = 'A' AND period = 'post') a1
+      |  CROSS JOIN (SELECT * FROM cells WHERE v = 'B' AND period = 'pre') b0
+      |  CROSS JOIN (SELECT * FROM cells WHERE v = 'B' AND period = 'post') b1)
+      |SELECT round(m_a0, 6) AS mean_a_pre, round(m_a1, 6) AS mean_a_post,
+      |  round(m_b0, 6) AS mean_b_pre, round(m_b1, 6) AS mean_b_post,
+      |  round((m_b1 - m_b0) - (m_a1 - m_a0), 6) AS did,
+      |  round(sqrt(s2_a0/n_a0 + s2_a1/n_a1 + s2_b0/n_b0 + s2_b1/n_b1), 6) AS se,
+      |  round(((m_b1 - m_b0) - (m_a1 - m_a0))
+      |    / nullif(sqrt(s2_a0/n_a0 + s2_a1/n_a1 + s2_b0/n_b0 + s2_b1/n_b1), 0.0), 4)
+      |    AS t_stat
+      |FROM j""".stripMargin
+
+  /** Two-sided α and power the sizing readout targets: the fixed
+    * Φ⁻¹(0.975) and Φ⁻¹(0.8) constants (both engines use the same
+    * literals — no normal-quantile function dependency). */
+  private val PowerZAlpha = 1.959963984540054
+  private val PowerZBeta = 0.8416212335729143
+  private val PowerMdeRel = 0.1
+
+  /** A/B sample-size / duration readout (the standard two-proportion
+    * power calculation, Fleiss et al., "Statistical Methods for Rates
+    * and Proportions" — public textbook formula): measure the corpus's
+    * baseline user conversion rate, target a [[PowerMdeRel]] relative
+    * lift at α=0.05 two-sided and 80% power, and report the required
+    * per-arm/total sample plus how many days the observed daily unique
+    * user volume takes to reach it — the pre-experiment feasibility
+    * check a platform runs BEFORE assigning anyone.
+    *
+    * Scale shape: two map-side-combinable aggregations over one events
+    * table (per-user conversion; per-day distinct users) collapsing to
+    * one row each; the quantile constants are literals, so the whole
+    * formula is exact double arithmetic on the 1-row frame. */
+  def qPowerAnalysis(s: SparkSession, d: String): DataFrame = {
+    // unit of analysis: (user, day) — the per-exposure-day conversion a
+    // daily-assignment experiment powers on (lifetime per-user
+    // conversion saturates at 1.0 on a long-window corpus, which would
+    // make any relative MDE degenerate)
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(max((col("event_type") === "purchase").cast("int")).as("converted"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("converted")).cast("long").as("n_conv"))
+    val daily = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("du"))
+      .agg(avg(col("du")).as("daily_users"))
+    perUser.crossJoin(daily)
+      .withColumn("p1", col("n_conv").cast("double") / col("n_units"))
+      .withColumn("p2", col("p1") * (1.0 + PowerMdeRel))
+      .withColumn("pbar", (col("p1") + col("p2")) / 2.0)
+      .withColumn("n_arm", ceil(
+        pow(lit(PowerZAlpha) * sqrt(lit(2.0) * col("pbar") * (lit(1.0) - col("pbar"))) +
+          lit(PowerZBeta) * sqrt(col("p1") * (lit(1.0) - col("p1")) +
+            col("p2") * (lit(1.0) - col("p2"))), 2.0) /
+          pow(col("p2") - col("p1"), 2.0)))
+      .select(
+        col("n_units"), round(col("p1"), 6).as("base_rate"),
+        lit(PowerMdeRel).as("mde_rel"),
+        round(col("p2") - col("p1"), 6).as("mde_abs"),
+        col("n_arm").cast("long").as("n_per_arm"),
+        (col("n_arm") * 2).cast("long").as("n_total"),
+        round(col("daily_users"), 2).as("daily_users"),
+        ceil(col("n_arm") * 2 / col("daily_users")).cast("long").as("days_to_run"))
+  }
+
+  val qPowerAnalysisSql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id, ts::DATE dy,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) converted
+       |  FROM events GROUP BY 1, 2),
+       |base AS (SELECT count(*) n_units, sum(converted)::BIGINT n_conv FROM pu),
+       |daily AS (
+       |  SELECT avg(du) daily_users FROM (
+       |    SELECT count(DISTINCT user_id) du FROM events GROUP BY ts::DATE)),
+       |f AS (
+       |  SELECT n_units, n_conv, daily_users,
+       |    n_conv::DOUBLE / n_units p1,
+       |    n_conv::DOUBLE / n_units * ${1.0 + PowerMdeRel} p2
+       |  FROM base CROSS JOIN daily),
+       |g AS (
+       |  SELECT *, (p1 + p2) / 2.0 pbar,
+       |    ceil(power($PowerZAlpha * sqrt(2.0 * (p1 + p2) / 2.0 * (1.0 - (p1 + p2) / 2.0))
+       |         + $PowerZBeta * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2.0)
+       |      / power(p2 - p1, 2.0)) n_arm
+       |  FROM f)
+       |SELECT n_units, round(p1, 6) AS base_rate,
+       |  $PowerMdeRel::DOUBLE AS mde_rel,
+       |  round(p2 - p1, 6) AS mde_abs,
+       |  n_arm::BIGINT AS n_per_arm, (n_arm * 2)::BIGINT AS n_total,
+       |  round(daily_users, 2) AS daily_users,
+       |  ceil(n_arm * 2 / daily_users)::BIGINT AS days_to_run
+       |FROM g""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_did" -> (qDidLift _),
+    "ev_power" -> (qPowerAnalysis _),
     "ev_funnel_latency" -> (qFunnelLatency _),
     "ev_reach_intersect_gate" -> (qReachIntersectGate _),
     "ev_srm_check" -> (qSrmCheck _),
@@ -2142,6 +2306,8 @@ object EventQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "ev_did" -> qDidLiftSql,
+    "ev_power" -> qPowerAnalysisSql,
     // ev_reach_sketch / ev_user_reach_approx: sketch estimates aren't
     // SQL-reproducible → rows-only; their *_gate twins carry the
     // hash-checked accuracy contract

@@ -80,4 +80,75 @@ class CupedSpec extends SparkSpec {
       s"var_cuped ${r.getDouble(3)} above var_y ${r.getDouble(2)}")
     assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0)
   }
+
+  test("DiD: cell means and the double difference equal a driver replica") {
+    import spark.implicits._
+    val pre = Timestamp.valueOf("2024-01-10 12:00:00")
+    val post = Timestamp.valueOf("2024-01-20 12:00:00")
+    val rnd = new scala.util.Random(7)
+    // every user contributes both periods; conversion odds differ by
+    // period so the parallel-trends baseline is non-trivial
+    val events = (0L until 60L).flatMap { u =>
+      Seq((u, pre, if (rnd.nextInt(5) == 0) "purchase" else "view"),
+        (u, post, if (rnd.nextInt(3) == 0) "purchase" else "view"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("did").toString
+    events.zipWithIndex
+      .map { case ((u, t, ty), i) => (i.toLong, t, u, ty, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventQueries.qDidLift(spark, dir).collect().head
+
+    def cell(v: String, isPost: Boolean): (Long, Double, Double) = {
+      val ys = events.groupBy(e => (e._1, e._2)).collect {
+        case ((u, t), evs) if variantOf(u) == v &&
+          (t == post) == isPost =>
+          if (evs.exists(_._3 == "purchase")) 1.0 else 0.0
+      }.toSeq
+      val n = ys.size
+      val m = ys.sum / n
+      (n.toLong, m, m * (1 - m) * n / (n - 1.0))
+    }
+    val (na0, ma0, s2a0) = cell("A", isPost = false)
+    val (na1, ma1, s2a1) = cell("A", isPost = true)
+    val (nb0, mb0, s2b0) = cell("B", isPost = false)
+    val (nb1, mb1, s2b1) = cell("B", isPost = true)
+    val did = (mb1 - mb0) - (ma1 - ma0)
+    val se = math.sqrt(s2a0 / na0 + s2a1 / na1 + s2b0 / nb0 + s2b1 / nb1)
+    assert(got.getDouble(0) == r6(ma0) && got.getDouble(1) == r6(ma1))
+    assert(got.getDouble(2) == r6(mb0) && got.getDouble(3) == r6(mb1))
+    assert(got.getDouble(4) == r6(did), s"did ${got.getDouble(4)} vs $did")
+    assert(got.getDouble(5) == r6(se))
+    val t4 = BigDecimal(did / se).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    assert(got.getDouble(6) == t4.toDouble)
+  }
+
+  test("power analysis: the Fleiss sizing formula on a crafted conversion rate") {
+    import spark.implicits._
+    // 10 users x 10 days, exactly 3 of 10 user-days convert -> p1 = 0.3
+    val base = Timestamp.valueOf("2024-01-10 00:00:00")
+    val events = for (u <- 0L until 10L; day <- 0 until 10) yield {
+      val t = new Timestamp(base.getTime + day * 86400000L)
+      (u, t, if ((u + day) % 10 < 3) "purchase" else "view")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("power").toString
+    events.zipWithIndex
+      .map { case ((u, t, ty), i) => (i.toLong, t, u, ty, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = EventQueries.qPowerAnalysis(spark, dir).collect().head
+    assert(r.getLong(0) == 100L, s"100 user-day units: $r")
+    assert(r.getDouble(1) == 0.3, s"base rate: $r")
+    val (p1, p2) = (0.3, 0.33)
+    val pbar = (p1 + p2) / 2
+    val za = 1.959963984540054; val zb = 0.8416212335729143
+    val nArm = math.ceil(math.pow(za * math.sqrt(2 * pbar * (1 - pbar)) +
+      zb * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2)), 2) /
+      math.pow(p2 - p1, 2))
+    assert(r.getLong(4) == nArm.toLong, s"n_per_arm ${r.getLong(4)} vs $nArm")
+    assert(r.getLong(5) == 2 * nArm.toLong)
+    // 10 distinct users every day → daily_users = 10, days = 2n/10
+    assert(r.getDouble(6) == 10.0)
+    assert(r.getLong(7) == math.ceil(2 * nArm / 10.0).toLong)
+  }
 }
