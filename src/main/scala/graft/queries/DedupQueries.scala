@@ -1599,6 +1599,110 @@ object DedupQueries {
        |WHERE inter / least(ca.n, cb.n)::DOUBLE >= $ContainThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** k-truss order and the fixed round budget. */
+  private val TrussK = 4
+  private val TrussRounds = 8
+
+  /** k-truss peel (Cohen 2008, "Trusses: cohesive subgraphs for social
+    * network analysis", NSA technical report — public): the EDGE
+    * cohesion twin of [[qDedupKcore]]'s node peel — keep only edges
+    * supported by ≥ k−2 triangles inside the surviving subgraph,
+    * iterated to fixpoint. Where the k-core keeps nodes with enough
+    * neighbors (chains of hubs survive), the truss demands those
+    * neighborhoods actually TRIANGULATE, so bridge edges between dup
+    * cliques fall away and only the clique cores remain — the tightest
+    * standard relaxation of a clique that is still computable by
+    * peeling.
+    *
+    * Scale shape per round: per-edge support = common-neighbor count,
+    * enumerated from each edge's LOWER-degree endpoint (the
+    * [[triangleStats]] orientation argument: Σ min-deg ≤ O(m^1.5)
+    * rows even under dup-hub skew), closed with one equi-join on the
+    * canonical (a, b) key; everything shuffles edge ids only. Peeling
+    * only shrinks the edge set, so size-unchanged IS the fixpoint and
+    * the loop exits early (the [[kcoreNodes]] contract — the oracle
+    * unrolls the full budget; fixpoint makes that equal). Output:
+    * surviving edges with their within-truss support. */
+  def qDedupKtruss(s: SparkSession, d: String): DataFrame =
+    ktrussEdges(pairGraph(s, d), TrussK, TrussRounds)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[qDedupKtruss]]'s peel over an undirected canonical pair list
+    * (columns `a` < `b`, each edge once). */
+  private[graft] def ktrussEdges(pairs: DataFrame, k: Int, rounds: Int)
+      : DataFrame = {
+    var edges = pairs.select(col("a"), col("b")).distinct().localCheckpoint()
+    // Per-round support = |N(a) ∩ N(b)| per surviving edge. The support
+    // relation NEVER materializes the triangle expansion (Σ min-deg rows
+    // per round — 2.2e9 at sf1, measured): the adjacency-list table is
+    // node-bounded (2|E| longs total ≈ 56 MB at 3.5M pairs), broadcast
+    // once per round, and each edge's common-neighbor count evaluates as
+    // one array_intersect INSIDE the projection — Σ (deg a + deg b)
+    // hash-set ops per round in-stage, zero rows wider than |E| on any
+    // exchange (the only shuffle is the groupBy building adjacency).
+    // The first cut enumerated wedges from each edge's lower-degree
+    // endpoint and closed them with a broadcast semi join: plan-correct
+    // (never reshuffled the expansion) but it still PAID the 2.2e9-row
+    // stream through codegen every round — 82 s/round-set at sf0.1, ~30
+    // min at sf1; this shape runs the same peel 40× faster. Past
+    // broadcastable adjacency (≳1e8 pairs) the fallback is a shuffled
+    // adjacency join on edge endpoints — but a dup pair relation that
+    // size means the threshold, not the plan, needs retuning.
+    def supportOf(es: DataFrame): DataFrame = {
+      val adj = es.select(col("a").as("v"), col("b").as("n"))
+        .unionAll(es.select(col("b").as("v"), col("a").as("n")))
+        .groupBy(col("v"))
+        .agg(sort_array(collect_list(col("n"))).as("nb"))
+      // a ∉ N(a) and b ∉ N(b), so the endpoint entries (b ∈ N(a),
+      // a ∈ N(b)) can't survive the intersection — no exclusion needed
+      es
+        .join(broadcast(adj.select(col("v").as("a"), col("nb").as("na"))), "a")
+        .join(broadcast(adj.select(col("v").as("b"), col("nb").as("nbb"))), "b")
+        .select(col("a"), col("b"),
+          size(array_intersect(col("na"), col("nbb"))).cast("long")
+            .as("support"))
+    }
+    var prevN = -1L
+    var i = 0
+    var converged = false
+    while (i < rounds && !converged) {
+      edges = supportOf(edges)
+        .filter(col("support") >= k - 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val n = edges.count()
+      converged = n == prevN
+      prevN = n
+      i += 1
+    }
+    supportOf(edges)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("support"))
+  }
+
+  val qDedupKtrussSql: String = {
+    def supCte(src: String, name: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT e.a, e.b, count(*) sup
+         |  FROM $src e
+         |  JOIN (SELECT a s, b t FROM $src UNION ALL SELECT b, a FROM $src) n1
+         |    ON n1.s = e.a
+         |  JOIN (SELECT a s, b t FROM $src UNION ALL SELECT b, a FROM $src) n2
+         |    ON n2.s = e.b AND n2.t = n1.t
+         |  GROUP BY 1, 2)""".stripMargin
+    val rounds = (1 to TrussRounds).map { i =>
+      s"""${supCte(s"e${i - 1}", s"s$i")},
+         |e$i AS MATERIALIZED (
+         |  SELECT a, b FROM s$i WHERE sup >= ${TrussK - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $simhashSigSql,
+       |${simhashPairsSql("doc_a", "doc_b")},
+       |e0 AS MATERIALIZED (SELECT doc_a a, doc_b b FROM pairs),
+       |$rounds,
+       |${supCte(s"e$TrussRounds", "sfin")}
+       |SELECT a AS doc_a, b AS doc_b, sup::BIGINT AS support
+       |FROM sfin ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Relative edit-similarity floor for verified pairs. */
   private val EditSimThreshold = 0.8
 
@@ -1829,6 +1933,7 @@ object DedupQueries {
     "dd_pagerank" -> ((s: SparkSession, d: String) => qDedupPagerank(s, d)),
     "dd_lpa" -> (qDedupLpa _),
     "dd_kcore" -> (qDedupKcore _),
+    "dd_ktruss" -> (qDedupKtruss _),
     "dd_survivors" -> (qDedupSurvivors _),
     "dd_simhash_clusters" -> (qDedupClusters _),
     "dd_simhash_clusters_stars" -> (qDedupClustersStars _),
@@ -1859,6 +1964,7 @@ object DedupQueries {
     "dd_pagerank" -> qDedupPagerankSql,
     "dd_lpa" -> qDedupLpaSql,
     "dd_kcore" -> qDedupKcoreSql,
+    "dd_ktruss" -> qDedupKtrussSql,
     "dd_survivors" -> qDedupSurvivorsSql,
     "dd_simhash_clusters" -> qDedupClustersSql,
     "dd_simhash_clusters_stars" -> qDedupClustersSql, // CC variants agree

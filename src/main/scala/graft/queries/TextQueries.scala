@@ -446,6 +446,107 @@ object TextQueries {
       |    ELSE 'tail' END AS bucket
       |FROM tiers ORDER BY doc_id""".stripMargin
 
+  /** Stupid Backoff bigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation", EMNLP — public: the
+    * web-scale estimator S(w₂|w₁) = c(w₁w₂)/c(w₁) when the bigram was
+    * seen, else α·S(w₂) with α = 0.4; no discounting, no normalization,
+    * chosen by that paper PRECISELY because it reduces to count lookups
+    * and therefore distributes). [[qCharLmBits]] measures charset
+    * typicality; this is the word-level fluency signal a CCNet-style
+    * curation pass actually ranks by. The model trains on the
+    * deterministic 90% md5 split ([[PipelineQueries.qSplitAssign]]'s
+    * bucket arithmetic) and scores EVERY doc, so the held-out 10%
+    * exercises the backoff and OOV paths — a self-scored corpus would
+    * never back off (each train doc's bigrams are in its own model).
+    * OOV words floor at count 1 (S = α/N), so log never sees zero.
+    *
+    * Output per doc: n_bigrams, lp = mean log₁₀ S (4 dp — the charlm
+    * determinism rule: engine-order double-sum noise collapses),
+    * backoff_frac = share of bigrams that backed off (the model-miss
+    * rate — high on held-out docs that don't look like the corpus).
+    *
+    * Scale shape: the unigram model is vocab-bounded → broadcast both
+    * lookups; the bigram-model join is the ONE corpus-sized exchange,
+    * an equi-join keyed by (w₁,w₂) — the same key Brants' distributed
+    * LM shards its servers by, so the plan transfers to a served model
+    * verbatim. A doc row fans out only to its own bigram count; the
+    * count/avg aggregates are all map-side combinable. */
+  def qBackoffLm(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+    val isTrain = (conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("int") % 100) < 90
+    def bigrams(df: DataFrame): DataFrame = df
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val train = docs.filter(isTrain)
+    val uni = train.select(explode(col("w")).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("cu"))
+    val nTot = uni.agg(sum(col("cu")).as("n_tot"))
+    val big = bigrams(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val perdoc = bigrams(docs)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(broadcast(uni.select(col("u").as("w1"), col("cu").as("c1"))),
+        Seq("w1"), "left")
+      .join(broadcast(uni.select(col("u").as("w2"), col("cu").as("c2"))),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(nTot))
+      .select(col("doc_id"),
+        when(col("c12").isNotNull, col("c12") / col("c1"))
+          .otherwise(lit(0.4) * coalesce(col("c2"), lit(1L)) / col("n_tot"))
+          .as("sc"),
+        col("c12").isNull.cast("int").as("backed"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log10(col("sc"))), 4).as("lp"),
+        round(avg(col("backed")), 4).as("backoff_frac"))
+    docs.select(col("doc_id"))
+      .join(perdoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lp"), col("backoff_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qBackoffLmSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') w,
+      |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INTEGER % 100 < 90 is_train
+      |  FROM documents),
+      |bgf AS (
+      |  SELECT doc_id, is_train,
+      |    unnest([w[i] FOR i IN range(1, len(w))]) w1,
+      |    unnest([w[i+1] FOR i IN range(1, len(w))]) w2
+      |  FROM t WHERE len(w) >= 2),
+      |uni AS (
+      |  SELECT u, count(*) cu
+      |  FROM (SELECT unnest(w) u FROM t WHERE is_train) GROUP BY 1),
+      |ntot AS (SELECT sum(cu) n_tot FROM uni),
+      |big AS (SELECT w1, w2, count(*) c12 FROM bgf WHERE is_train GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CASE WHEN c12 IS NOT NULL THEN c12 / c1::DOUBLE
+      |         ELSE 0.4 * coalesce(c2, 1) / n_tot::DOUBLE END sc,
+      |    CASE WHEN c12 IS NULL THEN 1 ELSE 0 END backed
+      |  FROM bgf
+      |  LEFT JOIN big USING (w1, w2)
+      |  LEFT JOIN (SELECT u w1, cu c1 FROM uni) USING (w1)
+      |  LEFT JOIN (SELECT u w2, cu c2 FROM uni) USING (w2)
+      |  CROSS JOIN ntot),
+      |perdoc AS (
+      |  SELECT doc_id, count(*) n_bigrams, round(avg(log10(sc)), 4) lp,
+      |    round(avg(backed), 4) backoff_frac
+      |  FROM scored GROUP BY 1)
+      |SELECT t.doc_id AS doc_id, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+      |  lp, backoff_frac
+      |FROM t LEFT JOIN perdoc ON t.doc_id = perdoc.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** PII redaction pass (the pre-filter every training-data pipeline
     * runs): per-source detection counts and the characters removed by
     * redaction. The synthetic corpus carries no PII, so the harness
@@ -1255,6 +1356,7 @@ object TextQueries {
     "td_quality_rules" -> (qQualityRules _),
     "td_c4_clean" -> (qC4Clean _),
     "td_charlm_bits" -> (qCharLmBits _),
+    "td_backoff_lm" -> (qBackoffLm _),
     "td_ccnet_buckets" -> (qCcnetBuckets _),
     "td_quality_tiers" -> (qQualityTiers _),
     "td_drift" -> (qDrift _),
@@ -1281,6 +1383,7 @@ object TextQueries {
     "td_quality_rules" -> qQualityRulesSql,
     "td_c4_clean" -> qC4CleanSql,
     "td_charlm_bits" -> qCharLmBitsSql,
+    "td_backoff_lm" -> qBackoffLmSql,
     "td_ccnet_buckets" -> qCcnetBucketsSql,
     "td_quality_tiers" -> qQualityTiersSql,
     "td_drift" -> qDriftSql,

@@ -67,4 +67,52 @@ class KcoreSpec extends SparkSpec {
     assert(got.size < pairs.flatMap(e => Seq(e._1, e._2)).distinct.size,
       "peeling removes some nodes")
   }
+
+  /** Driver-side 4-truss peel to TRUE fixpoint: (a,b) -> final support. */
+  private def refKtruss(edges: Seq[(Long, Long)], k: Int): Map[(Long, Long), Long] = {
+    var es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    def adj = es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def sup(e: (Long, Long), nb: Map[Long, Set[Long]]): Int =
+      (nb.getOrElse(e._1, Set.empty) & nb.getOrElse(e._2, Set.empty)).size
+    var changed = true
+    while (changed) {
+      val nb = adj
+      val next = es.filter(e => sup(e, nb) >= k - 2)
+      changed = next != es
+      es = next
+    }
+    val nb = adj
+    es.map(e => e -> sup(e, nb).toLong).toMap
+  }
+
+  test("k-truss: bridges between cliques fall; clique cores keep full support") {
+    // two 4-cliques joined by one bridge edge: the bridge sits in no
+    // triangle and dies; every clique edge keeps support 2
+    val c1 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val c2 = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val got = DedupQueries.ktrussEdges(pairsDf(c1 ++ c2 ++ Seq(4L -> 11L)), 4, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == (c1 ++ c2).toSet, s"bridge must peel: ${got.keySet}")
+    assert(got.values.forall(_ == 2L), s"clique support is 2 everywhere: $got")
+  }
+
+  test("k-truss: a triangle strip cascades to empty (each peel starves the next)") {
+    // edges 2-3 is in two triangles but loses both when the side edges
+    // (support 1) peel — the cascade must run to the empty fixpoint
+    val strip = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 2L -> 4L, 3L -> 4L)
+    val got = DedupQueries.ktrussEdges(pairsDf(strip), 4, 8).collect()
+    assert(got.isEmpty, s"strip must fully cascade: ${got.toSeq}")
+  }
+
+  test("k-truss engine output equals the driver-side TRUE fixpoint on sf0.001") {
+    val pairs = graft.queries.DedupQueries.qDedupSimhash(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = refKtruss(pairs, 4)
+    val got = DedupQueries.qDedupKtruss(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want, "8 truss rounds reach the true fixpoint")
+    assert(got.nonEmpty, "the 4-truss is non-empty on this corpus")
+  }
 }

@@ -112,6 +112,25 @@ def pagerank(pairs, rounds=10, damping=0.85):
     return {v: rank[v] * n for v in nodes}
 
 
+def ktruss(pairs, k=4):
+    """Independent 4-truss peel: adjacency-set intersection support,
+    iterate to fixpoint, report surviving (a, b, support). Mirrors the
+    stock qDedupKtrussSql contract (full-budget unroll == fixpoint)."""
+    edges = {(min(a, b), max(a, b)) for a, b in pairs}
+    while True:
+        nb = defaultdict(set)
+        for a, b in edges:
+            nb[a].add(b); nb[b].add(a)
+        keep = {(a, b) for a, b in edges if len(nb[a] & nb[b]) >= k - 2}
+        if keep == edges:
+            break
+        edges = keep
+    nb = defaultdict(set)
+    for a, b in edges:
+        nb[a].add(b); nb[b].add(a)
+    return sorted((a, b, len(nb[a] & nb[b])) for a, b in edges)
+
+
 def norm(v):
     if isinstance(v, float):
         v = round(v, 9)
@@ -203,6 +222,15 @@ def main(sf_dir, out_dir, json_dir):
     ok &= compare(con, "td_soft_dedup", out_dir, soft,
                   ["source", "n_docs", "eff_docs", "n_chars", "eff_chars"],
                   json_dir)
+
+    # dd_ktruss: the truss peel's stock SQL unrolls 8 support rounds,
+    # each an O(sum deg per edge) three-way join — tractable at sf0.01,
+    # an oracle-cost cliff on the 3.5M-pair sf1 graph. Same hybrid
+    # treatment: pair SQL verbatim above, peel re-derived in Python.
+    if glob.glob(f"{out_dir}/dd_ktruss/*.parquet"):
+        truss = ktruss(pairs, 4)
+        ok &= compare(con, "dd_ktruss", out_dir, truss,
+                      ["doc_a", "doc_b", "support"], json_dir)
 
     # mm_blob_clusters: same closure treatment over the blob-simhash pair
     # relation (the stock recursive-CTE closure exceeds 90 CPU-minutes at
