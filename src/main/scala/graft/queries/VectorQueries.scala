@@ -1008,6 +1008,101 @@ object VectorQueries {
        |  min(sv) min_sil, max(sv) max_sil
        |FROM sil GROUP BY 1 ORDER BY cluster_id""".stripMargin
 
+  /** k-center selection size. */
+  private val KcenterK = 8
+
+  /** Greedy k-center / farthest-point traversal (Gonzalez 1985,
+    * "Clustering to minimize the maximum intercluster distance", TCS —
+    * public; the classic 2-approximation). The CORESET selector next to
+    * [[qKmeans]]'s partitioner: k-means summarizes mass, k-center
+    * guarantees COVERAGE — after k picks every point lies within the
+    * reported radius of a chosen representative, the property a
+    * diverse-subset / annotation-budget / eval-set selection over a
+    * training corpus actually needs (outliers are found, not averaged
+    * away). Seed = the [[seededCentroids]] md5-order pick; each round
+    * selects the point FARTHEST from the chosen set (cosine distance
+    * 1 − rc₆, ties to the smaller vec_id) — that pick's distance IS the
+    * current set's covering radius, which is what makes the greedy a
+    * 2-approximation. Output: k rows (sel_rank, vec_id, radius after
+    * that center joins the set) — the radius curve an annotation
+    * planner reads to choose k.
+    *
+    * Scale shape: k data passes, each a BROADCAST of the ≤k-row center
+    * table + one map-side-combinable min, closed by a TakeOrdered(1)
+    * argmax reduction — the corpus NEVER shuffles and driver state is
+    * k·dim doubles (the codebook-collect contract). The stateless
+    * re-min each round costs O(k²) cosines/point over the k passes;
+    * persisting an incremental min-distance column would halve the
+    * arithmetic but pins a corpus-sized relation per round — at k = 8
+    * recompute is the cheaper side of that trade at any corpus size. */
+  def qKcenter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .localCheckpoint()
+    val seed = emb.withColumn("mk", md5(col("vec_id").cast("string")))
+      .orderBy(col("mk"), col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v")).collect()(0)
+    var centers = // bounded: k·dim driver state, the codebook contract
+      Vector((seed.getLong(0), seed.getSeq[Double](1)))
+    val rows = (1 to KcenterK).map { r =>
+      // the ≤k-row center table rides as ONE broadcast array column and
+      // the per-point min evaluates inside the projection, so each round
+      // is a single TakeOrderedAndProject job over the corpus — no
+      // groupBy exchange, no second fetch-the-winner job (the winner's
+      // vector comes back through the same top-1 row)
+      val cdf = Seq(Tuple1(centers.map(_._2))).toDF("cents")
+      val far = emb.crossJoin(broadcast(cdf))
+        .select(col("vec_id"), col("v"),
+          array_min(transform(col("cents"),
+            c => lit(1.0) - round(cosine(col("v"), c), 6))).as("mind"))
+        .orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      val rankedCenter = centers(r - 1)._1
+      if (r < KcenterK)
+        centers = centers :+ (far.getLong(0), far.getSeq[Double](1))
+      (r, rankedCenter, BigDecimal(far.getDouble(2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    rows.toDF("sel_rank", "vec_id", "radius").orderBy(col("sel_rank"))
+  }
+
+  /** Unrolled Gonzalez oracle: c1 = md5-order seed; per round r, m{r} =
+    * running min distance (incremental least — equal to the engine's
+    * full re-min because min is a fold of least over the same rounded
+    * values) and p{r} = the argmax pick; radius_r = p{r}'s distance. */
+  val qKcenterSql: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+             |c1 AS MATERIALIZED (
+             |  SELECT vec_id, v FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 1),
+             |m1 AS MATERIALIZED (
+             |  SELECT e.vec_id, 1 - round(list_cosine_similarity(e.v, c.v), 6) mind
+             |  FROM e CROSS JOIN c1 c),
+             |p1 AS MATERIALIZED (
+             |  SELECT vec_id, mind FROM m1 ORDER BY mind DESC, vec_id LIMIT 1),
+             |""".stripMargin
+    for (r <- 2 to KcenterK) {
+      sb ++= s"""m$r AS MATERIALIZED (
+                |  SELECT m.vec_id,
+                |    least(m.mind, 1 - round(list_cosine_similarity(e.v, nc.v), 6)) mind
+                |  FROM m${r - 1} m JOIN e USING (vec_id)
+                |  CROSS JOIN (SELECT e2.v FROM p${r - 1} p JOIN e e2 USING (vec_id)) nc),
+                |p$r AS MATERIALIZED (
+                |  SELECT vec_id, mind FROM m$r ORDER BY mind DESC, vec_id LIMIT 1),
+                |""".stripMargin
+    }
+    val rows = (1 to KcenterK).map { r =>
+      val id = if (r == 1) "(SELECT vec_id FROM c1)"
+        else s"(SELECT vec_id FROM p${r - 1})"
+      s"SELECT $r AS sel_rank, $id AS vec_id, (SELECT round(mind, 6) FROM p$r) AS radius"
+    }.mkString("\nUNION ALL ")
+    sb ++= s"""sel AS ($rows)
+              |SELECT sel_rank, vec_id, radius FROM sel ORDER BY sel_rank""".stripMargin
+    sb.toString
+  }
+
   /** Result of the distributed power iteration: corpus size, Rayleigh
     * quotient per iteration, final eigenpair (v, lambda), the eigenpair
     * residual ‖Cv − λv‖ and trace(C). */
@@ -1604,6 +1699,7 @@ object VectorQueries {
     "vs_emb_neardup" -> (qEmbNearDup _),
     "vs_semdedup" -> ((s: SparkSession, d: String) => qSemDedup(s, d)),
     "vs_kmeans" -> ((s: SparkSession, d: String) => qKmeans(s, d)),
+    "vs_kcenter" -> (qKcenter _),
     "vs_emb_incremental" -> ((s: SparkSession, d: String) => qEmbIncremental(s, d)),
     "vs_label_stats" -> (qLabelStats _),
     "vs_knn_lsh" -> (qKnnLsh _),
@@ -1630,6 +1726,7 @@ object VectorQueries {
     "vs_emb_neardup" -> qEmbNearDupSql,
     "vs_semdedup" -> qSemDedupSql,
     "vs_kmeans" -> qKmeansSql,
+    "vs_kcenter" -> qKcenterSql,
     "vs_emb_incremental" -> qEmbIncrementalSql,
     "vs_label_stats" -> qLabelStatsSql,
     // vs_knn_lsh / vs_knn_ivf: approximate — rows-only (no oracle entry);
