@@ -2258,6 +2258,149 @@ object EventQueries {
        |  ceil(n_arm * 2 / daily_users)::BIGINT AS days_to_run
        |FROM g""".stripMargin
 
+  /** mSPRT mixture scale (on the rate-difference scale) and test level. */
+  private val MsprtTau = 0.05
+  private val MsprtAlpha = 0.05
+
+  /** Always-valid sequential A/B readout — the mixture SPRT (Johari,
+    * Koomen, Pekelis & Walsh 2017, "Peeking at A/B Tests: Why it
+    * matters, and what to do about it", KDD; Robbins 1970 mixture
+    * martingale — public). [[qAbLift]] is the fixed-horizon readout; in
+    * practice analysts PEEK daily and stop on the first significant
+    * day, which inflates the fixed-horizon false-positive rate several
+    * fold. The mSPRT's always-valid p-value is the running minimum of
+    * 1/Λ_t where Λ_t is the normal mixture likelihood ratio
+    *   ln Λ_t = ½·ln(V_t/(V_t+τ²)) + θ̂_t²·τ²/(2·V_t·(V_t+τ²)),
+    * θ̂_t = cumulative rate difference, V_t = pooled binomial variance
+    * of the difference — valid at EVERY day simultaneously, so stopping
+    * on first significance keeps level α. Output: one row per calendar
+    * day with cumulative arm counts, θ̂, the always-valid p, and the
+    * significance flag (on a null-effect hash assignment the flag
+    * staying false IS the method working).
+    *
+    * Scale shape: ONE user-keyed agg over the events scan (first-seen
+    * and first-conversion days per user — map-side combinable mins);
+    * everything after lives on the days×variants frame, which is
+    * calendar-bounded, not corpus-bounded. The windows (cumsums, the
+    * running min) order by day over that tiny frame. V_t = 0 days
+    * (no users, or p̂ ∈ {0,1}) emit ln Λ = 0 → p = 1 by the explicit
+    * guard, so ANSI division never fires. */
+  def qMsprt(s: SparkSession, d: String): DataFrame = {
+    val tau2 = MsprtTau * MsprtTau
+    val ev = Tables.events(s, d).select(col("user_id"),
+      to_date(col("ts")).as("obs_day"), col("event_type"))
+    val variant = when(
+      conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 2 === 0, "A").otherwise("B")
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(min(col("obs_day")).as("first_day"),
+        min(when(col("event_type") === "purchase", col("obs_day"))).as("conv_day"))
+      .withColumn("variant", variant)
+    val spine = ev.select(col("obs_day")).distinct()
+    val grid = spine.crossJoin(
+      ev.sparkSession.range(0, 2).select(
+        when(col("id") === 0, "A").otherwise("B").as("variant")))
+    val newu = perUser.groupBy(col("variant"), col("first_day").as("obs_day"))
+      .agg(count(lit(1)).as("nu"))
+    val newc = perUser.filter(col("conv_day").isNotNull)
+      .groupBy(col("variant"), col("conv_day").as("obs_day"))
+      .agg(count(lit(1)).as("nc"))
+    val w = Window.partitionBy(col("variant")).orderBy(col("obs_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .join(newu, Seq("variant", "obs_day"), "left")
+      .join(newc, Seq("variant", "obs_day"), "left")
+      .select(col("variant"), col("obs_day"),
+        sum(coalesce(col("nu"), lit(0L))).over(w).as("n"),
+        sum(coalesce(col("nc"), lit(0L))).over(w).as("conv"))
+    val byDay = cum.filter(col("variant") === "A")
+      .select(col("obs_day"), col("n").as("n_a"), col("conv").as("conv_a"))
+      .join(cum.filter(col("variant") === "B")
+        .select(col("obs_day"), col("n").as("n_b"), col("conv").as("conv_b")),
+        Seq("obs_day"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val scored = byDay
+      .withColumn("theta",
+        when(col("n_a") > 0 && col("n_b") > 0, pb - pa).otherwise(lit(0.0)))
+      .withColumn("v",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          pooled * (lit(1.0) - pooled) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+          .otherwise(lit(0.0)))
+      .withColumn("lnlam",
+        when(col("v") > 0,
+          lit(0.5) * log(col("v") / (col("v") + lit(tau2))) +
+            col("theta") * col("theta") * lit(tau2) /
+              (lit(2.0) * col("v") * (col("v") + lit(tau2))))
+          .otherwise(lit(0.0)))
+      .withColumn("p_day", least(lit(1.0), exp(-col("lnlam"))))
+    val wMin = Window.orderBy(col("obs_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .select(col("obs_day"), col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round(col("theta"), 6).as("theta"),
+        round(min(col("p_day")).over(wMin), 6).as("p_always"))
+      .withColumn("significant", col("p_always") <= MsprtAlpha)
+      .orderBy(col("obs_day"))
+  }
+
+  val qMsprtSql: String = {
+    val tau2 = MsprtTau * MsprtTau
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::INTEGER % 2 = 0
+       |         THEN 'A' ELSE 'B' END variant,
+       |    min(ts::DATE) first_day,
+       |    min(CASE WHEN event_type = 'purchase' THEN ts::DATE END) conv_day
+       |  FROM events GROUP BY 1, 2),
+       |spine AS (SELECT DISTINCT ts::DATE obs_day FROM events),
+       |grid AS (SELECT obs_day, variant FROM spine
+       |  CROSS JOIN (SELECT 'A' variant UNION ALL SELECT 'B')),
+       |newu AS (SELECT variant, first_day obs_day, count(*) nu FROM pu GROUP BY 1, 2),
+       |newc AS (SELECT variant, conv_day obs_day, count(*) nc FROM pu
+       |  WHERE conv_day IS NOT NULL GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT g.variant, g.obs_day,
+       |    sum(coalesce(nu, 0)) OVER w n, sum(coalesce(nc, 0)) OVER w conv
+       |  FROM grid g
+       |  LEFT JOIN newu ON g.variant = newu.variant AND g.obs_day = newu.obs_day
+       |  LEFT JOIN newc ON g.variant = newc.variant AND g.obs_day = newc.obs_day
+       |  WINDOW w AS (PARTITION BY g.variant ORDER BY g.obs_day
+       |    ROWS UNBOUNDED PRECEDING)),
+       |byday AS (
+       |  SELECT a.obs_day, a.n n_a, a.conv conv_a, b.n n_b, b.conv conv_b
+       |  FROM (SELECT * FROM cum WHERE variant = 'A') a
+       |  JOIN (SELECT * FROM cum WHERE variant = 'B') b USING (obs_day)),
+       |sc AS (
+       |  SELECT *,
+       |    CASE WHEN n_a > 0 AND n_b > 0
+       |         THEN conv_b / n_b::DOUBLE - conv_a / n_a::DOUBLE
+       |         ELSE 0.0 END theta,
+       |    CASE WHEN n_a > 0 AND n_b > 0
+       |         THEN (conv_a + conv_b) / (n_a + n_b)::DOUBLE
+       |           * (1.0 - (conv_a + conv_b) / (n_a + n_b)::DOUBLE)
+       |           * (1.0 / n_a + 1.0 / n_b)
+       |         ELSE 0.0 END v
+       |  FROM byday),
+       |lam AS (
+       |  SELECT *, CASE WHEN v > 0
+       |    THEN 0.5 * ln(v / (v + $tau2))
+       |       + theta * theta * $tau2 / (2.0 * v * (v + $tau2))
+       |    ELSE 0.0 END lnlam
+       |  FROM sc)
+       |SELECT obs_day, n_a::BIGINT AS n_a, conv_a::BIGINT AS conv_a,
+       |  n_b::BIGINT AS n_b, conv_b::BIGINT AS conv_b,
+       |  round(theta, 6) AS theta,
+       |  round(min(least(1.0, exp(-lnlam))) OVER
+       |    (ORDER BY obs_day ROWS UNBOUNDED PRECEDING), 6) AS p_always,
+       |  round(min(least(1.0, exp(-lnlam))) OVER
+       |    (ORDER BY obs_day ROWS UNBOUNDED PRECEDING), 6) <= $MsprtAlpha AS significant
+       |FROM lam ORDER BY obs_day""".stripMargin
+  }
+
   /** GSP max-gap window (hours) and the minimum user-support fraction. */
   private val GspGapHours = 4
   private val GspMinSup = 0.1
@@ -2376,6 +2519,7 @@ object EventQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_gsp" -> (qGsp _),
+    "ev_msprt" -> (qMsprt _),
     "ev_did" -> (qDidLift _),
     "ev_power" -> (qPowerAnalysis _),
     "ev_funnel_latency" -> (qFunnelLatency _),
@@ -2424,6 +2568,7 @@ object EventQueries {
 
   def oracles: Map[String, String] = Map(
     "ev_gsp" -> qGspSql,
+    "ev_msprt" -> qMsprtSql,
     "ev_did" -> qDidLiftSql,
     "ev_power" -> qPowerAnalysisSql,
     // ev_reach_sketch / ev_user_reach_approx: sketch estimates aren't
