@@ -63,8 +63,12 @@ object AudioProbe {
 
   /** Synthesize a structurally valid 16-bit PCM WAV container with
     * deterministic sample bytes — the test/bench stand-in for real
-    * recordings (same role as ImageProbe.pngBytes). */
-  def wavBytes(sampleRate: Int, channels: Int, nSamples: Long): Array[Byte] = {
+    * recordings (same role as ImageProbe.pngBytes). `seed` shifts the
+    * sample ramp so different "recordings" carry different content
+    * (seed 0 keeps the historical byte stream); the oracle reconstructs
+    * the same values arithmetically. */
+  def wavBytes(sampleRate: Int, channels: Int, nSamples: Long,
+      seed: Long = 0L): Array[Byte] = {
     val dataBytes = (nSamples * channels * 2).toInt
     val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -76,9 +80,40 @@ object AudioProbe {
     buf.put("data".getBytes); buf.putInt(dataBytes)
     var i = 0
     while (i < dataBytes / 2) { // deterministic triangle-ish samples
-      buf.putShort(((i * 257 + 11) % 32768).toShort)
+      buf.putShort(((i.toLong * 257 + 11 + seed * 31) % 32768).toShort)
       i += 1
     }
     buf.array()
+  }
+
+  /** Decode the first `maxVals` 16-bit PCM values of the data chunk
+    * (channel-agnostic: the interleaved stream in container order) —
+    * the slice of real decoding a fingerprinting pass needs. Same
+    * defensive contract as [[probe]]: malformed bytes → None. Requires
+    * a 16-bit PCM fmt chunk before data. */
+  def pcm16Prefix(b: Array[Byte], maxVals: Int): Option[Array[Int]] = {
+    if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
+    var i = 12
+    var sawPcm16 = false
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (size < 0 || size > Int.MaxValue) return None
+      val payload = i + 8
+      if (tag(b, i, "fmt ")) {
+        if (size < 16 || payload + 16 > b.length) return None
+        if (le16(b, payload) != 1 || le16(b, payload + 14) != 16) return None
+        sawPcm16 = true
+      } else if (tag(b, i, "data")) {
+        if (!sawPcm16) return None
+        val avail = math.min(size, (b.length - payload).toLong) / 2
+        val n = math.min(maxVals.toLong, avail).toInt
+        return Some(Array.tabulate(n) { k =>
+          val v = le16(b, payload + 2 * k)
+          if (v >= 32768) v - 65536 else v
+        })
+      }
+      i = payload + size.toInt + (size.toInt & 1)
+    }
+    None
   }
 }

@@ -129,6 +129,84 @@ object Media {
       }
   }
 
+  /** [[audioTable]] with per-recording CONTENT: the sample ramp is
+    * seeded by the id, so two blobs carry the same audio iff they share
+    * a seed — the corpus a fingerprinting pass is actually pointed at
+    * (the unseeded table's identical streams would fingerprint
+    * identically, which is vacuous). */
+  def audioSeededTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val rate = (id % 3) match {
+          case 0 => 8000; case 1 => 16000; case _ => 44100
+        }
+        val channels = 1 + (id % 2).toInt
+        val nSamples = 1000L + id % 5000
+        (id, AudioProbe.wavBytes(rate, channels, nSamples, seed = id))
+      })
+      .toDF("media_id", "blob")
+  }
+
+  /** Landmark framing: PCM prefix length, frame width (values), peak
+    * pairing window (frames) — all in integer sample space so the
+    * fingerprint is exact on both engines. */
+  val LmMaxVals = 1024
+  val LmFrame = 64
+  val LmMaxDt = 8
+
+  /** Per-recording constellation fingerprint rollup. fp_min/fp_max are
+    * None when no peak pair lands inside the pairing window. */
+  case class AudioLandmarks(media_id: Long, n_frames: Int, n_peaks: Int,
+      n_landmarks: Int, fp_sum: Long, fp_min: Option[Long],
+      fp_max: Option[Long])
+
+  /** Shazam-style landmark fingerprinting (Wang 2003, "An
+    * Industrial-Strength Audio Search Algorithm", ISMIR — public): hash
+    * PAIRS of spectral peaks with their time offset, so the fingerprint
+    * survives cropping and local noise. No FFT ships in this container,
+    * so the "spectrum" is the frame-energy series over the decoded PCM
+    * prefix (integer sums — exact on every engine); peaks are strict
+    * local maxima; each peak pairs with every later peak within
+    * [[LmMaxDt]] frames and hashes (e₁ mod 997, e₂ mod 997, Δt) into one
+    * integer. Swapping a real STFT in changes only the energy row — the
+    * peak/pair/hash plumbing is the production shape.
+    *
+    * Same batched-map contract as [[probeAudio]]: blobs never shuffle,
+    * undecodable blobs drop. */
+  def audioLandmarks(audio: DataFrame): Dataset[AudioLandmarks] = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.select(col("media_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { case (id, blob) =>
+            AudioProbe.pcm16Prefix(blob, LmMaxVals).map { vals =>
+              val nf = vals.length / LmFrame
+              val e = Array.tabulate(nf) { f =>
+                var s = 0L; var i = f * LmFrame
+                while (i < (f + 1) * LmFrame) { s += vals(i); i += 1 }
+                s
+              }
+              val peaks = (1 until math.max(nf - 1, 1))
+                .filter(f => e(f) > e(f - 1) && e(f) > e(f + 1))
+              val hashes = for {
+                i <- peaks.indices
+                j <- (i + 1) until peaks.length
+                if peaks(j) - peaks(i) <= LmMaxDt
+              } yield (e(peaks(i)) % 997) * 1000000L +
+                (e(peaks(j)) % 997) * 1000L + (peaks(j) - peaks(i))
+              AudioLandmarks(id, nf, peaks.length, hashes.length,
+                hashes.sum, hashes.minOption, hashes.maxOption)
+            }
+          }
+        }
+      }
+  }
+
   /** Video table with REAL container bytes — ISO-BMFF twin of
     * [[audioTable]]: minimal valid MP4s whose mvhd timescale/duration
     * derive from the id. */

@@ -136,6 +136,52 @@ object MultimodalQueries {
       |      WHEN 1 THEN 16000 ELSE 44100 END))::BIGINT AS duration_ms
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Constellation audio fingerprinting ([[Media.audioLandmarks]] —
+    * Wang 2003's Shazam scheme: peak-PAIR hashes survive cropping and
+    * local noise where whole-file hashes don't). The engine DECODES the
+    * PCM prefix from the container bytes (AudioProbe.pcm16Prefix — the
+    * real RIFF walk), frames it, and hashes peak pairs; the oracle
+    * reconstructs the same samples from the id-seeded synthesis
+    * arithmetic — so a decode regression at any byte offset hash-fails
+    * while both sides stay exact integer math. */
+  def qAudioLandmarks(s: SparkSession, d: String): DataFrame =
+    Media.audioLandmarks(Media.audioSeededTable(s, d)).toDF()
+      .orderBy(col("media_id"))
+
+  val qAudioLandmarksSql: String =
+    """WITH a AS (
+      |  SELECT doc_id id,
+      |    least((1000 + doc_id % 5000) * (1 + doc_id % 2), 1024) m
+      |  FROM documents),
+      |idx AS (SELECT id, unnest(range(m)) i FROM a),
+      |vals AS (SELECT id, i, (i * 257 + 11 + id * 31) % 32768 v FROM idx),
+      |fr AS (
+      |  SELECT id, i // 64 f, sum(v) e FROM vals GROUP BY 1, 2
+      |  HAVING count(*) = 64),
+      |pk AS (
+      |  SELECT id, f, e, lag(e) OVER w pe, lead(e) OVER w ne
+      |  FROM fr WINDOW w AS (PARTITION BY id ORDER BY f)),
+      |peaks AS (
+      |  SELECT id, f, e FROM pk
+      |  WHERE pe IS NOT NULL AND ne IS NOT NULL AND e > pe AND e > ne),
+      |lm AS (
+      |  SELECT p.id, (p.e % 997) * 1000000 + (q.e % 997) * 1000 + (q.f - p.f) h
+      |  FROM peaks p JOIN peaks q ON p.id = q.id AND q.f > p.f
+      |    AND q.f - p.f <= 8),
+      |agg AS (SELECT id, count(*) nl, sum(h) fs, min(h) fmn, max(h) fmx
+      |  FROM lm GROUP BY 1),
+      |pc AS (SELECT id, count(*) np FROM peaks GROUP BY 1),
+      |fc AS (SELECT id, count(*) nf FROM fr GROUP BY 1)
+      |SELECT a.id AS media_id,
+      |  coalesce(nf, 0)::INT AS n_frames,
+      |  coalesce(np, 0)::INT AS n_peaks,
+      |  coalesce(nl, 0)::INT AS n_landmarks,
+      |  coalesce(fs, 0)::BIGINT AS fp_sum,
+      |  fmn::BIGINT AS fp_min, fmx::BIGINT AS fp_max
+      |FROM a LEFT JOIN fc ON a.id = fc.id LEFT JOIN pc ON a.id = pc.id
+      |LEFT JOIN agg ON a.id = agg.id
+      |ORDER BY media_id""".stripMargin
+
   /** Real ISO-BMFF (MP4) box-walk probing — the video twin of
     * [[qAudioMeta]]; oracle recomputes mvhd timescale/duration from id
     * arithmetic. duration units = (600 + id % 7200) · timescale / 100,
@@ -388,6 +434,7 @@ object MultimodalQueries {
     "mm_frame_sample" -> (qFrameSample _),
     "mm_image_dims" -> (qImageDims _),
     "mm_audio_meta" -> (qAudioMeta _),
+    "mm_audio_landmarks" -> (qAudioLandmarks _),
     "mm_video_meta" -> (qVideoMeta _),
   )
 
@@ -402,6 +449,7 @@ object MultimodalQueries {
     "mm_frame_sample" -> qFrameSampleSql,
     "mm_image_dims" -> qImageDimsSql,
     "mm_audio_meta" -> qAudioMetaSql,
+    "mm_audio_landmarks" -> qAudioLandmarksSql,
     "mm_video_meta" -> qVideoMetaSql,
   )
 }
