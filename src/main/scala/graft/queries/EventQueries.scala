@@ -2258,6 +2258,98 @@ object EventQueries {
        |  ceil(n_arm * 2 / daily_users)::BIGINT AS days_to_run
        |FROM g""".stripMargin
 
+  /** Kaplan–Meier time-to-conversion curve (Kaplan & Meier 1958,
+    * "Nonparametric estimation from incomplete observations", JASA —
+    * public; THE time-to-event estimator). Retention tables
+    * ([[qRetention]]) bin by calendar cohort; the KM curve answers the
+    * duration question — "what fraction of users have NOT yet converted
+    * after t days?" — while handling the observation window correctly:
+    * a user who hasn't purchased by their last observed day hasn't
+    * "not converted", they're RIGHT-CENSORED at their observed span,
+    * and dropping or failure-marking them both bias the curve (the
+    * mistake KM exists to fix). Event time = days from first event to
+    * FIRST purchase; censor time = days from first to last event.
+    * S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over conversion times, nᵢ counting
+    * BOTH converters and censored users still at risk. Output: one row
+    * per conversion duration with the risk set, events, same-duration
+    * censorings, and the survival estimate.
+    *
+    * Scale shape: ONE user-keyed agg (three conditional day mins —
+    * map-side combinable) over the events scan; the curve lives on the
+    * duration-bounded frame (≤ observation-window days). The product
+    * runs as exp(Σ ln) under a window, with the min-term guard emitting
+    * an exact 0 if a duration exhausts the risk set (ln(0) never
+    * evaluates). */
+  def qKaplanMeier(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("obs_day"),
+        col("event_type"))
+    val spans = ev.groupBy(col("user_id"))
+      .agg(min(col("obs_day")).as("first_day"),
+        max(col("obs_day")).as("last_day"),
+        min(when(col("event_type") === "purchase", col("obs_day")))
+          .as("conv_day"))
+      .select(
+        when(col("conv_day").isNotNull,
+          datediff(col("conv_day"), col("first_day")))
+          .otherwise(datediff(col("last_day"), col("first_day")))
+          .as("t_days"),
+        col("conv_day").isNotNull.cast("int").as("churned"))
+    val byT = spans.groupBy(col("t_days"))
+      .agg(sum(col("churned")).as("d"),
+        (count(lit(1)) - sum(col("churned"))).as("c"))
+    // risk set at t = users whose span is >= t (descending suffix sum)
+    val wRisk = Window.orderBy(col("t_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_risk", sum(col("d") + col("c")).over(wRisk))
+      .filter(col("d") > 0)
+      .withColumn("term",
+        lit(1.0) - col("d").cast("double") / col("n_risk"))
+      .select(col("t_days"), col("n_risk"), col("d").as("n_events"),
+        col("c").as("n_censored"),
+        when(min(col("term")).over(wCum) === 0.0, lit(0.0))
+          .otherwise(round(exp(sum(log(col("term"))).over(wCum)), 6))
+          .as("survival"))
+      .orderBy(col("t_days"))
+  }
+
+  val qKaplanMeierSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, ts::DATE obs_day, event_type FROM events),
+       |pu AS (
+       |  SELECT user_id, min(obs_day) first_day, max(obs_day) last_day,
+       |    min(CASE WHEN event_type = 'purchase' THEN obs_day END) conv_day
+       |  FROM ev GROUP BY 1),
+       |spans AS (
+       |  SELECT CASE WHEN conv_day IS NOT NULL
+       |              THEN datediff('day', first_day, conv_day)
+       |              ELSE datediff('day', first_day, last_day) END t_days,
+       |    CASE WHEN conv_day IS NOT NULL THEN 1 ELSE 0 END churned
+       |  FROM pu),
+       |byt AS (
+       |  SELECT t_days, sum(churned) d, count(*) - sum(churned) c
+       |  FROM spans GROUP BY 1),
+       |risk AS (
+       |  SELECT *, sum(d + c) OVER (ORDER BY t_days DESC
+       |    ROWS UNBOUNDED PRECEDING) n_risk
+       |  FROM byt),
+       |ev_t AS (
+       |  SELECT t_days, n_risk, d, c, 1.0 - d / n_risk::DOUBLE term
+       |  FROM risk WHERE d > 0)
+       |SELECT t_days, n_risk::BIGINT AS n_risk, d::BIGINT AS n_events,
+       |  c::BIGINT AS n_censored,
+       |  -- nullif keeps ln off the exhausted-risk-set row: DuckDB
+       |  -- evaluates window args eagerly even under the CASE guard
+       |  CASE WHEN min(term) OVER w = 0.0 THEN 0.0
+       |       ELSE round(exp(sum(ln(nullif(term, 0.0))) OVER w), 6)
+       |       END AS survival
+       |FROM ev_t
+       |WINDOW w AS (ORDER BY t_days ROWS UNBOUNDED PRECEDING)
+       |ORDER BY t_days""".stripMargin
+
   /** mSPRT mixture scale (on the rate-difference scale) and test level. */
   private val MsprtTau = 0.05
   private val MsprtAlpha = 0.05
@@ -2520,6 +2612,7 @@ object EventQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_gsp" -> (qGsp _),
     "ev_msprt" -> (qMsprt _),
+    "ev_km" -> (qKaplanMeier _),
     "ev_did" -> (qDidLift _),
     "ev_power" -> (qPowerAnalysis _),
     "ev_funnel_latency" -> (qFunnelLatency _),
@@ -2569,6 +2662,7 @@ object EventQueries {
   def oracles: Map[String, String] = Map(
     "ev_gsp" -> qGspSql,
     "ev_msprt" -> qMsprtSql,
+    "ev_km" -> qKaplanMeierSql,
     "ev_did" -> qDidLiftSql,
     "ev_power" -> qPowerAnalysisSql,
     // ev_reach_sketch / ev_user_reach_approx: sketch estimates aren't
