@@ -2378,7 +2378,6 @@ object EventQueries {
     * (no users, or p̂ ∈ {0,1}) emit ln Λ = 0 → p = 1 by the explicit
     * guard, so ANSI division never fires. */
   def qMsprt(s: SparkSession, d: String): DataFrame = {
-    val tau2 = MsprtTau * MsprtTau
     val ev = Tables.events(s, d).select(col("user_id"),
       to_date(col("ts")).as("obs_day"), col("event_type"))
     val variant = when(
@@ -2389,14 +2388,25 @@ object EventQueries {
         min(when(col("event_type") === "purchase", col("obs_day"))).as("conv_day"))
       .withColumn("variant", variant)
     val spine = ev.select(col("obs_day")).distinct()
-    val grid = spine.crossJoin(
-      ev.sparkSession.range(0, 2).select(
-        when(col("id") === 0, "A").otherwise("B").as("variant")))
     val newu = perUser.groupBy(col("variant"), col("first_day").as("obs_day"))
       .agg(count(lit(1)).as("nu"))
     val newc = perUser.filter(col("conv_day").isNotNull)
       .groupBy(col("variant"), col("conv_day").as("obs_day"))
       .agg(count(lit(1)).as("nc"))
+    msprtCurve(newu, newc, spine)
+  }
+
+  /** The mSPRT curve from DELTA relations — newu/newc carry per-(arm,
+    * day) first-seen and first-conversion counts, spine the observation
+    * days. Factored so the batch query and the streaming monitor
+    * ([[graft.streaming.EventStream.msprtReport]], whose marks relation
+    * aggregates to exactly these deltas) score through one code path. */
+  private[graft] def msprtCurve(newu: DataFrame, newc: DataFrame,
+      spine: DataFrame): DataFrame = {
+    val tau2 = MsprtTau * MsprtTau
+    val grid = spine.crossJoin(
+      spine.sparkSession.range(0, 2).select(
+        when(col("id") === 0, "A").otherwise("B").as("variant")))
     val w = Window.partitionBy(col("variant")).orderBy(col("obs_day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = grid

@@ -105,6 +105,81 @@ object EventStream {
   /** Typed row for [[transitions]]. */
   case class TEv(user_id: Long, event_id: Long, ts: Timestamp, event_type: String)
 
+  /** One experiment-ledger entry: a user ENTERS the experiment (first
+    * event ever) or CONVERTS (first purchase ever) on a day, in an arm. */
+  case class MsprtMark(user_id: Long, variant: String,
+      obs_day: java.sql.Date, kind: String)
+
+  /** Per-user monitor state: which marks this user has already emitted. */
+  case class MsprtState(entered: Boolean, converted: Boolean)
+
+  /** The engine's md5 arm assignment, driver-side (the
+    * [[graft.queries.EventQueries.qMsprt]] bucket arithmetic). */
+  private def armOf(userId: Long): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(userId.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 4)
+    if (Integer.parseInt(h, 16) % 2 == 0) "A" else "B"
+  }
+
+  /** Streaming experiment monitor — the incremental twin of the batch
+    * always-valid readout ([[graft.queries.EventQueries.qMsprt]]): each
+    * user emits at most TWO marks ever (enter on first event, convert on
+    * first purchase), so the marks relation is an append-only experiment
+    * ledger whose per-(arm, day) rollup is exactly the batch query's
+    * delta relation — [[msprtReport]] folds it through the SAME
+    * [[graft.queries.EventQueries.msprtCurve]] scorer, which is what
+    * makes stream ≡ batch provable rather than approximate.
+    *
+    * State per user is two booleans — O(distinct users), independent of
+    * history. Shares the arrival-order premise of [[transitions]]
+    * (first-seen = earliest arrival; a true straggler moves a user's
+    * entry day and is what the nightly batch recompute corrects);
+    * within a micro-batch the group sorts by (ts, event_id) like every
+    * monitor here. */
+  def msprtMarks(events: Dataset[TEv]): Dataset[MsprtMark] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MsprtState, MsprtMark](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[TEv], state: GroupState[MsprtState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(MsprtState(false, false))
+          val arm = armOf(userId)
+          def dayOf(e: TEv) = java.sql.Date.valueOf(
+            java.time.LocalDate.ofEpochDay(epochDay(e.ts).toLong))
+          val out = scala.collection.mutable.ArrayBuffer.empty[MsprtMark]
+          if (!st.entered) {
+            out += MsprtMark(userId, arm, dayOf(sorted.head), "enter")
+            st = st.copy(entered = true)
+          }
+          if (!st.converted) {
+            sorted.find(_.event_type == "purchase").foreach { p =>
+              out += MsprtMark(userId, arm, dayOf(p), "convert")
+              st = st.copy(converted = true)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** The live readout over the accumulated marks ledger: roll the marks
+    * to per-(arm, day) deltas and score through the batch query's own
+    * [[graft.queries.EventQueries.msprtCurve]]. `spine` is the
+    * observation-day relation (one `obs_day` column — in a deployment,
+    * the days the monitor has seen; in the spec, the batch twin's). */
+  def msprtReport(marks: DataFrame, spine: DataFrame): DataFrame = {
+    val newu = marks.filter(col("kind") === "enter")
+      .groupBy(col("variant"), col("obs_day"))
+      .agg(count(lit(1)).as("nu"))
+    val newc = marks.filter(col("kind") === "convert")
+      .groupBy(col("variant"), col("obs_day"))
+      .agg(count(lit(1)).as("nc"))
+    graft.queries.EventQueries.msprtCurve(newu, newc, spine)
+  }
+
   /** Emitted (prev → next) pair. */
   case class Transition(user_id: Long, prev_type: String, event_type: String)
 

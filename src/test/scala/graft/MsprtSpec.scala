@@ -1,7 +1,10 @@
 package graft
 
 import graft.queries.EventQueries
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
 
 /** Always-valid mSPRT readout (ev_msprt): a fixture with a real effect
@@ -100,5 +103,60 @@ class MsprtSpec extends SparkSpec {
       assert(math.abs(g._6 - w._6) <= 1.0001e-6, s"theta day ${g._1}")
       assert(math.abs(g._7 - w._7) <= 1.0001e-6, s"p_always day ${g._1}")
     }
+  }
+
+  private def key(r: org.apache.spark.sql.Row) =
+    (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5), r.getDouble(6), r.getBoolean(7))
+
+  test("streaming monitor marks fold to the exact batch readout (sf0.001)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = graft.queries.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .collect()
+      .map(r => EventStream.TEv(r.getLong(0), r.getLong(1),
+        r.getTimestamp(2), r.getString(3)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[EventStream.TEv]
+    val q = EventStream.msprtMarks(input.toDS())
+      .writeStream.format("memory").queryName("msprt_marks")
+      .outputMode(OutputMode.Append()).start()
+    evs.grouped(math.max(evs.length / 3, 1)).foreach { chunk =>
+      input.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val spine = graft.queries.Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("obs_day")).distinct()
+    val got = EventStream
+      .msprtReport(spark.table("msprt_marks"), spine)
+      .collect().map(key).toSeq
+    val want = EventQueries.qMsprt(spark, sf).collect().map(key).toSeq
+    assert(got == want, "stream ledger ≡ batch readout, bit for bit")
+    assert(spark.table("msprt_marks").count() <=
+      2 * evs.map(_.user_id).distinct.length, "at most two marks per user")
+  }
+
+  test("marks dedup across micro-batches: one enter, one convert, ever") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(i: Int) = new Timestamp(1700000000000L + i * 1000L)
+    val input = MemoryStream[EventStream.TEv]
+    val q = EventStream.msprtMarks(input.toDS())
+      .writeStream.format("memory").queryName("msprt_dedup")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(Seq(
+      EventStream.TEv(7L, 1L, t(0), "view"),
+      EventStream.TEv(7L, 2L, t(1), "purchase")))
+    q.processAllAvailable()
+    input.addData(Seq(
+      EventStream.TEv(7L, 3L, t(2), "purchase"),
+      EventStream.TEv(7L, 4L, t(3), "view")))
+    q.processAllAvailable()
+    q.stop()
+    val marks = spark.table("msprt_dedup").collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(marks.sorted == Seq((7L, "convert"), (7L, "enter")),
+      s"later activity re-marks nothing: ${marks.toSeq}")
   }
 }
