@@ -63,10 +63,19 @@ object AudioProbe {
 
   /** Synthesize a structurally valid 16-bit PCM WAV container with
     * deterministic sample bytes — the test/bench stand-in for real
-    * recordings (same role as ImageProbe.pngBytes). `seed` shifts the
-    * sample ramp so different "recordings" carry different content
-    * (seed 0 keeps the historical byte stream); the oracle reconstructs
-    * the same values arithmetically. */
+    * recordings (same role as ImageProbe.pngBytes). `seed` varies the
+    * ramp STEP, its offset, and a per-frame PHASE term so different
+    * "recordings" carry different content (seed 0 keeps the historical
+    * byte stream); the oracle reconstructs the same values
+    * arithmetically. Each knob closes a discovered self-similarity: a
+    * pure offset shift aliases in frame-energy space (Δseed = 512
+    * realigns the wrap pattern — 3.3M cross-content landmark collisions
+    * at sf1's 10k seeds); with a seed-dependent step, offsets of
+    * 64·step are TIME-SHIFTED copies of the same periodic ramp, which a
+    * shift-invariant fingerprint correctly matches; the (i≫6)-keyed
+    * phase term (prime modulus 1021) makes frame sequences non-periodic
+    * per content, pushing the first shift-equivalent seed pair past
+    * lcm(25, 1021) = 25 525 — beyond the sf1 seed range. */
   def wavBytes(sampleRate: Int, channels: Int, nSamples: Long,
       seed: Long = 0L): Array[Byte] = {
     val dataBytes = (nSamples * channels * 2).toInt
@@ -78,9 +87,12 @@ object AudioProbe {
     buf.putInt(sampleRate); buf.putInt(sampleRate * channels * 2)
     buf.putShort((channels * 2).toShort); buf.putShort(16)
     buf.put("data".getBytes); buf.putInt(dataBytes)
+    val step = 257 + 2 * (seed % 25)
+    val phase = seed % 1021
     var i = 0
     while (i < dataBytes / 2) { // deterministic triangle-ish samples
-      buf.putShort(((i.toLong * 257 + 11 + seed * 31) % 32768).toShort)
+      buf.putShort(((i.toLong * step + 11 + seed * 31 +
+        ((i >> 6).toLong * phase) % 1021) % 32768).toShort)
       i += 1
     }
     buf.array()

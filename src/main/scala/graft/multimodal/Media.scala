@@ -176,6 +176,30 @@ object Media {
     *
     * Same batched-map contract as [[probeAudio]]: blobs never shuffle,
     * undecodable blobs drop. */
+  /** The per-blob landmark kernel: decoded PCM prefix → (n_frames,
+    * n_peaks, pair hashes). Shared by the rollup and the match index. */
+  private def landmarkHashes(blob: Array[Byte]): Option[(Int, Int, Seq[Long])] =
+    AudioProbe.pcm16Prefix(blob, LmMaxVals).map { vals =>
+      val nf = vals.length / LmFrame
+      val e = Array.tabulate(nf) { f =>
+        var s = 0L; var i = f * LmFrame
+        while (i < (f + 1) * LmFrame) { s += vals(i); i += 1 }
+        s
+      }
+      val peaks = (1 until math.max(nf - 1, 1))
+        .filter(f => e(f) > e(f - 1) && e(f) > e(f + 1))
+      // EXACT energies in the hash (e < 2²¹, so e₁·2²⁶ + e₂·2⁴ + Δt
+      // fits a long): a quantized hash (e mod 997) collided across
+      // different recordings once the corpus carried thousands of them
+      val hashes = for {
+        i <- peaks.indices
+        j <- (i + 1) until peaks.length
+        if peaks(j) - peaks(i) <= LmMaxDt
+      } yield e(peaks(i)) * 67108864L + e(peaks(j)) * 16L +
+        (peaks(j) - peaks(i))
+      (nf, peaks.length, hashes)
+    }
+
   def audioLandmarks(audio: DataFrame): Dataset[AudioLandmarks] = {
     val spark = audio.sparkSession
     import spark.implicits._
@@ -184,27 +208,53 @@ object Media {
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
           batch.flatMap { case (id, blob) =>
-            AudioProbe.pcm16Prefix(blob, LmMaxVals).map { vals =>
-              val nf = vals.length / LmFrame
-              val e = Array.tabulate(nf) { f =>
-                var s = 0L; var i = f * LmFrame
-                while (i < (f + 1) * LmFrame) { s += vals(i); i += 1 }
-                s
-              }
-              val peaks = (1 until math.max(nf - 1, 1))
-                .filter(f => e(f) > e(f - 1) && e(f) > e(f + 1))
-              val hashes = for {
-                i <- peaks.indices
-                j <- (i + 1) until peaks.length
-                if peaks(j) - peaks(i) <= LmMaxDt
-              } yield (e(peaks(i)) % 997) * 1000000L +
-                (e(peaks(j)) % 997) * 1000L + (peaks(j) - peaks(i))
-              AudioLandmarks(id, nf, peaks.length, hashes.length,
+            landmarkHashes(blob).map { case (nf, np, hashes) =>
+              AudioLandmarks(id, nf, np, hashes.length,
                 hashes.sum, hashes.minOption, hashes.maxOption)
             }
           }
         }
       }
+  }
+
+  /** The match-index relation: one (media_id, hash) row per DISTINCT
+    * landmark hash — the posting a Shazam-style store keys by. */
+  def audioLandmarkIndex(audio: DataFrame): DataFrame = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.select(col("media_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { case (id, blob) =>
+            landmarkHashes(blob).toSeq
+              .flatMap(_._3.distinct.map(h => (id, h)))
+          }
+        }
+      }
+      .toDF("media_id", "h")
+  }
+
+  /** A corpus WITH re-uploads: every [[DupGroup]] consecutive ids share
+    * the same recording content (seed = id / group) under varying
+    * container parameters — the ground truth an audio near-dup join is
+    * graded against. */
+  val DupGroup = 5
+  def audioDupTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val rate = (id % 3) match {
+          case 0 => 8000; case 1 => 16000; case _ => 44100
+        }
+        val channels = 1 + (id % 2).toInt
+        val nSamples = 1000L + id % 5000
+        (id, AudioProbe.wavBytes(rate, channels, nSamples,
+          seed = id / DupGroup))
+      })
+      .toDF("media_id", "blob")
   }
 
   /** Video table with REAL container bytes — ISO-BMFF twin of

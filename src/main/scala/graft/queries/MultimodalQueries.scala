@@ -154,7 +154,9 @@ object MultimodalQueries {
       |    least((1000 + doc_id % 5000) * (1 + doc_id % 2), 1024) m
       |  FROM documents),
       |idx AS (SELECT id, unnest(range(m)) i FROM a),
-      |vals AS (SELECT id, i, (i * 257 + 11 + id * 31) % 32768 v FROM idx),
+      |vals AS (SELECT id, i,
+      |  (i * (257 + 2 * (id % 25)) + 11 + id * 31
+      |   + ((i // 64) * (id % 1021)) % 1021) % 32768 v FROM idx),
       |fr AS (
       |  SELECT id, i // 64 f, sum(v) e FROM vals GROUP BY 1, 2
       |  HAVING count(*) = 64),
@@ -165,7 +167,7 @@ object MultimodalQueries {
       |  SELECT id, f, e FROM pk
       |  WHERE pe IS NOT NULL AND ne IS NOT NULL AND e > pe AND e > ne),
       |lm AS (
-      |  SELECT p.id, (p.e % 997) * 1000000 + (q.e % 997) * 1000 + (q.f - p.f) h
+      |  SELECT p.id, p.e * 67108864 + q.e * 16 + (q.f - p.f) h
       |  FROM peaks p JOIN peaks q ON p.id = q.id AND q.f > p.f
       |    AND q.f - p.f <= 8),
       |agg AS (SELECT id, count(*) nl, sum(h) fs, min(h) fmn, max(h) fmx
@@ -181,6 +183,63 @@ object MultimodalQueries {
       |FROM a LEFT JOIN fc ON a.id = fc.id LEFT JOIN pc ON a.id = pc.id
       |LEFT JOIN agg ON a.id = agg.id
       |ORDER BY media_id""".stripMargin
+
+  /** Minimum shared landmark hashes for an audio match. */
+  private val MinSharedLandmarks = 5
+
+  /** The MATCHING side of Wang 2003 — [[qAudioLandmarks]] builds the
+    * prints, this query finds re-uploads: join the (media, hash)
+    * posting relation on the hash key, count shared landmarks per
+    * candidate pair, keep pairs sharing ≥ [[MinSharedLandmarks]]. Runs
+    * over [[Media.audioDupTable]], where every 5 consecutive ids carry
+    * the same recording under different container parameters — the
+    * ground truth the join must recover (and nothing else: the hash
+    * space is ~8M values against ~18 hashes/print, so cross-content
+    * pairs die at the threshold).
+    *
+    * Scale shape: the canonical posting-list self-join — candidates
+    * generate ONLY where a hash key collides (never all-pairs), the
+    * per-pair count is map-side combinable, and per-hash fan-out is
+    * bounded by re-upload group size (a content property, like the dd
+    * LSH band joins). */
+  def qAudioMatches(s: SparkSession, d: String): DataFrame = {
+    val idx = Media.audioLandmarkIndex(Media.audioDupTable(s, d))
+    idx.select(col("media_id").as("media_a"), col("h"))
+      .join(idx.select(col("media_id").as("media_b"), col("h")), Seq("h"))
+      .filter(col("media_a") < col("media_b"))
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedLandmarks)
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  val qAudioMatchesSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id id, doc_id // ${Media.DupGroup} seed,
+       |    least((1000 + doc_id % 5000) * (1 + doc_id % 2), 1024) m
+       |  FROM documents),
+       |idx AS (SELECT id, seed, unnest(range(m)) i FROM a),
+       |vals AS (SELECT id, i,
+       |  (i * (257 + 2 * (seed % 25)) + 11 + seed * 31
+       |   + ((i // 64) * (seed % 1021)) % 1021) % 32768 v FROM idx),
+       |fr AS (
+       |  SELECT id, i // 64 f, sum(v) e FROM vals GROUP BY 1, 2
+       |  HAVING count(*) = 64),
+       |pk AS (
+       |  SELECT id, f, e, lag(e) OVER w pe, lead(e) OVER w ne
+       |  FROM fr WINDOW w AS (PARTITION BY id ORDER BY f)),
+       |peaks AS (
+       |  SELECT id, f, e FROM pk
+       |  WHERE pe IS NOT NULL AND ne IS NOT NULL AND e > pe AND e > ne),
+       |lm AS (
+       |  SELECT DISTINCT p.id,
+       |    p.e * 67108864 + q.e * 16 + (q.f - p.f) h
+       |  FROM peaks p JOIN peaks q ON p.id = q.id AND q.f > p.f
+       |    AND q.f - p.f <= 8)
+       |SELECT x.id AS media_a, y.id AS media_b, count(*)::BIGINT AS n_shared
+       |FROM lm x JOIN lm y ON x.h = y.h AND x.id < y.id
+       |GROUP BY 1, 2 HAVING count(*) >= $MinSharedLandmarks
+       |ORDER BY media_a, media_b""".stripMargin
 
   /** Real ISO-BMFF (MP4) box-walk probing — the video twin of
     * [[qAudioMeta]]; oracle recomputes mvhd timescale/duration from id
@@ -435,6 +494,7 @@ object MultimodalQueries {
     "mm_image_dims" -> (qImageDims _),
     "mm_audio_meta" -> (qAudioMeta _),
     "mm_audio_landmarks" -> (qAudioLandmarks _),
+    "mm_audio_matches" -> (qAudioMatches _),
     "mm_video_meta" -> (qVideoMeta _),
   )
 
@@ -450,6 +510,7 @@ object MultimodalQueries {
     "mm_image_dims" -> qImageDimsSql,
     "mm_audio_meta" -> qAudioMetaSql,
     "mm_audio_landmarks" -> qAudioLandmarksSql,
+    "mm_audio_matches" -> qAudioMatchesSql,
     "mm_video_meta" -> qVideoMetaSql,
   )
 }
