@@ -377,7 +377,77 @@ object RelationalQueries {
       |FROM c FULL OUTER JOIN s USING (nationkey)
       |ORDER BY nationkey""".stripMargin
 
+  /** TPC-H Q4 adapted to this schema (lineitem carries no
+    * commit/receipt dates, so "late" = shipped more than 60 days after
+    * the order date): order-priority counts over a two-quarter window,
+    * existence-tested against late line items. The semi join carries
+    * the equi key PLUS the non-equi lateness predicate — Spark plans
+    * the equi part as the join key and evaluates the date arithmetic
+    * as a join-side filter, so the orders side still moves once and
+    * duplicates from multi-line orders never materialize (EXISTS, not
+    * INNER). */
+  def q4OrderPriority(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-07-01"))
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+      |FROM orders o
+      |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q14 (promotion effect): the share of one year's shipped
+    * revenue on PROMO-type parts — a conditional aggregate over the
+    * lineitem scan with the part dimension BROADCAST (the dimension is
+    * parts-bounded; the fact table never reshuffles). Revenue sums
+    * round at 2 dp and the share at 4 dp — double-sum order noise sits
+    * ~7 digits below both. */
+  def q14PromoShare(s: SparkSession, d: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
+          sum(rev), 4).as("promo_revenue_pct"),
+        round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))), 2)
+          .as("promo_revenue"),
+        round(sum(rev), 2).as("total_revenue"))
+  }
+
+  val q14Sql: String =
+    """SELECT
+      |  round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+      |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+      |    / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_revenue_pct,
+      |  round(sum(CASE WHEN p_type = 'PROMO'
+      |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+      |    AS promo_revenue,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q14_promo_share" -> (q14PromoShare _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q3_top_orders" -> (q3TopOrders _),
@@ -397,6 +467,8 @@ object RelationalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q4_order_priority" -> q4Sql,
+    "q14_promo_share" -> q14Sql,
     "q1_pricing_summary" -> q1Sql,
     "q6_forecast_revenue" -> q6Sql,
     "q3_top_orders" -> q3Sql,

@@ -48,6 +48,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q4: the lateness EXISTS stays a semi join; order window reaches the scan") {
+    val p = plan(graft.queries.RelationalQueries.q4OrderPriority(spark, sf))
+    assert(p.contains("LeftSemi"), "EXISTS must plan as semi, not inner+distinct")
+    assert(p.contains("PushedFilters:") && p.contains("o_orderdate"),
+      "the two-quarter window should reach the orders scan")
+  }
+
+  test("q14: the part dimension broadcasts; the fact side never reshuffles") {
+    val p = plan(graft.queries.RelationalQueries.q14PromoShare(spark, sf))
+    assert(count(p, "BroadcastHashJoin") >= 1, "part must broadcast")
+    assert(count(p, "SortMergeJoin|ShuffledHashJoin") == 0,
+      "a one-row aggregate over a broadcast join needs no fact shuffle")
+  }
+
   test("windowed top-k pushes a partial group limit below the shuffle") {
     // Spark's InferWindowGroupLimit turns row_number()<=k into a
     // per-partition top-k BEFORE the exchange — at 100 TB the shuffle
