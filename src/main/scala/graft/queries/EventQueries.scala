@@ -2258,6 +2258,71 @@ object EventQueries {
        |  ceil(n_arm * 2 / daily_users)::BIGINT AS days_to_run
        |FROM g""".stripMargin
 
+  /** Cohort LTV triangle — the VALUE companion to [[qRetention]]'s
+    * count triangle (the standard cumulative-revenue-per-user-by-age
+    * artifact finance reads growth off; e.g. Fader & Hardie's CLV
+    * curriculum — public). Users cohort by first-seen day; each
+    * cohort-age cell carries that day's purchase revenue and the
+    * cumulative revenue per cohort member — the curve whose plateau IS
+    * the cohort's realized LTV. The grid is DENSE (every age from 0 to
+    * the cohort's observable horizon), so cells with no purchases
+    * report 0 revenue and a flat cumulative — the shape a triangle
+    * chart needs.
+    *
+    * Scale shape: one user-keyed agg (cohort assignment), one
+    * (cohort, age) revenue agg — both map-side combinable over the
+    * events scan; the dense grid and the cumulative window live on the
+    * calendar²-bounded triangle frame, never on events. */
+  def qCohortLtv(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      to_date(col("ts")).as("obs_day"), col("event_type"), col("value"))
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("obs_day")).as("cohort_day"))
+    val sizes = cohorts.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_users"))
+    val endDay = ev.agg(max(col("obs_day")).as("end_day"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("obs_day"), col("cohort_day")).as("age"))
+      .agg(sum(col("value")).as("rev"))
+    val grid = sizes.crossJoin(broadcast(endDay))
+      .select(col("cohort_day"), col("n_users"),
+        explode(sequence(lit(0),
+          datediff(col("end_day"), col("cohort_day")))).as("age"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(rev, Seq("cohort_day", "age"), "left")
+      .select(col("cohort_day"), col("age"), col("n_users"),
+        round(coalesce(col("rev"), lit(0.0)), 2).as("rev"),
+        round(sum(coalesce(col("rev"), lit(0.0))).over(w) / col("n_users"), 4)
+          .as("cum_rev_per_user"))
+      .orderBy(col("cohort_day"), col("age"))
+  }
+
+  val qCohortLtvSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts::DATE obs_day, event_type, value FROM events),
+      |cohorts AS (SELECT user_id, min(obs_day) cohort_day FROM ev GROUP BY 1),
+      |sizes AS (SELECT cohort_day, count(*) n_users FROM cohorts GROUP BY 1),
+      |endd AS (SELECT max(obs_day) end_day FROM ev),
+      |rev AS (
+      |  SELECT cohort_day, datediff('day', cohort_day, obs_day) age,
+      |    sum(value) rv
+      |  FROM ev JOIN cohorts USING (user_id)
+      |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT cohort_day, n_users, unnest(range(
+      |    datediff('day', cohort_day, (SELECT end_day FROM endd)) + 1)) age
+      |  FROM sizes)
+      |SELECT cohort_day, age::INT AS age, n_users::BIGINT AS n_users,
+      |  round(coalesce(rv, 0.0), 2) AS rev,
+      |  round(sum(coalesce(rv, 0.0)) OVER (PARTITION BY cohort_day
+      |    ORDER BY age ROWS UNBOUNDED PRECEDING) / n_users, 4)
+      |    AS cum_rev_per_user
+      |FROM grid LEFT JOIN rev USING (cohort_day, age)
+      |ORDER BY cohort_day, age""".stripMargin
+
   /** Kaplan–Meier time-to-conversion curve (Kaplan & Meier 1958,
     * "Nonparametric estimation from incomplete observations", JASA —
     * public; THE time-to-event estimator). Retention tables
@@ -2623,6 +2688,7 @@ object EventQueries {
     "ev_gsp" -> (qGsp _),
     "ev_msprt" -> (qMsprt _),
     "ev_km" -> (qKaplanMeier _),
+    "ev_cohort_ltv" -> (qCohortLtv _),
     "ev_did" -> (qDidLift _),
     "ev_power" -> (qPowerAnalysis _),
     "ev_funnel_latency" -> (qFunnelLatency _),
@@ -2673,6 +2739,7 @@ object EventQueries {
     "ev_gsp" -> qGspSql,
     "ev_msprt" -> qMsprtSql,
     "ev_km" -> qKaplanMeierSql,
+    "ev_cohort_ltv" -> qCohortLtvSql,
     "ev_did" -> qDidLiftSql,
     "ev_power" -> qPowerAnalysisSql,
     // ev_reach_sketch / ev_user_reach_approx: sketch estimates aren't
