@@ -51,7 +51,8 @@ class ServingShim(
     search: Option[(String, Int) => Seq[ServingShim.SearchHit]] = None,
     page: Option[(String, Int) => ServingShim.SearchPage] = None,
     neardup: Option[String => Seq[(Long, Double)]] = None,
-    vsearch: Option[(Either[String, Array[Float]], Int) => Seq[(Long, Double)]] = None) {
+    vsearch: Option[(Either[String, Array[Float]], Int) => Seq[(Long, Double)]] = None,
+    audiomatch: Option[Array[Byte] => Seq[(Long, Long)]] = None) {
 
   /** One job's live trail: events append as the runner emits them;
     * `done` flips after the last one. Append-only so any number of
@@ -200,6 +201,43 @@ class ServingShim(
           }
         case ("POST", None) =>
           respond(ex, 404, """{"error": "vsearch not configured"}""",
+            "application/json")
+        case _ =>
+          respond(ex, 405, """{"error": "method not allowed"}""",
+            "application/json")
+      }
+    }
+  })
+
+  // POST /audiomatch {"blob_b64": ...} — identify ONE audio clip against
+  // the streamed fingerprint store (MediaStream.probeAudio wired in by
+  // the deployment): the Shazam-style front door. Absent wiring → 404.
+  server.createContext("/audiomatch", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = guard(ex) {
+      (ex.getRequestMethod, audiomatch) match {
+        case ("POST", Some(fn)) =>
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          val blob = ServingShim.jsonString(body, "blob_b64")
+            .filter(_.trim.nonEmpty)
+            .flatMap { b64 =>
+              try Some(java.util.Base64.getDecoder.decode(b64.trim))
+              catch { case _: IllegalArgumentException => None }
+            }
+          blob match {
+            case None =>
+              respond(ex, 400, """{"error": "missing or invalid blob_b64"}""",
+                "application/json")
+            case Some(bytes) =>
+              val matches = fn(bytes)
+              val hits = matches.map { case (id, n) =>
+                s"""{"media_id": $id, "n_shared": $n}"""
+              }.mkString("[", ", ", "]")
+              respond(ex, 200,
+                s"""{"match": ${matches.nonEmpty}, "hits": $hits}""",
+                "application/json")
+          }
+        case ("POST", None) =>
+          respond(ex, 404, """{"error": "audiomatch not configured"}""",
             "application/json")
         case _ =>
           respond(ex, 405, """{"error": "method not allowed"}""",
@@ -399,8 +437,13 @@ object ServingShim {
     * with a colliding key would confuse these; the request contract has
     * none. */
   def jsonString(body: String, key: String): Option[String] = {
+    // unrolled-loop possessive form: the naive ((?:[^"\\]|\\.)*) pushes
+    // one regex stack frame per matched character, which overflows the
+    // handler thread on multi-KB values (a base64 /audiomatch blob);
+    // this shape matches the same language in one linear pass
     val m = ("\"" + java.util.regex.Pattern.quote(key) +
-      "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(body)
+      "\"\\s*:\\s*\"([^\"\\\\]*+(?:\\\\.[^\"\\\\]*+)*+)\"").r
+      .findFirstMatchIn(body)
     m.map(g => unescape(g.group(1)))
   }
 

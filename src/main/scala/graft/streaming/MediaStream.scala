@@ -107,4 +107,94 @@ object MediaStream {
   def compact(s: SparkSession, ledgerDir: String, upTo: Long,
       targetBytes: Long = 128L << 20): Boolean =
     graft.operators.Compaction.foldBatchDirs(s, ledgerDir, upTo, targetBytes)
+
+  /** Shared landmarks an /audiomatch probe must hit to match. */
+  val MatchMinShared = 5
+
+  /** Maintain the audio-fingerprint posting store at `indexDir` from a
+    * streaming (media_id long, blob binary) frame — the audio twin of
+    * the MinHash band store: each micro-batch appends its recordings'
+    * (media_id, landmark-hash) postings as one `batch=<id>` delta
+    * (overwrite mode — a redelivered batch rewrites the same path
+    * byte-for-byte), and the union of deltas IS the match index
+    * [[probeAudio]] serves against. Non-audio/corrupt blobs contribute
+    * no postings (audioLandmarkIndex drops them). */
+  def startLandmarks(s: SparkSession, input: DataFrame, indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    input.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeLandmarkDelta(batch, indexDir, batchId)
+      }
+      .start()
+
+  /** One micro-batch's posting delta — exposed for replay specs. */
+  def writeLandmarkDelta(batch: DataFrame, indexDir: String,
+      batchId: Long): Unit = {
+    Media.audioLandmarkIndex(batch).write.mode("overwrite")
+      .parquet(s"$indexDir/batch=$batchId")
+    ()
+  }
+
+  /** Merge-on-read view of the accumulated posting store. */
+  def landmarkIndex(s: SparkSession, indexDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val empty = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "media_id BIGINT, h BIGINT"))
+    if (!fs.exists(p)) return empty
+    val parts = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filter(st => fs.listStatus(st.getPath)
+        .exists(_.getPath.getName.endsWith(".parquet")))
+      .map(_.getPath.toString)
+    if (parts.isEmpty) empty
+    else s.read.parquet(parts: _*).select(col("media_id"), col("h"))
+  }
+
+  /** Identify ONE clip against the accumulated store — the serving-path
+    * form behind `POST /audiomatch` (the audio twin of
+    * MinhashStream.probeText): fingerprint the clip with the same
+    * landmark kernel, broadcast its print-bounded hash set against the
+    * stored postings, count shared landmarks per stored recording, keep
+    * matches with ≥ `minShared`, best first. Cost is
+    * postings-collision-bounded, never a blob scan. Retries across a
+    * concurrent [[compact]] fold on the same FileNotFound contract as
+    * the MinHash probe. Returns (media_id, n_shared). */
+  def probeAudio(s: SparkSession, indexDir: String, blob: Array[Byte],
+      minShared: Int = MatchMinShared): Seq[(Long, Long)] = {
+    def fileGone(e: Throwable): Boolean =
+      e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
+        fileGone(e.getCause))
+    var attempt = 0
+    while (true) {
+      try return probeAudioOnce(s, indexDir, blob, minShared)
+      catch {
+        case e: Throwable if fileGone(e) && attempt < 3 => attempt += 1
+      }
+    }
+    Nil // unreachable
+  }
+
+  private def probeAudioOnce(s: SparkSession, indexDir: String,
+      blob: Array[Byte], minShared: Int): Seq[(Long, Long)] = {
+    import s.implicits._
+    // the probe's print is bounded by peaks² within the pairing window
+    // (~tens of hashes) — the one driver-side collect here
+    val print = Media.audioLandmarkIndex(
+      Seq((0L, blob)).toDF("media_id", "blob"))
+      .select(col("h")).collect().map(_.getLong(0)).toSeq
+    if (print.isEmpty) return Nil
+    landmarkIndex(s, indexDir)
+      .join(broadcast(print.toDF("h")), Seq("h"))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("n_shared").desc, col("media_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+  }
 }

@@ -51,6 +51,39 @@ class MediaStreamSpec extends SparkSpec {
     assert(wav._6.contains(44100) && wav._7.contains(2) && wav._8.contains(3000L))
   }
 
+  test("landmark store: streamed postings identify a cropped clip; garbage misses") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("media-lm").toString
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = MediaStream.startLandmarks(spark,
+      input.toDF().toDF("media_id", "blob"), s"$dir/idx", s"$dir/ckpt")
+    try {
+      // two recordings in batch 1, one more (plus a non-audio blob the
+      // index must skip) in batch 2
+      input.addData(
+        10L -> AudioProbe.wavBytes(8000, 1, 2000, seed = 70L),
+        11L -> AudioProbe.wavBytes(16000, 2, 1500, seed = 71L))
+      q.processAllAvailable()
+      input.addData(
+        12L -> AudioProbe.wavBytes(44100, 1, 3000, seed = 72L),
+        13L -> ImageProbe.pngBytes(8, 8, "x".getBytes))
+      q.processAllAvailable()
+    } finally q.stop()
+    // a cropped re-encode of recording 11 (same content, other container)
+    val clip = AudioProbe.wavBytes(8000, 1, 900, seed = 71L)
+    val hits = MediaStream.probeAudio(spark, s"$dir/idx", clip)
+    assert(hits.map(_._1) == Seq(11L), s"clip identifies its source: $hits")
+    assert(hits.head._2 >= MediaStream.MatchMinShared.toLong)
+    assert(MediaStream.probeAudio(spark, s"$dir/idx", "junk".getBytes).isEmpty)
+    // the non-audio blob contributed no postings
+    assert(MediaStream.landmarkIndex(spark, s"$dir/idx")
+      .filter(org.apache.spark.sql.functions.col("media_id") === 13L).count() == 0)
+    // serving before the first commit: empty store, empty hits
+    assert(MediaStream.probeAudio(spark,
+      java.nio.file.Files.createTempDirectory("media-lm-empty").toString,
+      clip).isEmpty)
+  }
+
   test("replayed batch is byte-identical; ledger folds through compaction") {
     val dir = java.nio.file.Files.createTempDirectory("media-replay").toString
     MediaStream.writeDelta(blobs.take(3).toDF("media_id", "blob"), s"$dir/l", 0L)

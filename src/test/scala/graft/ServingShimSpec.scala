@@ -366,4 +366,42 @@ class ServingShimSpec extends SparkSpec {
       assert(post(c2, p2, "/vsearch", """{"vector": [1, 0]}""").statusCode() == 404)
     }
   }
+
+  test("POST /audiomatch: clip identification against the landmark store") {
+    import graft.multimodal.AudioProbe
+    import graft.streaming.MediaStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shim-audio").toString
+    MediaStream.writeLandmarkDelta(
+      Seq(21L -> AudioProbe.wavBytes(8000, 1, 2000, seed = 5L),
+        22L -> AudioProbe.wavBytes(16000, 2, 1500, seed = 6L))
+        .toDF("media_id", "blob"), s"$dir/idx", 0L)
+    val shim = new ServingShim(() => healthyStatus, runner,
+      audiomatch = Some(b => MediaStream.probeAudio(spark, s"$dir/idx", b)))
+    val port = shim.start()
+    val c = HttpClient.newHttpClient()
+    try {
+      val clip = java.util.Base64.getEncoder.encodeToString(
+        AudioProbe.wavBytes(44100, 1, 900, seed = 6L)) // re-encoded crop of 22
+      val r = post(c, port, "/audiomatch", s"""{"blob_b64": "$clip"}""")
+      assert(r.statusCode() == 200, r.body())
+      assert(r.body().contains(""""match": true"""), r.body())
+      assert(r.body().contains(""""media_id": 22"""), r.body())
+      assert(!r.body().contains(""""media_id": 21"""), r.body())
+      // an unknown recording answers match: false with no hits
+      val miss = java.util.Base64.getEncoder.encodeToString(
+        AudioProbe.wavBytes(8000, 1, 900, seed = 999L))
+      val m = post(c, port, "/audiomatch", s"""{"blob_b64": "$miss"}""")
+      assert(m.statusCode() == 200 && m.body().contains(""""match": false"""))
+      // edges: missing/invalid base64 → 400; GET → 405
+      assert(post(c, port, "/audiomatch", """{}""").statusCode() == 400)
+      assert(post(c, port, "/audiomatch",
+        """{"blob_b64": "@@not-base64@@"}""").statusCode() == 400)
+      assert(get(c, port, "/audiomatch").statusCode() == 405)
+    } finally { shim.stop(); () }
+    // unwired shim → 404
+    withShim() { (p2, c2) =>
+      assert(post(c2, p2, "/audiomatch", """{"blob_b64": "AAAA"}""").statusCode() == 404)
+    }
+  }
 }
