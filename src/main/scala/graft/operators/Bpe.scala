@@ -39,6 +39,28 @@ object Bpe {
     * `tokens.mkString.stripSuffix(EndOfWord)` per word. */
   val EndOfWord = "</w>"
 
+  /** Unsigned UTF-8 byte comparison — the order DuckDB's binary
+    * ORDER BY uses. Equals UTF-16 code-unit order on BMP-only strings;
+    * diverges once supplementary characters (surrogate pairs) appear. */
+  private[graft] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** (l, r) pair order under [[utf8Compare]]. */
+  private def utf8PairLt(a: (String, String), b: (String, String)): Boolean = {
+    val c = utf8Compare(a._1, b._1)
+    if (c != 0) c < 0 else utf8Compare(a._2, b._2) < 0
+  }
+
   /** Learn `numMerges` merges from a (word, count) dictionary. Returns
     * the ordered merge list — index = rank, highest-priority first.
     *
@@ -87,10 +109,15 @@ object Bpe {
       }
       val best = pairCounts.iterator.filter(_._2 >= minPairCount)
         .reduceOption { (a, b) =>
-          // max count, lexicographic pair tiebreak — fully deterministic
+          // max count, lexicographic pair tiebreak — fully deterministic.
+          // Lexicographic = UTF-8 BYTE order, not Scala's UTF-16
+          // code-unit order: the td_bpe_merges oracle is DuckDB's
+          // binary ORDER BY l, r, and the two orders diverge for
+          // symbols outside the BMP (surrogate pairs sort below
+          // U+E000..U+FFFF in UTF-16 but above in UTF-8).
           if (a._2 > b._2) a
           else if (a._2 < b._2) b
-          else if (Ordering[(String, String)].lt(a._1, b._1)) a
+          else if (utf8PairLt(a._1, b._1)) a
           else b
         }
       best match {

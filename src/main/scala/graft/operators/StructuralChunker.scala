@@ -133,7 +133,16 @@ object StructuralChunker {
             } else if (c == '"') { state = 2; sb.append(' '); i += 1 }
             else if (c == '\'' && IndentLangs.contains(lang)) {
               state = 3; sb.append(' '); i += 1
-            } else if (c == '\'') {
+            } else if (c == '\'' &&
+                (i == 0 || {
+                  // a quote glued to an identifier char is a primed
+                  // identifier (Haskell `x'`, `f x' y' = …`) or a C++14
+                  // digit separator (0x1'000), never a literal opener —
+                  // without this guard the lookahead from x's apostrophe
+                  // finds y's within 9 chars and blanks real code
+                  val p = line.charAt(i - 1)
+                  !Character.isLetterOrDigit(p) && p != '_' && p != '\''
+                })) {
               // brace langs: blank a short 'x' / '\n' / 'A' char
               // literal; a lone quote (Rust lifetime 'a, Scala symbol) is
               // ordinary code and must NOT swallow the rest of the line

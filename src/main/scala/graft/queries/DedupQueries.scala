@@ -1627,9 +1627,25 @@ object DedupQueries {
     ktrussEdges(pairGraph(s, d), TrussK, TrussRounds)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Adjacency entries (2|E|) above which [[ktrussEdges]] stops
+    * broadcasting the adjacency-array table and falls back to the
+    * shuffled join: ~1e8 longs ≈ 800 MB of raw ids before array
+    * overhead — past the point a driver/executor should hold the
+    * whole neighborhood table. The gate is measured per round, so a
+    * peel that starts oversized drops back onto the broadcast plan
+    * once enough edges die. */
+  private[graft] val KtrussBroadcastAdjacencyCap = 100000000L
+
   /** [[qDedupKtruss]]'s peel over an undirected canonical pair list
-    * (columns `a` < `b`, each edge once). */
-  private[graft] def ktrussEdges(pairs: DataFrame, k: Int, rounds: Int)
+    * (columns `a` < `b`, each edge once).
+    *
+    * `maxBroadcastAdjacency` gates the broadcast plan on the measured
+    * edge count instead of trusting a comment: oversized graphs take
+    * the shuffled adjacency join (two equi-joins on the edge
+    * endpoints — more exchanges, no driver-memory cliff), value-
+    * identical to the broadcast path (KcoreSpec pins equality). */
+  private[graft] def ktrussEdges(pairs: DataFrame, k: Int, rounds: Int,
+      maxBroadcastAdjacency: Long = KtrussBroadcastAdjacencyCap)
       : DataFrame = {
     var edges = pairs.select(col("a"), col("b")).distinct().localCheckpoint()
     // Per-round support = |N(a) ∩ N(b)| per surviving edge. The support
@@ -1645,37 +1661,48 @@ object DedupQueries {
     // (never reshuffled the expansion) but it still PAID the 2.2e9-row
     // stream through codegen every round — 82 s/round-set at sf0.1, ~30
     // min at sf1; this shape runs the same peel 40× faster. Past
-    // broadcastable adjacency (≳1e8 pairs) the fallback is a shuffled
-    // adjacency join on edge endpoints — but a dup pair relation that
-    // size means the threshold, not the plan, needs retuning.
-    def supportOf(es: DataFrame): DataFrame = {
+    // broadcastable adjacency (KtrussBroadcastAdjacencyCap entries) the
+    // per-round gate below switches to the shuffled adjacency join —
+    // though a dup pair relation that size usually means the simhash
+    // threshold, not the plan, needs retuning.
+    def supportOf(es: DataFrame, nEdges: Long): DataFrame = {
       val adj = es.select(col("a").as("v"), col("b").as("n"))
         .unionAll(es.select(col("b").as("v"), col("a").as("n")))
         .groupBy(col("v"))
         .agg(sort_array(collect_list(col("n"))).as("nb"))
+      // the measured gate: broadcast only while the adjacency table
+      // (2|E| longs) provably fits; otherwise shuffle the join so an
+      // oversized graph degrades to more exchanges, not a driver OOM
+      val fits = 2L * nEdges <= maxBroadcastAdjacency
+      def side(alias: String, out: String): DataFrame = {
+        val half = adj.select(col("v").as(alias), col("nb").as(out))
+        if (fits) broadcast(half) else half
+      }
       // a ∉ N(a) and b ∉ N(b), so the endpoint entries (b ∈ N(a),
       // a ∈ N(b)) can't survive the intersection — no exclusion needed
       es
-        .join(broadcast(adj.select(col("v").as("a"), col("nb").as("na"))), "a")
-        .join(broadcast(adj.select(col("v").as("b"), col("nb").as("nbb"))), "b")
+        .join(side("a", "na"), "a")
+        .join(side("b", "nbb"), "b")
         .select(col("a"), col("b"),
           size(array_intersect(col("na"), col("nbb"))).cast("long")
             .as("support"))
     }
+    var curN = edges.count()
     var prevN = -1L
     var i = 0
     var converged = false
     while (i < rounds && !converged) {
-      edges = supportOf(edges)
+      edges = supportOf(edges, curN)
         .filter(col("support") >= k - 2)
         .select(col("a"), col("b"))
         .localCheckpoint()
       val n = edges.count()
       converged = n == prevN
       prevN = n
+      curN = n
       i += 1
     }
-    supportOf(edges)
+    supportOf(edges, curN)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("support"))
   }
 

@@ -2124,9 +2124,14 @@ object EventQueries {
     val cells = perUser.groupBy(col("v"), col("period"))
       .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("c"))
       .withColumn("m", col("c").cast("double") / col("n"))
-      // binary outcome: unbiased cell variance from the same counts
-      .withColumn("s2", col("m") * (lit(1.0) - col("m")) *
-        col("n") / (col("n") - lit(1.0)))
+      // binary outcome: unbiased cell variance from the same counts.
+      // A single-user cell makes n/(n−1) a 0/0 — Spark (non-ANSI)
+      // returns NULL where DuckDB's IEEE float division gives NaN, so
+      // both engines pin the degenerate cell to 0.0 explicitly (the
+      // qCupedLift one-arm guard pattern).
+      .withColumn("s2", when(col("n") <= 1, lit(0.0))
+        .otherwise(col("m") * (lit(1.0) - col("m")) *
+          col("n") / (col("n") - lit(1.0))))
     def cell(v: String, p: String, suffix: String): DataFrame =
       cells.filter(col("v") === v && col("period") === p)
         .select(col("n").as(s"n_$suffix"), col("m").as(s"m_$suffix"),
@@ -2157,8 +2162,9 @@ object EventQueries {
       |cells AS (
       |  SELECT v, period, count(*) n, sum(y)::BIGINT c,
       |    sum(y)::DOUBLE / count(*) m,
-      |    (sum(y)::DOUBLE / count(*)) * (1 - sum(y)::DOUBLE / count(*))
-      |      * count(*) / (count(*) - 1.0) s2
+      |    CASE WHEN count(*) <= 1 THEN 0.0::DOUBLE
+      |         ELSE (sum(y)::DOUBLE / count(*)) * (1 - sum(y)::DOUBLE / count(*))
+      |           * count(*) / (count(*) - 1.0) END s2
       |  FROM pu GROUP BY 1, 2),
       |j AS (
       |  SELECT

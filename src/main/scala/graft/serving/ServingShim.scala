@@ -118,7 +118,7 @@ class ServingShim(
                 case (true, Some(pfn)) =>
                   val p = pfn(q, k)
                   val hits = p.hits.map { h =>
-                    s"""{"rank": ${h.rank}, "doc_id": ${h.docId}, "score": ${h.score}, "snippet": ${ServingShim.quote(h.snippet)}}"""
+                    s"""{"rank": ${h.rank}, "doc_id": ${h.docId}, "score": ${ServingShim.jsonNum(h.score)}, "snippet": ${ServingShim.quote(h.snippet)}}"""
                   }.mkString("[", ", ", "]")
                   val facets = p.facets.map { f =>
                     s"""{"facet": ${ServingShim.quote(f.facet)}, "value": ${ServingShim.quote(f.value)}, "n_docs": ${f.nDocs}}"""
@@ -128,7 +128,7 @@ class ServingShim(
                     "application/json")
                 case _ =>
                   val hits = fn(q, k).map { h =>
-                    s"""{"rank": ${h.rank}, "doc_id": ${h.docId}, "score": ${h.score}}"""
+                    s"""{"rank": ${h.rank}, "doc_id": ${h.docId}, "score": ${ServingShim.jsonNum(h.score)}}"""
                   }.mkString("[", ", ", "]")
                   respond(ex, 200,
                     s"""{"query": ${ServingShim.quote(q)}, "k": $k, "hits": $hits}""",
@@ -194,7 +194,7 @@ class ServingShim(
                 "application/json")
             case Some(q) =>
               val hits = fn(q, k).zipWithIndex.map { case ((id, sc), i) =>
-                s"""{"rank": ${i + 1}, "doc_id": $id, "score": $sc}"""
+                s"""{"rank": ${i + 1}, "doc_id": $id, "score": ${ServingShim.jsonNum(sc)}}"""
               }.mkString("[", ", ", "]")
               respond(ex, 200, s"""{"k": $k, "hits": $hits}""",
                 "application/json")
@@ -415,6 +415,13 @@ object ServingShim {
       series("graft_ingest_stage_tasks",
         "Tasks run for the stage.", _.tasks.toDouble)
   }
+
+  /** JSON number for a score field: JSON has no NaN/Infinity literal,
+    * so a non-finite cosine (zero vector in the store) must not reach
+    * the interpolation — it would emit invalid JSON and break clients.
+    * Non-finite maps to 0.0 (the "no similarity" score). */
+  def jsonNum(d: Double): String =
+    if (java.lang.Double.isFinite(d)) d.toString else "0.0"
 
   /** JSON string escape — same recipe as [[JobStream]]'s `quote`. */
   def quote(s: String): String = {

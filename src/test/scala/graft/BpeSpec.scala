@@ -45,6 +45,27 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.trainOnDict(Seq(("a", 1L), ("b", 1L)), 10).isEmpty)
   }
 
+  test("tiebreak is UTF-8 byte order, matching the oracle's binary ORDER BY") {
+    // U+E000 (UTF-8 EE 80 80) vs U+1F600 (UTF-8 F0 9F 98 80): UTF-16
+    // code units order them the OTHER way (0xE000 > surrogate 0xD83D),
+    // so a UTF-16 tiebreak would pick the emoji here and diverge from
+    // DuckDB's binary ORDER BY l, r
+    val emoji = new String(Character.toChars(0x1F600))
+    val priv = "\uE000"
+    // initial symbols are UTF-16 code units, so the emoji starts as its
+    // two surrogate halves; round 1 reunites them (lone surrogates
+    // UTF-8-encode as '?' = 0x3F, the smallest l in the opening tie),
+    // rounds 2–3 fold the ascii tails, and round 4 is the
+    // discriminating tie: (emoji, a</w>) vs (U+E000, b</w>) — UTF-8
+    // says EE < F0, UTF-16 the opposite (0xE000 > 0xD83D)
+    val merges = Bpe.trainOnDict(Seq((emoji + "a", 3L), (priv + "b", 3L)), 4)
+    assert(merges.head == ("\uD83D", "\uDE00"), s"$merges")
+    assert(merges(3) == (priv, "b</w>"),
+      s"UTF-8 byte order must break the tie toward U+E000: $merges")
+    assert(Bpe.utf8Compare(priv, emoji) < 0 && priv.compareTo(emoji) > 0,
+      "the fixture genuinely separates the two orders")
+  }
+
   test("inference segmentation equals training segmentation on random corpora") {
     val rnd = new Random(42)
     for (_ <- 0 until 20) {

@@ -123,6 +123,45 @@ class CupedSpec extends SparkSpec {
     assert(got.getDouble(6) == t4.toDouble)
   }
 
+  test("DiD: a single-user cell pins s2 to 0.0 instead of 0/0") {
+    import spark.implicits._
+    val pre = Timestamp.valueOf("2024-01-10 12:00:00")
+    val post = Timestamp.valueOf("2024-01-20 12:00:00")
+    // exactly ONE variant-A user: both A cells have n=1, where the
+    // unguarded n/(n−1) variance is 0/0 (NULL on Spark, NaN on DuckDB)
+    val aUser = (0L until 200L).find(variantOf(_) == "A").get
+    val bUsers = (0L until 200L).filter(variantOf(_) == "B").take(20)
+    val events =
+      Seq((aUser, pre, "view"), (aUser, post, "purchase")) ++
+        bUsers.zipWithIndex.flatMap { case (u, i) =>
+          Seq((u, pre, if (i % 4 == 0) "purchase" else "view"),
+            (u, post, if (i % 3 == 0) "purchase" else "view"))
+        }
+    val dir = java.nio.file.Files.createTempDirectory("did1").toString
+    events.zipWithIndex
+      .map { case ((u, t, ty), i) => (i.toLong, t, u, ty, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventQueries.qDidLift(spark, dir).collect()
+    assert(got.length == 1, "the 4-cell frame must still assemble")
+    val r = got.head
+    // A cells: n=1 → m ∈ {0, 1}, s2 = 0 by the guard; SE reduces to
+    // the B-cell half only — finite, driver-replicated
+    val bPre = bUsers.zipWithIndex.map { case (_, i) => if (i % 4 == 0) 1.0 else 0.0 }
+    val bPost = bUsers.zipWithIndex.map { case (_, i) => if (i % 3 == 0) 1.0 else 0.0 }
+    def mv(ys: Seq[Double]): (Double, Double) = {
+      val n = ys.size; val m = ys.sum / n
+      (m, m * (1 - m) * n / (n - 1.0))
+    }
+    val (mb0, s2b0) = mv(bPre)
+    val (mb1, s2b1) = mv(bPost)
+    val se = math.sqrt(s2b0 / bUsers.size + s2b1 / bUsers.size)
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 1.0,
+      "the single A user views pre, purchases post")
+    assert(r.getDouble(5) == r6(se), s"se ${r.getDouble(5)} vs $se")
+    assert(!r.getDouble(6).isNaN, "t_stat stays finite")
+  }
+
   test("power analysis: the Fleiss sizing formula on a crafted conversion rate") {
     import spark.implicits._
     // 10 users x 10 days, exactly 3 of 10 user-days convert -> p1 = 0.3

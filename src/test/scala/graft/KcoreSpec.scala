@@ -97,6 +97,32 @@ class KcoreSpec extends SparkSpec {
     assert(got.values.forall(_ == 2L), s"clique support is 2 everywhere: $got")
   }
 
+  test("k-truss: the over-cap shuffled fallback equals the broadcast plan") {
+    // gate the broadcast OFF (cap 0) and kill auto-broadcast so the
+    // fallback genuinely runs shuffled joins — the result must be
+    // identical to the default broadcast path, and the executed plan
+    // must carry no broadcast exchange (the OOM the gate prevents)
+    val c1 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val c2 = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val edges = c1 ++ c2 ++ Seq(5L -> 11L, 3L -> 20L, 20L -> 21L)
+    val want = DedupQueries.ktrussEdges(pairsDf(edges), 4, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fb = DedupQueries.ktrussEdges(pairsDf(edges), 4, 8,
+        maxBroadcastAdjacency = 0L)
+      val got = fb.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, "shuffled fallback must be value-identical")
+      val plan = fb.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"fallback must not broadcast the adjacency table:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("k-truss: a triangle strip cascades to empty (each peel starves the next)") {
     // edges 2-3 is in two triangles but loses both when the side edges
     // (support 1) peel — the cascade must run to the empty fixpoint

@@ -367,6 +367,27 @@ class ServingShimSpec extends SparkSpec {
     }
   }
 
+  test("non-finite scores serialize as valid JSON (0.0), never NaN/Infinity") {
+    // JSON has no NaN literal — a zero vector in the store yields a
+    // NaN cosine, and interpolating it raw breaks every client parser
+    assert(ServingShim.jsonNum(Double.NaN) == "0.0")
+    assert(ServingShim.jsonNum(Double.PositiveInfinity) == "0.0")
+    assert(ServingShim.jsonNum(Double.NegativeInfinity) == "0.0")
+    assert(ServingShim.jsonNum(0.731) == "0.731")
+    // end to end: a vsearch hit carrying a NaN score still returns
+    // parseable JSON with score 0.0
+    val shim = new ServingShim(() => healthyStatus, runner,
+      vsearch = Some((_, _) => Seq((42L, Double.NaN))))
+    val port = shim.start()
+    val c = HttpClient.newHttpClient()
+    try {
+      val r = post(c, port, "/vsearch", """{"vector": [1, 0], "k": 1}""")
+      assert(r.statusCode() == 200, r.body())
+      assert(r.body().contains(""""doc_id": 42, "score": 0.0"""), r.body())
+      assert(!r.body().contains("NaN"), r.body())
+    } finally { shim.stop(); () }
+  }
+
   test("POST /audiomatch: clip identification against the landmark store") {
     import graft.multimodal.AudioProbe
     import graft.streaming.MediaStream

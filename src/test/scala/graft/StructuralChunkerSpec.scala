@@ -302,6 +302,19 @@ class StructuralChunkerSpec extends AnyFunSuite {
     assert(chunks.exists(_.text.contains(area.trim.take(20))))
   }
 
+  test("haskell: primed identifiers are not char-literal openers") {
+    // before the preceding-char guard, the char-literal lookahead from
+    // v's apostrophe found w's within 9 chars and blanked "' = 1 + w'"
+    // — deleting the equation's `=` and losing the bind entirely
+    val src = "module P where\n\nv' :: Int\nv' = 1 + w'\n\nw' :: Int\nw' = 2\n"
+    val decls = StructuralChunker.parse(src, "haskell").get
+    val binds = decls.filter(_.kind == "bind")
+    assert(binds.size == 2, s"both primed binds detected: $decls")
+    val spans = binds.map(d => src.substring(d.startChar, d.endChar))
+    assert(spans.exists(_.contains("v' = 1 + w'")),
+      s"the equation survives the scan intact: $spans")
+  }
+
   test("layout languages: truncated block comment falls back to windows") {
     val bad = "let f x = x\n(* never closed\nlet g y = y\n"
     assert(StructuralChunker.parse(bad, "ocaml").isEmpty)
