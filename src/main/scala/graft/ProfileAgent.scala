@@ -66,6 +66,43 @@ object ProfileAgent {
     timed("5 batched (cold plans)") { JobStream.runJobsBatched(c, agent, batchJobs) }
     timed("5 batched (warm)") { JobStream.runJobsBatched(c, agent, batchJobs) }
     timed("5 threaded") { JobStream.runJobs(c, agent, batchJobs) }
+
+    // ---- the rag_agent_batch_gate stage table (VERDICT r8 item 3) ----
+    // the gate runs BOTH halves by design (parity proof); attribute its
+    // wall: batched half, then each sequential job, then the raw
+    // retrieval kernel so the per-job floor is visible
+    println("[gate] ---- qAgentBatchGate-shaped breakdown (warm) ----")
+    var jobsBefore = 0L
+    val jobCounter = new org.apache.spark.scheduler.SparkListener {
+      var n = 0L
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        synchronized { n += 1 }
+    }
+    spark.sparkContext.addSparkListener(jobCounter)
+    def gateTimed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val j0 = jobCounter.synchronized(jobCounter.n)
+      val r = f
+      val j1 = jobCounter.synchronized(jobCounter.n)
+      println(f"[gate] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs " +
+        f"(${j1 - j0} spark jobs)")
+      r
+    }
+    gateTimed("batched half (5 jobs)") {
+      JobStream.runJobsBatched(c, agent, batchJobs)
+    }
+    batchJobs.foreach { case (id, req) =>
+      gateTimed(s"sequential $id") { JobStream.runJob(c, agent, id, req) }
+    }
+    // the retrieval kernel alone, warm — the sequential floor per round
+    val emb = new HashEmbedder(384)
+    (1 to 3).foreach { i =>
+      gateTimed(s"raw retrieve (chunk scope) #$i") {
+        graft.retrieval.Retrieval.retrieve(
+          c, emb, "error handling in query code", "chunk")
+      }
+    }
     spark.stop()
   }
 }
