@@ -1937,7 +1937,261 @@ object DedupQueries {
        |WHERE i / (ca.n + cb.n - i)::DOUBLE >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Winnowing parameters (Schleimer, Wilkerson & Aiken, SIGMOD 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    * MOSS fingerprinter, public paper): char k-gram size, window width,
+    * and the position packing base. Guarantee: any exact match of
+    * ≥ K + W − 1 = 23 normalized chars shares a fingerprint; no
+    * fingerprint gap exceeds W grams. */
+  private val WinnowK = 16
+  private val WinnowW = 8
+  /** 2^20: positions pack below the 32-bit gram hash in one BIGINT key
+    * (h·2^20 + (2^20−1−pos) < 2^52 — exact in doubles AND longs), so
+    * "min hash, rightmost on ties" is a single `min()` over the window
+    * frame. Docs at or past 2^20 chars are excluded (none exist in any
+    * test corpus; at 100 TB the bound is one more package constant). */
+  private val WinnowPosBound = 1048576L
+  /** Fingerprints shared by more than this many docs are boilerplate
+    * (the MOSS "too common" cull) and are dropped before pairing, which
+    * bounds the posting fan-out exactly like the LSH band joins. */
+  private val WinnowMaxDf = 64
+
+  /** Winnowing document fingerprints → shared-fingerprint pair report
+    * (Schleimer et al. 2003): per doc, hash every [[WinnowK]]-char gram
+    * of the whitespace-normalized text, slide a [[WinnowW]]-window and
+    * keep the minimum hash per window (rightmost on ties) — a ~2/(W+1)
+    * density sample chosen so two documents sharing any ≥K+W−1-char
+    * run are GUARANTEED a common fingerprint, the local property random
+    * sampling lacks. Pairs sharing ≥2 selected fingerprints report the
+    * shared count and the containment-style overlap — MOSS semantics on
+    * the documents corpus.
+    *
+    * Scale shape: the gram explode is linear in corpus chars (the
+    * td_charlm class); selection is ONE doc-keyed window pass over an
+    * integer key (no second argmax pass — ties resolve inside the
+    * packed min); pairing is an equi-join on the fingerprint hash with
+    * [[WinnowMaxDf]]-bounded fan-out, never doc×doc. The four
+    * consumers of the selected-fingerprint relation share its shuffle
+    * via exchange reuse — an explicit checkpoint was A/B'd and LOST
+    * (4.9 s → 13.2 s at sf0.1; the eager materialization costs more
+    * than the reuse already saves). At 100 TB the hash would widen to
+    * 64 bits; the md5-prefix here keeps the result bit-exact against
+    * DuckDB. */
+  def qDedupWinnowing(s: SparkSession, d: String): DataFrame = {
+    val K = WinnowK
+    val W = WinnowW
+    val B = WinnowPosBound
+    val nrm = Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
+      .filter(length(col("t")) >= K && length(col("t")) < B)
+    val grams = nrm
+      .select(col("doc_id"), (length(col("t")) - (K - 1)).as("ng"),
+        col("t"),
+        explode(sequence(lit(1), length(col("t")) - (K - 1))).as("pos"))
+      .select(col("doc_id"), col("ng"), col("pos"),
+        conv(substring(md5(col("t").substr(col("pos"), lit(K))), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    val wf = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(W - 1), 0)
+    // packed key: (hash, rightmost-position-on-ties) minimized together
+    val sel = grams
+      .withColumn("key", col("h") * B + (lit(B - 1) - col("pos")))
+      .withColumn("wmin", min(col("key")).over(wf))
+      // full windows only; a doc with fewer than W grams keeps its last
+      // row's frame, which covers the whole doc (one global min)
+      .filter(col("pos") >= least(lit(W), col("ng")))
+      .select(col("doc_id"), (col("wmin") / B).cast("long").as("h"))
+      .distinct()
+    val nf = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val ok = sel.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowMaxDf).select(col("h"))
+    val fpd = sel.join(ok, "h")
+    val pairs = fpd.alias("a")
+      .join(fpd.alias("b"), col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+    pairs
+      .join(broadcast(nf.select(col("doc_id").as("doc_a"),
+        col("n_fp").as("nfa"))), "doc_a")
+      .join(broadcast(nf.select(col("doc_id").as("doc_b"),
+        col("n_fp").as("nfb"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("nfa"), col("nfb")), 4).as("overlap"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qDedupWinnowingSql: String =
+    s"""WITH nrm AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') t
+      |  FROM documents
+      |  WHERE len(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) >= $WinnowK
+      |    AND len(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) < $WinnowPosBound),
+      |g AS (
+      |  SELECT doc_id, len(t) - ${WinnowK - 1} AS ng,
+      |    unnest(range(1, len(t) - ${WinnowK - 2})) AS pos, t
+      |  FROM nrm),
+      |k AS (
+      |  SELECT doc_id, ng, pos,
+      |    ('0x' || substr(md5(substr(t, pos::INT, $WinnowK)), 1, 8))::BIGINT
+      |      * $WinnowPosBound + (${WinnowPosBound - 1} - pos) AS key
+      |  FROM g),
+      |w AS (
+      |  SELECT doc_id, pos, ng,
+      |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) wmin
+      |  FROM k),
+      |sel AS (
+      |  SELECT DISTINCT doc_id, wmin // $WinnowPosBound AS h
+      |  FROM w WHERE pos >= least($WinnowW, ng)),
+      |nf AS (SELECT doc_id, count(*) n_fp FROM sel GROUP BY 1),
+      |ok AS (SELECT h FROM sel GROUP BY h HAVING count(*) <= $WinnowMaxDf),
+      |fpd AS (SELECT doc_id, h FROM sel JOIN ok USING (h)),
+      |p AS (
+      |  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*)::BIGINT n_shared
+      |  FROM fpd a JOIN fpd b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT doc_a, doc_b, n_shared,
+      |  round(n_shared / least(na.n_fp, nb.n_fp)::DOUBLE, 4) AS overlap
+      |FROM p JOIN nf na ON na.doc_id = doc_a
+      |       JOIN nf nb ON nb.doc_id = doc_b
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Content-defined chunking parameters (Muthitacharoen, Chen &
+    * Mazières, SOSP 2001, "A Low-Bandwidth Network File System" — the
+    * LBFS/rsync chunking family, public paper): window-hash gram size
+    * and boundary divisor (expected chunk ≈ [[CdcDivisor]] chars,
+    * scaled down from LBFS's 8 KB to match doc sizes here). Boundaries
+    * depend only on LOCAL window content, so an insertion re-chunks
+    * only its neighborhood — the shift-resistance fixed-width blocks
+    * lack. The LBFS min/max clamps are omitted: they make chunk k
+    * depend on chunk k−1 (inherently sequential), while the unclamped
+    * rule stays a pure per-position predicate — the distributed form. */
+  private val CdcK = 16
+  private val CdcDivisor = 64
+
+  /** Content-defined chunk dedup report: chunk every document at
+    * content-determined boundaries (window hash ≡ 0 mod
+    * [[CdcDivisor]]), hash each chunk, and report per source (plus the
+    * `_all` corpus row) how much of the byte volume chunk-level dedup
+    * removes — the storage-dedup measure next to [[qDedupExact]]'s
+    * whole-doc measure, and the reason backup/corpus stores chunk
+    * before hashing: a doc that shares a long prefix with another
+    * dedups at chunk granularity even though the doc hashes differ.
+    *
+    * Scale shape: the position explode is linear in corpus chars; cut
+    * positions reduce per doc through one lead() window keyed by
+    * doc_id; chunk hashing is a projection; the report is one
+    * (source, chunk-hash) count-distinct rollup — map-side combinable,
+    * never doc×doc. The two rollup consumers share the chunk relation's
+    * exchange via reuse (checkpointing it was A/B'd and lost, the
+    * winnowing measurement). */
+  def qDedupCdcChunks(s: SparkSession, d: String): DataFrame = {
+    val K = CdcK
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), trim(col("text")).as("t"))
+      .filter(length(col("t")) >= 1)
+    // cut positions: 1 (sentinel), every boundary gram start p ≥ 2, and
+    // nothing past the last gram (short docs are one chunk). NB Spark's
+    // sequence(2, stop) DESCENDS when stop < 2 — guard the empty case
+    // explicitly instead of clamping the stop.
+    val lastGram = length(col("t")) - (K - 1)
+    val boundaryPs = when(lastGram >= 2,
+      filter(sequence(lit(2), lastGram),
+        p => conv(substring(md5(col("t").substr(p, lit(K))), 1, 8), 16, 10)
+          .cast("long") % CdcDivisor === 0))
+      .otherwise(array().cast("array<int>"))
+    val cuts = docs
+      .select(col("doc_id"), col("source"), col("t"),
+        explode(concat(array(lit(1)), boundaryPs)).as("c"))
+    val wl = Window.partitionBy(col("doc_id")).orderBy(col("c"))
+    val chunks = cuts
+      .withColumn("nxt", lead(col("c"), 1, null).over(wl))
+      .withColumn("clen",
+        coalesce(col("nxt"), length(col("t")) + 1) - col("c"))
+      .filter(col("clen") > 0)
+      .select(col("doc_id"), col("source"), col("clen"),
+        md5(col("t").substr(col("c"), col("clen"))).as("ch"))
+      // first-occurrence flags (per-source and corpus-wide) computed
+      // BEFORE the rollup — window functions cannot live inside agg
+      .withColumn("rn_src", row_number().over(
+        Window.partitionBy(col("source"), col("ch"))
+          .orderBy(col("doc_id"), col("clen"))))
+      .withColumn("rn_all", row_number().over(
+        Window.partitionBy(col("ch")).orderBy(col("doc_id"), col("clen"))))
+    val perSource = chunks.groupBy(col("source")).agg(
+      count(lit(1)).as("n_chunks"),
+      countDistinct(col("ch")).as("n_unique"),
+      sum(col("clen")).cast("long").as("chars_total"),
+      sum(when(col("rn_src") === 1, col("clen")).otherwise(lit(0)))
+        .cast("long").as("chars_stored"))
+    val allRow = chunks.groupBy(lit("_all").as("source")).agg(
+      count(lit(1)).as("n_chunks"),
+      countDistinct(col("ch")).as("n_unique"),
+      sum(col("clen")).cast("long").as("chars_total"),
+      sum(when(col("rn_all") === 1, col("clen")).otherwise(lit(0)))
+        .cast("long").as("chars_stored"))
+    perSource.unionByName(allRow)
+      .withColumn("dedup_ratio", round(lit(1.0) -
+        col("chars_stored").cast("double") / col("chars_total"), 4))
+      .orderBy(col("source"))
+  }
+
+  val qDedupCdcChunksSql: String =
+    s"""WITH docs AS (
+      |  SELECT doc_id, source, trim(text) t FROM documents
+      |  WHERE len(trim(text)) >= 1),
+      |cuts AS (
+      |  SELECT doc_id, source, t, 1 AS c FROM docs
+      |  UNION ALL
+      |  SELECT doc_id, source, t, p AS c
+      |  FROM (SELECT doc_id, source, t,
+      |          unnest(range(2, greatest(len(t) - ${CdcK - 1}, 1) + 1)) AS p
+      |        FROM docs)
+      |  WHERE ('0x' || substr(md5(substr(t, p::INT, $CdcK)), 1, 8))::BIGINT
+      |          % $CdcDivisor = 0),
+      |chunks AS (
+      |  SELECT doc_id, source, coalesce(
+      |      lead(c) OVER (PARTITION BY doc_id ORDER BY c), len(t) + 1) - c
+      |      AS clen,
+      |    md5(substr(t, c::INT,
+      |      (coalesce(lead(c) OVER (PARTITION BY doc_id ORDER BY c),
+      |        len(t) + 1) - c)::INT)) AS ch
+      |  FROM cuts),
+      |ck AS (SELECT * FROM chunks WHERE clen > 0),
+      |firsts AS (
+      |  SELECT source, clen, ch,
+      |    row_number() OVER (PARTITION BY source, ch
+      |      ORDER BY doc_id, clen) rn
+      |  FROM ck),
+      |firsts_all AS (
+      |  SELECT clen, ch,
+      |    row_number() OVER (PARTITION BY ch ORDER BY doc_id, clen) rn
+      |  FROM ck),
+      |per AS (
+      |  SELECT source, count(*)::BIGINT n_chunks,
+      |    count(DISTINCT ch)::BIGINT n_unique,
+      |    sum(clen)::BIGINT chars_total,
+      |    sum(CASE WHEN rn = 1 THEN clen ELSE 0 END)::BIGINT chars_stored
+      |  FROM firsts GROUP BY 1),
+      |allr AS (
+      |  SELECT '_all' AS source, count(*)::BIGINT n_chunks,
+      |    count(DISTINCT ch)::BIGINT n_unique,
+      |    sum(clen)::BIGINT chars_total,
+      |    sum(CASE WHEN rn = 1 THEN clen ELSE 0 END)::BIGINT chars_stored
+      |  FROM firsts_all)
+      |SELECT source, n_chunks, n_unique, chars_total, chars_stored,
+      |  round(1.0::DOUBLE - chars_stored / chars_total::DOUBLE, 4)
+      |    AS dedup_ratio
+      |FROM (SELECT * FROM per UNION ALL SELECT * FROM allr)
+      |ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_winnowing" -> (qDedupWinnowing _),
+    "dd_cdc_chunks" -> (qDedupCdcChunks _),
     "dd_exact" -> (qDedupExact _),
     "dd_sorted_neighborhood" -> (qSortedNeighborhood _),
     "dd_containment" -> (qDedupContainment _),
@@ -1971,6 +2225,8 @@ object DedupQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "dd_winnowing" -> qDedupWinnowingSql,
+    "dd_cdc_chunks" -> qDedupCdcChunksSql,
     "dd_exact" -> qDedupExactSql,
     "dd_sorted_neighborhood" -> qSortedNeighborhoodSql,
     "dd_containment" -> qDedupContainmentSql,

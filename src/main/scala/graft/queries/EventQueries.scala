@@ -2690,7 +2690,104 @@ object EventQueries {
        |  round(sup / (SELECT n_users FROM nu)::DOUBLE, 4) FROM l3
        |ORDER BY level, p1, p2, p3""".stripMargin
 
+  /** Bandit replay: arms, contexts, and the synthetic logged-reward
+    * model. The events table is recast as a uniformly-logged
+    * contextual-bandit log: arm = md5(event_id) mod [[BanditArms]]
+    * (uniform logging — the condition the replay estimator needs),
+    * context = 4-hour bucket, and the logged reward is a deterministic
+    * Bernoulli whose rate depends on (context, arm) through md5
+    * uniforms — so a real best arm exists per context and both engines
+    * derive the identical log. */
+  private val BanditArms = 4
+
+  /** Offline bandit policy evaluation by replay (Li, Chu, Langford &
+    * Wang, WSDM 2011, "Unbiased Offline Evaluation of
+    * Contextual-bandit-based News Article Recommendation Algorithms" —
+    * the replay estimator, public paper): learn the per-context best
+    * arm on the 80% train split's click-through rates, then score the
+    * held-out 20% by keeping ONLY the events where the uniformly-logged
+    * arm happens to match the policy's choice — the mean reward over
+    * those matches is an unbiased estimate of the policy's online CTR,
+    * the readout that lets a platform rank policies WITHOUT serving
+    * them. Output per context: the chosen arm, match counts, the
+    * replay estimate, and the logging baseline it must beat.
+    *
+    * Scale shape: two events scans (train fit, eval replay), each one
+    * map-side-combinable aggregate; the policy table is contexts×arms
+    * = 24 rows, broadcast; no shuffle wider than the (ctx, arm) cells.
+    */
+  def qBanditReplay(s: SparkSession, d: String): DataFrame = {
+    val K = BanditArms
+    val log = Tables.events(s, d).select(
+      col("event_id"),
+      (hour(col("ts")).cast("int") / lit(4)).cast("int").as("ctx"),
+      (conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % K).as("arm"))
+      .withColumn("rate_pct", lit(3) +
+        when((col("arm") + col("ctx")) % K === 0, lit(7)).otherwise(lit(0)))
+      .withColumn("r", (conv(substring(md5(
+        concat(col("event_id").cast("string"), lit(":"),
+          col("arm").cast("string"))), 1, 6), 16, 10)
+        .cast("int") % 100 < col("rate_pct")).cast("int"))
+      .withColumn("is_train", pmod(col("event_id"), lit(5)) < 4)
+    val fit = log.filter(col("is_train"))
+      .groupBy(col("ctx"), col("arm"))
+      .agg((sum(col("r")).cast("double") / count(lit(1))).as("ctr"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("ctx"))
+        .orderBy(round(col("ctr"), 6).desc, col("arm"))))
+      .filter(col("rk") === 1)
+      .select(col("ctx"), col("arm").as("chosen_arm"))
+    log.filter(!col("is_train"))
+      .join(broadcast(fit), "ctx")
+      .groupBy(col("ctx"), col("chosen_arm"))
+      .agg(
+        count(lit(1)).as("n_eval"),
+        sum((col("arm") === col("chosen_arm")).cast("int")).cast("long")
+          .as("n_matched"),
+        round(sum(when(col("arm") === col("chosen_arm"), col("r"))
+          .otherwise(lit(0))).cast("double") /
+          nullif(sum((col("arm") === col("chosen_arm")).cast("int"))
+            .cast("double"), lit(0.0)), 6).as("est_ctr"),
+        round(avg(col("r")), 6).as("baseline_ctr"))
+      .orderBy(col("ctx"))
+  }
+
+  val qBanditReplaySql: String =
+    s"""WITH log AS (
+      |  SELECT event_id, (hour(ts)::INT // 4)::INT AS ctx,
+      |    (('0x' || substr(md5(event_id::VARCHAR), 1, 4))::INT % 4) AS arm
+      |  FROM events),
+      |log2 AS (
+      |  SELECT event_id, ctx, arm,
+      |    3 + CASE WHEN (arm + ctx) % 4 = 0 THEN 7 ELSE 0 END AS rate_pct,
+      |    event_id % 5 < 4 AS is_train
+      |  FROM log),
+      |log3 AS (
+      |  SELECT *, CASE WHEN ('0x' || substr(md5(event_id::VARCHAR || ':'
+      |      || arm::VARCHAR), 1, 6))::INT % 100 < rate_pct
+      |    THEN 1 ELSE 0 END AS r
+      |  FROM log2),
+      |fit AS (
+      |  SELECT ctx, arm AS chosen_arm FROM (
+      |    SELECT ctx, arm,
+      |      row_number() OVER (PARTITION BY ctx
+      |        ORDER BY round(sum(r)::DOUBLE / count(*), 6) DESC, arm) rk
+      |    FROM log3 WHERE is_train GROUP BY ctx, arm)
+      |  WHERE rk = 1)
+      |SELECT ctx, chosen_arm, count(*)::BIGINT AS n_eval,
+      |  sum(CASE WHEN arm = chosen_arm THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_matched,
+      |  round(sum(CASE WHEN arm = chosen_arm THEN r ELSE 0 END)::DOUBLE
+      |    / nullif(sum(CASE WHEN arm = chosen_arm THEN 1 ELSE 0 END), 0),
+      |    6) AS est_ctr,
+      |  round(avg(r), 6) AS baseline_ctr
+      |FROM log3 JOIN fit USING (ctx)
+      |WHERE NOT is_train
+      |GROUP BY ctx, chosen_arm
+      |ORDER BY ctx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_bandit_replay" -> (qBanditReplay _),
     "ev_gsp" -> (qGsp _),
     "ev_msprt" -> (qMsprt _),
     "ev_km" -> (qKaplanMeier _),
@@ -2742,6 +2839,7 @@ object EventQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "ev_bandit_replay" -> qBanditReplaySql,
     "ev_gsp" -> qGspSql,
     "ev_msprt" -> qMsprtSql,
     "ev_km" -> qKaplanMeierSql,
