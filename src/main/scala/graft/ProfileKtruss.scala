@@ -1,0 +1,54 @@
+package graft
+
+import graft.queries.DedupQueries
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: A/B the dd_ktruss broadcast-adjacency plan against the
+  * over-cap shuffled fallback at a given SF — walls plus an output
+  * equality check (count + xor of row hashes, order-independent). */
+object ProfileKtruss {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[ktruss] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        // xor-fold is order-independent — safe under any partitioning
+        expr("coalesce(bit_xor(xxhash64(doc_a, doc_b, support)), 0L)"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+
+    val pairs = timed("pair graph build") {
+      val p = DedupQueries.qDedupSimhash(spark, sfDir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .localCheckpoint()
+      println(s"[ktruss] edges: ${p.count()}")
+      p
+    }
+    val broadcastOut = timed("broadcast plan (default cap)") {
+      val df = DedupQueries.ktrussEdges(pairs, 4, 8)
+      fingerprint(df)
+    }
+    val fallbackOut = timed("shuffled fallback (cap=0)") {
+      val df = DedupQueries.ktrussEdges(pairs, 4, 8, maxBroadcastAdjacency = 0L)
+      fingerprint(df)
+    }
+    println(s"[ktruss] broadcast=(${broadcastOut._1}, ${broadcastOut._2}) " +
+      s"fallback=(${fallbackOut._1}, ${fallbackOut._2}) " +
+      s"equal=${broadcastOut == fallbackOut}")
+    spark.stop()
+  }
+}

@@ -2786,7 +2786,112 @@ object EventQueries {
       |GROUP BY ctx, chosen_arm
       |ORDER BY ctx""".stripMargin
 
+  /** Off-policy evaluation under NON-uniform logging — the regime
+    * [[qBanditReplay]]'s estimator cannot handle (replay needs uniform
+    * logging; production logs come from whatever policy ran last).
+    * Importance-weighted estimators (Horvitz & Thompson 1952; SNIPS:
+    * Swaminathan & Joachims, NeurIPS 2015, "The Self-Normalized
+    * Estimator for Counterfactual Learning" — public papers): the
+    * logged arm is drawn from a SKEWED distribution (10/20/30/40%) via
+    * md5 uniforms, the target policy is fit on the train split, and
+    * each matched eval event carries weight 1/p(logged arm):
+    *
+    *  - IPS = mean(w·r·match) — unbiased, high variance where the
+    *    target disagrees with the logger;
+    *  - SNIPS = Σ(w·r·match)/Σ(w·match) — the self-normalized form
+    *    that trades a vanishing bias for much lower variance;
+    *  - ESS = (Σw)²/Σw² over matched events — the effective-sample
+    *    diagnostic a platform checks before trusting either number.
+    *
+    * Scale shape: identical to [[qBanditReplay]] — two scans, one
+    * 24-row broadcast policy, every aggregate map-side combinable. */
+  def qOffpolicyIps(s: SparkSession, d: String): DataFrame = {
+    val K = BanditArms
+    // skewed logging: P(arm 0..3) = .1/.2/.3/.4 via one md5 uniform
+    val u = conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    val arm = when(u < 10, 0).when(u < 30, 1).when(u < 60, 2).otherwise(3)
+    val prop = when(col("arm") === 0, 0.10).when(col("arm") === 1, 0.20)
+      .when(col("arm") === 2, 0.30).otherwise(0.40)
+    val log = Tables.events(s, d).select(
+      col("event_id"),
+      (hour(col("ts")).cast("int") / lit(4)).cast("int").as("ctx"),
+      arm.as("arm"))
+      .withColumn("p_log", prop)
+      .withColumn("rate_pct", lit(3) +
+        when((col("arm") + col("ctx")) % K === 0, lit(7)).otherwise(lit(0)))
+      .withColumn("r", (conv(substring(md5(
+        concat(col("event_id").cast("string"), lit(":"),
+          col("arm").cast("string"))), 1, 6), 16, 10)
+        .cast("int") % 100 < col("rate_pct")).cast("int"))
+      .withColumn("is_train", pmod(col("event_id"), lit(5)) < 4)
+    val fit = log.filter(col("is_train"))
+      .groupBy(col("ctx"), col("arm"))
+      .agg((sum(col("r")).cast("double") / count(lit(1))).as("ctr"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("ctx"))
+        .orderBy(round(col("ctr"), 6).desc, col("arm"))))
+      .filter(col("rk") === 1)
+      .select(col("ctx"), col("arm").as("chosen_arm"))
+    log.filter(!col("is_train"))
+      .join(broadcast(fit), "ctx")
+      .withColumn("m", (col("arm") === col("chosen_arm")).cast("int"))
+      .withColumn("w", col("m") / col("p_log"))
+      .groupBy(col("ctx"), col("chosen_arm"))
+      .agg(
+        count(lit(1)).as("n_eval"),
+        sum(col("m")).cast("long").as("n_matched"),
+        round(sum(col("w") * col("r")) / count(lit(1)), 6).as("ips"),
+        round(sum(col("w") * col("r")) /
+          nullif(sum(col("w")), lit(0.0)), 6).as("snips"),
+        round(pow(sum(col("w")), 2) /
+          nullif(sum(col("w") * col("w")), lit(0.0)), 2).as("ess"))
+      .orderBy(col("ctx"))
+  }
+
+  val qOffpolicyIpsSql: String =
+    s"""WITH log AS (
+      |  SELECT event_id, (hour(ts)::INT // 4)::INT AS ctx,
+      |    ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::INT % 100 AS u
+      |  FROM events),
+      |log1 AS (
+      |  SELECT event_id, ctx,
+      |    CASE WHEN u < 10 THEN 0 WHEN u < 30 THEN 1
+      |         WHEN u < 60 THEN 2 ELSE 3 END AS arm
+      |  FROM log),
+      |log2 AS (
+      |  SELECT event_id, ctx, arm,
+      |    CASE arm WHEN 0 THEN 0.10::DOUBLE WHEN 1 THEN 0.20::DOUBLE
+      |             WHEN 2 THEN 0.30::DOUBLE ELSE 0.40::DOUBLE END AS p_log,
+      |    3 + CASE WHEN (arm + ctx) % 4 = 0 THEN 7 ELSE 0 END AS rate_pct,
+      |    event_id % 5 < 4 AS is_train
+      |  FROM log1),
+      |log3 AS (
+      |  SELECT *, CASE WHEN ('0x' || substr(md5(event_id::VARCHAR || ':'
+      |      || arm::VARCHAR), 1, 6))::INT % 100 < rate_pct
+      |    THEN 1 ELSE 0 END AS r
+      |  FROM log2),
+      |fit AS (
+      |  SELECT ctx, arm AS chosen_arm FROM (
+      |    SELECT ctx, arm,
+      |      row_number() OVER (PARTITION BY ctx
+      |        ORDER BY round(sum(r)::DOUBLE / count(*), 6) DESC, arm) rk
+      |    FROM log3 WHERE is_train GROUP BY ctx, arm)
+      |  WHERE rk = 1),
+      |ev AS (
+      |  SELECT ctx, chosen_arm, r,
+      |    CASE WHEN arm = chosen_arm THEN 1 ELSE 0 END AS m,
+      |    CASE WHEN arm = chosen_arm THEN 1.0::DOUBLE / p_log
+      |         ELSE 0.0::DOUBLE END AS w
+      |  FROM log3 JOIN fit USING (ctx) WHERE NOT is_train)
+      |SELECT ctx, chosen_arm, count(*)::BIGINT AS n_eval,
+      |  sum(m)::BIGINT AS n_matched,
+      |  round(sum(w * r) / count(*), 6) AS ips,
+      |  round(sum(w * r) / nullif(sum(w), 0.0), 6) AS snips,
+      |  round(pow(sum(w), 2) / nullif(sum(w * w), 0.0), 2) AS ess
+      |FROM ev GROUP BY ctx, chosen_arm ORDER BY ctx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_offpolicy_ips" -> (qOffpolicyIps _),
     "ev_bandit_replay" -> (qBanditReplay _),
     "ev_gsp" -> (qGsp _),
     "ev_msprt" -> (qMsprt _),
@@ -2839,6 +2944,7 @@ object EventQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "ev_offpolicy_ips" -> qOffpolicyIpsSql,
     "ev_bandit_replay" -> qBanditReplaySql,
     "ev_gsp" -> qGspSql,
     "ev_msprt" -> qMsprtSql,

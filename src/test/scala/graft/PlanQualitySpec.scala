@@ -55,6 +55,22 @@ class PlanQualitySpec extends SparkSpec {
       "the two-quarter window should reach the orders scan")
   }
 
+  test("q10: dims broadcast, date+flag filters push down, top-20 is TakeOrdered") {
+    val p = plan(graft.queries.RelationalQueries.q10ReturnedItems(spark, sf))
+    assert(count(p, "BroadcastHashJoin") >= 2, "customer and nation broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+    assert(p.contains("PushedFilters:") && p.contains("l_returnflag"),
+      "the returnflag filter should reach the lineitem scan")
+  }
+
+  test("q22: the average is a 1-row broadcast; never-ordered is a LeftAnti") {
+    val p = plan(graft.queries.RelationalQueries.q22SalesOpportunity(spark, sf))
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as anti join")
+    assert(count(p, "BroadcastNestedLoopJoin|BroadcastHashJoin") >= 1,
+      "the scalar average joins via broadcast")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross join")
+  }
+
   test("q14: the part dimension broadcasts; the fact side never reshuffles") {
     val p = plan(graft.queries.RelationalQueries.q14PromoShare(spark, sf))
     assert(count(p, "BroadcastHashJoin") >= 1, "part must broadcast")
