@@ -108,6 +108,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(pa.contains("LeftAnti"))
   }
 
+  test("winnowing: pairing is an equi-join on the fingerprint hash, no cartesian") {
+    val p = plan(graft.queries.DedupQueries.qDedupWinnowing(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the pair join must stay an equi-join on h")
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      "selection runs as a doc-keyed window pass")
+  }
+
+  test("cdc chunks: exchanges keyed by doc or source only; rollup partials map-side") {
+    val p = plan(graft.queries.DedupQueries.qDedupCdcChunks(spark, sf))
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "the per-source rollup must partial-aggregate map-side")
+  }
+
   test("retrieval scoring stays inside whole-stage codegen") {
     import graft.llm.HashEmbedder
     val emb = new HashEmbedder(64)
