@@ -1676,7 +1676,11 @@ object DedupQueries {
       val fits = 2L * nEdges <= maxBroadcastAdjacency
       def side(alias: String, out: String): DataFrame = {
         val half = adj.select(col("v").as(alias), col("nb").as(out))
-        if (fits) broadcast(half) else half
+        // over the cap, pin SORT-MERGE: a shuffled-HASH join must hold a
+        // partition's adjacency arrays in the build map and OOMs exactly
+        // where the gate fired (measured at sf1 under an 8g heap), while
+        // merge join spills — the graceful degradation the gate promises
+        if (fits) broadcast(half) else half.hint("merge")
       }
       // a ∉ N(a) and b ∉ N(b), so the endpoint entries (b ∈ N(a),
       // a ∈ N(b)) can't survive the intersection — no exclusion needed
