@@ -2890,7 +2890,108 @@ object EventQueries {
       |  round(pow(sum(w), 2) / nullif(sum(w * w), 0.0), 2) AS ess
       |FROM ev GROUP BY ctx, chosen_arm ORDER BY ctx""".stripMargin
 
+  /** Uplift-by-decile with the Qini curve (Radcliffe 2007, "Using
+    * control groups to target on predicted lift" — the standard
+    * uplift-model readout, public methodology): rank users by a
+    * pre-period activity score, cut into ten tie-aware deciles, and
+    * report per decile the treated/control conversion gap plus the
+    * cumulative incremental-conversions (Qini) coordinate — the curve
+    * a targeting team reads to decide how deep to mail.
+    *
+    * Decile assignment is the SCALE-SAFE form: no global ntile window
+    * (a single-partition sort at any size). The score is an integer, so
+    * the full score distribution aggregates to one row per distinct
+    * score (≤ max events per user), the running count over that tiny
+    * relation broadcasts back, and a tie-block lands wholly in the
+    * decile of its first position — floor(10·count_above/N)+1, exact
+    * integer arithmetic on both engines. */
+  def qQiniUplift(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    val variant = when(
+      conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 2 === 0, "A").otherwise("B")
+    val perUser = Tables.events(s, d)
+      .select(col("user_id"), variant.as("v"), col("ts"), col("event_type"))
+      .groupBy(col("user_id"), col("v"))
+      .agg(
+        sum(when(col("ts") < cutoff, 1L).otherwise(0L)).as("score"),
+        max(when(col("ts") >= cutoff && col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("y"),
+        max(when(col("ts") >= cutoff, 1L).otherwise(0L)).as("in_exp"))
+      .filter(col("in_exp") === 1L)
+    val n = perUser.agg(count(lit(1)).as("n_total"))
+    // score-level distribution: one row per distinct integer score
+    val dist = perUser.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+      .withColumn("above", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("score").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(n))
+      .select(col("score"),
+        (col("above") * 10 / col("n_total")).cast("int").+(1).as("decile"))
+    val byDecile = perUser
+      .join(broadcast(dist), "score")
+      .groupBy(col("decile"))
+      .agg(
+        sum(when(col("v") === "B", 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("v") === "A", 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("v") === "B", col("y")).otherwise(0L)).as("conv_t"),
+        sum(when(col("v") === "A", col("y")).otherwise(0L)).as("conv_c"))
+    val wc = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byDecile
+      .withColumn("uplift", round(
+        col("conv_t").cast("double") / nullif(col("n_t").cast("double"), lit(0.0)) -
+          col("conv_c").cast("double") / nullif(col("n_c").cast("double"), lit(0.0)), 6))
+      .withColumn("qini", round(
+        sum(col("conv_t")).over(wc).cast("double") -
+          sum(col("conv_c")).over(wc).cast("double") *
+            sum(col("n_t")).over(wc) /
+            nullif(sum(col("n_c")).over(wc).cast("double"), lit(0.0)), 4))
+      .select(col("decile"), col("n_t"), col("n_c"), col("conv_t"),
+        col("conv_c"), col("uplift"), col("qini"))
+      .orderBy(col("decile"))
+  }
+
+  val qQiniUpliftSql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::INTEGER % 2 = 0
+      |         THEN 'A' ELSE 'B' END v,
+      |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) score,
+      |    max(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |             AND event_type = 'purchase' THEN 1 ELSE 0 END) y,
+      |    max(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) in_exp
+      |  FROM events GROUP BY 1, 2),
+      |pe AS (SELECT * FROM pu WHERE in_exp = 1),
+      |n AS (SELECT count(*) n_total FROM pe),
+      |dist AS (
+      |  SELECT score,
+      |    (coalesce(sum(cnt) OVER (ORDER BY score DESC
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |     * 10 // n_total + 1)::INT AS decile
+      |  FROM (SELECT score, count(*) cnt FROM pe GROUP BY 1), n),
+      |bd AS (
+      |  SELECT decile,
+      |    sum(CASE WHEN v = 'B' THEN 1 ELSE 0 END)::BIGINT n_t,
+      |    sum(CASE WHEN v = 'A' THEN 1 ELSE 0 END)::BIGINT n_c,
+      |    sum(CASE WHEN v = 'B' THEN y ELSE 0 END)::BIGINT conv_t,
+      |    sum(CASE WHEN v = 'A' THEN y ELSE 0 END)::BIGINT conv_c
+      |  FROM pe JOIN dist USING (score) GROUP BY 1)
+      |SELECT decile, n_t, n_c, conv_t, conv_c,
+      |  round(conv_t / nullif(n_t::DOUBLE, 0.0)
+      |    - conv_c / nullif(n_c::DOUBLE, 0.0), 6) AS uplift,
+      |  round(sum(conv_t) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW)::DOUBLE
+      |    - sum(conv_c) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+      |        PRECEDING AND CURRENT ROW)::DOUBLE
+      |      * sum(n_t) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+      |          PRECEDING AND CURRENT ROW)
+      |      / nullif(sum(n_c) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+      |          PRECEDING AND CURRENT ROW)::DOUBLE, 0.0), 4) AS qini
+      |FROM bd ORDER BY decile""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_qini" -> (qQiniUplift _),
     "ev_offpolicy_ips" -> (qOffpolicyIps _),
     "ev_bandit_replay" -> (qBanditReplay _),
     "ev_gsp" -> (qGsp _),
@@ -2944,6 +3045,7 @@ object EventQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "ev_qini" -> qQiniUpliftSql,
     "ev_offpolicy_ips" -> qOffpolicyIpsSql,
     "ev_bandit_replay" -> qBanditReplaySql,
     "ev_gsp" -> qGspSql,
