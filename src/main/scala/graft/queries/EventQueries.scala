@@ -2990,7 +2990,58 @@ object EventQueries {
       |          PRECEDING AND CURRENT ROW)::DOUBLE, 0.0), 4) AS qini
       |FROM bd ORDER BY decile""".stripMargin
 
+  /** DAU/WAU/MAU stickiness — the standard engagement dashboard
+    * readout (public industry practice): per calendar day, the day's
+    * distinct users next to the containing ISO week's and calendar
+    * month's distinct users, plus the DAU/MAU stickiness ratio.
+    * Calendar (not trailing) windows deliberately: the trailing-window
+    * distinct lives in [[qSlidingReach]]'s sketch cube; calendar
+    * windows are exact at three map-side-combinable distinct
+    * aggregates of strictly coarser grain.
+    *
+    * Scale shape: three (period, user) distinct rollups off one scan
+    * shape — each shuffles on its period key; the day→week/month joins
+    * broadcast (periods are calendar-bounded regardless of volume). */
+  def qStickiness(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      to_date(col("ts")).as("day"),
+      date_trunc("week", col("ts")).as("wk"),
+      date_trunc("month", col("ts")).as("mo"),
+      col("user_id"))
+    val dau = ev.select(col("day"), col("user_id")).distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ev.select(col("wk"), col("user_id")).distinct()
+      .groupBy(col("wk")).agg(count(lit(1)).as("wau"))
+    val mau = ev.select(col("mo"), col("user_id")).distinct()
+      .groupBy(col("mo")).agg(count(lit(1)).as("mau"))
+    dau
+      .withColumn("wk", date_trunc("week", col("day").cast("timestamp")))
+      .withColumn("mo", date_trunc("month", col("day").cast("timestamp")))
+      .join(broadcast(wau), "wk")
+      .join(broadcast(mau), "mo")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"), col("mau"),
+        round(col("dau").cast("double") / col("mau"), 4).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  val qStickinessSql: String =
+    """WITH ev AS (
+      |  SELECT ts::DATE AS day, date_trunc('week', ts) wk,
+      |    date_trunc('month', ts) mo, user_id
+      |  FROM events),
+      |dau AS (SELECT day, count(*) dau FROM (SELECT DISTINCT day, user_id FROM ev) GROUP BY 1),
+      |wau AS (SELECT wk, count(*) wau FROM (SELECT DISTINCT wk, user_id FROM ev) GROUP BY 1),
+      |mau AS (SELECT mo, count(*) mau FROM (SELECT DISTINCT mo, user_id FROM ev) GROUP BY 1)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau, mau,
+      |  round(dau / mau::DOUBLE, 4) AS stickiness
+      |FROM dau
+      |JOIN wau ON date_trunc('week', day) = wk
+      |JOIN mau ON date_trunc('month', day) = mo
+      |ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_stickiness" -> (qStickiness _),
     "ev_qini" -> (qQiniUplift _),
     "ev_offpolicy_ips" -> (qOffpolicyIps _),
     "ev_bandit_replay" -> (qBanditReplay _),
@@ -3045,6 +3096,7 @@ object EventQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "ev_stickiness" -> qStickinessSql,
     "ev_qini" -> qQiniUpliftSql,
     "ev_offpolicy_ips" -> qOffpolicyIpsSql,
     "ev_bandit_replay" -> qBanditReplaySql,

@@ -1337,7 +1337,111 @@ object TextQueries {
       |SELECT decile, n_tokens_cum, vocab_cum, beta, k_coef
       |FROM pts, fit ORDER BY decile""".stripMargin
 
+  /** Zipf rank-frequency fit (Zipf 1949; the standard log-log OLS over
+    * the head of the frequency table — public methodology, the
+    * companion diagnostic to [[qHeapsLaw]]'s vocabulary-growth fit):
+    * ln f = intercept + slope·ln r over the top-1000 terms; a healthy
+    * natural-language corpus fits slope ≈ −1, and a corpus whose head
+    * is template/boilerplate-dominated bends away — the quick
+    * distribution-shape check a curation report includes.
+    *
+    * Scale shape: one map-side-combinable term count; the rank window
+    * runs over the LIMITED top-1000 relation only (TakeOrdered cap
+    * first — never a global window over the vocabulary); the OLS
+    * moments collapse 1000 rows to one. */
+  def qZipfFit(s: SparkSession, d: String): DataFrame = {
+    val top = Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("t").asc)
+      .limit(1000)
+    val ranked = top.withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("f").desc, col("t").asc)))
+      .select(log(col("r").cast("double")).as("lnr"),
+        log(col("f").cast("double")).as("lnf"))
+    ranked.agg(
+      count(lit(1)).as("n_terms"),
+      round(covar_pop(col("lnr"), col("lnf")) /
+        nullif(var_pop(col("lnr")), lit(0.0)), 6).as("slope"),
+      round(avg(col("lnf")) - covar_pop(col("lnr"), col("lnf")) /
+        nullif(var_pop(col("lnr")), lit(0.0)) * avg(col("lnr")), 6)
+        .as("intercept"),
+      round(pow(corr(col("lnr"), col("lnf")), 2), 6).as("r2"))
+  }
+
+  val qZipfFitSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) t
+      |  FROM documents),
+      |f AS (
+      |  SELECT t, count(*) f FROM tok WHERE len(t) > 0
+      |  GROUP BY t ORDER BY f DESC, t LIMIT 1000),
+      |rk AS (
+      |  SELECT ln(row_number() OVER (ORDER BY f DESC, t)::DOUBLE) lnr,
+      |    ln(f::DOUBLE) lnf
+      |  FROM f)
+      |SELECT count(*)::BIGINT n_terms,
+      |  round(covar_pop(lnr, lnf) / nullif(var_pop(lnr), 0.0), 6) AS slope,
+      |  round(avg(lnf) - covar_pop(lnr, lnf) / nullif(var_pop(lnr), 0.0)
+      |    * avg(lnr), 6) AS intercept,
+      |  round(pow(corr(lnr, lnf), 2), 6) AS r2
+      |FROM rk""".stripMargin
+
+  /** Per-document TF-IDF keyword extraction (Spärck Jones 1972 idf —
+    * public): the top-3 highest tf·idf terms per document, the cheap
+    * keyword tagger a corpus catalog or retrieval-filter layer runs
+    * over every document (the statistical twin of the ingest path's
+    * heuristic L3 extractor). Ranking is on the 6dp-ROUNDED score with
+    * a term tiebreak — the cross-engine float-ranking discipline.
+    *
+    * Scale shape: (doc, term) tf is one map-side-combinable count; df
+    * joins back by term (shuffle keyed by term, never doc×doc); the
+    * per-doc top-3 is a doc-keyed rank window eligible for pre-shuffle
+    * WindowGroupLimit; N is one bounded scalar. */
+  def qTfidfKeywords(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.count().toDouble // one bounded scalar, like qHeapsLaw
+    val tf = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("t").asc)
+    tf.join(df, "t")
+      .withColumn("score",
+        round(col("tf") * log(lit(n) / col("df")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("t").as("term"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val qTfidfKeywordsSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, t, count(*) tf FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) t
+      |    FROM documents)
+      |  WHERE len(t) > 0 GROUP BY doc_id, t),
+      |df AS (SELECT t, count(*) df FROM tf GROUP BY t),
+      |n AS (SELECT count(*)::DOUBLE n FROM documents),
+      |sc AS (
+      |  SELECT doc_id, t, round(tf * ln(n / df), 6) score
+      |  FROM tf JOIN df USING (t), n),
+      |rk AS (
+      |  SELECT doc_id, t, score, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, t) rk
+      |  FROM sc)
+      |SELECT doc_id, rk, t AS term, score
+      |FROM rk WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "td_zipf" -> (qZipfFit _),
+    "td_tfidf_keywords" -> (qTfidfKeywords _),
     "td_heaps" -> (qHeapsLaw _),
     "td_pmi" -> (qPmi _),
     "td_bpe_roundtrip" -> (qBpeRoundtrip _),
@@ -1365,6 +1469,8 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "td_zipf" -> qZipfFitSql,
+    "td_tfidf_keywords" -> qTfidfKeywordsSql,
     "td_heaps" -> qHeapsLawSql,
     "td_pmi" -> qPmiSql,
     "td_bpe_roundtrip" -> qBpeRoundtripSql,
