@@ -72,7 +72,6 @@ object ProfileAgent {
     // wall: batched half, then each sequential job, then the raw
     // retrieval kernel so the per-job floor is visible
     println("[gate] ---- qAgentBatchGate-shaped breakdown (warm) ----")
-    var jobsBefore = 0L
     val jobCounter = new org.apache.spark.scheduler.SparkListener {
       var n = 0L
       override def onJobStart(

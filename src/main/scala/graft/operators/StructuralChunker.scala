@@ -134,12 +134,17 @@ object StructuralChunker {
             else if (c == '\'' && IndentLangs.contains(lang)) {
               state = 3; sb.append(' '); i += 1
             } else if (c == '\'' &&
-                (i == 0 || {
-                  // a quote glued to an identifier char is a primed
-                  // identifier (Haskell `x'`, `f x' y' = …`) or a C++14
-                  // digit separator (0x1'000), never a literal opener —
-                  // without this guard the lookahead from x's apostrophe
-                  // finds y's within 9 chars and blanks real code
+                (!LayoutLangs.contains(lang) || i == 0 || {
+                  // LAYOUT LANGS ONLY: a quote glued to an identifier
+                  // char is a primed identifier (Haskell `x'`,
+                  // `f x' y' = …`), never a literal opener — without
+                  // this guard the lookahead from x's apostrophe finds
+                  // y's within 9 chars and blanks real code. Brace
+                  // langs must NOT take this guard: their prefixed
+                  // literals (Rust `b'{'`, C `L'x'`, `u8'x'`) put an
+                  // identifier char directly before a REAL literal,
+                  // and skipping the blank would count the quoted
+                  // brace and mis-scan the closing quote.
                   val p = line.charAt(i - 1)
                   !Character.isLetterOrDigit(p) && p != '_' && p != '\''
                 })) {

@@ -2007,21 +2007,27 @@ object DedupQueries {
       .filter(col("pos") >= least(lit(W), col("ng")))
       .select(col("doc_id"), (col("wmin") / B).cast("long").as("h"))
       .distinct()
-    val nf = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val ok = sel.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= WinnowMaxDf).select(col("h"))
     val fpd = sel.join(ok, "h")
+    // overlap denominators count the COMPARABLE (post-cull) prints —
+    // culled boilerplate prints can never match, so counting them
+    // would deflate every overlap score
+    val nf = fpd.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val pairs = fpd.alias("a")
       .join(fpd.alias("b"), col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
+    // nf is corpus-sized (one row per doc) — joined UNBROADCAST on the
+    // pair keys; a broadcast here would be the ktruss-gate memory
+    // cliff at the 100 TB scale the plan targets
     pairs
-      .join(broadcast(nf.select(col("doc_id").as("doc_a"),
-        col("n_fp").as("nfa"))), "doc_a")
-      .join(broadcast(nf.select(col("doc_id").as("doc_b"),
-        col("n_fp").as("nfb"))), "doc_b")
+      .join(nf.select(col("doc_id").as("doc_a"), col("n_fp").as("nfa")),
+        "doc_a")
+      .join(nf.select(col("doc_id").as("doc_b"), col("n_fp").as("nfb")),
+        "doc_b")
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         round(col("n_shared").cast("double") /
           least(col("nfa"), col("nfb")), 4).as("overlap"))
@@ -2051,9 +2057,9 @@ object DedupQueries {
       |sel AS (
       |  SELECT DISTINCT doc_id, wmin // $WinnowPosBound AS h
       |  FROM w WHERE pos >= least($WinnowW, ng)),
-      |nf AS (SELECT doc_id, count(*) n_fp FROM sel GROUP BY 1),
       |ok AS (SELECT h FROM sel GROUP BY h HAVING count(*) <= $WinnowMaxDf),
       |fpd AS (SELECT doc_id, h FROM sel JOIN ok USING (h)),
+      |nf AS (SELECT doc_id, count(*) n_fp FROM fpd GROUP BY 1),
       |p AS (
       |  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*)::BIGINT n_shared
       |  FROM fpd a JOIN fpd b ON a.h = b.h AND a.doc_id < b.doc_id

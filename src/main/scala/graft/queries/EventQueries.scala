@@ -2700,6 +2700,54 @@ object EventQueries {
     * derive the identical log. */
   private val BanditArms = 4
 
+  /** The shared synthetic-log reward model + split: given a frame with
+    * (event_id, ctx, arm), stamp the (ctx, arm)-dependent Bernoulli
+    * reward and the 80/20 split — ONE definition so the replay and IPS
+    * estimators can never disagree about the log they both read. */
+  private def banditAnnotate(base: DataFrame): DataFrame = base
+    .withColumn("rate_pct", lit(3) +
+      when((col("arm") + col("ctx")) % BanditArms === 0, lit(7))
+        .otherwise(lit(0)))
+    .withColumn("r", (conv(substring(md5(
+      concat(col("event_id").cast("string"), lit(":"),
+        col("arm").cast("string"))), 1, 6), 16, 10)
+      .cast("int") % 100 < col("rate_pct")).cast("int"))
+    .withColumn("is_train", pmod(col("event_id"), lit(5)) < 4)
+
+  /** The shared train-split policy fit: per-context best arm by
+    * rounded empirical CTR, arm-ascending tiebreak. */
+  private def banditFit(log: DataFrame): DataFrame = log
+    .filter(col("is_train"))
+    .groupBy(col("ctx"), col("arm"))
+    .agg((sum(col("r")).cast("double") / count(lit(1))).as("ctr"))
+    .withColumn("rk", row_number().over(Window.partitionBy(col("ctx"))
+      .orderBy(round(col("ctr"), 6).desc, col("arm"))))
+    .filter(col("rk") === 1)
+    .select(col("ctx"), col("arm").as("chosen_arm"))
+
+  /** The SQL twin of [[banditAnnotate]]+[[banditFit]]: the reward /
+    * split / fit CTE chain appended after a `log1` CTE that provides
+    * (event_id, ctx, arm[, p_log]). */
+  private def banditSqlCommon: String =
+    """log2 AS (
+      |  SELECT *, 3 + CASE WHEN (arm + ctx) % 4 = 0 THEN 7 ELSE 0 END AS rate_pct,
+      |    event_id % 5 < 4 AS is_train
+      |  FROM log1),
+      |log3 AS (
+      |  SELECT *, CASE WHEN ('0x' || substr(md5(event_id::VARCHAR || ':' ||
+      |      arm::VARCHAR), 1, 6))::INT % 100 < rate_pct
+      |    THEN 1 ELSE 0 END AS r
+      |  FROM log2),
+      |fit AS (
+      |  SELECT ctx, arm AS chosen_arm FROM (
+      |    SELECT ctx, arm,
+      |      row_number() OVER (PARTITION BY ctx
+      |        ORDER BY round(sum(r)::DOUBLE / count(*), 6) DESC, arm) rk
+      |    FROM log3 WHERE is_train GROUP BY ctx, arm)
+      |  WHERE rk = 1)""".stripMargin
+  // NB banditSqlCommon interpolates into outer stripMargin templates —
+  // no line may BEGIN with whitespace + '||' (the double-strip gotcha)
+
   /** Offline bandit policy evaluation by replay (Li, Chu, Langford &
     * Wang, WSDM 2011, "Unbiased Offline Evaluation of
     * Contextual-bandit-based News Article Recommendation Algorithms" —
@@ -2718,27 +2766,13 @@ object EventQueries {
     */
   def qBanditReplay(s: SparkSession, d: String): DataFrame = {
     val K = BanditArms
-    val log = Tables.events(s, d).select(
+    val log = banditAnnotate(Tables.events(s, d).select(
       col("event_id"),
       (hour(col("ts")).cast("int") / lit(4)).cast("int").as("ctx"),
       (conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
-        .cast("int") % K).as("arm"))
-      .withColumn("rate_pct", lit(3) +
-        when((col("arm") + col("ctx")) % K === 0, lit(7)).otherwise(lit(0)))
-      .withColumn("r", (conv(substring(md5(
-        concat(col("event_id").cast("string"), lit(":"),
-          col("arm").cast("string"))), 1, 6), 16, 10)
-        .cast("int") % 100 < col("rate_pct")).cast("int"))
-      .withColumn("is_train", pmod(col("event_id"), lit(5)) < 4)
-    val fit = log.filter(col("is_train"))
-      .groupBy(col("ctx"), col("arm"))
-      .agg((sum(col("r")).cast("double") / count(lit(1))).as("ctr"))
-      .withColumn("rk", row_number().over(Window.partitionBy(col("ctx"))
-        .orderBy(round(col("ctr"), 6).desc, col("arm"))))
-      .filter(col("rk") === 1)
-      .select(col("ctx"), col("arm").as("chosen_arm"))
+        .cast("int") % K).as("arm")))
     log.filter(!col("is_train"))
-      .join(broadcast(fit), "ctx")
+      .join(broadcast(banditFit(log)), "ctx")
       .groupBy(col("ctx"), col("chosen_arm"))
       .agg(
         count(lit(1)).as("n_eval"),
@@ -2753,27 +2787,11 @@ object EventQueries {
   }
 
   val qBanditReplaySql: String =
-    s"""WITH log AS (
+    s"""WITH log1 AS (
       |  SELECT event_id, (hour(ts)::INT // 4)::INT AS ctx,
       |    (('0x' || substr(md5(event_id::VARCHAR), 1, 4))::INT % 4) AS arm
       |  FROM events),
-      |log2 AS (
-      |  SELECT event_id, ctx, arm,
-      |    3 + CASE WHEN (arm + ctx) % 4 = 0 THEN 7 ELSE 0 END AS rate_pct,
-      |    event_id % 5 < 4 AS is_train
-      |  FROM log),
-      |log3 AS (
-      |  SELECT *, CASE WHEN ('0x' || substr(md5(event_id::VARCHAR || ':'
-      |      || arm::VARCHAR), 1, 6))::INT % 100 < rate_pct
-      |    THEN 1 ELSE 0 END AS r
-      |  FROM log2),
-      |fit AS (
-      |  SELECT ctx, arm AS chosen_arm FROM (
-      |    SELECT ctx, arm,
-      |      row_number() OVER (PARTITION BY ctx
-      |        ORDER BY round(sum(r)::DOUBLE / count(*), 6) DESC, arm) rk
-      |    FROM log3 WHERE is_train GROUP BY ctx, arm)
-      |  WHERE rk = 1)
+      |$banditSqlCommon
       |SELECT ctx, chosen_arm, count(*)::BIGINT AS n_eval,
       |  sum(CASE WHEN arm = chosen_arm THEN 1 ELSE 0 END)::BIGINT
       |    AS n_matched,
@@ -2806,34 +2824,19 @@ object EventQueries {
     * Scale shape: identical to [[qBanditReplay]] — two scans, one
     * 24-row broadcast policy, every aggregate map-side combinable. */
   def qOffpolicyIps(s: SparkSession, d: String): DataFrame = {
-    val K = BanditArms
     // skewed logging: P(arm 0..3) = .1/.2/.3/.4 via one md5 uniform
     val u = conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
       .cast("int") % 100
     val arm = when(u < 10, 0).when(u < 30, 1).when(u < 60, 2).otherwise(3)
     val prop = when(col("arm") === 0, 0.10).when(col("arm") === 1, 0.20)
       .when(col("arm") === 2, 0.30).otherwise(0.40)
-    val log = Tables.events(s, d).select(
+    val log = banditAnnotate(Tables.events(s, d).select(
       col("event_id"),
       (hour(col("ts")).cast("int") / lit(4)).cast("int").as("ctx"),
       arm.as("arm"))
-      .withColumn("p_log", prop)
-      .withColumn("rate_pct", lit(3) +
-        when((col("arm") + col("ctx")) % K === 0, lit(7)).otherwise(lit(0)))
-      .withColumn("r", (conv(substring(md5(
-        concat(col("event_id").cast("string"), lit(":"),
-          col("arm").cast("string"))), 1, 6), 16, 10)
-        .cast("int") % 100 < col("rate_pct")).cast("int"))
-      .withColumn("is_train", pmod(col("event_id"), lit(5)) < 4)
-    val fit = log.filter(col("is_train"))
-      .groupBy(col("ctx"), col("arm"))
-      .agg((sum(col("r")).cast("double") / count(lit(1))).as("ctr"))
-      .withColumn("rk", row_number().over(Window.partitionBy(col("ctx"))
-        .orderBy(round(col("ctr"), 6).desc, col("arm"))))
-      .filter(col("rk") === 1)
-      .select(col("ctx"), col("arm").as("chosen_arm"))
+      .withColumn("p_log", prop))
     log.filter(!col("is_train"))
-      .join(broadcast(fit), "ctx")
+      .join(broadcast(banditFit(log)), "ctx")
       .withColumn("m", (col("arm") === col("chosen_arm")).cast("int"))
       .withColumn("w", col("m") / col("p_log"))
       .groupBy(col("ctx"), col("chosen_arm"))
@@ -2849,34 +2852,18 @@ object EventQueries {
   }
 
   val qOffpolicyIpsSql: String =
-    s"""WITH log AS (
+    s"""WITH log0 AS (
       |  SELECT event_id, (hour(ts)::INT // 4)::INT AS ctx,
       |    ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::INT % 100 AS u
       |  FROM events),
       |log1 AS (
       |  SELECT event_id, ctx,
       |    CASE WHEN u < 10 THEN 0 WHEN u < 30 THEN 1
-      |         WHEN u < 60 THEN 2 ELSE 3 END AS arm
-      |  FROM log),
-      |log2 AS (
-      |  SELECT event_id, ctx, arm,
-      |    CASE arm WHEN 0 THEN 0.10::DOUBLE WHEN 1 THEN 0.20::DOUBLE
-      |             WHEN 2 THEN 0.30::DOUBLE ELSE 0.40::DOUBLE END AS p_log,
-      |    3 + CASE WHEN (arm + ctx) % 4 = 0 THEN 7 ELSE 0 END AS rate_pct,
-      |    event_id % 5 < 4 AS is_train
-      |  FROM log1),
-      |log3 AS (
-      |  SELECT *, CASE WHEN ('0x' || substr(md5(event_id::VARCHAR || ':'
-      |      || arm::VARCHAR), 1, 6))::INT % 100 < rate_pct
-      |    THEN 1 ELSE 0 END AS r
-      |  FROM log2),
-      |fit AS (
-      |  SELECT ctx, arm AS chosen_arm FROM (
-      |    SELECT ctx, arm,
-      |      row_number() OVER (PARTITION BY ctx
-      |        ORDER BY round(sum(r)::DOUBLE / count(*), 6) DESC, arm) rk
-      |    FROM log3 WHERE is_train GROUP BY ctx, arm)
-      |  WHERE rk = 1),
+      |         WHEN u < 60 THEN 2 ELSE 3 END AS arm,
+      |    CASE WHEN u < 10 THEN 0.10::DOUBLE WHEN u < 30 THEN 0.20::DOUBLE
+      |         WHEN u < 60 THEN 0.30::DOUBLE ELSE 0.40::DOUBLE END AS p_log
+      |  FROM log0),
+      |$banditSqlCommon,
       |ev AS (
       |  SELECT ctx, chosen_arm, r,
       |    CASE WHEN arm = chosen_arm THEN 1 ELSE 0 END AS m,

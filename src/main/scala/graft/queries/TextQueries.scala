@@ -1368,7 +1368,12 @@ object TextQueries {
       round(avg(col("lnf")) - covar_pop(col("lnr"), col("lnf")) /
         nullif(var_pop(col("lnr")), lit(0.0)) * avg(col("lnr")), 6)
         .as("intercept"),
-      round(pow(corr(col("lnr"), col("lnf")), 2), 6).as("r2"))
+      // zero-variance head (all head terms at one frequency): Spark
+      // corr yields NaN where DuckDB yields NULL — pin NULL on both
+      when(var_pop(col("lnf")) === 0.0 || var_pop(col("lnr")) === 0.0,
+        lit(null).cast("double"))
+        .otherwise(round(pow(corr(col("lnr"), col("lnf")), 2), 6))
+        .as("r2"))
   }
 
   val qZipfFitSql: String =
@@ -1386,7 +1391,8 @@ object TextQueries {
       |  round(covar_pop(lnr, lnf) / nullif(var_pop(lnr), 0.0), 6) AS slope,
       |  round(avg(lnf) - covar_pop(lnr, lnf) / nullif(var_pop(lnr), 0.0)
       |    * avg(lnr), 6) AS intercept,
-      |  round(pow(corr(lnr, lnf), 2), 6) AS r2
+      |  CASE WHEN var_pop(lnf) = 0 OR var_pop(lnr) = 0 THEN NULL
+      |       ELSE round(pow(corr(lnr, lnf), 2), 6) END AS r2
       |FROM rk""".stripMargin
 
   /** Per-document TF-IDF keyword extraction (Spärck Jones 1972 idf —

@@ -14,12 +14,9 @@ class BanditReplaySpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def md5hex(s: String): String = TestHash.md5hex(s)
 
-  private def r6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r6(x: Double): Double = TestHash.roundHalfUp(x, 6)
 
   test("engine output equals a full driver recomputation on sf0.001") {
     val rows = graft.queries.Tables.events(spark, sf)

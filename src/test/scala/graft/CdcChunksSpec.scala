@@ -12,12 +12,9 @@ class CdcChunksSpec extends SparkSpec {
   private val K = 16
   private val D = 64
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def md5hex(s: String): String = TestHash.md5hex(s)
 
-  private def gramHash(g: String): Long =
-    java.lang.Long.parseLong(md5hex(g).substring(0, 8), 16)
+  private def gramHash(g: String): Long = TestHash.md5Prefix(g, 8)
 
   /** Reference chunker: the (len, md5) list per document. */
   private def refChunks(text: String): Seq[(Int, String)] = {
@@ -33,12 +30,7 @@ class CdcChunksSpec extends SparkSpec {
     }
   }
 
-  private def filler(seed: Long, n: Int): String = {
-    val rnd = new java.util.Random(seed)
-    val sb = new StringBuilder
-    while (sb.length < n) sb.append(('a' + rnd.nextInt(26)).toChar)
-    sb.toString
-  }
+  private def filler(seed: Long, n: Int): String = TestHash.filler(seed, n)
 
   private def writeDocs(docs: Seq[(Long, String, String)]): String = {
     import spark.implicits._

@@ -10,17 +10,10 @@ import java.sql.Timestamp
   */
 class QiniSpec extends SparkSpec {
 
-  private def variantOf(userId: Long): String = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(userId.toString.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.substring(0, 4)
-    if (Integer.parseInt(hex, 16) % 2 == 0) "A" else "B"
-  }
+  private def variantOf(userId: Long): String = TestHash.variantOf(userId)
 
-  private def r6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-  private def r4(x: Double): Double =
-    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r6(x: Double): Double = TestHash.roundHalfUp(x, 6)
+  private def r4(x: Double): Double = TestHash.roundHalfUp(x, 4)
 
   test("deciles, uplift and Qini equal a driver replica on a crafted stream") {
     import spark.implicits._

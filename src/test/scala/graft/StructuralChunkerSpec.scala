@@ -302,6 +302,21 @@ class StructuralChunkerSpec extends AnyFunSuite {
     assert(chunks.exists(_.text.contains(area.trim.take(20))))
   }
 
+  test("rust: prefixed byte literals (b'{') still blank as literals") {
+    // the primed-identifier guard is LAYOUT-LANG scoped: in brace langs
+    // an identifier char directly before a quote is a literal PREFIX
+    // (b'{', L'x'), and skipping the blank would count the quoted brace
+    // and mis-scan the closing quote
+    val src = "fn f() -> u8 {\n    let c = b'{';\n    c\n}\n\nfn g() {}\n"
+    val decls = StructuralChunker.parse(src, "rust").get
+    val names = decls.map(_.name)
+    assert(names.contains("f") && names.contains("g"),
+      s"the quoted brace must not unbalance the scan: $decls")
+    val fSpan = decls.find(_.name == "f").get
+    assert(src.substring(fSpan.startChar, fSpan.endChar).trim.endsWith("}"),
+      "f's span closes at its real brace")
+  }
+
   test("haskell: primed identifiers are not char-literal openers") {
     // before the preceding-char guard, the char-literal lookahead from
     // v's apostrophe found w's within 9 chars and blanked "' = 1 + w'"

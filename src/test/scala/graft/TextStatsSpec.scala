@@ -10,8 +10,7 @@ import java.sql.Timestamp
   */
 class TextStatsSpec extends SparkSpec {
 
-  private def r6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r6(x: Double): Double = TestHash.roundHalfUp(x, 6)
 
   test("zipf: OLS over the ranked head equals a driver replica on sf0.001") {
     val freqs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -13,12 +13,7 @@ class WinnowingSpec extends SparkSpec {
   private val W = 8
   private val B = 1048576L
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
-  private def gramHash(g: String): Long =
-    java.lang.Long.parseLong(md5hex(g).substring(0, 8), 16)
+  private def gramHash(g: String): Long = TestHash.md5Prefix(g, 8)
 
   private def norm(t: String): String =
     t.trim.toLowerCase.replaceAll("\\s+", " ")
@@ -47,12 +42,7 @@ class WinnowingSpec extends SparkSpec {
   }
 
   // deterministic non-repetitive filler so no accidental shared grams
-  private def filler(seed: Long, n: Int): String = {
-    val rnd = new java.util.Random(seed)
-    val sb = new StringBuilder
-    while (sb.length < n) sb.append(('a' + rnd.nextInt(26)).toChar)
-    sb.toString
-  }
+  private def filler(seed: Long, n: Int): String = TestHash.filler(seed, n)
 
   test("engine pairs equal the driver reference on a crafted corpus") {
     val shared = "the quick brown fox jumps over the lazy dog again"
