@@ -17,6 +17,11 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarity(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** Inner product of two ArrayType(Float|Double) columns (codegen'd
+    * [[DotProduct]]) — the MIPS scoring kernel. */
+  def dot(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** Random-hyperplane LSH bucket id (native [[HyperplaneSig]]): one fused
     * pass per vector instead of one aggregate(zip_with) rescan per bit. */
   def hyperplaneSig(vec: Column, table: Int, bits: Int): Column =

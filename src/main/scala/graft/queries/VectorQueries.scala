@@ -1692,7 +1692,134 @@ object VectorQueries {
     s"""SELECT vec_id AS query_id, $floor::DOUBLE AS floor, TRUE AS recall_ok
        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
 
+  /** Maximum-inner-product top-k, brute force (the recommender
+    * retrieval mode: popularity lives in the vector NORM, which cosine
+    * deliberately divides away — MIPS ranks on the raw dot product).
+    * Scored by the codegen'd [[graft.functions.DotProduct]] kernel over
+    * the same broadcast-queries scan shape as [[qKnnBrute]]; raw-score
+    * ranking is safe cross-engine because the dot is a single
+    * sequential-fold expression (the cosine rule). */
+  def qKnnMips(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("score", dot(col("embedding"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qKnnMipsSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |q AS (SELECT vec_id query_id, v qv FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id neighbor_id,
+      |    list_inner_product(e.v, q.qv) score
+      |  FROM e, q WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** The MIPS→cosine reduction gate (Bachrach et al., RecSys 2014 /
+    * Neyshabur & Srebro, ICML 2015 — the norm-augmentation transform,
+    * public papers): append sqrt(M² − ‖x‖²) to every corpus vector (M =
+    * max corpus norm) and 0 to the query, and the augmented COSINE
+    * ordering equals the inner-product ordering for every query —
+    * because aug-cos(q, x) = dot(q, x)/(‖q‖·M), a per-query constant
+    * rescale. This is the transform that lets every cosine index in
+    * this engine (IVF, LSH, PQ) serve MIPS unchanged; the gate computes
+    * both top-5 sequences through the REAL kernels (dot vs augmented
+    * cosine) and checks them id-for-id.
+    *
+    * Scale shape: one norm scan → a 1-row broadcast max, the same
+    * broadcast-queries scan as brute force, ranked twice on the same
+    * rows. Both engines evaluate identical doubles (same fold order),
+    * so the comparison is deterministic even at rank-boundary ties. */
+  def qKnnMipsGate(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val m = emb.agg(max(sqrt(dot(col("v"), col("v")))).as("mx"))
+    val aug = emb.crossJoin(broadcast(m))
+      .select(col("vec_id"),
+        concat(col("v"), array(sqrt(
+          greatest(col("mx") * col("mx") - dot(col("v"), col("v")), lit(0.0)))))
+          .as("va"),
+        col("v"))
+    val queries = aug.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        concat(col("v"), array(lit(0.0))).as("qa"))
+    val scored = aug.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        dot(col("v"), col("qv")).as("ip"),
+        cosine(col("va"), col("qa")).as("ac"))
+    val wIp = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("vec_id"))
+    val wAc = Window.partitionBy(col("query_id"))
+      .orderBy(col("ac").desc, col("vec_id"))
+    scored
+      .withColumn("r_ip", row_number().over(wIp))
+      .withColumn("r_ac", row_number().over(wAc))
+      .filter(col("r_ip") <= 5 || col("r_ac") <= 5)
+      .groupBy(col("query_id"))
+      .agg(
+        concat_ws(",", sort_array(collect_list(when(col("r_ip") <= 5,
+          format_string("%02d:%06d", col("r_ip"), col("vec_id")))))).as("mips_top5"),
+        concat_ws(",", sort_array(collect_list(when(col("r_ac") <= 5,
+          format_string("%02d:%06d", col("r_ac"), col("vec_id")))))).as("aug_top5"))
+      .withColumn("same_order", col("mips_top5") === col("aug_top5"))
+      .select(col("query_id"), col("mips_top5"), col("aug_top5"),
+        col("same_order"))
+      .orderBy(col("query_id"))
+  }
+
+  val qKnnMipsGateSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |m AS (SELECT max(sqrt(list_inner_product(v, v))) mx FROM e),
+      |aug AS (
+      |  SELECT vec_id,
+      |    list_append(v, sqrt(greatest(mx * mx - list_inner_product(v, v),
+      |      0.0::DOUBLE))) va,
+      |    v
+      |  FROM e, m),
+      |q AS (SELECT vec_id query_id, v qv, list_append(v, 0.0::DOUBLE) qa
+      |      FROM aug WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, a.vec_id,
+      |    list_inner_product(a.v, q.qv) ip,
+      |    list_cosine_similarity(a.va, q.qa) ac
+      |  FROM aug a, q WHERE a.vec_id <> q.query_id),
+      |rk AS (
+      |  SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY ip DESC, vec_id) r_ip,
+      |    row_number() OVER (
+      |      PARTITION BY query_id ORDER BY ac DESC, vec_id) r_ac
+      |  FROM scored)
+      |SELECT query_id,
+      |  array_to_string(list_sort(list(printf('%02d:%06d', r_ip, vec_id))
+      |    FILTER (WHERE r_ip <= 5)), ',') AS mips_top5,
+      |  array_to_string(list_sort(list(printf('%02d:%06d', r_ac, vec_id))
+      |    FILTER (WHERE r_ac <= 5)), ',') AS aug_top5,
+      |  array_to_string(list_sort(list(printf('%02d:%06d', r_ip, vec_id))
+      |    FILTER (WHERE r_ip <= 5)), ',') =
+      |  array_to_string(list_sort(list(printf('%02d:%06d', r_ac, vec_id))
+      |    FILTER (WHERE r_ac <= 5)), ',') AS same_order
+      |FROM rk WHERE r_ip <= 5 OR r_ac <= 5
+      |GROUP BY query_id ORDER BY query_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vs_knn_mips" -> (qKnnMips _),
+    "vs_knn_mips_gate" -> (qKnnMipsGate _),
     "vs_knn_brute" -> (qKnnBrute _),
     "vs_hard_negatives" -> (qHardNegatives _),
     "vs_knn_quant" -> (qKnnQuant _),
@@ -1720,6 +1847,8 @@ object VectorQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "vs_knn_mips" -> qKnnMipsSql,
+    "vs_knn_mips_gate" -> qKnnMipsGateSql,
     "vs_knn_brute" -> qKnnBruteSql,
     "vs_hard_negatives" -> qHardNegativesSql,
     "vs_knn_quant" -> qKnnBruteSql, // q8 prune + exact re-rank: identical output
