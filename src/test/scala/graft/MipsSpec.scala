@@ -54,6 +54,25 @@ class MipsSpec extends SparkSpec {
     }
   }
 
+  test("MIPS through the cosine IVF tier: measured recall clears the floor") {
+    // the operational reduction: per-query recall@5 of the augmented-
+    // index probe vs exact MIPS, the number the 0.4 floor prices
+    val truth = VectorQueries.qKnnMips(spark, sf).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ann = VectorQueries.qKnnMipsIvfParam(spark, sf, nprobe = 6)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = truth.map { case (q, t) =>
+      q -> (t & ann.getOrElse(q, Set.empty)).size.toDouble / t.size
+    }
+    info(s"per-query recall: ${recalls.toSeq.sortBy(_._1)}")
+    assert(recalls.values.forall(_ >= 0.4),
+      s"floor 0.4 must hold per query: $recalls")
+    assert(recalls.values.sum / recalls.size >= 0.6,
+      "mean recall keeps headroom over the floor")
+  }
+
   test("MIPS and cosine disagree when the norm carries the signal") {
     import spark.implicits._
     // q = (1, 0); a points exactly at q but is tiny; b is 10° off but
