@@ -124,6 +124,14 @@ class PlanQualitySpec extends SparkSpec {
       "the per-source rollup must partial-aggregate map-side")
   }
 
+  test("MIPS: queries broadcast, the dot kernel is native, no cartesian") {
+    val p = plan(graft.queries.VectorQueries.qKnnMips(spark, sf))
+    assert(p.contains("dot_product"), "the codegen DotProduct kernel scores")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 10-query side must broadcast")
+    assert(!p.contains("CartesianProduct"), "never an unbroadcast cross join")
+  }
+
   test("retrieval scoring stays inside whole-stage codegen") {
     import graft.llm.HashEmbedder
     val emb = new HashEmbedder(64)
