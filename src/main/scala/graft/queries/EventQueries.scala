@@ -3027,7 +3027,90 @@ object EventQueries {
       |JOIN mau ON date_trunc('month', day) = mo
       |ORDER BY day""".stripMargin
 
+  /** Doubly-robust off-policy evaluation (Dudík, Langford & Li, ICML
+    * 2011, "Doubly Robust Policy Evaluation and Learning" — public
+    * paper): the third leg after [[qBanditReplay]] (uniform logging)
+    * and [[qOffpolicyIps]] (importance weighting) — combine the direct
+    * model (the train split's per-(ctx, arm) CTR table q̂) with the
+    * IPS correction on the model's residual:
+    *
+    *   DR(event) = q̂(ctx, π(ctx)) + 1[match]/p_log · (r − q̂(ctx, arm))
+    *
+    * Unbiased when EITHER the model or the propensities are right, and
+    * the variance shrinks by the residual ratio — the estimator real
+    * evaluation platforms default to. Reported per context next to
+    * the pure-DM and pure-IPS numbers it interpolates.
+    *
+    * Scale shape: the same two scans as the IPS leg plus one 24-row
+    * broadcast q̂ table joined twice (logged arm, policy arm). */
+  def qOffpolicyDr(s: SparkSession, d: String): DataFrame = {
+    val u = conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    val arm = when(u < 10, 0).when(u < 30, 1).when(u < 60, 2).otherwise(3)
+    val prop = when(col("arm") === 0, 0.10).when(col("arm") === 1, 0.20)
+      .when(col("arm") === 2, 0.30).otherwise(0.40)
+    val log = banditAnnotate(Tables.events(s, d).select(
+      col("event_id"),
+      (hour(col("ts")).cast("int") / lit(4)).cast("int").as("ctx"),
+      arm.as("arm"))
+      .withColumn("p_log", prop))
+    val qhat = log.filter(col("is_train"))
+      .groupBy(col("ctx"), col("arm"))
+      .agg((sum(col("r")).cast("double") / count(lit(1))).as("q"))
+    log.filter(!col("is_train"))
+      .join(broadcast(banditFit(log)), "ctx")
+      .join(broadcast(qhat.select(col("ctx"), col("arm"), col("q").as("q_log"))),
+        Seq("ctx", "arm"))
+      .join(broadcast(qhat.select(col("ctx"), col("arm").as("chosen_arm"),
+        col("q").as("q_pi"))), Seq("ctx", "chosen_arm"))
+      .withColumn("m", (col("arm") === col("chosen_arm")).cast("int"))
+      .withColumn("w", col("m") / col("p_log"))
+      .withColumn("contrib",
+        col("q_pi") + col("w") * (col("r") - col("q_log")))
+      .groupBy(col("ctx"), col("chosen_arm"))
+      .agg(
+        count(lit(1)).as("n_eval"),
+        round(avg(col("q_pi")), 6).as("dm"),
+        round(sum(col("w") * col("r")) / count(lit(1)), 6).as("ips"),
+        round(avg(col("contrib")), 6).as("dr"))
+      .orderBy(col("ctx"))
+  }
+
+  val qOffpolicyDrSql: String =
+    s"""WITH log0 AS (
+      |  SELECT event_id, (hour(ts)::INT // 4)::INT AS ctx,
+      |    ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::INT % 100 AS u
+      |  FROM events),
+      |log1 AS (
+      |  SELECT event_id, ctx,
+      |    CASE WHEN u < 10 THEN 0 WHEN u < 30 THEN 1
+      |         WHEN u < 60 THEN 2 ELSE 3 END AS arm,
+      |    CASE WHEN u < 10 THEN 0.10::DOUBLE WHEN u < 30 THEN 0.20::DOUBLE
+      |         WHEN u < 60 THEN 0.30::DOUBLE ELSE 0.40::DOUBLE END AS p_log
+      |  FROM log0),
+      |$banditSqlCommon,
+      |qhat AS (
+      |  SELECT ctx, arm, sum(r)::DOUBLE / count(*) q
+      |  FROM log3 WHERE is_train GROUP BY 1, 2),
+      |ev AS (
+      |  SELECT l.ctx, f.chosen_arm, l.r,
+      |    CASE WHEN l.arm = f.chosen_arm THEN 1 ELSE 0 END AS m,
+      |    CASE WHEN l.arm = f.chosen_arm THEN 1.0::DOUBLE / l.p_log
+      |         ELSE 0.0::DOUBLE END AS w,
+      |    ql.q AS q_log, qp.q AS q_pi
+      |  FROM log3 l
+      |  JOIN fit f ON f.ctx = l.ctx
+      |  JOIN qhat ql ON ql.ctx = l.ctx AND ql.arm = l.arm
+      |  JOIN qhat qp ON qp.ctx = l.ctx AND qp.arm = f.chosen_arm
+      |  WHERE NOT l.is_train)
+      |SELECT ctx, chosen_arm, count(*)::BIGINT AS n_eval,
+      |  round(avg(q_pi), 6) AS dm,
+      |  round(sum(w * r) / count(*), 6) AS ips,
+      |  round(avg(q_pi + w * (r - q_log)), 6) AS dr
+      |FROM ev GROUP BY ctx, chosen_arm ORDER BY ctx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_offpolicy_dr" -> (qOffpolicyDr _),
     "ev_stickiness" -> (qStickiness _),
     "ev_qini" -> (qQiniUplift _),
     "ev_offpolicy_ips" -> (qOffpolicyIps _),
@@ -3083,6 +3166,7 @@ object EventQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "ev_offpolicy_dr" -> qOffpolicyDrSql,
     "ev_stickiness" -> qStickinessSql,
     "ev_qini" -> qQiniUpliftSql,
     "ev_offpolicy_ips" -> qOffpolicyIpsSql,

@@ -105,4 +105,48 @@ class BanditReplaySpec extends SparkSpec {
       assert(snips >= 0.0 && snips <= 1.0, s"ctx $ctx snips range")
     }
   }
+
+  test("doubly-robust estimator equals a driver replica and interpolates DM/IPS") {
+    val rows = graft.queries.Tables.events(spark, sf)
+      .selectExpr("event_id", "hour(ts) as h").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val log = rows.map { case (id, h) =>
+      val ctx = h / 4
+      val u = Integer.parseInt(md5hex(id.toString).substring(0, 4), 16) % 100
+      val arm = if (u < 10) 0 else if (u < 30) 1 else if (u < 60) 2 else 3
+      val p = Seq(0.10, 0.20, 0.30, 0.40)(arm)
+      val rate = 3 + (if ((arm + ctx) % 4 == 0) 7 else 0)
+      val r = if (Integer.parseInt(
+        md5hex(s"$id:$arm").substring(0, 6), 16) % 100 < rate) 1 else 0
+      (id, ctx, arm, p, r, id % 5 < 4)
+    }
+    val qhat = log.filter(_._6).groupBy(l => (l._2, l._3)).view
+      .mapValues(ls => ls.map(_._5).sum.toDouble / ls.size).toMap
+    val chosen = (0 to 5).map { ctx =>
+      ctx -> (0 to 3).maxBy(a => (r6(qhat((ctx, a))), -a))
+    }.toMap
+    val got = EventQueries.qOffpolicyDr(spark, sf).collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    got.foreach { case (ctx, arm, nEval, dm, ips, dr) =>
+      assert(arm == chosen(ctx))
+      val ev = log.filter(l => !l._6 && l._2 == ctx)
+      assert(nEval == ev.size)
+      val qPi = qhat((ctx, arm))
+      val contribs = ev.map { l =>
+        val w = if (l._3 == arm) 1.0 / l._4 else 0.0
+        qPi + w * (l._5 - qhat((ctx, l._3)))
+      }
+      val ipsRef = ev.map { l =>
+        (if (l._3 == arm) 1.0 / l._4 else 0.0) * l._5
+      }.sum / ev.size
+      assert(math.abs(dm - qPi) <= 1e-6, s"ctx $ctx dm")
+      assert(math.abs(ips - ipsRef) <= 1e-6, s"ctx $ctx ips")
+      assert(math.abs(dr - contribs.sum / contribs.size) <= 1e-6, s"ctx $ctx dr")
+      // DR sits between the pure-model and pure-IPS legs' error modes:
+      // with a well-specified model its variance contracts toward DM —
+      // structurally, the correction term must not dominate the scale
+      assert(dr >= -0.5 && dr <= 1.5, s"ctx $ctx dr scale: $dr")
+    }
+  }
 }
