@@ -20,7 +20,11 @@ import org.apache.spark.sql.types._
   * Both children must be arrays of the same floating element type;
   * accumulation is in double either way. Returns null on null/empty input
   * or mismatched lengths rather than throwing, so malformed embedding rows
-  * degrade to "no score" exactly like a missing SAI entry would.
+  * degrade to "no score" exactly like a missing SAI entry would. A NULL
+  * ELEMENT also yields null (the NULL-propagating contract of DuckDB's
+  * list_inner_product / list_cosine_similarity) — the per-element check is
+  * emitted only when the static type says `containsNull = true`, so scans
+  * over non-nullable embedding columns keep the branch-free loop.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -28,6 +32,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   private def elementType: DataType = left.dataType match {
     case ArrayType(et, _) => et
     case _ => FloatType
+  }
+
+  private def mayHaveNullElems: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
+    case _ => true
   }
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -50,15 +59,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n == 0 || n != y.numElements()) return null
+    val checkNulls = mayHaveNullElems
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     if (elementType == FloatType) {
       while (i < n) {
+        if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
         val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
         dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
       }
     } else {
       while (i < n) {
+        if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
         val xi = x.getDouble(i); val yi = y.getDouble(i)
         dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
       }
@@ -78,6 +90,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
+      val nullElemGuard =
+        if (mayHaveNullElems)
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |final int $n = $x.numElements();
          |if ($n == 0 || $n != $y.numElements()) {
@@ -85,13 +101,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullElemGuard
          |    final double $xi = (double) $x.$getter($i);
          |    final double $yi = (double) $y.$getter($i);
          |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |  }
-         |  final double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
-         |  if ($denom == 0.0) { ${ev.isNull} = true; }
-         |  else { ${ev.value} = $dot / $denom; }
+         |  if (!${ev.isNull}) {
+         |    final double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |    if ($denom == 0.0) { ${ev.isNull} = true; }
+         |    else { ${ev.value} = $dot / $denom; }
+         |  }
          |}
        """.stripMargin
     })
@@ -108,13 +127,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * scoring kernel (recommender-style retrieval ranks on raw dot
   * products: item popularity lives in the norm, which cosine deliberately
   * divides away). Same codegen shape and null contract as
-  * [[CosineSimilarity]], minus the norm accumulators. */
+  * [[CosineSimilarity]], minus the norm accumulators — including the
+  * NULL-element propagation (a null element yields null, matching
+  * DuckDB's list_inner_product; checked only when the static type admits
+  * null elements). */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
 
   private def elementType: DataType = left.dataType match {
     case ArrayType(et, _) => et
     case _ => NullType
+  }
+
+  private def mayHaveNullElems: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
+    case _ => true
   }
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -137,14 +164,19 @@ case class DotProduct(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n == 0 || n != y.numElements()) return null
+    val checkNulls = mayHaveNullElems
     var dot = 0.0
     var i = 0
     if (elementType == FloatType) {
       while (i < n) {
+        if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
         dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
       }
     } else {
-      while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) {
+        if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+        dot += x.getDouble(i) * y.getDouble(i); i += 1
+      }
     }
     dot
   }
@@ -155,6 +187,10 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
+      val nullElemGuard =
+        if (mayHaveNullElems)
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |final int $n = $x.numElements();
          |if ($n == 0 || $n != $y.numElements()) {
@@ -162,9 +198,10 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullElemGuard
          |    $dot += (double) $x.$getter($i) * (double) $y.$getter($i);
          |  }
-         |  ${ev.value} = $dot;
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
          |}
        """.stripMargin
     })

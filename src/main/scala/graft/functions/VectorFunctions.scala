@@ -60,6 +60,9 @@ object VectorFunctions {
       ("cosine_sim",
         new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
         (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+      ("dot_product",
+        new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+        (args: Seq[Expression]) => DotProduct(args(0), args(1))),
       ("minhash_sig",
         new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
         (args: Seq[Expression]) => MinHashSignature(args(0),

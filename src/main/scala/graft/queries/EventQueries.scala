@@ -3042,7 +3042,15 @@ object EventQueries {
     * the pure-DM and pure-IPS numbers it interpolates.
     *
     * Scale shape: the same two scans as the IPS leg plus one 24-row
-    * broadcast q̂ table joined twice (logged arm, policy arm). */
+    * broadcast q̂ table joined twice (logged arm, policy arm). Both q̂
+    * joins are LEFT joins with missing cells coalesced to q̂ = 0: an
+    * eval event whose logged (ctx, arm) cell never appears in the train
+    * split must not be DROPPED (an inner join would bias the eval subset
+    * and desync n_eval from [[qOffpolicyIps]]) — with q̂ = 0 the DR
+    * contribution degrades gracefully to its IPS term, which is exactly
+    * the estimator's contract when the model abstains. Dense cells on
+    * this corpus make the branch unreachable here; the guard is for
+    * smaller SFs / more arms. */
   def qOffpolicyDr(s: SparkSession, d: String): DataFrame = {
     val u = conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
       .cast("int") % 100
@@ -3060,9 +3068,11 @@ object EventQueries {
     log.filter(!col("is_train"))
       .join(broadcast(banditFit(log)), "ctx")
       .join(broadcast(qhat.select(col("ctx"), col("arm"), col("q").as("q_log"))),
-        Seq("ctx", "arm"))
+        Seq("ctx", "arm"), "left")
       .join(broadcast(qhat.select(col("ctx"), col("arm").as("chosen_arm"),
-        col("q").as("q_pi"))), Seq("ctx", "chosen_arm"))
+        col("q").as("q_pi"))), Seq("ctx", "chosen_arm"), "left")
+      .withColumn("q_log", coalesce(col("q_log"), lit(0.0)))
+      .withColumn("q_pi", coalesce(col("q_pi"), lit(0.0)))
       .withColumn("m", (col("arm") === col("chosen_arm")).cast("int"))
       .withColumn("w", col("m") / col("p_log"))
       .withColumn("contrib",
@@ -3097,11 +3107,12 @@ object EventQueries {
       |    CASE WHEN l.arm = f.chosen_arm THEN 1 ELSE 0 END AS m,
       |    CASE WHEN l.arm = f.chosen_arm THEN 1.0::DOUBLE / l.p_log
       |         ELSE 0.0::DOUBLE END AS w,
-      |    ql.q AS q_log, qp.q AS q_pi
+      |    coalesce(ql.q, 0.0::DOUBLE) AS q_log,
+      |    coalesce(qp.q, 0.0::DOUBLE) AS q_pi
       |  FROM log3 l
       |  JOIN fit f ON f.ctx = l.ctx
-      |  JOIN qhat ql ON ql.ctx = l.ctx AND ql.arm = l.arm
-      |  JOIN qhat qp ON qp.ctx = l.ctx AND qp.arm = f.chosen_arm
+      |  LEFT JOIN qhat ql ON ql.ctx = l.ctx AND ql.arm = l.arm
+      |  LEFT JOIN qhat qp ON qp.ctx = l.ctx AND qp.arm = f.chosen_arm
       |  WHERE NOT l.is_train)
       |SELECT ctx, chosen_arm, count(*)::BIGINT AS n_eval,
       |  round(avg(q_pi), 6) AS dm,

@@ -220,10 +220,17 @@ object RagQueries {
       |ORDER BY job_id""".stripMargin
 
   /** rag_agent_batch parity gate: the scan-amortized batched runner must
-    * produce, per job, the exact (event, data) sequence the sequential
-    * runner produces — the AgentBatchSpec invariant promoted into the
-    * driver's hash gate. Timestamps are excluded (wall-clock); everything
-    * else is deterministic under the stub LLM. */
+    * produce, per job, the exact (event, data) sequence the per-job
+    * runner produces. The reference half runs through the POOLED
+    * [[JobStream.runJobs]] (4 threads, each executing the unmodified
+    * per-job `runJob`) — per-job trails are the sequential runner's by
+    * construction, but the proof here additionally assumes
+    * AgentLoop/StubLlm are thread-safe; the truly single-threaded
+    * baseline (one `agent.run` at a time vs `runBatch`, which a
+    * shared-state concurrency bug affecting both pooled halves equally
+    * could not fool) is pinned by AgentBatchSpec's "runBatch states are
+    * identical to the sequential loop's" test. Timestamps are excluded
+    * (wall-clock); everything else is deterministic under the stub LLM. */
   def qAgentBatchGate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val c = corpus(s, d)
@@ -237,11 +244,10 @@ object RagQueries {
     val agent = new AgentLoop(new StubLlm, new HashEmbedder(384))
     val batched = JobStream.runJobsBatched(c, agent, jobs)
       .groupBy(_.jobId).view.mapValues(_.map(e => (e.event, e.data))).toMap
-    // the reference half runs through runJobs (one runJob per pooled
-    // thread) — the per-job trail is the sequential runner's trail by
-    // construction, and overlapping the five jobs' Spark actions halves
-    // the gate's wall (ProfileAgent r9: 4.6 s serial → 2.2 s pooled; the
-    // cost is ~0.2 s/action scheduler constant, not compute)
+    // pooled reference half (see scaladoc: thread-safety assumption +
+    // the AgentBatchSpec single-threaded baseline); overlapping the five
+    // jobs' Spark actions halves the gate's wall (ProfileAgent r9:
+    // 4.6 s serial → 2.2 s pooled; ~0.2 s/action scheduler constant)
     val sequential = JobStream.runJobs(c, agent, jobs)
       .groupBy(_.jobId).view.mapValues(_.map(e => (e.event, e.data))).toMap
     jobs.map { case (id, _) =>

@@ -149,4 +149,56 @@ class BanditReplaySpec extends SparkSpec {
       assert(dr >= -0.5 && dr <= 1.5, s"ctx $ctx dr scale: $dr")
     }
   }
+
+  test("DR keeps eval events whose (ctx, arm) cell is missing from train") {
+    // ADVICE r9: the q̂ inner join silently dropped eval events from
+    // unseen cells, biasing the eval subset and desyncing n_eval from
+    // the IPS leg. Craft a log where arm-0's ctx-0 cell appears ONLY in
+    // the eval split: every event sits in hour 0 (ctx 0); eval ids
+    // (id % 5 == 4) are chosen so some map to arm 0, train ids so none
+    // do — the DR must score ALL eval events with q̂(missing) = 0.
+    import spark.implicits._
+    def armOf(id: Long): Int = {
+      val u = Integer.parseInt(md5hex(id.toString).substring(0, 4), 16) % 100
+      if (u < 10) 0 else if (u < 30) 1 else if (u < 60) 2 else 3
+    }
+    val trainIds = Iterator.from(0).map(_.toLong)
+      .filter(id => id % 5 < 4 && armOf(id) != 0).take(60).toSeq
+    val evalArm0 = Iterator.from(0).map(_.toLong)
+      .filter(id => id % 5 == 4 && armOf(id) == 0).take(3).toSeq
+    val evalOther = Iterator.from(0).map(_.toLong)
+      .filter(id => id % 5 == 4 && armOf(id) != 0).take(12).toSeq
+    // every train arm cell that EXISTS must be ≠ 0; eval includes arm 0
+    assert(evalArm0.nonEmpty && trainIds.forall(armOf(_) != 0))
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:30:00")
+    val dir = java.nio.file.Files.createTempDirectory("drsparse").toString
+    (trainIds ++ evalArm0 ++ evalOther).map(id => (id, ts))
+      .toDF("event_id", "ts").write.parquet(s"$dir/events.parquet")
+
+    val log = (trainIds ++ evalArm0 ++ evalOther).map { id =>
+      val arm = armOf(id)
+      val p = Seq(0.10, 0.20, 0.30, 0.40)(arm)
+      val rate = 3 + (if (arm % 4 == 0) 7 else 0) // ctx = 0
+      val r = if (Integer.parseInt(
+        md5hex(s"$id:$arm").substring(0, 6), 16) % 100 < rate) 1 else 0
+      (id, arm, p, r, id % 5 < 4)
+    }
+    val qhat = log.filter(_._5).groupBy(_._2).view
+      .mapValues(ls => ls.map(_._4).sum.toDouble / ls.size).toMap
+    val chosen = qhat.keys.toSeq.maxBy(a => (r6(qhat(a)), -a))
+    val ev = log.filter(!_._5)
+    val qPi = qhat.getOrElse(chosen, 0.0)
+    val contribs = ev.map { l =>
+      val w = if (l._2 == chosen) 1.0 / l._3 else 0.0
+      qPi + w * (l._4 - qhat.getOrElse(l._2, 0.0)) // missing cell → 0
+    }
+    val got = EventQueries.qOffpolicyDr(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getInt(0) == 0 && r.getInt(1) == chosen)
+    // the load-bearing assertion: no eval event was dropped
+    assert(r.getLong(2) == ev.size,
+      s"n_eval ${r.getLong(2)} must count all ${ev.size} eval events")
+    assert(math.abs(r.getDouble(5) - contribs.sum / contribs.size) <= 1e-6)
+  }
 }

@@ -34,6 +34,28 @@ class FunctionsSpec extends SparkSpec {
     assert(got(2).isEmpty && got(3).isEmpty && got(4).isEmpty)
   }
 
+  test("null ELEMENT → null for cosine and dot (codegen + interpreted)") {
+    // ADVICE r9: arrays with containsNull=true used to read a garbage
+    // 0-filled value through getFloat; the contract now matches DuckDB's
+    // NULL-propagating list_inner_product on both eval paths.
+    VectorFunctions.register(spark)
+    val q = "SELECT dot_product(array(1.0F, CAST(NULL AS FLOAT)), array(1.0F, 2.0F)) d, " +
+      "cosine_sim(array(1.0F, CAST(NULL AS FLOAT)), array(1.0F, 2.0F)) c, " +
+      "dot_product(array(1.0F, 2.0F), array(CAST(NULL AS FLOAT), 2.0F)) d2"
+    def check(): Unit = {
+      val r = spark.sql(q).collect()(0)
+      assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    }
+    check()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try check() finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // null-free values through the same containsNull=true type still score
+    val ok = spark.sql(
+      "SELECT dot_product(array(1.0F, nullif(2.0F, 0.0F)), array(3.0F, 4.0F))")
+      .as[Double].head()
+    assert(math.abs(ok - 11.0) < 1e-12)
+  }
+
   test("cosine survives codegen off (interpreted path agrees)") {
     val df = Seq((Array(1f, 2f, 3f), Array(3f, 2f, 1f))).toDF("a", "b")
     val expected = Retrieval.cosineLocal(Array(1f, 2f, 3f), Array(3f, 2f, 1f))
