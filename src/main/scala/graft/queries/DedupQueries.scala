@@ -1614,15 +1614,15 @@ object DedupQueries {
     * standard relaxation of a clique that is still computable by
     * peeling.
     *
-    * Scale shape per round: per-edge support = common-neighbor count,
-    * enumerated from each edge's LOWER-degree endpoint (the
-    * [[triangleStats]] orientation argument: Σ min-deg ≤ O(m^1.5)
-    * rows even under dup-hub skew), closed with one equi-join on the
-    * canonical (a, b) key; everything shuffles edge ids only. Peeling
-    * only shrinks the edge set, so size-unchanged IS the fixpoint and
-    * the loop exits early (the [[kcoreNodes]] contract — the oracle
-    * unrolls the full budget; fixpoint makes that equal). Output:
-    * surviving edges with their within-truss support. */
+    * Scale shape: full per-edge support (common-neighbor count over
+    * broadcast adjacency arrays) is computed ONCE; every later round
+    * is INCREMENTAL — only edges sharing an endpoint with a removed
+    * edge re-intersect anything, and only against the (small) removed-
+    * neighbor arrays (see the Δ identity at [[ktrussEdges]]). Peeling
+    * only shrinks the edge set, so an empty removed set IS the
+    * fixpoint and the loop exits early (the [[kcoreNodes]] contract —
+    * the oracle unrolls the full budget; fixpoint makes that equal).
+    * Output: surviving edges with their within-truss support. */
   def qDedupKtruss(s: SparkSession, d: String): DataFrame =
     ktrussEdges(pairGraph(s, d), TrussK, TrussRounds)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -1647,24 +1647,23 @@ object DedupQueries {
   private[graft] def ktrussEdges(pairs: DataFrame, k: Int, rounds: Int,
       maxBroadcastAdjacency: Long = KtrussBroadcastAdjacencyCap)
       : DataFrame = {
-    var edges = pairs.select(col("a"), col("b")).distinct().localCheckpoint()
-    // Per-round support = |N(a) ∩ N(b)| per surviving edge. The support
-    // relation NEVER materializes the triangle expansion (Σ min-deg rows
-    // per round — 2.2e9 at sf1, measured): the adjacency-list table is
-    // node-bounded (2|E| longs total ≈ 56 MB at 3.5M pairs), broadcast
-    // once per round, and each edge's common-neighbor count evaluates as
+    // Full support = |N(a) ∩ N(b)| per edge — run ONCE, for round 1.
+    // The support relation NEVER materializes the triangle expansion
+    // (Σ min-deg rows — 2.2e9 at sf1, measured): the adjacency-list
+    // table is node-bounded (2|E| longs total ≈ 56 MB at 3.5M pairs),
+    // broadcast, and each edge's common-neighbor count evaluates as
     // one array_intersect INSIDE the projection — Σ (deg a + deg b)
-    // hash-set ops per round in-stage, zero rows wider than |E| on any
-    // exchange (the only shuffle is the groupBy building adjacency).
-    // The first cut enumerated wedges from each edge's lower-degree
+    // hash-set ops in-stage, zero rows wider than |E| on any exchange
+    // (the only shuffle is the groupBy building adjacency). An earlier
+    // generation enumerated wedges from each edge's lower-degree
     // endpoint and closed them with a broadcast semi join: plan-correct
     // (never reshuffled the expansion) but it still PAID the 2.2e9-row
     // stream through codegen every round — 82 s/round-set at sf0.1, ~30
-    // min at sf1; this shape runs the same peel 40× faster. Past
+    // min at sf1; the array form runs the same peel 40× faster. Past
     // broadcastable adjacency (KtrussBroadcastAdjacencyCap entries) the
-    // per-round gate below switches to the shuffled adjacency join —
-    // though a dup pair relation that size usually means the simhash
-    // threshold, not the plan, needs retuning.
+    // measured gate switches to the shuffled adjacency join — though a
+    // dup pair relation that size usually means the simhash threshold,
+    // not the plan, needs retuning.
     def supportOf(es: DataFrame, nEdges: Long): DataFrame = {
       val adj = es.select(col("a").as("v"), col("b").as("n"))
         .unionAll(es.select(col("b").as("v"), col("a").as("n")))
@@ -1691,23 +1690,78 @@ object DedupQueries {
           size(array_intersect(col("na"), col("nbb"))).cast("long")
             .as("support"))
     }
-    var curN = edges.count()
-    var prevN = -1L
+    // Support-delta peel (VERDICT r9 item 1): full support is computed
+    // ONCE; each round after that updates only the edges a removal can
+    // have changed. For a surviving edge (a, b) with removed-neighbor
+    // sets Ra = {c : (a,c) removed}, Rb = {c : (b,c) removed}, the lost
+    // triangles are exactly the common neighbors reached through a
+    // removed edge, and (since Ra ⊆ N(a), Rb ⊆ N(b), all w.r.t. the
+    // graph the old support was measured on) their count telescopes to
+    //   Δ = |N(b) ∩ Ra| + |N(a) ∩ Rb| − |Ra ∩ Rb|
+    // (the subtraction un-double-counts triangles losing BOTH side
+    // edges). Edges with Ra = Rb = ∅ keep their support untouched — in
+    // late rounds that is almost all of them, which is the entire win:
+    // the old loop re-intersected full neighbor lists for EVERY edge
+    // EVERY round (Σ (deg a + deg b) hash ops), and then once more for
+    // the final output. Convergence = an empty removed set; support is
+    // maintained w.r.t. the current surviving graph at every round
+    // boundary, so the last frame IS the output (no final recompute).
+    val base = pairs.select(col("a"), col("b")).distinct().localCheckpoint()
+    var curN = base.count()
+    var edges = supportOf(base, curN).localCheckpoint()
+    val emptyArr = array().cast("array<bigint>")
     var i = 0
     var converged = false
     while (i < rounds && !converged) {
-      edges = supportOf(edges, curN)
-        .filter(col("support") >= k - 2)
-        .select(col("a"), col("b"))
-        .localCheckpoint()
-      val n = edges.count()
-      converged = n == prevN
-      prevN = n
-      curN = n
+      val removed = edges.filter(col("support") < k - 2).select(col("a"), col("b"))
+      val nRem = removed.count()
+      if (nRem == 0) converged = true
+      else {
+        val fitsAdj = 2L * curN <= maxBroadcastAdjacency
+        val fitsRem = 2L * nRem <= maxBroadcastAdjacency
+        // adjacency of the graph the stored support was measured on —
+        // survivors AND this round's casualties both contribute N(·)
+        val adj = edges.select(col("a").as("v"), col("b").as("n"))
+          .unionAll(edges.select(col("b").as("v"), col("a").as("n")))
+          .groupBy(col("v"))
+          .agg(sort_array(collect_list(col("n"))).as("nb"))
+        val radj = removed.select(col("a").as("v"), col("b").as("n"))
+          .unionAll(removed.select(col("b").as("v"), col("a").as("n")))
+          .groupBy(col("v"))
+          .agg(sort_array(collect_list(col("n"))).as("rn"))
+        def adjSide(alias: String, out: String): DataFrame = {
+          val half = adj.select(col("v").as(alias), col("nb").as(out))
+          if (fitsAdj) broadcast(half) else half.hint("merge")
+        }
+        def radjSide(alias: String, out: String): DataFrame = {
+          val half = radj.select(col("v").as(alias), col("rn").as(out))
+          if (fitsRem) broadcast(half) else half.hint("merge")
+        }
+        val tagged = edges.filter(col("support") >= k - 2)
+          .join(radjSide("a", "ra"), Seq("a"), "left")
+          .join(radjSide("b", "rb"), Seq("b"), "left")
+        val untouched = tagged
+          .filter(col("ra").isNull && col("rb").isNull)
+          .select(col("a"), col("b"), col("support"))
+        val ra = coalesce(col("ra"), emptyArr)
+        val rb = coalesce(col("rb"), emptyArr)
+        val touched = tagged
+          .filter(col("ra").isNotNull || col("rb").isNotNull)
+          .join(adjSide("a", "na"), Seq("a"))
+          .join(adjSide("b", "nbb"), Seq("b"))
+          .select(col("a"), col("b"),
+            (col("support")
+              - size(array_intersect(col("nbb"), ra))
+              - size(array_intersect(col("na"), rb))
+              + size(array_intersect(ra, rb))).as("support"))
+        edges = untouched.unionByName(touched).localCheckpoint()
+        curN -= nRem
+      }
       i += 1
     }
-    supportOf(edges, curN)
-      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("support"))
+    edges
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("support").cast("long").as("support"))
   }
 
   val qDedupKtrussSql: String = {
