@@ -1290,17 +1290,34 @@ object VectorQueries {
     * demo) and 8×4 ~70% (the recall-tier config the gate below checks). */
   def qKnnLshParam(
       s: SparkSession, d: String, nTables: Int, bitsPerTable: Int): DataFrame = {
-    import graft.functions.VectorFunctions.hyperplaneSig
     val emb = Tables.embeddings(s, d)
+    lshSearch(emb,
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      nTables, bitsPerTable)
+  }
+
+  /** The LSH tier's search kernel over an arbitrary (vec_id, embedding)
+    * corpus and (query_id, qv) query frame — the corpus path and the
+    * MIPS-augmented path ([[qKnnMipsLshParam]]) share every line, which
+    * is the reduction's point: not one MIPS-specific change in the
+    * index. Query signatures come from the same deterministic
+    * [[graft.functions.HyperplaneSig]] family as the corpus's, so a
+    * query buckets exactly where its corpus twin would. */
+  private def lshSearch(emb: DataFrame, queriesDf: DataFrame,
+      nTables: Int, bitsPerTable: Int): DataFrame = {
+    import graft.functions.VectorFunctions.hyperplaneSig
 
     val tables = (0 until nTables).map { t =>
       emb.select(col("vec_id"), col("embedding"),
         lit(t).as("tbl"), hyperplaneSig(col("embedding"), t, bitsPerTable).as("bucket"))
     }.reduce(_ unionByName _)
 
-    val queries = tables.filter(col("vec_id") < 10)
-      .select(col("tbl").as("q_tbl"), col("bucket").as("q_bucket"),
-        col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val queries = (0 until nTables).map { t =>
+      queriesDf.select(lit(t).as("q_tbl"),
+        hyperplaneSig(col("qv"), t, bitsPerTable).as("q_bucket"),
+        col("query_id"), col("qv"))
+    }.reduce(_ unionByName _)
 
     val cand = tables
       .join(broadcast(queries),
@@ -1378,17 +1395,25 @@ object VectorQueries {
     * [[qKnnIvf]]; recall twin below rides the driver gate. */
   def qKnnPqParam(s: SparkSession, d: String, nprobe: Int,
       overfetch: Int = 8): DataFrame = {
-    import graft.retrieval.IvfIndex
     val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    pqSearch(emb, queries, nprobe, overfetch)
+  }
+
+  /** The IVF-PQ tier's build+search kernel over an arbitrary
+    * (vec_id, embedding) corpus — shared verbatim by the corpus path
+    * and the MIPS-augmented path ([[qKnnMipsPqParam]]). */
+  private def pqSearch(emb: DataFrame, queries: Seq[(Long, Array[Float])],
+      nprobe: Int, overfetch: Int): DataFrame = {
+    import graft.retrieval.IvfIndex
     val n = emb.count()
     val c = ivfCentroidCount(n)
     val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", c)
     val cb = IvfIndex.trainPq(emb, "vec_id", "embedding", m = 8, ks = 16)
     val index = IvfIndex.withPq(
       IvfIndex.assign(emb, "vec_id", "embedding", centroids), "embedding", cb)
-    val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
     // The ADC prune passes `overfetch·k` survivors to the exact re-rank.
     // A FIXED survivor count silently tightens the prune as the corpus
     // grows (probed volume ∝ n while survivors stay constant) — at sf1
@@ -1702,24 +1727,62 @@ object VectorQueries {
     * (measured with ≥2× headroom at sf0.01 and sf1, the recall-tier
     * discipline). */
   def qKnnMipsIvfParam(s: SparkSession, d: String, nprobe: Int): DataFrame = {
-    import graft.functions.VectorFunctions.dot
     import graft.retrieval.IvfIndex
+    val (aug, queriesDf) = mipsAugmented(s, d, pad = 0)
+    val c = ivfCentroidCount(aug)
+    val centroids = IvfIndex.buildCentroids(aug, "vec_id", "embedding", c)
+    val index = IvfIndex.assign(aug, "vec_id", "embedding", centroids)
+    IvfIndex.search(index, "vec_id", "embedding", collectQueries(queriesDf),
+      centroids, nprobe = scaledNprobe(nprobe, c), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The norm-augmentation transform shared by every MIPS-through-tier
+    * query (Bachrach RecSys 2014 / Neyshabur ICML 2015; order
+    * equivalence proven through the real kernels by [[qKnnMipsGate]]):
+    * corpus vectors gain the sqrt(M² − ‖x‖²) dimension plus `pad`
+    * trailing zeros (PQ's codebooks need dim % m == 0 — zeros move no
+    * score), query vectors gain 1 + `pad` zeros. Returns the augmented
+    * (vec_id, embedding) corpus and the (query_id, qv) query frame. */
+  private def mipsAugmented(s: SparkSession, d: String, pad: Int)
+      : (DataFrame, DataFrame) = {
+    import graft.functions.VectorFunctions.dot
     val emb = Tables.embeddings(s, d)
     val vd = col("embedding").cast("array<double>")
     val m = emb.agg(max(sqrt(dot(vd, vd)))).collect()(0).getDouble(0)
+    val zeros = Seq.fill(pad)(lit(0.0f))
     val aug = emb.select(col("vec_id"),
       concat(col("embedding"),
-        array(sqrt(greatest(lit(m * m) - dot(vd, vd), lit(0.0)))
-          .cast("float"))).as("embedding"))
-    val c = ivfCentroidCount(emb)
-    val centroids = IvfIndex.buildCentroids(aug, "vec_id", "embedding", c)
-    val index = IvfIndex.assign(aug, "vec_id", "embedding", centroids)
-    val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray :+ 0.0f)).toSeq
-    IvfIndex.search(index, "vec_id", "embedding", queries, centroids,
-      nprobe = scaledNprobe(nprobe, c), k = 5)
-      .orderBy(col("query_id"), col("rank"))
+        array((sqrt(greatest(lit(m * m) - dot(vd, vd), lit(0.0)))
+          .cast("float") +: zeros): _*)).as("embedding"))
+    val queriesDf = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        concat(col("embedding"), array((lit(0.0f) +: zeros): _*)).as("qv"))
+    (aug, queriesDf)
+  }
+
+  private def collectQueries(queriesDf: DataFrame): Seq[(Long, Array[Float])] =
+    queriesDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+
+  /** MIPS served through the UNMODIFIED LSH tier (the second serving
+    * row of [[qKnnMipsGate]]'s claim): hyperplane-bucket the augmented
+    * corpus, probe with the zero-extended query, exact re-rank on the
+    * augmented cosine — whose ordering IS the inner-product ordering.
+    * Runs the recall-tier 8×4 amplification through [[lshSearch]]. */
+  def qKnnMipsLshParam(s: SparkSession, d: String,
+      nTables: Int, bitsPerTable: Int): DataFrame = {
+    val (aug, queriesDf) = mipsAugmented(s, d, pad = 0)
+    lshSearch(aug, queriesDf, nTables, bitsPerTable)
+  }
+
+  /** MIPS served through the UNMODIFIED IVF-PQ tier: codebooks trained
+    * on the augmented corpus (padded to 392 dims — 8 × 49), ADC prune,
+    * exact augmented-cosine re-rank. */
+  def qKnnMipsPqParam(s: SparkSession, d: String, nprobe: Int,
+      overfetch: Int): DataFrame = {
+    val (aug, queriesDf) = mipsAugmented(s, d, pad = 7)
+    pqSearch(aug, collectQueries(queriesDf), nprobe, overfetch)
   }
 
   /** MIPS-through-IVF recall@5 per query (floor measured: per-query
@@ -1728,6 +1791,22 @@ object VectorQueries {
   def qKnnMipsIvfRecall(s: SparkSession, d: String): DataFrame =
     recallReport(qKnnMips(s, d), qKnnMipsIvfParam(s, d, nprobe = 6),
       floor = 0.4)
+
+  /** MIPS-through-LSH recall@5 per query at the recall-tier 8×4
+    * amplification, against the exact [[qKnnMips]] truth. The floor
+    * sits at the cosine LSH tier's 0.2 (measured per-query recall at
+    * sf0.01 spans 0.4–1.0 — see MipsSpec; the augmentation dimension
+    * compresses angles, which the measured floor prices in). */
+  def qKnnMipsLshRecall(s: SparkSession, d: String): DataFrame =
+    recallReport(qKnnMips(s, d),
+      qKnnMipsLshParam(s, d, nTables = 8, bitsPerTable = 4), floor = 0.2)
+
+  /** MIPS-through-PQ recall@5 per query at the PQ recall-tier config
+    * (nprobe 6, 16× overfetch), against the exact [[qKnnMips]] truth;
+    * floor at the cosine PQ tier's 0.2. */
+  def qKnnMipsPqRecall(s: SparkSession, d: String): DataFrame =
+    recallReport(qKnnMips(s, d),
+      qKnnMipsPqParam(s, d, nprobe = 6, overfetch = 16), floor = 0.2)
 
   /** Maximum-inner-product top-k, brute force (the recommender
     * retrieval mode: popularity lives in the vector NORM, which cosine
@@ -1858,6 +1937,8 @@ object VectorQueries {
     "vs_knn_mips" -> (qKnnMips _),
     "vs_knn_mips_gate" -> (qKnnMipsGate _),
     "vs_knn_mips_ivf_recall" -> (qKnnMipsIvfRecall _),
+    "vs_knn_mips_lsh_recall" -> (qKnnMipsLshRecall _),
+    "vs_knn_mips_pq_recall" -> (qKnnMipsPqRecall _),
     "vs_knn_brute" -> (qKnnBrute _),
     "vs_hard_negatives" -> (qHardNegatives _),
     "vs_knn_quant" -> (qKnnQuant _),
@@ -1888,6 +1969,8 @@ object VectorQueries {
     "vs_knn_mips" -> qKnnMipsSql,
     "vs_knn_mips_gate" -> qKnnMipsGateSql,
     "vs_knn_mips_ivf_recall" -> recallOracleSql(0.4),
+    "vs_knn_mips_lsh_recall" -> recallOracleSql(0.2),
+    "vs_knn_mips_pq_recall" -> recallOracleSql(0.2),
     "vs_knn_brute" -> qKnnBruteSql,
     "vs_hard_negatives" -> qHardNegativesSql,
     "vs_knn_quant" -> qKnnBruteSql, // q8 prune + exact re-rank: identical output

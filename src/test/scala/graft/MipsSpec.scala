@@ -73,6 +73,39 @@ class MipsSpec extends SparkSpec {
       "mean recall keeps headroom over the floor")
   }
 
+  private def recallsVsMips(ann: org.apache.spark.sql.DataFrame): Map[Long, Double] = {
+    val truth = VectorQueries.qKnnMips(spark, sf).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val a = ann.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    truth.map { case (q, t) =>
+      q -> (t & a.getOrElse(q, Set.empty)).size.toDouble / t.size
+    }
+  }
+
+  test("MIPS through the LSH tier: measured recall clears the floor") {
+    // the second serving row of the reduction claim: the UNMODIFIED
+    // hyperplane-LSH tier over augmented vectors, recall vs exact MIPS
+    val recalls = recallsVsMips(
+      VectorQueries.qKnnMipsLshParam(spark, sf, nTables = 8, bitsPerTable = 4))
+    info(s"per-query recall: ${recalls.toSeq.sortBy(_._1)}")
+    assert(recalls.values.forall(_ >= 0.2),
+      s"floor 0.2 must hold per query: $recalls")
+    assert(recalls.values.sum / recalls.size >= 0.4,
+      "mean recall keeps headroom over the floor")
+  }
+
+  test("MIPS through the PQ tier: measured recall clears the floor") {
+    val recalls = recallsVsMips(
+      VectorQueries.qKnnMipsPqParam(spark, sf, nprobe = 6, overfetch = 16))
+    info(s"per-query recall: ${recalls.toSeq.sortBy(_._1)}")
+    assert(recalls.values.forall(_ >= 0.2),
+      s"floor 0.2 must hold per query: $recalls")
+    assert(recalls.values.sum / recalls.size >= 0.4,
+      "mean recall keeps headroom over the floor")
+  }
+
   test("MIPS and cosine disagree when the norm carries the signal") {
     import spark.implicits._
     // q = (1, 0); a points exactly at q but is tiny; b is 10° off but
