@@ -2035,7 +2035,33 @@ object DedupQueries {
     * than the reuse already saves). At 100 TB the hash would widen to
     * 64 bits; the md5-prefix here keeps the result bit-exact against
     * DuckDB. */
-  def qDedupWinnowing(s: SparkSession, d: String): DataFrame = {
+  def qDedupWinnowing(s: SparkSession, d: String): DataFrame =
+    winnowingPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Per-doc TOP-K fingerprint-match report — the scale-default form of
+    * [[qDedupWinnowing]] (VERDICT r9: the full pair list emits 2.1 M
+    * rows at sf1, 3.5× per 10× data — output-volume bound, so at 100 TB
+    * the report is the bottleneck, not the plan). Same pair kernel;
+    * pairs symmetrize and each doc keeps its top-3 partners by
+    * (n_shared desc, overlap desc, partner id) — a pre-shuffle
+    * WindowGroupLimit cut bounding the output at 3·|docs| at any
+    * corpus size. Ranks are decided on integers and the 4dp-rounded
+    * overlap, so both engines cut identically. */
+  def qDedupWinnowingTopk(s: SparkSession, d: String): DataFrame = {
+    val p = winnowingPairs(s, d)
+    val sym = p.select(col("doc_a").as("doc_id"),
+        col("doc_b").as("partner_id"), col("n_shared"), col("overlap"))
+      .unionByName(p.select(col("doc_b").as("doc_id"),
+        col("doc_a").as("partner_id"), col("n_shared"), col("overlap")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_shared").desc, col("overlap").desc, col("partner_id"))
+    sym
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private def winnowingPairs(s: SparkSession, d: String): DataFrame = {
     val K = WinnowK
     val W = WinnowW
     val B = WinnowPosBound
@@ -2085,10 +2111,12 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         round(col("n_shared").cast("double") /
           least(col("nfa"), col("nfb")), 4).as("overlap"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val qDedupWinnowingSql: String =
+  /** The shared CTE chain (through the pair relation `pr`) composed by
+    * both winnowing oracles — single-sourced so the full and top-k
+    * forms can never disagree about the pair program. */
+  private val winnowingPairsSqlCte: String =
     s"""WITH nrm AS (
       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') t
       |  FROM documents
@@ -2117,12 +2145,30 @@ object DedupQueries {
       |p AS (
       |  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*)::BIGINT n_shared
       |  FROM fpd a JOIN fpd b ON a.h = b.h AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2 HAVING count(*) >= 2)
-      |SELECT doc_a, doc_b, n_shared,
-      |  round(n_shared / least(na.n_fp, nb.n_fp)::DOUBLE, 4) AS overlap
-      |FROM p JOIN nf na ON na.doc_id = doc_a
-      |       JOIN nf nb ON nb.doc_id = doc_b
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |pr AS (
+      |  SELECT doc_a, doc_b, n_shared,
+      |    round(n_shared / least(na.n_fp, nb.n_fp)::DOUBLE, 4) AS overlap
+      |  FROM p JOIN nf na ON na.doc_id = doc_a
+      |         JOIN nf nb ON nb.doc_id = doc_b)""".stripMargin
+
+  val qDedupWinnowingSql: String =
+    s"""$winnowingPairsSqlCte
+      |SELECT doc_a, doc_b, n_shared, overlap
+      |FROM pr ORDER BY doc_a, doc_b""".stripMargin
+
+  val qDedupWinnowingTopkSql: String =
+    s"""$winnowingPairsSqlCte,
+      |sym AS (
+      |  SELECT doc_a doc_id, doc_b partner_id, n_shared, overlap FROM pr
+      |  UNION ALL
+      |  SELECT doc_b, doc_a, n_shared, overlap FROM pr),
+      |rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY n_shared DESC, overlap DESC, partner_id) rank
+      |  FROM sym)
+      |SELECT doc_id, partner_id, n_shared, overlap, rank
+      |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
   /** Content-defined chunking parameters (Muthitacharoen, Chen &
     * Mazières, SOSP 2001, "A Low-Bandwidth Network File System" — the
@@ -2255,6 +2301,7 @@ object DedupQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_winnowing" -> (qDedupWinnowing _),
+    "dd_winnowing_topk" -> (qDedupWinnowingTopk _),
     "dd_cdc_chunks" -> (qDedupCdcChunks _),
     "dd_exact" -> (qDedupExact _),
     "dd_sorted_neighborhood" -> (qSortedNeighborhood _),
@@ -2290,6 +2337,7 @@ object DedupQueries {
 
   def oracles: Map[String, String] = Map(
     "dd_winnowing" -> qDedupWinnowingSql,
+    "dd_winnowing_topk" -> qDedupWinnowingTopkSql,
     "dd_cdc_chunks" -> qDedupCdcChunksSql,
     "dd_exact" -> qDedupExactSql,
     "dd_sorted_neighborhood" -> qSortedNeighborhoodSql,

@@ -148,7 +148,49 @@ object VectorQueries {
     * tight clusters or a higher threshold prune more; the worst case
     * degrades to all-pairs *compute* but keeps the shuffle-key join shape.
     */
-  def qEmbNearDup(s: SparkSession, d: String): DataFrame = {
+  def qEmbNearDup(s: SparkSession, d: String): DataFrame =
+    embNearDupPairs(s, d).orderBy(col("id_a"), col("id_b"))
+
+  /** Per-vector TOP-K near-dup report — the scale-default form of
+    * [[qEmbNearDup]] (VERDICT r9: the full pair list is output-volume
+    * bound — 10.1× at 10× data — so at 100 TB the REPORT itself is the
+    * bottleneck; a reviewer triaging near-dups reads each doc's worst
+    * few partners, not millions of pairs). Same exact pair kernel;
+    * pairs symmetrize and each vector keeps its top-3 partners by
+    * (rounded cosine desc, partner id) — a pre-shuffle WindowGroupLimit
+    * cut, so the output is ≤ 3·n rows at ANY corpus size. */
+  def qEmbNearDupTopk(s: SparkSession, d: String): DataFrame = {
+    val p = embNearDupPairs(s, d)
+    val sym = p.select(col("id_a").as("vec_id"), col("id_b").as("partner_id"),
+        col("cos"))
+      .unionByName(p.select(col("id_b").as("vec_id"),
+        col("id_a").as("partner_id"), col("cos")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("partner_id"))
+    sym
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  val qEmbNearDupTopkSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id id_a, b.vec_id id_b,
+      |    round(list_cosine_similarity(a.v, b.v), 6) AS cos
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.v, b.v) >= 0.45),
+      |sym AS (
+      |  SELECT id_a vec_id, id_b partner_id, cos FROM p
+      |  UNION ALL SELECT id_b, id_a, cos FROM p),
+      |rk AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY cos DESC, partner_id) rank
+      |  FROM sym)
+      |SELECT vec_id, partner_id, cos, rank
+      |FROM rk WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+
+  private def embNearDupPairs(s: SparkSession, d: String): DataFrame = {
     import graft.retrieval.IvfIndex
     import s.implicits._
     val t = 0.45
@@ -260,7 +302,6 @@ object VectorQueries {
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= t)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Exact all-pairs cosine-threshold sweep via blocked primitive-array
@@ -343,9 +384,7 @@ object VectorQueries {
       }
       res
     }.toDF("id_a", "id_b", "cos")
-    out
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-      .orderBy(col("id_a"), col("id_b"))
+    out.select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
   val qEmbNearDupSql: String =
@@ -1943,6 +1982,7 @@ object VectorQueries {
     "vs_hard_negatives" -> (qHardNegatives _),
     "vs_knn_quant" -> (qKnnQuant _),
     "vs_emb_neardup" -> (qEmbNearDup _),
+    "vs_emb_neardup_topk" -> (qEmbNearDupTopk _),
     "vs_semdedup" -> ((s: SparkSession, d: String) => qSemDedup(s, d)),
     "vs_kmeans" -> ((s: SparkSession, d: String) => qKmeans(s, d)),
     "vs_kcenter" -> (qKcenter _),
@@ -1975,6 +2015,7 @@ object VectorQueries {
     "vs_hard_negatives" -> qHardNegativesSql,
     "vs_knn_quant" -> qKnnBruteSql, // q8 prune + exact re-rank: identical output
     "vs_emb_neardup" -> qEmbNearDupSql,
+    "vs_emb_neardup_topk" -> qEmbNearDupTopkSql,
     "vs_semdedup" -> qSemDedupSql,
     "vs_kmeans" -> qKmeansSql,
     "vs_kcenter" -> qKcenterSql,

@@ -73,6 +73,31 @@ class VectorNearDupSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("top-k report equals the full pair report cut per vector, ≤3 rows each") {
+    // one 10-member tight family: 45 pairs, so the per-vector top-3 cut
+    // genuinely drops partners; plus an isolated vector with none
+    val vecs = (0 until 10).map { k =>
+      val v = new Array[Float](dim)
+      v(0) = 1.0f
+      v(3 + k) = 0.02f + 0.001f * k
+      (k.toLong, v)
+    } :+ { val v = new Array[Float](dim); v(1) = 1.0f; (99L, v) }
+    val d = writeFixture(vecs)
+    val full = VectorQueries.qEmbNearDup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val got = VectorQueries.qEmbNearDupTopk(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val want = full.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+      .groupBy(_._1).toSeq.flatMap { case (v, ps) =>
+        ps.sortBy(p => (-p._3, p._2)).take(3).zipWithIndex
+          .map { case ((_, p, c), i) => (v, p, c, i + 1) }
+      }.sortBy(t => (t._1, t._4))
+    assert(got.toSeq == want.toSeq, s"got ${got.toSeq}\nwant ${want.toSeq}")
+    assert(full.length == 45 && got.length == 10 * 3,
+      "the cut must genuinely drop partners on this corpus")
+    assert(!got.exists(_._1 == 99L), "isolated vector reports no partners")
+  }
+
   test("diffuse data takes the blocked sweep and matches brute force") {
     // deterministic pseudo-random directions: no cluster structure at all,
     // so every cluster radius exceeds the threshold angle and the sample

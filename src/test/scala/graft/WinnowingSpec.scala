@@ -75,6 +75,32 @@ class WinnowingSpec extends SparkSpec {
       "unrelated docs share nothing")
   }
 
+  test("top-k report equals the full pair report cut per doc, bounded at 3/doc") {
+    // many-partner corpus: docs 1..6 all share one run (15 pairs), so
+    // the per-doc top-3 cut genuinely drops partners
+    val shared = "the quick brown fox jumps over the lazy dog again"
+    val docs = (1L to 6L).map { id =>
+      id -> (filler(10 + id, 200 + 17 * id.toInt) + " " + shared + " " +
+        filler(20 + id, 200))
+    } :+ (9L -> filler(99, 600))
+    val dir = writeDocs(docs)
+    val full = DedupQueries.qDedupWinnowing(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val got = DedupQueries.qDedupWinnowingTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+    // driver cut of the full report: symmetrize, sort, take 3
+    val want = full.flatMap { case (a, b, n, o) => Seq((a, b, n, o), (b, a, n, o)) }
+      .groupBy(_._1).toSeq.flatMap { case (doc, ps) =>
+        ps.sortBy(p => (-p._3, -p._4, p._2)).take(3).zipWithIndex
+          .map { case ((_, p, n, o), i) => (doc, p, n, o, i + 1) }
+      }.sortBy(t => (t._1, t._5))
+    assert(got.toSeq == want.toSeq, s"got ${got.toSeq}\nwant ${want.toSeq}")
+    assert(got.groupBy(_._1).values.forall(_.length <= 3), "≤3 rows per doc")
+    assert(full.length == 15 && got.length == 6 * 3,
+      "the cut must genuinely drop partners on this corpus")
+  }
+
   test("guarantee: any two docs sharing a (K+W-1)-char run share a fingerprint") {
     val rnd = new java.util.Random(42)
     for (trial <- 0 until 20) {
