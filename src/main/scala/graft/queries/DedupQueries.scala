@@ -2061,11 +2061,22 @@ object DedupQueries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
-  private def winnowingPairs(s: SparkSession, d: String): DataFrame = {
+  private def winnowingPairs(s: SparkSession, d: String): DataFrame =
+    winnowingReportFrom(winnowingFingerprints(Tables.documents(s, d)))
+
+  /** The selection stage alone: (doc_id, text) → per-doc DISTINCT
+    * selected fingerprint hashes (doc_id, h) — the posting-list relation
+    * the batch report AND the streaming index ([[graft.streaming
+    * .WinnowStream]]) both build on. A document's fingerprints depend
+    * only on its own text, which is what makes the index incrementally
+    * maintainable: corpus-global decisions (the df cull, the overlap
+    * denominators) live in [[winnowingReportFrom]], evaluated over the
+    * accumulated relation at read time. */
+  private[graft] def winnowingFingerprints(docs: DataFrame): DataFrame = {
     val K = WinnowK
     val W = WinnowW
     val B = WinnowPosBound
-    val nrm = Tables.documents(s, d)
+    val nrm = docs
       .select(col("doc_id"),
         regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
       .filter(length(col("t")) >= K && length(col("t")) < B)
@@ -2087,6 +2098,14 @@ object DedupQueries {
       .filter(col("pos") >= least(lit(W), col("ng")))
       .select(col("doc_id"), (col("wmin") / B).cast("long").as("h"))
       .distinct()
+    sel
+  }
+
+  /** The report stage: selected fingerprints (doc_id, h) → df-culled
+    * shared-print pair report — every corpus-global decision (boilerplate
+    * cull, post-cull denominators) in one place so the batch query and
+    * the streaming index's merge-on-read view can never disagree. */
+  private[graft] def winnowingReportFrom(sel: DataFrame): DataFrame = {
     val ok = sel.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= WinnowMaxDf).select(col("h"))
     val fpd = sel.join(ok, "h")

@@ -250,3 +250,84 @@ object MinhashStream {
     a || b || c
   }
 }
+
+/** Streaming winnowing-fingerprint index maintenance — the incremental
+  * twin of [[graft.queries.DedupQueries]]'s dd_winnowing (VERDICT r9
+  * item 5; [[MinhashStream]] is the pattern — winnowing fingerprints
+  * are the same posting-list shape, doc → selected prints).
+  *
+  * Each micro-batch runs the SELECTION stage (the linear-in-chars gram
+  * explode + packed-window min — the expensive half, and a pure
+  * per-document function) exactly once per arriving document and lands
+  * the (doc_id, h) postings as a `batch=<id>` delta: doc_ids never
+  * repeat across batches, so the union of deltas IS the batch
+  * selection relation, and overwrite-by-path makes a redelivered batch
+  * a byte-identical no-op (the [[IndexStream]] ledger discipline).
+  *
+  * The REPORT stays merge-on-read, deliberately: the boilerplate cull
+  * (df ≤ 64) and the post-cull overlap denominators are CORPUS-GLOBAL —
+  * a fingerprint can cross the df cap only after more docs arrive,
+  * retroactively re-scoring earlier pairs — so any eagerly-emitted pair
+  * delta would be wrong the moment the cull shifted (the max_sat-under-
+  * merged-stats lesson from [[IndexStream.compact]]). [[report]] feeds
+  * the accumulated postings through the SAME
+  * `DedupQueries.winnowingReportFrom` kernel the batch query uses, so
+  * stream and batch cannot disagree by construction; the spec pins the
+  * fingerprint-set parity that makes that argument complete. */
+object WinnowStream {
+
+  /** Start maintaining the fingerprint index at `indexDir` from a
+    * streaming (doc_id long, text string) frame. */
+  def start(s: SparkSession, input: DataFrame, indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    input.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeDelta(batch, indexDir, batchId)
+      }
+      .start()
+
+  /** One micro-batch: select the batch's fingerprints, append the
+    * posting delta. Exposed so specs can reproduce a redelivered batch
+    * byte-for-byte. */
+  def writeDelta(batch: DataFrame, indexDir: String, batchId: Long): Unit = {
+    graft.queries.DedupQueries
+      .winnowingFingerprints(batch.select(col("doc_id"), col("text")))
+      .write.mode("overwrite").parquet(s"$indexDir/prints/batch=$batchId")
+    ()
+  }
+
+  private def empty(s: SparkSession): DataFrame =
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, h BIGINT"))
+
+  /** Merge-on-read view of the accumulated selected fingerprints —
+    * row-equal to `winnowingFingerprints` over the accumulated corpus. */
+  def fingerprints(s: SparkSession, indexDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/prints")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return empty(s)
+    val parts = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filter(st => fs.listStatus(st.getPath)
+        .exists(_.getPath.getName.endsWith(".parquet")))
+      .map(_.getPath.toString)
+    if (parts.isEmpty) empty(s)
+    else s.read.parquet(parts: _*).select(col("doc_id"), col("h"))
+  }
+
+  /** The MOSS pair report over the accumulated index — the batch
+    * query's (doc_a, doc_b, n_shared, overlap) contract, through the
+    * shared report kernel (cull + denominators evaluated over the FULL
+    * accumulated relation, see the object scaladoc). */
+  def report(s: SparkSession, indexDir: String): DataFrame =
+    graft.queries.DedupQueries.winnowingReportFrom(fingerprints(s, indexDir))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Small-file hygiene ([[MinhashStream.compact]] contract). */
+  def compact(s: SparkSession, indexDir: String, upTo: Long,
+      targetBytes: Long = 128L << 20): Boolean =
+    graft.operators.Compaction.foldBatchDirs(
+      s, s"$indexDir/prints", upTo, targetBytes)
+}

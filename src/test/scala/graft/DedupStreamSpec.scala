@@ -248,4 +248,89 @@ class DedupStreamSpec extends SparkSpec {
       assert(stream == batch, s"seed $seed: stream $stream != batch $batch")
     }
   }
+
+  test("winnow stream: accumulated fingerprints and report equal batch on appended corpus") {
+    import graft.streaming.WinnowStream
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("wn-stream").toString
+    val docs = graft.queries.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    (0 until 3).foreach { b =>
+      WinnowStream.writeDelta(
+        docs.filter(col("doc_id") % 3 === b), s"$dir/idx", b.toLong)
+    }
+    // the VERDICT done-criterion: stream ≡ batch FINGERPRINTS on an
+    // appended corpus — selection is per-document, so the union of
+    // batch deltas must be row-equal to the one-shot batch selection
+    val streamFp = WinnowStream.fingerprints(spark, s"$dir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchFp = graft.queries.DedupQueries
+      .winnowingFingerprints(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamFp.nonEmpty && streamFp == batchFp,
+      "accumulated fingerprint postings must equal the batch selection")
+    // and the merge-on-read report (global cull + denominators applied
+    // over the accumulated relation) equals dd_winnowing verbatim
+    val streamRep = WinnowStream.report(spark, s"$dir/idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val batchRep = graft.queries.DedupQueries.qDedupWinnowing(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(streamRep.nonEmpty && streamRep == batchRep,
+      "merge-on-read report must equal the batch pair report")
+  }
+
+  test("winnow stream: redelivered batch is a no-op; compaction preserves the report") {
+    import graft.streaming.WinnowStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wn-replay").toString
+    val shared = "the quick brown fox jumps over the lazy dog again tonight"
+    def fill(seed: Long) = TestHash.filler(seed, 300)
+    val docs1 = Seq((1L, fill(1) + " " + shared + " " + fill(2)),
+      (2L, fill(3))).toDF("doc_id", "text")
+    val docs2 = Seq((3L, fill(4) + " " + shared + " " + fill(5))).toDF("doc_id", "text")
+    WinnowStream.writeDelta(docs1, s"$dir/idx", 0L)
+    WinnowStream.writeDelta(docs2, s"$dir/idx", 1L)
+    val first = WinnowStream.report(spark, s"$dir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(first == Set((1L, 3L)), s"shared-run pair must surface: $first")
+    // crash-replay of batch 1: overwrite-by-path → byte-identical no-op
+    WinnowStream.writeDelta(docs2, s"$dir/idx", 1L)
+    val second = WinnowStream.report(spark, s"$dir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(second == first, s"replay changed the index: $second")
+    // fold, then a post-fold batch still pairs against the folded state
+    assert(WinnowStream.compact(spark, s"$dir/idx", upTo = 2L))
+    val postFold = WinnowStream.report(spark, s"$dir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(postFold == first, s"fold changed the report: $postFold")
+    WinnowStream.writeDelta(
+      Seq((4L, fill(6) + " " + shared + " " + fill(7))).toDF("doc_id", "text"),
+      s"$dir/idx", 2L)
+    val afterNew = WinnowStream.report(spark, s"$dir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterNew == Set((1L, 3L), (1L, 4L), (3L, 4L)),
+      s"post-fold arrival must pair with folded docs: $afterNew")
+  }
+
+  test("winnow stream: live foreachBatch run through start()") {
+    import graft.streaming.WinnowStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wn-live").toString
+    val shared = "the quick brown fox jumps over the lazy dog again tonight"
+    def fill(seed: Long) = TestHash.filler(seed, 300)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = WinnowStream.start(spark,
+      input.toDF().toDF("doc_id", "text"), s"$dir/idx", s"$dir/ckpt")
+    try {
+      input.addData((1L, fill(1) + " " + shared), (2L, fill(3)))
+      q.processAllAvailable()
+      input.addData((3L, fill(4) + " " + shared))
+      q.processAllAvailable()
+      val got = WinnowStream.report(spark, s"$dir/idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 3L)), s"live run must index both batches: $got")
+    } finally q.stop()
+  }
 }
