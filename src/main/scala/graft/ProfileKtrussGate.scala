@@ -1,0 +1,112 @@
+package graft
+
+import graft.queries.DedupQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool (VERDICT r9 item 4): exercise the k-truss broadcast gate
+  * ORGANICALLY — a synthetic graph big enough that round 1 genuinely
+  * crosses KtrussBroadcastAdjacencyCap (1e8 adjacency entries = 5e7
+  * edges) at the DEFAULT cap, peels, and later rounds drop back onto
+  * the broadcast plan. Three layers with analytically-known fates:
+  *
+  *  - sparse random layer (~53.5 M edges over a 2e8-node space):
+  *    expected triangles per edge ≈ 3e-9, so support 0 — all die in
+  *    round 1. This is what pushes round 1 over the cap.
+  *  - triangle strips (KcoreSpec's cascade fixture, disjoint): side
+  *    edges have support 1 (die round 1), the middle edge support 2
+  *    (survives round 1, starves in round 2) — proves the peel keeps
+  *    cascading correctly across the gate's plan switch.
+  *  - disjoint 4-cliques: every edge support 2 forever — the survivor
+  *    set, known in closed form (6 edges per clique at support 2).
+  *
+  * Mode `pin` additionally value-pins the mid-peel plan SWITCH at a
+  * gateable size: the same generator shrunk ~100×, run once with a cap
+  * chosen so round 1 shuffles and round 2+ broadcast, once all-
+  * broadcast (cap = MaxValue) — fingerprints must match (the KcoreSpec
+  * equality pin, but with the gate firing organically mid-peel rather
+  * than forced off for the whole run). */
+object ProfileKtrussGate {
+
+  private def genGraph(s: SparkSession, nSparse: Long, nStrips: Long,
+      nCliques: Long): DataFrame = {
+    val nodeSpace = 200000000L
+    val sparse = s.range(nSparse)
+      .select(
+        pmod(xxhash64(col("id")), lit(nodeSpace)).as("x"),
+        pmod(xxhash64(col("id") + lit(nSparse)), lit(nodeSpace)).as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+    val strips = s.range(nStrips)
+      .select((lit(300000000L) + col("id") * 4).as("n0"))
+      .select(explode(array(
+        struct(col("n0").as("a"), (col("n0") + 1).as("b")),
+        struct((col("n0") + 1).as("a"), (col("n0") + 2).as("b")),
+        struct(col("n0").as("a"), (col("n0") + 2).as("b")),
+        struct((col("n0") + 1).as("a"), (col("n0") + 3).as("b")),
+        struct((col("n0") + 2).as("a"), (col("n0") + 3).as("b")))).as("e"))
+      .select(col("e.a"), col("e.b"))
+    val cliques = s.range(nCliques)
+      .select((lit(400000000L) + col("id") * 4).as("n0"))
+      .select(explode(array(
+        struct(col("n0").as("a"), (col("n0") + 1).as("b")),
+        struct(col("n0").as("a"), (col("n0") + 2).as("b")),
+        struct(col("n0").as("a"), (col("n0") + 3).as("b")),
+        struct((col("n0") + 1).as("a"), (col("n0") + 2).as("b")),
+        struct((col("n0") + 1).as("a"), (col("n0") + 3).as("b")),
+        struct((col("n0") + 2).as("a"), (col("n0") + 3).as("b")))).as("e"))
+      .select(col("e.a"), col("e.b"))
+    sparse.unionByName(strips).unionByName(cliques)
+  }
+
+  private def run(label: String, pairs: DataFrame, cap: Long,
+      nCliques: Long): (Long, Long) = {
+    val t0 = System.nanoTime()
+    val df = DedupQueries.ktrussEdges(pairs, 4, 8,
+      maxBroadcastAdjacency = cap,
+      onRound = (r, n, bc) =>
+        println(s"[ktruss-gate] $label round=$r edges=$n " +
+          s"plan=${if (bc) "broadcast" else "merge-fallback"}"))
+    val agg = df.agg(count(lit(1)),
+      expr("coalesce(bit_xor(xxhash64(doc_a, doc_b, support)), 0L)"),
+      min(col("support")), max(col("support")), min(col("doc_a")))
+      .collect()(0)
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"[ktruss-gate] $label wall=$wall%.1fs survivors=${agg.getLong(0)} " +
+      s"fp=${agg.getLong(1)} support=[${agg.getLong(2)},${agg.getLong(3)}] " +
+      s"minId=${if (agg.isNullAt(4)) "-" else agg.getLong(4).toString}")
+    val expect = 6L * nCliques
+    println(s"[ktruss-gate] $label analytic check: survivors==" +
+      s"$expect clique edges at support 2: " +
+      s"${agg.getLong(0) == expect && agg.getLong(2) == 2 && agg.getLong(3) == 2 &&
+        (agg.isNullAt(4) || agg.getLong(4) >= 400000000L)}")
+    (agg.getLong(0), agg.getLong(1))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = if (args.nonEmpty) args(0) else "all"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (mode == "all" || mode == "pin") {
+      // value pin at a gateable size: gate fires round 1, drops back
+      // round 2; all-broadcast twin must fingerprint-match
+      val pairs = genGraph(spark, 500000L, 2000L, 200L).localCheckpoint()
+      val gated = run("pin-gated(cap=4e5)", pairs, 400000L, 200L)
+      val bcast = run("pin-broadcast(cap=max)", pairs, Long.MaxValue, 200L)
+      println(s"[ktruss-gate] pin equal=${gated == bcast}")
+    }
+    if (mode == "all" || mode == "big") {
+      // the organic crossing: round 1 over the DEFAULT 1e8-entry cap
+      val pairs = genGraph(spark, 53500000L, 100000L, 10000L).localCheckpoint()
+      run("big(default cap)", pairs,
+        DedupQueries.KtrussBroadcastAdjacencyCap, 10000L)
+    }
+    spark.stop()
+  }
+}

@@ -1645,7 +1645,8 @@ object DedupQueries {
     * endpoints — more exchanges, no driver-memory cliff), value-
     * identical to the broadcast path (KcoreSpec pins equality). */
   private[graft] def ktrussEdges(pairs: DataFrame, k: Int, rounds: Int,
-      maxBroadcastAdjacency: Long = KtrussBroadcastAdjacencyCap)
+      maxBroadcastAdjacency: Long = KtrussBroadcastAdjacencyCap,
+      onRound: (Int, Long, Boolean) => Unit = (_, _, _) => ())
       : DataFrame = {
     // Full support = |N(a) ∩ N(b)| per edge — run ONCE, for round 1.
     // The support relation NEVER materializes the triangle expansion
@@ -1708,6 +1709,9 @@ object DedupQueries {
     // boundary, so the last frame IS the output (no final recompute).
     val base = pairs.select(col("a"), col("b")).distinct().localCheckpoint()
     var curN = base.count()
+    // round 0 = the one full support pass; the observer sees each
+    // round's edge count and whether the gate kept the broadcast plan
+    onRound(0, curN, 2L * curN <= maxBroadcastAdjacency)
     var edges = supportOf(base, curN).localCheckpoint()
     val emptyArr = array().cast("array<bigint>")
     var i = 0
@@ -1719,6 +1723,7 @@ object DedupQueries {
       else {
         val fitsAdj = 2L * curN <= maxBroadcastAdjacency
         val fitsRem = 2L * nRem <= maxBroadcastAdjacency
+        onRound(i + 1, curN, fitsAdj)
         // adjacency of the graph the stored support was measured on —
         // survivors AND this round's casualties both contribute N(·)
         val adj = edges.select(col("a").as("v"), col("b").as("n"))
