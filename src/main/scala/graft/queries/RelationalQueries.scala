@@ -556,7 +556,211 @@ object RelationalQueries {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  /** TPC-H Q8 (national market share): one supplier nation's share of a
+    * region's revenue in one part type, per year — the deepest
+    * broadcast-dim chain in the suite (part, customer, both nation
+    * roles, region all broadcast; the two facts join on orderkey once).
+    * Shares are conditional-sum ratios rounded at 4 dp. */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val amNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") <= lit("1997-12-31").cast("timestamp"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(amNations), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_6", rev)
+          .otherwise(lit(0.0))) / sum(rev), 4).as("mkt_share"),
+        round(sum(rev), 2).as("total_revenue"))
+      .orderBy(col("o_year"))
+  }
+
+  val q8Sql: String =
+    """SELECT year(o_orderdate)::INT AS o_year,
+      |  round(sum(CASE WHEN sn.n_name = 'NATION_6'
+      |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+      |    / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |JOIN region ON cn.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <= TIMESTAMP '1997-12-31'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q15 (top supplier): quarterly revenue per supplier, return
+    * every supplier AT the maximum — the 1-row broadcast max joined back
+    * on the ROUNDED revenue (both engines compare identical 2 dp values,
+    * so the tie set is deterministic — the textbook view+equality shape
+    * without a second fact scan). */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    // the revenue "view" is suppliers-bounded — materialize it once so
+    // the max probe and the equality filter share ONE fact scan (AQE
+    // does not reuse the aggregation exchange across the two consumers;
+    // measured: without this the lineitem scan runs twice)
+    val revenue = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("total_revenue"))
+      .localCheckpoint()
+    val mx = revenue.agg(max(col("total_revenue")).as("mr"))
+    revenue.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("mr"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey,
+      |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q17-style small-quantity revenue: average yearly revenue lost
+    * if small-quantity orders (below 20% of the part's average) moved to
+    * scheduled deliveries, for one brand. The textbook p_container
+    * predicate is dropped — the trimmed part table has no container
+    * column (documented divergence, the q13/q22 class). The per-part
+    * threshold is a parts-bounded aggregate joined back broadcast; the
+    * corpus spans 7 order years (1995–2001), hence the /7. */
+  def q17SmallQuantity(s: SparkSession, d: String): DataFrame = {
+    val brandLi = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#12")
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val thr = brandLi.groupBy(col("l_partkey"))
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_thr"))
+    brandLi.join(broadcast(thr), "l_partkey")
+      .filter(col("l_quantity") < col("qty_thr"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    """WITH b AS (
+      |  SELECT l_partkey, l_quantity, l_extendedprice
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#12'),
+      |t AS (
+      |  SELECT l_partkey, 0.2::DOUBLE * avg(l_quantity) AS qty_thr
+      |  FROM b GROUP BY 1)
+      |SELECT round(sum(l_extendedprice) / 7.0::DOUBLE, 2) AS avg_yearly
+      |FROM b JOIN t USING (l_partkey)
+      |WHERE l_quantity < qty_thr""".stripMargin
+
+  /** TPC-H Q18 (large-volume customers): orders whose total quantity
+    * exceeds 250 (the synthetic per-order p99 is ~262, so the set is
+    * real at every SF), with their customers — the
+    * aggregate-then-semi-join-the-fact shape: the HAVING relation is
+    * orders-bounded and joins back broadcast, the facts shuffle on
+    * orderkey once; top-100 is TakeOrderedAndProject. */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .filter(col("sum_qty") > 250.0)
+    big
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        round(col("o_totalprice"), 2).as("totalprice"), col("sum_qty"))
+      .orderBy(col("totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18Sql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+      |  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 250.0)
+      |SELECT c_custkey, c_name, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  round(o_totalprice, 2) AS totalprice, sum_qty
+      |FROM big JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** TPC-H Q19-style disjunctive discounted revenue: an OR of three
+    * (brand, size-band, quantity-band) conjunctions — the shape that
+    * exercises disjunction pushdown (each disjunct's part predicate
+    * prunes the broadcast dim; the common l_partkey join key is what
+    * keeps the fact scan single-pass). The textbook shipmode/container
+    * legs are dropped — neither column exists in the trimmed tables
+    * (documented divergence); brands/bands chosen non-vacuous per
+    * disjunct at every SF (probed, the ev_km lesson). */
+  def q19DiscountedRevenue(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .filter(col("p_brand").isin("Brand#13", "Brand#15", "Brand#25"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    Tables.lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#15" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#25" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q19Sql: String =
+    """SELECT p_brand, count(*)::BIGINT AS n_items,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_market_share" -> (q8MarketShare _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q17_small_quantity" -> (q17SmallQuantity _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q19_discounted_revenue" -> (q19DiscountedRevenue _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q13_order_distribution" -> (q13OrderDistribution _),
     "q22_sales_opportunity" -> (q22SalesOpportunity _),
@@ -581,6 +785,11 @@ object RelationalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q8_market_share" -> q8Sql,
+    "q15_top_supplier" -> q15Sql,
+    "q17_small_quantity" -> q17Sql,
+    "q18_large_orders" -> q18Sql,
+    "q19_discounted_revenue" -> q19Sql,
     "q10_returned_items" -> q10Sql,
     "q13_order_distribution" -> q13Sql,
     "q22_sales_opportunity" -> q22Sql,

@@ -71,6 +71,55 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "no unbroadcast cross join")
   }
 
+  test("q8: all six dimension roles broadcast; only the fact-fact join shuffles") {
+    val p = plan(graft.queries.RelationalQueries.q8MarketShare(spark, sf))
+    assert(count(p, "BroadcastHashJoin") >= 5,
+      "part/customer/nation(x2)/region/supplier must all broadcast")
+    assert(count(p, "SortMergeJoin|ShuffledHashJoin") <= 1,
+      "only lineitem-orders may shuffle")
+    assert(p.contains("PushedFilters:") && p.contains("o_orderdate"),
+      "the two-year window should reach the orders scan")
+  }
+
+  test("q15: the max is a 1-row broadcast over the aggregated view; no re-scan") {
+    val p = plan(graft.queries.RelationalQueries.q15TopSupplier(spark, sf))
+    assert(count(p, "BroadcastNestedLoopJoin|BroadcastHashJoin") >= 2,
+      "the scalar max and the supplier dim both join via broadcast")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross join")
+    // the materialized revenue view hides the fact scan behind the
+    // checkpoint: the final plan must carry NO lineitem scan at all
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    assert(count(finalPlan, "lineitem\\.parquet") == 0,
+      s"the quarterly revenue view must not re-scan the fact:\n$p")
+  }
+
+  test("q17: per-part threshold joins back broadcast; brand filter prunes the dim") {
+    val p = plan(graft.queries.RelationalQueries.q17SmallQuantity(spark, sf))
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      "brand parts and the threshold relation both broadcast")
+    assert(p.contains("PushedFilters:") && p.contains("p_brand"),
+      "the brand filter should reach the part scan")
+  }
+
+  test("q18: the HAVING relation drives the join; top-100 is TakeOrdered") {
+    val p = plan(graft.queries.RelationalQueries.q18LargeOrders(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must not global-sort")
+    assert(count(p, "BroadcastHashJoin") >= 1, "customer must broadcast")
+  }
+
+  test("q19: the disjunction keeps one fact scan and an equi-join on partkey") {
+    val p = plan(graft.queries.RelationalQueries.q19DiscountedRevenue(spark, sf))
+    // AQE prints Final + Initial sections — count scans in the final only
+    assert(count(p.split("== Initial Plan ==")(0), "lineitem\\.parquet") == 1,
+      "one lineitem scan only")
+    assert(count(p, "BroadcastHashJoin") >= 1, "pruned parts broadcast")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the OR-of-ANDs must not degrade the join to nested-loop")
+    assert(p.contains("PushedFilters:") && p.contains("p_brand"),
+      "the brand IN-list should reach the part scan")
+  }
+
   test("q14: the part dimension broadcasts; the fact side never reshuffles") {
     val p = plan(graft.queries.RelationalQueries.q14PromoShare(spark, sf))
     assert(count(p, "BroadcastHashJoin") >= 1, "part must broadcast")
