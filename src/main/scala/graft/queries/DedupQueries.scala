@@ -2017,7 +2017,7 @@ object DedupQueries {
   /** Fingerprints shared by more than this many docs are boilerplate
     * (the MOSS "too common" cull) and are dropped before pairing, which
     * bounds the posting fan-out exactly like the LSH band joins. */
-  private val WinnowMaxDf = 64
+  private[graft] val WinnowMaxDf = 64
 
   /** Winnowing document fingerprints → shared-fingerprint pair report
     * (Schleimer et al. 2003): per doc, hash every [[WinnowK]]-char gram

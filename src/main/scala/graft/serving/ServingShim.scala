@@ -51,6 +51,7 @@ class ServingShim(
     search: Option[(String, Int) => Seq[ServingShim.SearchHit]] = None,
     page: Option[(String, Int) => ServingShim.SearchPage] = None,
     neardup: Option[String => Seq[(Long, Double)]] = None,
+    fingerprintMatch: Option[String => Seq[(Long, Long, Double)]] = None,
     vsearch: Option[(Either[String, Array[Float]], Int) => Seq[(Long, Double)]] = None,
     audiomatch: Option[Array[Byte] => Seq[(Long, Long)]] = None) {
 
@@ -168,6 +169,39 @@ class ServingShim(
           respond(ex, 404, """{"error": "neardup not configured"}""", "application/json")
         case _ =>
           respond(ex, 405, """{"error": "method not allowed"}""", "application/json")
+      }
+    }
+  })
+
+  // POST /fingerprint {"text": ...} — MOSS-style match check against
+  // the streaming winnowing index (WinnowStream.probeText wired in by
+  // the deployment): which stored docs share verbatim runs with this
+  // one, and how much of it is already covered? The /neardup companion
+  // for ORDERED overlap (winnowing guarantees any ≥ K+W−1-char shared
+  // run is caught; MinHash-Jaccard is bag-of-shingles). Absent → 404.
+  server.createContext("/fingerprint", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = guard(ex) {
+      (ex.getRequestMethod, fingerprintMatch) match {
+        case ("POST", Some(fn)) =>
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          ServingShim.jsonString(body, "text").filter(_.trim.nonEmpty) match {
+            case None =>
+              respond(ex, 400, """{"error": "missing text"}""", "application/json")
+            case Some(text) =>
+              val hits = fn(text)
+              val hitsJson = hits.map { case (id, n, o) =>
+                s"""{"doc_id": $id, "n_shared": $n, "overlap": ${ServingShim.jsonNum(o)}}"""
+              }.mkString("[", ", ", "]")
+              respond(ex, 200,
+                s"""{"match": ${hits.nonEmpty}, "hits": $hitsJson}""",
+                "application/json")
+          }
+        case ("POST", None) =>
+          respond(ex, 404, """{"error": "fingerprint not configured"}""",
+            "application/json")
+        case _ =>
+          respond(ex, 405, """{"error": "method not allowed"}""",
+            "application/json")
       }
     }
   })

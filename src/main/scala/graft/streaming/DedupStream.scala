@@ -325,6 +325,64 @@ object WinnowStream {
     graft.queries.DedupQueries.winnowingReportFrom(fingerprints(s, indexDir))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Admission-check probe for ONE candidate document against the
+    * accumulated fingerprint index — the serving-path twin of
+    * [[MinhashStream.probeText]] (wired behind `POST /fingerprint` on
+    * the shim). The text runs the same selection kernel; its prints
+    * equi-join the stored postings (collision-bounded, never a corpus
+    * text scan); store-wide df for exactly the probe's prints falls out
+    * of that join, so the boilerplate cull applies without touching any
+    * other posting list. Returns (doc_id, n_shared, overlap) for docs
+    * sharing ≥ `minShared` comparable prints, best first — overlap here
+    * is CONTAINMENT OF THE PROBE (n_shared / the probe's comparable
+    * print count): the admission question is "how much of the NEW doc
+    * is already covered", unlike the batch report's symmetric
+    * min-denominator (documented divergence by design). Retries across
+    * a concurrent [[compact]] like the MinHash probe. */
+  def probeText(s: SparkSession, indexDir: String, text: String,
+      minShared: Long = 2L): Seq[(Long, Long, Double)] = {
+    def fileGone(e: Throwable): Boolean =
+      e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
+        fileGone(e.getCause))
+    var attempt = 0
+    while (true) {
+      try return probeTextOnce(s, indexDir, text, minShared)
+      catch {
+        case e: Throwable if fileGone(e) && attempt < 3 => attempt += 1
+      }
+    }
+    Nil // unreachable
+  }
+
+  private def probeTextOnce(s: SparkSession, indexDir: String, text: String,
+      minShared: Long): Seq[(Long, Long, Double)] = {
+    import s.implicits._
+    val cap = graft.queries.DedupQueries.WinnowMaxDf
+    val probe = graft.queries.DedupQueries
+      .winnowingFingerprints(Seq((0L, text)).toDF("doc_id", "text"))
+      .select(col("h")).localCheckpoint()
+    val nProbe = probe.count()
+    if (nProbe == 0) return Nil
+    val matched = fingerprints(s, indexDir)
+      .join(broadcast(probe), "h")
+      .localCheckpoint() // collision-bounded; reused by df + rollup
+    // store-wide df, computed ONLY for the probe's prints
+    val dfs = matched.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val nBoiler = dfs.filter(col("df") > cap).count()
+    val denom = nProbe - nBoiler // unmatched prints are comparable too
+    if (denom <= 0) return Nil
+    matched
+      .join(broadcast(dfs.filter(col("df") <= cap).select(col("h"))), "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .withColumn("overlap",
+        round(col("n_shared").cast("double") / denom.toDouble, 4))
+      .orderBy(col("overlap").desc, col("n_shared").desc, col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+  }
+
   /** Small-file hygiene ([[MinhashStream.compact]] contract). */
   def compact(s: SparkSession, indexDir: String, upTo: Long,
       targetBytes: Long = 128L << 20): Boolean =

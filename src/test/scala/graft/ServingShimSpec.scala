@@ -305,6 +305,42 @@ class ServingShimSpec extends SparkSpec {
     }
   }
 
+  test("POST /fingerprint: MOSS match check against the streaming winnowing index") {
+    import graft.streaming.WinnowStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shim-winnow").toString
+    val run = "the quick brown fox jumps over the lazy dog again tonight"
+    val admitted = TestHash.filler(1, 300) + " " + run + " " + TestHash.filler(2, 300)
+    WinnowStream.writeDelta(
+      Seq((7L, admitted), (8L, TestHash.filler(3, 400))).toDF("doc_id", "text"),
+      s"$dir/idx", 0L)
+    val shim = new ServingShim(() => healthyStatus, runner,
+      fingerprintMatch = Some(t => WinnowStream.probeText(spark, s"$dir/idx", t)))
+    val port = shim.start()
+    val c = HttpClient.newHttpClient()
+    try {
+      // a doc sharing the 58-char run → matched (guarantee: ≥ K+W−1)
+      val probe = TestHash.filler(9, 250) + " " + run + " " + TestHash.filler(10, 250)
+      val hit = post(c, port, "/fingerprint",
+        s"""{"text": ${ServingShim.quote(probe)}}""")
+      assert(hit.statusCode() == 200)
+      assert(hit.body().contains(""""match": true"""), hit.body())
+      assert(hit.body().contains(""""doc_id": 7"""), hit.body())
+      assert(!hit.body().contains(""""doc_id": 8"""), hit.body())
+      // novel text → no match
+      val novel = post(c, port, "/fingerprint",
+        s"""{"text": ${ServingShim.quote(TestHash.filler(20, 400))}}""")
+      assert(novel.statusCode() == 200)
+      assert(novel.body().contains(""""match": false"""), novel.body())
+      // edges: missing text → 400; GET → 405
+      assert(post(c, port, "/fingerprint", """{"nope": 1}""").statusCode() == 400)
+      assert(get(c, port, "/fingerprint").statusCode() == 405)
+    } finally { shim.stop(); () }
+    withShim() { (p2, c2) =>
+      assert(post(c2, p2, "/fingerprint", """{"text": "x"}""").statusCode() == 404)
+    }
+  }
+
   test("POST /vsearch: dense retrieval against the streamed IVF store") {
     import graft.retrieval.IvfIndex
     import graft.streaming.EmbedStream
