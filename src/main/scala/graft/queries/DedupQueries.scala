@@ -1831,15 +1831,42 @@ object DedupQueries {
       reps.select(col("doc_id"), simhash(tokens(col("text"))).as("sig")))
       .groupBy(col("doc_b").as("doc_id"))
       .agg(min(col("doc_a")).as("anchor_id"))
-    val verified = anchors
+    val paired = anchors
       .join(reps.select(col("doc_id"), col("nt").as("tb")), "doc_id")
       .join(reps.select(col("doc_id").as("anchor_id"), col("nt").as("ta")),
         "anchor_id")
-      .select(col("doc_id"), col("anchor_id"),
-        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+      .select(col("doc_id"), col("anchor_id"), col("ta"), col("tb"),
         greatest(length(col("ta")), length(col("tb"))).as("ml"))
+      // materialized once: SIX band branches read it — without this each
+      // filter re-runs the anchor joins (measured: the sf1 DP saving
+      // vanished into 6× join recomputation)
+      .localCheckpoint()
+    // Banded-DP bound: a pair passes only when dist ≤ (1−t)·ml, so the
+    // DP never needs cells beyond that diagonal band. Spark's bounded
+    // levenshtein takes a LITERAL threshold — pairs split into
+    // power-of-two length bands, each with bound (1−t)·bandMax ≥ the
+    // pair's true cutoff (exact distances for every survivor; −1 means
+    // dist > bound ≥ cutoff, provably a non-survivor). Cost per pair
+    // drops from ml² to ~2·(1−t)·bandMax·ml ≈ 0.4·ml² worst-in-band
+    // (A/B in PERF.md r10); the giant-doc tail falls back to the
+    // unbounded kernel.
+    val bandEdges = Seq(0, 160, 320, 640, 1280, 2560)
+    val banded = bandEdges.sliding(2).map { case Seq(lo, hi) =>
+      paired.filter(col("ml") > lo && col("ml") <= hi)
+        .withColumn("edit_dist",
+          levenshtein(col("ta"), col("tb"),
+            math.ceil((1.0 - EditSimThreshold) * hi).toInt).cast("long"))
+    }.reduce(_ unionByName _)
+      .unionByName(paired.filter(col("ml") > bandEdges.last)
+        .withColumn("edit_dist",
+          levenshtein(col("ta"), col("tb")).cast("long")))
+      .unionByName(paired.filter(col("ml") === 0)
+        .withColumn("edit_dist", lit(0L)))
+    val verified = banded
+      .select(col("doc_id"), col("anchor_id"), col("edit_dist"), col("ml"))
       .localCheckpoint()
     verified
+      .filter(col("edit_dist") >= 0) // −1 = over-bound, never a survivor
       .withColumn("edit_sim",
         when(col("ml") === 0, lit(1.0))
           .otherwise(round(lit(1.0) -
@@ -2066,8 +2093,16 @@ object DedupQueries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Selected fingerprints per sf-dir, materialized once (the
+    * [[pairGraph]] ingest-once/query-many contract): the gram explode +
+    * window selection is the linear-in-chars half, and both the full
+    * pair report and the top-k twin consume the identical relation. */
+  private val winnowFpCache = Caches.register(
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+
   private def winnowingPairs(s: SparkSession, d: String): DataFrame =
-    winnowingReportFrom(winnowingFingerprints(Tables.documents(s, d)))
+    winnowingReportFrom(winnowFpCache.getOrElseUpdate(d,
+      winnowingFingerprints(Tables.documents(s, d)).persist()))
 
   /** The selection stage alone: (doc_id, text) → per-doc DISTINCT
     * selected fingerprint hashes (doc_id, h) — the posting-list relation
