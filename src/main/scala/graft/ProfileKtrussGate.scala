@@ -73,14 +73,18 @@ object ProfileKtrussGate {
       min(col("support")), max(col("support")), min(col("doc_a")))
       .collect()(0)
     val wall = (System.nanoTime() - t0) / 1e9
+    def optL(i: Int): Option[Long] =
+      if (agg.isNullAt(i)) None else Some(agg.getLong(i))
     println(f"[ktruss-gate] $label wall=$wall%.1fs survivors=${agg.getLong(0)} " +
-      s"fp=${agg.getLong(1)} support=[${agg.getLong(2)},${agg.getLong(3)}] " +
-      s"minId=${if (agg.isNullAt(4)) "-" else agg.getLong(4).toString}")
+      s"fp=${agg.getLong(1)} support=[${optL(2).getOrElse("-")}," +
+      s"${optL(3).getOrElse("-")}] minId=${optL(4).getOrElse("-")}")
     val expect = 6L * nCliques
+    val ok =
+      if (expect == 0) agg.getLong(0) == 0
+      else agg.getLong(0) == expect && optL(2).contains(2L) &&
+        optL(3).contains(2L) && optL(4).forall(_ >= 400000000L)
     println(s"[ktruss-gate] $label analytic check: survivors==" +
-      s"$expect clique edges at support 2: " +
-      s"${agg.getLong(0) == expect && agg.getLong(2) == 2 && agg.getLong(3) == 2 &&
-        (agg.isNullAt(4) || agg.getLong(4) >= 400000000L)}")
+      s"$expect clique edges at support 2: $ok")
     (agg.getLong(0), agg.getLong(1))
   }
 

@@ -6,6 +6,28 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
+/** The NULL-element contract shared by [[CosineSimilarity]] and
+  * [[DotProduct]] — ONE definition so the two kernels' null semantics
+  * can never desync: a null element yields a null result (DuckDB's
+  * list_inner_product / list_cosine_similarity contract), checked only
+  * when the static type admits null elements so non-nullable embedding
+  * scans keep the branch-free loop. */
+private[functions] object FloatArrayKernels {
+  def mayHaveNullElems(left: Expression, right: Expression): Boolean =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
+      case _ => true
+    }
+
+  /** Codegen fragment for the per-element guard ("" when statically
+    * null-free); `isNull` is the enclosing ev.isNull variable. */
+  def nullElemGuard(enabled: Boolean, x: String, y: String, i: String,
+      isNull: String): String =
+    if (enabled)
+      s"if ($x.isNullAt($i) || $y.isNullAt($i)) { $isNull = true; break; }"
+    else ""
+}
+
 /** Native Catalyst expression: cosine similarity between two fixed-width
   * float/double vectors stored as `ArrayType` columns.
   *
@@ -34,10 +56,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     case _ => FloatType
   }
 
-  private def mayHaveNullElems: Boolean = (left.dataType, right.dataType) match {
-    case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
-    case _ => true
-  }
+  private def mayHaveNullElems: Boolean =
+    FloatArrayKernels.mayHaveNullElems(left, right)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     (left.dataType, right.dataType) match {
@@ -90,10 +110,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
-      val nullElemGuard =
-        if (mayHaveNullElems)
-          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
-        else ""
+      val nullElemGuard = FloatArrayKernels.nullElemGuard(
+        mayHaveNullElems, x, y, i, ev.isNull.toString)
       s"""
          |final int $n = $x.numElements();
          |if ($n == 0 || $n != $y.numElements()) {
@@ -139,10 +157,8 @@ case class DotProduct(left: Expression, right: Expression)
     case _ => NullType
   }
 
-  private def mayHaveNullElems: Boolean = (left.dataType, right.dataType) match {
-    case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
-    case _ => true
-  }
+  private def mayHaveNullElems: Boolean =
+    FloatArrayKernels.mayHaveNullElems(left, right)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     (left.dataType, right.dataType) match {
@@ -187,10 +203,8 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
-      val nullElemGuard =
-        if (mayHaveNullElems)
-          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
-        else ""
+      val nullElemGuard = FloatArrayKernels.nullElemGuard(
+        mayHaveNullElems, x, y, i, ev.isNull.toString)
       s"""
          |final int $n = $x.numElements();
          |if ($n == 0 || $n != $y.numElements()) {

@@ -2080,7 +2080,10 @@ object DedupQueries {
     * corpus size. Ranks are decided on integers and the 4dp-rounded
     * overlap, so both engines cut identically. */
   def qDedupWinnowingTopk(s: SparkSession, d: String): DataFrame = {
-    val p = winnowingPairs(s, d)
+    // materialized once: the two symmetrize branches would otherwise
+    // re-run the fingerprint self-join + pair aggregation (only the
+    // SELECTION is cached) — the q15/edit-distance double-scan class
+    val p = winnowingPairs(s, d).localCheckpoint()
     val sym = p.select(col("doc_a").as("doc_id"),
         col("doc_b").as("partner_id"), col("n_shared"), col("overlap"))
       .unionByName(p.select(col("doc_b").as("doc_id"),

@@ -658,10 +658,14 @@ object RelationalQueries {
     * threshold is a parts-bounded aggregate joined back broadcast; the
     * corpus spans 7 order years (1995–2001), hence the /7. */
   def q17SmallQuantity(s: SparkSession, d: String): DataFrame = {
+    // materialized once: the brand slice is tiny (1/25 of lineitem) and
+    // feeds both the threshold aggregate and the probe side — without
+    // this the fact scans twice (the q15 lesson)
     val brandLi = Tables.lineitem(s, d)
       .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#12")
         .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .localCheckpoint()
     val thr = brandLi.groupBy(col("l_partkey"))
       .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_thr"))
     brandLi.join(broadcast(thr), "l_partkey")

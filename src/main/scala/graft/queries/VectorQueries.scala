@@ -160,7 +160,9 @@ object VectorQueries {
     * (rounded cosine desc, partner id) — a pre-shuffle WindowGroupLimit
     * cut, so the output is ≤ 3·n rows at ANY corpus size. */
   def qEmbNearDupTopk(s: SparkSession, d: String): DataFrame = {
-    val p = embNearDupPairs(s, d)
+    // materialized once: the two symmetrize branches would otherwise
+    // re-run the whole cluster-join/blocked-sweep pair kernel
+    val p = embNearDupPairs(s, d).localCheckpoint()
     val sym = p.select(col("id_a").as("vec_id"), col("id_b").as("partner_id"),
         col("cos"))
       .unionByName(p.select(col("id_b").as("vec_id"),

@@ -110,14 +110,49 @@ class KcoreSpec extends SparkSpec {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val fb = DedupQueries.ktrussEdges(pairsDf(edges), 4, 8,
-        maxBroadcastAdjacency = 0L)
-      val got = fb.collect()
-        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-      assert(got == want, "shuffled fallback must be value-identical")
-      val plan = fb.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastExchange"),
-        s"fallback must not broadcast the adjacency table:\n$plan")
+      // the delta peel runs its joins INSIDE the loop behind
+      // localCheckpoints, so the returned frame's executedPlan carries no
+      // joins to inspect (the old plan-string assertion went vacuous —
+      // ADVICE r10). Two replacement probes: the onRound observer must
+      // report the merge plan for EVERY round the gate evaluates, and a
+      // QueryExecutionListener must see no BroadcastExchange in any plan
+      // executed during the run (the checkpoint actions carry the joins).
+      val plans = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[String]())
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          plans.add(qe.executedPlan.toString); ()
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      val decisions = scala.collection.mutable.ArrayBuffer.empty[(Int, Boolean)]
+      try {
+        val fb = DedupQueries.ktrussEdges(pairsDf(edges), 4, 8,
+          maxBroadcastAdjacency = 0L,
+          onRound = (r, _, bc) => { decisions += ((r, bc)); () })
+        val got = fb.collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        assert(got == want, "shuffled fallback must be value-identical")
+      } finally spark.listenerManager.unregister(listener)
+      assert(decisions.nonEmpty && decisions.forall(!_._2),
+        s"the cap-0 gate must pick the merge plan every round: $decisions")
+      // the listener bus is async and its waitUntilEmpty is
+      // private[spark]: poll until the peel's join plans have landed
+      import scala.jdk.CollectionConverters._
+      def joinPlans = plans.asScala.toSeq.filter(p =>
+        p.contains("SortMergeJoin") || p.contains("array_intersect"))
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (joinPlans.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val joined = joinPlans
+      assert(joined.nonEmpty, "the peel's join plans must be observed")
+      assert(joined.forall(!_.contains("BroadcastExchange")),
+        "fallback must not broadcast the adjacency table")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
