@@ -1394,15 +1394,23 @@ object VectorQueries {
     * equality with the float path is asserted in RetrievalSpec. Its
     * recall twin below shares the driver gate. */
   def qKnnIvfQ8Param(s: SparkSession, d: String, nprobe: Int): DataFrame = {
-    import graft.retrieval.IvfIndex
     val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    q8Search(emb, queries, nprobe)
+  }
+
+  /** The q8 tier's build+search kernel over an arbitrary
+    * (vec_id, embedding) corpus — shared verbatim by the corpus path
+    * and the MIPS-augmented path ([[qKnnMipsQ8Recall]]). */
+  private def q8Search(emb: DataFrame, queries: Seq[(Long, Array[Float])],
+      nprobe: Int): DataFrame = {
+    import graft.retrieval.IvfIndex
     val c = ivfCentroidCount(emb)
     val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", c)
     val index = IvfIndex.withQ8(
       IvfIndex.assign(emb, "vec_id", "embedding", centroids), "embedding")
-    val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
     IvfIndex.searchQ8(index, "vec_id", "embedding", queries, centroids,
       nprobe = scaledNprobe(nprobe, c), k = 5)
       .orderBy(col("query_id"), col("rank"))
@@ -1849,6 +1857,17 @@ object VectorQueries {
     recallReport(qKnnMips(s, d),
       qKnnMipsPqParam(s, d, nprobe = 6, overfetch = 16), floor = 0.2)
 
+  /** MIPS through the UNMODIFIED q8-quantized IVF tier — completes the
+    * reduction claim across ALL FOUR cosine tiers (IVF, q8, LSH, PQ):
+    * the augmentation dimension quantizes like any other coordinate,
+    * the int8 probe prunes, the exact float re-rank orders by augmented
+    * cosine = the inner-product order. Floor at the q8 tier's 0.4. */
+  def qKnnMipsQ8Recall(s: SparkSession, d: String): DataFrame = {
+    val (aug, queriesDf) = mipsAugmented(s, d, pad = 0)
+    recallReport(qKnnMips(s, d),
+      q8Search(aug, collectQueries(queriesDf), nprobe = 6), floor = 0.4)
+  }
+
   /** Maximum-inner-product top-k, brute force (the recommender
     * retrieval mode: popularity lives in the vector NORM, which cosine
     * deliberately divides away — MIPS ranks on the raw dot product).
@@ -1980,6 +1999,7 @@ object VectorQueries {
     "vs_knn_mips_ivf_recall" -> (qKnnMipsIvfRecall _),
     "vs_knn_mips_lsh_recall" -> (qKnnMipsLshRecall _),
     "vs_knn_mips_pq_recall" -> (qKnnMipsPqRecall _),
+    "vs_knn_mips_q8_recall" -> (qKnnMipsQ8Recall _),
     "vs_knn_brute" -> (qKnnBrute _),
     "vs_hard_negatives" -> (qHardNegatives _),
     "vs_knn_quant" -> (qKnnQuant _),
@@ -2013,6 +2033,7 @@ object VectorQueries {
     "vs_knn_mips_ivf_recall" -> recallOracleSql(0.4),
     "vs_knn_mips_lsh_recall" -> recallOracleSql(0.2),
     "vs_knn_mips_pq_recall" -> recallOracleSql(0.2),
+    "vs_knn_mips_q8_recall" -> recallOracleSql(0.4),
     "vs_knn_brute" -> qKnnBruteSql,
     "vs_hard_negatives" -> qHardNegativesSql,
     "vs_knn_quant" -> qKnnBruteSql, // q8 prune + exact re-rank: identical output

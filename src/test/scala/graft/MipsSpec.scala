@@ -106,6 +106,13 @@ class MipsSpec extends SparkSpec {
       "mean recall keeps headroom over the floor")
   }
 
+  test("MIPS through the q8 tier: measured recall clears the floor") {
+    // completes the four-tier claim: the report itself is the ann check
+    val rep = VectorQueries.qKnnMipsQ8Recall(spark, sf).collect()
+    assert(rep.length == 10 && rep.forall(_.getBoolean(2)),
+      s"q8-tier MIPS recall must clear 0.4 per query: ${rep.toSeq}")
+  }
+
   test("MIPS and cosine disagree when the norm carries the signal") {
     import spark.implicits._
     // q = (1, 0); a points exactly at q but is tiny; b is 10° off but
