@@ -3120,7 +3120,149 @@ object EventQueries {
       |  round(avg(q_pi + w * (r - q_log)), 6) AS dr
       |FROM ev GROUP BY ctx, chosen_arm ORDER BY ctx""".stripMargin
 
+  /** Classical additive seasonal decomposition (the moving-average
+    * decomposition underlying STL — Cleveland et al. 1990's baseline,
+    * Hyndman & Athanasopoulos, "Forecasting: Principles and Practice"
+    * §3.4, public text): per event type, trend = centered 2×24 MA over
+    * the dense hourly series, seasonal = hour-of-day mean of the
+    * detrended series re-centered to sum 0, and Hyndman's seasonal
+    * strength 1 − Var(resid)/Var(seasonal + resid). The DIAGNOSTIC
+    * companion to [[qHoltWinters]] (which fits a forecaster): this
+    * measures how much of the signal the daily cycle explains.
+    *
+    * Exactness contract (what makes a hash oracle possible): hourly
+    * counts are integers, so the 2×24 MA numerator S₁+S₂ is an exact
+    * long; the series is TRIMMED to hours [12, 684) — 28 whole days in
+    * which every hour-of-day appears exactly 28 times and every MA
+    * window is full — so detrended·48, the seasonal numerator
+    * 24·Σdet − ΣΣdet (denominator 48·28·24 = 32256) and the residual
+    * numerators stay integers end-to-end; squared sums ride
+    * decimal/HUGEINT. Every double is produced by the same literal
+    * expression over identical exact integers on both engines, so the
+    * 6 dp rounds cannot straddle. A series shorter than 696 hours
+    * yields ZERO rows on both engines (explicit precondition, the
+    * [[qHoltWinters]] guard discipline).
+    *
+    * Scale shape: one counts aggregate (map-side combinable) over the
+    * events scan; everything after is axis-bounded (types × 720 rows).
+    */
+  def qStlSeasonal(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val bounds = e.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val axis = bounds.select(
+      posexplode(expr("sequence(h0, h1, interval 1 hour)")).as(Seq("idx", "h")))
+    val axisLen = axis.count()
+    val types = e.select(col("event_type")).distinct()
+    val counts = e.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val series = types.crossJoin(axis)
+      .join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("idx"), hour(col("h")).as("hod"),
+        coalesce(col("cnt"), lit(0L)).as("n"))
+    val wA = Window.partitionBy(col("event_type")).orderBy(col("idx"))
+      .rowsBetween(-12, 11)
+    val wB = Window.partitionBy(col("event_type")).orderBy(col("idx"))
+      .rowsBetween(-11, 12)
+    val det = series
+      .withColumn("s1", sum(col("n")).over(wA))
+      .withColumn("s2", sum(col("n")).over(wB))
+      .filter(lit(axisLen) >= 696 && col("idx") >= 12 && col("idx") < 684)
+      .select(col("event_type"), col("hod"),
+        (lit(48L) * col("n") - col("s1") - col("s2")).as("det_num"))
+      .localCheckpoint() // consumed by the seasonal agg AND the residual
+    val perHod = det.groupBy(col("event_type"), col("hod"))
+      .agg(sum(col("det_num")).as("s_sum"))
+    val perType = perHod.groupBy(col("event_type"))
+      .agg(sum(col("s_sum")).as("tot_sum"))
+    val seasonalC = perHod.join(broadcast(perType), "event_type")
+      .select(col("event_type"), col("hod"),
+        (lit(24L) * col("s_sum") - col("tot_sum")).as("sc_num"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,0)")
+    val strength = det
+      .join(broadcast(seasonalC), Seq("event_type", "hod"))
+      .select(col("event_type"),
+        (lit(672L) * col("det_num") - col("sc_num")).as("nr"),
+        (lit(672L) * col("det_num")).as("nsr"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("nr")).cast("double").as("srd"),
+        sum(dec(col("nr")) * dec(col("nr"))).cast("double").as("s2r"),
+        sum(col("nsr")).cast("double").as("ssrd"),
+        sum(dec(col("nsr")) * dec(col("nsr"))).cast("double").as("s2sr"),
+        count(lit(1)).cast("double").as("m"))
+      .select(col("event_type"),
+        (col("s2r") - col("srd") * col("srd") / col("m")).as("var_r"),
+        (col("s2sr") - col("ssrd") * col("ssrd") / col("m")).as("var_sr"))
+    seasonalC.join(broadcast(strength), "event_type")
+      .select(col("event_type"), col("hod"),
+        round(col("sc_num") / lit(32256.0), 6).as("seasonal"),
+        when(col("var_sr") === 0.0, lit(null).cast("double"))
+          .otherwise(round(greatest(lit(0.0),
+            lit(1.0) - col("var_r") / col("var_sr")), 6))
+          .as("seasonal_strength"))
+      .orderBy(col("event_type"), col("hod"))
+  }
+
+  val qStlSeasonalSql: String =
+    """WITH b AS (
+      |  SELECT date_trunc('hour', min(ts)) h0, date_trunc('hour', max(ts)) h1
+      |  FROM events),
+      |ax AS (
+      |  SELECT row_number() OVER (ORDER BY h) - 1 AS idx, h
+      |  FROM (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) h FROM b)),
+      |glen AS (SELECT count(*) al FROM ax),
+      |ty AS (SELECT DISTINCT event_type FROM events),
+      |cnt AS (
+      |  SELECT event_type, date_trunc('hour', ts) h, count(*) c
+      |  FROM events GROUP BY 1, 2),
+      |se AS (
+      |  SELECT t.event_type, a.idx, hour(a.h) hod, coalesce(c.c, 0)::BIGINT n
+      |  FROM ty t CROSS JOIN ax a
+      |  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.h = a.h),
+      |w AS (
+      |  SELECT event_type, idx, hod,
+      |    48 * n
+      |      - sum(n) OVER (PARTITION BY event_type ORDER BY idx
+      |          ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+      |      - sum(n) OVER (PARTITION BY event_type ORDER BY idx
+      |          ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS det_num
+      |  FROM se),
+      |tr AS (
+      |  SELECT w.* FROM w, glen
+      |  WHERE al >= 696 AND idx >= 12 AND idx < 684),
+      |ph AS (
+      |  SELECT event_type, hod, sum(det_num)::BIGINT s_sum
+      |  FROM tr GROUP BY 1, 2),
+      |pt AS (SELECT event_type, sum(s_sum)::BIGINT tot FROM ph GROUP BY 1),
+      |sc AS (
+      |  SELECT ph.event_type, hod, 24 * s_sum - tot AS sc_num
+      |  FROM ph JOIN pt USING (event_type)),
+      |rs AS (
+      |  SELECT tr.event_type,
+      |    672 * det_num - sc_num AS nr, 672 * det_num AS nsr
+      |  FROM tr JOIN sc ON sc.event_type = tr.event_type AND sc.hod = tr.hod),
+      |st AS (
+      |  SELECT event_type,
+      |    sum(nr)::DOUBLE srd, sum(nr::HUGEINT * nr)::DOUBLE s2r,
+      |    sum(nsr)::DOUBLE ssrd, sum(nsr::HUGEINT * nsr)::DOUBLE s2sr,
+      |    count(*)::DOUBLE m
+      |  FROM rs GROUP BY 1),
+      |vv AS (
+      |  SELECT event_type,
+      |    s2r - srd * srd / m AS var_r, s2sr - ssrd * ssrd / m AS var_sr
+      |  FROM st)
+      |SELECT sc.event_type, hod, round(sc_num / 32256.0, 6) AS seasonal,
+      |  CASE WHEN var_sr = 0.0 THEN NULL
+      |       ELSE round(greatest(0.0::DOUBLE, 1.0 - var_r / var_sr), 6)
+      |  END AS seasonal_strength
+      |FROM sc JOIN vv USING (event_type)
+      |ORDER BY event_type, hod""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_stl" -> (qStlSeasonal _),
     "ev_offpolicy_dr" -> (qOffpolicyDr _),
     "ev_stickiness" -> (qStickiness _),
     "ev_qini" -> (qQiniUplift _),
@@ -3177,6 +3319,7 @@ object EventQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "ev_stl" -> qStlSeasonalSql,
     "ev_offpolicy_dr" -> qOffpolicyDrSql,
     "ev_stickiness" -> qStickinessSql,
     "ev_qini" -> qQiniUpliftSql,
