@@ -38,17 +38,25 @@ object ProfileKtruss {
       println(s"[ktruss] edges: ${p.count()}")
       p
     }
-    val broadcastOut = timed("broadcast plan (default cap)") {
-      val df = DedupQueries.ktrussEdges(pairs, 4, 8)
-      fingerprint(df)
+    // optional 2nd arg restricts to one plan (broadcast | fallback);
+    // default runs both and checks fingerprint equality
+    val mode = if (args.length > 1) args(1) else "both"
+    val broadcastOut = if (mode == "fallback") None else Some(
+      timed("broadcast plan (default cap)") {
+        fingerprint(DedupQueries.ktrussEdges(pairs, 4, 8))
+      })
+    val fallbackOut = if (mode == "broadcast") None else Some(
+      timed("shuffled fallback (cap=0)") {
+        fingerprint(DedupQueries.ktrussEdges(pairs, 4, 8,
+          maxBroadcastAdjacency = 0L))
+      })
+    (broadcastOut, fallbackOut) match {
+      case (Some(b), Some(f)) =>
+        println(s"[ktruss] broadcast=(${b._1}, ${b._2}) " +
+          s"fallback=(${f._1}, ${f._2}) equal=${b == f}")
+      case (b, f) =>
+        println(s"[ktruss] single-plan run: ${b.orElse(f).get}")
     }
-    val fallbackOut = timed("shuffled fallback (cap=0)") {
-      val df = DedupQueries.ktrussEdges(pairs, 4, 8, maxBroadcastAdjacency = 0L)
-      fingerprint(df)
-    }
-    println(s"[ktruss] broadcast=(${broadcastOut._1}, ${broadcastOut._2}) " +
-      s"fallback=(${fallbackOut._1}, ${fallbackOut._2}) " +
-      s"equal=${broadcastOut == fallbackOut}")
     spark.stop()
   }
 }
