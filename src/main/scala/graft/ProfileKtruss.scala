@@ -39,8 +39,12 @@ object ProfileKtruss {
       p
     }
     // optional 2nd arg restricts to one plan (broadcast | fallback);
-    // default runs both and checks fingerprint equality
+    // default runs both and checks fingerprint equality. Validated:
+    // a typo must not silently fall through to the both-plans path —
+    // at sf10 the fallback leg alone writes >75 GB of sort spill
     val mode = if (args.length > 1) args(1) else "both"
+    require(Set("broadcast", "fallback", "both")(mode),
+      s"unknown plan mode '$mode' (broadcast | fallback | both)")
     val broadcastOut = if (mode == "fallback") None else Some(
       timed("broadcast plan (default cap)") {
         fingerprint(DedupQueries.ktrussEdges(pairs, 4, 8))

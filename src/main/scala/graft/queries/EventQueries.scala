@@ -903,23 +903,46 @@ object EventQueries {
     * recursive-CTE fold with a LIST state column — identical arithmetic
     * in identical order, the [[qEventHolt]] contract (and the same
     * reason: DuckDB's struct list_reduce mutates fields in place). */
-  /** The densified (event_type, n, vals) hourly count series — shared
-    * by [[qHoltWinters]] and [[qHwBacktest]]. */
-  private def hourlySeries(s: SparkSession, d: String): DataFrame = {
+  /** The ONE densification contract ("absence IS zero" on a contiguous
+    * hour axis) shared by [[qHoltWinters]], [[qHwBacktest]] and
+    * [[qStlSeasonal]]: the dense (event_type, idx, h, n) hourly grid
+    * plus the axis length. The bounds row is collected once so the
+    * axis is literal — the events scan runs exactly TWICE (bounds agg
+    * + counts agg); the counts relation is types×hours-bounded and
+    * localCheckpointed so the types derivation costs no third scan. */
+  private def denseHourlyCounts(s: SparkSession, d: String): (DataFrame, Long) = {
     val e = Tables.events(s, d)
-    val bounds = e.agg(
+    val b = e.agg(
       date_trunc("hour", min(col("ts"))).as("h0"),
-      date_trunc("hour", max(col("ts"))).as("h1"))
-    val axis = bounds.select(
-        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
-    val types = e.select(col("event_type")).distinct()
+      date_trunc("hour", max(col("ts"))).as("h1")).collect()(0)
+    if (b.isNullAt(0))
+      return (s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_type STRING, idx INT, h TIMESTAMP, n BIGINT")), 0L)
+    val (h0, h1) = (b.getTimestamp(0), b.getTimestamp(1))
+    val axisLen = (h1.getTime - h0.getTime) / 3600000L + 1
+    val axis = s.range(1).select(
+      posexplode(sequence(lit(h0), lit(h1), expr("interval 1 hour")))
+        .as(Seq("idx", "h")))
     val counts = e.groupBy(col("event_type"),
         date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("cnt"))
-    val series = types.crossJoin(axis)
+      .localCheckpoint()
+    val types = counts.select(col("event_type")).distinct()
+    val grid = types.crossJoin(axis)
       .join(counts, Seq("event_type", "h"), "left")
-      .select(col("event_type"), col("h"),
-        coalesce(col("cnt"), lit(0L)).cast("double").as("v"))
+      .select(col("event_type"), col("idx"), col("h"),
+        coalesce(col("cnt"), lit(0L)).as("n"))
+    (grid, axisLen)
+  }
+
+  /** The densified (event_type, n, vals) hourly count series — shared
+    * by [[qHoltWinters]] and [[qHwBacktest]]; rides
+    * [[denseHourlyCounts]]. */
+  private def hourlySeries(s: SparkSession, d: String): DataFrame = {
+    val series = denseHourlyCounts(s, d)._1
+      .select(col("event_type"), col("h"), col("n").cast("double").as("v"))
     val vals = transform(
       array_sort(collect_list(struct(col("h"), col("v")))),
       x => x.getField("v"))
@@ -3147,21 +3170,9 @@ object EventQueries {
     * events scan; everything after is axis-bounded (types × 720 rows).
     */
   def qStlSeasonal(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d)
-    val bounds = e.agg(
-      date_trunc("hour", min(col("ts"))).as("h0"),
-      date_trunc("hour", max(col("ts"))).as("h1"))
-    val axis = bounds.select(
-      posexplode(expr("sequence(h0, h1, interval 1 hour)")).as(Seq("idx", "h")))
-    val axisLen = axis.count()
-    val types = e.select(col("event_type")).distinct()
-    val counts = e.groupBy(col("event_type"),
-        date_trunc("hour", col("ts")).as("h"))
-      .agg(count(lit(1)).as("cnt"))
-    val series = types.crossJoin(axis)
-      .join(counts, Seq("event_type", "h"), "left")
-      .select(col("event_type"), col("idx"), hour(col("h")).as("hod"),
-        coalesce(col("cnt"), lit(0L)).as("n"))
+    val (grid, axisLen) = denseHourlyCounts(s, d)
+    val series = grid.select(col("event_type"), col("idx"),
+      hour(col("h")).as("hod"), col("n"))
     val wA = Window.partitionBy(col("event_type")).orderBy(col("idx"))
       .rowsBetween(-12, 11)
     val wB = Window.partitionBy(col("event_type")).orderBy(col("idx"))

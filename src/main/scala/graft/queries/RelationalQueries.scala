@@ -661,17 +661,22 @@ object RelationalQueries {
     // materialized once: the brand slice is tiny (1/25 of lineitem) and
     // feeds both the threshold aggregate and the probe side — without
     // this the fact scans twice (the q15 lesson)
-    val brandLi = Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#12")
-        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
-      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-      .localCheckpoint()
+    val brandLi = q17BrandSliceRaw(s, d).localCheckpoint()
     val thr = brandLi.groupBy(col("l_partkey"))
       .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_thr"))
     brandLi.join(broadcast(thr), "l_partkey")
       .filter(col("l_quantity") < col("qty_thr"))
       .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
   }
+
+  /** [[q17SmallQuantity]]'s brand slice BEFORE materialization —
+    * exposed so PlanQualitySpec can pin the brand pushdown and the
+    * broadcast dim join on the subtree the checkpoint hides. */
+  private[graft] def q17BrandSliceRaw(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#12")
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
 
   val q17Sql: String =
     """WITH b AS (

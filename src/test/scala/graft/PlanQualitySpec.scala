@@ -105,6 +105,11 @@ class PlanQualitySpec extends SparkSpec {
     val finalPlan = p.split("== Initial Plan ==")(0)
     assert(count(finalPlan, "lineitem\\.parquet") == 0,
       s"the brand slice must not re-scan the fact:\n$p")
+    // the pushdown the checkpoint hides, pinned on the raw subtree
+    val raw = plan(graft.queries.RelationalQueries.q17BrandSliceRaw(spark, sf))
+    assert(raw.contains("PushedFilters:") && raw.contains("p_brand"),
+      "the brand filter should reach the part scan")
+    assert(count(raw, "BroadcastHashJoin") >= 1, "brand parts broadcast")
   }
 
   test("q18: the HAVING relation drives the join; top-100 is TakeOrdered") {

@@ -44,7 +44,10 @@ class StlSpec extends SparkSpec {
   test("planted hour-of-day pattern is recovered; flat series yields NULL strength") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("stl").toString
-    val base = java.sql.Timestamp.valueOf("2024-03-01 00:30:00").getTime
+    // epoch-based so the fixture is timezone-independent (the session
+    // runs UTC; Timestamp.valueOf would parse in the JVM default zone):
+    // 2024-03-01T00:30:00Z — axis hour 0 is hod 0 in UTC
+    val base = java.time.Instant.parse("2024-03-01T00:30:00Z").toEpochMilli
     // 720 hours; 'wave' carries n(h) = 3 + (hod % 12); 'flat' constant 5
     val rows = (0 until 720).flatMap { i =>
       val ts = new java.sql.Timestamp(base + i * 3600L * 1000)
@@ -102,6 +105,11 @@ class StlSpec extends SparkSpec {
     assert(got.size == types.size * 24)
     got.foreach { case ((t, h), (seas, str)) =>
       assert(seas == want(t)._1(h), s"type $t hod $h seasonal")
+      // NULL-ness must agree BEFORE comparing values — Option.zip would
+      // silently skip a NULL-vs-value disagreement (the one branch the
+      // cross-engine NULL routing could get wrong)
+      assert(str.isDefined == want(t)._2.isDefined,
+        s"type $t strength nullness: engine $str vs replica ${want(t)._2}")
       str.zip(want(t)._2).foreach { case (a, b) =>
         assert(math.abs(a - b) <= 1e-6, s"type $t strength $a vs $b")
       }
