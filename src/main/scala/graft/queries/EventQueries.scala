@@ -910,11 +910,22 @@ object EventQueries {
     * axis is literal — the events scan runs exactly TWICE (bounds agg
     * + counts agg); the counts relation is types×hours-bounded and
     * localCheckpointed so the types derivation costs no third scan. */
-  private def denseHourlyCounts(s: SparkSession, d: String): (DataFrame, Long) = {
-    val e = Tables.events(s, d)
-    val b = e.agg(
-      date_trunc("hour", min(col("ts"))).as("h0"),
-      date_trunc("hour", max(col("ts"))).as("h1")).collect()(0)
+  private def denseHourlyCounts(s: SparkSession, d: String): (DataFrame, Long) =
+    denseGridFromCounts(s, Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** The grid half of the contract over an explicit sparse counts cube
+    * (event_type, h, cnt) — bounds derive from the cube itself (every
+    * event lands in a truncated bucket, so cube min/max == event
+    * min/max), which makes the events scan count exactly ONE for the
+    * batch path and lets the streaming hourly ledger reuse the same
+    * densification verbatim. */
+  private[graft] def denseGridFromCounts(s: SparkSession, counts0: DataFrame)
+      : (DataFrame, Long) = {
+    val counts = counts0.localCheckpoint()
+    val b = counts.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .collect()(0)
     if (b.isNullAt(0))
       return (s.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -925,10 +936,6 @@ object EventQueries {
     val axis = s.range(1).select(
       posexplode(sequence(lit(h0), lit(h1), expr("interval 1 hour")))
         .as(Seq("idx", "h")))
-    val counts = e.groupBy(col("event_type"),
-        date_trunc("hour", col("ts")).as("h"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
     val types = counts.select(col("event_type")).distinct()
     val grid = types.crossJoin(axis)
       .join(counts, Seq("event_type", "h"), "left")
@@ -3171,6 +3178,14 @@ object EventQueries {
     */
   def qStlSeasonal(s: SparkSession, d: String): DataFrame = {
     val (grid, axisLen) = denseHourlyCounts(s, d)
+    stlFromGrid(grid, axisLen)
+  }
+
+  /** [[qStlSeasonal]]'s decomposition over an explicit dense hourly
+    * grid (event_type, idx, h, n) — the seam the streaming hourly
+    * ledger ([[graft.streaming.EventStream.stlReport]]) shares, so
+    * stream and batch cannot disagree about the decomposition. */
+  private[graft] def stlFromGrid(grid: DataFrame, axisLen: Long): DataFrame = {
     val series = grid.select(col("event_type"), col("idx"),
       hour(col("h")).as("hod"), col("n"))
     val wA = Window.partitionBy(col("event_type")).orderBy(col("idx"))

@@ -47,6 +47,68 @@ object EventStream {
       .groupBy(window(col("ts"), "1 minute"), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming hourly-count ledger + served seasonal decomposition —
+    * the incremental twin of ev_stl. Each micro-batch appends its
+    * PARTIAL (event_type, h, cnt) rollup as a `batch=<id>` delta
+    * (overwrite-by-path: a redelivered batch rewrites byte-identical
+    * rows — the [[graft.streaming.IndexStream]] ledger discipline);
+    * hours may repeat across batches, so the merge-on-read view SUMS
+    * partials — integer sums, so the merged cube equals the batch
+    * count exactly under any batch split. [[stlReport]] feeds the
+    * merged cube through the SAME
+    * `EventQueries.denseGridFromCounts`/`stlFromGrid` kernels the batch
+    * query uses, so stream and batch cannot disagree by construction.
+    * The ledger is the smallest state that can serve the report:
+    * types × hours rows, never event-sized. */
+  def startHourlyLedger(input: DataFrame, ledgerDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    input.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeHourlyDelta(batch, ledgerDir, batchId)
+      }
+      .start()
+
+  /** One micro-batch's partial rollup — exposed for replay specs. */
+  def writeHourlyDelta(batch: DataFrame, ledgerDir: String,
+      batchId: Long): Unit = {
+    batch
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$ledgerDir/hourly/batch=$batchId")
+    ()
+  }
+
+  /** Merge-on-read counts cube over the accumulated ledger. */
+  def hourlyCounts(s: org.apache.spark.sql.SparkSession,
+      ledgerDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$ledgerDir/hourly")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val empty = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "event_type STRING, h TIMESTAMP, cnt BIGINT"))
+    if (!fs.exists(p)) return empty
+    val parts = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filter(st => fs.listStatus(st.getPath)
+        .exists(_.getPath.getName.endsWith(".parquet")))
+      .map(_.getPath.toString)
+    if (parts.isEmpty) empty
+    else s.read.parquet(parts: _*)
+      .groupBy(col("event_type"), col("h"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** The ev_stl report served from the ledger (see
+    * [[startHourlyLedger]]). */
+  def stlReport(s: org.apache.spark.sql.SparkSession,
+      ledgerDir: String): DataFrame = {
+    val (grid, axisLen) =
+      graft.queries.EventQueries.denseGridFromCounts(s, hourlyCounts(s, ledgerDir))
+    graft.queries.EventQueries.stlFromGrid(grid, axisLen)
+  }
+
   /** Stateful sessionization: 30-minute inactivity gap closes a session.
     * Closed sessions emit as soon as the closing event arrives; dangling
     * sessions emit on event-time timeout once the watermark passes the

@@ -83,6 +83,33 @@ class StlSpec extends SparkSpec {
     assert(math.abs(sum) < 1e-4, s"seasonal must be centered: $sum")
   }
 
+  test("streaming hourly ledger serves the identical report; replay is a no-op") {
+    import graft.streaming.EventStream
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("stl-stream").toString
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("ts"))
+    // three deterministic micro-batches; hours REPEAT across batches,
+    // so the merge-on-read sum of partials is genuinely exercised
+    (0 until 3).foreach { b =>
+      EventStream.writeHourlyDelta(
+        ev.filter(col("event_id") % 3 === b), s"$dir/led", b.toLong)
+    }
+    def report() = EventStream.stlReport(spark, s"$dir/led").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    val stream = report()
+    val batch = EventQueries.qStlSeasonal(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(stream.nonEmpty && stream == batch,
+      "ledger-served report must equal the batch decomposition")
+    // crash-replay of batch 2: overwrite-by-path → byte-identical no-op
+    EventStream.writeHourlyDelta(
+      ev.filter(col("event_id") % 3 === 2), s"$dir/led", 2L)
+    assert(report() == stream, "replay changed the ledger")
+  }
+
   test("engine output equals a full driver recomputation on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val e = graft.queries.Tables.events(spark, sf)
