@@ -53,10 +53,17 @@ object Bench {
     // paying for the whole suite (full-suite numbers remain the record)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // full-pair exact audits are opt-in (SparkEntry.auditOnly): the
+    // default bench measures the rows that run at 100× scale — their
+    // bounded _topk twins — while the correctness gate keeps checking
+    // the exact forms every round
+    val audit = sys.env.get("SPARK_GRAFT_BENCH_AUDIT").contains("1")
     // deterministic name order: warmup residue lands on the same query
     // every round instead of whichever the Map hash puts first
     val samples = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) =>
+        audit || only.isDefined || !SparkEntry.auditOnly(name) }
       .map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

@@ -32,6 +32,17 @@ object SparkEntry {
       SearchQueries.queries ++
       RagQueries.queries
 
+  /** Opt-in exact audits EXCLUDED from the default bench run (VERDICT
+    * r10 item 2): both have a bounded `_topk` twin that IS the default
+    * report — at 100× bench scale (sf10, PERF.md) the full-pair forms
+    * are output/compute-bound (dd_winnowing 73.5 s vs 27.3 s top-k;
+    * vs_emb_neardup 151.9 s vs 93.8 s) and at 100 TB they cannot run
+    * at all, so the DEFAULT harness rows must be the forms that
+    * survive the scale-up. Both stay in [[queries]]/[[oracleSql]], so
+    * the correctness gate still checks them every round; the bench
+    * includes them only under SPARK_GRAFT_BENCH_AUDIT=1. */
+  val auditOnly: Set[String] = Set("dd_winnowing", "vs_emb_neardup")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

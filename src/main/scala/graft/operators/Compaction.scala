@@ -19,6 +19,30 @@ import org.apache.spark.sql.DataFrame
   */
 object Compaction {
 
+  /** Re-run `build` across a concurrent [[foldBatchDirs]]: a fold can
+    * delete a listed `batch=` dir between a store's listStatus and its
+    * parquet read (footer fetch or action), surfacing as a
+    * FileNotFoundException somewhere in the cause chain. The folded dir
+    * carries the same rows, so a rebuild against a fresh listing sees
+    * an equivalent store; bounded retries because the store quiesces
+    * after one fold. `build` must MATERIALIZE (collect/count/
+    * localCheckpoint) for the retry to cover action-time failures —
+    * returning a lazy frame only protects the footer read. */
+  def retryFileGone[T](build: => T, attempts: Int = 3): T = {
+    def fileGone(e: Throwable): Boolean =
+      e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
+        fileGone(e.getCause))
+    var attempt = 0
+    while (true) {
+      try return build
+      catch {
+        case e: Throwable if fileGone(e) && attempt < attempts =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Bytes currently on disk under the frame's input files. */
   def inputBytes(df: DataFrame): Long = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration

@@ -932,10 +932,20 @@ object EventQueries {
         org.apache.spark.sql.types.StructType.fromDDL(
           "event_type STRING, idx INT, h TIMESTAMP, n BIGINT")), 0L)
     val (h0, h1) = (b.getTimestamp(0), b.getTimestamp(1))
-    val axisLen = (h1.getTime - h0.getTime) / 3600000L + 1
+    // The axis is generated with calendar-interval `sequence`, so
+    // axisLen MUST come from the generated rows themselves: deriving it
+    // from raw epoch-ms ((h1-h0)/3600000+1) silently disagrees with the
+    // calendar axis in a non-UTC session spanning a DST transition,
+    // desyncing idx/axisLen from the >= 696-hour guards downstream
+    // (ADVICE r10). The axis is time-bounded (one row per hour), so the
+    // checkpoint + count cost nothing corpus-sized. Oracle comparisons
+    // (DuckDB generate_series) additionally assume the session tz is
+    // UTC — the entry points pin spark.sql.session.timeZone=UTC.
     val axis = s.range(1).select(
       posexplode(sequence(lit(h0), lit(h1), expr("interval 1 hour")))
         .as(Seq("idx", "h")))
+      .localCheckpoint()
+    val axisLen = axis.count()
     val types = counts.select(col("event_type")).distinct()
     val grid = types.crossJoin(axis)
       .join(counts, Seq("event_type", "h"), "left")
@@ -3184,8 +3194,24 @@ object EventQueries {
   /** [[qStlSeasonal]]'s decomposition over an explicit dense hourly
     * grid (event_type, idx, h, n) — the seam the streaming hourly
     * ledger ([[graft.streaming.EventStream.stlReport]]) shares, so
-    * stream and batch cannot disagree about the decomposition. */
-  private[graft] def stlFromGrid(grid: DataFrame, axisLen: Long): DataFrame = {
+    * stream and batch cannot disagree about the decomposition.
+    *
+    * Window anchoring (ADVICE r10): the analyzed 672-hour slab is
+    * anchored to the axis HEAD by default (`[12, 684)` — the batch
+    * oracle's window, frozen once the series spans ≥696 hours, and
+    * sensitive to late events arriving before the current min hour,
+    * which shift idx and therefore which hours are analyzed).
+    * `anchorTail = true` anchors the same-width slab to the axis TAIL
+    * (`[axisLen-684, axisLen-12)`) instead — the serving-freshness
+    * choice: the decomposition tracks the newest 28 whole days and
+    * late-arriving EARLY events cannot move the window. Every
+    * exactness property is anchor-independent: any contiguous 672-hour
+    * slab contains each hour-of-day exactly 28 times, and both anchors
+    * keep 12 hours of margin on each side so every 2×24 MA window is
+    * full. */
+  private[graft] def stlFromGrid(grid: DataFrame, axisLen: Long,
+      anchorTail: Boolean = false): DataFrame = {
+    val lo = if (anchorTail) axisLen - 684 else 12L
     val series = grid.select(col("event_type"), col("idx"),
       hour(col("h")).as("hod"), col("n"))
     val wA = Window.partitionBy(col("event_type")).orderBy(col("idx"))
@@ -3195,7 +3221,8 @@ object EventQueries {
     val det = series
       .withColumn("s1", sum(col("n")).over(wA))
       .withColumn("s2", sum(col("n")).over(wB))
-      .filter(lit(axisLen) >= 696 && col("idx") >= 12 && col("idx") < 684)
+      .filter(lit(axisLen) >= 696 && col("idx") >= lo &&
+        col("idx") < lo + 672)
       .select(col("event_type"), col("hod"),
         (lit(48L) * col("n") - col("s1") - col("s2")).as("det_num"))
       .localCheckpoint() // consumed by the seasonal agg AND the residual

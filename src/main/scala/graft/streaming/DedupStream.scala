@@ -189,19 +189,9 @@ object MinhashStream {
     * an equivalent index; bounded retries, the store quiesces after
     * one fold). */
   def probeText(s: SparkSession, indexDir: String, text: String,
-      threshold: Double = Threshold): Seq[(Long, Double)] = {
-    def fileGone(e: Throwable): Boolean =
-      e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
-        fileGone(e.getCause))
-    var attempt = 0
-    while (true) {
-      try return probeTextOnce(s, indexDir, text, threshold)
-      catch {
-        case e: Throwable if fileGone(e) && attempt < 3 => attempt += 1
-      }
-    }
-    Nil // unreachable
-  }
+      threshold: Double = Threshold): Seq[(Long, Double)] =
+    graft.operators.Compaction.retryFileGone(
+      probeTextOnce(s, indexDir, text, threshold))
 
   private def probeTextOnce(s: SparkSession, indexDir: String, text: String,
       threshold: Double): Seq[(Long, Double)] = {
@@ -303,27 +293,43 @@ object WinnowStream {
       org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, h BIGINT"))
 
   /** Merge-on-read view of the accumulated selected fingerprints —
-    * row-equal to `winnowingFingerprints` over the accumulated corpus. */
-  def fingerprints(s: SparkSession, indexDir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/prints")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return empty(s)
-    val parts = fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-      .filter(st => fs.listStatus(st.getPath)
-        .exists(_.getPath.getName.endsWith(".parquet")))
-      .map(_.getPath.toString)
-    if (parts.isEmpty) empty(s)
-    else s.read.parquet(parts: _*).select(col("doc_id"), col("h"))
-  }
+    * row-equal to `winnowingFingerprints` over the accumulated corpus.
+    * The listing+footer read retries across a concurrent [[compact]]
+    * (ADVICE r10); the returned frame is lazy, so callers that act on
+    * it while a fold is racing should go through [[report]] (which
+    * materializes inside the retry) or wrap their action in
+    * [[graft.operators.Compaction.retryFileGone]]. */
+  def fingerprints(s: SparkSession, indexDir: String): DataFrame =
+    graft.operators.Compaction.retryFileGone {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/prints")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) empty(s)
+      else {
+        val parts = fs.listStatus(p).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+          .filter(st => fs.listStatus(st.getPath)
+            .exists(_.getPath.getName.endsWith(".parquet")))
+          .map(_.getPath.toString)
+        if (parts.isEmpty) empty(s)
+        else s.read.parquet(parts: _*).select(col("doc_id"), col("h"))
+      }
+    }
 
   /** The MOSS pair report over the accumulated index — the batch
     * query's (doc_a, doc_b, n_shared, overlap) contract, through the
     * shared report kernel (cull + denominators evaluated over the FULL
-    * accumulated relation, see the object scaladoc). */
+    * accumulated relation, see the object scaladoc). Materialized
+    * (localCheckpoint) INSIDE a fileGone retry, so a serving-path
+    * report racing a concurrent [[compact]] re-reads a fresh listing
+    * instead of throwing, and the returned frame no longer depends on
+    * the store files at all (ADVICE r10). */
   def report(s: SparkSession, indexDir: String): DataFrame =
-    graft.queries.DedupQueries.winnowingReportFrom(fingerprints(s, indexDir))
-      .orderBy(col("doc_a"), col("doc_b"))
+    graft.operators.Compaction.retryFileGone {
+      graft.queries.DedupQueries
+        .winnowingReportFrom(fingerprints(s, indexDir))
+        .orderBy(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+    }
 
   /** Admission-check probe for ONE candidate document against the
     * accumulated fingerprint index — the serving-path twin of
@@ -332,7 +338,10 @@ object WinnowStream {
     * equi-join the stored postings (collision-bounded, never a corpus
     * text scan); store-wide df for exactly the probe's prints falls out
     * of that join, so the boilerplate cull applies without touching any
-    * other posting list. Returns (doc_id, n_shared, overlap) for docs
+    * other posting list — and the cull counts the probe itself
+    * (culled iff store-df + 1 > cap), matching the report the batch
+    * kernel would produce AFTER this doc is admitted. Returns
+    * (doc_id, n_shared, overlap) for docs
     * sharing ≥ `minShared` comparable prints, best first — overlap here
     * is CONTAINMENT OF THE PROBE (n_shared / the probe's comparable
     * print count): the admission question is "how much of the NEW doc
@@ -340,24 +349,15 @@ object WinnowStream {
     * min-denominator (documented divergence by design). Retries across
     * a concurrent [[compact]] like the MinHash probe. */
   def probeText(s: SparkSession, indexDir: String, text: String,
-      minShared: Long = 2L): Seq[(Long, Long, Double)] = {
-    def fileGone(e: Throwable): Boolean =
-      e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
-        fileGone(e.getCause))
-    var attempt = 0
-    while (true) {
-      try return probeTextOnce(s, indexDir, text, minShared)
-      catch {
-        case e: Throwable if fileGone(e) && attempt < 3 => attempt += 1
-      }
-    }
-    Nil // unreachable
-  }
+      minShared: Long = 2L,
+      cap: Int = graft.queries.DedupQueries.WinnowMaxDf)
+      : Seq[(Long, Long, Double)] =
+    graft.operators.Compaction.retryFileGone(
+      probeTextOnce(s, indexDir, text, minShared, cap))
 
   private def probeTextOnce(s: SparkSession, indexDir: String, text: String,
-      minShared: Long): Seq[(Long, Long, Double)] = {
+      minShared: Long, cap: Int): Seq[(Long, Long, Double)] = {
     import s.implicits._
-    val cap = graft.queries.DedupQueries.WinnowMaxDf
     val probe = graft.queries.DedupQueries
       .winnowingFingerprints(Seq((0L, text)).toDF("doc_id", "text"))
       .select(col("h")).localCheckpoint()
@@ -366,13 +366,20 @@ object WinnowStream {
     val matched = fingerprints(s, indexDir)
       .join(broadcast(probe), "h")
       .localCheckpoint() // collision-bounded; reused by df + rollup
-    // store-wide df, computed ONLY for the probe's prints
+    // Store-wide df, computed ONLY for the probe's prints. The cull
+    // counts the probe itself (`df + 1 > cap`): once this doc is
+    // admitted, each shared print's df rises by one, so a print at
+    // df == cap is ALREADY boilerplate from the admission decision's
+    // point of view — this keeps the probe verdict consistent with the
+    // batch report evaluated after admission (ADVICE r10: the
+    // store-only cull disagreed with the post-admission report exactly
+    // at the cap boundary).
     val dfs = matched.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val nBoiler = dfs.filter(col("df") > cap).count()
+    val nBoiler = dfs.filter(col("df") + lit(1) > cap).count()
     val denom = nProbe - nBoiler // unmatched prints are comparable too
     if (denom <= 0) return Nil
     matched
-      .join(broadcast(dfs.filter(col("df") <= cap).select(col("h"))), "h")
+      .join(broadcast(dfs.filter(col("df") + lit(1) <= cap).select(col("h"))), "h")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .withColumn("overlap",

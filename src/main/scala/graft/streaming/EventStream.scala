@@ -79,35 +79,63 @@ object EventStream {
     ()
   }
 
-  /** Merge-on-read counts cube over the accumulated ledger. */
+  /** Merge-on-read counts cube over the accumulated ledger. The
+    * listing+footer read retries across a concurrent compaction of the
+    * `batch=` dirs (ADVICE r10, the [[graft.operators
+    * .Compaction.retryFileGone]] discipline); the returned frame is
+    * lazy — [[stlReport]] materializes inside its own retry. */
   def hourlyCounts(s: org.apache.spark.sql.SparkSession,
-      ledgerDir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$ledgerDir/hourly")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val empty = s.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](),
-      org.apache.spark.sql.types.StructType.fromDDL(
-        "event_type STRING, h TIMESTAMP, cnt BIGINT"))
-    if (!fs.exists(p)) return empty
-    val parts = fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-      .filter(st => fs.listStatus(st.getPath)
-        .exists(_.getPath.getName.endsWith(".parquet")))
-      .map(_.getPath.toString)
-    if (parts.isEmpty) empty
-    else s.read.parquet(parts: _*)
-      .groupBy(col("event_type"), col("h"))
-      .agg(sum(col("cnt")).as("cnt"))
-  }
+      ledgerDir: String): DataFrame =
+    graft.operators.Compaction.retryFileGone {
+      val p = new org.apache.hadoop.fs.Path(s"$ledgerDir/hourly")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val empty = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_type STRING, h TIMESTAMP, cnt BIGINT"))
+      if (!fs.exists(p)) empty
+      else {
+        val parts = fs.listStatus(p).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+          .filter(st => fs.listStatus(st.getPath)
+            .exists(_.getPath.getName.endsWith(".parquet")))
+          .map(_.getPath.toString)
+        if (parts.isEmpty) empty
+        else s.read.parquet(parts: _*)
+          .groupBy(col("event_type"), col("h"))
+          .agg(sum(col("cnt")).as("cnt"))
+      }
+    }
 
   /** The ev_stl report served from the ledger (see
-    * [[startHourlyLedger]]). */
+    * [[startHourlyLedger]]).
+    *
+    * Window semantics (ADVICE r10): with `fresh = false` (default)
+    * the report is EXACTLY the batch oracle — the analyzed 672-hour
+    * slab is anchored to the axis head, which means the served
+    * decomposition FREEZES once the ledger spans ≥696 hours (newly
+    * ingested events never change it) and a late event earlier than
+    * the current min hour shifts which window is analyzed. That is the
+    * right contract for parity gates. A continuously-served report
+    * wants `fresh = true`: the same-width slab anchored to the axis
+    * TAIL, so the decomposition tracks the newest 28 whole days and
+    * early stragglers cannot move the window (exactness is
+    * anchor-independent — see
+    * [[graft.queries.EventQueries.stlFromGrid]]).
+    *
+    * Built (grid densification + decomposition) inside a fileGone
+    * retry so serving a report concurrent with a ledger compaction
+    * re-reads a fresh listing instead of throwing; denseGridFromCounts
+    * checkpoints the cube, so the whole build materializes within the
+    * retry scope. */
   def stlReport(s: org.apache.spark.sql.SparkSession,
-      ledgerDir: String): DataFrame = {
-    val (grid, axisLen) =
-      graft.queries.EventQueries.denseGridFromCounts(s, hourlyCounts(s, ledgerDir))
-    graft.queries.EventQueries.stlFromGrid(grid, axisLen)
-  }
+      ledgerDir: String, fresh: Boolean = false): DataFrame =
+    graft.operators.Compaction.retryFileGone {
+      val (grid, axisLen) =
+        graft.queries.EventQueries.denseGridFromCounts(s, hourlyCounts(s, ledgerDir))
+      graft.queries.EventQueries.stlFromGrid(grid, axisLen,
+        anchorTail = fresh)
+    }
 
   /** Stateful sessionization: 30-minute inactivity gap closes a session.
     * Closed sessions emit as soon as the closing event arrives; dangling

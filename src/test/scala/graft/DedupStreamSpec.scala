@@ -313,6 +313,49 @@ class DedupStreamSpec extends SparkSpec {
       s"post-fold arrival must pair with folded docs: $afterNew")
   }
 
+  test("winnow probe: boilerplate cull counts the probe itself at the cap") {
+    import graft.streaming.WinnowStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wn-cap").toString
+    val t = TestHash.filler(11, 400)
+    // two store docs with IDENTICAL text: every stored print of t has
+    // store-side df exactly 2
+    WinnowStream.writeDelta(Seq((1L, t), (2L, t)).toDF("doc_id", "text"),
+      s"$dir/idx", 0L)
+    // cap=3: post-admission df = 2+1 = 3 <= cap → comparable → both
+    // docs match with full containment
+    val ok = WinnowStream.probeText(spark, s"$dir/idx", t, minShared = 1L, cap = 3)
+    assert(ok.map(_._1).toSet == Set(1L, 2L), s"cap=3 must match both: $ok")
+    assert(ok.forall(_._3 == 1.0), s"identical text ⇒ overlap 1.0: $ok")
+    // cap=2: store-df 2 means admitting the probe pushes df to 3 > cap,
+    // so every shared print is boilerplate AT ADMISSION TIME — no
+    // comparable denominator, no match. (The pre-fix store-only rule
+    // df <= cap would have kept df=2 comparable and disagreed with the
+    // batch report evaluated after admission — ADVICE r10.)
+    assert(WinnowStream.probeText(spark, s"$dir/idx", t, minShared = 1L,
+      cap = 2).isEmpty, "probe at the cap boundary must be culled")
+  }
+
+  test("winnow report is materialized: robust to batch dirs vanishing after build") {
+    import graft.streaming.WinnowStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wn-mat").toString
+    val shared = "the quick brown fox jumps over the lazy dog again tonight"
+    def fill(seed: Long) = TestHash.filler(seed, 300)
+    WinnowStream.writeDelta(
+      Seq((1L, fill(1) + " " + shared), (2L, fill(4) + " " + shared))
+        .toDF("doc_id", "text"), s"$dir/idx", 0L)
+    val rep = WinnowStream.report(spark, s"$dir/idx")
+    // simulate the compact() race losing end: the store is GONE before
+    // the serving layer acts on the returned frame — the report must
+    // already be materialized (localCheckpoint inside the retry), so
+    // the collect cannot touch the deleted files (ADVICE r10)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/idx/prints")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val rows = rep.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 2L)), s"materialized report must survive: $rows")
+  }
+
   test("winnow stream: live foreachBatch run through start()") {
     import graft.streaming.WinnowStream
     import spark.implicits._

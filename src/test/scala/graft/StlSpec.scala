@@ -110,6 +110,55 @@ class StlSpec extends SparkSpec {
     assert(report() == stream, "replay changed the ledger")
   }
 
+  test("fresh=true anchors the served window to the axis tail") {
+    import graft.streaming.EventStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stl-fresh").toString
+    val base = java.time.Instant.parse("2024-03-01T00:30:00Z").toEpochMilli
+    def tsAt(i: Int) = new java.sql.Timestamp(base + i.toLong * 3600L * 1000)
+    // 900 hours, one event every hour (so truncations keep exact hour
+    // bounds); the hod ramp switches on only in the back half — the
+    // head-anchored window [12, 684) and the tail-anchored window
+    // [216, 888) see genuinely different signals
+    val rows = (0 until 900).flatMap { i =>
+      val extra = if (i >= 450) (i % 24) % 12 else 0
+      Seq.fill(1 + extra)(("x", tsAt(i)))
+    }
+    rows.toDF("event_type", "ts").write.parquet(s"$dir/full/events.parquet")
+    (0 until 2).foreach { b =>
+      EventStream.writeHourlyDelta(
+        rows.toDF("event_type", "ts").filter(col("ts").cast("long") % 2 === b),
+        s"$dir/led", b.toLong)
+    }
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    val stale = rowsOf(EventStream.stlReport(spark, s"$dir/led"))
+    val freshR = rowsOf(EventStream.stlReport(spark, s"$dir/led", fresh = true))
+    // default stays the batch oracle verbatim
+    assert(stale == rowsOf(EventQueries.qStlSeasonal(spark, s"$dir/full")),
+      "fresh=false must stay batch-parity")
+    // non-circular tail check: the tail-anchored slab over the 900-hour
+    // axis analyzes exactly the hours a HEAD-anchored run analyzes over
+    // the corpus truncated to the last 696 hours (same absolute hours
+    // h1-683 .. h1-12, same counts, same hod) — so the reports are equal
+    rows.filter { case (_, ts) => ts.getTime >= base + 204L * 3600_000L }
+      .toDF("event_type", "ts").write.parquet(s"$dir/tail/events.parquet")
+    assert(freshR == rowsOf(EventQueries.qStlSeasonal(spark, s"$dir/tail")),
+      "fresh=true must equal the head-anchored run on the tail-truncated corpus")
+    assert(freshR != stale, "the ramp-only-in-tail fixture must separate the anchors")
+    // a late straggler EARLIER than the current axis min extends the
+    // axis head: the tail-anchored report is pinned to max-hour and
+    // must not move; the head-anchored one shifts with it
+    EventStream.writeHourlyDelta(
+      Seq(("x", new java.sql.Timestamp(base - 50L * 3600_000L)))
+        .toDF("event_type", "ts"), s"$dir/led", 2L)
+    assert(rowsOf(EventStream.stlReport(spark, s"$dir/led", fresh = true)) == freshR,
+      "an early straggler must not move the tail-anchored window")
+    assert(rowsOf(EventStream.stlReport(spark, s"$dir/led")) != stale,
+      "the head-anchored window shifts with the straggler (documented)")
+  }
+
   test("engine output equals a full driver recomputation on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val e = graft.queries.Tables.events(spark, sf)
