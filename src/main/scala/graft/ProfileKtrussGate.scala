@@ -123,10 +123,21 @@ object ProfileKtrussGate {
       // the analytic layers so the run is minutes, not hours — the
       // SHAPE (every round over-cap) is what cap=0 forces regardless
       // of size; `forcedbig` runs the full 54 M-edge graph.
-      val pairs = genGraph(spark, 5350000L, 10000L, 1000L).localCheckpoint()
-      val forced = run("forced(cap=0)", pairs, 0L, 1000L)
-      val bcast = run("forced-twin(cap=max)", pairs, Long.MaxValue, 1000L)
+      //
+      // The parity A/B runs at PIN scale (VERDICT r11 tooling fix): the
+      // fingerprint claim is size-independent, and a cap=MaxValue twin
+      // of the 5.4 M-edge graph must BROADCAST a ~10.8 M-entry
+      // adjacency — that dies under the default 8 g driver heap, so
+      // pairing the twin with the scale leg silently required
+      // SPARK_DRIVER_MEM=24g and the `equal=` verdict never printed.
+      // Scale leg: cap-0 only (no broadcast anywhere, 8 g-safe),
+      // analytic clique-fate check is its correctness witness.
+      val pinPairs = genGraph(spark, 500000L, 2000L, 200L).localCheckpoint()
+      val forced = run("forced-pin(cap=0)", pinPairs, 0L, 200L)
+      val bcast = run("forced-pin-twin(cap=max)", pinPairs, Long.MaxValue, 200L)
       println(s"[ktruss-gate] forced equal=${forced == bcast}")
+      val pairs = genGraph(spark, 5350000L, 10000L, 1000L).localCheckpoint()
+      run("forced-scale(cap=0)", pairs, 0L, 1000L)
     }
     if (mode == "forcedbig") {
       val pairs = genGraph(spark, 53500000L, 100000L, 10000L).localCheckpoint()

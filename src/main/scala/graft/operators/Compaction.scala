@@ -27,17 +27,32 @@ object Compaction {
     * an equivalent store; bounded retries because the store quiesces
     * after one fold. `build` must MATERIALIZE (collect/count/
     * localCheckpoint) for the retry to cover action-time failures —
-    * returning a lazy frame only protects the footer read. */
-  def retryFileGone[T](build: => T, attempts: Int = 3): T = {
-    def fileGone(e: Throwable): Boolean =
-      e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
-        fileGone(e.getCause))
+    * returning a lazy frame only protects the footer read.
+    *
+    * The cause-chain walk is identity-bounded (ADVICE r11: a circular
+    * cause chain — constructible via `initCause` between two exceptions
+    * — would otherwise recurse to StackOverflowError), and retries back
+    * off linearly (`backoffMs`, 2×, 3×…) so a fold slower than three
+    * instantaneous re-lists still gets a window to finish. */
+  def retryFileGone[T](build: => T, attempts: Int = 3,
+      backoffMs: Long = 50L): T = {
+    def fileGone(e: Throwable): Boolean = {
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
+      var cur = e
+      while (cur != null && seen.add(cur)) {
+        if (cur.isInstanceOf[java.io.FileNotFoundException]) return true
+        cur = cur.getCause
+      }
+      false
+    }
     var attempt = 0
     while (true) {
       try return build
       catch {
         case e: Throwable if fileGone(e) && attempt < attempts =>
           attempt += 1
+          if (backoffMs > 0) Thread.sleep(backoffMs * attempt)
       }
     }
     throw new IllegalStateException("unreachable")

@@ -1735,10 +1735,51 @@ object DedupQueries {
           .unionAll(edges.select(col("b").as("v"), col("a").as("n")))
           .groupBy(col("v"))
           .agg(sort_array(collect_list(col("n"))).as("nb"))
-        val radj = removed.select(col("a").as("v"), col("b").as("n"))
+        // per-round checkpoint hygiene (ADVICE r11): every frame
+        // checkpointed inside this round is dead once the NEW edges
+        // generation is materialized — release its blocks then, or a
+        // deep peel at sf10 density accumulates 3 checkpointed
+        // relations per round in the block manager
+        val roundTemps = scala.collection.mutable.Buffer[DataFrame]()
+        val removedDir = removed.select(col("a").as("v"), col("b").as("n"))
           .unionAll(removed.select(col("b").as("v"), col("a").as("n")))
-          .groupBy(col("v"))
-          .agg(sort_array(collect_list(col("n"))).as("rn"))
+        val radj =
+          if (fitsRem)
+            removedDir.groupBy(col("v"))
+              .agg(sort_array(collect_list(col("n"))).as("rn"))
+          else {
+            // Over-cap removal-adjacency, SURVIVOR-vertex-bounded: the
+            // left joins below can only ever probe radj at a vertex
+            // incident to a SURVIVING edge, so entries for
+            // pure-casualty vertices are dead weight — and in a
+            // mass-extinction round (the sf10 forced regime, where
+            // nearly every edge dies at once) they are nearly ALL the
+            // weight: grouping them was the one remaining
+            // |removed|-sized array sort in the peel (VERDICT r11).
+            // The survivor vertex set is 2(|E|−|removed|) narrow longs
+            // — broadcast it under the conservative cap/8 (the same
+            // footprint argument as the touched-vertex set below),
+            // else ship it as a shuffled-HASH build side so the
+            // removal stream is hash-filtered, never sorted. The
+            // filtered relation is Σ removed-deg over survivor
+            // vertices — in a mass extinction, a sliver. Checkpointed
+            // because two radjSide() calls consume it.
+            val sv = edges.filter(col("support") >= k - 2)
+              .select(col("a").as("v"))
+              .unionAll(edges.filter(col("support") >= k - 2)
+                .select(col("b").as("v")))
+              .distinct()
+            val svSide =
+              if (2L * (curN - nRem) <= maxBroadcastAdjacency / 8)
+                broadcast(sv)
+              else sv.hint("shuffle_hash")
+            val r = removedDir.join(svSide, "v")
+              .groupBy(col("v"))
+              .agg(sort_array(collect_list(col("n"))).as("rn"))
+              .localCheckpoint()
+            roundTemps += r
+            r
+          }
         def adjSide(alias: String, out: String): DataFrame = {
           val half = adj.select(col("v").as(alias), col("nb").as(out))
           if (fitsAdj) broadcast(half) else half.hint("merge")
@@ -1793,6 +1834,7 @@ object DedupQueries {
               .select(col("a"), col("b"), col("support"),
                 col("ra"), col("rb"))
               .localCheckpoint()
+            roundTemps += tEdges
             val nT = tEdges.count()
             val tv = tEdges.select(col("a").as("v"))
               .unionAll(tEdges.select(col("b").as("v")))
@@ -1806,6 +1848,7 @@ object DedupQueries {
               .groupBy(col("v"))
               .agg(sort_array(collect_list(col("n"))).as("nb"))
               .localCheckpoint()
+            roundTemps += adjT
             val tEntries = adjT
               .agg(coalesce(sum(size(col("nb"))).cast("long"), lit(0L)))
               .collect()(0).getLong(0)
@@ -1819,7 +1862,13 @@ object DedupQueries {
               .join(adjTSide("b", "nbb"), Seq("b"))
               .select(col("a"), col("b"), deltaExpr)
           }
+        val prev = edges
         edges = untouched.unionByName(touched).localCheckpoint()
+        // the old generation and the round's temps are unreachable now
+        // that the new checkpoint is materialized (localCheckpoint is
+        // eager) — release their block-manager storage
+        roundTemps.foreach(graft.operators.Checkpoints.unpersist(_))
+        graft.operators.Checkpoints.unpersist(prev)
         curN -= nRem
       }
       i += 1

@@ -764,12 +764,139 @@ object RelationalQueries {
       |       AND l_quantity BETWEEN 20 AND 30)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** TPC-H Q20-style dominant-supplier selection — the nested
+    * semi-join-with-correlated-aggregate-threshold shape: suppliers
+    * qualify when, for some part in a name-predicated slice, THEIR 1997
+    * shipped quantity exceeds half the part's total shipped quantity
+    * (textbook Q20 compares ps_availqty to half the shipped quantity;
+    * the trimmed tables have no partsupp/availqty, so the threshold is
+    * re-anchored to the per-part shipped total and the closing nation
+    * equality becomes a broadcast dim join emitting n_name — documented
+    * divergence, the q13/q17/q22 class; probed non-vacuous at sf0.001
+    * and sf0.01: 7 / 63 qualifying suppliers).
+    *
+    * Plan shape at scale: ONE lineitem scan — the per-(part, supplier)
+    * aggregate is the only fact pass, materialized once
+    * (parts×suppliers-bounded, the q17 slice pattern: AQE does NOT
+    * exchange-reuse it across the two consumers, measured — without
+    * the checkpoint the fact scanned twice); its per-part total
+    * RE-AGGREGATES that result, the threshold joins back broadcast,
+    * and the supplier table is pruned by a LEFT SEMI join on the
+    * qualifying supplier set — the semi survives planning
+    * (PlanQualitySpec). */
+  def q20DominantSupplier(s: SparkSession, d: String): DataFrame = {
+    val slice = Tables.part(s, d).filter(col("p_name").like("red %"))
+      .select(col("p_partkey"))
+    val pair = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(slice), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("q"))
+      .localCheckpoint()
+    val tot = pair.groupBy(col("l_partkey"))
+      .agg(sum(col("q")).as("tq"))
+    // integral quantities: the double sums are exact (< 2^53), so the
+    // half-total threshold is engine-stable against the DuckDB oracle
+    val qual = pair.join(broadcast(tot), "l_partkey")
+      .filter(col("q") > lit(0.5) * col("tq"))
+      .select(col("l_suppkey"))
+    Tables.supplier(s, d)
+      .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q20Sql: String =
+    """WITH slice AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red %'),
+      |pair AS (
+      |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+      |  FROM lineitem JOIN slice ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= DATE '1997-01-01'
+      |    AND l_shipdate < DATE '1998-01-01'
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT l_partkey, sum(q) AS tq FROM pair GROUP BY 1)
+      |SELECT s_suppkey, s_name, n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM pair JOIN tot USING (l_partkey)
+      |  WHERE q > 0.5 * tq)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q21-style waiting-supplier count — the EXISTS + NOT-EXISTS
+    * double semi/anti on ONE fact: suppliers who were the SOLE late
+    * supplier on a multi-supplier finished order. The trimmed lineitem
+    * has no commit/receipt dates, so "late" is re-anchored to shipping
+    * more than a year after the order date (documented divergence;
+    * probed non-vacuous: 106 / 988 waiting pairs at sf0.001 / sf0.01,
+    * lateness spread across the 180–730-day lag band).
+    *
+    * Plan shape at scale: the late (order, supplier) relation is
+    * orders-bounded and materialized ONCE (localCheckpoint — it feeds
+    * the probe, and re-feeds the anti side); the EXISTS becomes a LEFT
+    * SEMI against the only other lineitem scan (equi on orderkey +
+    * non-equi supplier inequality), the NOT EXISTS a LEFT ANTI against
+    * the materialized late relation itself — two fact scans total,
+    * both semi and anti survive planning (PlanQualitySpec), and the
+    * final per-supplier count joins supplier broadcast. */
+  def q21WaitingSupplier(s: SparkSession, d: String): DataFrame = {
+    val late = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 365)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .distinct()
+      .localCheckpoint()
+    val other = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val waiting = late
+      .join(other,
+        col("l_orderkey") === col("ok") && col("l_suppkey") =!= col("sk"),
+        "left_semi")
+      .join(late.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2")),
+        col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+        "left_anti")
+    waiting
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val q21Sql: String =
+    """WITH late AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |    AND date_diff('day', o_orderdate, l_shipdate) > 365)
+      |SELECT s_name, count(*)::BIGINT AS numwait
+      |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM late l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q8_market_share" -> (q8MarketShare _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q17_small_quantity" -> (q17SmallQuantity _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q19_discounted_revenue" -> (q19DiscountedRevenue _),
+    "q20_dominant_supplier" -> (q20DominantSupplier _),
+    "q21_waiting_supplier" -> (q21WaitingSupplier _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q13_order_distribution" -> (q13OrderDistribution _),
     "q22_sales_opportunity" -> (q22SalesOpportunity _),
@@ -799,6 +926,8 @@ object RelationalQueries {
     "q17_small_quantity" -> q17Sql,
     "q18_large_orders" -> q18Sql,
     "q19_discounted_revenue" -> q19Sql,
+    "q20_dominant_supplier" -> q20Sql,
+    "q21_waiting_supplier" -> q21Sql,
     "q10_returned_items" -> q10Sql,
     "q13_order_distribution" -> q13Sql,
     "q22_sales_opportunity" -> q22Sql,

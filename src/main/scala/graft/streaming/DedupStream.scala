@@ -295,11 +295,13 @@ object WinnowStream {
   /** Merge-on-read view of the accumulated selected fingerprints —
     * row-equal to `winnowingFingerprints` over the accumulated corpus.
     * The listing+footer read retries across a concurrent [[compact]]
-    * (ADVICE r10); the returned frame is lazy, so callers that act on
-    * it while a fold is racing should go through [[report]] (which
-    * materializes inside the retry) or wrap their action in
-    * [[graft.operators.Compaction.retryFileGone]]. */
-  def fingerprints(s: SparkSession, indexDir: String): DataFrame =
+    * (ADVICE r10); the returned frame is lazy, so a caller acting on it
+    * while a fold is racing would still hit FileNotFoundException at
+    * action time. That makes it an easy-to-misuse surface (ADVICE r11),
+    * so it is package-private: external serving paths go through
+    * [[report]] / [[probeText]], which materialize (or collect) INSIDE
+    * the retry; in-package callers own the action-time retry. */
+  private[graft] def fingerprints(s: SparkSession, indexDir: String): DataFrame =
     graft.operators.Compaction.retryFileGone {
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/prints")
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -322,14 +324,30 @@ object WinnowStream {
     * (localCheckpoint) INSIDE a fileGone retry, so a serving-path
     * report racing a concurrent [[compact]] re-reads a fresh listing
     * instead of throwing, and the returned frame no longer depends on
-    * the store files at all (ADVICE r10). */
+    * the store files at all (ADVICE r10).
+    *
+    * Block-manager hygiene (ADVICE r11): each call unpersists the
+    * PREVIOUS call's checkpoint for the same store, so a long-lived
+    * serving session holds at most one report generation per index
+    * instead of accumulating storage without bound. Consequently a
+    * caller owns the returned frame only until its next `report()` on
+    * the same `indexDir` — consume (collect/write) before re-calling,
+    * which is the shape every serving handler has anyway. */
   def report(s: SparkSession, indexDir: String): DataFrame =
     graft.operators.Compaction.retryFileGone {
-      graft.queries.DedupQueries
+      val fresh = graft.queries.DedupQueries
         .winnowingReportFrom(fingerprints(s, indexDir))
         .orderBy(col("doc_a"), col("doc_b"))
         .localCheckpoint()
+      Option(lastReport.put(indexDir, fresh))
+        .filter(_ ne fresh)
+        .foreach(graft.operators.Checkpoints.unpersist(_))
+      fresh
     }
+
+  /** Previous [[report]] generation per store, unpersisted on refresh. */
+  private val lastReport =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** Admission-check probe for ONE candidate document against the
     * accumulated fingerprint index — the serving-path twin of

@@ -131,6 +131,37 @@ class PlanQualitySpec extends SparkSpec {
       "the brand IN-list should reach the part scan")
   }
 
+  test("q20: one fact scan; the semi survives planning; threshold joins broadcast") {
+    val p = plan(graft.queries.RelationalQueries.q20DominantSupplier(spark, sf))
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    // the pair aggregate is materialized once (its checkpoint job paid
+    // the single fact scan) — the returned plan must never re-scan
+    assert(count(finalPlan, "lineitem\\.parquet") == 0,
+      s"q20 must not re-scan the fact:\n$finalPlan")
+    assert(finalPlan.contains("LeftSemi"),
+      "the qualifying-supplier pruning must stay a semi join")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      "part slice, per-part total and nation all join broadcast")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "no cartesian anywhere")
+  }
+
+  test("q21: EXISTS/NOT-EXISTS stay semi+anti; at most two fact scans") {
+    val p = plan(graft.queries.RelationalQueries.q21WaitingSupplier(spark, sf))
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    // late is materialized (checkpoint) — the returned plan sees the
+    // probe lineitem scan only; the checkpoint job paid the other
+    assert(count(finalPlan, "lineitem\\.parquet") <= 1,
+      s"q21's returned plan re-scans the fact:\n$finalPlan")
+    assert(finalPlan.contains("LeftSemi"),
+      "the other-supplier EXISTS must stay a semi join")
+    assert(finalPlan.contains("LeftAnti"),
+      "the sole-late NOT EXISTS must stay an anti join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the supplier-inequality condition must ride the orderkey equi-join")
+  }
+
   test("q14: the part dimension broadcasts; the fact side never reshuffles") {
     val p = plan(graft.queries.RelationalQueries.q14PromoShare(spark, sf))
     assert(count(p, "BroadcastHashJoin") >= 1, "part must broadcast")
