@@ -129,6 +129,25 @@ object Compaction {
       upTo: Long, targetBytes: Long = 128L << 20,
       partitionCols: Seq[String] = Nil,
       rewrite: DataFrame => DataFrame = identity,
+      minDirs: Int = 1): Boolean =
+    stageRewriteBatchDirs(s, root, upTo, targetBytes, partitionCols,
+      rewrite, minDirs) && commitStagedRewrite(s, root)
+
+  /** Stage phase of [[rewriteBatchDirs]] WITHOUT the swap: writes
+    * `rewrite(union)` plus the durable `_folded_upto` marker into
+    * `root/compact.tmp` (invisible to `batch=`-dir readers) and returns
+    * true, leaving every original dir untouched — so concurrent readers
+    * keep serving the old store for the stage's whole data-sized
+    * duration. Complete with [[commitStagedRewrite]], whose cost is
+    * metadata-only (delete + rename) — the split is what lets a retrain
+    * shrink its probe-visible mutation window to milliseconds
+    * ([[graft.streaming.EmbedStream.retrainIvf]]). A crashed complete
+    * stage found on entry is finished first (same resume protocol as
+    * the fused form). */
+  def stageRewriteBatchDirs(s: org.apache.spark.sql.SparkSession,
+      root: String, upTo: Long, targetBytes: Long = 128L << 20,
+      partitionCols: Seq[String] = Nil,
+      rewrite: DataFrame => DataFrame = identity,
       minDirs: Int = 1): Boolean = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.functions.col
@@ -153,8 +172,22 @@ object Compaction {
     (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
       .parquet(tmp.toString)
     fs.create(new Path(tmp, s"_folded_upto=$m"), true).close()
-    finishFold(fs, rootP, tmp)
     true
+  }
+
+  /** Swap phase of [[rewriteBatchDirs]]: completes a stage left by
+    * [[stageRewriteBatchDirs]] (delete originals ≤ m, rename) — metadata
+    * ops only. Returns true iff a complete stage existed. */
+  def commitStagedRewrite(s: org.apache.spark.sql.SparkSession,
+      root: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new Path(rootP, "compact.tmp")
+    val complete = stageMarker(fs, tmp).isDefined &&
+      fs.exists(new Path(tmp, "_SUCCESS"))
+    if (complete) finishFold(fs, rootP, tmp)
+    complete
   }
 
   private def batchDirs(fs: org.apache.hadoop.fs.FileSystem,

@@ -4,7 +4,7 @@ import graft.agent.AgentLoop
 import graft.ingest.IngestPipeline
 import graft.llm.{HashEmbedder, StubLlm}
 import graft.model.{QueryRequest, RawDoc}
-import graft.retrieval.Retrieval
+import graft.retrieval.{BatchRetrieval, Retrieval}
 import graft.streaming.JobStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -149,12 +149,25 @@ object RagQueries {
     val c = corpus(s, d)
     val embedder = new HashEmbedder(384)
     val k = Retrieval.capsByScope("chunk").k
-    val engine = gateQueryTexts.zipWithIndex.flatMap { case (q, qi) =>
-      Retrieval.retrieve(c, embedder, q, "chunk", expand = false)
-        .zipWithIndex.map { case (r, i) =>
-          (qi.toLong, (i + 1).toLong, r.rowId, r.score)
-        }
-    }.toDF("query_id", "rank", "e_row", "e_score")
+    // engine side: the BATCHED seed path — one scan serves all five
+    // queries (VERDICT r10 item 6: the per-query retrieve loop was an
+    // action-count × scheduler-constant floor, ~2 driver actions × Q).
+    // The per-query serving path stays in the gate at CONSTANT cost via
+    // one sequential spot-check (query 0), folded into its parity rows;
+    // full per-query sequential parity is pinned in AgentBatchSpec.
+    val specs = gateQueryTexts.zipWithIndex.map { case (q, qi) =>
+      BatchRetrieval.Spec(qi.toString, q, "chunk") }
+    val batched = BatchRetrieval.retrieveAllNoExpand(c, embedder, specs)
+    val seq0 = Retrieval.retrieve(
+      c, embedder, gateQueryTexts.head, "chunk", expand = false)
+    val engine = specs.flatMap { sp =>
+      val docs = batched(sp.id).docs
+      val seqOk = sp.id != "0" ||
+        docs.map(r => (r.rowId, r.score)) == seq0.map(r => (r.rowId, r.score))
+      docs.zipWithIndex.map { case (r, i) =>
+        (sp.id.toLong, (i + 1).toLong, r.rowId, r.score, seqOk)
+      }
+    }.toDF("query_id", "rank", "e_row", "e_score", "seq_ok")
     val qdf = gateQueryTexts.zipWithIndex
       .map { case (q, qi) => (qi.toLong, embedder.embed(q)) }
       .toDF("query_id", "qv")
@@ -170,7 +183,8 @@ object RagQueries {
     engine.join(brute, Seq("query_id", "rank"), "full_outer")
       .select(col("query_id"), col("rank"),
         (col("e_row") === col("b_row") &&
-          abs(col("e_score") - col("b_score")) < 1e-9).as("parity_ok"))
+          abs(col("e_score") - col("b_score")) < 1e-9 &&
+          col("seq_ok")).as("parity_ok"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -280,10 +294,22 @@ object RagQueries {
     val embedder = new HashEmbedder(384)
     val k = Retrieval.capsByScope("chunk").k
     val lambda = 0.35
-    val engine = gateQueryTexts.zipWithIndex.flatMap { case (q, qi) =>
-      Retrieval.retrieve(c, embedder, q, "chunk", expand = false,
-          strategy = Retrieval.Mmr(lambda))
-        .zipWithIndex.map { case (r, i) => (qi.toLong, (i + 1).toLong, r.rowId) }
+    // engine side batched like rag_retrieve_topk_gate (one scan for all
+    // five pools; mmrSelect runs driver-side per query over the same
+    // collected pool retrieveResult would hold); query 0 additionally
+    // spot-checks the per-query serving path at constant cost.
+    val specs = gateQueryTexts.zipWithIndex.map { case (q, qi) =>
+      BatchRetrieval.Spec(qi.toString, q, "chunk") }
+    val batched = BatchRetrieval.retrieveAllNoExpand(
+      c, embedder, specs, strategy = Retrieval.Mmr(lambda))
+    val seq0 = Retrieval.retrieve(c, embedder, gateQueryTexts.head, "chunk",
+      expand = false, strategy = Retrieval.Mmr(lambda))
+    val engine = specs.flatMap { sp =>
+      val docs = batched(sp.id).docs
+      val seqOk = sp.id != "0" || docs.map(_.rowId) == seq0.map(_.rowId)
+      docs.zipWithIndex.map { case (r, i) =>
+        (sp.id.toLong, (i + 1).toLong, if (seqOk) r.rowId else "seq-diverged")
+      }
     }.toDF("query_id", "rank", "e_row")
 
     val qdf = gateQueryTexts.zipWithIndex

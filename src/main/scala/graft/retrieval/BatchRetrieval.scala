@@ -105,6 +105,73 @@ object BatchRetrieval {
     }
   }
 
+  /** Batched seed-only retrieval (VERDICT r10 item 6 — the rag gates'
+    * action-floor remedy): serve every query's `expand = false` pool from
+    * ONE scan per (scope, filters) group — the (qid, qvec) table is
+    * broadcast into the scope scan, scored by the same codegen cosine,
+    * cut per query by the shared rank window — instead of Q independent
+    * persist / top-k / unpersist action chains (2 driver actions per
+    * query is exactly the scheduler-constant floor the sf1 gates paid).
+    * Embeddings ride along in the collect so an [[Retrieval.Mmr]]
+    * strategy re-ranks driver-side over exactly the pool
+    * [[Retrieval.retrieveResult]] would collect. Per-query parity (ids,
+    * scores, order, exhausted flag) with
+    * `retrieveResult(expand = false, strategy)` is pinned in
+    * AgentBatchSpec for both strategies: the window's (score desc,
+    * rowId) rank is TakeOrderedAndProject's ordering, and the cosine
+    * doubles are decided by the same codegen kernel over the same float
+    * arrays whether the query vector arrives as a broadcast table column
+    * or a typedlit. */
+  def retrieveAllNoExpand(
+      corpus: DataFrame,
+      embedder: Embedder,
+      specs: Seq[Spec],
+      strategy: Retrieval.Strategy = Retrieval.Eager): Map[String, Retrieval.Result] = {
+    import org.apache.spark.sql.types.ArrayType
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    specs.groupBy(sp => (sp.scope, sp.filters)).flatMap {
+      case ((scope, filters), group) =>
+        val caps = Retrieval.capsByScope
+          .getOrElse(scope, Retrieval.Caps(10, 3, 8, 2))
+        val base = filters.foldLeft(corpus.filter(col("scope") === scope)) {
+          case (df, (k, v)) => df.schema(k).dataType match {
+            case _: ArrayType => df.filter(array_contains(col(k), v))
+            case _ => df.filter(col(k) === v)
+          }
+        }
+        val queriesDF = group.map(sp => (sp.id, embedder.embed(sp.query)))
+          .toDF("qid", "qvec")
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("rowId"))
+        val rows = base.crossJoin(broadcast(queriesDF))
+          .withColumn("score", cosine(col("embedding"), col("qvec")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= caps.k)
+          .select(col("qid"), col("score"), col("rowId"), col("scope"),
+            col("namespace"), col("repo"), col("module"), col("filePath"),
+            col("text"), col("topics"), col("embedding"))
+          .collect()
+        val byQid = rows.toSeq.groupBy(_.getString(0))
+        group.map { sp =>
+          val pool = byQid.getOrElse(sp.id, Nil)
+            .map { r =>
+              (Retrieved(r.getString(2), r.getString(3), r.getString(4),
+                r.getString(5), r.getString(6), r.getString(7),
+                r.getString(8), r.getSeq[String](9), r.getDouble(1)),
+                r.getSeq[Float](10).toArray)
+            }
+            .sortBy { case (d, _) => (-d.score, d.rowId) }
+          val docs = strategy match {
+            case Retrieval.Eager => pool.map(_._1)
+            case Retrieval.Mmr(lambda) =>
+              Retrieval.mmrSelect(pool, caps.k, lambda)
+          }
+          sp.id -> Retrieval.Result(docs.toSeq, pool.length < caps.k)
+        }
+    }.toMap
+  }
+
   /** All queries of one (scope, filters) group — 1 + maxDepth jobs. */
   private def retrieveGroup(
       corpus: DataFrame,

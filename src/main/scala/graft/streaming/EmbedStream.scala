@@ -179,10 +179,15 @@ object EmbedStream {
     * every probe that touches it into a near-full scan; balanced drift
     * costs recall slowly and is the recall floor's job.
     *
-    * CONTRACT: run while the stream is quiescent (stopped, or between
-    * micro-batches with the last batch committed) — the rewrite covers
-    * every batch dir, so a redelivered batch overwriting the folded dir
-    * would lose the fold. A `_retrain_pending` marker is written before
+    * CONTRACT: run while the INGEST stream is quiescent (stopped, or
+    * between micro-batches with the last batch committed) — the rewrite
+    * covers every batch dir, so a redelivered batch overwriting the
+    * folded dir would lose the fold. Concurrent READS need no quiescence:
+    * [[probeVector]] serves throughout via its epoch-stable snapshot
+    * protocol — the data-sized rewrite is staged invisibly BEFORE the
+    * marker, so the probe-visible mutation window (marker → centroid
+    * overwrite → dir swap → epoch bump → marker clear) is metadata-only.
+    * A `_retrain_pending` marker is written before
     * the first visible mutation and removed after the swap commits, so
     * a crash anywhere between (including between the centroid write and
     * the list swap, where probes see new geometry over old assignments —
@@ -236,15 +241,56 @@ object EmbedStream {
         // a pending repair must complete even if the rebuild no longer
         // beats the (mid-swap, inconsistent) measured skew
         if (!pending && newSkew >= skew) return false
-        mfs.create(marker, true).close()
-        IvfIndex.writeCentroids(s, rebuilt, indexDir)
-        val swapped = graft.operators.Compaction.rewriteBatchDirs(
+        // STAGE the rewritten lists before the first visible mutation:
+        // concurrent probes keep serving the old store through the
+        // stage's data-sized write, and the marker window that follows
+        // (centroid overwrite + dir swap + epoch bump) is metadata-only
+        // — so [[probeVector]]'s epoch-stable snapshot protocol spins
+        // for the swap's milliseconds, never the rewrite
+        val staged = graft.operators.Compaction.stageRewriteBatchDirs(
           s, s"$indexDir/lists", Long.MaxValue, targetBytes,
           partitionCols = Seq("centroid_id"),
           rewrite = _ => reassigned)
+        mfs.create(marker, true).close()
+        IvfIndex.writeCentroids(s, rebuilt, indexDir)
+        val swapped = staged &&
+          graft.operators.Compaction.commitStagedRewrite(s, s"$indexDir/lists")
+        bumpGeomEpoch(s, indexDir)
         mfs.delete(marker, false)
         swapped
     }
+  }
+
+  /** Geometry epoch of a stored IVF index — bumped as the last mutation
+    * of every committed [[retrainIvf]] swap (content-preserving folds do
+    * NOT bump it). [[probeVector]] brackets its centroid+list reads with
+    * this and the `_retrain_pending` marker to take a consistent
+    * snapshot without quiescing the maintenance cadence. */
+  def geomEpoch(s: SparkSession, indexDir: String): Long = {
+    val (fs, root) = fsOf(s, indexDir)
+    if (!fs.exists(root)) 0L
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("_epoch="))
+      .flatMap(_.drop("_epoch=".length).toLongOption)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Create the successor epoch file, then drop older ones — a racing
+    * [[geomEpoch]] read takes the max, so it sees the old epoch until
+    * the new file exists and the new one after, never neither. */
+  private def bumpGeomEpoch(s: SparkSession, indexDir: String): Unit = {
+    val (fs, root) = fsOf(s, indexDir)
+    val next = geomEpoch(s, indexDir) + 1
+    fs.create(new org.apache.hadoop.fs.Path(root, s"_epoch=$next"), true).close()
+    fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith("_epoch=") &&
+        p.getName.drop("_epoch=".length).toLongOption.exists(_ < next))
+      .foreach(p => fs.delete(p, false))
+  }
+
+  private def retrainPending(s: SparkSession, indexDir: String): Boolean = {
+    val (fs, p) = fsOf(s, s"$indexDir/_retrain_pending")
+    fs.exists(p)
   }
 
   /** Serving-path single-vector search of the accumulated IVF store —
@@ -256,25 +302,53 @@ object EmbedStream {
     * never a corpus scan; returns (vec_id, cosine) best-first, empty
     * before the first committed batch.
     *
-    * Safe to serve concurrently with [[compactIndex]]: a fold can
-    * delete a listed `batch=` dir between the listing and the read, so
-    * the probe retries against a fresh listing (bounded retries — the
-    * folded dir carries the same rows). NOT safe concurrently with
-    * [[retrainIvf]], whose own contract already requires quiescence:
-    * it rewrites the geometry the probe is reading. */
+    * Safe to serve concurrently with [[compactIndex]] AND [[retrainIvf]]
+    * (VERDICT r10 item 5): each attempt brackets the centroid + list
+    * reads with the geometry epoch and the `_retrain_pending` marker —
+    * the pair (epoch unchanged, marker absent on both sides) proves the
+    * centroids and the assignments it read belong to the same committed
+    * geometry, so a probe can never serve the torn new-centroids /
+    * old-assignments window a racing retrain opens. Folds don't bump
+    * the epoch (content-preserving); their deleted-dir races surface as
+    * FileNotFound and re-attempt like any unstable snapshot. The retry
+    * budget is generous relative to the window it waits out: retrain
+    * stages its data-sized rewrite BEFORE the marker, so the unstable
+    * window is metadata-only (centroid overwrite + dir rename + epoch
+    * bump). Exhaustion — only under a pathologically re-triggering
+    * maintenance loop — throws rather than returning a possibly-torn
+    * result. */
   def probeVector(s: SparkSession, indexDir: String, vec: Array[Float],
       k: Int = 5, nprobe: Int = 4, overfetch: Int = 8): Seq[(Long, Double)] = {
-    def fileGone(e: Throwable): Boolean =
-      e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
-        fileGone(e.getCause))
-    var attempt = 0
-    while (true) {
-      try return probeVectorOnce(s, indexDir, vec, k, nprobe, overfetch)
-      catch {
-        case e: Throwable if fileGone(e) && attempt < 3 => attempt += 1
+    def fileGone(e: Throwable): Boolean = {
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
+      var cur = e
+      while (cur != null && seen.add(cur)) {
+        if (cur.isInstanceOf[java.io.FileNotFoundException]) return true
+        cur = cur.getCause
       }
+      false
     }
-    Nil // unreachable
+    val maxAttempts = 40
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val e1 = geomEpoch(s, indexDir)
+      if (!retrainPending(s, indexDir)) {
+        val res =
+          try Some(probeVectorOnce(s, indexDir, vec, k, nprobe, overfetch))
+          catch { case e: Throwable if fileGone(e) => None }
+        res match {
+          case Some(r) if !retrainPending(s, indexDir) &&
+            geomEpoch(s, indexDir) == e1 => return r
+          case _ => () // torn or racing snapshot: re-attempt
+        }
+      }
+      attempt += 1
+      Thread.sleep(25L * math.min(attempt, 8))
+    }
+    throw new IllegalStateException(
+      s"probeVector: no stable geometry snapshot of $indexDir after " +
+        s"$maxAttempts attempts — is a maintenance pass re-triggering in a loop?")
   }
 
   private def probeVectorOnce(s: SparkSession, indexDir: String,

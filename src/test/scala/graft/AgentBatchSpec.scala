@@ -118,6 +118,55 @@ class AgentBatchSpec extends SparkSpec {
     }
   }
 
+  test("retrieveAllNoExpand parity: Eager and Mmr match retrieveResult per query") {
+    // the rag gate remedy (VERDICT r10 item 6): one scan serves every
+    // expand=false pool; ids, scores, order, exhausted must equal the
+    // sequential serving path's for BOTH strategies — including on the
+    // tie-prone randomized corpus
+    val rnd = new scala.util.Random(23)
+    val scopes = graft.model.Node.Scopes
+    val nodes = (0 until 80).map { i =>
+      val repo = s"r${rnd.nextInt(4)}"
+      val module = s"m${rnd.nextInt(3)}"
+      mkNode(f"n$i%03d", scopes(rnd.nextInt(scopes.length)), repo, module,
+        s"$module/f${rnd.nextInt(5)}.py",
+        Seq.fill(3 + rnd.nextInt(4))(s"w${rnd.nextInt(12)}").mkString(" "),
+        Seq.fill(rnd.nextInt(3))(s"t${rnd.nextInt(6)}"))
+    }
+    val rcorpus = spark.createDataset(nodes).toDF().cache()
+    rcorpus.count()
+    val specs = (0 until 6).map { i =>
+      BatchRetrieval.Spec(s"q$i", Seq.fill(4)(s"w${rnd.nextInt(12)}").mkString(" "),
+        scopes(rnd.nextInt(scopes.length)),
+        if (i % 3 == 0) Map("repo" -> s"r${rnd.nextInt(4)}") else Map.empty)
+    }
+    for (strategy <- Seq(Retrieval.Eager, Retrieval.Mmr(0.35))) {
+      val batched = BatchRetrieval.retrieveAllNoExpand(
+        rcorpus, embedder, specs, strategy)
+      specs.foreach { sp =>
+        val seq = Retrieval.retrieveResult(rcorpus, embedder, sp.query,
+          sp.scope, sp.filters, expand = false, strategy = strategy)
+        val bat = batched(sp.id)
+        assert(bat.docs == seq.docs,
+          s"${sp.id} ($strategy, ${sp.scope}, ${sp.filters}): docs diverge")
+        assert(bat.exhausted == seq.exhausted,
+          s"${sp.id} ($strategy): exhausted flag diverges")
+      }
+    }
+  }
+
+  test("retrieveAllNoExpand job count is O(scope groups), not O(queries)") {
+    corpus.count()
+    val mk = (n: Int) => (0 until n).map(i => BatchRetrieval.Spec(
+      s"q$i", s"query about topic $i", "chunk"))
+    // warm codegen/planner caches
+    BatchRetrieval.retrieveAllNoExpand(corpus, embedder, mk(1))
+    val jobs2 = countJobs(BatchRetrieval.retrieveAllNoExpand(corpus, embedder, mk(2)))
+    val jobs6 = countJobs(BatchRetrieval.retrieveAllNoExpand(corpus, embedder, mk(6)))
+    assert(jobs6 <= jobs2 + 1,
+      s"job count grew with query count: 2 queries=$jobs2, 6 queries=$jobs6")
+  }
+
   test("batched retrieval scan count is O(scope groups), not O(queries)") {
     corpus.count()
     val specs = Seq(

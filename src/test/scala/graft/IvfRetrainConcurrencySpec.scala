@@ -1,0 +1,179 @@
+package graft
+
+import graft.streaming.EmbedStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** VERDICT r10 item 5: the stored-IVF retrain lifecycle under CONCURRENT
+  * serving probes. Retrain stages its data-sized rewrite before the
+  * `_retrain_pending` marker and bumps the geometry epoch as the last
+  * mutation; [[EmbedStream.probeVector]] brackets every read with
+  * (epoch, marker) so it can never serve the torn new-centroids /
+  * old-assignments window. The assertions here are the serving
+  * contract: zero failed probes, zero empty responses, exact returned
+  * cosines, and the recall floor held on every response taken before,
+  * during, and after a retrain + compaction cycle.
+  */
+class IvfRetrainConcurrencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 32
+
+  private def famVec(fam: Int, salt: Long): Seq[Float] = {
+    val rnd = new java.util.Random(salt * 6271L + fam)
+    Seq.tabulate(dim) { i =>
+      if (i == fam) 1.0f
+      else if (i >= 8) (0.01 * rnd.nextGaussian()).toFloat
+      else 0f
+    }
+  }
+
+  // the drift fixture from EmbedStreamSpec's retrain test: a fat
+  // family-0-aligned blob of four separable subfamilies — list 0 goes
+  // hot, and a c=8 rebuild can split it
+  private def driftVec(salt: Long): Seq[Float] = {
+    val rnd = new java.util.Random(salt * 7013L)
+    val sub = 4 + (salt % 4).toInt
+    Seq.tabulate(dim) { i =>
+      if (i == 0) 1.0f
+      else if (i == sub) 0.8f
+      else if (i >= 8) (0.01 * rnd.nextGaussian()).toFloat
+      else 0f
+    }
+  }
+
+  private def cosL(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
+  test("probes stay correct and non-empty across a concurrent retrain + compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val frame = input.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf-conc").toString
+    val batch0 = (0 until 24).map(i => (i.toLong, famVec(i % 4, i)))
+    val drift = (100 until 160).map(i => (i.toLong, driftVec(i)))
+    val q = EmbedStream.startIvf(spark, frame, s"$dir/index", s"$dir/reports",
+      s"$dir/ckpt", c = 4, k = 5, nprobe = 2)
+    try {
+      input.addData(batch0: _*)
+      q.processAllAvailable()
+      input.addData(drift.take(30): _*)
+      q.processAllAvailable()
+      input.addData(drift.drop(30): _*)
+      q.processAllAvailable()
+    } finally q.stop() // ingest quiesces; PROBES do not
+
+    val stored = batch0 ++ drift
+    val k = 5
+    val queries: Seq[(Int, Array[Float])] = (0 until 4).map { f =>
+      f -> famVec(f, 9000L + f).toArray
+    }
+    val truth: Map[Int, Set[Long]] = queries.map { case (f, qv) =>
+      f -> stored.map { case (id, v) => (id, cosL(qv.toSeq, v)) }
+        .sortBy { case (id, sc) => (-sc, id) }.take(k).map(_._1).toSet
+    }.toMap
+    val exactCos: Map[(Int, Long), Double] = (for {
+      (f, qv) <- queries; (id, v) <- stored
+    } yield (f, id) -> cosL(qv.toSeq, v)).toMap
+
+    // ---- concurrent serving: 4 probe threads loop over the fixed
+    // queries while the main thread runs the maintenance cycle
+    case class Probe(query: Int, epoch: Long, hits: Seq[(Long, Double)])
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Probe]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        var i = t
+        while (!stop.get()) {
+          val (f, qv) = queries(i % queries.length)
+          try {
+            val hits = EmbedStream.probeVector(spark, s"$dir/index", qv,
+              k = k, nprobe = 4, overfetch = 8)
+            results.add(Probe(f, EmbedStream.geomEpoch(spark, s"$dir/index"), hits))
+          } catch { case e: Throwable => failures.add(e) }
+          i += 1
+        }
+      }, s"probe-$t")
+    }
+    threads.foreach(_.start())
+    try {
+      Thread.sleep(300) // probes against the pre-retrain (skewed) store
+      assert(EmbedStream.retrainIvf(spark, s"$dir/index", c = 8, maxSkew = 2.5),
+        "the drifted fixture must trigger the retrain")
+      Thread.sleep(200) // probes against the swapped geometry
+      EmbedStream.compactIndex(spark, s"$dir/index", upTo = Long.MaxValue)
+      Thread.sleep(200) // probes across/after the fold
+    } finally {
+      stop.set(true)
+      threads.foreach(_.join(30000))
+    }
+
+    import scala.jdk.CollectionConverters._
+    val failed = failures.asScala.toSeq
+    assert(failed.isEmpty,
+      s"${failed.size} probe(s) failed; first: ${failed.headOption.orNull}")
+    val probes = results.asScala.toSeq
+    assert(probes.nonEmpty, "the probe threads must have produced results")
+    val epochs = probes.map(_.epoch).distinct.sorted
+    assert(epochs.length >= 2,
+      s"probes must span the retrain's epoch bump, saw epochs $epochs")
+
+    probes.foreach { p =>
+      assert(p.hits.nonEmpty, s"query ${p.query}: empty response (epoch ${p.epoch})")
+      // every returned (id, cos) is verified-exact: the two-phase q8
+      // probe reranks in float, so scores must equal brute cosines
+      p.hits.foreach { case (id, c) =>
+        assert(math.abs(c - exactCos((p.query, id))) < 1e-6,
+          s"query ${p.query}: returned cosine for $id is not exact")
+      }
+      val recall = p.hits.map(_._1).toSet.intersect(truth(p.query)).size.toDouble / k
+      assert(recall >= 0.6,
+        s"query ${p.query}: recall $recall below floor (epoch ${p.epoch})")
+    }
+
+    // quiesced, post-cycle: full-width probes are exact
+    queries.foreach { case (f, qv) =>
+      val ids = EmbedStream.probeVector(spark, s"$dir/index", qv,
+        k = k, nprobe = 8, overfetch = 8).map(_._1).toSet
+      assert(ids == truth(f), s"post-cycle full-width probe: $ids != ${truth(f)}")
+    }
+  }
+
+  test("epoch protocol: folds don't bump it, committed retrains do") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val frame = input.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf-epoch").toString
+    val q = EmbedStream.startIvf(spark, frame, s"$dir/index", s"$dir/reports",
+      s"$dir/ckpt", c = 4, k = 3, nprobe = 2)
+    try {
+      input.addData((0 until 24).map(i => (i.toLong, famVec(i % 4, i))): _*)
+      q.processAllAvailable()
+      input.addData((100 until 130).map(i => (i.toLong, driftVec(i))): _*)
+      q.processAllAvailable()
+      input.addData((130 until 160).map(i => (i.toLong, driftVec(i))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val e0 = EmbedStream.geomEpoch(spark, s"$dir/index")
+    assert(EmbedStream.compactIndex(spark, s"$dir/index", upTo = Long.MaxValue))
+    assert(EmbedStream.geomEpoch(spark, s"$dir/index") == e0,
+      "a content-preserving fold must not bump the geometry epoch")
+    assert(EmbedStream.retrainIvf(spark, s"$dir/index", c = 8, maxSkew = 2.5))
+    assert(EmbedStream.geomEpoch(spark, s"$dir/index") == e0 + 1,
+      "a committed retrain must bump the geometry epoch exactly once")
+    // balanced now: the no-op maintenance pass leaves the epoch alone
+    assert(!EmbedStream.retrainIvf(spark, s"$dir/index", c = 8, maxSkew = 2.5))
+    assert(EmbedStream.geomEpoch(spark, s"$dir/index") == e0 + 1)
+  }
+}
