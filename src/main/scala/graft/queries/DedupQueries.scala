@@ -1679,22 +1679,63 @@ object DedupQueries {
       // (2|E| longs) provably fits; otherwise shuffle the join so an
       // oversized graph degrades to more exchanges, not a driver OOM
       val fits = 2L * nEdges <= maxBroadcastAdjacency
-      def side(alias: String, out: String): DataFrame = {
-        val half = adj.select(col("v").as(alias), col("nb").as(out))
-        // over the cap, pin SORT-MERGE: a shuffled-HASH join must hold a
-        // partition's adjacency arrays in the build map and OOMs exactly
-        // where the gate fired (measured at sf1 under an 8g heap), while
-        // merge join spills — the graceful degradation the gate promises
-        if (fits) broadcast(half) else half.hint("merge")
-      }
       // a ∉ N(a) and b ∉ N(b), so the endpoint entries (b ∈ N(a),
       // a ∈ N(b)) can't survive the intersection — no exclusion needed
-      es
-        .join(side("a", "na"), "a")
-        .join(side("b", "nbb"), "b")
-        .select(col("a"), col("b"),
-          size(array_intersect(col("na"), col("nbb"))).cast("long")
-            .as("support"))
+      if (fits) {
+        def side(alias: String, out: String): DataFrame =
+          broadcast(adj.select(col("v").as(alias), col("nb").as(out)))
+        es
+          .join(side("a", "na"), "a")
+          .join(side("b", "nbb"), "b")
+          .select(col("a"), col("b"),
+            size(array_intersect(col("na"), col("nbb"))).cast("long")
+              .as("support"))
+      } else {
+        // Over the cap, the two joins have opposite failure modes and
+        // the graph's SHAPE decides which plan survives:
+        //  - a FAT-ARRAY graph (few vertices, hub-heavy dup clusters —
+        //    the real sf10 simhash graph: 5e5 docs, 8.07e7 adjacency
+        //    entries) dies under all-merge, because the second merge
+        //    join sorts an intermediate whose per-edge rows carry full
+        //    neighbor arrays — Σ deg² ≈ 4e9 entries, >80 GB of sort
+        //    spill on one box (the r10/r12 round-0 death);
+        //  - a THIN-ARRAY graph (huge vertex space, degree ≈ 1 — the
+        //    54 M-edge synthetic stress: ~1e8 one-neighbor vertices)
+        //    dies under shuffled-hash, because the build map is ROW-
+        //    overhead-bound: 1e8 rows / partitions exceeds per-task
+        //    execution memory even though the entry payload is small
+        //    (measured: "can't acquire 128 MB to build hash relation"
+        //    at 24 g), while its merge sort is cheap — the intermediate
+        //    is ≈ |E| tiny-array rows (110 s, ~5 GB scratch, measured).
+        // Join 1 is always SORT-MERGE (narrow edge list + node-bounded
+        // adjacency, each array written once). Join 2 picks by an
+        // estimated per-partition build size: entry payload (2|E|
+        // longs) + per-row overhead (|V| rows, ~64 B each in the
+        // BytesToBytesMap). |V| comes from one approx-distinct pass
+        // over the narrow endpoint stream — round 0 only, over-cap
+        // only. Under the bound, SHUFFLED-HASH with the adjacency
+        // NAMED as build side (the array-carrying intermediate then
+        // STREAMS through the probe — its only disk touch is one
+        // hash-exchange write, Σ deg bytes, never a multi-pass sort);
+        // over it, merge, whose spill is exactly the thin-array
+        // regime's cheap case.
+        val parts = es.sparkSession.sessionState.conf.numShufflePartitions
+        val nVerts = es
+          .select(explode(array(col("a"), col("b"))).as("v"))
+          .agg(approx_count_distinct(col("v")).as("nv")).head().getLong(0)
+        val shjBuildBytes = (16L * 2L * nEdges + 64L * nVerts) /
+          math.max(1, parts)
+        val join2Hint =
+          if (shjBuildBytes <= (64L << 20)) "shuffle_hash" else "merge"
+        es
+          .join(adj.select(col("v").as("a"), col("nb").as("na"))
+            .hint("merge"), "a")
+          .join(adj.select(col("v").as("b"), col("nb").as("nbb"))
+            .hint(join2Hint), "b")
+          .select(col("a"), col("b"),
+            size(array_intersect(col("na"), col("nbb"))).cast("long")
+              .as("support"))
+      }
     }
     // Support-delta peel (VERDICT r9 item 1): full support is computed
     // ONCE; each round after that updates only the edges a removal can
