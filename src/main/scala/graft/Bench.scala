@@ -80,7 +80,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"setup_sec":$setupSec}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"setup_sec":$setupSec}"""
+    println(line)
+    // ALSO persist the line to a file: the round artifact is captured
+    // from stdout, and a truncated capture (BENCH_r10/r11 both shipped
+    // `parsed: null` with a cut raw tail) loses the whole per-query map.
+    // SPARK_GRAFT_BENCH_OUT overrides; default lands next to the build.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
   }
 }
