@@ -19,6 +19,24 @@ import org.apache.spark.sql.DataFrame
   */
 object Compaction {
 
+  /** Identity-bounded cause-chain walk for FileNotFoundException (ADVICE
+    * r11: a circular cause chain — constructible via `initCause` between
+    * two exceptions — would otherwise recurse to StackOverflowError).
+    * Shared by [[retryFileGone]], [[stableAcrossFolds]] and the
+    * serving-path probes ([[graft.streaming.EmbedStream.probeVector]])
+    * so a future widening (e.g. RemoteException-wrapped FNFE) lands in
+    * one place. */
+  def causeChainHasFileNotFound(e: Throwable): Boolean = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
+    var cur = e
+    while (cur != null && seen.add(cur)) {
+      if (cur.isInstanceOf[java.io.FileNotFoundException]) return true
+      cur = cur.getCause
+    }
+    false
+  }
+
   /** Re-run `build` across a concurrent [[foldBatchDirs]]: a fold can
     * delete a listed `batch=` dir between a store's listStatus and its
     * parquet read (footer fetch or action), surfacing as a
@@ -27,30 +45,18 @@ object Compaction {
     * an equivalent store; bounded retries because the store quiesces
     * after one fold. `build` must MATERIALIZE (collect/count/
     * localCheckpoint) for the retry to cover action-time failures —
-    * returning a lazy frame only protects the footer read.
-    *
-    * The cause-chain walk is identity-bounded (ADVICE r11: a circular
-    * cause chain — constructible via `initCause` between two exceptions
-    * — would otherwise recurse to StackOverflowError), and retries back
+    * returning a lazy frame only protects the footer read. Retries back
     * off linearly (`backoffMs`, 2×, 3×…) so a fold slower than three
-    * instantaneous re-lists still gets a window to finish. */
+    * instantaneous re-lists still gets a window to finish. For
+    * serving-path reads prefer [[stableAcrossFolds]], which also
+    * catches the silent-subset listing race this cannot see. */
   def retryFileGone[T](build: => T, attempts: Int = 3,
       backoffMs: Long = 50L): T = {
-    def fileGone(e: Throwable): Boolean = {
-      val seen = java.util.Collections.newSetFromMap(
-        new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
-      var cur = e
-      while (cur != null && seen.add(cur)) {
-        if (cur.isInstanceOf[java.io.FileNotFoundException]) return true
-        cur = cur.getCause
-      }
-      false
-    }
     var attempt = 0
     while (true) {
       try return build
       catch {
-        case e: Throwable if fileGone(e) && attempt < attempts =>
+        case e: Throwable if causeChainHasFileNotFound(e) && attempt < attempts =>
           attempt += 1
           if (backoffMs > 0) Thread.sleep(backoffMs * attempt)
       }
@@ -135,27 +141,40 @@ object Compaction {
 
   /** Stage phase of [[rewriteBatchDirs]] WITHOUT the swap: writes
     * `rewrite(union)` plus the durable `_folded_upto` marker into
-    * `root/compact.tmp` (invisible to `batch=`-dir readers) and returns
+    * `root/<tmpName>` (invisible to `batch=`-dir readers) and returns
     * true, leaving every original dir untouched — so concurrent readers
     * keep serving the old store for the stage's whole data-sized
     * duration. Complete with [[commitStagedRewrite]], whose cost is
     * metadata-only (delete + rename) — the split is what lets a retrain
     * shrink its probe-visible mutation window to milliseconds
-    * ([[graft.streaming.EmbedStream.retrainIvf]]). A crashed complete
-    * stage found on entry is finished first (same resume protocol as
-    * the fused form). */
+    * ([[graft.streaming.EmbedStream.retrainIvf]]).
+    *
+    * Resume discipline around crashes: a crashed complete FOLD stage
+    * (`compact.tmp`) found on entry is finished first — it is
+    * content-preserving, so committing it is always safe, and leaving
+    * it behind would let it clobber a LATER rewrite when some future
+    * fold resumes it. A caller-NAMED stage (`tmpName != compact.tmp`,
+    * the retrain path) is the opposite case: its content pairs with
+    * sibling state the caller had not yet committed when it crashed
+    * (rebuilt centroids), so an orphan found on entry is DISCARDED,
+    * never resumed — the caller re-stages deterministically under its
+    * own durable marker. */
   def stageRewriteBatchDirs(s: org.apache.spark.sql.SparkSession,
       root: String, upTo: Long, targetBytes: Long = 128L << 20,
       partitionCols: Seq[String] = Nil,
       rewrite: DataFrame => DataFrame = identity,
-      minDirs: Int = 1): Boolean = {
+      minDirs: Int = 1, tmpName: String = "compact.tmp"): Boolean = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.functions.col
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootP)) return false
-    val tmp = new Path(rootP, "compact.tmp")
-    resumeFold(fs, rootP, tmp) // finish a crashed swap before planning
+    // finish (or discard) a crashed FOLD swap before planning — even
+    // when staging under a custom name, a stale complete fold stage
+    // must not be left to clobber this rewrite's output later
+    resumeFold(fs, rootP, new Path(rootP, "compact.tmp"))
+    val tmp = new Path(rootP, tmpName)
+    if (tmpName != "compact.tmp") fs.delete(tmp, true) // orphan: discard
     val folds = batchDirs(fs, rootP).filter(_._1 < upTo)
     if (folds.length < minDirs) return false
     val m = folds.map(_._1).max
@@ -179,15 +198,80 @@ object Compaction {
     * [[stageRewriteBatchDirs]] (delete originals ≤ m, rename) — metadata
     * ops only. Returns true iff a complete stage existed. */
   def commitStagedRewrite(s: org.apache.spark.sql.SparkSession,
-      root: String): Boolean = {
+      root: String, tmpName: String = "compact.tmp"): Boolean = {
     import org.apache.hadoop.fs.Path
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val tmp = new Path(rootP, "compact.tmp")
+    val tmp = new Path(rootP, tmpName)
     val complete = stageMarker(fs, tmp).isDefined &&
       fs.exists(new Path(tmp, "_SUCCESS"))
     if (complete) finishFold(fs, rootP, tmp)
     complete
+  }
+
+  /** Monotonic swap counter of a batch-dir store, bumped by every fold/
+    * rewrite COMMIT before its first destructive step. A reader whose
+    * listing could race a swap brackets its read with this: the
+    * delete-originals → rename window shows a SUBSET of the store's
+    * dirs with no exception thrown, so exception-based retries alone
+    * cannot see it — but any read that straddles the window also
+    * straddles the stamp bump. 0 for a store that has never folded. */
+  def storeStamp(s: org.apache.spark.sql.SparkSession, root: String): Long = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootP)) 0L
+    else fs.listStatus(rootP).map(_.getPath.getName)
+      .filter(_.startsWith("_fold_stamp."))
+      .flatMap(_.drop("_fold_stamp.".length).toLongOption)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Run `build` to a STAMP-STABLE result across concurrent folds of
+    * `roots`: re-attempts on FileNotFound in the cause chain (a listed
+    * dir deleted before its read) AND on a fold commit observed via
+    * [[storeStamp]] on either side (a dir deleted BEFORE the listing —
+    * the silent-subset case no exception ever surfaces). `build` must
+    * MATERIALIZE its result (collect/count/localCheckpoint) for the
+    * bracket to cover action-time reads. Supersedes bare
+    * [[retryFileGone]] for serving-path reads of fold-maintained
+    * stores; exhaustion throws with the last failure as cause. */
+  def stableAcrossFolds[T](s: org.apache.spark.sql.SparkSession,
+      roots: Seq[String], attempts: Int = 8, backoffMs: Long = 50L)(
+      build: => T): T = {
+    var attempt = 0
+    var lastEx: Throwable = null
+    while (attempt < attempts) {
+      val pre = roots.map(storeStamp(s, _))
+      val res =
+        try Some(build)
+        catch {
+          case e: Throwable if causeChainHasFileNotFound(e) =>
+            lastEx = e; None
+        }
+      res match {
+        case Some(r) if roots.map(storeStamp(s, _)) == pre => return r
+        case _ => () // raced a swap (exception or silent subset): retry
+      }
+      attempt += 1
+      if (backoffMs > 0) Thread.sleep(backoffMs * attempt)
+    }
+    throw new IllegalStateException(
+      s"no fold-stable read of ${roots.mkString(", ")} after " +
+        s"$attempts attempts", lastEx)
+  }
+
+  private def bumpStoreStamp(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val next = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("_fold_stamp."))
+      .flatMap(_.drop("_fold_stamp.".length).toLongOption)
+      .foldLeft(0L)(math.max) + 1
+    fs.create(new org.apache.hadoop.fs.Path(root, s"_fold_stamp.$next"),
+      true).close()
+    fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith("_fold_stamp.") &&
+        p.getName.drop("_fold_stamp.".length).toLongOption.exists(_ < next))
+      .foreach(p => fs.delete(p, false))
   }
 
   private def batchDirs(fs: org.apache.hadoop.fs.FileSystem,
@@ -214,6 +298,10 @@ object Compaction {
   private def finishFold(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path): Unit =
     stageMarker(fs, tmp).foreach { m =>
+      // stamp FIRST: a reader that lists mid-swap (subset of dirs, no
+      // exception) necessarily read its pre-stamp on the other side of
+      // this bump, so its bracket check fails and it re-attempts
+      bumpStoreStamp(fs, root)
       batchDirs(fs, root).filter(_._1 <= m).foreach(d => fs.delete(d._2, true))
       val live = new org.apache.hadoop.fs.Path(root, s"batch=$m")
       fs.rename(tmp, live)

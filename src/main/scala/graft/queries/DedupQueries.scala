@@ -1723,7 +1723,7 @@ object DedupQueries {
         val nVerts = es
           .select(explode(array(col("a"), col("b"))).as("v"))
           .agg(approx_count_distinct(col("v")).as("nv")).head().getLong(0)
-        val shjBuildBytes = (16L * 2L * nEdges + 64L * nVerts) /
+        val shjBuildBytes = (8L * 2L * nEdges + 64L * nVerts) /
           math.max(1, parts)
         val join2Hint =
           if (shjBuildBytes <= (64L << 20)) "shuffle_hash" else "merge"

@@ -132,14 +132,8 @@ object BatchRetrieval {
     import spark.implicits._
     specs.groupBy(sp => (sp.scope, sp.filters)).flatMap {
       case ((scope, filters), group) =>
-        val caps = Retrieval.capsByScope
-          .getOrElse(scope, Retrieval.Caps(10, 3, 8, 2))
-        val base = filters.foldLeft(corpus.filter(col("scope") === scope)) {
-          case (df, (k, v)) => df.schema(k).dataType match {
-            case _: ArrayType => df.filter(array_contains(col(k), v))
-            case _ => df.filter(col(k) === v)
-          }
-        }
+        val caps = Retrieval.capsFor(scope)
+        val base = Retrieval.scopedFiltered(corpus, scope, filters)
         val queriesDF = group.map(sp => (sp.id, embedder.embed(sp.query)))
           .toDF("qid", "qvec")
         val w = Window.partitionBy(col("qid"))
@@ -180,13 +174,8 @@ object BatchRetrieval {
       filters: Map[String, String],
       group: Seq[Spec]): Map[String, Retrieval.Result] = {
     import org.apache.spark.sql.types.ArrayType
-    val caps = Retrieval.capsByScope.getOrElse(scope, Retrieval.Caps(10, 3, 8, 2))
-    val base = filters.foldLeft(corpus.filter(col("scope") === scope)) {
-      case (df, (k, v)) => df.schema(k).dataType match {
-        case _: ArrayType => df.filter(array_contains(col(k), v))
-        case _ => df.filter(col(k) === v)
-      }
-    }
+    val caps = Retrieval.capsFor(scope)
+    val base = Retrieval.scopedFiltered(corpus, scope, filters)
     val qvs: Seq[(Spec, Array[Float])] =
       group.map(sp => sp -> embedder.embed(sp.query))
     def scoreOf(qv: Array[Float]): Column = cosine(col("embedding"), typedlit(qv))
@@ -289,13 +278,8 @@ object BatchRetrieval {
     import org.apache.spark.sql.types.ArrayType
     val spark = corpus.sparkSession
     import spark.implicits._
-    val caps = Retrieval.capsByScope.getOrElse(scope, Retrieval.Caps(10, 3, 8, 2))
-    val base = filters.foldLeft(corpus.filter(col("scope") === scope)) {
-      case (df, (k, v)) => df.schema(k).dataType match {
-        case _: ArrayType => df.filter(array_contains(col(k), v))
-        case _ => df.filter(col(k) === v)
-      }
-    }
+    val caps = Retrieval.capsFor(scope)
+    val base = Retrieval.scopedFiltered(corpus, scope, filters)
     val qvs: Seq[(Spec, Array[Float])] =
       group.map(sp => sp -> embedder.embed(sp.query))
 

@@ -30,24 +30,39 @@ object Retrieval {
     "chunk" -> Caps(10, 3, 8, 2),
     "catalog" -> Caps(10, 3, 8, 2))
 
-  /** Score a corpus scope against a query vector with optional metadata
-    * filters: scalar columns by equality, array columns (topics) by
-    * membership — the Spark twin of the reference's shredded-list SAI
-    * match (GraphRetrieverFactory.py:54-59). */
-  def score(
+  /** Caps for a scope, with the shared default — single-sourced so the
+    * sequential and batched paths can never cap differently. */
+  def capsFor(scope: String): Caps =
+    capsByScope.getOrElse(scope, Caps(10, 3, 8, 2))
+
+  /** Scope slice + metadata filters: scalar columns by equality, array
+    * columns (topics) by membership — the Spark twin of the reference's
+    * shredded-list SAI match (GraphRetrieverFactory.py:54-59).
+    * Single-sourced: every retrieval path (sequential score, both
+    * batched group forms, the batched seed path) must filter
+    * identically or the parity gates lose their meaning. */
+  def scopedFiltered(
       corpus: DataFrame,
-      queryVec: Array[Float],
       scope: String,
-      filters: Map[String, String] = Map.empty): DataFrame = {
+      filters: Map[String, String]): DataFrame = {
     import org.apache.spark.sql.types.ArrayType
-    val filtered = filters.foldLeft(corpus.filter(col("scope") === scope)) {
+    filters.foldLeft(corpus.filter(col("scope") === scope)) {
       case (df, (k, v)) => df.schema(k).dataType match {
         case _: ArrayType => df.filter(array_contains(col(k), v))
         case _ => df.filter(col(k) === v)
       }
     }
-    filtered.withColumn("score", cosine(col("embedding"), typedlit(queryVec)))
   }
+
+  /** Score a corpus scope against a query vector with optional metadata
+    * filters ([[scopedFiltered]] semantics). */
+  def score(
+      corpus: DataFrame,
+      queryVec: Array[Float],
+      scope: String,
+      filters: Map[String, String] = Map.empty): DataFrame =
+    scopedFiltered(corpus, scope, filters)
+      .withColumn("score", cosine(col("embedding"), typedlit(queryVec)))
 
   /** J4 + T1/T2: exact top-k by cosine. */
   def topK(scored: DataFrame, k: Int): DataFrame =
@@ -192,7 +207,7 @@ object Retrieval {
       filters: Map[String, String] = Map.empty,
       expand: Boolean = true,
       strategy: Strategy = Eager): Result = {
-    val caps = capsByScope.getOrElse(scope, Caps(10, 3, 8, 2))
+    val caps = capsFor(scope)
     val qv = embedder.embed(query)
     // The expansion loop fires several actions over the scored slice
     // (seed top-k, then one per hop) — persist it once so the scan+cosine

@@ -184,13 +184,15 @@ object MinhashStream {
     *
     * Safe to serve concurrently with [[compact]]: the dir listing and
     * the Parquet reads are not atomic, so a fold can delete a listed
-    * `batch=` dir mid-probe — the probe then retries against a fresh
-    * listing (the folded dir carries the same rows, so the retry sees
-    * an equivalent index; bounded retries, the store quiesces after
-    * one fold). */
+    * `batch=` dir mid-probe (FileNotFound) — or delete it BEFORE the
+    * listing, which shows a silent SUBSET of the store with no
+    * exception at all. The probe re-attempts on both, the latter via
+    * the fold stamp every commit bumps before its first delete
+    * ([[graft.operators.Compaction.stableAcrossFolds]]). */
   def probeText(s: SparkSession, indexDir: String, text: String,
       threshold: Double = Threshold): Seq[(Long, Double)] =
-    graft.operators.Compaction.retryFileGone(
+    graft.operators.Compaction.stableAcrossFolds(
+      s, Seq(s"$indexDir/bands", s"$indexDir/shingles"))(
       probeTextOnce(s, indexDir, text, threshold))
 
   private def probeTextOnce(s: SparkSession, indexDir: String, text: String,
@@ -321,10 +323,12 @@ object WinnowStream {
     * query's (doc_a, doc_b, n_shared, overlap) contract, through the
     * shared report kernel (cull + denominators evaluated over the FULL
     * accumulated relation, see the object scaladoc). Materialized
-    * (localCheckpoint) INSIDE a fileGone retry, so a serving-path
-    * report racing a concurrent [[compact]] re-reads a fresh listing
-    * instead of throwing, and the returned frame no longer depends on
-    * the store files at all (ADVICE r10).
+    * (localCheckpoint) INSIDE a fold-stable bracket
+    * ([[graft.operators.Compaction.stableAcrossFolds]]), so a
+    * serving-path report racing a concurrent [[compact]] re-reads a
+    * fresh listing whether the race surfaced as FileNotFound or as a
+    * silent subset listing, and the returned frame no longer depends
+    * on the store files at all (ADVICE r10, hardened r12).
     *
     * Block-manager hygiene (ADVICE r11): each call unpersists the
     * PREVIOUS call's checkpoint for the same store, so a long-lived
@@ -334,7 +338,8 @@ object WinnowStream {
     * the same `indexDir` — consume (collect/write) before re-calling,
     * which is the shape every serving handler has anyway. */
   def report(s: SparkSession, indexDir: String): DataFrame =
-    graft.operators.Compaction.retryFileGone {
+    graft.operators.Compaction.stableAcrossFolds(
+      s, Seq(s"$indexDir/prints")) {
       val fresh = graft.queries.DedupQueries
         .winnowingReportFrom(fingerprints(s, indexDir))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -370,7 +375,8 @@ object WinnowStream {
       minShared: Long = 2L,
       cap: Int = graft.queries.DedupQueries.WinnowMaxDf)
       : Seq[(Long, Long, Double)] =
-    graft.operators.Compaction.retryFileGone(
+    graft.operators.Compaction.stableAcrossFolds(
+      s, Seq(s"$indexDir/prints"))(
       probeTextOnce(s, indexDir, text, minShared, cap))
 
   private def probeTextOnce(s: SparkSession, indexDir: String, text: String,

@@ -246,15 +246,22 @@ object EmbedStream {
         // stage's data-sized write, and the marker window that follows
         // (centroid overwrite + dir swap + epoch bump) is metadata-only
         // — so [[probeVector]]'s epoch-stable snapshot protocol spins
-        // for the swap's milliseconds, never the rewrite
+        // for the swap's milliseconds, never the rewrite. The stage
+        // lives under its OWN tmp name (`_retrain.tmp` — underscore-prefixed so raw parquet discovery of the lists dir ignores it): its content
+        // pairs with centroids not yet written, so it must never be
+        // resumable by a fold — a crash here leaves an orphan that the
+        // next maintenance pass discards and re-stages, NOT a
+        // committable fold stage (the silent-torn-geometry hazard a
+        // shared compact.tmp would open).
         val staged = graft.operators.Compaction.stageRewriteBatchDirs(
           s, s"$indexDir/lists", Long.MaxValue, targetBytes,
           partitionCols = Seq("centroid_id"),
-          rewrite = _ => reassigned)
+          rewrite = _ => reassigned, tmpName = "_retrain.tmp")
         mfs.create(marker, true).close()
         IvfIndex.writeCentroids(s, rebuilt, indexDir)
         val swapped = staged &&
-          graft.operators.Compaction.commitStagedRewrite(s, s"$indexDir/lists")
+          graft.operators.Compaction.commitStagedRewrite(
+            s, s"$indexDir/lists", tmpName = "_retrain.tmp")
         bumpGeomEpoch(s, indexDir)
         mfs.delete(marker, false)
         swapped
@@ -293,6 +300,25 @@ object EmbedStream {
     fs.exists(p)
   }
 
+  /** One consistent reading of the index's mutation markers: geometry
+    * epoch + retrain marker from ONE listing of the index root, plus
+    * the lists store's fold stamp ([[graft.operators.Compaction
+    * .storeStamp]]) — folds are content-preserving so they don't bump
+    * the EPOCH, but their commit's delete→rename window shows a SUBSET
+    * of batch dirs with no exception, so the probe bracket must watch
+    * the stamp too. */
+  private def indexState(s: SparkSession, indexDir: String): (Long, Long, Boolean) = {
+    val (fs, root) = fsOf(s, indexDir)
+    val names =
+      if (fs.exists(root)) fs.listStatus(root).map(_.getPath.getName).toSeq
+      else Seq.empty[String]
+    val epoch = names.filter(_.startsWith("_epoch="))
+      .flatMap(_.drop("_epoch=".length).toLongOption).foldLeft(0L)(math.max)
+    val pending = names.contains("_retrain_pending")
+    val stamp = graft.operators.Compaction.storeStamp(s, s"$indexDir/lists")
+    (epoch, stamp, pending)
+  }
+
   /** Serving-path single-vector search of the accumulated IVF store —
     * the dense twin of [[DedupStream.probeText]], wired behind
     * `POST /vsearch` on the shim: load the stored centroids, scan the
@@ -304,43 +330,42 @@ object EmbedStream {
     *
     * Safe to serve concurrently with [[compactIndex]] AND [[retrainIvf]]
     * (VERDICT r10 item 5): each attempt brackets the centroid + list
-    * reads with the geometry epoch and the `_retrain_pending` marker —
-    * the pair (epoch unchanged, marker absent on both sides) proves the
-    * centroids and the assignments it read belong to the same committed
-    * geometry, so a probe can never serve the torn new-centroids /
-    * old-assignments window a racing retrain opens. Folds don't bump
-    * the epoch (content-preserving); their deleted-dir races surface as
-    * FileNotFound and re-attempt like any unstable snapshot. The retry
-    * budget is generous relative to the window it waits out: retrain
-    * stages its data-sized rewrite BEFORE the marker, so the unstable
-    * window is metadata-only (centroid overwrite + dir rename + epoch
-    * bump). Exhaustion — only under a pathologically re-triggering
-    * maintenance loop — throws rather than returning a possibly-torn
-    * result. */
+    * reads with (geometry epoch, fold stamp, `_retrain_pending`
+    * marker) — all three unchanged/absent on both sides proves the
+    * centroids and the assignments it read belong to one committed
+    * store state. The epoch catches retrains (torn new-centroids /
+    * old-assignments); the FOLD STAMP catches compaction commits, whose
+    * delete→rename window shows a silent SUBSET of batch dirs that no
+    * exception-based retry could see; dirs deleted after the listing
+    * surface as FileNotFound and re-attempt like any unstable snapshot.
+    * The retry budget is generous relative to the windows it waits out:
+    * a retrain stages its data-sized rewrite BEFORE the marker, so both
+    * mutation windows are metadata-only. Exhaustion — a pathologically
+    * re-triggering maintenance loop, or a genuinely broken store —
+    * throws with the last underlying failure attached as the cause.
+    * Cost in the steady state: two metadata listings per bracket side;
+    * on an object store, cache-worthy, documented trade for lock-free
+    * maintenance. */
   def probeVector(s: SparkSession, indexDir: String, vec: Array[Float],
       k: Int = 5, nprobe: Int = 4, overfetch: Int = 8): Seq[(Long, Double)] = {
-    def fileGone(e: Throwable): Boolean = {
-      val seen = java.util.Collections.newSetFromMap(
-        new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
-      var cur = e
-      while (cur != null && seen.add(cur)) {
-        if (cur.isInstanceOf[java.io.FileNotFoundException]) return true
-        cur = cur.getCause
-      }
-      false
-    }
+    import graft.operators.Compaction.causeChainHasFileNotFound
     val maxAttempts = 40
     var attempt = 0
+    var lastEx: Throwable = null
     while (attempt < maxAttempts) {
-      val e1 = geomEpoch(s, indexDir)
-      if (!retrainPending(s, indexDir)) {
+      val (e1, st1, pending1) = indexState(s, indexDir)
+      if (!pending1) {
         val res =
           try Some(probeVectorOnce(s, indexDir, vec, k, nprobe, overfetch))
-          catch { case e: Throwable if fileGone(e) => None }
+          catch {
+            case e: Throwable if causeChainHasFileNotFound(e) =>
+              lastEx = e; None
+          }
         res match {
-          case Some(r) if !retrainPending(s, indexDir) &&
-            geomEpoch(s, indexDir) == e1 => return r
-          case _ => () // torn or racing snapshot: re-attempt
+          case Some(r) =>
+            val (e2, st2, pending2) = indexState(s, indexDir)
+            if (!pending2 && e2 == e1 && st2 == st1) return r
+          case None => () // listing raced a swap: re-attempt
         }
       }
       attempt += 1
@@ -348,7 +373,8 @@ object EmbedStream {
     }
     throw new IllegalStateException(
       s"probeVector: no stable geometry snapshot of $indexDir after " +
-        s"$maxAttempts attempts — is a maintenance pass re-triggering in a loop?")
+        s"$maxAttempts attempts — maintenance re-triggering in a loop, " +
+        "or a broken store (see cause)", lastEx)
   }
 
   private def probeVectorOnce(s: SparkSession, indexDir: String,

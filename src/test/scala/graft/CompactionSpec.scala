@@ -40,8 +40,13 @@ class CompactionSpec extends SparkSpec {
     // upTo=3: ids 0..2 fold into batch=2; batch=3 (the only id that may
     // still replay) is untouched
     assert(Compaction.foldBatchDirs(spark, root, upTo = 3L))
-    val dirs = new java.io.File(root).listFiles().map(_.getName).sorted.toSeq
+    // batch= entries only: the commit also leaves its _fold_stamp.N
+    // marker (the serving brackets' swap counter) in the root
+    val dirs = new java.io.File(root).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).sorted.toSeq
     assert(dirs == Seq("batch=2", "batch=3"), s"dirs after fold: $dirs")
+    assert(Compaction.storeStamp(spark, root) == 1L,
+      "the fold commit must have bumped the store stamp")
     val folded = spark.read.parquet(s"$root/batch=2")
     assert(folded.collect().map(_.toSeq).toSet == before,
       "strictly-before readers of the replay batch see identical rows")
@@ -77,7 +82,8 @@ class CompactionSpec extends SparkSpec {
     // with upTo=2 nothing NEW is foldable afterwards (just the
     // resumed batch=1 plus the replayable batch=2)
     assert(!Compaction.foldBatchDirs(spark, root, upTo = 2L))
-    val dirs = new java.io.File(root).listFiles().map(_.getName).sorted.toSeq
+    val dirs = new java.io.File(root).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).sorted.toSeq
     assert(dirs == Seq("batch=1", "batch=2"), s"dirs after resume: $dirs")
     assert(spark.read.parquet(s"$root/batch=1").collect()
       .map(_.getLong(0)).toSet == all, "no rows lost across the crash")

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * serving probes. Retrain stages its data-sized rewrite before the
   * `_retrain_pending` marker and bumps the geometry epoch as the last
   * mutation; [[EmbedStream.probeVector]] brackets every read with
-  * (epoch, marker) so it can never serve the torn new-centroids /
+  * (epoch, fold stamp, marker) so it can never serve the torn new-centroids /
   * old-assignments window. The assertions here are the serving
   * contract: zero failed probes, zero empty responses, exact returned
   * cosines, and the recall floor held on every response taken before,
@@ -106,10 +106,23 @@ class IvfRetrainConcurrencySpec extends SparkSpec {
     }
     threads.foreach(_.start())
     try {
-      Thread.sleep(300) // probes against the pre-retrain (skewed) store
+      // wait for at least one COMPLETED pre-retrain probe (not a fixed
+      // sleep: on a loaded box the first probe can outlast any sleep,
+      // and the epoch-span assertion below needs a result on each side
+      // of the bump)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (results.isEmpty && failures.isEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(20)
+      assert(!results.isEmpty, "no probe completed against the pre-retrain store")
       assert(EmbedStream.retrainIvf(spark, s"$dir/index", c = 8, maxSkew = 2.5),
         "the drifted fixture must trigger the retrain")
-      Thread.sleep(200) // probes against the swapped geometry
+      // wait for a completed probe AGAINST the swapped geometry before
+      // folding (same anti-flake rationale as the pre-retrain wait)
+      import scala.jdk.CollectionConverters._
+      val postEpoch = EmbedStream.geomEpoch(spark, s"$dir/index")
+      val deadline2 = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!results.asScala.exists(_.epoch == postEpoch) &&
+        failures.isEmpty && System.nanoTime() < deadline2) Thread.sleep(20)
       EmbedStream.compactIndex(spark, s"$dir/index", upTo = Long.MaxValue)
       Thread.sleep(200) // probes across/after the fold
     } finally {
@@ -166,14 +179,68 @@ class IvfRetrainConcurrencySpec extends SparkSpec {
     } finally q.stop()
 
     val e0 = EmbedStream.geomEpoch(spark, s"$dir/index")
+    val st0 = graft.operators.Compaction.storeStamp(spark, s"$dir/index/lists")
     assert(EmbedStream.compactIndex(spark, s"$dir/index", upTo = Long.MaxValue))
     assert(EmbedStream.geomEpoch(spark, s"$dir/index") == e0,
       "a content-preserving fold must not bump the geometry epoch")
+    assert(graft.operators.Compaction.storeStamp(spark, s"$dir/index/lists") > st0,
+      "a fold commit must bump the store stamp (the probe bracket's " +
+        "defense against the silent-subset listing race)")
     assert(EmbedStream.retrainIvf(spark, s"$dir/index", c = 8, maxSkew = 2.5))
     assert(EmbedStream.geomEpoch(spark, s"$dir/index") == e0 + 1,
       "a committed retrain must bump the geometry epoch exactly once")
     // balanced now: the no-op maintenance pass leaves the epoch alone
     assert(!EmbedStream.retrainIvf(spark, s"$dir/index", c = 8, maxSkew = 2.5))
     assert(EmbedStream.geomEpoch(spark, s"$dir/index") == e0 + 1)
+  }
+
+  test("a crash-orphaned retrain stage is never committed by a later fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val frame = input.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf-orphan").toString
+    val q = EmbedStream.startIvf(spark, frame, s"$dir/index", s"$dir/reports",
+      s"$dir/ckpt", c = 4, k = 3, nprobe = 2)
+    try {
+      input.addData((0 until 24).map(i => (i.toLong, famVec(i % 4, i))): _*)
+      q.processAllAvailable()
+      input.addData((100 until 124).map(i => (i.toLong, famVec(i % 4, i))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val listsBefore = spark.read.parquet(s"$dir/index/lists")
+      .orderBy(col("vec_id")).collect().map(_.getLong(0)).toSeq
+
+    // simulate the crash window: retrainIvf staged a COMPLETE rewrite
+    // under rebuilt-but-never-written centroids (retrain.tmp with the
+    // durable marker and _SUCCESS), then died BEFORE creating
+    // _retrain_pending. Resuming this stage would swap in assignments
+    // whose geometry is not on disk — permanently torn, no marker, no
+    // epoch bump for any probe bracket to see.
+    val tmp = new java.io.File(s"$dir/index/lists/_retrain.tmp")
+    tmp.mkdirs()
+    // content is irrelevant to the hazard — a fold must not even look
+    new java.io.File(tmp, "_folded_upto=1").createNewFile()
+    new java.io.File(tmp, "_SUCCESS").createNewFile()
+
+    // a compaction pass must IGNORE the orphan (it only resumes its own
+    // compact.tmp stages) and fold the real dirs untouched by it
+    assert(EmbedStream.compactIndex(spark, s"$dir/index", upTo = Long.MaxValue))
+    val listsAfter = spark.read.parquet(s"$dir/index/lists")
+      .orderBy(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    assert(listsAfter == listsBefore,
+      "fold must preserve content and never commit the orphaned retrain stage")
+    assert(tmp.exists(), "the fold must not touch the orphan either way")
+
+    // the next retrain pass DISCARDS the orphan at stage entry (it
+    // re-stages deterministically under its own marker); balanced
+    // families → no retrain triggers, but the orphan must still be
+    // swept the next time a retrain actually stages. Force one by
+    // marking a pending repair.
+    new java.io.File(s"$dir/index/_retrain_pending").createNewFile()
+    assert(EmbedStream.retrainIvf(spark, s"$dir/index", c = 8, maxSkew = 2.5),
+      "pending repair must run")
+    assert(!tmp.exists(), "retrain's stage entry must discard the orphan")
+    assert(spark.read.parquet(s"$dir/index/lists").count() == listsBefore.length)
   }
 }
