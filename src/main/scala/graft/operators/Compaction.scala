@@ -216,15 +216,30 @@ object Compaction {
     * dirs with no exception thrown, so exception-based retries alone
     * cannot see it — but any read that straddles the window also
     * straddles the stamp bump. 0 for a store that has never folded. */
-  def storeStamp(s: org.apache.spark.sql.SparkSession, root: String): Long = {
+  def storeStamp(s: org.apache.spark.sql.SparkSession, root: String): Long =
+    storeState(s, root)._1
+
+  /** (swap counter, swap-in-progress) from ONE listing. The counter
+    * alone cannot protect a reader BORN inside the delete→rename
+    * window (its pre- and post-stamp both read the already-bumped
+    * value), so the commit also holds a `_fold_inprogress` marker
+    * across the destructive steps — readers require it ABSENT on both
+    * bracket sides, exactly the `_retrain_pending` discipline. */
+  def storeState(s: org.apache.spark.sql.SparkSession,
+      root: String): (Long, Boolean) = {
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(rootP)) 0L
-    else fs.listStatus(rootP).map(_.getPath.getName)
-      .filter(_.startsWith("_fold_stamp."))
+    if (!fs.exists(rootP)) (0L, false)
+    else {
+      val names = fs.listStatus(rootP).map(_.getPath.getName)
+      (maxStamp(names), names.contains("_fold_inprogress"))
+    }
+  }
+
+  private def maxStamp(names: Iterable[String]): Long =
+    names.filter(_.startsWith("_fold_stamp."))
       .flatMap(_.drop("_fold_stamp.".length).toLongOption)
       .foldLeft(0L)(math.max)
-  }
 
   /** Run `build` to a STAMP-STABLE result across concurrent folds of
     * `roots`: re-attempts on FileNotFound in the cause chain (a listed
@@ -241,16 +256,21 @@ object Compaction {
     var attempt = 0
     var lastEx: Throwable = null
     while (attempt < attempts) {
-      val pre = roots.map(storeStamp(s, _))
-      val res =
-        try Some(build)
-        catch {
-          case e: Throwable if causeChainHasFileNotFound(e) =>
-            lastEx = e; None
+      val pre = roots.map(storeState(s, _))
+      if (pre.forall(!_._2)) { // no swap in progress on entry
+        val res =
+          try Some(build)
+          catch {
+            case e: Throwable if causeChainHasFileNotFound(e) =>
+              lastEx = e; None
+          }
+        res match {
+          case Some(r) if {
+            val post = roots.map(storeState(s, _))
+            post == pre && post.forall(!_._2)
+          } => return r
+          case _ => () // raced a swap (exception, subset, or marker): retry
         }
-      res match {
-        case Some(r) if roots.map(storeStamp(s, _)) == pre => return r
-        case _ => () // raced a swap (exception or silent subset): retry
       }
       attempt += 1
       if (backoffMs > 0) Thread.sleep(backoffMs * attempt)
@@ -262,10 +282,7 @@ object Compaction {
 
   private def bumpStoreStamp(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Unit = {
-    val next = fs.listStatus(root).map(_.getPath.getName)
-      .filter(_.startsWith("_fold_stamp."))
-      .flatMap(_.drop("_fold_stamp.".length).toLongOption)
-      .foldLeft(0L)(math.max) + 1
+    val next = maxStamp(fs.listStatus(root).map(_.getPath.getName)) + 1
     fs.create(new org.apache.hadoop.fs.Path(root, s"_fold_stamp.$next"),
       true).close()
     fs.listStatus(root).map(_.getPath)
@@ -298,21 +315,31 @@ object Compaction {
   private def finishFold(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path): Unit =
     stageMarker(fs, tmp).foreach { m =>
-      // stamp FIRST: a reader that lists mid-swap (subset of dirs, no
-      // exception) necessarily read its pre-stamp on the other side of
-      // this bump, so its bracket check fails and it re-attempts
+      // stamp FIRST: a reader that STRADDLES the swap's start read its
+      // pre-stamp before this bump, so its bracket check fails and it
+      // re-attempts. A reader born entirely INSIDE the window would
+      // see the bumped stamp on both sides — that is what the
+      // in-progress marker catches: held across the destructive steps,
+      // required absent on both bracket sides.
       bumpStoreStamp(fs, root)
+      val inprog = new org.apache.hadoop.fs.Path(root, "_fold_inprogress")
+      fs.create(inprog, true).close()
       batchDirs(fs, root).filter(_._1 <= m).foreach(d => fs.delete(d._2, true))
       val live = new org.apache.hadoop.fs.Path(root, s"batch=$m")
       fs.rename(tmp, live)
       fs.delete(new org.apache.hadoop.fs.Path(live, s"_folded_upto=$m"), false)
+      fs.delete(inprog, false)
     }
 
   private def resumeFold(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path): Unit =
+      root: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path): Unit = {
     stageMarker(fs, tmp) match {
       case Some(_) if fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")) =>
         finishFold(fs, root, tmp) // crashed mid-swap: stage is complete
       case _ => fs.delete(tmp, true) // crashed mid-stage: originals intact
     }
+    // a leftover in-progress marker is crash residue (maintenance
+    // passes serialize by contract) — clear it so readers stop spinning
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_fold_inprogress"), false)
+  }
 }

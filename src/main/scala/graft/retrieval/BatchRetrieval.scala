@@ -127,7 +127,6 @@ object BatchRetrieval {
       embedder: Embedder,
       specs: Seq[Spec],
       strategy: Retrieval.Strategy = Retrieval.Eager): Map[String, Retrieval.Result] = {
-    import org.apache.spark.sql.types.ArrayType
     val spark = corpus.sparkSession
     import spark.implicits._
     specs.groupBy(sp => (sp.scope, sp.filters)).flatMap {
@@ -173,7 +172,6 @@ object BatchRetrieval {
       scope: String,
       filters: Map[String, String],
       group: Seq[Spec]): Map[String, Retrieval.Result] = {
-    import org.apache.spark.sql.types.ArrayType
     val caps = Retrieval.capsFor(scope)
     val base = Retrieval.scopedFiltered(corpus, scope, filters)
     val qvs: Seq[(Spec, Array[Float])] =
@@ -275,7 +273,6 @@ object BatchRetrieval {
       scope: String,
       filters: Map[String, String],
       group: Seq[Spec]): Map[String, Retrieval.Result] = {
-    import org.apache.spark.sql.types.ArrayType
     val spark = corpus.sparkSession
     import spark.implicits._
     val caps = Retrieval.capsFor(scope)

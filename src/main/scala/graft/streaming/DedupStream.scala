@@ -168,8 +168,13 @@ object MinhashStream {
   /** Merge-on-read view of the accumulated verified near-dup pairs —
     * the batch query's (doc_a, doc_b, jaccard) contract. A batch with
     * no near-dups writes an empty delta, so this rides the
-    * schema-tolerant strictly-before reader with an unbounded cutoff. */
-  def pairs(s: SparkSession, indexDir: String): DataFrame =
+    * schema-tolerant strictly-before reader with an unbounded cutoff.
+    * LAZY (no retry can protect a caller's action time), so
+    * package-private like the winnow fingerprints view (r12): the
+    * serving-path entry point is [[probeText]], which materializes
+    * inside the fold-stable bracket; in-package callers quiesce or
+    * own the bracket. */
+  private[graft] def pairs(s: SparkSession, indexDir: String): DataFrame =
     before(s, s"$indexDir/pairs", Long.MaxValue,
       "doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE")
 

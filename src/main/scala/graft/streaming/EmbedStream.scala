@@ -315,8 +315,12 @@ object EmbedStream {
     val epoch = names.filter(_.startsWith("_epoch="))
       .flatMap(_.drop("_epoch=".length).toLongOption).foldLeft(0L)(math.max)
     val pending = names.contains("_retrain_pending")
-    val stamp = graft.operators.Compaction.storeStamp(s, s"$indexDir/lists")
-    (epoch, stamp, pending)
+    val (stamp, foldBusy) =
+      graft.operators.Compaction.storeState(s, s"$indexDir/lists")
+    // a fold's in-progress marker blocks like the retrain marker: a
+    // probe born inside the delete→rename window would otherwise see
+    // the bumped stamp on both sides of a subset listing
+    (epoch, stamp, pending || foldBusy)
   }
 
   /** Serving-path single-vector search of the accumulated IVF store —

@@ -83,8 +83,11 @@ object EventStream {
     * listing+footer read retries across a concurrent compaction of the
     * `batch=` dirs (ADVICE r10, the [[graft.operators
     * .Compaction.retryFileGone]] discipline); the returned frame is
-    * lazy — [[stlReport]] materializes inside its own retry. */
-  def hourlyCounts(s: org.apache.spark.sql.SparkSession,
+    * LAZY, so only [[stlReport]] — which materializes inside the
+    * fold-stable bracket — is a safe serving-path entry point
+    * (package-private for the same reason as DedupStream's
+    * fingerprints view, r12). */
+  private[graft] def hourlyCounts(s: org.apache.spark.sql.SparkSession,
       ledgerDir: String): DataFrame =
     graft.operators.Compaction.retryFileGone {
       val p = new org.apache.hadoop.fs.Path(s"$ledgerDir/hourly")
@@ -123,14 +126,17 @@ object EventStream {
     * anchor-independent — see
     * [[graft.queries.EventQueries.stlFromGrid]]).
     *
-    * Built (grid densification + decomposition) inside a fileGone
-    * retry so serving a report concurrent with a ledger compaction
-    * re-reads a fresh listing instead of throwing; denseGridFromCounts
-    * checkpoints the cube, so the whole build materializes within the
-    * retry scope. */
+    * Built (grid densification + decomposition) inside the fold-stable
+    * bracket ([[graft.operators.Compaction.stableAcrossFolds]], r12:
+    * bare FileNotFound retries cannot see a fold's silent-subset
+    * listing window) so serving a report concurrent with a ledger
+    * compaction re-reads a fresh listing whether the race threw or
+    * not; denseGridFromCounts checkpoints the cube, so the whole build
+    * materializes within the bracket scope. */
   def stlReport(s: org.apache.spark.sql.SparkSession,
       ledgerDir: String, fresh: Boolean = false): DataFrame =
-    graft.operators.Compaction.retryFileGone {
+    graft.operators.Compaction.stableAcrossFolds(
+      s, Seq(s"$ledgerDir/hourly")) {
       val (grid, axisLen) =
         graft.queries.EventQueries.denseGridFromCounts(s, hourlyCounts(s, ledgerDir))
       graft.queries.EventQueries.stlFromGrid(grid, axisLen,

@@ -160,23 +160,15 @@ object MediaStream {
     * landmark kernel, broadcast its print-bounded hash set against the
     * stored postings, count shared landmarks per stored recording, keep
     * matches with ≥ `minShared`, best first. Cost is
-    * postings-collision-bounded, never a blob scan. Retries across a
-    * concurrent [[compact]] fold on the same FileNotFound contract as
-    * the MinHash probe. Returns (media_id, n_shared). */
+    * postings-collision-bounded, never a blob scan. Re-attempts across
+    * a concurrent [[compact]] fold on the same fold-stable bracket as
+    * the MinHash probe ([[graft.operators.Compaction
+    * .stableAcrossFolds]] — FileNotFound AND the silent-subset listing
+    * race). Returns (media_id, n_shared). */
   def probeAudio(s: SparkSession, indexDir: String, blob: Array[Byte],
-      minShared: Int = MatchMinShared): Seq[(Long, Long)] = {
-    def fileGone(e: Throwable): Boolean =
-      e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
-        fileGone(e.getCause))
-    var attempt = 0
-    while (true) {
-      try return probeAudioOnce(s, indexDir, blob, minShared)
-      catch {
-        case e: Throwable if fileGone(e) && attempt < 3 => attempt += 1
-      }
-    }
-    Nil // unreachable
-  }
+      minShared: Int = MatchMinShared): Seq[(Long, Long)] =
+    graft.operators.Compaction.stableAcrossFolds(s, Seq(indexDir))(
+      probeAudioOnce(s, indexDir, blob, minShared))
 
   private def probeAudioOnce(s: SparkSession, indexDir: String,
       blob: Array[Byte], minShared: Int): Seq[(Long, Long)] = {

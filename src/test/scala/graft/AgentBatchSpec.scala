@@ -167,6 +167,43 @@ class AgentBatchSpec extends SparkSpec {
       s"job count grew with query count: 2 queries=$jobs2, 6 queries=$jobs6")
   }
 
+  test("retrieveAllNoExpand plan: one scan, broadcast queries, group-limited window") {
+    // the 100 TB shape the batched gate engine claims: the per-query
+    // top-k must be a WindowGroupLimit (per-partition top-k BEFORE the
+    // exchange — the shuffle carries ≤ k rows per query per map
+    // partition, never every scored row), the query table must arrive
+    // broadcast, and the whole call must run as ONE collected plan
+    corpus.count()
+    val specs = (0 until 5).map(i =>
+      BatchRetrieval.Spec(s"q$i", s"retrieval query number $i", "chunk"))
+    BatchRetrieval.retrieveAllNoExpand(corpus, embedder, specs) // warm
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { plans.add(qe.executedPlan.toString); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      BatchRetrieval.retrieveAllNoExpand(corpus, embedder, specs)
+      // listener events are async; poll briefly for the plan to land
+      var waited = 0
+      while (plans.isEmpty && waited < 50) { Thread.sleep(100); waited += 1 }
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    val got = plans.asScala.toSeq
+    assert(got.length == 1, s"expected ONE executed plan, got ${got.length}")
+    val p = got.head
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must group-limit below the exchange:\n$p")
+    assert(p.contains("Broadcast"),
+      s"the (qid, qvec) table must broadcast into the scan:\n$p")
+  }
+
   test("batched retrieval scan count is O(scope groups), not O(queries)") {
     corpus.count()
     val specs = Seq(

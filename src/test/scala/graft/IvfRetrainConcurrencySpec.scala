@@ -96,9 +96,16 @@ class IvfRetrainConcurrencySpec extends SparkSpec {
         while (!stop.get()) {
           val (f, qv) = queries(i % queries.length)
           try {
+            // definite epoch labeling: only when the epoch is identical
+            // before AND after the probe is the snapshot provably at
+            // that epoch; a probe racing the commit gets -1 and is
+            // excluded from epoch-keyed assertions (its hits are still
+            // checked — probeVector's own bracket guarantees them)
+            val eb = EmbedStream.geomEpoch(spark, s"$dir/index")
             val hits = EmbedStream.probeVector(spark, s"$dir/index", qv,
               k = k, nprobe = 4, overfetch = 8)
-            results.add(Probe(f, EmbedStream.geomEpoch(spark, s"$dir/index"), hits))
+            val ea = EmbedStream.geomEpoch(spark, s"$dir/index")
+            results.add(Probe(f, if (eb == ea) eb else -1L, hits))
           } catch { case e: Throwable => failures.add(e) }
           i += 1
         }
@@ -123,6 +130,8 @@ class IvfRetrainConcurrencySpec extends SparkSpec {
       val deadline2 = System.nanoTime() + 30L * 1000 * 1000 * 1000
       while (!results.asScala.exists(_.epoch == postEpoch) &&
         failures.isEmpty && System.nanoTime() < deadline2) Thread.sleep(20)
+      assert(results.asScala.exists(_.epoch == postEpoch),
+        "no probe completed definitely against the swapped geometry")
       EmbedStream.compactIndex(spark, s"$dir/index", upTo = Long.MaxValue)
       Thread.sleep(200) // probes across/after the fold
     } finally {
@@ -136,9 +145,9 @@ class IvfRetrainConcurrencySpec extends SparkSpec {
       s"${failed.size} probe(s) failed; first: ${failed.headOption.orNull}")
     val probes = results.asScala.toSeq
     assert(probes.nonEmpty, "the probe threads must have produced results")
-    val epochs = probes.map(_.epoch).distinct.sorted
+    val epochs = probes.map(_.epoch).filter(_ >= 0).distinct.sorted
     assert(epochs.length >= 2,
-      s"probes must span the retrain's epoch bump, saw epochs $epochs")
+      s"probes must span the retrain's epoch bump, saw definite epochs $epochs")
 
     probes.foreach { p =>
       assert(p.hits.nonEmpty, s"query ${p.query}: empty response (epoch ${p.epoch})")
