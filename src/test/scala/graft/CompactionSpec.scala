@@ -109,4 +109,59 @@ class CompactionSpec extends SparkSpec {
     }
     assert(r.getLong(2) == ref3(3, 5, 9))
   }
+
+  test("stableAcrossFolds: blocks on the in-progress marker, recovers, throws with cause") {
+    val root = java.nio.file.Files.createTempDirectory("stampbracket").toString
+    spark.range(0, 10).select(col("id"))
+      .write.parquet(s"$root/batch=0")
+    spark.range(10, 20).select(col("id"))
+      .write.parquet(s"$root/batch=1")
+
+    // steady state: one attempt, result returned
+    val n = Compaction.stableAcrossFolds(spark, Seq(root)) {
+      spark.read.parquet(s"$root/batch=0", s"$root/batch=1").count()
+    }
+    assert(n == 20)
+
+    // the delete->rename window: _fold_inprogress held. A reader BORN
+    // inside it must not serve (the stamp alone would read the bumped
+    // value on both sides of a subset listing) — it blocks, and serves
+    // as soon as the marker clears
+    val marker = new java.io.File(root, "_fold_inprogress")
+    assert(marker.createNewFile())
+    val cleared = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val clearer = new Thread(() => {
+      Thread.sleep(300); cleared.set(true); marker.delete(); ()
+    })
+    clearer.start()
+    val m = Compaction.stableAcrossFolds(spark, Seq(root)) {
+      spark.read.parquet(s"$root/batch=0", s"$root/batch=1").count()
+    }
+    clearer.join()
+    assert(m == 20 && cleared.get(),
+      "the bracket must have waited for the marker to clear before serving")
+
+    // a stamp moving between the bracket's sides also forces a retry:
+    // builds that straddle a commit are discarded even with no
+    // exception anywhere
+    var calls = 0
+    val r = Compaction.stableAcrossFolds(spark, Seq(root)) {
+      calls += 1
+      if (calls == 1) {
+        // simulate a fold commit landing mid-build
+        new java.io.File(root, "_fold_stamp.7").createNewFile()
+      }
+      calls
+    }
+    assert(r == 2, s"first build straddled the bump and must be discarded, got $r")
+
+    // exhaustion surfaces the last underlying failure as the cause
+    assert(marker.createNewFile())
+    val ex = intercept[IllegalStateException] {
+      Compaction.stableAcrossFolds(spark, Seq(root), attempts = 2,
+        backoffMs = 1L) { 42 }
+    }
+    assert(ex.getMessage.contains("no fold-stable read"))
+    marker.delete()
+  }
 }
