@@ -80,9 +80,34 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // idle/contention stamp (VERDICT r12 item 4): round-over-round
+    // per-query diffs are only meaningful when both runs were similarly
+    // idle — record the host's load average and runnable/total process
+    // counts at run END so the artifact carries its own noise context
+    val load =
+      try {
+        val f = scala.io.Source.fromFile("/proc/loadavg")
+        try {
+          val parts = f.mkString.trim.split("\\s+")
+          val rt = parts(3).split("/")
+          s""""load1":${parts(0)},"load5":${parts(1)},"runnable":${rt(0)},"procs":${rt(1)}"""
+        } finally f.close()
+      } catch { case _: Throwable => s""""load1":-1""" }
+    val ts = java.time.Instant.now().toString
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"setup_sec":$setupSec}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"setup_sec":$setupSec,$load,"ts":"$ts"}"""
     println(line)
+    // cumulative per-run history: every full map survives in order, so
+    // any round's verdict can diff all rows from committed files alone
+    // instead of the driver's (historically truncated) stdout capture
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl")),
+      line + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not append history: ${e.getMessage}") }
     // ALSO persist the line to a file: the round artifact is captured
     // from stdout, and a truncated capture (BENCH_r10/r11 both shipped
     // `parsed: null` with a cut raw tail) loses the whole per-query map.

@@ -60,14 +60,33 @@ object ProfileKtrussGate {
     sparse.unionByName(strips).unionByName(cliques)
   }
 
+  /** Mixed-shape stress (VERDICT r12 item 5): a graph that is FAT in
+    * one hash range (a few hub vertices of degree `spokes`) and THIN in
+    * another (degree-1 disjoint pairs) — the shape whose global-average
+    * build estimate under-states the hub partition. Hub and thin edges
+    * are triangle-free (all die round 1); the clique layer is the
+    * analytic survivor witness, same as [[genGraph]]. */
+  private def genMixed(s: SparkSession, nHubs: Long, spokes: Long,
+      nThin: Long, nCliques: Long): DataFrame = {
+    val hubBase = 500000000L
+    val hubs = s.range(nHubs * spokes).select(
+      (lit(hubBase) + col("id") % nHubs).as("a"),
+      (lit(hubBase) + lit(nHubs) + col("id")).as("b"))
+    val thin = s.range(nThin).select(
+      (lit(600000000L) + col("id") * 2).as("a"),
+      (lit(600000000L) + col("id") * 2 + 1).as("b"))
+    hubs.unionByName(thin).unionByName(genGraph(s, 0L, 0L, nCliques))
+  }
+
   private def run(label: String, pairs: DataFrame, cap: Long,
-      nCliques: Long): (Long, Long) = {
+      nCliques: Long, join2Force: Option[String] = None): (Long, Long) = {
     val t0 = System.nanoTime()
     val df = DedupQueries.ktrussEdges(pairs, 4, 8,
       maxBroadcastAdjacency = cap,
       onRound = (r, n, bc) =>
         println(s"[ktruss-gate] $label round=$r edges=$n " +
-          s"plan=${if (bc) "broadcast" else "merge-fallback"}"))
+          s"plan=${if (bc) "broadcast" else "merge-fallback"}"),
+      join2Force = join2Force)
     val agg = df.agg(count(lit(1)),
       expr("coalesce(bit_xor(xxhash64(doc_a, doc_b, support)), 0L)"),
       min(col("support")), max(col("support")), min(col("doc_a")))
@@ -90,8 +109,8 @@ object ProfileKtrussGate {
 
   def main(args: Array[String]): Unit = {
     val mode = if (args.nonEmpty) args(0) else "all"
-    require(Set("all", "pin", "big", "forced", "forcedbig")(mode),
-      s"unknown mode '$mode' (all|pin|big|forced|forcedbig)")
+    require(Set("all", "pin", "big", "forced", "forcedbig", "mixed")(mode),
+      s"unknown mode '$mode' (all|pin|big|forced|forcedbig|mixed)")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -138,6 +157,21 @@ object ProfileKtrussGate {
       println(s"[ktruss-gate] forced equal=${forced == bcast}")
       val pairs = genGraph(spark, 5350000L, 10000L, 1000L).localCheckpoint()
       run("forced-scale(cap=0)", pairs, 0L, 1000L)
+    }
+    if (mode == "all" || mode == "mixed") {
+      // the mixed-shape A/B (VERDICT r12 item 5 done-criterion): the
+      // hub+thin graph runs over-cap under the selector's own choice,
+      // under BOTH forced join-2 plans, and all-broadcast — the four
+      // fingerprints must match, proving the selector can only ever
+      // cost time, never correctness, on a shape its estimate misses
+      val pairs = genMixed(spark, 4L, 200000L, 1000000L, 200L)
+        .localCheckpoint()
+      val auto = run("mixed-auto(cap=0)", pairs, 0L, 200L)
+      val shj = run("mixed-shj(cap=0)", pairs, 0L, 200L, Some("shuffle_hash"))
+      val mrg = run("mixed-merge(cap=0)", pairs, 0L, 200L, Some("merge"))
+      val bc = run("mixed-broadcast(cap=max)", pairs, Long.MaxValue, 200L)
+      println(s"[ktruss-gate] mixed equal=" +
+        s"${auto == shj && shj == mrg && mrg == bc}")
     }
     if (mode == "forcedbig") {
       val pairs = genGraph(spark, 53500000L, 100000L, 10000L).localCheckpoint()

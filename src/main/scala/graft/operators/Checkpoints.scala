@@ -19,10 +19,35 @@ import org.apache.spark.sql.execution.LogicalRDD
 object Checkpoints {
 
   /** Release the block-manager storage behind a `localCheckpoint()`ed
-    * frame. No-op on frames that are not local checkpoints. */
+    * frame. No-op on frames that are not local checkpoints.
+    *
+    * Spark's `RDD.unpersist` WARNs on every locally-checkpointed RDD
+    * ("lineage has been truncated and cannot be recomputed") — correct
+    * in general, but here the caller's contract above IS the proof the
+    * release is safe, and an iterative peel emits the warning every
+    * round, burying real warnings (VERDICT r12). The specific RDD
+    * class's logger is therefore lowered to ERROR for exactly the
+    * unpersist call and restored after; the window is narrow enough
+    * that suppressing an unrelated same-class warning in another
+    * thread is a theoretical, accepted trade. */
   def unpersist(df: DataFrame, blocking: Boolean = false): Unit =
     df.queryExecution.analyzed match {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking); ()
+      case lr: LogicalRDD =>
+        quietly(lr.rdd.getClass.getName) { lr.rdd.unpersist(blocking) }; ()
       case _ => ()
     }
+
+  private def quietly[T](loggerName: String)(body: => T): T = {
+    val restore: Option[() => Unit] =
+      try {
+        import org.apache.logging.log4j.{Level, LogManager}
+        import org.apache.logging.log4j.core.config.Configurator
+        val prev = LogManager.getLogger(loggerName).getLevel
+        Configurator.setLevel(loggerName, Level.ERROR)
+        Some(() => Configurator.setLevel(loggerName, prev))
+      } catch { // not the log4j2 backend: keep the warning, stay correct
+        case _: Throwable => None
+      }
+    try body finally restore.foreach(_.apply())
+  }
 }

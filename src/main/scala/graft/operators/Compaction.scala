@@ -106,9 +106,16 @@ object Compaction {
     * latest` — all folded.
     *
     * Crash-safe via stage-then-swap with a durable marker: the full
-    * union stages into `compact.tmp` plus a `_folded_upto=<m>` marker
+    * union stages into `compact.tmp` plus a `_folded_upto.<m>` marker
     * BEFORE any original is deleted; the swap deletes originals ≤ m and
-    * renames. A re-run after a crash at ANY point either discards an
+    * renames. The marker name is dot-separated, NEVER `name=value`:
+    * the marker rides inside the dir the swap renames live, and Spark's
+    * hidden-file filter KEEPS underscore-prefixed names that contain
+    * '=' (they parse as partition dirs) — an `=` marker left by a crash
+    * between the rename and the marker delete made the whole store
+    * unreadable (CONFLICTING_PARTITION_COLUMN_NAMES) for every reader,
+    * with no repair path that ever deleted it (found by the r13
+    * crash-kill sweep, RetrainKillSpec). A re-run after a crash at ANY point either discards an
     * incomplete stage (no marker/_SUCCESS yet — originals intact) or
     * completes the recorded swap (stage is a superset of whatever was
     * already deleted). Like every maintenance rewrite here, run it
@@ -155,10 +162,17 @@ object Compaction {
     * it behind would let it clobber a LATER rewrite when some future
     * fold resumes it. A caller-NAMED stage (`tmpName != compact.tmp`,
     * the retrain path) is the opposite case: its content pairs with
-    * sibling state the caller had not yet committed when it crashed
-    * (rebuilt centroids), so an orphan found on entry is DISCARDED,
-    * never resumed — the caller re-stages deterministically under its
-    * own durable marker. */
+    * sibling state this layer cannot see (rebuilt centroids), so an
+    * orphan found on entry is DISCARDED, never resumed here — the
+    * CALLER owns the resume decision and must make it BEFORE calling
+    * this (ADVICE r12 high: once the crashed commit has begun deleting
+    * original dirs, the stage holds those rows' only copy, and a
+    * discard-and-restage would silently rebuild from the surviving
+    * subset — see [[graft.streaming.EmbedStream.retrainIvf]]'s
+    * self-contained-stage resume, which commits such a stage from the
+    * sibling state staged INSIDE it). The discard here is safe exactly
+    * because a destructive commit implies the caller's durable repair
+    * marker is set, and the caller's resume path runs first. */
   def stageRewriteBatchDirs(s: org.apache.spark.sql.SparkSession,
       root: String, upTo: Long, targetBytes: Long = 128L << 20,
       partitionCols: Seq[String] = Nil,
@@ -190,7 +204,7 @@ object Compaction {
     val w = rep.write.mode("overwrite")
     (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
       .parquet(tmp.toString)
-    fs.create(new Path(tmp, s"_folded_upto=$m"), true).close()
+    fs.create(new Path(tmp, s"_folded_upto.$m"), true).close()
     true
   }
 
@@ -207,6 +221,24 @@ object Compaction {
       fs.exists(new Path(tmp, "_SUCCESS"))
     if (complete) finishFold(fs, rootP, tmp)
     complete
+  }
+
+  /** Repair a batch-dir store's crashed FOLD swap, if any, WITHOUT
+    * planning a new fold: completes a `compact.tmp` stage left with its
+    * durable marker + _SUCCESS, discards an incomplete one, and clears
+    * crash-residue `_fold_inprogress`. Any maintenance or rewrite pass
+    * that LISTS the store's batch dirs itself must run this first —
+    * a crashed fold commit can leave a subset of dirs on disk (the
+    * stage holding the rest), and a pass that plans against that
+    * listing would rebuild from the subset and commit the loss
+    * ([[graft.streaming.EmbedStream.retrainIvf]]'s entry repair; found
+    * by the r13 crash-kill sweep, the fold-mode twin of the ADVICE r12
+    * high). [[stageRewriteBatchDirs]] already runs it at entry. */
+  def repairStore(s: org.apache.spark.sql.SparkSession, root: String): Unit = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootP))
+      resumeFold(fs, rootP, new org.apache.hadoop.fs.Path(rootP, "compact.tmp"))
   }
 
   /** Monotonic swap counter of a batch-dir store, bumped by every fold/
@@ -304,8 +336,8 @@ object Compaction {
       tmp: org.apache.hadoop.fs.Path): Option[Long] =
     if (!fs.exists(tmp)) None
     else fs.listStatus(tmp).map(_.getPath.getName)
-      .find(_.startsWith("_folded_upto="))
-      .flatMap(_.drop("_folded_upto=".length).toLongOption)
+      .find(_.startsWith("_folded_upto."))
+      .flatMap(_.drop("_folded_upto.".length).toLongOption)
 
   /** Swap a fully-staged fold in: delete originals ≤ m, rename. The
     * marker rides inside the renamed dir (underscore-prefixed files are
@@ -315,19 +347,21 @@ object Compaction {
   private def finishFold(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path): Unit =
     stageMarker(fs, tmp).foreach { m =>
-      // stamp FIRST: a reader that STRADDLES the swap's start read its
-      // pre-stamp before this bump, so its bracket check fails and it
-      // re-attempts. A reader born entirely INSIDE the window would
-      // see the bumped stamp on both sides — that is what the
-      // in-progress marker catches: held across the destructive steps,
-      // required absent on both bracket sides.
-      bumpStoreStamp(fs, root)
+      // marker FIRST, stamp second (ADVICE r12 medium: the reverse
+      // order had a gap — a reader whose pre-bracket listing landed
+      // between the bump and the marker saw (bumped stamp, no marker),
+      // and its post-check saw the same, accepting a mid-swap subset).
+      // With marker-before-bump there is no gap: a pre-check before the
+      // marker reads the OLD stamp, so the bump fails its post-check;
+      // any later pre-check sees the marker until it is deleted LAST,
+      // by which point the swap is fully committed.
       val inprog = new org.apache.hadoop.fs.Path(root, "_fold_inprogress")
       fs.create(inprog, true).close()
+      bumpStoreStamp(fs, root)
       batchDirs(fs, root).filter(_._1 <= m).foreach(d => fs.delete(d._2, true))
       val live = new org.apache.hadoop.fs.Path(root, s"batch=$m")
       fs.rename(tmp, live)
-      fs.delete(new org.apache.hadoop.fs.Path(live, s"_folded_upto=$m"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(live, s"_folded_upto.$m"), false)
       fs.delete(inprog, false)
     }
 

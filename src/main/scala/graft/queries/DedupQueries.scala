@@ -1646,7 +1646,8 @@ object DedupQueries {
     * identical to the broadcast path (KcoreSpec pins equality). */
   private[graft] def ktrussEdges(pairs: DataFrame, k: Int, rounds: Int,
       maxBroadcastAdjacency: Long = KtrussBroadcastAdjacencyCap,
-      onRound: (Int, Long, Boolean) => Unit = (_, _, _) => ())
+      onRound: (Int, Long, Boolean) => Unit = (_, _, _) => (),
+      join2Force: Option[String] = None)
       : DataFrame = {
     // Full support = |N(a) ∩ N(b)| per edge — run ONCE, for round 1.
     // The support relation NEVER materializes the triangle expansion
@@ -1670,7 +1671,11 @@ object DedupQueries {
     // array-heavy adjacency (the sf10 spill-death, VERDICT r10 item 1).
     // A dup pair relation that size usually still means the simhash
     // threshold, not the plan, needs retuning.
-    def supportOf(es: DataFrame, nEdges: Long): DataFrame = {
+    // which join-2 plan the last supportOf call picked over-cap —
+    // read by the round-0 catch-and-degrade below
+    var join2Chosen = "broadcast"
+    def supportOf(es: DataFrame, nEdges: Long,
+        force: Option[String] = join2Force): DataFrame = {
       val adj = es.select(col("a").as("v"), col("b").as("n"))
         .unionAll(es.select(col("b").as("v"), col("a").as("n")))
         .groupBy(col("v"))
@@ -1709,24 +1714,39 @@ object DedupQueries {
         //    is ≈ |E| tiny-array rows (110 s, ~5 GB scratch, measured).
         // Join 1 is always SORT-MERGE (narrow edge list + node-bounded
         // adjacency, each array written once). Join 2 picks by an
-        // estimated per-partition build size: entry payload (2|E|
+        // estimated WORST-partition build size: entry payload (2|E|
         // longs) + per-row overhead (|V| rows, ~64 B each in the
-        // BytesToBytesMap). |V| comes from one approx-distinct pass
-        // over the narrow endpoint stream — round 0 only, over-cap
-        // only. Under the bound, SHUFFLED-HASH with the adjacency
-        // NAMED as build side (the array-carrying intermediate then
-        // STREAMS through the probe — its only disk touch is one
+        // BytesToBytesMap), averaged over the partitions, PLUS the
+        // heaviest single vertex's payload (8·maxDeg) riding whichever
+        // partition its hash lands in — the r13 hardening (VERDICT r12
+        // item 5): a MIXED-shape graph (hub-heavy in one hash range,
+        // degree-1 in another) drags the global average down while one
+        // partition still holds the hub's fat build rows, so the
+        // average alone under-estimates exactly the partition that
+        // dies. |V| (exact) and maxDeg come from ONE degree pass over
+        // the narrow endpoint stream — round 0 only, over-cap only.
+        // Under the bound, SHUFFLED-HASH with the adjacency NAMED as
+        // build side (the array-carrying intermediate then STREAMS
+        // through the probe — its only disk touch is one
         // hash-exchange write, Σ deg bytes, never a multi-pass sort);
         // over it, merge, whose spill is exactly the thin-array
-        // regime's cheap case.
+        // regime's cheap case. `join2Force` (tests/A-B tooling) and
+        // the caller's catch-and-degrade (round-0 materialization
+        // retries with forced merge if the chosen SHJ still dies on a
+        // shape the estimate cannot see) bound the damage of any
+        // remaining mis-estimate to one failed-and-retried round.
         val parts = es.sparkSession.sessionState.conf.numShufflePartitions
-        val nVerts = es
+        val degRow = es
           .select(explode(array(col("a"), col("b"))).as("v"))
-          .agg(approx_count_distinct(col("v")).as("nv")).head().getLong(0)
+          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+          .agg(count(lit(1)).as("nv"), max(col("deg")).as("maxd")).head()
+        val nVerts = degRow.getLong(0)
+        val maxDeg = degRow.getLong(1)
         val shjBuildBytes = (8L * 2L * nEdges + 64L * nVerts) /
-          math.max(1, parts)
-        val join2Hint =
-          if (shjBuildBytes <= (64L << 20)) "shuffle_hash" else "merge"
+          math.max(1, parts) + 8L * maxDeg + 64L
+        val join2Hint = force.getOrElse(
+          if (shjBuildBytes <= (64L << 20)) "shuffle_hash" else "merge")
+        join2Chosen = join2Hint
         es
           .join(adj.select(col("v").as("a"), col("nb").as("na"))
             .hint("merge"), "a")
@@ -1758,7 +1778,20 @@ object DedupQueries {
     // round 0 = the one full support pass; the observer sees each
     // round's edge count and whether the gate kept the broadcast plan
     onRound(0, curN, 2L * curN <= maxBroadcastAdjacency)
-    var edges = supportOf(base, curN).localCheckpoint()
+    // round-0 catch-and-degrade: if the estimated-build SHJ still dies
+    // at runtime (a shape the worst-partition estimate cannot see), pay
+    // one failed attempt and rebuild on the merge plan — provably
+    // completable in the thin regime and spill-bounded in the fat one,
+    // never a hard stop
+    var edges =
+      try supportOf(base, curN).localCheckpoint()
+      catch {
+        case e: Throwable if join2Chosen == "shuffle_hash" =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"ktruss round-0 shuffled-hash support join failed " +
+              s"(${e.getMessage}); degrading to merge")
+          supportOf(base, curN, force = Some("merge")).localCheckpoint()
+      }
     val emptyArr = array().cast("array<bigint>")
     var i = 0
     var converged = false

@@ -889,7 +889,101 @@ object RelationalQueries {
       |      AND l3.l_suppkey <> l1.l_suppkey)
       |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
+  /** TPC-H Q9-style product-type profit by nation and year — the widest
+    * feasible join on the trimmed schema (5 tables): a name-predicated
+    * part slice drives lineitem, orders supplies the year, supplier →
+    * nation labels the profit. The trimmed tables have no partsupp, so
+    * the textbook's ps_supplycost is re-anchored to a retail-price cost
+    * proxy (amount = l_extendedprice·(1−l_discount) −
+    * 0.1·p_retailprice·l_quantity) — documented divergence, the
+    * q13/q17/q20 class; probed non-vacuous at sf0.001: 714 slice rows
+    * over 10 nations × 7 years ('%bolt%' matches ~2.4% of part).
+    *
+    * Plan shape at scale: ONE lineitem scan and ONE orders scan — the
+    * only big-big join shuffles on orderkey; part (sliced), supplier
+    * and nation all broadcast, so the fact never shuffles for a
+    * dimension. The groupBy keys are tiny (nation × year), so partial
+    * aggregation collapses the shuffle to ~70 rows per task
+    * (PlanQualitySpec pins the scan count and the broadcasts). */
+  def q9ProductTypeProfit(s: SparkSession, d: String): DataFrame = {
+    val slice = Tables.part(s, d).filter(col("p_name").like("%bolt%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supp = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"))
+    Tables.lineitem(s, d)
+      .join(broadcast(slice), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.1) * col("p_retailprice") * col("l_quantity")), 2)
+        .as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9Sql: String =
+    """SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+      |  round(sum(l_extendedprice*(1-l_discount)
+      |            - 0.1*p_retailprice*l_quantity), 2) AS sum_profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%bolt%'
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q12-style shipping-priority split — the IN-disjunction +
+    * two-branch conditional aggregate: for one ship year's lines in a
+    * two-value flag slice, count critical-priority vs other orders per
+    * flag value. The trimmed lineitem has no l_shipmode or commit/
+    * receipt dates, so the textbook's shipmode grouping is re-anchored
+    * to l_returnflag ('R','A' — the IN keeps the disjunction shape)
+    * and the lateness window to the 1996 ship year — documented
+    * divergence, the q21 class; probed non-vacuous at sf0.001: both
+    * flags populated, both branches nonzero.
+    *
+    * Plan shape at scale: ONE lineitem scan and ONE orders scan — the
+    * flag + year filters push to the parquet scan, the single shuffle
+    * is the orderkey equi-join, and the CASE branches fold into one
+    * partial aggregate (two sums in one pass, never two scans). */
+  def q12ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag").isin("R", "A") &&
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(critical, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(critical, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q12Sql: String =
+    """SELECT l_returnflag,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |           THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |           THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_returnflag IN ('R','A')
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q9_product_profit" -> (q9ProductTypeProfit _),
+    "q12_shipping_priority" -> (q12ShippingPriority _),
     "q8_market_share" -> (q8MarketShare _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q17_small_quantity" -> (q17SmallQuantity _),
@@ -921,6 +1015,8 @@ object RelationalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q9_product_profit" -> q9Sql,
+    "q12_shipping_priority" -> q12Sql,
     "q8_market_share" -> q8Sql,
     "q15_top_supplier" -> q15Sql,
     "q17_small_quantity" -> q17Sql,

@@ -192,11 +192,24 @@ object EmbedStream {
     * a crash anywhere between (including between the centroid write and
     * the list swap, where probes see new geometry over old assignments —
     * degraded but verified-exact subsets) is REPAIRED unconditionally by
-    * the next maintenance pass: the marker bypasses the skew and thrash
+    * the next maintenance pass. The stage is SELF-CONTAINED: the
+    * rebuilt centroids are persisted INSIDE `_retrain.tmp`
+    * (`_staged/centroids`) before the marker, so a pending repair that
+    * finds a complete stage RESUMES it — re-writes the centroids from
+    * the stage and completes the swap — instead of discarding and
+    * re-staging. Resume-first is the only LOSSLESS repair once the
+    * crashed commit has begun deleting original `batch=` dirs (the
+    * stage then holds those rows' only copy; ADVICE r12 high), and it
+    * also closes the narrower tear where the crash landed between the
+    * marker and the index-root centroid write (a discard-free commit of
+    * old centroids over new assignments). Only when no complete stage
+    * survives (crash pre-stage, or post-rename) does the repair fall
+    * back to the deterministic full rebuild, which is lossless there —
+    * a destructive commit cannot begin before a complete stage exists.
+    * The marker bypasses the skew and thrash
     * gates, whose inputs are no longer self-consistent mid-swap (the
     * re-derived centroid count can differ from the count that produced
-    * the stored lists), and the deterministic rebuild re-stages and
-    * completes the identical swap. Returns true iff a retrain happened.
+    * the stored lists). Returns true iff a retrain happened.
     *
     * `c` ≤ 0 (the default) re-derives the centroid count from the
     * CURRENT corpus under the scale rule
@@ -207,10 +220,19 @@ object EmbedStream {
   def retrainIvf(s: SparkSession, indexDir: String, c: Int = 0,
       maxSkew: Double = 4.0, targetBytes: Long = 128L << 20): Boolean = {
     import graft.retrieval.IvfIndex
+    val (mfs, marker) = fsOf(s, s"$indexDir/_retrain_pending")
+    // resume-first repair (see scaladoc): a pending marker with a
+    // complete self-contained stage is a decided swap — commit it
+    if (mfs.exists(marker) && resumeStagedRetrain(s, indexDir)) return true
+    // then complete any crashed FOLD swap before LISTING the lists: a
+    // fold killed mid-commit leaves a subset of batch dirs (the rest
+    // only in its complete compact.tmp stage), and planning the retrain
+    // against that subset would rebuild from it and commit the loss
+    // (found by the r13 crash-kill sweep)
+    graft.operators.Compaction.repairStore(s, s"$indexDir/lists")
     readLists(s, indexDir, Long.MaxValue) match {
       case None => false
       case Some(lists) =>
-        val (mfs, marker) = fsOf(s, s"$indexDir/_retrain_pending")
         val pending = mfs.exists(marker)
         val counts = lists.groupBy(col("centroid_id")).count()
           .collect().map(_.getLong(1))
@@ -257,15 +279,78 @@ object EmbedStream {
           s, s"$indexDir/lists", Long.MaxValue, targetBytes,
           partitionCols = Seq("centroid_id"),
           rewrite = _ => reassigned, tmpName = "_retrain.tmp")
+        // nothing staged (anomalous listing): bail BEFORE any visible
+        // mutation — no marker, no centroid overwrite, no epoch bump; a
+        // set pending marker stays set so the next pass keeps repairing
+        // (ADVICE r12 low: the old path left torn geometry with the
+        // repair marker cleared)
+        if (!staged) return false
+        // make the stage self-contained BEFORE the marker: its lists
+        // pair with these centroids, and carrying them inside the stage
+        // is what makes a crashed commit resumable (never torn, never
+        // lossy — see scaladoc)
+        IvfIndex.writeCentroids(s, rebuilt, s"$indexDir/lists/_retrain.tmp/_staged")
         mfs.create(marker, true).close()
         IvfIndex.writeCentroids(s, rebuilt, indexDir)
-        val swapped = staged &&
-          graft.operators.Compaction.commitStagedRewrite(
-            s, s"$indexDir/lists", tmpName = "_retrain.tmp")
+        val swapped = graft.operators.Compaction.commitStagedRewrite(
+          s, s"$indexDir/lists", tmpName = "_retrain.tmp")
+        // a failed commit keeps the marker: the next maintenance pass
+        // resumes (complete stage) or re-stages (incomplete) — clearing
+        // it here would strand new-centroids-over-old-assignments
+        if (!swapped) return false
         bumpGeomEpoch(s, indexDir)
         mfs.delete(marker, false)
-        swapped
+        dropStagedCentroidResidue(s, indexDir)
+        true
     }
+  }
+
+  /** Complete the swap a crashed [[retrainIvf]] left behind, iff its
+    * SELF-CONTAINED stage survives: the stage's fold marker + _SUCCESS
+    * + the centroids it was assigned under (`_staged/centroids` inside
+    * `_retrain.tmp`). The pairing rides in one directory, so the commit
+    * is consistent by construction; and because a destructive commit
+    * only ever starts after this stage is complete, resuming covers the
+    * mid-delete crash where the stage holds the deleted rows' ONLY copy
+    * (ADVICE r12 high — the discard-and-restage repair lost them).
+    * Returns true iff the swap committed. */
+  private def resumeStagedRetrain(s: SparkSession, indexDir: String): Boolean = {
+    import graft.retrieval.IvfIndex
+    import org.apache.hadoop.fs.Path
+    val tmpDir = s"$indexDir/lists/_retrain.tmp"
+    val (fs, tmpP) = fsOf(s, tmpDir)
+    val complete = fs.exists(tmpP) &&
+      fs.listStatus(tmpP).exists(_.getPath.getName.startsWith("_folded_upto.")) &&
+      fs.exists(new Path(tmpP, "_SUCCESS")) &&
+      hasParquet(fs, new Path(tmpP, "_staged/centroids"))
+    if (!complete) return false
+    val cents = IvfIndex.loadCentroids(s, s"$tmpDir/_staged")
+    IvfIndex.writeCentroids(s, cents, indexDir) // idempotent overwrite
+    val swapped = graft.operators.Compaction.commitStagedRewrite(
+      s, s"$indexDir/lists", tmpName = "_retrain.tmp")
+    if (swapped) {
+      bumpGeomEpoch(s, indexDir)
+      val (mfs, marker) = fsOf(s, s"$indexDir/_retrain_pending")
+      mfs.delete(marker, false)
+      dropStagedCentroidResidue(s, indexDir)
+    }
+    swapped
+  }
+
+  /** Best-effort removal of `_staged` centroid dirs that rode into live
+    * `batch=` dirs with the commit's rename. Underscore-prefixed, so
+    * parquet discovery never sees them — this is hygiene, not
+    * correctness; a crash before it just leaves invisible residue (a
+    * live dir can never satisfy [[resumeStagedRetrain]]'s stage check,
+    * so stale residue never resurrects). */
+  private def dropStagedCentroidResidue(s: SparkSession, indexDir: String): Unit = {
+    val (fs, root) = fsOf(s, s"$indexDir/lists")
+    if (!fs.exists(root)) return
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .foreach { st =>
+        fs.delete(new org.apache.hadoop.fs.Path(st.getPath, "_staged"), true)
+      }
   }
 
   /** Geometry epoch of a stored IVF index — bumped as the last mutation

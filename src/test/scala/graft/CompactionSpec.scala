@@ -70,7 +70,7 @@ class CompactionSpec extends SparkSpec {
     // marker + _SUCCESS, batch=0 already gone
     spark.read.parquet(s"$root/batch=0", s"$root/batch=1")
       .repartition(1).write.parquet(s"$root/compact.tmp")
-    new java.io.File(s"$root/compact.tmp/_folded_upto=1").createNewFile()
+    new java.io.File(s"$root/compact.tmp/_folded_upto.1").createNewFile()
     def rm(p: java.nio.file.Path): Unit = {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse

@@ -229,7 +229,7 @@ class IvfRetrainConcurrencySpec extends SparkSpec {
     val tmp = new java.io.File(s"$dir/index/lists/_retrain.tmp")
     tmp.mkdirs()
     // content is irrelevant to the hazard — a fold must not even look
-    new java.io.File(tmp, "_folded_upto=1").createNewFile()
+    new java.io.File(tmp, "_folded_upto.1").createNewFile()
     new java.io.File(tmp, "_SUCCESS").createNewFile()
 
     // a compaction pass must IGNORE the orphan (it only resumes its own

@@ -97,6 +97,28 @@ class KcoreSpec extends SparkSpec {
     assert(got.values.forall(_ == 2L), s"clique support is 2 everywhere: $got")
   }
 
+  test("k-truss: mixed-shape graph — both forced join-2 plans and the " +
+    "selector's own choice are value-identical (VERDICT r12 item 5)") {
+    // a hub (fat adjacency array in one hash range) + degree-1 thin
+    // pairs (another range) + two surviving cliques: the shape whose
+    // global-average build estimate under-states the hub partition
+    val hub = (101L to 140L).map(s => (100L, s))
+    val thin = (0 until 50).map(i => (1000L + 2L * i, 1001L + 2L * i))
+    val c1 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val c2 = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val edges = hub ++ thin ++ c1 ++ c2
+    def result(cap: Long, force: Option[String]) =
+      DedupQueries.ktrussEdges(pairsDf(edges), 4, 8,
+        maxBroadcastAdjacency = cap, join2Force = force)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = result(Long.MaxValue, None) // broadcast reference
+    assert(want.keySet == (c1 ++ c2).toSet && want.values.forall(_ == 2L),
+      s"hub and thin edges peel, cliques survive: $want")
+    assert(result(0L, None) == want, "selector's own over-cap choice")
+    assert(result(0L, Some("shuffle_hash")) == want, "forced SHJ join 2")
+    assert(result(0L, Some("merge")) == want, "forced merge join 2")
+  }
+
   test("k-truss: the over-cap shuffled fallback equals the broadcast plan") {
     // gate the broadcast OFF (cap 0) and kill auto-broadcast so the
     // fallback genuinely runs shuffled joins — the result must be

@@ -162,6 +162,34 @@ class PlanQualitySpec extends SparkSpec {
       "the supplier-inequality condition must ride the orderkey equi-join")
   }
 
+  test("q9: one lineitem + one orders scan; all three dims broadcast") {
+    val p = plan(graft.queries.RelationalQueries.q9ProductTypeProfit(spark, sf))
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    assert(count(finalPlan, "lineitem\\.parquet") == 1, "one lineitem scan only")
+    assert(count(finalPlan, "orders\\.parquet") == 1, "one orders scan only")
+    assert(count(p, "BroadcastHashJoin") >= 3,
+      "part slice, supplier and nation must all broadcast — the fact " +
+        "shuffles once, on the orderkey equi-join only")
+    assert(p.contains("PushedFilters:") && p.contains("p_name"),
+      "the name LIKE should reach the part scan")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "no cartesian anywhere")
+  }
+
+  test("q12: flag+year filters push to the scan; one aggregate pass") {
+    val p = plan(graft.queries.RelationalQueries.q12ShippingPriority(spark, sf))
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    assert(count(finalPlan, "lineitem\\.parquet") == 1, "one lineitem scan only")
+    assert(count(finalPlan, "orders\\.parquet") == 1, "one orders scan only")
+    assert(p.contains("PushedFilters:") && p.contains("l_returnflag"),
+      "the returnflag IN should reach the lineitem scan")
+    // both CASE sums ride ONE partial aggregate before the final — the
+    // two-branch split must never become two scans or two shuffles
+    assert(count(p, "partial_sum|Partial") >= 1, "partial agg expected")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "no cartesian anywhere")
+  }
+
   test("q14: the part dimension broadcasts; the fact side never reshuffles") {
     val p = plan(graft.queries.RelationalQueries.q14PromoShare(spark, sf))
     assert(count(p, "BroadcastHashJoin") >= 1, "part must broadcast")

@@ -1,0 +1,352 @@
+package graft
+
+import graft.retrieval.IvfIndex
+import graft.streaming.EmbedStream
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.util.concurrent.TimeUnit
+
+/** A Hadoop FileSystem that SIGKILLs its own process at the Nth
+  * mutating operation — the instrument behind [[RetrainKillSpec]]'s
+  * randomized crash-point sweep. Wraps the local FS under its own
+  * `killfs:` scheme, counts every create/delete/rename/mkdirs, appends
+  * each to an oplog, and calls `Runtime.halt(137)` BEFORE executing the
+  * armed op — so threshold k means "die with op #k never applied", and
+  * sweeping k over the oplog's protocol-critical seqs visits every
+  * metadata boundary of the maintenance protocol without instrumenting
+  * product code. Reads are never counted: a crash can only happen at a
+  * state change, which is exactly the set of states a real kill can
+  * leave behind. */
+class KillFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  // RawLocal directly (not the Checksum-wrapped LocalFileSystem): a
+  // filter layer's inner FS re-checks paths against ITS OWN file:///
+  // uri and rejects the killfs scheme; raw has no inner layer, and
+  // skipping crc sidecars also matches what a remote store would do
+  override def getScheme: String = "killfs"
+  override def getUri: java.net.URI = java.net.URI.create("killfs:///")
+
+  override def mkdirs(f: HPath): Boolean = {
+    KillFs.tick("mkdirs", f)
+    super.mkdirs(f)
+  }
+  override def create(f: HPath,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    KillFs.tick("create", f)
+    super.create(f, permission, overwrite, bufferSize, replication,
+      blockSize, progress)
+  }
+  override def delete(f: HPath, recursive: Boolean): Boolean = {
+    KillFs.tick("delete", f)
+    super.delete(f, recursive)
+  }
+  override def rename(src: HPath, dst: HPath): Boolean = {
+    KillFs.tick("rename", src)
+    super.rename(src, dst)
+  }
+  override def mkdirs(f: HPath,
+      permission: org.apache.hadoop.fs.permission.FsPermission): Boolean = {
+    KillFs.tick("mkdirs", f)
+    super.mkdirs(f, permission)
+  }
+}
+
+object KillFs {
+  private val n = new java.util.concurrent.atomic.AtomicLong(0)
+  @volatile private var killAt = -1L
+  @volatile private var log: java.io.PrintWriter = null
+
+  def arm(at: Long, logPath: Option[String]): Unit = {
+    killAt = at
+    log = logPath.map(p => new java.io.PrintWriter(
+      new java.io.FileWriter(p, true))).orNull
+  }
+  def count(): Long = n.get()
+  def tick(op: String, p: HPath): Unit = {
+    val k = n.incrementAndGet()
+    if (log != null) synchronized { log.println(s"$k $op $p"); log.flush() }
+    if (killAt > 0 && k >= killAt) Runtime.getRuntime.halt(137)
+  }
+}
+
+/** Separate-process maintenance runner: opens its own SparkSession with
+  * `killfs:` registered, then runs one retrain or fold pass against the
+  * trial store. Armed via argv; an unarmed run (killAfter = -1) prints
+  * `OPS=<total> DONE=<bool>` so the parent can harvest the oplog. */
+object RetrainKillHarness {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0) // raw absolute path of the trial dir
+    val killAfter = args(1).toLong
+    val mode = args(2) // retrain | fold
+    KillFs.arm(killAfter, sys.props.get("graft.killfs.log"))
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-kill-harness")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.hadoop.fs.killfs.impl", classOf[KillFs].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val index = s"killfs:$dir/index"
+    val done = mode match {
+      case "retrain" => EmbedStream.retrainIvf(spark, index, c = 8, maxSkew = 2.5)
+      case "fold" => EmbedStream.compactIndex(spark, index, upTo = Long.MaxValue)
+    }
+    println(s"OPS=${KillFs.count()} DONE=$done")
+    sys.exit(0)
+  }
+}
+
+/** VERDICT r12 item 1: crash-kill END-TO-END coverage of the
+  * fold/retrain serving protocol. The marker-file simulation specs
+  * ([[IvfRetrainCrashRepairSpec]], CompactionSpec) each pin ONE
+  * hand-constructed crash state; this harness produces the states the
+  * protocol actually reaches, by killing a real forked JVM (halt(137),
+  * the SIGKILL analog) immediately before each protocol-critical
+  * mutating FS op — marker creates, batch-dir deletes, the stage
+  * rename, stamp/epoch bumps — plus seeded-random points inside the
+  * data-sized stage write. After each kill the parent runs the normal
+  * maintenance repair and asserts the full serving contract on the
+  * survivor:
+  *   - LOSSLESS: the stored vec_id set equals the pristine one (the
+  *     ADVICE r12 high — discard-and-restage after a mid-commit kill —
+  *     loses a batch dir's rows here);
+  *   - UNTORN: every stored centroid_id equals a fresh assignment of
+  *     its vector under the ROOT centroids (new-centroids-over-old-
+  *     assignments, the torn-geometry hole, fails this);
+  *   - CLEAN: `_retrain_pending`, `_fold_inprogress` and `_retrain.tmp`
+  *     all cleared, so probes unblock;
+  *   - SERVING: [[EmbedStream.probeVector]] returns k exact-cosine
+  *     hits, and a subsequent fold preserves all of the above (the
+  *     r12-found hole where a later fold resumed a crash-orphaned
+  *     retrain stage fails this).
+  * Trials run as concurrent processes (each on its own copy of the
+  * pristine store); repairs and assertions run serially in the parent.
+  */
+class RetrainKillSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 32
+
+  private def famVec(fam: Int, salt: Long): Seq[Float] = {
+    val rnd = new java.util.Random(salt * 6271L + fam)
+    Seq.tabulate(dim) { i =>
+      if (i == fam) 1.0f
+      else if (i >= 8) (0.01 * rnd.nextGaussian()).toFloat
+      else 0f
+    }
+  }
+  // the drift fixture: a hot family-0 blob of separable subfamilies, so
+  // the c=8 retrain genuinely triggers and genuinely rebalances
+  private def driftVec(salt: Long): Seq[Float] = {
+    val rnd = new java.util.Random(salt * 7013L)
+    val sub = 4 + (salt % 4).toInt
+    Seq.tabulate(dim) { i =>
+      if (i == 0) 1.0f
+      else if (i == sub) 0.8f
+      else if (i >= 8) (0.01 * rnd.nextGaussian()).toFloat
+      else 0f
+    }
+  }
+  private def cosL(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
+  private lazy val pristine: String = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val frame = input.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf-kill").toString
+    val q = EmbedStream.startIvf(spark, frame, s"$dir/index", s"$dir/reports",
+      s"$dir/ckpt", c = 4, k = 3, nprobe = 2)
+    try {
+      input.addData((0 until 24).map(i => (i.toLong, famVec(i % 4, i))): _*)
+      q.processAllAvailable()
+      input.addData((100 until 160).map(i => (i.toLong, driftVec(i))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    dir
+  }
+  private lazy val pristineRows: Seq[(Long, Seq[Float])] =
+    spark.read.parquet(s"$pristine/index/lists")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+
+  private def launch(dir: String, killAfter: Long, mode: String,
+      oplog: Option[String]): Process = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .filter(a => a == "--add-opens" || a.contains("=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      oplog.map(p => s"-Dgraft.killfs.log=$p").toSeq ++
+      Seq("-Xmx2g", "-cp", System.getProperty("java.class.path"),
+        "graft.RetrainKillHarness", dir, killAfter.toString, mode)
+    new ProcessBuilder(cmd: _*)
+      .redirectOutput(ProcessBuilder.Redirect.PIPE)
+      .redirectError(ProcessBuilder.Redirect.to(
+        new java.io.File(dir, "harness.err")))
+      .start()
+  }
+
+  private def copyTrial(tag: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"ivf-kill-$tag").toString
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$pristine/index"), new java.io.File(s"$dir/index"))
+    dir
+  }
+
+  /** The full serving contract on a repaired trial store. */
+  private def assertInvariants(dir: String, trial: String): Unit = {
+    val rows = spark.read.parquet(s"$dir/index/lists")
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+      .toSeq.sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2)) == pristineRows,
+      s"[$trial] rows lost or corrupted: ${rows.size} vs ${pristineRows.size}")
+    // untorn: stored assignments match a fresh assignment under the
+    // ROOT centroids — the pairing a probe's pruning relies on
+    val cents = IvfIndex.loadCentroids(spark, s"$dir/index")
+    val fresh = IvfIndex.assign(
+      spark.read.parquet(s"$dir/index/lists")
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val torn = rows.count { case (id, _, cid) => fresh(id) != cid }
+    assert(torn == 0, s"[$trial] $torn rows assigned under geometry that " +
+      "is not the stored centroids (torn state survived repair)")
+    assert(!new java.io.File(s"$dir/index/_retrain_pending").exists(),
+      s"[$trial] pending marker survived repair")
+    assert(!new java.io.File(s"$dir/index/lists/_fold_inprogress").exists(),
+      s"[$trial] in-progress marker survived repair")
+    assert(!new java.io.File(s"$dir/index/lists/_retrain.tmp").exists(),
+      s"[$trial] stage survived repair")
+    // serving: k exact-cosine hits per family probe
+    val byId = pristineRows.toMap
+    (0 until 4).foreach { f =>
+      val qv = famVec(f, 9000L + f)
+      val hits = EmbedStream.probeVector(spark, s"$dir/index", qv.toArray,
+        k = 3, nprobe = 8)
+      assert(hits.size == 3, s"[$trial] family $f: ${hits.size} hits")
+      hits.foreach { case (id, c) =>
+        assert(math.abs(c - cosL(qv, byId(id))) < 1e-6,
+          s"[$trial] family $f: inexact cosine for $id")
+      }
+    }
+  }
+
+  /** Repair exactly as the maintenance cadence would: bounded retrain
+    * passes until quiescent, then a fold, then re-check. */
+  private def repair(dir: String, trial: String): Unit = {
+    var passes = 0
+    while (EmbedStream.retrainIvf(spark, s"$dir/index", c = 8,
+        maxSkew = 2.5) && passes < 3) passes += 1
+    assert(passes < 3, s"[$trial] retrain did not quiesce in 3 passes")
+    assertInvariants(dir, trial)
+    // the r12-found hole class: a LATER FOLD must neither resume any
+    // crash residue nor disturb the repaired store
+    EmbedStream.compactIndex(spark, s"$dir/index", upTo = Long.MaxValue)
+    assertInvariants(dir, s"$trial+fold")
+  }
+
+  test("maintenance killed at every protocol-critical op: repair converges, " +
+    "no loss, no torn geometry, serving resumes") {
+    // ---- baseline unarmed runs harvest the oplogs (and prove the
+    // fixture actually retrains / folds)
+    val base = copyTrial("base")
+    val oplog = s"$base/oplog.txt"
+    val p0 = launch(base, -1L, "retrain", Some(oplog))
+    val out0 = new String(p0.getInputStream.readAllBytes())
+    assert(p0.waitFor(180, TimeUnit.SECONDS), "baseline retrain hung")
+    def errTail(dir: String): String =
+      try scala.io.Source.fromFile(s"$dir/harness.err").getLines()
+        .toSeq.takeRight(25).mkString("\n")
+      catch { case _: Throwable => "<no stderr>" }
+    assert(p0.exitValue() == 0 && out0.contains("DONE=true"),
+      s"baseline retrain must commit: $out0\n${errTail(base)}")
+
+    val baseF = copyTrial("basef")
+    val oplogF = s"$baseF/oplog.txt"
+    val pf = launch(baseF, -1L, "fold", Some(oplogF))
+    val outF = new String(pf.getInputStream.readAllBytes())
+    assert(pf.waitFor(180, TimeUnit.SECONDS), "baseline fold hung")
+    assert(pf.exitValue() == 0 && outF.contains("DONE=true"),
+      s"baseline fold must commit: $outF")
+
+    // ---- threshold selection: first op per protocol-critical class,
+    // every batch-dir delete, the stage rename and its successor, plus
+    // seeded-random points inside the data-sized stage write
+    def parse(path: String): Seq[(Long, String, String)] =
+      scala.io.Source.fromFile(path).getLines().toSeq.flatMap { l =>
+        l.split(" ", 3) match {
+          case Array(k, op, p) => Some((k.toLong, op, p))
+          case _ => None
+        }
+      }
+    def classify(op: String, p: String): Option[String] = {
+      val name = p.substring(p.lastIndexOf('/') + 1)
+      if (p.contains("_retrain_pending")) Some(s"$op:pending")
+      else if (name.startsWith("_folded_upto.")) Some(s"$op:stagemark")
+      else if (p.contains("_fold_inprogress")) Some(s"$op:inprog")
+      else if (name.startsWith("_fold_stamp.")) Some(s"$op:stamp")
+      else if (name.startsWith("_epoch=")) Some(s"$op:epoch")
+      else if (op == "delete" && name.startsWith("batch=")) Some(s"$op:$name")
+      else if (op == "rename" && !p.contains("_temporary") &&
+        (p.contains("_retrain.tmp") || p.contains("compact.tmp")))
+        Some(s"$op:swap")
+      else if (p.contains("/_staged/") && name == "_SUCCESS") Some(s"$op:stagedcents")
+      else if (p.contains("/index/centroids") && name == "_SUCCESS") Some(s"$op:rootcents")
+      else None
+    }
+    def thresholds(ops: Seq[(Long, String, String)], extra: Int): Seq[Long] = {
+      val crit = ops.flatMap { case (k, op, p) =>
+        classify(op, p).map(_ -> k)
+      }.groupBy(_._1).map(_._2.map(_._2).min).toSeq
+      val swapSeq = ops.collectFirst {
+        case (k, "rename", p) if !p.contains("_temporary") &&
+          (p.contains("_retrain.tmp") || p.contains("compact.tmp")) => k
+      }
+      val rnd = new scala.util.Random(0xC0FFEE)
+      val maxOp = ops.map(_._1).max
+      val random = Seq.fill(extra)(1L + rnd.nextLong(maxOp))
+      (crit ++ swapSeq.map(_ + 1) ++ random).distinct.sorted
+    }
+    val retrainKills = thresholds(parse(oplog), extra = 2)
+    val foldKills = thresholds(parse(oplogF), extra = 1)
+    info(s"retrain kill points: ${retrainKills.mkString(",")}")
+    info(s"fold kill points: ${foldKills.mkString(",")}")
+    assert(retrainKills.size >= 8,
+      s"oplog must expose the protocol's critical ops, got $retrainKills")
+
+    // ---- launch all trials concurrently (each its own process + copy),
+    // then repair + assert serially in this session
+    case class Trial(tag: String, dir: String, p: Process)
+    val trials =
+      retrainKills.map { k =>
+        val d = copyTrial(s"r$k"); Trial(s"retrain@$k", d, launch(d, k, "retrain", None))
+      } ++ foldKills.map { k =>
+        val d = copyTrial(s"f$k"); Trial(s"fold@$k", d, launch(d, k, "fold", None))
+      }
+    trials.foreach { t =>
+      assert(t.p.waitFor(300, TimeUnit.SECONDS), s"[${t.tag}] harness hung")
+      val code = t.p.exitValue()
+      assert(code == 137 || code == 0, s"[${t.tag}] unexpected exit $code")
+      assert(code == 137, s"[${t.tag}] kill point past the op count — " +
+        "threshold selection is broken")
+    }
+    trials.foreach(t => repair(t.dir, t.tag))
+  }
+}
