@@ -1,0 +1,327 @@
+package graft
+
+import graft.queries.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Randomized differential fuzzing against the DuckDB oracle (VERDICT
+  * r12 item 6): every row in the standing correctness gate is a FIXED
+  * query, so a systematic divergence that happens to miss the chosen
+  * constants (a date-boundary off-by-one, a wrong null treatment under
+  * an empty group, a tiebreak that only matters for some k) survives
+  * round after round. This main draws N seeded parameter vectors across
+  * ten query templates — date windows, thresholds, group keys, top-k
+  * cuts, semi/anti membership, window ranks, text predicates — builds
+  * the Spark result AND the equivalent DuckDB SQL from the SAME
+  * parameters, and dumps both in the [[Verify]] contract (parquet per
+  * query + oracle_sql.json), so `tools/oracle_check.py` replays the
+  * whole batch with the gate's own comparator (sorted columns, sorted
+  * rows, 9-dp float rounding).
+  *
+  * Determinism: seed s runs template s % 10 with parameters from
+  * `new Random(s * GOLDEN)`, so any failing `fuzz_t<k>_s<seed>` row is
+  * reproducible in isolation (SPARK_GRAFT_ONLY on the name re-runs it).
+  * Occasional empty results are kept — both engines must agree on
+  * empty, which is itself a class the fixed suite under-tests.
+  *
+  * Usage: `sbt "runMain graft.FuzzVerify <sfDir> <outDir> [nSeeds]"`
+  * then `python3 tools/oracle_check.py <sfDir> <outDir>`.
+  */
+object FuzzVerify {
+
+  private val Golden = 0x9E3779B97F4A7C15L
+
+  private def day(base: java.time.LocalDate, off: Int): String =
+    base.plusDays(off.toLong).toString
+
+  /** One template instantiation: (spark frame, duckdb sql). */
+  private type Gen = (SparkSession, String, scala.util.Random) => (DataFrame, String)
+
+  private val priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
+  private val langs = Seq("en", "de", "fr", "es", "zh")
+  private val words = Seq("the", "data", "and", "for", "model")
+  private val shipBase = java.time.LocalDate.parse("1995-01-02")
+  private val evBase = java.time.LocalDate.parse("2024-01-01")
+
+  /** t0: lineitem pricing summary over a random ship-date window. */
+  private val t0: Gen = (s, d, r) => {
+    val d1 = day(shipBase, r.nextInt(2200))
+    val d2 = day(java.time.LocalDate.parse(d1), 30 + r.nextInt(400))
+    val df = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(d1).cast("timestamp") &&
+        col("l_shipdate") < lit(d2).cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+    val sql =
+      s"""SELECT l_returnflag, l_linestatus,
+         |  round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '$d1' AND l_shipdate < TIMESTAMP '$d2'
+         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+    (df, sql)
+  }
+
+  /** t1: one-row revenue under random quantity/discount thresholds
+    * (sometimes empty-group null — both engines must agree). */
+  private val t1: Gen = (s, d, r) => {
+    val qLo = 1 + r.nextInt(30)
+    val qHi = qLo + r.nextInt(25)
+    val disc = math.round(r.nextDouble() * 8.0) / 100.0
+    val df = Tables.lineitem(s, d)
+      .filter(col("l_quantity").between(qLo, qHi) && col("l_discount") >= disc)
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("n"))
+    val sql =
+      s"""SELECT round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+         |  count(*) AS n
+         |FROM lineitem
+         |WHERE l_quantity BETWEEN $qLo AND $qHi AND l_discount >= $disc""".stripMargin
+    (df, sql)
+  }
+
+  /** t2: order-priority rollup over a random (date, totalprice) slice. */
+  private val t2: Gen = (s, d, r) => {
+    val d1 = day(shipBase.minusDays(1), r.nextInt(2000))
+    val d2 = day(java.time.LocalDate.parse(d1), 60 + r.nextInt(500))
+    val t = 20000 + r.nextInt(280000)
+    val df = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(d1).cast("timestamp") &&
+        col("o_orderdate") < lit(d2).cast("timestamp") &&
+        col("o_totalprice") > t)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_tp"))
+      .orderBy(col("o_orderpriority"))
+    val sql =
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |  round(sum(o_totalprice),2) AS sum_tp
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '$d1' AND o_orderdate < TIMESTAMP '$d2'
+         |  AND o_totalprice > $t
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    (df, sql)
+  }
+
+  /** t3: top-k orders by totalprice with the orderkey tiebreak — k is
+    * the fuzzed parameter the fixed suite never varies. */
+  private val t3: Gen = (s, d, r) => {
+    val k = 5 + r.nextInt(56)
+    val d1 = day(shipBase.minusDays(1), r.nextInt(1800))
+    val d2 = day(java.time.LocalDate.parse(d1), 90 + r.nextInt(700))
+    val df = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(d1).cast("timestamp") &&
+        col("o_orderdate") < lit(d2).cast("timestamp"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        round(col("o_totalprice"), 2).as("tp"))
+    val sql =
+      s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+         |  round(o_totalprice,2) AS tp
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '$d1' AND o_orderdate < TIMESTAMP '$d2'
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT $k""".stripMargin
+    (df, sql)
+  }
+
+  /** t4: semi/anti membership with a random nation set — the flipped
+    * EXISTS polarity is drawn, not fixed. */
+  private val t4: Gen = (s, d, r) => {
+    val nations = r.shuffle((0 to 24).toList).take(3 + r.nextInt(6)).sorted
+    val t = 50000 + r.nextInt(250000)
+    val anti = r.nextBoolean()
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > t)
+      .select(col("o_custkey"))
+    val df = Tables.customer(s, d)
+      .filter(col("c_nationkey").isin(nations: _*))
+      .join(big, col("c_custkey") === col("o_custkey"),
+        if (anti) "left_anti" else "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+    val ex = if (anti) "NOT EXISTS" else "EXISTS"
+    val sql =
+      s"""SELECT c_mktsegment, count(*) AS n FROM customer c
+         |WHERE c_nationkey IN (${nations.mkString(",")})
+         |  AND $ex (SELECT 1 FROM orders o
+         |           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > $t)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    (df, sql)
+  }
+
+  /** t5: per-customer top-n window rank, rolled up by priority — n and
+    * the rank tiebreak direction are the fuzzed surface. */
+  private val t5: Gen = (s, d, r) => {
+    val n = 1 + r.nextInt(3)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val df = Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_tp"))
+      .orderBy(col("o_orderpriority"))
+    val sql =
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |  round(sum(o_totalprice),2) AS sum_tp
+         |FROM (SELECT o_orderpriority, o_totalprice,
+         |        row_number() OVER (PARTITION BY o_custkey
+         |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         |      FROM orders)
+         |WHERE rn <= $n GROUP BY 1 ORDER BY 1""".stripMargin
+    (df, sql)
+  }
+
+  /** t6: event hourly rollup over a random (type-set, day-window). */
+  private val t6: Gen = (s, d, r) => {
+    val types = r.shuffle(eventTypes).take(1 + r.nextInt(3)).sorted
+    val d1 = day(evBase, r.nextInt(25))
+    val d2 = day(java.time.LocalDate.parse(d1), 1 + r.nextInt(6))
+    val df = Tables.events(s, d)
+      .filter(col("event_type").isin(types: _*) &&
+        col("ts") >= lit(d1).cast("timestamp") &&
+        col("ts") < lit(d2).cast("timestamp"))
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+    val inList = types.map(t => s"'$t'").mkString(",")
+    val sql =
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         |  event_type, count(*) AS n, round(sum(value),2) AS sum_value
+         |FROM events
+         |WHERE event_type IN ($inList)
+         |  AND ts >= TIMESTAMP '$d1' AND ts < TIMESTAMP '$d2'
+         |GROUP BY 1,2 ORDER BY hour, event_type""".stripMargin
+    (df, sql)
+  }
+
+  /** t7: heavy-user count under a random (type, min-events) HAVING. */
+  private val t7: Gen = (s, d, r) => {
+    val tpe = eventTypes(r.nextInt(eventTypes.length))
+    val m = 1 + r.nextInt(5)
+    val perUser = Tables.events(s, d)
+      .filter(col("event_type") === tpe)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= m)
+    val df = perUser.agg(count(lit(1)).as("n_users"),
+      coalesce(sum(col("n")), lit(0L)).cast("long").as("n_events"))
+    val sql =
+      s"""WITH u AS (
+         |  SELECT user_id, count(*) AS n FROM events
+         |  WHERE event_type = '$tpe' GROUP BY 1 HAVING count(*) >= $m)
+         |SELECT count(*) AS n_users,
+         |  coalesce(sum(n),0)::BIGINT AS n_events FROM u""".stripMargin
+    (df, sql)
+  }
+
+  /** t8: document stats under random (lang-set, char-band, contains). */
+  private val t8: Gen = (s, d, r) => {
+    val ls = r.shuffle(langs).take(1 + r.nextInt(3)).sorted
+    val lo = 50 + r.nextInt(400)
+    val hi = lo + 200 + r.nextInt(2000)
+    val w = words(r.nextInt(words.length))
+    val df = Tables.t(s, d, "documents")
+      .filter(col("lang").isin(ls: _*) && col("n_chars").between(lo, hi))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        sum(when(col("text").contains(w), 1L).otherwise(0L)).as("n_with_word"))
+      .orderBy(col("lang"))
+    val inList = ls.map(l => s"'$l'").mkString(",")
+    val sql =
+      s"""SELECT lang, count(*) AS n, round(avg(n_chars),2) AS avg_chars,
+         |  sum(CASE WHEN contains(text, '$w') THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_with_word
+         |FROM documents
+         |WHERE lang IN ($inList) AND n_chars BETWEEN $lo AND $hi
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    (df, sql)
+  }
+
+  /** t9: customer⋈orders⋈nation revenue by nation under a random
+    * (region, date-window) — the broadcast-dim join shape. */
+  private val t9: Gen = (s, d, r) => {
+    val reg = r.nextInt(5)
+    val d1 = day(shipBase.minusDays(1), r.nextInt(1500))
+    val d2 = day(java.time.LocalDate.parse(d1), 120 + r.nextInt(900))
+    val df = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(d1).cast("timestamp") &&
+        col("o_orderdate") < lit(d2).cast("timestamp"))
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d).filter(col("n_regionkey") === reg)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("n_name"))
+    val sql =
+      s"""SELECT n_name, count(*) AS n, round(sum(o_totalprice),2) AS revenue
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE n_regionkey = $reg
+         |  AND o_orderdate >= TIMESTAMP '$d1' AND o_orderdate < TIMESTAMP '$d2'
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    (df, sql)
+  }
+
+  private val templates: Vector[Gen] =
+    Vector(t0, t1, t2, t3, t4, t5, t6, t7, t8, t9)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val nSeeds = if (args.length > 2) args(2).toInt else 120
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val oracles = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    (0 until nSeeds).foreach { seed =>
+      val tpl = seed % templates.length
+      val name = s"fuzz_t${tpl}_s$seed"
+      if (only.forall(_.contains(name))) {
+        val rnd = new scala.util.Random(seed.toLong * Golden + tpl)
+        val (df, sql) = templates(tpl)(spark, sfDir, rnd)
+        try {
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          oracles(name) = sql
+        } catch { case e: Throwable =>
+          System.err.println(s"[fuzz] $name failed: ${e.getMessage}")
+        }
+      }
+    }
+    // same escape discipline as [[Verify]]: control chars in generated
+    // SQL must not break the json.load on the python side
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = oracles.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    println(s"[fuzz] wrote ${oracles.size} seeded cases to $outDir")
+    spark.stop()
+  }
+}

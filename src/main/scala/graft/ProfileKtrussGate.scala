@@ -164,7 +164,7 @@ object ProfileKtrussGate {
       // under BOTH forced join-2 plans, and all-broadcast — the four
       // fingerprints must match, proving the selector can only ever
       // cost time, never correctness, on a shape its estimate misses
-      val pairs = genMixed(spark, 4L, 200000L, 1000000L, 200L)
+      val pairs = genMixed(spark, 8L, 25000L, 1500000L, 200L)
         .localCheckpoint()
       val auto = run("mixed-auto(cap=0)", pairs, 0L, 200L)
       val shj = run("mixed-shj(cap=0)", pairs, 0L, 200L, Some("shuffle_hash"))

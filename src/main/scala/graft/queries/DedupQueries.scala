@@ -1737,21 +1737,40 @@ object DedupQueries {
         // remaining mis-estimate to one failed-and-retried round.
         val parts = es.sparkSession.sessionState.conf.numShufflePartitions
         val degRow = es
-          .select(explode(array(col("a"), col("b"))).as("v"))
-          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-          .agg(count(lit(1)).as("nv"), max(col("deg")).as("maxd")).head()
+          .select(col("a").as("v"), lit(1L).as("isa"))
+          .unionAll(es.select(col("b").as("v"), lit(0L).as("isa")))
+          .groupBy(col("v"))
+          .agg(count(lit(1)).as("deg"), sum(col("isa")).as("acnt"))
+          .agg(count(lit(1)).as("nv"), max(col("deg")).as("maxd"),
+            sum(col("deg") * col("acnt")).as("wa"),
+            sum(col("deg") * (col("deg") - col("acnt"))).as("wb")).head()
         val nVerts = degRow.getLong(0)
         val maxDeg = degRow.getLong(1)
+        // ENDPOINT ORDER (r13, found by the mixed-shape stress dying on
+        // >1 TB of exchange spill): join 1's output carries the FIRST
+        // endpoint's neighbor arrays through join 2's exchange (or
+        // sort), so the carried weight is Σ_edges deg(first) array
+        // entries — on a hub-heavy canonical pair list where the hub is
+        // always the smaller id, attaching 'a' first exchanges
+        // Σ deg(hub)² entries while 'b'-first exchanges ~|E|. Attach
+        // the LIGHTER endpoint first; the fat side's arrays then exist
+        // only between the final join and the in-stage projection that
+        // consumes them, never on an exchange. wa/wb (Σ_edges of each
+        // endpoint's degree) fall out of the same single degree pass.
+        val wA = degRow.getLong(2)
+        val wB = degRow.getLong(3)
+        val (firstKey, firstOut, lastKey, lastOut) =
+          if (wA <= wB) ("a", "na", "b", "nbb") else ("b", "nbb", "a", "na")
         val shjBuildBytes = (8L * 2L * nEdges + 64L * nVerts) /
           math.max(1, parts) + 8L * maxDeg + 64L
         val join2Hint = force.getOrElse(
           if (shjBuildBytes <= (64L << 20)) "shuffle_hash" else "merge")
         join2Chosen = join2Hint
         es
-          .join(adj.select(col("v").as("a"), col("nb").as("na"))
-            .hint("merge"), "a")
-          .join(adj.select(col("v").as("b"), col("nb").as("nbb"))
-            .hint(join2Hint), "b")
+          .join(adj.select(col("v").as(firstKey), col("nb").as(firstOut))
+            .hint("merge"), firstKey)
+          .join(adj.select(col("v").as(lastKey), col("nb").as(lastOut))
+            .hint(join2Hint), lastKey)
           .select(col("a"), col("b"),
             size(array_intersect(col("na"), col("nbb"))).cast("long")
               .as("support"))

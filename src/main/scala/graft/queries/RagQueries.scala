@@ -37,20 +37,45 @@ object RagQueries {
   /** Ingest once per sf-dir, then serve every query from the persisted
     * corpus — the reference's own lifecycle (ingest job → Cassandra →
     * many queries). Without this, every Spark action in the retrieval /
-    * agent paths would recompute the full chunk→enrich→embed→rollup DAG. */
+    * agent paths would recompute the full chunk→enrich→embed→rollup DAG.
+    *
+    * SPARK_GRAFT_CORPUS_STAGE=<dir> additionally stages the built corpus
+    * to `<dir>/<sf-basename>` as parquet and serves later sessions from
+    * that fixture (VERDICT r12 item 3): at sf10 the one-time 500 k-doc
+    * ingest is ~all of the first rag query's wall, which made the gate
+    * look 12× in the scale ladder — the stage splits build cost (printed
+    * once to stderr as `[rag] corpus build ...`) from query cost, the
+    * same cold-vs-warm accounting the charLm/pair-graph caches use.
+    * Unset (the driver's bench), behavior is unchanged: in-memory
+    * ingest in the untimed setup step. */
   private val corpusCache = Caches.register(
     scala.collection.concurrent.TrieMap.empty[String, DataFrame])
   private[graft] def corpusFor(s: SparkSession, d: String): DataFrame = corpus(s, d)
   private def corpus(s: SparkSession, d: String): DataFrame =
-    corpusCache.getOrElseUpdate(d,
+    corpusCache.getOrElseUpdate(d, {
       // cluster the cache by scope before persisting: the five-scope union
       // otherwise carries ~100 near-empty partitions whose task-launch
       // overhead dominates the many small retrieval jobs that follow, and
       // scope-clustering lets the in-memory scan's batch stats skip
       // non-matching scopes entirely (the cached twin of the scope
       // partition pruning CorpusStore gives on disk)
-      pipeline.buildCorpus(rawDocs(s, d), "bench-run").toDF()
-        .repartition(8, col("scope")).persist())
+      def build = pipeline.buildCorpus(rawDocs(s, d), "bench-run").toDF()
+      val df = sys.env.get("SPARK_GRAFT_CORPUS_STAGE") match {
+        case Some(root) =>
+          val stage = s"$root/${new java.io.File(d).getName}"
+          val p = new org.apache.hadoop.fs.Path(stage)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (!fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"))) {
+            val t0 = System.nanoTime()
+            build.write.mode("overwrite").parquet(stage)
+            System.err.println(f"[rag] corpus build $d took " +
+              f"${(System.nanoTime() - t0) / 1e9}%.1f s (staged to $stage)")
+          }
+          s.read.parquet(stage)
+        case None => build
+      }
+      df.repartition(8, col("scope")).persist()
+    })
 
   /** Full ingest → per-scope counts. Every doc here is < 4000 chars, so
     * chunk/file counts equal the doc count and module/repo/catalog equal

@@ -16,18 +16,21 @@ class CacheLifecycleSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.size
 
   test("close(sfDir) unpersists registered caches and frees storage") {
+    // assert on THIS relation's cache state (Dataset.storageLevel is a
+    // cache-manager lookup by plan), never on global persisted-RDD
+    // counts: suites share one SparkSession and run concurrently, and
+    // localCheckpoint churn elsewhere moves the global counters
+    // mid-test (flaked once the r13 crash-kill suites landed)
     Caches.closeAll() // start from a clean slate whatever ran before us
-    val base = cachedRddCount
-    val live0 = Caches.liveCount
-
     val emb = Tables.embeddings(spark, dir)
     emb.count() // materialize the persisted blocks
-    assert(Caches.liveCount == live0 + 1)
-    assert(cachedRddCount > base, "persist() should register an RDD")
+    assert(Caches.liveCount >= 1)
+    assert(emb.storageLevel.useMemory || emb.storageLevel.useDisk,
+      "persist() should register the relation with the cache manager")
 
     Caches.close(dir) // blocking by default: storage freed on return
-    assert(Caches.liveCount == live0)
-    assert(cachedRddCount == base, "close(sfDir) should free the blocks")
+    assert(emb.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "close(sfDir) should unpersist the relation")
   }
 
   test("a closed sf-dir rebuilds transparently on next access") {
