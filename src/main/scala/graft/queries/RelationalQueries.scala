@@ -921,16 +921,30 @@ object RelationalQueries {
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"),
         year(col("o_orderdate")).as("o_year"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
-        lit(0.1) * col("p_retailprice") * col("l_quantity")), 2)
+      // decimal-exact accumulation AND decimal-domain rounding: the
+      // per-row amount is identical double arithmetic on both engines,
+      // but (a) its SUM is 1e8-magnitude at sf1 with ±cent
+      // non-associative float error, and (b) these money-shaped
+      // amounts sum to values that frequently END at the half-cent
+      // boundary (…045), where Spark's double round (shortest-decimal
+      // string, HALF_UP) and DuckDB's (binary value, rounds down)
+      // disagree systematically — the sf1 probe caught both classes.
+      // Summing an exact DECIMAL(30,10) image and rounding IN DECIMAL
+      // (HALF_UP == half-away for positive sums on both engines)
+      // before the double cast makes the 2-dp value engine-stable at
+      // every SF.
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.1) * col("p_retailprice") * col("l_quantity"))
+        .cast("decimal(30,10)")), 2).cast("double")
         .as("sum_profit"))
       .orderBy(col("nation"), col("o_year").desc)
   }
 
   val q9Sql: String =
     """SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
-      |  round(sum(l_extendedprice*(1-l_discount)
-      |            - 0.1*p_retailprice*l_quantity), 2) AS sum_profit
+      |  CAST(round(sum(CAST(l_extendedprice*(1-l_discount)
+      |            - 0.1*p_retailprice*l_quantity AS DECIMAL(30,10))), 2)
+      |       AS DOUBLE) AS sum_profit
       |FROM lineitem
       |JOIN part ON l_partkey = p_partkey
       |JOIN orders ON l_orderkey = o_orderkey

@@ -24,6 +24,15 @@ def norm(v):
 
 def main(sf_dir, out_dir, json_out=None, only=None):
     con = duckdb.connect()
+    # big-SF closure oracles can spill past the disk budget under the
+    # default 80%-of-RAM limit; let a caller trade RAM for spill
+    # (GRAFT_DUCKDB_MEMLIMIT='110GB') or bound threads for an idle box
+    ml = os.environ.get("GRAFT_DUCKDB_MEMLIMIT")
+    if ml:
+        con.execute(f"SET memory_limit='{ml}'")
+    th = os.environ.get("GRAFT_DUCKDB_THREADS")
+    if th:
+        con.execute(f"SET threads={th}")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written dataset dir (e.g. graft.Scale)
