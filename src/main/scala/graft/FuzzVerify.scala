@@ -39,8 +39,6 @@ object FuzzVerify {
   /** One template instantiation: (spark frame, duckdb sql). */
   private type Gen = (SparkSession, String, scala.util.Random) => (DataFrame, String)
 
-  private val priorities =
-    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
   private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
   private val langs = Seq("en", "de", "fr", "es", "zh")
   private val words = Seq("the", "data", "and", "for", "model")
@@ -75,10 +73,12 @@ object FuzzVerify {
     val disc = math.round(r.nextDouble() * 8.0) / 100.0
     val df = Tables.lineitem(s, d)
       .filter(col("l_quantity").between(qLo, qHi) && col("l_discount") >= disc)
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(30,10)")), 2).cast("double")
         .as("revenue"), count(lit(1)).as("n"))
     val sql =
-      s"""SELECT round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      s"""SELECT CAST(round(sum(CAST(l_extendedprice*(1-l_discount)
+         |    AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue,
          |  count(*) AS n
          |FROM lineitem
          |WHERE l_quantity BETWEEN $qLo AND $qHi AND l_discount >= $disc""".stripMargin
@@ -95,11 +95,14 @@ object FuzzVerify {
         col("o_orderdate") < lit(d2).cast("timestamp") &&
         col("o_totalprice") > t)
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_tp"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(30,10)")), 2)
+          .cast("double").as("sum_tp"))
       .orderBy(col("o_orderpriority"))
     val sql =
       s"""SELECT o_orderpriority, count(*) AS n,
-         |  round(sum(o_totalprice),2) AS sum_tp
+         |  CAST(round(sum(o_totalprice::DECIMAL(30,10)), 2) AS DOUBLE)
+         |    AS sum_tp
          |FROM orders
          |WHERE o_orderdate >= TIMESTAMP '$d1' AND o_orderdate < TIMESTAMP '$d2'
          |  AND o_totalprice > $t
@@ -165,11 +168,14 @@ object FuzzVerify {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= n)
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_tp"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(30,10)")), 2)
+          .cast("double").as("sum_tp"))
       .orderBy(col("o_orderpriority"))
     val sql =
       s"""SELECT o_orderpriority, count(*) AS n,
-         |  round(sum(o_totalprice),2) AS sum_tp
+         |  CAST(round(sum(o_totalprice::DECIMAL(30,10)), 2) AS DOUBLE)
+         |    AS sum_tp
          |FROM (SELECT o_orderpriority, o_totalprice,
          |        row_number() OVER (PARTITION BY o_custkey
          |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -261,10 +267,14 @@ object FuzzVerify {
       .join(broadcast(Tables.nation(s, d).filter(col("n_regionkey") === reg)),
         col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(30,10)")), 2)
+          .cast("double").as("revenue"))
       .orderBy(col("n_name"))
     val sql =
-      s"""SELECT n_name, count(*) AS n, round(sum(o_totalprice),2) AS revenue
+      s"""SELECT n_name, count(*) AS n,
+         |  CAST(round(sum(o_totalprice::DECIMAL(30,10)), 2) AS DOUBLE)
+         |    AS revenue
          |FROM orders
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
@@ -298,8 +308,11 @@ object FuzzVerify {
       val name = s"fuzz_t${tpl}_s$seed"
       if (only.forall(_.contains(name))) {
         val rnd = new scala.util.Random(seed.toLong * Golden + tpl)
-        val (df, sql) = templates(tpl)(spark, sfDir, rnd)
+        // instantiation INSIDE the try: template construction analyzes
+        // the plan eagerly, and one bad template must cost one recorded
+        // failure, not the whole batch's oracle_sql.json
         try {
+          val (df, sql) = templates(tpl)(spark, sfDir, rnd)
           df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
           oracles(name) = sql
         } catch { case e: Throwable =>
@@ -307,18 +320,8 @@ object FuzzVerify {
         }
       }
     }
-    // same escape discipline as [[Verify]]: control chars in generated
-    // SQL must not break the json.load on the python side
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = oracles.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+    val json = oracles
+      .map { case (k, v) => s"${Verify.jsonQuote(k)}: ${Verify.jsonQuote(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     println(s"[fuzz] wrote ${oracles.size} seeded cases to $outDir")

@@ -37,17 +37,24 @@ object Checkpoints {
       case _ => ()
     }
 
-  private def quietly[T](loggerName: String)(body: => T): T = {
-    val restore: Option[() => Unit] =
-      try {
-        import org.apache.logging.log4j.{Level, LogManager}
-        import org.apache.logging.log4j.core.config.Configurator
-        val prev = LogManager.getLogger(loggerName).getLevel
-        Configurator.setLevel(loggerName, Level.ERROR)
-        Some(() => Configurator.setLevel(loggerName, prev))
-      } catch { // not the log4j2 backend: keep the warning, stay correct
-        case _: Throwable => None
-      }
-    try body finally restore.foreach(_.apply())
-  }
+  // serialize the save/lower/restore sequence: two concurrent callers
+  // would otherwise interleave as A-saves-WARN, B-saves-ERROR,
+  // A-restores-WARN, B-"restores"-ERROR — pinning the class logger at
+  // ERROR for the JVM's lifetime (r13 review find). unpersist itself is
+  // cheap, so the lock costs nothing measurable.
+  private val quietLock = new Object
+  private def quietly[T](loggerName: String)(body: => T): T =
+    quietLock.synchronized {
+      val restore: Option[() => Unit] =
+        try {
+          import org.apache.logging.log4j.{Level, LogManager}
+          import org.apache.logging.log4j.core.config.Configurator
+          val prev = LogManager.getLogger(loggerName).getLevel
+          Configurator.setLevel(loggerName, Level.ERROR)
+          Some(() => Configurator.setLevel(loggerName, prev))
+        } catch { // not the log4j2 backend: keep the warning, stay correct
+          case _: Throwable => None
+        }
+      try body finally restore.foreach(_.apply())
+    }
 }

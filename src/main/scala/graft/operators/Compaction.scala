@@ -204,8 +204,44 @@ object Compaction {
     val w = rep.write.mode("overwrite")
     (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
       .parquet(tmp.toString)
+    // record the exact input ids the stage was derived from BEFORE the
+    // durable marker: a caller deciding whether a crashed stage is
+    // resumable must distinguish "the store lost some of these ids"
+    // (a commit began — resume is the only lossless repair) from "the
+    // store gained ids since" (it moved on — the stage is stale and a
+    // resume would duplicate or tear; see
+    // [[graft.streaming.EmbedStream.resumeStagedRetrain]])
+    val inputsOut = fs.create(new Path(tmp, "_staged_inputs"), true)
+    inputsOut.write(folds.map(_._1).sorted.mkString(",").getBytes("UTF-8"))
+    inputsOut.close()
     fs.create(new Path(tmp, s"_folded_upto.$m"), true).close()
     true
+  }
+
+  /** The input batch ids recorded by [[stageRewriteBatchDirs]], or None
+    * for a stage created before the record existed. */
+  def stagedInputs(s: org.apache.spark.sql.SparkSession, root: String,
+      tmpName: String): Option[Set[Long]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$tmpName/_staged_inputs")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try {
+        in.readFully(buf)
+        Some(new String(buf, "UTF-8").split(",")
+          .filter(_.nonEmpty).map(_.toLong).toSet)
+      } finally in.close()
+    }
+  }
+
+  /** Current batch ids of a store (one listing). */
+  def batchIds(s: org.apache.spark.sql.SparkSession, root: String): Set[Long] = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootP)) Set.empty
+    else batchDirs(fs, rootP).map(_._1).toSet
   }
 
   /** Swap phase of [[rewriteBatchDirs]]: completes a stage left by
@@ -237,8 +273,17 @@ object Compaction {
   def repairStore(s: org.apache.spark.sql.SparkSession, root: String): Unit = {
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(rootP))
-      resumeFold(fs, rootP, new org.apache.hadoop.fs.Path(rootP, "compact.tmp"))
+    if (!fs.exists(rootP)) return
+    resumeFold(fs, rootP, new org.apache.hadoop.fs.Path(rootP, "compact.tmp"))
+    // sweep stage markers stranded INSIDE live batch dirs by a crash
+    // between a swap's rename and its marker delete — the legacy '='
+    // form additionally breaks partition inference for every reader of
+    // the store (names with '=' are NOT hidden; the r13 crash-kill find)
+    batchDirs(fs, rootP).foreach { case (_, d) =>
+      fs.listStatus(d).map(_.getPath)
+        .filter(_.getName.startsWith("_folded_upto"))
+        .foreach(p => fs.delete(p, false))
+    }
   }
 
   /** Monotonic swap counter of a batch-dir store, bumped by every fold/
@@ -336,7 +381,10 @@ object Compaction {
       tmp: org.apache.hadoop.fs.Path): Option[Long] =
     if (!fs.exists(tmp)) None
     else fs.listStatus(tmp).map(_.getPath.getName)
-      .find(_.startsWith("_folded_upto."))
+      // accept the legacy '=' separator too: a stage created by a
+      // pre-rename build mid-commit must stay resumable (discarding it
+      // is the loss class the marker protocol exists to prevent)
+      .find(n => n.startsWith("_folded_upto.") || n.startsWith("_folded_upto="))
       .flatMap(_.drop("_folded_upto.".length).toLongOption)
 
   /** Swap a fully-staged fold in: delete originals ≤ m, rename. The
@@ -362,6 +410,7 @@ object Compaction {
       val live = new org.apache.hadoop.fs.Path(root, s"batch=$m")
       fs.rename(tmp, live)
       fs.delete(new org.apache.hadoop.fs.Path(live, s"_folded_upto.$m"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(live, s"_folded_upto=$m"), false)
       fs.delete(inprog, false)
     }
 

@@ -1802,10 +1802,15 @@ object DedupQueries {
     // one failed attempt and rebuild on the merge plan — provably
     // completable in the thin regime and spill-bounded in the fat one,
     // never a hard stop
+    // the degrade applies ONLY to the selector's own choice: an
+    // EXPLICIT join2Force must fail loudly, or the forced-plan A/B
+    // equality gates (ProfileKtrussGate mixed, KcoreSpec) would pass
+    // vacuously on exactly the SHJ failure they exist to detect
     var edges =
       try supportOf(base, curN).localCheckpoint()
       catch {
-        case e: Throwable if join2Chosen == "shuffle_hash" =>
+        case e: Throwable
+            if join2Force.isEmpty && join2Chosen == "shuffle_hash" =>
           org.slf4j.LoggerFactory.getLogger(getClass)
             .warn(s"ktruss round-0 shuffled-hash support join failed " +
               s"(${e.getMessage}); degrading to merge")

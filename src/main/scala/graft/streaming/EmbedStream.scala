@@ -164,9 +164,20 @@ object EmbedStream {
     * the probes prune on — after the fold each centroid's list is ~one
     * file instead of one per micro-batch. */
   def compactIndex(s: SparkSession, indexDir: String, upTo: Long,
-      targetBytes: Long = 128L << 20): Boolean =
-    graft.operators.Compaction.foldBatchDirs(s, s"$indexDir/lists", upTo,
-      targetBytes, partitionCols = Seq("centroid_id"))
+      targetBytes: Long = 128L << 20): Boolean = {
+    // a pending retrain swap must be resolved BEFORE a fold plans
+    // against the store listing: a crashed retrain commit can have left
+    // a SUBSET of batch dirs (the rest only in its stage), and a fold
+    // over that listing would fold the loss in — and make the stage
+    // look resumable-with-duplication afterwards (the r13 review find).
+    // If the pending swap cannot be resolved here (stale or incomplete
+    // stage), SKIP this cadence — retrainIvf's repair owns it.
+    if (retrainPending(s, indexDir) && !resumeStagedRetrain(s, indexDir))
+      false
+    else
+      graft.operators.Compaction.foldBatchDirs(s, s"$indexDir/lists", upTo,
+        targetBytes, partitionCols = Seq("centroid_id"))
+  }
 
   /** Stored-index RETRAIN — the re-seeding-after-drift lifecycle the
     * scaladocs above promise: when list skew (max/mean) exceeds
@@ -306,13 +317,31 @@ object EmbedStream {
   }
 
   /** Complete the swap a crashed [[retrainIvf]] left behind, iff its
-    * SELF-CONTAINED stage survives: the stage's fold marker + _SUCCESS
-    * + the centroids it was assigned under (`_staged/centroids` inside
-    * `_retrain.tmp`). The pairing rides in one directory, so the commit
-    * is consistent by construction; and because a destructive commit
-    * only ever starts after this stage is complete, resuming covers the
-    * mid-delete crash where the stage holds the deleted rows' ONLY copy
-    * (ADVICE r12 high — the discard-and-restage repair lost them).
+    * SELF-CONTAINED stage survives AND still matches the store: the
+    * stage's fold marker + _SUCCESS + the centroids it was assigned
+    * under (`_staged/centroids` inside `_retrain.tmp`) + the recorded
+    * input batch ids (`_staged_inputs`). The pairing rides in one
+    * directory, so the commit is consistent by construction; and
+    * because a destructive commit only ever starts after this stage is
+    * complete, resuming covers the mid-delete crash where the stage
+    * holds the deleted rows' ONLY copy (ADVICE r12 high — the
+    * discard-and-restage repair lost them).
+    *
+    * Staleness rule (the r13 review find): comparing the recorded
+    * inputs S against the current batch ids L —
+    *   - some of S missing from L ⇒ the crashed COMMIT began deleting
+    *     (folds are gated on the pending marker, so nothing else
+    *     deletes while it is set): resume is MANDATORY and lossless;
+    *     ids added meanwhile (a restarted ingest) were assigned under
+    *     the already-durable rebuilt centroids, so they stay
+    *     consistent and finishFold never touches them (> m).
+    *   - S intact but L gained ids ⇒ the store MOVED ON since staging
+    *     (ingest appended, or a pre-gate fold replaced dirs): the
+    *     stage is STALE — committing it would duplicate rows a fold
+    *     already carried forward, or install its centroids over
+    *     batches assigned under the old geometry. Not resumable; the
+    *     caller's full retrain re-stages over the current store.
+    *   - exact match ⇒ resume (cheapest lossless repair).
     * Returns true iff the swap committed. */
   private def resumeStagedRetrain(s: SparkSession, indexDir: String): Boolean = {
     import graft.retrieval.IvfIndex
@@ -324,6 +353,16 @@ object EmbedStream {
       fs.exists(new Path(tmpP, "_SUCCESS")) &&
       hasParquet(fs, new Path(tmpP, "_staged/centroids"))
     if (!complete) return false
+    val staged = graft.operators.Compaction.stagedInputs(
+      s, s"$indexDir/lists", "_retrain.tmp")
+    if (staged.isEmpty) return false // no input record: never resume blind
+    val current = graft.operators.Compaction.batchIds(s, s"$indexDir/lists")
+    val missing = staged.get -- current
+    val added = current -- staged.get
+    val (_, foldBusy) =
+      graft.operators.Compaction.storeState(s, s"$indexDir/lists")
+    val commitBegan = missing.nonEmpty || foldBusy
+    if (!commitBegan && added.nonEmpty) return false // stale: moved on
     val cents = IvfIndex.loadCentroids(s, s"$tmpDir/_staged")
     IvfIndex.writeCentroids(s, cents, indexDir) // idempotent overwrite
     val swapped = graft.operators.Compaction.commitStagedRewrite(

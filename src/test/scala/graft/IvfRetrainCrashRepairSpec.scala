@@ -140,6 +140,97 @@ class IvfRetrainCrashRepairSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/index/_retrain_pending").exists())
   }
 
+  test("a STALE stage (store grew since staging) is discarded, never " +
+    "resumed — r13 review find: resume would duplicate or tear") {
+    val dir = buildIndex()
+    val oldCents = IvfIndex.loadCentroids(spark, s"$dir/index")
+    stageRetrain(dir, c = 8)
+    // ...the process died pre-commit; ingest restarted and appended a
+    // batch assigned under the still-current OLD geometry
+    val extra = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (200 until 212).map(i => org.apache.spark.sql.Row(
+          i.toLong, famVec(i % 4, i)))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    val assignedExtra = IvfIndex.withQ8(
+      IvfIndex.assign(extra, "vec_id", "embedding", oldCents), "embedding")
+    assignedExtra.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/index/lists/batch=2")
+    val want = storedIds(dir)
+    assert(want.size == 60)
+
+    // a fold must defer to the unresolved pending swap (it would fold
+    // a listing the stage no longer matches)
+    assert(!EmbedStream.compactIndex(spark, s"$dir/index", Long.MaxValue),
+      "fold must skip while a pending retrain stage is stale/unresolved")
+
+    // the repair must DISCARD the stale stage and rebuild over the
+    // grown store: every id exactly once, assignments consistent with
+    // the root centroids (a resume would have left batch=2 torn)
+    assert(EmbedStream.retrainIvf(spark, s"$dir/index"), "pending repair must run")
+    val rows = spark.read.parquet(s"$dir/index/lists")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    assert(rows.size == rows.distinct.size, "no id may appear twice")
+    assert(rows.toSet == want, "all ids exactly once after repair")
+    val cents = IvfIndex.loadCentroids(spark, s"$dir/index")
+    val fresh = IvfIndex.assign(
+      spark.read.parquet(s"$dir/index/lists")
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val stored = spark.read.parquet(s"$dir/index/lists")
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(stored.forall { case (id, cid) => fresh(id) == cid },
+      "no torn assignments after the stale-stage repair")
+    assert(!new java.io.File(s"$dir/index/_retrain_pending").exists())
+    assert(!new java.io.File(s"$dir/index/lists/_retrain.tmp").exists())
+  }
+
+  test("mid-commit crash WITH a post-crash ingest append: resume is " +
+    "mandatory and keeps the appended batch consistent") {
+    val dir = buildIndex()
+    val before = storedIds(dir)
+    val rebuilt = stageRetrain(dir, c = 8)
+    IvfIndex.writeCentroids(spark, rebuilt, s"$dir/index")
+    new java.io.File(s"$dir/index/lists/_fold_inprogress").createNewFile()
+    new java.io.File(s"$dir/index/lists/_fold_stamp.1").createNewFile()
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$dir/index/lists/batch=0"))
+    // restart ingest appends under the (already durable) NEW geometry —
+    // exactly what ivfReportFor would do reading the root centroids
+    val extra = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (300 until 310).map(i => org.apache.spark.sql.Row(
+          i.toLong, famVec(i % 4, i)))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    IvfIndex.withQ8(
+      IvfIndex.assign(extra, "vec_id", "embedding", rebuilt), "embedding")
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/index/lists/batch=2")
+
+    assert(EmbedStream.retrainIvf(spark, s"$dir/index"), "pending repair must run")
+    val ids = spark.read.parquet(s"$dir/index/lists")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    assert(ids.size == ids.distinct.size, "no duplicates after resume")
+    assert(ids.toSet == before ++ (300L until 310L),
+      "staged rows recovered AND the appended batch preserved")
+    val cents = IvfIndex.loadCentroids(spark, s"$dir/index")
+    assert(sameCentroids(cents, rebuilt.sortBy(_._1)))
+    assert(!new java.io.File(s"$dir/index/_retrain_pending").exists())
+  }
+
   test("pending repair with an INCOMPLETE stage falls back to the " +
     "deterministic restage (originals intact by construction)") {
     val dir = buildIndex()

@@ -40,6 +40,20 @@ class KillFs extends org.apache.hadoop.fs.RawLocalFileSystem {
     super.create(f, permission, overwrite, bufferSize, replication,
       blockSize, progress)
   }
+  // FileSystem.create(Path, boolean) — the bare-marker-file path every
+  // protocol marker uses — funnels to THIS non-permission overload in
+  // RawLocalFileSystem, bypassing the permission variant above; without
+  // it the oplog carried no marker CREATE ops at all and the sweep
+  // missed every create-side boundary. The permission variant delegates
+  // here internally, so some ops tick twice — harmless: thresholds are
+  // harvested from the same double-ticked oplog.
+  override def create(f: HPath, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    KillFs.tick("create", f)
+    super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+  }
   override def delete(f: HPath, recursive: Boolean): Boolean = {
     KillFs.tick("delete", f)
     super.delete(f, recursive)
@@ -270,7 +284,7 @@ class RetrainKillSpec extends SparkSpec {
     val oplog = s"$base/oplog.txt"
     val p0 = launch(base, -1L, "retrain", Some(oplog))
     val out0 = new String(p0.getInputStream.readAllBytes())
-    assert(p0.waitFor(180, TimeUnit.SECONDS), "baseline retrain hung")
+    assert(p0.waitFor(600, TimeUnit.SECONDS), "baseline retrain hung")
     def errTail(dir: String): String =
       try scala.io.Source.fromFile(s"$dir/harness.err").getLines()
         .toSeq.takeRight(25).mkString("\n")
@@ -282,7 +296,7 @@ class RetrainKillSpec extends SparkSpec {
     val oplogF = s"$baseF/oplog.txt"
     val pf = launch(baseF, -1L, "fold", Some(oplogF))
     val outF = new String(pf.getInputStream.readAllBytes())
-    assert(pf.waitFor(180, TimeUnit.SECONDS), "baseline fold hung")
+    assert(pf.waitFor(600, TimeUnit.SECONDS), "baseline fold hung")
     assert(pf.exitValue() == 0 && outF.contains("DONE=true"),
       s"baseline fold must commit: $outF")
 
@@ -299,6 +313,7 @@ class RetrainKillSpec extends SparkSpec {
     def classify(op: String, p: String): Option[String] = {
       val name = p.substring(p.lastIndexOf('/') + 1)
       if (p.contains("_retrain_pending")) Some(s"$op:pending")
+      else if (name == "_staged_inputs") Some(s"$op:stageinputs")
       else if (name.startsWith("_folded_upto.")) Some(s"$op:stagemark")
       else if (p.contains("_fold_inprogress")) Some(s"$op:inprog")
       else if (name.startsWith("_fold_stamp.")) Some(s"$op:stamp")
@@ -341,7 +356,7 @@ class RetrainKillSpec extends SparkSpec {
         val d = copyTrial(s"f$k"); Trial(s"fold@$k", d, launch(d, k, "fold", None))
       }
     trials.foreach { t =>
-      assert(t.p.waitFor(300, TimeUnit.SECONDS), s"[${t.tag}] harness hung")
+      assert(t.p.waitFor(600, TimeUnit.SECONDS), s"[${t.tag}] harness hung")
       val code = t.p.exitValue()
       assert(code == 137 || code == 0, s"[${t.tag}] unexpected exit $code")
       assert(code == 137, s"[${t.tag}] kill point past the op count — " +
