@@ -4,8 +4,19 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line with per-query seconds.
   *
-  * Methodology (VERDICT r3 item 1 — bench integrity):
-  *   - Each query runs SPARK_GRAFT_BENCH_RUNS times (default 2) and the
+  * Methodology (VERDICT r3 item 1 + r13 item 1 — bench integrity):
+  *   - IDLE GATE: the host's load is sampled at START; a non-idle host
+  *     (load1 > SPARK_GRAFT_BENCH_IDLE_LOAD1, default 0.5, or another
+  *     runnable process) marks the artifact `"tainted":true` — r13
+  *     measured a 1.41× same-code spread across three runs that differed
+  *     only in host load, so round-over-round ratios may only be stated
+  *     between untainted runs. SPARK_GRAFT_BENCH_REQUIRE_IDLE=1 waits
+  *     (up to SPARK_GRAFT_BENCH_IDLE_WAIT sec, default 300) and refuses
+  *     with exit 2 rather than emit a tainted artifact.
+  *   - Every line carries `"round":N` (inferred from the committed
+  *     BENCH_r*.json set, env-overridable via SPARK_GRAFT_ROUND) so
+  *     BENCH_HISTORY attribution never needs timestamp reconstruction.
+  *   - Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and the
   *     MIN is reported: the sandbox has documented background load spikes
   *     (PERF.md: walls vary ±50% minutes apart), so a single sample
   *     conflates engine cost with host noise. Min-of-N measures the
@@ -23,10 +34,63 @@ import org.apache.spark.sql.SparkSession
   *     without re-running.
   */
 object Bench {
+  /** (load1, load5, runnable, total-procs) from /proc/loadavg; negative
+    * sentinel row when unreadable (non-Linux). */
+  private def loadAvg(): (Double, Double, Int, Int) =
+    try {
+      val f = scala.io.Source.fromFile("/proc/loadavg")
+      try {
+        val p = f.mkString.trim.split("\\s+")
+        val rt = p(3).split("/")
+        (p(0).toDouble, p(1).toDouble, rt(0).toInt, rt(1).toInt)
+      } finally f.close()
+    } catch { case _: Throwable => (-1.0, -1.0, -1, -1) }
+
+  /** Round number for artifact attribution: the driver names its
+    * artifact BENCH_r{N}.json AFTER this run, so at run time the
+    * highest committed BENCH_r*.json is N-1. Env-overridable. */
+  private def currentRound(): Int =
+    sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+      val rs = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+        .map(_.getName).flatMap { n =>
+          val m = "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(n)
+          m.map(_.group(1).toInt)
+        }
+      if (rs.isEmpty) 1 else rs.max + 1
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // idle gate (VERDICT r13 item 1): three same-code r13 runs spread
+    // 1.41× purely with host load, which makes every round-over-round
+    // ratio unenforceable unless runs are idle-stamped. Gate at START
+    // (load at end is dominated by the run itself): not idle ⇒ the
+    // artifact is loudly TAINTED (round comparisons must skip it); with
+    // SPARK_GRAFT_BENCH_REQUIRE_IDLE=1 we instead poll up to
+    // IDLE_WAIT_SEC for the host to drain and refuse (exit 2) if it
+    // never does. runnable counts this process itself, hence the -1.
+    val idleLoad1 = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_LOAD1", "0.5").toDouble
+    val requireIdle = sys.env.get("SPARK_GRAFT_BENCH_REQUIRE_IDLE").contains("1")
+    val idleWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_WAIT", "300").toInt
+    def isIdle(l: (Double, Double, Int, Int)): Boolean =
+      l._1 < 0 || (l._1 <= idleLoad1 && l._3 - 1 <= 1)
+    var start = loadAvg()
+    if (requireIdle) {
+      val deadline = System.nanoTime() + idleWaitSec * 1e9.toLong
+      while (!isIdle(start) && System.nanoTime() < deadline) {
+        System.err.println(f"[bench] waiting for idle host: load1=${start._1}%.2f runnable=${start._3}")
+        Thread.sleep(10000); start = loadAvg()
+      }
+      if (!isIdle(start)) {
+        System.err.println(f"[bench] REFUSING: host not idle after ${idleWaitSec}s (load1=${start._1}%.2f runnable=${start._3}); set SPARK_GRAFT_BENCH_REQUIRE_IDLE=0 to taint instead")
+        sys.exit(2)
+      }
+    }
+    val tainted = !isIdle(start)
+    if (tainted)
+      System.err.println(f"[bench] WARNING: host not idle at start (load1=${start._1}%.2f runnable=${start._3}); artifact will carry tainted:true — do not use it for round-over-round comparison")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -57,7 +121,12 @@ object Bench {
     // default bench measures the rows that run at 100× scale — their
     // bounded _topk twins — while the correctness gate keeps checking
     // the exact forms every round
-    val audit = sys.env.get("SPARK_GRAFT_BENCH_AUDIT").contains("1")
+    // SPARK_GRAFT_BENCH_HEAVY=1 is the opt-in heavy tier (VERDICT r13
+    // item 6): it runs the two full-pair exact audit rows so their
+    // walls land in BENCH_HISTORY with the same stamps as everything
+    // else, making them diffable round-to-round
+    val audit = sys.env.get("SPARK_GRAFT_BENCH_AUDIT").contains("1") ||
+      sys.env.get("SPARK_GRAFT_BENCH_HEAVY").contains("1")
     // deterministic name order: warmup residue lands on the same query
     // every round instead of whichever the Map hash puts first
     val samples = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -84,15 +153,11 @@ object Bench {
     // per-query diffs are only meaningful when both runs were similarly
     // idle — record the host's load average and runnable/total process
     // counts at run END so the artifact carries its own noise context
+    val end = loadAvg()
     val load =
-      try {
-        val f = scala.io.Source.fromFile("/proc/loadavg")
-        try {
-          val parts = f.mkString.trim.split("\\s+")
-          val rt = parts(3).split("/")
-          s""""load1":${parts(0)},"load5":${parts(1)},"runnable":${rt(0)},"procs":${rt(1)}"""
-        } finally f.close()
-      } catch { case _: Throwable => s""""load1":-1""" }
+      s""""load1":${end._1},"load5":${end._2},"runnable":${end._3},"procs":${end._4},""" +
+      s""""load1_start":${start._1},"runnable_start":${start._3},""" +
+      s""""tainted":$tainted,"round":${currentRound()}"""
     val ts = java.time.Instant.now().toString
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"setup_sec":$setupSec,$load,"ts":"$ts"}"""

@@ -1,7 +1,7 @@
 package graft
 
 import graft.queries.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
@@ -12,15 +12,19 @@ import java.nio.file.{Files, Paths}
   * constants (a date-boundary off-by-one, a wrong null treatment under
   * an empty group, a tiebreak that only matters for some k) survives
   * round after round. This main draws N seeded parameter vectors across
-  * ten query templates — date windows, thresholds, group keys, top-k
-  * cuts, semi/anti membership, window ranks, text predicates — builds
+  * sixteen query templates — date windows, thresholds, group keys,
+  * top-k cuts, semi/anti membership, window ranks, text predicates,
+  * and (r14) the dd/vs surfaces: shingle-k × Jaccard threshold,
+  * MinHash bands/rows, SimHash Hamming radius with pigeonhole-derived
+  * banding, filtered kNN with drawn k, containment, exact-dup
+  * normalization modes — builds
   * the Spark result AND the equivalent DuckDB SQL from the SAME
   * parameters, and dumps both in the [[Verify]] contract (parquet per
   * query + oracle_sql.json), so `tools/oracle_check.py` replays the
   * whole batch with the gate's own comparator (sorted columns, sorted
   * rows, 9-dp float rounding).
   *
-  * Determinism: seed s runs template s % 10 with parameters from
+  * Determinism: seed s runs template s % templates.length with parameters from
   * `new Random(s * GOLDEN)`, so any failing `fuzz_t<k>_s<seed>` row is
   * reproducible in isolation (SPARK_GRAFT_ONLY on the name re-runs it).
   * Occasional empty results are kept — both engines must agree on
@@ -284,8 +288,266 @@ object FuzzVerify {
     (df, sql)
   }
 
+  // ---- dd/vs templates (VERDICT r13 item 4): the suite's riskiest
+  // logic — shingling, banding, signature and threshold semantics in the
+  // dedup family, rank/tiebreak semantics in the vector family — was
+  // fixed-constant; these draw the parameters the fixed rows never vary.
+
+  /** Shared shingle relation for the dedup templates: distinct word
+    * k-grams via the SAME native expression the dd family uses. */
+  private def shingleRel(s: SparkSession, d: String, k: Int): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.shingles(col("text"), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** DuckDB CTE producing the same (doc_id, s) distinct word-k-gram
+    * postings as [[shingleRel]] explodes. */
+  private def shingleSql(k: Int): String = {
+    val terms = (0 until k)
+      .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString("||' '||")
+    s"""tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct([$terms FOR i IN range(1, len(w)-${k - 2})])) s
+       |  FROM tok WHERE len(w) >= $k)""".stripMargin
+  }
+
+  /** Exact shingle-Jaccard pairs at (k, t) — the engine half shared by
+    * t10/t11/t14: inverted-index join, never doc×doc. */
+  private def jaccardPairs(s: SparkSession, d: String, k: Int,
+      denom: (Column, Column, Column) => Column): DataFrame = {
+    val sh = shingleRel(s, d, k)
+    val posting = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val cnt = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    posting.as("a")
+      .join(posting.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("sim",
+        col("inter").cast("double") /
+          denom(col("na"), col("nb"), col("inter")).cast("double"))
+  }
+
+  /** t10: exact shingle-Jaccard pairs under a drawn (shingle-k,
+    * threshold) — k and t are exactly what dd_jaccard never varies. */
+  private val t10: Gen = (s, d, r) => {
+    val k = 2 + r.nextInt(3)
+    val tTen = 5 + r.nextInt(5) // 0.5 .. 0.9 as an exact decimal literal
+    val t = tTen / 10.0
+    val df = jaccardPairs(s, d, k, (na, nb, inter) => na + nb - inter)
+      .filter(col("sim") >= t)
+      .select(col("doc_a"), col("doc_b"), round(col("sim"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+    val sql =
+      s"""WITH ${shingleSql(k)},
+         |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id i, b.doc_id j, count(*) inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i AS doc_a, j AS doc_b,
+         |  round(inter / (ca.n + cb.n - inter)::DOUBLE, 4) AS jaccard
+         |FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+         |WHERE inter / (ca.n + cb.n - inter)::DOUBLE >= 0.$tTen
+         |ORDER BY doc_a, doc_b""".stripMargin
+    (df, sql)
+  }
+
+  /** t11: MinHash-LSH mechanics under drawn (numHashes, rows-per-band,
+    * threshold): the verified candidate set must be a SUBSET of the
+    * exact pair set (verification threshold semantics) and its size
+    * bounded by it, while the exact count differentially checks against
+    * DuckDB — banding/signature bugs (slice off-by-one, band-key
+    * collisions dropped, threshold >= vs >) flip a boolean. */
+  private val t11: Gen = (s, d, r) => {
+    import graft.functions.TextFunctions.{jaccardShingles, minhashBands, minhashSignature}
+    val numHashes = Seq(16, 32, 64)(r.nextInt(3))
+    val rows = Seq(2, 4)(r.nextInt(2))
+    val bands = numHashes / rows
+    val tTen = 7 + r.nextInt(3) // 0.7 .. 0.9
+    val t = tTen / 10.0
+    val k = 3
+    val exact = jaccardPairs(s, d, k, (na, nb, inter) => na + nb - inter)
+      .filter(col("sim") >= t)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val sh = shingleRel(s, d, k)
+    val signed = sh.select(col("doc_id"),
+      minhashSignature(col("sh"), numHashes).as("sig"))
+    val banded = minhashBands(signed, numHashes, bands)
+    val verified = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .filter(jaccardShingles(col("sha"), col("shb")) >= t)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val nExact = exact.count()
+    val nVerified = verified.count()
+    val nInExact =
+      verified.join(exact, Seq("doc_a", "doc_b"), "left_semi").count()
+    import s.implicits._
+    val df = Seq((nExact, nInExact == nVerified, nVerified <= nExact))
+      .toDF("n_exact", "subset_ok", "bounded_ok")
+    val sql =
+      s"""WITH ${shingleSql(k)},
+         |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id i, b.doc_id j, count(*) inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT count(*) AS n_exact, TRUE AS subset_ok, TRUE AS bounded_ok
+         |FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+         |WHERE inter / (ca.n + cb.n - inter)::DOUBLE >= 0.$tTen""".stripMargin
+    (df, sql)
+  }
+
+  /** t12: SimHash near-dup pairs under a drawn Hamming radius, with the
+    * band layout re-derived per radius from the pigeonhole guarantee
+    * (radius+1 bands of 60/(radius+1) bits: ≤ radius differing bits
+    * leave ≥ 1 band identical, so the band equi-join is lossless). The
+    * fixed dd_simhash row only ever exercises radius 3 / 4×15. */
+  private val t12: Gen = (s, d, r) => {
+    import graft.functions.TextFunctions.{simhash, tokens}
+    val radius = 1 + r.nextInt(5)
+    val nBands = radius + 1
+    val bandBits = 60 / nBands
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), simhash(tokens(col("text"))).as("sig"))
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(array((0 until nBands).map { bi =>
+        shiftright(col("sig"), bi * bandBits).bitwiseAND((1L << bandBits) - 1)
+      }: _*)).as(Seq("band_idx", "band_key")))
+    val df = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("dist",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
+      .filter(col("dist") <= radius)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+    val sql =
+      s"""WITH ${graft.queries.DedupQueries.simhashSigSql}
+         |SELECT a.doc_id doc_a, b.doc_id doc_b,
+         |  bit_count(xor(a.sig, b.sig))::INT dist
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= $radius
+         |ORDER BY doc_a, doc_b""".stripMargin
+    (df, sql)
+  }
+
+  /** t13: filtered brute-force kNN under drawn (k, modulus filter) —
+    * the vs family's rank/tiebreak semantics where score ties meet a
+    * candidate filter, with k varied (vs_knn_brute pins k=5 forever). */
+  private val t13: Gen = (s, d, r) => {
+    import graft.functions.VectorFunctions.cosine
+    val k = 3 + r.nextInt(13)
+    val m = 2 + r.nextInt(4)
+    val rem = r.nextInt(m)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val df = emb.filter(col("vec_id") % m === rem)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("embedding"), col("qv")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+    val sql =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |q AS (SELECT vec_id query_id, v qv FROM e WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id neighbor_id,
+         |    list_cosine_similarity(e.v, q.qv) score
+         |  FROM e, q WHERE e.vec_id <> q.query_id AND e.vec_id % $m = $rem),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+         |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+    (df, sql)
+  }
+
+  /** t14: containment pairs (inter / min set size) under drawn (k, t) —
+    * the asymmetric-denominator threshold dd_containment fixes. */
+  private val t14: Gen = (s, d, r) => {
+    val k = 2 + r.nextInt(2)
+    val tTen = 5 + r.nextInt(5)
+    val t = tTen / 10.0
+    val df = jaccardPairs(s, d, k, (na, nb, _) => least(na, nb))
+      .filter(col("sim") >= t)
+      .select(col("doc_a"), col("doc_b"), round(col("sim"), 4).as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+    val sql =
+      s"""WITH ${shingleSql(k)},
+         |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id i, b.doc_id j, count(*) inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i AS doc_a, j AS doc_b,
+         |  round(inter / least(ca.n, cb.n)::DOUBLE, 4) AS containment
+         |FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+         |WHERE inter / least(ca.n, cb.n)::DOUBLE >= 0.$tTen
+         |ORDER BY doc_a, doc_b""".stripMargin
+    (df, sql)
+  }
+
+  /** t15: exact-dup fingerprint stats under a drawn text normalization
+    * (raw / lower / trim / whitespace-collapse) — the canonicalization
+    * step dd_exact runs with one fixed mode. */
+  private val t15: Gen = (s, d, r) => {
+    val mode = r.nextInt(4)
+    val (key, keySql) = mode match {
+      case 0 => (col("text"), "text")
+      case 1 => (lower(col("text")), "lower(text)")
+      case 2 => (trim(col("text")), "trim(text)")
+      case _ => (regexp_replace(lower(col("text")), "\\s+", " "),
+        "regexp_replace(lower(text), '\\s+', ' ', 'g')")
+    }
+    val df = Tables.t(s, d, "documents")
+      .groupBy(key.as("k"))
+      .agg(count(lit(1)).as("n_copies"))
+      .agg(count(lit(1)).as("n_unique"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+        coalesce(sum(col("n_copies") - 1), lit(0L)).cast("long").as("n_removed"))
+    val sql =
+      s"""WITH fp AS (
+         |  SELECT $keySql AS k, count(*) AS n_copies
+         |  FROM documents GROUP BY 1)
+         |SELECT count(*) AS n_unique,
+         |  sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
+         |  sum(n_copies - 1)::BIGINT AS n_removed
+         |FROM fp""".stripMargin
+    (df, sql)
+  }
+
   private val templates: Vector[Gen] =
-    Vector(t0, t1, t2, t3, t4, t5, t6, t7, t8, t9)
+    Vector(t0, t1, t2, t3, t4, t5, t6, t7, t8, t9,
+      t10, t11, t12, t13, t14, t15)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -185,8 +185,15 @@ object Compaction {
     if (!fs.exists(rootP)) return false
     // finish (or discard) a crashed FOLD swap before planning — even
     // when staging under a custom name, a stale complete fold stage
-    // must not be left to clobber this rewrite's output later
+    // must not be left to clobber this rewrite's output later — and
+    // sweep markers a crashed swap stranded inside live batch dirs: a
+    // legacy '='-form marker left by a crash between rename and
+    // marker-delete breaks partition inference for EVERY reader, and
+    // the fold-only path (compactIndex → foldBatchDirs) would never
+    // repair it otherwise (ADVICE r13 medium — only retrainIvf's
+    // entry repairStore did)
     resumeFold(fs, rootP, new Path(rootP, "compact.tmp"))
+    sweepStrandedMarkers(fs, rootP)
     val tmp = new Path(rootP, tmpName)
     if (tmpName != "compact.tmp") fs.delete(tmp, true) // orphan: discard
     val folds = batchDirs(fs, rootP).filter(_._1 < upTo)
@@ -269,22 +276,29 @@ object Compaction {
     * listing would rebuild from the subset and commit the loss
     * ([[graft.streaming.EmbedStream.retrainIvf]]'s entry repair; found
     * by the r13 crash-kill sweep, the fold-mode twin of the ADVICE r12
-    * high). [[stageRewriteBatchDirs]] already runs it at entry. */
+    * high). [[stageRewriteBatchDirs]] runs the same two repairs
+    * (resume + marker sweep) at entry, so the fold-only path
+    * (compactIndex → foldBatchDirs) self-heals too. */
   def repairStore(s: org.apache.spark.sql.SparkSession, root: String): Unit = {
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootP)) return
     resumeFold(fs, rootP, new org.apache.hadoop.fs.Path(rootP, "compact.tmp"))
-    // sweep stage markers stranded INSIDE live batch dirs by a crash
-    // between a swap's rename and its marker delete — the legacy '='
-    // form additionally breaks partition inference for every reader of
-    // the store (names with '=' are NOT hidden; the r13 crash-kill find)
+    sweepStrandedMarkers(fs, rootP)
+  }
+
+  /** Sweep stage markers stranded INSIDE live batch dirs by a crash
+    * between a swap's rename and its marker delete — the legacy '='
+    * form additionally breaks partition inference for every reader of
+    * the store (names with '=' are NOT hidden; the r13 crash-kill
+    * find). Idempotent, metadata-only. */
+  private def sweepStrandedMarkers(fs: org.apache.hadoop.fs.FileSystem,
+      rootP: org.apache.hadoop.fs.Path): Unit =
     batchDirs(fs, rootP).foreach { case (_, d) =>
       fs.listStatus(d).map(_.getPath)
         .filter(_.getName.startsWith("_folded_upto"))
         .foreach(p => fs.delete(p, false))
     }
-  }
 
   /** Monotonic swap counter of a batch-dir store, bumped by every fold/
     * rewrite COMMIT before its first destructive step. A reader whose

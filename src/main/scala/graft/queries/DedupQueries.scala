@@ -586,7 +586,7 @@ object DedupQueries {
     * (tokenize → 60-bit majority signature). Single-sourced so the six
     * dedup-graph oracles can never desync on tokenization, the md5
     * 15-hex-char prefix, or the 60-bit width. */
-  private val simhashSigSql: String =
+  private[graft] val simhashSigSql: String =
     """tok AS (
       |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) t
       |  FROM documents),
@@ -1809,7 +1809,10 @@ object DedupQueries {
     var edges =
       try supportOf(base, curN).localCheckpoint()
       catch {
-        case e: Throwable
+        // NonFatal only (ADVICE r13): a driver OOM or an interrupt
+        // during cancellation must propagate, not trigger a second
+        // full support pass that hangs or masks the fatal condition
+        case scala.util.control.NonFatal(e)
             if join2Force.isEmpty && join2Chosen == "shuffle_hash" =>
           org.slf4j.LoggerFactory.getLogger(getClass)
             .warn(s"ktruss round-0 shuffled-hash support join failed " +

@@ -48,6 +48,12 @@ object RagQueries {
     * same cold-vs-warm accounting the charLm/pair-graph caches use.
     * Unset (the driver's bench), behavior is unchanged: in-memory
     * ingest in the untimed setup step. */
+  /** Staged-fixture format key: part of the on-disk stage path, so a
+    * fixture written by a different builder generation is simply a
+    * different directory — never read, never clobbered. Bump on any
+    * change to [[rawDocs]] / IngestPipeline.buildCorpus output. */
+  private val corpusStageVersion = "v2"
+
   private val corpusCache = Caches.register(
     scala.collection.concurrent.TrieMap.empty[String, DataFrame])
   private[graft] def corpusFor(s: SparkSession, d: String): DataFrame = corpus(s, d)
@@ -62,12 +68,27 @@ object RagQueries {
       def build = pipeline.buildCorpus(rawDocs(s, d), "bench-run").toDF()
       val df = sys.env.get("SPARK_GRAFT_CORPUS_STAGE") match {
         case Some(root) =>
-          val stage = s"$root/${new java.io.File(d).getName}"
-          val p = new org.apache.hadoop.fs.Path(stage)
-          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          // version-keyed path: a fixture staged by an OLDER corpus
+          // builder must never be silently served to this build (bump
+          // corpusStageVersion whenever buildCorpus/rawDocs output
+          // changes); published via temp-dir + rename so a concurrent
+          // session never reads a half-written stage (ADVICE r13)
+          val stage =
+            s"$root/${new java.io.File(d).getName}-$corpusStageVersion"
+          val stageP = new org.apache.hadoop.fs.Path(stage)
+          val fs = stageP.getFileSystem(s.sparkContext.hadoopConfiguration)
           if (!fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"))) {
             val t0 = System.nanoTime()
-            build.write.mode("overwrite").parquet(stage)
+            val tmp = new org.apache.hadoop.fs.Path(s"$stage.tmp." +
+              java.util.UUID.randomUUID().toString.take(8))
+            build.write.mode("overwrite").parquet(tmp.toString)
+            // atomic publish: first writer renames into place; a loser
+            // of the race (stage appeared meanwhile) discards its copy
+            // and reads the winner's — both were built by the same
+            // builder version over the same input dir, so the content
+            // is equivalent by construction
+            if (fs.exists(stageP) || !fs.rename(tmp, stageP))
+              fs.delete(tmp, true)
             System.err.println(f"[rag] corpus build $d took " +
               f"${(System.nanoTime() - t0) / 1e9}%.1f s (staged to $stage)")
           }
@@ -217,6 +238,157 @@ object RagQueries {
     """SELECT q.range AS query_id, r.range AS rank, TRUE AS parity_ok
       |FROM range(5) q, range(1, 11) r
       |ORDER BY query_id, rank""".stripMargin
+
+  /** One stored-IVF index per sf-dir, built ONCE from the corpus's chunk
+    * scope (√n centroids via the scale rule, q8 column materialized,
+    * lists partitioned by centroid_id) and probed many times — the
+    * reference's index-served retrieval lifecycle (ingest builds the
+    * Cassandra SAI ANN index once; every agent query probes it,
+    * agent_graph.py:241-302). Under SPARK_GRAFT_CORPUS_STAGE the index
+    * stages next to the corpus fixture with the same version key and
+    * temp-dir + rename publish, so a scale ladder pays the build once
+    * across sessions (cost printed to stderr as `[rag] ivf index
+    * build`); otherwise a session temp dir. */
+  private val ivfIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  // derived-key cache: evict through the closer hook (the registry sweep
+  // only sees DataFrame caches keyed by the sf-dir itself); session-local
+  // TEMP index dirs are deleted, staged fixtures outlive the session
+  Caches.addCloser { which =>
+    val dirs = which match {
+      case Some(d) => ivfIndexDirs.remove(d).toSeq
+      case None =>
+        val all = ivfIndexDirs.values.toSeq; ivfIndexDirs.clear(); all
+    }
+    val tmpRoot = System.getProperty("java.io.tmpdir")
+    dirs.filter(p => tmpRoot != null && p.startsWith(tmpRoot)).foreach { dir =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(dir)
+        if (java.nio.file.Files.exists(root))
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  private def storedIvfFor(s: SparkSession, d: String): String =
+    ivfIndexDirs.getOrElseUpdate(d, {
+      import graft.retrieval.IvfIndex
+      def build(path: String): Unit = {
+        // numeric surrogate id: the search kernel's (id, query_id)
+        // self-exclusion and tie-breaks need a numeric id column, and
+        // the corpus rowId is a hex digest — xxhash64 is deterministic,
+        // computable identically on the truth side, and collision-free
+        // at any realistic corpus size for a 5-query gate
+        val chunks = corpus(s, d).filter(col("scope") === "chunk")
+          .select(xxhash64(col("rowId")).as("vec_id"), col("embedding"))
+        val cents = IvfIndex.buildCentroids(chunks, "vec_id", "embedding",
+          VectorQueries.ivfCentroidCount(chunks.count()))
+        val assigned = IvfIndex.withQ8(
+          IvfIndex.assign(chunks, "vec_id", "embedding", cents), "embedding")
+        IvfIndex.write(assigned, cents, path)
+      }
+      sys.env.get("SPARK_GRAFT_CORPUS_STAGE") match {
+        case Some(root) =>
+          val stage = s"$root/${new java.io.File(d).getName}" +
+            s"-$corpusStageVersion-ivf"
+          val stageP = new org.apache.hadoop.fs.Path(stage)
+          val fs = stageP.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (!fs.exists(
+              new org.apache.hadoop.fs.Path(s"$stage/centroids/_SUCCESS"))) {
+            val t0 = System.nanoTime()
+            val tmp = new org.apache.hadoop.fs.Path(s"$stage.tmp." +
+              java.util.UUID.randomUUID().toString.take(8))
+            build(tmp.toString)
+            if (fs.exists(stageP) || !fs.rename(tmp, stageP))
+              fs.delete(tmp, true)
+            System.err.println(f"[rag] ivf index build $d took " +
+              f"${(System.nanoTime() - t0) / 1e9}%.1f s (staged to $stage)")
+          }
+          stage
+        case None =>
+          val tmp =
+            java.nio.file.Files.createTempDirectory("graft_rag_ivf").toString
+          build(tmp)
+          tmp
+      }
+    })
+
+  /** rag_retrieve_topk served through the STORED IVF tier (VERDICT r13
+    * item 2) — the measured form of the 100-TB serving claim. The exact
+    * batched gate ([[qRetrieveTopkGate]]) scans the whole chunk scope
+    * per query batch, which is LINEAR in corpus size (measured so at
+    * sf10, PERF.md); this gate serves the same 5-query batch from the
+    * stored index in the sublinear serving shape:
+    *   1. the centroid shortlist is computed driver-side over the
+    *      √n-row centroid table (the only corpus-scale-dependent
+    *      driver work, and it shrinks relative to n);
+    *   2. the ∪(Q × nprobe) probed list ids become a STATIC `IN` filter
+    *      on the lists' PARTITION column, so the parquet scan reads
+    *      only those directories — `nprobe = max(6, √c)` lists of ~n/c
+    *      rows each ⇒ ~n/√c rows scanned, sublinear in n (n^(3/4)
+    *      under the √n centroid rule);
+    *   3. the q8 two-phase kernel ([[IvfIndex.searchQ8Lists]]) prunes
+    *      each probed list with the 4×-narrower integer column and
+    *      re-ranks survivors with the exact float cosine.
+    * Recall@10 per query is gated against the exact brute truth at the
+    * vs_knn_ivf_recall floor (0.4) — measured per-query recall at
+    * sf0.001/0.01/0.1 is recorded in the spec; the oracle is the
+    * all-true relation. */
+  def qRetrieveTopkIvfGate(s: SparkSession, d: String): DataFrame = {
+    val (brute, ann) = ivfGateParts(s, d)
+    VectorQueries.recallReport(brute, ann, floor = 0.4)
+      .orderBy(col("query_id"))
+  }
+
+  /** The (exact truth, stored-IVF answer) halves of
+    * [[qRetrieveTopkIvfGate]] — split out so ProfileRagIvf can report
+    * raw per-query recall and walls without re-deriving the plumbing. */
+  private[graft] def ivfGateParts(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import graft.functions.VectorFunctions.cosine
+    import graft.retrieval.IvfIndex
+    import s.implicits._
+    val embedder = new HashEmbedder(384)
+    val k = Retrieval.capsByScope("chunk").k
+    val path = storedIvfFor(s, d)
+    val cents = IvfIndex.loadCentroids(s, path)
+    // query ids 0..4: the kernel's self-exclusion compares numeric ids,
+    // and corpus vec_ids are xxhash64 digests — a collision with one of
+    // five small constants is a ~5n/2^64 event
+    val queries = gateQueryTexts.zipWithIndex.map { case (q, qi) =>
+      (qi.toLong, embedder.embed(q)) }
+    // 2√c probed lists of ~n/c rows each ⇒ ~2n/√c rows scanned —
+    // sublinear in n under the √n centroid rule (n^(3/4)); the factor 2
+    // buys recall headroom over the 0.4 floor (measured min 0.40 at √c
+    // on sf0.01 — zero headroom; see ProfileRagIvf)
+    val nprobe = math.min(cents.length,
+      math.max(8, 2 * math.round(math.sqrt(cents.length)).toInt))
+    val probed = IvfIndex.probes(queries, cents, nprobe)
+      .map(_._2).distinct.sorted
+    val lists = s.read.parquet(s"$path/lists")
+      .filter(col("centroid_id").isin(probed.map(Int.box): _*))
+    val ann = IvfIndex.searchQ8Lists(lists, "vec_id", "embedding", queries,
+      cents, nprobe, k)
+    val qdf = queries.toDF("query_id", "qv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val brute = corpus(s, d).filter(col("scope") === "chunk")
+      .select(xxhash64(col("rowId")).as("vec_id"), col("embedding"))
+      .join(broadcast(qdf))
+      .withColumn("score", cosine(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    (brute, ann)
+  }
+
+  val qRetrieveTopkIvfGateSql: String =
+    """SELECT r.range AS query_id, 0.4::DOUBLE AS floor, TRUE AS recall_ok
+      |FROM range(5) r ORDER BY query_id""".stripMargin
 
   /** rag_agent_events grammar gate: every job trail must satisfy the event
     * grammar the reference worker's pub/sub contract implies
@@ -514,6 +686,7 @@ object RagQueries {
     "rag_graph_expand" -> (qGraphExpand _),
     "rag_graph_expand_topics" -> (qGraphExpandTopics _),
     "rag_retrieve_topk_gate" -> (qRetrieveTopkGate _),
+    "rag_retrieve_topk_ivf_gate" -> (qRetrieveTopkIvfGate _),
     "rag_agent_events_gate" -> (qAgentEventsGate _),
     "rag_agent_batch_gate" -> (qAgentBatchGate _),
     "rag_mmr_gate" -> (qMmrGate _),
@@ -527,6 +700,7 @@ object RagQueries {
     // stay rows-only (stub-LLM text) — their *_gate twins below carry the
     // hash-checked invariant relations.
     "rag_retrieve_topk_gate" -> qRetrieveTopkGateSql,
+    "rag_retrieve_topk_ivf_gate" -> qRetrieveTopkIvfGateSql,
     "rag_agent_events_gate" -> qAgentEventsGateSql,
     "rag_agent_batch_gate" -> qAgentBatchGateSql,
     "rag_mmr_gate" -> qMmrGateSql,

@@ -1678,7 +1678,7 @@ object VectorQueries {
     * entries into checked rows. Both index builds are seeded/deterministic,
     * so the booleans are stable across runs at a given SF.
     */
-  private def recallReport(brute: DataFrame, ann: DataFrame, floor: Double): DataFrame = {
+  private[graft] def recallReport(brute: DataFrame, ann: DataFrame, floor: Double): DataFrame = {
     val truth = brute.select(col("query_id"), col("neighbor_id"))
     val hits = truth
       .join(ann.select(col("query_id"), col("neighbor_id")),

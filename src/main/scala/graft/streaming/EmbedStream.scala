@@ -235,6 +235,28 @@ object EmbedStream {
     // resume-first repair (see scaladoc): a pending marker with a
     // complete self-contained stage is a decided swap — commit it
     if (mfs.exists(marker) && resumeStagedRetrain(s, indexDir)) return true
+    // a pending marker with a PRE-UPGRADE stage (fold marker + _SUCCESS
+    // but no _staged_inputs / _staged centroids) is the one state this
+    // build cannot repair losslessly: the crashed commit may already
+    // have deleted original dirs whose rows survive ONLY in the stage,
+    // and with no input record there is no way to tell. Silently
+    // discarding it (the full rebuild's stageRewriteBatchDirs deletes
+    // orphan tmp dirs) would commit the loss with no signal — refuse
+    // and demand manual adjudication instead (ADVICE r13 low: the
+    // ADVICE r12 high loss class otherwise persists across the stage
+    // format boundary).
+    if (mfs.exists(marker) && legacyStageCommitMayHaveBegun(s, indexDir))
+      throw new IllegalStateException(
+        s"retrainIvf($indexDir): _retrain_pending is set and a complete " +
+        "PRE-UPGRADE retrain stage (fold marker + _SUCCESS, no " +
+        "_staged_inputs/_staged centroids) survives in lists/_retrain.tmp. " +
+        "Its commit may have begun deleting original batch dirs, so the " +
+        "stage may hold those rows' only copy and this build cannot " +
+        "resume it blind. Refusing to auto-rebuild (that would discard " +
+        "the stage and silently lose the rows). Manually either (a) " +
+        "verify the stage's vec_ids cover the store and complete the " +
+        "swap, or (b) verify no original dir was deleted and remove " +
+        "lists/_retrain.tmp + _retrain_pending.")
     // then complete any crashed FOLD swap before LISTING the lists: a
     // fold killed mid-commit leaves a subset of batch dirs (the rest
     // only in its complete compact.tmp stage), and planning the retrain
@@ -374,6 +396,27 @@ object EmbedStream {
       dropStagedCentroidResidue(s, indexDir)
     }
     swapped
+  }
+
+  /** True iff `lists/_retrain.tmp` holds a PRE-UPGRADE stage whose
+    * commit may have begun: the legacy `_folded_upto=<m>` ('='-form)
+    * marker + _SUCCESS, with no `_staged_inputs` record. The '='-form
+    * is the discriminator: THIS build writes `_staged_inputs` before
+    * its dot-form marker, so a dot-form stage lacking the record
+    * provably never reached a destructive commit (its pending marker
+    * is created after the record too) and stays safely discardable —
+    * the crash-orphan case IvfRetrainConcurrencySpec pins. A stage
+    * whose record exists but whose `_staged/centroids` were lost is
+    * likewise safe: missing staged GEOMETRY blocks resume, but the
+    * record proves which inputs the commit would have deleted, and
+    * [[resumeStagedRetrain]]'s staleness rule already adjudicates it. */
+  private def legacyStageCommitMayHaveBegun(
+      s: SparkSession, indexDir: String): Boolean = {
+    val (fs, tmpP) = fsOf(s, s"$indexDir/lists/_retrain.tmp")
+    if (!fs.exists(tmpP)) return false
+    val names = fs.listStatus(tmpP).map(_.getPath.getName)
+    names.exists(_.startsWith("_folded_upto=")) &&
+      names.contains("_SUCCESS") && !names.contains("_staged_inputs")
   }
 
   /** Best-effort removal of `_staged` centroid dirs that rode into live

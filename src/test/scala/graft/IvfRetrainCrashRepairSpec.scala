@@ -231,6 +231,29 @@ class IvfRetrainCrashRepairSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/index/_retrain_pending").exists())
   }
 
+  test("pending repair over a PRE-UPGRADE stage ('='-form marker, no input " +
+    "record) REFUSES to auto-rebuild — ADVICE r13: its commit may have begun") {
+    val dir = buildIndex()
+    // a stage written by a pre-_staged_inputs build: '='-form fold
+    // marker + _SUCCESS, no _staged_inputs, no _staged centroids — and
+    // the pending marker is set, so the crashed run may have begun
+    // deleting original dirs whose rows survive only in this stage
+    val tmp = new java.io.File(s"$dir/index/lists/_retrain.tmp")
+    tmp.mkdirs()
+    new java.io.File(tmp, "_folded_upto=1").createNewFile()
+    new java.io.File(tmp, "_SUCCESS").createNewFile()
+    new java.io.File(s"$dir/index/_retrain_pending").createNewFile()
+    val e = intercept[IllegalStateException] {
+      EmbedStream.retrainIvf(spark, s"$dir/index")
+    }
+    assert(e.getMessage.contains("PRE-UPGRADE"))
+    assert(tmp.exists(), "the refusal must leave the stage untouched")
+    // manual adjudication path (b): operator verified originals intact
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    new java.io.File(s"$dir/index/_retrain_pending").delete()
+    assert(storedIds(dir).size == 48, "store readable after manual repair")
+  }
+
   test("pending repair with an INCOMPLETE stage falls back to the " +
     "deterministic restage (originals intact by construction)") {
     val dir = buildIndex()

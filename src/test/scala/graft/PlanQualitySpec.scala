@@ -669,6 +669,23 @@ class PlanQualitySpec extends SparkSpec {
       s"window blocking must stay an equi-join:\n$p")
   }
 
+  test("rag ivf gate: probe scan prunes centroid_id partitions statically; recall holds") {
+    val df = graft.queries.RagQueries
+      .queries("rag_retrieve_topk_ivf_gate")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 5, s"5 gate queries expected, got ${rows.length}")
+    assert(rows.forall(_.getBoolean(2)),
+      s"recall floor violated: ${rows.mkString(", ")}")
+    // the serving shape: the driver-computed centroid shortlist must
+    // reach the stored lists scan as a PARTITION filter (a static IN on
+    // the partition column reads only the probed directories — the
+    // 100-TB property this gate exists to measure)
+    val p = plan(df)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("centroid_id")),
+      s"probe scan must prune centroid_id partition dirs:\n$p")
+  }
+
   test("heaps curve: type first-appearance agg partials map-side; no corpus-global window") {
     val p = plan(graft.queries.TextQueries.qHeapsLaw(spark, sf))
     assert(count(p, "partial_min") >= 1,
