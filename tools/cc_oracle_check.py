@@ -113,22 +113,32 @@ def pagerank(pairs, rounds=10, damping=0.85):
 
 
 def ktruss(pairs, k=4):
-    """Independent 4-truss peel: adjacency-set intersection support,
+    """Independent 4-truss peel: adjacency-BITSET intersection support
+    (python big-int AND + popcount run at C speed — the set-based form
+    was hours on the 3.5M-edge sf1 graph, this is seconds per round),
     iterate to fixpoint, report surviving (a, b, support). Mirrors the
     stock qDedupKtrussSql contract (full-budget unroll == fixpoint)."""
-    edges = {(min(a, b), max(a, b)) for a, b in pairs}
+    nodes = sorted({p for pr in pairs for p in pr})
+    idx = {v: i for i, v in enumerate(nodes)}
+    edges = {(min(idx[a], idx[b]), max(idx[a], idx[b])) for a, b in pairs}
+
+    def adjacency(es):
+        nb = defaultdict(int)
+        for a, b in es:
+            nb[a] |= 1 << b
+            nb[b] |= 1 << a
+        return nb
+
     while True:
-        nb = defaultdict(set)
-        for a, b in edges:
-            nb[a].add(b); nb[b].add(a)
-        keep = {(a, b) for a, b in edges if len(nb[a] & nb[b]) >= k - 2}
+        nb = adjacency(edges)
+        keep = {(a, b) for a, b in edges
+                if (nb[a] & nb[b]).bit_count() >= k - 2}
         if keep == edges:
             break
         edges = keep
-    nb = defaultdict(set)
-    for a, b in edges:
-        nb[a].add(b); nb[b].add(a)
-    return sorted((a, b, len(nb[a] & nb[b])) for a, b in edges)
+    nb = adjacency(edges)
+    return sorted((nodes[a], nodes[b], (nb[a] & nb[b]).bit_count())
+                  for a, b in edges)
 
 
 def norm(v):
