@@ -49,6 +49,19 @@ object ProfileRagIvf {
       graft.queries.RagQueries.queries("rag_retrieve_topk_ivf_gate")(spark, sfDir).count())
     time("exact_gate")(
       graft.queries.RagQueries.queries("rag_retrieve_topk_gate")(spark, sfDir).count())
+    // the serving path alone (the gate's walls above include their
+    // built-in exact-truth compare — a full corpus scan on both sides)
+    time("ivf_serve")(
+      graft.queries.RagQueries.ivfGateParts(spark, sfDir)._2.count())
+    time("exact_serve") {
+      import graft.llm.HashEmbedder
+      import graft.retrieval.{BatchRetrieval, Retrieval}
+      val specs = (0 until 5).map(i =>
+        BatchRetrieval.Spec(i.toString, s"probe query number $i", "chunk"))
+      BatchRetrieval.retrieveAllNoExpand(
+        graft.queries.RagQueries.corpusFor(spark, sfDir),
+        new HashEmbedder(384), specs).values.map(_.docs.size).sum.toLong
+    }
     spark.stop()
   }
 }
