@@ -48,15 +48,23 @@ object Bench {
 
   /** Round number for artifact attribution: the driver names its
     * artifact BENCH_r{N}.json AFTER this run, so at run time the
-    * highest committed BENCH_r*.json is N-1. Env-overridable. */
+    * highest committed BENCH_r*.json is N-1. Env-overridable; scans
+    * both the cwd and the BENCH_HISTORY file's directory, so a launch
+    * from outside the repo root still attributes correctly as long as
+    * SPARK_GRAFT_BENCH_HISTORY points into it; emits round 0 (clearly
+    * "unknown", never a plausible round) when neither is visible. */
   private def currentRound(): Int =
-    sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
-      val rs = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+    sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption).getOrElse {
+      val histDir = new java.io.File(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl"))
+        .getAbsoluteFile.getParentFile
+      val rs = (Option(new java.io.File(".").listFiles()).getOrElse(Array()) ++
+        Option(histDir.listFiles()).getOrElse(Array()))
         .map(_.getName).flatMap { n =>
           val m = "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(n)
           m.map(_.group(1).toInt)
         }
-      if (rs.isEmpty) 1 else rs.max + 1
+      if (rs.isEmpty) 0 else rs.max + 1
     }
 
   def main(args: Array[String]): Unit = {
@@ -74,8 +82,12 @@ object Bench {
     val idleLoad1 = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_LOAD1", "0.5").toDouble
     val requireIdle = sys.env.get("SPARK_GRAFT_BENCH_REQUIRE_IDLE").contains("1")
     val idleWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_WAIT", "300").toInt
+    // runnable counts kernel TASKS in R state including this process's
+    // own thread doing the read, hence the -1; any OTHER runnable task
+    // taints (a hog that started seconds ago is invisible to load1's
+    // 1-minute average but visible here)
     def isIdle(l: (Double, Double, Int, Int)): Boolean =
-      l._1 < 0 || (l._1 <= idleLoad1 && l._3 - 1 <= 1)
+      l._1 < 0 || (l._1 <= idleLoad1 && l._3 - 1 <= 0)
     var start = loadAvg()
     if (requireIdle) {
       val deadline = System.nanoTime() + idleWaitSec * 1e9.toLong

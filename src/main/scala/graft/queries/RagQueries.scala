@@ -54,6 +54,24 @@ object RagQueries {
     * change to [[rawDocs]] / IngestPipeline.buildCorpus output. */
   private val corpusStageVersion = "v2"
 
+  /** Publish a built fixture dir by rename, race-safely. Rename FIRST
+    * (no exists pre-check — a winner publishing in the check→rename
+    * window is exactly the race), then sweep BOTH residue forms a lost
+    * race can leave: our unpublished tmp dir, and — because Hadoop's
+    * local-FS rename falls back to FileUtil.copy when renameTo fails
+    * on an existing non-empty destination, which copies the source
+    * INTO the destination as a child and still returns true — a copy
+    * of tmp nested inside the winner's published dir (that nested,
+    * non-hidden dir would break partition discovery for every later
+    * reader of the shared fixture). */
+  private def publishStage(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      stageP: org.apache.hadoop.fs.Path): Unit = {
+    try fs.rename(tmp, stageP) catch { case _: Throwable => () }
+    fs.delete(tmp, true) // no-op when the rename won cleanly
+    fs.delete(new org.apache.hadoop.fs.Path(stageP, tmp.getName), true)
+  }
+
   private val corpusCache = Caches.register(
     scala.collection.concurrent.TrieMap.empty[String, DataFrame])
   private[graft] def corpusFor(s: SparkSession, d: String): DataFrame = corpus(s, d)
@@ -82,13 +100,7 @@ object RagQueries {
             val tmp = new org.apache.hadoop.fs.Path(s"$stage.tmp." +
               java.util.UUID.randomUUID().toString.take(8))
             build.write.mode("overwrite").parquet(tmp.toString)
-            // atomic publish: first writer renames into place; a loser
-            // of the race (stage appeared meanwhile) discards its copy
-            // and reads the winner's — both were built by the same
-            // builder version over the same input dir, so the content
-            // is equivalent by construction
-            if (fs.exists(stageP) || !fs.rename(tmp, stageP))
-              fs.delete(tmp, true)
+            publishStage(fs, tmp, stageP)
             System.err.println(f"[rag] corpus build $d took " +
               f"${(System.nanoTime() - t0) / 1e9}%.1f s (staged to $stage)")
           }
@@ -249,20 +261,24 @@ object RagQueries {
     * temp-dir + rename publish, so a scale ladder pays the build once
     * across sessions (cost printed to stderr as `[rag] ivf index
     * build`); otherwise a session temp dir. */
+  /** sf-dir → (index dir, created-as-session-temp). The boolean — not a
+    * path-prefix test — decides deletion at cache close: a SHARED staged
+    * fixture may itself live under the system tmpdir (e.g.
+    * SPARK_GRAFT_CORPUS_STAGE=/tmp/stages), and deleting it would break
+    * concurrent sessions and the pay-the-build-once property. */
   private val ivfIndexDirs =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Boolean)]
 
   // derived-key cache: evict through the closer hook (the registry sweep
-  // only sees DataFrame caches keyed by the sf-dir itself); session-local
-  // TEMP index dirs are deleted, staged fixtures outlive the session
+  // only sees DataFrame caches keyed by the sf-dir itself); only dirs
+  // this session CREATED as temp are deleted
   Caches.addCloser { which =>
     val dirs = which match {
       case Some(d) => ivfIndexDirs.remove(d).toSeq
       case None =>
         val all = ivfIndexDirs.values.toSeq; ivfIndexDirs.clear(); all
     }
-    val tmpRoot = System.getProperty("java.io.tmpdir")
-    dirs.filter(p => tmpRoot != null && p.startsWith(tmpRoot)).foreach { dir =>
+    dirs.collect { case (dir, true) => dir }.foreach { dir =>
       try {
         import scala.jdk.CollectionConverters._
         val root = java.nio.file.Paths.get(dir)
@@ -276,6 +292,7 @@ object RagQueries {
 
   private def storedIvfFor(s: SparkSession, d: String): String =
     ivfIndexDirs.getOrElseUpdate(d, {
+      // value = (dir, created-as-session-temp) — see ivfIndexDirs
       import graft.retrieval.IvfIndex
       def build(path: String): Unit = {
         // numeric surrogate id: the search kernel's (id, query_id)
@@ -303,19 +320,18 @@ object RagQueries {
             val tmp = new org.apache.hadoop.fs.Path(s"$stage.tmp." +
               java.util.UUID.randomUUID().toString.take(8))
             build(tmp.toString)
-            if (fs.exists(stageP) || !fs.rename(tmp, stageP))
-              fs.delete(tmp, true)
+            publishStage(fs, tmp, stageP)
             System.err.println(f"[rag] ivf index build $d took " +
               f"${(System.nanoTime() - t0) / 1e9}%.1f s (staged to $stage)")
           }
-          stage
+          (stage, false)
         case None =>
           val tmp =
             java.nio.file.Files.createTempDirectory("graft_rag_ivf").toString
           build(tmp)
-          tmp
+          (tmp, true)
       }
-    })
+    })._1
 
   /** rag_retrieve_topk served through the STORED IVF tier (VERDICT r13
     * item 2) — the measured form of the 100-TB serving claim. The exact

@@ -247,9 +247,9 @@ object EmbedStream {
     // format boundary).
     if (mfs.exists(marker) && legacyStageCommitMayHaveBegun(s, indexDir))
       throw new IllegalStateException(
-        s"retrainIvf($indexDir): _retrain_pending is set and a complete " +
-        "PRE-UPGRADE retrain stage (fold marker + _SUCCESS, no " +
-        "_staged_inputs/_staged centroids) survives in lists/_retrain.tmp. " +
+        s"retrainIvf($indexDir): _retrain_pending is set and a commit-" +
+        "eligible PRE-UPGRADE retrain stage (fold marker + _SUCCESS, no " +
+        "_staged_inputs record) survives in lists/_retrain.tmp. " +
         "Its commit may have begun deleting original batch dirs, so the " +
         "stage may hold those rows' only copy and this build cannot " +
         "resume it blind. Refusing to auto-rebuild (that would discard " +
@@ -399,24 +399,36 @@ object EmbedStream {
   }
 
   /** True iff `lists/_retrain.tmp` holds a PRE-UPGRADE stage whose
-    * commit may have begun: the legacy `_folded_upto=<m>` ('='-form)
-    * marker + _SUCCESS, with no `_staged_inputs` record. The '='-form
-    * is the discriminator: THIS build writes `_staged_inputs` before
-    * its dot-form marker, so a dot-form stage lacking the record
+    * commit may have begun — a stage lacking the `_staged_inputs`
+    * record that nonetheless shows commit-eligible evidence from an
+    * older build generation:
+    *   - the legacy `_folded_upto=<m>` ('='-form) marker + _SUCCESS
+    *     (the pre-self-contained generation committed on exactly that
+    *     pair), or
+    *   - a dot-form marker + _SUCCESS + `_staged/centroids` (the
+    *     intermediate generation that staged centroids but recorded no
+    *     inputs — its commit gate was marker + _SUCCESS too).
+    * THIS build writes `_staged_inputs` before its marker, so a
+    * dot-form stage with NEITHER the record NOR staged centroids
     * provably never reached a destructive commit (its pending marker
-    * is created after the record too) and stays safely discardable —
-    * the crash-orphan case IvfRetrainConcurrencySpec pins. A stage
-    * whose record exists but whose `_staged/centroids` were lost is
-    * likewise safe: missing staged GEOMETRY blocks resume, but the
-    * record proves which inputs the commit would have deleted, and
+    * is created after both) and stays safely discardable — the
+    * crash-orphan case IvfRetrainConcurrencySpec pins. A stage whose
+    * record exists but whose `_staged/centroids` were lost is likewise
+    * safe: missing staged GEOMETRY blocks resume, but the record
+    * proves which inputs the commit would have deleted, and
     * [[resumeStagedRetrain]]'s staleness rule already adjudicates it. */
   private def legacyStageCommitMayHaveBegun(
       s: SparkSession, indexDir: String): Boolean = {
+    import org.apache.hadoop.fs.Path
     val (fs, tmpP) = fsOf(s, s"$indexDir/lists/_retrain.tmp")
     if (!fs.exists(tmpP)) return false
     val names = fs.listStatus(tmpP).map(_.getPath.getName)
-    names.exists(_.startsWith("_folded_upto=")) &&
-      names.contains("_SUCCESS") && !names.contains("_staged_inputs")
+    if (names.contains("_staged_inputs") || !names.contains("_SUCCESS"))
+      return false
+    val eqMarker = names.exists(_.startsWith("_folded_upto="))
+    val dotMarker = names.exists(_.startsWith("_folded_upto."))
+    eqMarker ||
+      (dotMarker && hasParquet(fs, new Path(tmpP, "_staged/centroids")))
   }
 
   /** Best-effort removal of `_staged` centroid dirs that rode into live

@@ -254,6 +254,39 @@ class IvfRetrainCrashRepairSpec extends SparkSpec {
     assert(storedIds(dir).size == 48, "store readable after manual repair")
   }
 
+  test("pending repair over an INTERMEDIATE-generation stage (dot marker + " +
+    "staged centroids, no input record) also refuses — its commit gate was " +
+    "marker + _SUCCESS too") {
+    val dir = buildIndex()
+    // the generation that staged centroids inside the tmp dir but did
+    // not yet record _staged_inputs: its commit could begin on marker +
+    // _SUCCESS alone, so a surviving stage may hold deleted rows' only
+    // copy exactly like the '='-form case (review find on the first
+    // '='-only discriminator: dot-form stages of that generation were
+    // silently discarded)
+    val all = spark.read.parquet(s"$dir/index/lists")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val rebuilt = IvfIndex.buildCentroids(all, "vec_id", "embedding", 8)
+    assert(graft.operators.Compaction.stageRewriteBatchDirs(
+      spark, s"$dir/index/lists", Long.MaxValue,
+      partitionCols = Seq("centroid_id"),
+      rewrite = _ => IvfIndex.withQ8(
+        IvfIndex.assign(all, "vec_id", "embedding", rebuilt), "embedding"),
+      tmpName = "_retrain.tmp"))
+    IvfIndex.writeCentroids(spark, rebuilt,
+      s"$dir/index/lists/_retrain.tmp/_staged")
+    // strip the input record this build wrote — the stage now looks
+    // exactly like the intermediate generation's
+    new java.io.File(s"$dir/index/lists/_retrain.tmp/_staged_inputs").delete()
+    new java.io.File(s"$dir/index/_retrain_pending").createNewFile()
+    val e = intercept[IllegalStateException] {
+      EmbedStream.retrainIvf(spark, s"$dir/index")
+    }
+    assert(e.getMessage.contains("PRE-UPGRADE"))
+    assert(new java.io.File(s"$dir/index/lists/_retrain.tmp").exists(),
+      "the refusal must leave the stage untouched")
+  }
+
   test("pending repair with an INCOMPLETE stage falls back to the " +
     "deterministic restage (originals intact by construction)") {
     val dir = buildIndex()
