@@ -545,9 +545,98 @@ object FuzzVerify {
     (df, sql)
   }
 
+  /** t16: BM25 under drawn (k1, b, query set, top-k) — the ks family's
+    * saturation/length-normalization arithmetic runs through the SAME
+    * engine kernel and SQL generator the fixed ks_bm25 row uses
+    * (SearchQueries.bm25Scores / bm25Sql), with the two constants the
+    * fixed row never varies drawn across their practical ranges. */
+  private val t16: Gen = (s, d, r) => {
+    import graft.queries.SearchQueries
+    import s.implicits._
+    val k1 = Seq(0.6, 0.9, 1.2, 1.5, 2.0)(r.nextInt(5))
+    val b = Seq(0.0, 0.25, 0.5, 0.75, 1.0)(r.nextInt(5))
+    val k = 3 + r.nextInt(8)
+    val vocab = Seq("hash", "join", "sort", "window", "merge", "stream",
+      "batch", "spark", "filter", "scan", "table", "vector", "query", "data")
+    val qs = (0 until 3).map { qi =>
+      qi.toLong -> r.shuffle(vocab).take(2 + r.nextInt(2)).mkString(" ") }
+    val qterms = qs.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(split(col("qtext"), " ")).as("term")).distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val df = SearchQueries.bm25Scores(
+        SearchQueries.tokenized(s, d), qterms, k1, b)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score"), col("n_terms_hit"))
+      .orderBy(col("query_id"), col("rank"))
+    val values = qs.map { case (id, q) => s"(${id}::BIGINT, '$q')" }
+      .mkString(", ")
+    val sql =
+      s"""WITH ${SearchQueries.bm25Sql(
+        s"""q(query_id, qtext) AS (VALUES $values),
+           |qt AS (
+           |  SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) term
+           |  FROM q)""".stripMargin, k1, b)},
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, doc_id) rank
+         |  FROM bm25)
+         |SELECT query_id, rank::INTEGER AS rank, doc_id, score, n_terms_hit
+         |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+    (df, sql)
+  }
+
+  /** t17: sessionization under a drawn inactivity gap (the fixed
+    * ev_sessionize row pins 1800 s forever) — per-user session summary
+    * so the output stays bounded at any gap. */
+  private val t17: Gen = (s, d, r) => {
+    val gapSec = Seq(60, 300, 900, 1800, 3600, 7200)(r.nextInt(6))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val df = Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+            gapSec * 1000000L, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+    val sql =
+      s"""WITH flagged AS (
+         |  SELECT user_id, event_id, ts,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >
+         |              $gapSec::BIGINT * 1000000 THEN 1 ELSE 0 END AS new_session
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sessions AS (
+         |  SELECT *, (sum(new_session) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+         |    AS session_seq
+         |  FROM flagged),
+         |per_session AS (
+         |  SELECT user_id, session_seq, count(*) AS n_events
+         |  FROM sessions GROUP BY 1, 2)
+         |SELECT user_id, count(*) AS n_sessions,
+         |  max(n_events) AS max_session_events,
+         |  sum(n_events)::BIGINT AS n_events
+         |FROM per_session GROUP BY 1 ORDER BY user_id""".stripMargin
+    (df, sql)
+  }
+
   private val templates: Vector[Gen] =
     Vector(t0, t1, t2, t3, t4, t5, t6, t7, t8, t9,
-      t10, t11, t12, t13, t14, t15)
+      t10, t11, t12, t13, t14, t15, t16, t17)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -48,7 +48,7 @@ object SearchQueries {
       .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
 
   /** documents → (doc_id, w: token array, dl: doc length). */
-  private def tokenized(s: SparkSession, d: String): DataFrame =
+  private[graft] def tokenized(s: SparkSession, d: String): DataFrame =
     tokenizeDocs(Tables.documents(s, d))
 
   /** BM25 scoring + per-query top-k over INDEX-SHAPED relations —
@@ -105,7 +105,8 @@ object SearchQueries {
     * @param qterms (query_id, term) — distinct rows, small (broadcast).
     * @return (query_id, doc_id, score [rounded 4dp], n_terms_hit)
     */
-  private def bm25Scores(docs: DataFrame, qterms: DataFrame): DataFrame = {
+  private[graft] def bm25Scores(docs: DataFrame, qterms: DataFrame,
+      k1: Double = K1, b: Double = B): DataFrame = {
     val stats = docs.agg(
       count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     // prune the corpus token stream to query terms BEFORE aggregating:
@@ -126,8 +127,8 @@ object SearchQueries {
     // two queries counts each doc once)
     val dfreq = postings.select(col("term"), col("doc_id")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val sat = col("idf") * (col("tf") * lit(K1 + 1)) /
-      (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl")))
+    val sat = col("idf") * (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
     postings
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
@@ -142,7 +143,8 @@ object SearchQueries {
   /** The BM25 core as DuckDB SQL (identical expression structure so both
     * engines evaluate the same arithmetic; `QT` is a (query_id, term)
     * relation the caller splices in). */
-  private def bm25Sql(qtCte: String): String =
+  private[graft] def bm25Sql(qtCte: String, k1: Double = K1,
+      b: Double = B): String =
     s"""docs AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') w
        |  FROM documents),
@@ -161,8 +163,8 @@ object SearchQueries {
        |  SELECT query_id, doc_id,
        |    round(sum(
        |      ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)) *
-       |      (tf * ${K1 + 1}::DOUBLE) /
-       |      (tf + $K1::DOUBLE * (${1 - B}::DOUBLE + $B::DOUBLE * dl / avgdl))), 4) score,
+       |      (tf * ${k1 + 1}::DOUBLE) /
+       |      (tf + $k1::DOUBLE * (${1 - b}::DOUBLE + $b::DOUBLE * dl / avgdl))), 4) score,
        |    count(*) n_terms_hit
        |  FROM post JOIN dfreq USING (term), stats
        |  GROUP BY 1, 2)""".stripMargin
