@@ -83,24 +83,33 @@ object Bench {
     val requireIdle = sys.env.get("SPARK_GRAFT_BENCH_REQUIRE_IDLE").contains("1")
     val idleWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_WAIT", "300").toInt
     // runnable counts kernel TASKS in R state including this process's
-    // own thread doing the read, hence the -1; any OTHER runnable task
-    // taints (a hog that started seconds ago is invisible to load1's
-    // 1-minute average but visible here)
-    def isIdle(l: (Double, Double, Int, Int)): Boolean =
-      l._1 < 0 || (l._1 <= idleLoad1 && l._3 - 1 <= 0)
-    var start = loadAvg()
+    // own threads — the sampling thread always, and transiently the
+    // JVM's JIT/GC threads. Take the MIN over a few spaced samples: a
+    // foreign hog is PERSISTENTLY runnable across all of them (even
+    // when it started seconds ago and is invisible to load1's 1-minute
+    // average), while own JIT/GC spikes are not — so min-1 <= 0 taints
+    // on real load without spuriously refusing an idle host.
+    def idleProbe(): ((Double, Double, Int, Int), Boolean) = {
+      val samples = (1 to 3).map { i =>
+        val l = loadAvg(); if (i < 3) Thread.sleep(120); l }
+      val head = samples.head
+      val minRunnable = samples.map(_._3).min
+      (head, head._1 < 0 || (head._1 <= idleLoad1 && minRunnable - 1 <= 0))
+    }
+    var (start, idleNow) = idleProbe()
     if (requireIdle) {
       val deadline = System.nanoTime() + idleWaitSec * 1e9.toLong
-      while (!isIdle(start) && System.nanoTime() < deadline) {
+      while (!idleNow && System.nanoTime() < deadline) {
         System.err.println(f"[bench] waiting for idle host: load1=${start._1}%.2f runnable=${start._3}")
-        Thread.sleep(10000); start = loadAvg()
+        Thread.sleep(10000)
+        val p = idleProbe(); start = p._1; idleNow = p._2
       }
-      if (!isIdle(start)) {
+      if (!idleNow) {
         System.err.println(f"[bench] REFUSING: host not idle after ${idleWaitSec}s (load1=${start._1}%.2f runnable=${start._3}); set SPARK_GRAFT_BENCH_REQUIRE_IDLE=0 to taint instead")
         sys.exit(2)
       }
     }
-    val tainted = !isIdle(start)
+    val tainted = !idleNow
     if (tainted)
       System.err.println(f"[bench] WARNING: host not idle at start (load1=${start._1}%.2f runnable=${start._3}); artifact will carry tainted:true — do not use it for round-over-round comparison")
     val spark = SparkSession.builder()

@@ -12,12 +12,13 @@ import java.nio.file.{Files, Paths}
   * constants (a date-boundary off-by-one, a wrong null treatment under
   * an empty group, a tiebreak that only matters for some k) survives
   * round after round. This main draws N seeded parameter vectors across
-  * sixteen query templates — date windows, thresholds, group keys,
+  * eighteen query templates — date windows, thresholds, group keys,
   * top-k cuts, semi/anti membership, window ranks, text predicates,
   * and (r14) the dd/vs surfaces: shingle-k × Jaccard threshold,
   * MinHash bands/rows, SimHash Hamming radius with pigeonhole-derived
   * banding, filtered kNN with drawn k, containment, exact-dup
-  * normalization modes — builds
+  * normalization modes, BM25 with drawn (k1, b), sessionization with a
+  * drawn inactivity gap — builds
   * the Spark result AND the equivalent DuckDB SQL from the SAME
   * parameters, and dumps both in the [[Verify]] contract (parquet per
   * query + oracle_sql.json), so `tools/oracle_check.py` replays the

@@ -67,7 +67,18 @@ object RagQueries {
   private def publishStage(fs: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path,
       stageP: org.apache.hadoop.fs.Path): Unit = {
-    try fs.rename(tmp, stageP) catch { case _: Throwable => () }
+    // fast-path: a winner already published — skip the rename entirely
+    // so the data-sized copy fallback stays a millisecond-rare TOCTOU
+    // sliver (swept below), never the ROUTINE loser path where a
+    // concurrent reader could list the growing nested copy
+    if (!fs.exists(stageP)) fs.rename(tmp, stageP)
+    // a rename that threw propagates (tmp preserved, nothing cached);
+    // a rename that returned false with no winner published is a real
+    // publish failure — fail loudly rather than silently discarding
+    // the only copy of the built fixture and caching a broken path
+    if (!fs.exists(stageP))
+      throw new java.io.IOException(
+        s"stage publish failed: $tmp -> $stageP (no published stage after rename)")
     fs.delete(tmp, true) // no-op when the rename won cleanly
     fs.delete(new org.apache.hadoop.fs.Path(stageP, tmp.getName), true)
   }

@@ -235,11 +235,14 @@ object EmbedStream {
     // resume-first repair (see scaladoc): a pending marker with a
     // complete self-contained stage is a decided swap — commit it
     if (mfs.exists(marker) && resumeStagedRetrain(s, indexDir)) return true
-    // a pending marker with a PRE-UPGRADE stage (fold marker + _SUCCESS
-    // but no _staged_inputs / _staged centroids) is the one state this
-    // build cannot repair losslessly: the crashed commit may already
-    // have deleted original dirs whose rows survive ONLY in the stage,
-    // and with no input record there is no way to tell. Silently
+    // a pending marker with a PRE-UPGRADE stage — fold marker +
+    // _SUCCESS but NO _staged_inputs record, from a generation whose
+    // commit gate was marker+_SUCCESS alone ('='-form, or dot-form
+    // WITH staged centroids; see [[legacyStageCommitMayHaveBegun]]) —
+    // is the one state this build cannot repair losslessly: the
+    // crashed commit may already have deleted original dirs whose rows
+    // survive ONLY in the stage, and with no input record there is no
+    // way to tell. Silently
     // discarding it (the full rebuild's stageRewriteBatchDirs deletes
     // orphan tmp dirs) would commit the loss with no signal — refuse
     // and demand manual adjudication instead (ADVICE r13 low: the
