@@ -12,13 +12,15 @@ import java.nio.file.{Files, Paths}
   * constants (a date-boundary off-by-one, a wrong null treatment under
   * an empty group, a tiebreak that only matters for some k) survives
   * round after round. This main draws N seeded parameter vectors across
-  * eighteen query templates — date windows, thresholds, group keys,
+  * twenty query templates — date windows, thresholds, group keys,
   * top-k cuts, semi/anti membership, window ranks, text predicates,
   * and (r14) the dd/vs surfaces: shingle-k × Jaccard threshold,
   * MinHash bands/rows, SimHash Hamming radius with pigeonhole-derived
   * banding, filtered kNN with drawn k, containment, exact-dup
   * normalization modes, BM25 with drawn (k1, b), sessionization with a
-  * drawn inactivity gap — builds
+  * drawn inactivity gap, backward as-of join with drawn (type pair,
+  * strict bound, window-vs-custom-merge plan path), k-core with drawn
+  * (k, round budget) — builds
   * the Spark result AND the equivalent DuckDB SQL from the SAME
   * parameters, and dumps both in the [[Verify]] contract (parquet per
   * query + oracle_sql.json), so `tools/oracle_check.py` replays the
@@ -635,9 +637,90 @@ object FuzzVerify {
     (df, sql)
   }
 
+  /** t18: backward as-of join under drawn (left type, right type,
+    * strict bound, PLAN PATH) — the riskiest custom code in the repo is
+    * the hand-written merge operator (AsofJoinPlan → AsofMergeJoinExec);
+    * the fixed rows pin one type pair and the inclusive bound forever.
+    * The drawn path makes the window composition and the custom
+    * physical operator interchangeable targets of the same DuckDB
+    * `ASOF LEFT JOIN`, strict drawn on BOTH (`>` vs `>=`). */
+  private val t18: Gen = (s, d, r) => {
+    val lt = eventTypes(r.nextInt(eventTypes.length))
+    val rts = eventTypes.filter(_ != lt)
+    val rt = rts(r.nextInt(rts.length))
+    val strict = r.nextBoolean()
+    val merge = r.nextBoolean()
+    val e = Tables.events(s, d)
+    val leftDf = e.filter(col("event_type") === lt)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val rightDf = e.filter(col("event_type") === rt)
+      .select(col("user_id"), col("ts"), col("value"))
+    val joined =
+      if (merge) graft.operators.AsofJoin.asofMerge(
+        leftDf, rightDf, Seq("user_id"), "ts", "ts", Seq("value"), strict)
+      else graft.operators.AsofJoin.asofBackward(
+        leftDf, rightDf, Seq("user_id"), "ts", "ts", Seq("value"), strict)
+    val df = joined.select(col("event_id"), col("user_id"),
+        col("value").as("l_value"),
+        col("asof_value").as("r_value"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("r_ts"))
+      .orderBy(col("event_id"))
+    val op = if (strict) ">" else ">="
+    val sql =
+      s"""WITH l AS (
+         |  SELECT event_id, user_id, ts, value FROM events
+         |  WHERE event_type = '$lt'),
+         |rr AS (
+         |  SELECT user_id, ts, max(value) AS rv
+         |  FROM events WHERE event_type = '$rt' GROUP BY 1, 2)
+         |SELECT l.event_id, l.user_id,
+         |  l.value AS l_value,
+         |  rr.rv AS r_value,
+         |  strftime(rr.ts, '%Y-%m-%d %H:%M:%S') AS r_ts
+         |FROM l ASOF LEFT JOIN rr
+         |  ON l.user_id = rr.user_id AND l.ts $op rr.ts
+         |ORDER BY l.event_id""".stripMargin
+    (df, sql)
+  }
+
+  /** t19: k-core over the simhash near-dup graph under drawn (k, round
+    * budget) — BOTH sides run the identical bounded peel (the engine's
+    * kcoreNodes and the oracle's unrolled MATERIALIZED rounds), so even
+    * a not-yet-converged budget must agree row-for-row; the fixed
+    * dd_kcore row pins k=3, rounds=8 forever. */
+  private val t19: Gen = (s, d, r) => {
+    import graft.queries.DedupQueries
+    val k = 2 + r.nextInt(5)
+    val rounds = 2 + r.nextInt(7)
+    val df = DedupQueries.kcoreNodes(DedupQueries.pairGraph(s, d), k, rounds)
+      .orderBy(col("node"))
+    val roundsSql = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (
+         |  SELECT src node FROM (
+         |    SELECT e.src, count(*) d
+         |    FROM edges e JOIN k${i - 1} x ON x.node = e.src
+         |                 JOIN k${i - 1} y ON y.node = e.dst
+         |    GROUP BY e.src)
+         |  WHERE d >= $k)""".stripMargin
+    }.mkString(",\n")
+    val sql =
+      s"""WITH ${DedupQueries.simhashSigSql},
+         |${DedupQueries.simhashPairsSql("doc_a", "doc_b")},
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a src, doc_b dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |k0 AS MATERIALIZED (SELECT DISTINCT src node FROM edges),
+         |$roundsSql
+         |SELECT e.src AS node, count(*)::BIGINT AS core_deg
+         |FROM edges e JOIN k$rounds x ON x.node = e.src
+         |             JOIN k$rounds y ON y.node = e.dst
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    (df, sql)
+  }
+
   private val templates: Vector[Gen] =
     Vector(t0, t1, t2, t3, t4, t5, t6, t7, t8, t9,
-      t10, t11, t12, t13, t14, t15, t16, t17)
+      t10, t11, t12, t13, t14, t15, t16, t17, t18, t19)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -367,7 +367,7 @@ object DedupQueries {
   private val pairCache = Caches.register(
     scala.collection.concurrent.TrieMap.empty[String, DataFrame])
 
-  private def pairGraph(s: SparkSession, d: String): DataFrame =
+  private[graft] def pairGraph(s: SparkSession, d: String): DataFrame =
     pairCache.getOrElseUpdate(d,
       simhashPairs(s, d)
         .select(col("doc_a").as("a"), col("doc_b").as("b")).persist())
@@ -602,7 +602,7 @@ object DedupQueries {
 
   /** Near-dup pair CTE over [[simhashSigSql]]'s `sig` (Hamming ≤ 3),
     * with caller-chosen output column names. */
-  private def simhashPairsSql(a: String, b: String): String =
+  private[graft] def simhashPairsSql(a: String, b: String): String =
     s"""pairs AS (
        |  SELECT x.doc_id $a, y.doc_id $b
        |  FROM sig x JOIN sig y ON x.doc_id < y.doc_id
