@@ -110,14 +110,19 @@ object KillSchedule {
     }
   }
 
-  /** Constant step mix (3 appends, 2 folds, 2 retrains) in seeded random
-    * ORDER — the product contract serializes mutators (the foreachBatch
-    * cadence), so the randomized surface is the order × the kill point,
-    * not intra-op thread interleaving. */
-  def steps(seed: Long): Seq[String] =
-    new scala.util.Random(seed ^ 0xDEADBEEFL)
-      .shuffle(List("append", "append", "append",
-        "fold", "retrain", "fold", "retrain"))
+  /** Drawn step mix (2-4 appends, 1-2 folds, 1-2 retrains) in seeded
+    * random ORDER — the product contract serializes mutators (the
+    * foreachBatch cadence), so the randomized surface is the mix × the
+    * order × the kill point, not intra-op thread interleaving. Derived
+    * purely from the seed, so the parent spec recomputes the same
+    * schedule to know which append steps exist. */
+  def steps(seed: Long): Seq[String] = {
+    val rnd = new scala.util.Random(seed ^ 0xDEADBEEFL)
+    val mix = List.fill(2 + rnd.nextInt(3))("append") ++
+      List.fill(1 + rnd.nextInt(2))("fold") ++
+      List.fill(1 + rnd.nextInt(2))("retrain")
+    rnd.shuffle(mix)
+  }
 }
 
 /** Separate-process maintenance runner: opens its own SparkSession with
@@ -450,14 +455,22 @@ class RetrainKillSpec extends SparkSpec {
     // serialized, per the product contract — the foreachBatch cadence)
     // in a forked JVM killed at a seeded random mutating-op count, then
     // repairs and asserts the full serving contract.
-    val probe = copyTrial("sched-probe")
-    val pp = launch(probe, -1L, "schedule", None, seed = 0L)
-    val outP = new String(pp.getInputStream.readAllBytes())
-    assert(pp.waitFor(600, TimeUnit.SECONDS), "schedule probe hung")
-    assert(pp.exitValue() == 0 && outP.contains("DONE=true"),
-      s"unarmed schedule must complete: $outP")
-    val t0 = "OPS=(\\d+)".r.findFirstMatchIn(outP).get.group(1).toLong
-    info(s"schedule op budget: $t0")
+    // probe three seeds unarmed: schedules now DRAW their step mix, so
+    // the op budget varies per seed — kill thresholds draw inside the
+    // MINIMUM probed budget (overshoots on bigger schedules just mean a
+    // clean no-kill trial, bounded below); the probes double as clean
+    // full-schedule correctness runs
+    val probes = (0L to 2L).map { sd =>
+      val dir = copyTrial(s"sched-probe$sd")
+      val p = launch(dir, -1L, "schedule", None, seed = sd)
+      val out = new String(p.getInputStream.readAllBytes())
+      assert(p.waitFor(600, TimeUnit.SECONDS), s"schedule probe $sd hung")
+      assert(p.exitValue() == 0 && out.contains("DONE=true"),
+        s"unarmed schedule $sd must complete: $out")
+      "OPS=(\\d+)".r.findFirstMatchIn(out).get.group(1).toLong
+    }
+    val t0 = probes.min
+    info(s"schedule op budgets: ${probes.mkString(",")} -> draw inside $t0")
 
     case class Trial(seed: Long, tag: String, dir: String, p: Process)
     val rnd = new scala.util.Random(0xFEED14)
@@ -476,7 +489,7 @@ class RetrainKillSpec extends SparkSpec {
       assert(code == 137 || code == 0, s"[${t.tag}] unexpected exit $code")
       if (code == 137) killed += 1
     }
-    assert(killed >= 15, s"only $killed/20 trials actually died — " +
+    assert(killed >= 14, s"only $killed/20 trials actually died — " +
       "threshold draw is not exercising the kill surface")
 
     trials.foreach { t =>
