@@ -58,11 +58,14 @@ object Bench {
       val histDir = new java.io.File(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl"))
         .getAbsoluteFile.getParentFile
+      // full-name match, not a substring scan: stray neighbors like
+      // BENCH_r3.json.bak must not count toward round inference
+      val R = "BENCH_r(\\d+)\\.json".r
       val rs = (Option(new java.io.File(".").listFiles()).getOrElse(Array()) ++
         Option(histDir.listFiles()).getOrElse(Array()))
-        .map(_.getName).flatMap { n =>
-          val m = "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(n)
-          m.map(_.group(1).toInt)
+        .map(_.getName).flatMap {
+          case R(d) => Some(d.toInt)
+          case _ => None
         }
       if (rs.isEmpty) 0 else rs.max + 1
     }
@@ -148,6 +151,23 @@ object Bench {
     // else, making them diffable round-to-round
     val audit = sys.env.get("SPARK_GRAFT_BENCH_AUDIT").contains("1") ||
       sys.env.get("SPARK_GRAFT_BENCH_HEAVY").contains("1")
+    // mid-run foreign-load detector (VERDICT r14 item 2): the start
+    // gate can't see load that ARRIVES mid-run — r14 measured a
+    // residual 1.16× spread between start-clean runs from exactly
+    // that. Between queries our executor threads are parked, so a
+    // min-of-3 runnable probe at each query boundary (same exclusion
+    // rule as the start gate: -1 for the sampling thread, min over
+    // spaced samples so own JIT/GC spikes don't count) sees a foreign
+    // hog that is active RIGHT NOW. The max across boundaries lands in
+    // the artifact; any boundary with foreign runnable > 0 sets
+    // tainted_mid. Probes run outside the timed regions.
+    var midForeignMax = 0
+    def boundaryProbe(): Unit = {
+      val probe = (1 to 3).map { i =>
+        val l = loadAvg(); if (i < 3) Thread.sleep(120); l._3 }
+      val foreign = probe.min - 1
+      if (foreign > midForeignMax) midForeignMax = foreign
+    }
     // deterministic name order: warmup residue lands on the same query
     // every round instead of whichever the Map hash puts first
     val samples = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -160,6 +180,7 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      boundaryProbe()
       name -> times
     }
     val results = samples.map { case (name, ts) => name -> ts.min }
@@ -175,10 +196,23 @@ object Bench {
     // idle — record the host's load average and runnable/total process
     // counts at run END so the artifact carries its own noise context
     val end = loadAvg()
+    // tainted_end (VERDICT r14 item 2): a foreign process still runnable
+    // at run END, judged by the same min-of-3 rule as the start gate.
+    // load1 at end is deliberately NOT part of the predicate — the 1-min
+    // average is dominated by this run's own 32-thread bursts, so it
+    // would taint every heavy run; the instantaneous runnable count
+    // (own executors parked by now) is the honest end-of-run signal.
+    val endForeign = ((1 to 3).map { i =>
+      val l = loadAvg(); if (i < 3) Thread.sleep(120); l._3 }).min - 1
+    val taintedEnd = end._1 >= 0 && endForeign > 0
+    val taintedMid = midForeignMax > 0
+    val round = currentRound()
     val load =
       s""""load1":${end._1},"load5":${end._2},"runnable":${end._3},"procs":${end._4},""" +
       s""""load1_start":${start._1},"runnable_start":${start._3},""" +
-      s""""tainted":$tainted,"round":${currentRound()}"""
+      s""""tainted":$tainted,"tainted_end":$taintedEnd,""" +
+      s""""tainted_mid":$taintedMid,"runnable_mid_max":$midForeignMax,""" +
+      s""""round":$round"""
     val ts = java.time.Instant.now().toString
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"setup_sec":$setupSec,$load,"ts":"$ts"}"""
@@ -203,5 +237,12 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
+    // compact summary as the LAST stdout line (VERDICT r14 item 6):
+    // the driver's stdout capture has shipped a truncated TAIL five
+    // rounds running, losing the long per-query line above. This short
+    // line survives tail truncation of everything before it and is
+    // independently parseable; the full per-query map remains in
+    // BENCH_HISTORY.jsonl and SPARK_GRAFT_BENCH_OUT.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"runs":$runs,"tainted":$tainted,"tainted_end":$taintedEnd,"tainted_mid":$taintedMid,"round":$round,"compact":true,"full_line":"BENCH_HISTORY.jsonl"}""")
   }
 }

@@ -20,7 +20,12 @@ import java.nio.file.{Files, Paths}
   * normalization modes, BM25 with drawn (k1, b), sessionization with a
   * drawn inactivity gap, backward as-of join with drawn (type pair,
   * strict bound, window-vs-custom-merge plan path), k-core with drawn
-  * (k, round budget) — builds
+  * (k, round budget), and (r15) the STREAMING stores under drawn
+  * micro-batch splits — SpanStream postings, MinhashStream near-dup
+  * pairs, SketchStream CMS ledger, EventStream hourly ledger, each
+  * driven through its real writeDelta kernel with a drawn (batch
+  * count, salted arrival assignment, corpus subset) and checked for
+  * split-invariance of the merge-on-read view — builds
   * the Spark result AND the equivalent DuckDB SQL from the SAME
   * parameters, and dumps both in the [[Verify]] contract (parquet per
   * query + oracle_sql.json), so `tools/oracle_check.py` replays the
@@ -543,7 +548,7 @@ object FuzzVerify {
          |  FROM documents GROUP BY 1)
          |SELECT count(*) AS n_unique,
          |  sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
-         |  sum(n_copies - 1)::BIGINT AS n_removed
+         |  coalesce(sum(n_copies - 1), 0)::BIGINT AS n_removed
          |FROM fp""".stripMargin
     (df, sql)
   }
@@ -718,9 +723,264 @@ object FuzzVerify {
     (df, sql)
   }
 
+  // ---- streaming twins under drawn batch splits (VERDICT r14 item 3) --
+  // The streaming stores' merge-on-read contract is SPLIT-INVARIANCE:
+  // the served relation must not depend on HOW arrival carved the
+  // corpus into micro-batches. The fixed specs pin one 3-way pmod split
+  // forever; these templates draw (batch count, salted assignment,
+  // corpus subset) per seed, drive the stores through the SAME
+  // writeDelta kernels the foreachBatch sinks run, and check the merged
+  // view — against DuckDB directly where the semantics are relational
+  // (t20 span coverage, t23 hourly ledger), and against the in-engine
+  // batch kernel plus a DuckDB-checkable exact bound where banding /
+  // sketching isn't SQL-expressible (t21 minhash pairs, t22 CMS).
+
+  /** Recursive best-effort delete of a per-seed temp store (the merged
+    * result is localCheckpoint'ed first, so the caller's write never
+    * re-reads the deleted dir). */
+  private def deleteRec(dir: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(dir)
+      if (Files.exists(root))
+        Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Salted split of a frame into `nB` pseudo-micro-batches. */
+  private def splitOf(df: DataFrame, idCol: String, salt: Int, nB: Int,
+      b: Int): DataFrame =
+    df.filter(pmod(xxhash64(col(idCol), lit(salt)), lit(nB)) === lit(b))
+
+  /** t20: SpanStream duplicated-span postings under drawn (doc range,
+    * batch count, arrival split): cross-batch duplicated spans must be
+    * found exactly — coverage is checked against the DuckDB substring
+    * oracle over the same subset, so the merge-on-read index equals the
+    * batch relation AND the independent engine. */
+  private val t20: Gen = (s, d, r) => {
+    import graft.streaming.SpanStream
+    val lo = r.nextInt(300)
+    val hi = lo + 100 + r.nextInt(200)
+    val nB = 2 + r.nextInt(4)
+    val salt = r.nextInt(1 << 20)
+    val subset = Tables.documents(s, d)
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("fuzz_span").toString
+    (0 until nB).foreach { b =>
+      SpanStream.writeDelta(splitOf(subset, "doc_id", salt, nB, b), dir, b.toLong)
+    }
+    val df = SpanStream.coverage(s, dir)
+      .orderBy(col("doc_id")).localCheckpoint()
+    deleteRec(dir)
+    val sql =
+      s"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w
+         |  FROM documents WHERE doc_id >= $lo AND doc_id < $hi),
+         |ng AS (
+         |  SELECT doc_id, unnest([{'pos': i, 'g': array_to_string(w[i:i+7], ' ')}
+         |    FOR i IN range(1, len(w)-6)], recursive := true)
+         |  FROM tok WHERE len(w) >= 8),
+         |dup AS (SELECT g FROM ng GROUP BY g HAVING count(*) >= 2),
+         |occ AS (SELECT ng.doc_id AS doc_id, ng.pos AS pos FROM ng JOIN dup USING (g)),
+         |lagd AS (
+         |  SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) prev
+         |  FROM occ),
+         |cov AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN prev IS NULL THEN 8 ELSE least(8, pos - prev) END)::BIGINT dup_tokens
+         |  FROM lagd GROUP BY 1)
+         |SELECT t.doc_id AS doc_id, len(w)::BIGINT AS n_tokens,
+         |  coalesce(c.dup_tokens, 0)::BIGINT AS dup_tokens,
+         |  round(coalesce(c.dup_tokens, 0) / len(w)::DOUBLE, 4) AS dup_frac
+         |FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id
+         |ORDER BY doc_id""".stripMargin
+    (df, sql)
+  }
+
+  /** t21: MinhashStream near-dup index under drawn (doc range, batch
+    * count, split): the accumulated verified-pair store must equal the
+    * batch LSH kernel at the stream's fixed (128 hashes, 32 bands, 0.8)
+    * params over the union — a probe that misses the strictly-before
+    * discipline double-finds or drops cross-batch pairs. The stream
+    * pairs are additionally a SUBSET of the exact Jaccard pairs, whose
+    * count DuckDB computes independently. */
+  private val t21: Gen = (s, d, r) => {
+    import graft.functions.TextFunctions.{jaccardShingles, minhashBands, minhashSignature, shingles}
+    import graft.streaming.MinhashStream
+    val lo = r.nextInt(350)
+    val hi = lo + 60 + r.nextInt(90)
+    val nB = 2 + r.nextInt(3)
+    val salt = r.nextInt(1 << 20)
+    val subset = Tables.documents(s, d)
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("fuzz_mh").toString
+    (0 until nB).foreach { b =>
+      MinhashStream.writeDelta(splitOf(subset, "doc_id", salt, nB, b), dir, b.toLong)
+    }
+    val merged = MinhashStream.pairs(s, dir).localCheckpoint()
+    deleteRec(dir)
+    // batch truth: the same kernels over the whole subset at once
+    val sh = subset
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0).localCheckpoint()
+    val banded = minhashBands(
+      sh.select(col("doc_id"), minhashSignature(col("sh"), 128).as("sig")),
+      128, 32)
+    val batchPairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("jaccard", round(jaccardShingles(col("sha"), col("shb")), 4))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard")).localCheckpoint()
+    val exactPairs = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .filter(jaccardShingles(col("a.sh"), col("b.sh")) >= 0.8)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .localCheckpoint()
+    val nStream = merged.count()
+    val onlyStream = merged.exceptAll(batchPairs).count()
+    val onlyBatch = batchPairs.exceptAll(merged).count()
+    val inExact = merged.select(col("doc_a"), col("doc_b"))
+      .join(exactPairs, Seq("doc_a", "doc_b"), "left_semi").count()
+    import s.implicits._
+    val df = Seq((exactPairs.count(),
+      onlyStream == 0L && onlyBatch == 0L, inExact == nStream))
+      .toDF("n_exact", "stream_eq_batch", "stream_subset_exact")
+    val sql =
+      s"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w
+         |  FROM documents WHERE doc_id >= $lo AND doc_id < $hi),
+         |sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+         |      FOR i IN range(1, len(w)-1)])) s
+         |  FROM tok WHERE len(w) >= 3),
+         |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id i, b.doc_id j, count(*) inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT count(*) AS n_exact, TRUE AS stream_eq_batch,
+         |  TRUE AS stream_subset_exact
+         |FROM pairs JOIN cnt ca ON ca.doc_id = i JOIN cnt cb ON cb.doc_id = j
+         |WHERE inter / (ca.n + cb.n - inter)::DOUBLE >= 0.8""".stripMargin
+    (df, sql)
+  }
+
+  /** t22: SketchStream CMS ledger under drawn (date window, batch
+    * count, split, probe users): counter matrices ADD, so the merged
+    * ledger's estimates must EQUAL the single-sketch batch estimates
+    * for every probe — any split sensitivity (a dropped batch row, a
+    * double-merged replay) breaks equality. Estimates are additionally
+    * ≥ the exact counts (CMS never underestimates), which DuckDB
+    * computes independently per (event_type, probe). */
+  private val t22: Gen = (s, d, r) => {
+    import graft.queries.EventQueries.{CmsConf, CmsEps, CmsSeed}
+    import graft.streaming.SketchStream
+    val d1 = day(evBase, r.nextInt(200))
+    val d2 = day(java.time.LocalDate.parse(d1), 10 + r.nextInt(60))
+    val nB = 2 + r.nextInt(3)
+    val salt = r.nextInt(1 << 20)
+    val probes = (0 until 5).map(_ => r.nextInt(2000).toLong).distinct.sorted
+    val subset = Tables.events(s, d)
+      .filter(col("ts") >= lit(d1).cast("timestamp") &&
+        col("ts") < lit(d2).cast("timestamp"))
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    val dir = Files.createTempDirectory("fuzz_cms").toString
+    val ledger = s"$dir/ledger"
+    (0 until nB).foreach { b =>
+      SketchStream.writeDelta(splitOf(subset, "event_id", salt, nB, b),
+        ledger, b.toLong)
+    }
+    import s.implicits._
+    val probeDf = probes.toDF("user_id")
+    // an all-empty window writes NO ledger (writeDelta skips empty
+    // batches) — the merged view is then the empty relation, which the
+    // oracle's empty `types` set mirrors
+    val streamEst = (if (Files.exists(Paths.get(ledger)))
+        SketchStream.estimates(s, ledger, probeDf)
+      else s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_type STRING, user_id BIGINT, est_n BIGINT")))
+      .withColumnRenamed("est_n", "stream_n").localCheckpoint()
+    deleteRec(dir)
+    val batchEst = subset.groupBy(col("event_type"))
+      .agg(expr(
+        s"count_min_sketch(user_id, ${CmsEps}d, ${CmsConf}d, $CmsSeed)").as("sk"))
+      .crossJoin(broadcast(probeDf))
+      .select(col("event_type"), col("user_id"),
+        graft.functions.SketchFunctions.cmsEstimate(col("sk"), col("user_id"))
+          .as("batch_n"))
+    val exact = subset.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("exact_n"))
+    val df = streamEst
+      .join(batchEst, Seq("event_type", "user_id"))
+      .join(exact, Seq("event_type", "user_id"), "left")
+      .select(col("event_type"), col("user_id"),
+        (col("stream_n") === col("batch_n")).as("stream_eq_batch"),
+        (col("stream_n") >= coalesce(col("exact_n"), lit(0L))).as("ge_exact"))
+      .orderBy(col("event_type"), col("user_id"))
+    val probeList = probes.mkString("(", "), (", ")")
+    val sql =
+      s"""WITH types AS (
+         |  SELECT DISTINCT event_type FROM events
+         |  WHERE ts >= TIMESTAMP '$d1' AND ts < TIMESTAMP '$d2'),
+         |probes(user_id) AS (VALUES $probeList)
+         |SELECT t.event_type AS event_type, p.user_id::BIGINT AS user_id,
+         |  TRUE AS stream_eq_batch, TRUE AS ge_exact
+         |FROM types t CROSS JOIN probes p
+         |ORDER BY event_type, user_id""".stripMargin
+    (df, sql)
+  }
+
+  /** t23: EventStream hourly-count ledger under drawn (date window,
+    * batch count, split): hours REPEAT across batches (unlike the
+    * doc-unique delta stores), so the merge-on-read SUM of partials is
+    * the surface under test — checked against DuckDB's direct hourly
+    * rollup of the same window. */
+  private val t23: Gen = (s, d, r) => {
+    import graft.streaming.EventStream
+    val d1 = day(evBase, r.nextInt(250))
+    val d2 = day(java.time.LocalDate.parse(d1), 5 + r.nextInt(40))
+    val nB = 2 + r.nextInt(4)
+    val salt = r.nextInt(1 << 20)
+    val subset = Tables.events(s, d)
+      .filter(col("ts") >= lit(d1).cast("timestamp") &&
+        col("ts") < lit(d2).cast("timestamp"))
+      .select(col("event_id"), col("event_type"), col("ts"))
+    val dir = Files.createTempDirectory("fuzz_hourly").toString
+    (0 until nB).foreach { b =>
+      EventStream.writeHourlyDelta(splitOf(subset, "event_id", salt, nB, b),
+        dir, b.toLong)
+    }
+    val df = EventStream.hourlyCounts(s, dir)
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH").as("hh"), col("cnt"))
+      .orderBy(col("event_type"), col("hh")).localCheckpoint()
+    deleteRec(dir)
+    val sql =
+      s"""SELECT event_type,
+         |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hh,
+         |  count(*) AS cnt
+         |FROM events
+         |WHERE ts >= TIMESTAMP '$d1' AND ts < TIMESTAMP '$d2'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    (df, sql)
+  }
+
   private val templates: Vector[Gen] =
     Vector(t0, t1, t2, t3, t4, t5, t6, t7, t8, t9,
-      t10, t11, t12, t13, t14, t15, t16, t17, t18, t19)
+      t10, t11, t12, t13, t14, t15, t16, t17, t18, t19,
+      t20, t21, t22, t23)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -738,11 +998,18 @@ object FuzzVerify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val oracles = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // per-template attempt/success tally (ADVICE r14): a template that
+    // throws for EVERY seed (e.g. broken by a refactor) must fail the
+    // batch loudly, not silently vanish from oracle_sql.json and leave
+    // the differential gate green with zero coverage of that surface
+    val attempts = new Array[Int](templates.length)
+    val successes = new Array[Int](templates.length)
     (0 until nSeeds).foreach { seed =>
       val tpl = seed % templates.length
       val name = s"fuzz_t${tpl}_s$seed"
       if (only.forall(_.contains(name))) {
         val rnd = new scala.util.Random(seed.toLong * Golden + tpl)
+        attempts(tpl) += 1
         // instantiation INSIDE the try: template construction analyzes
         // the plan eagerly, and one bad template must cost one recorded
         // failure, not the whole batch's oracle_sql.json
@@ -750,6 +1017,7 @@ object FuzzVerify {
           val (df, sql) = templates(tpl)(spark, sfDir, rnd)
           df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
           oracles(name) = sql
+          successes(tpl) += 1
         } catch { case e: Throwable =>
           System.err.println(s"[fuzz] $name failed: ${e.getMessage}")
         }
@@ -759,7 +1027,17 @@ object FuzzVerify {
       .map { case (k, v) => s"${Verify.jsonQuote(k)}: ${Verify.jsonQuote(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    println(s"[fuzz] wrote ${oracles.size} seeded cases to $outDir")
+    val nFailed = attempts.sum - successes.sum
+    val dead = attempts.indices
+      .filter(i => attempts(i) > 0 && successes(i) == 0)
+    println(s"[fuzz] wrote ${oracles.size} seeded cases to $outDir" +
+      (if (nFailed > 0) s" ($nFailed failed)" else ""))
     spark.stop()
+    if (dead.nonEmpty) {
+      System.err.println(s"[fuzz] FATAL: templates with zero successful " +
+        s"cases: ${dead.map("t" + _).mkString(",")} — the differential " +
+        "gate has no coverage of those surfaces")
+      sys.exit(3) // json already written: partial evidence persists
+    }
   }
 }

@@ -61,9 +61,14 @@ object RagQueries {
     * local-FS rename falls back to FileUtil.copy when renameTo fails
     * on an existing non-empty destination, which copies the source
     * INTO the destination as a child and still returns true — a copy
-    * of tmp nested inside the winner's published dir (that nested,
-    * non-hidden dir would break partition discovery for every later
-    * reader of the shared fixture). */
+    * of tmp nested inside the winner's published dir. Two layers of
+    * defense against that nested copy (ADVICE r14): the tmp basename
+    * is underscore-prefixed, so even a stranded nested copy (loser
+    * killed mid-copy-fallback, before its own sweep) is hidden from
+    * Spark/parquet listing, which skips `_`/`.`-prefixed children;
+    * and [[sweepStageResidue]] deletes stranded tmp children of a
+    * published stage on EVERY cache hit, not just in the publishing
+    * invocation. */
   private def publishStage(fs: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path,
       stageP: org.apache.hadoop.fs.Path): Unit = {
@@ -80,8 +85,25 @@ object RagQueries {
       throw new java.io.IOException(
         s"stage publish failed: $tmp -> $stageP (no published stage after rename)")
     fs.delete(tmp, true) // no-op when the rename won cleanly
-    fs.delete(new org.apache.hadoop.fs.Path(stageP, tmp.getName), true)
+    sweepStageResidue(fs, stageP)
   }
+
+  /** Delete stranded tmp residue inside a published stage dir: any
+    * child whose name marks it as a publish temp (`_tmp.`-prefixed
+    * from this code, or the legacy `<name>.tmp.<uuid>` form older
+    * builders used). A loser session killed mid-copy-fallback leaves
+    * such a child that ITS sweep never ran for; since `_SUCCESS` is
+    * present, later sessions skip the build — so they must sweep on
+    * the read path too, or the stranded copy lives forever. */
+  private def sweepStageResidue(fs: org.apache.hadoop.fs.FileSystem,
+      stageP: org.apache.hadoop.fs.Path): Unit =
+    try {
+      if (fs.exists(stageP)) fs.listStatus(stageP).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_tmp.") || n.contains(".tmp."))
+          fs.delete(st.getPath, true)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () } // sweep is best-effort
 
   private val corpusCache = Caches.register(
     scala.collection.concurrent.TrieMap.empty[String, DataFrame])
@@ -108,13 +130,18 @@ object RagQueries {
           val fs = stageP.getFileSystem(s.sparkContext.hadoopConfiguration)
           if (!fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"))) {
             val t0 = System.nanoTime()
-            val tmp = new org.apache.hadoop.fs.Path(s"$stage.tmp." +
-              java.util.UUID.randomUUID().toString.take(8))
+            // underscore-prefixed basename: if the publish rename ever
+            // degrades to Hadoop's copy-into-destination fallback and
+            // we die mid-copy, the nested residue is invisible to
+            // parquet readers instead of breaking partition discovery
+            val tmp = new org.apache.hadoop.fs.Path(stageP.getParent,
+              s"_tmp.${java.util.UUID.randomUUID().toString.take(8)}." +
+                stageP.getName)
             build.write.mode("overwrite").parquet(tmp.toString)
             publishStage(fs, tmp, stageP)
             System.err.println(f"[rag] corpus build $d took " +
               f"${(System.nanoTime() - t0) / 1e9}%.1f s (staged to $stage)")
-          }
+          } else sweepStageResidue(fs, stageP) // cache hit: clear strays
           s.read.parquet(stage)
         case None => build
       }
@@ -328,8 +355,9 @@ object RagQueries {
           if (!fs.exists(
               new org.apache.hadoop.fs.Path(s"$stage/centroids/_SUCCESS"))) {
             val t0 = System.nanoTime()
-            val tmp = new org.apache.hadoop.fs.Path(s"$stage.tmp." +
-              java.util.UUID.randomUUID().toString.take(8))
+            val tmp = new org.apache.hadoop.fs.Path(stageP.getParent,
+              s"_tmp.${java.util.UUID.randomUUID().toString.take(8)}." +
+                stageP.getName)
             build(tmp.toString)
             publishStage(fs, tmp, stageP)
             System.err.println(f"[rag] ivf index build $d took " +
@@ -414,6 +442,200 @@ object RagQueries {
   }
 
   val qRetrieveTopkIvfGateSql: String =
+    """SELECT r.range AS query_id, 0.4::DOUBLE AS floor, TRUE AS recall_ok
+      |FROM range(5) r ORDER BY query_id""".stripMargin
+
+  /** Deterministic cluster-skew geometry shared by the skewed fixture,
+    * its index build, and the gate's probe queries (VERDICT r14 item 1).
+    * Ten unit centers with NO shared tokens across ids (shared tokens
+    * would pull HashEmbedder centers together; disjoint token triples
+    * are near-orthogonal in 384-d), power-law mass via
+    * cid = min(9, floor(log2(vec_id % 1024 + 1))) — cluster 9 holds
+    * ~50 % of rows, 8 holds ~25 %, … the 30–50 % hot-cluster shape real
+    * corpora show. The hot cluster is additionally TIGHT (eps 0.02 vs
+    * 0.3 — duplicated-text mass), which is the adversarial worst case
+    * twice over: farthest-first seeding places at most one seed inside
+    * a near-duplicate blob, so an uncapped build yields ONE list with
+    * half the corpus, and that list's probe scan + re-rank window
+    * degrade the serving path back toward linear. */
+  private[graft] object SkewGeom {
+    val nClusters = 10
+    // the embeddings table is 64-dim (TESTDATA), not the corpus's 384:
+    // centers/noise must match or zip_with pads the tail with nulls
+    private val embedder = new HashEmbedder(64)
+    lazy val centers: Array[Array[Float]] = Array.tabulate(nClusters)(cid =>
+      embedder.embed(s"anchor$cid bearing$cid signal$cid"))
+    val hotEps = 0.02
+    val coldEps = 0.3
+    /** cid for a vec_id — must match the Spark-side expression in
+      * [[skewedEmbeddings]] exactly. floor(log2(v)) is computed as
+      * bit-length − 1 on BOTH sides (integer-exact; float log2 can
+      * land 1 ulp under an exact power of two). */
+    def cidOf(vecId: Long): Int = {
+      val r = (vecId % 1024 + 1024) % 1024
+      math.min(nClusters - 1, 63 - java.lang.Long.numberOfLeadingZeros(r + 1))
+    }
+    /** Largest-mass cid for a contiguous 0..n-1 id space, computed
+      * locally (O(1024) — no Spark action): the gate's "hot" probe
+      * queries must target whichever cluster actually holds the mass
+      * at this sf (cid 8 at n=500, cid 9 from n≥1024 up). */
+    def hotCid(n: Long): Int = {
+      val mass = new Array[Long](nClusters)
+      (0 until 1024).foreach { r =>
+        val cnt = n / 1024 + (if (r < n % 1024) 1L else 0L)
+        mass(cidOf(r)) += cnt
+      }
+      mass.indices.maxBy(i => (mass(i), i))
+    }
+    /** normalize(center + eps·noise) — driver-side twin of the fixture's
+      * Spark-side arithmetic, for building probe query vectors. */
+    def mix(center: Array[Float], noise: Array[Float], eps: Double): Array[Float] = {
+      val v = Array.tabulate(center.length)(i =>
+        center(i) + eps * (if (i < noise.length) noise(i) else 0f))
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (norm == 0) center else v.map(x => (x / norm).toFloat)
+    }
+    def probeNoise(i: Int): Array[Float] = embedder.embed(s"skewprobe$i drift$i")
+  }
+
+  /** The skewed embedding fixture: (vec_id, cid, embedding) derived
+    * deterministically from the embeddings table — each row's vector is
+    * normalize(center(cid) + eps(cid)·unit(raw embedding)), computed
+    * with codegen HOFs (zip_with/aggregate/transform) in one projection,
+    * no UDFs, no shuffle. Hot cluster (~50 % of rows) gets eps 0.02
+    * (near-duplicate mass); the rest 0.3. */
+  private[graft] def skewedEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val centersLit = typedlit(SkewGeom.centers.map(_.toSeq).toSeq)
+    val hot = SkewGeom.hotCid(Tables.t(s, d, "embeddings").count())
+    Tables.t(s, d, "embeddings")
+      .select(col("vec_id"),
+        // floor(log2(v)) as bit-length − 1: bin() of a positive long is
+        // exact where a float log2 can sit 1 ulp under a power of two
+        least(lit(SkewGeom.nClusters - 1),
+          length(bin(pmod(col("vec_id"), lit(1024)) + lit(1))) - lit(1))
+          .cast("int").as("cid"),
+        col("embedding"))
+      .withColumn("eps",
+        when(col("cid") === lit(hot), lit(SkewGeom.hotEps))
+          .otherwise(lit(SkewGeom.coldEps)))
+      .withColumn("nrm",
+        sqrt(aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .withColumn("raw",
+        zip_with(element_at(centersLit, col("cid") + 1), col("embedding"),
+          (c, e) => c.cast("double") +
+            col("eps") * e.cast("double") / col("nrm")))
+      .withColumn("rnrm",
+        sqrt(aggregate(col("raw"), lit(0.0d), (acc, x) => acc + x * x)))
+      .select(col("vec_id"), col("cid"),
+        transform(col("raw"), x => (x / col("rnrm")).cast("float"))
+          .as("embedding"))
+  }
+
+  /** Stored IVF index over the SKEWED fixture, built with the balanced
+    * centroid trainer ([[graft.retrieval.IvfIndex.buildCentroidsBalanced]],
+    * cap 4× the mean list share — the same 4.0 skew bound the refresh
+    * trigger uses): the hot near-duplicate cluster is split into
+    * sub-lists until none exceeds the cap, restoring the hard scan
+    * bound nprobe·capFrac·n that plain √n-centroid training loses under
+    * skew. Staged like the uniform index (pay the build once per
+    * sf-dir). */
+  private def storedIvfSkewFor(s: SparkSession, d: String): String =
+    ivfIndexDirs.getOrElseUpdate(s"$d#skew", {
+      import graft.retrieval.IvfIndex
+      def build(path: String): Unit = {
+        val skewed = skewedEmbeddings(s, d).select("vec_id", "embedding")
+        val c = VectorQueries.ivfCentroidCount(skewed.count())
+        val cents = IvfIndex.buildCentroidsBalanced(
+          skewed, "vec_id", "embedding", c, capFrac = 4.0 / c)
+        val assigned = IvfIndex.withQ8(
+          IvfIndex.assign(skewed, "vec_id", "embedding", cents), "embedding")
+        IvfIndex.write(assigned, cents, path)
+      }
+      sys.env.get("SPARK_GRAFT_CORPUS_STAGE") match {
+        case Some(root) =>
+          val stage = s"$root/${new java.io.File(d).getName}" +
+            s"-$corpusStageVersion-ivfskew"
+          val stageP = new org.apache.hadoop.fs.Path(stage)
+          val fs = stageP.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (!fs.exists(
+              new org.apache.hadoop.fs.Path(s"$stage/centroids/_SUCCESS"))) {
+            val t0 = System.nanoTime()
+            val tmp = new org.apache.hadoop.fs.Path(stageP.getParent,
+              s"_tmp.${java.util.UUID.randomUUID().toString.take(8)}." +
+                stageP.getName)
+            build(tmp.toString)
+            publishStage(fs, tmp, stageP)
+            System.err.println(f"[rag] ivf skew index build $d took " +
+              f"${(System.nanoTime() - t0) / 1e9}%.1f s (staged to $stage)")
+          }
+          (stage, false)
+        case None =>
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_rag_ivfskew").toString
+          build(tmp)
+          (tmp, true)
+      }
+    })._1
+
+  /** [[qRetrieveTopkIvfGate]]'s adversarial-skew leg (VERDICT r14
+    * item 1): the same stored-index serving shape — driver-side
+    * centroid shortlist, static partition `IN`, q8 two-phase re-rank —
+    * but over the power-law fixture where ~50 % of rows are one tight
+    * near-duplicate cluster, and with probe queries aimed AT the hot
+    * cluster (3 of 5; the worst case for both recall and scan size).
+    * The balanced build caps every list at 4× the mean share, so the
+    * probe scan stays bounded by nprobe·capFrac·n instead of degrading
+    * to a half-corpus read; recall@10 holds the same 0.4 floor as the
+    * uniform leg, checked against the exact brute truth. */
+  def qRetrieveTopkIvfSkewGate(s: SparkSession, d: String): DataFrame = {
+    val (brute, ann) = ivfSkewGateParts(s, d)
+    VectorQueries.recallReport(brute, ann, floor = 0.4)
+      .orderBy(col("query_id"))
+  }
+
+  /** The (exact truth, stored-IVF answer) halves of the skew gate —
+    * split out for ProfileRagIvf, like [[ivfGateParts]]. */
+  private[graft] def ivfSkewGateParts(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import graft.functions.VectorFunctions.cosine
+    import graft.retrieval.IvfIndex
+    import s.implicits._
+    val k = Retrieval.capsByScope("chunk").k
+    val skewed = skewedEmbeddings(s, d).select("vec_id", "embedding")
+    val hot = SkewGeom.hotCid(Tables.t(s, d, "embeddings").count())
+    val path = storedIvfSkewFor(s, d)
+    val cents = IvfIndex.loadCentroids(s, path)
+    // 3 hot probes (inside the near-duplicate blob) + 2 cold probes
+    // (the next two largest clusters); eps matches each cluster's own
+    // spread so probes look like corpus members, not outliers
+    val queries: Seq[(Long, Array[Float])] = (0 until 5).map { i =>
+      val cid = if (i < 3) hot else hot - (i - 2) // hot-1, hot-2
+      val eps = if (i < 3) SkewGeom.hotEps else SkewGeom.coldEps
+      (i.toLong,
+        SkewGeom.mix(SkewGeom.centers(cid), SkewGeom.probeNoise(i), eps))
+    }
+    val nprobe = math.min(cents.length,
+      math.max(8, 2 * math.round(math.sqrt(cents.length)).toInt))
+    val probed = IvfIndex.probes(queries, cents, nprobe)
+      .map(_._2).distinct.sorted
+    val lists = s.read.parquet(s"$path/lists")
+      .filter(col("centroid_id").isin(probed.map(Int.box): _*))
+    val ann = IvfIndex.searchQ8Lists(lists, "vec_id", "embedding", queries,
+      cents, nprobe, k)
+    val qdf = queries.toDF("query_id", "qv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val brute = skewed
+      .join(broadcast(qdf))
+      .withColumn("score", cosine(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    (brute, ann)
+  }
+
+  val qRetrieveTopkIvfSkewGateSql: String =
     """SELECT r.range AS query_id, 0.4::DOUBLE AS floor, TRUE AS recall_ok
       |FROM range(5) r ORDER BY query_id""".stripMargin
 
@@ -714,6 +936,7 @@ object RagQueries {
     "rag_graph_expand_topics" -> (qGraphExpandTopics _),
     "rag_retrieve_topk_gate" -> (qRetrieveTopkGate _),
     "rag_retrieve_topk_ivf_gate" -> (qRetrieveTopkIvfGate _),
+    "rag_retrieve_topk_ivf_skew_gate" -> (qRetrieveTopkIvfSkewGate _),
     "rag_agent_events_gate" -> (qAgentEventsGate _),
     "rag_agent_batch_gate" -> (qAgentBatchGate _),
     "rag_mmr_gate" -> (qMmrGate _),
@@ -728,6 +951,7 @@ object RagQueries {
     // hash-checked invariant relations.
     "rag_retrieve_topk_gate" -> qRetrieveTopkGateSql,
     "rag_retrieve_topk_ivf_gate" -> qRetrieveTopkIvfGateSql,
+    "rag_retrieve_topk_ivf_skew_gate" -> qRetrieveTopkIvfSkewGateSql,
     "rag_agent_events_gate" -> qAgentEventsGateSql,
     "rag_agent_batch_gate" -> qAgentBatchGateSql,
     "rag_mmr_gate" -> qMmrGateSql,

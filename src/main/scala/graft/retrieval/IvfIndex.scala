@@ -131,6 +131,99 @@ object IvfIndex {
   private def cosineLocal(a: Array[Float], b: Array[Float]): Double =
     Retrieval.cosineLocal(a, b)
 
+  /** [[buildCentroids]] under a max-list-share cap (VERDICT r14 item 1,
+    * the skew defense): after the plain sample-trained build, any
+    * cluster whose SAMPLE share exceeds `capFrac` is split in two by a
+    * driver-local 2-means over its members, repeatedly, until every
+    * cluster respects the cap (or splitting stops helping — a cluster
+    * of bit-identical vectors has no geometry to split on; the residual
+    * defense for that degenerate mass is the q8 two-phase prune).
+    *
+    * Why this matters at 100 TB: the probe scan's sublinearity claim is
+    * `nprobe` lists of ~n/c rows each — but real corpora are cluster-
+    * skewed, and ONE hot centroid holding 30–50 % of rows turns any
+    * probe that touches it back into a near-full scan (plus one giant
+    * window partition in the re-rank). The cap restores a hard bound:
+    * scanned rows ≤ nprobe · capFrac · n regardless of data shape.
+    * Splitting (vs. re-assigning overflow to second-nearest) keeps the
+    * geometry honest — sub-centroids tile the hot region, so a query
+    * that lands there shortlists several sub-lists and recall holds;
+    * an overflow re-assignment would scatter hot rows into lists whose
+    * centroid does not represent them, which silently costs recall.
+    *
+    * Like all centroid training here, this is DRIVER-LOCAL over the
+    * bounded seeded sample (≤ max(50·c, 2000) rows): the corpus itself
+    * is still touched exactly once, by the bulk assignment scan. The
+    * cap is therefore enforced on sample shares — corpus shares track
+    * them to sampling error, which the slack in callers' assertions
+    * absorbs. Output count may exceed `c` (at most 4·c; guard below).
+    * Deterministic for a given frame. */
+  def buildCentroidsBalanced(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      c: Int,
+      capFrac: Double,
+      iterations: Int = 4): Array[(Int, Array[Float])] = {
+    val (cents0, sample) =
+      buildCentroidsWithSample(emb, idCol, vecCol, c, iterations)
+    if (cents0.isEmpty || sample.isEmpty) return cents0
+    var cents = cents0.map(_._2).toBuffer
+    val cap = math.max(1, math.floor(capFrac * sample.length).toInt)
+    val maxCents = math.max(4 * c, c + 8)
+    var guard = 0
+    var done = false
+    while (!done && cents.length < maxCents && guard < 8 * c) {
+      guard += 1
+      // assign the sample to current centroids (driver-local)
+      val owner = sample.map { v =>
+        var bc = 0; var bs = Double.NegativeInfinity; var i = 0
+        while (i < cents.length) {
+          val s = cosineLocal(v, cents(i))
+          if (s > bs) { bs = s; bc = i }
+          i += 1
+        }
+        bc
+      }
+      val counts = new Array[Int](cents.length)
+      owner.foreach(counts(_) += 1)
+      val hot = counts.indices.maxBy(counts(_))
+      if (counts(hot) <= cap) done = true
+      else {
+        val members = sample.indices.filter(owner(_) == hot).map(sample(_))
+        // deterministic 2-means on the hot cluster's members: seed A =
+        // first member in sample order, seed B = member farthest from A
+        val a0 = members.head
+        val b0 = members.maxBy(m => 1.0 - cosineLocal(m, a0))
+        var (ca, cb) = (a0, b0)
+        var it = 0
+        var degenerate = false
+        while (it < 4 && !degenerate) {
+          val (ma, mb) = members.partition(m =>
+            cosineLocal(m, ca) >= cosineLocal(m, cb))
+          if (ma.isEmpty || mb.isEmpty) degenerate = true
+          else {
+            def mean(ms: Seq[Array[Float]]): Array[Float] = {
+              val dim = ms.head.length
+              val acc = new Array[Double](dim)
+              ms.foreach { m =>
+                var i = 0; while (i < dim && i < m.length) { acc(i) += m(i); i += 1 } }
+              val norm = math.sqrt(acc.map(x => x * x).sum)
+              if (norm == 0) ms.head else acc.map(x => (x / norm).toFloat)
+            }
+            ca = mean(ma); cb = mean(mb)
+          }
+          it += 1
+        }
+        // a split that can't separate the members (identical vectors) or
+        // didn't produce two distinct centroids would loop forever — stop
+        if (degenerate || java.util.Arrays.equals(ca, cb)) done = true
+        else { cents(hot) = ca; cents += cb }
+      }
+    }
+    cents.toArray.zipWithIndex.map { case (v, i) => (i, v) }
+  }
+
   /** Assign every vector to its nearest centroid (one scan; the centroid
     * table is broadcast as a literal — it is c rows by construction). */
   def assign(

@@ -36,17 +36,24 @@ object SketchStream {
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) {
-          batch
-            .groupBy(col("event_type"))
-            .agg(expr(
-              s"count_min_sketch(user_id, ${CmsEps}d, ${CmsConf}d, $CmsSeed)").as("sk"))
-            .withColumn("batch_id", lit(id))
-            .write.mode("append").parquet(ledgerPath)
-        }
-        ()
+        writeDelta(batch, ledgerPath, id)
       }
       .start()
+
+  /** One micro-batch's ledger row(s) — exposed (like SpanStream /
+    * MinhashStream.writeDelta) so specs and the differential fuzzer
+    * drive the exact kernel the stream runs. */
+  def writeDelta(batch: DataFrame, ledgerPath: String, id: Long): Unit = {
+    if (!batch.isEmpty) {
+      batch
+        .groupBy(col("event_type"))
+        .agg(expr(
+          s"count_min_sketch(user_id, ${CmsEps}d, ${CmsConf}d, $CmsSeed)").as("sk"))
+        .withColumn("batch_id", lit(id))
+        .write.mode("append").parquet(ledgerPath)
+    }
+    ()
+  }
 
   /** Merge the ledger down to one sketch per event type (dedup by
     * batch_id first — replay defense), then estimate the given probe

@@ -686,6 +686,21 @@ class PlanQualitySpec extends SparkSpec {
       s"probe scan must prune centroid_id partition dirs:\n$p")
   }
 
+  test("rag ivf skew gate: same static partition pruning under adversarial skew") {
+    val df = graft.queries.RagQueries
+      .queries("rag_retrieve_topk_ivf_skew_gate")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 5 && rows.forall(_.getBoolean(2)),
+      s"skew recall floor violated: ${rows.mkString(", ")}")
+    // the capped index must serve through the identical plan shape as
+    // the uniform leg — the balanced build changes WHERE rows live
+    // (sub-lists of the split hot cluster), never the serving plan
+    val p = plan(df)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("centroid_id")),
+      s"skew probe scan must prune centroid_id partition dirs:\n$p")
+  }
+
   test("heaps curve: type first-appearance agg partials map-side; no corpus-global window") {
     val p = plan(graft.queries.TextQueries.qHeapsLaw(spark, sf))
     assert(count(p, "partial_min") >= 1,

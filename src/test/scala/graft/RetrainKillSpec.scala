@@ -123,6 +123,29 @@ object KillSchedule {
       List.fill(1 + rnd.nextInt(2))("retrain")
     rnd.shuffle(mix)
   }
+
+  /** The pristine fixture's family probe/content vectors — shared by
+    * the parent spec (store build + post-repair serving asserts) and
+    * the harness's IN-FLIGHT reader (exact-cosine validation while
+    * mutators run), so both sides score against the same geometry. */
+  def famVec(fam: Int, salt: Long, dim: Int = 32): Seq[Float] = {
+    val rnd = new java.util.Random(salt * 6271L + fam)
+    Seq.tabulate(dim) { i =>
+      if (i == fam) 1.0f
+      else if (i >= 8) (0.01 * rnd.nextGaussian()).toFloat
+      else 0f
+    }
+  }
+
+  def cosL(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < math.min(a.length, b.length)) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
 }
 
 /** Separate-process maintenance runner: opens its own SparkSession with
@@ -147,24 +170,84 @@ object RetrainKillHarness {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val index = s"killfs:$dir/index"
+    def runSchedule(): Boolean = {
+      KillSchedule.steps(seed).zipWithIndex.foreach { case (st, i) =>
+        st match {
+          case "append" => appendBatch(spark, index, seed, i)
+          case "fold" =>
+            // the replay-safe fold discipline: never fold the latest
+            // batch dir (the only one a restarted stream can redeliver)
+            val ids = graft.operators.Compaction.batchIds(spark, s"$index/lists")
+            if (ids.nonEmpty)
+              EmbedStream.compactIndex(spark, index, upTo = ids.max)
+          case "retrain" =>
+            EmbedStream.retrainIvf(spark, index, c = 8, maxSkew = 2.5)
+        }
+      }
+      true
+    }
     val done = mode match {
       case "retrain" => EmbedStream.retrainIvf(spark, index, c = 8, maxSkew = 2.5)
       case "fold" => EmbedStream.compactIndex(spark, index, upTo = Long.MaxValue)
-      case "schedule" =>
-        KillSchedule.steps(seed).zipWithIndex.foreach { case (st, i) =>
-          st match {
-            case "append" => appendBatch(spark, index, seed, i)
-            case "fold" =>
-              // the replay-safe fold discipline: never fold the latest
-              // batch dir (the only one a restarted stream can redeliver)
-              val ids = graft.operators.Compaction.batchIds(spark, s"$index/lists")
-              if (ids.nonEmpty)
-                EmbedStream.compactIndex(spark, index, upTo = ids.max)
-            case "retrain" =>
-              EmbedStream.retrainIvf(spark, index, c = 8, maxSkew = 2.5)
-          }
+      case "schedule" => runSchedule()
+      case "schedule-readers" =>
+        // VERDICT r14 item 4: serving reads are documented concurrent
+        // with maintenance — observe every fold/retrain swap of THIS
+        // schedule with a live in-process reader, so a kill mid-swap
+        // lands while a probe is in flight. The reader drives the real
+        // serving entry point (probeVector — the fold-stable bracket
+        // around the q8 two-phase batched search) against the raw path
+        // (reads never tick KillFs anyway) and validates EXACTNESS
+        // in flight: every returned id must score exactly its known
+        // vector (the universe is closed: pristine rows ∪ all vectors
+        // this seed's schedule can ever append). Failures append to
+        // reader.log (flushed line-by-line, so they survive the kill);
+        // the parent asserts zero FAIL lines and enough OK lines.
+        val readerLog = new java.io.PrintWriter(
+          new java.io.FileWriter(s"$dir/reader.log", true))
+        def rlog(s0: String): Unit =
+          readerLog.synchronized { readerLog.println(s0); readerLog.flush() }
+        val universe: Map[Long, Seq[Float]] = {
+          val stored = spark.read.parquet(s"$dir/index/lists")
+            .select(col("vec_id"), col("embedding")).collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+          val appended = KillSchedule.steps(seed).zipWithIndex
+            .collect { case ("append", i) =>
+              KillSchedule.stepIds(i).zipWithIndex.map { case (id, j) =>
+                (id, KillSchedule.vec(seed, i, j)) }
+            }.flatten.toMap
+          stored ++ appended
         }
-        true
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val reader = new Thread(() => {
+          var i = 0
+          while (!stop.get()) {
+            val f = i % 4
+            val qv = KillSchedule.famVec(f, 9000L + f)
+            try {
+              val hits = EmbedStream.probeVector(spark, s"$dir/index",
+                qv.toArray, k = 3, nprobe = 8)
+              if (hits.size != 3) rlog(s"FAIL size=${hits.size} fam=$f")
+              else {
+                val bad = hits.filter { case (id, c) =>
+                  universe.get(id)
+                    .forall(v => math.abs(c - KillSchedule.cosL(qv, v)) > 1e-6)
+                }
+                if (bad.nonEmpty) rlog(s"FAIL inexact fam=$f: $bad")
+                else rlog("OK")
+              }
+            } catch { case e: Throwable =>
+              rlog(s"FAIL ex fam=$f ${e.getClass.getName}: ${e.getMessage}")
+            }
+            i += 1
+          }
+        })
+        reader.setDaemon(true)
+        reader.start()
+        val ok = try runSchedule() finally {
+          stop.set(true); reader.join(60000)
+        }
+        ok
     }
     println(s"OPS=${KillFs.count()} DONE=$done")
     sys.exit(0)
@@ -221,14 +304,8 @@ class RetrainKillSpec extends SparkSpec {
 
   private val dim = 32
 
-  private def famVec(fam: Int, salt: Long): Seq[Float] = {
-    val rnd = new java.util.Random(salt * 6271L + fam)
-    Seq.tabulate(dim) { i =>
-      if (i == fam) 1.0f
-      else if (i >= 8) (0.01 * rnd.nextGaussian()).toFloat
-      else 0f
-    }
-  }
+  private def famVec(fam: Int, salt: Long): Seq[Float] =
+    KillSchedule.famVec(fam, salt, dim)
   // the drift fixture: a hot family-0 blob of separable subfamilies, so
   // the c=8 retrain genuinely triggers and genuinely rebalances
   private def driftVec(salt: Long): Seq[Float] = {
@@ -241,15 +318,8 @@ class RetrainKillSpec extends SparkSpec {
       else 0f
     }
   }
-  private def cosL(a: Seq[Float], b: Seq[Float]): Double = {
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    while (i < a.length) {
-      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-      nb += b(i).toDouble * b(i); i += 1
-    }
-    val d = math.sqrt(na) * math.sqrt(nb)
-    if (d == 0.0) 0.0 else dot / d
-  }
+  private def cosL(a: Seq[Float], b: Seq[Float]): Double =
+    KillSchedule.cosL(a, b)
 
   private lazy val pristine: String = {
     implicit val sqlCtx = spark.sqlContext
@@ -492,59 +562,124 @@ class RetrainKillSpec extends SparkSpec {
     assert(killed >= 14, s"only $killed/20 trials actually died — " +
       "threshold draw is not exercising the kill surface")
 
-    trials.foreach { t =>
-      val lists = new java.io.File(s"${t.dir}/index/lists")
-      // heal the killed micro-batch write the way a restarted stream
-      // would: a batch dir without _SUCCESS is the one uncommitted
-      // write (mutators are serialized, and folds/retrains publish via
-      // rename of a _SUCCESS-carrying stage) — the checkpoint replay
-      // overwrites it; modeling it as never-delivered is equivalent
-      // for membership (its ids simply don't join the expected set)
-      Option(lists.listFiles()).getOrElse(Array())
-        .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
-          !new java.io.File(f, "_SUCCESS").exists())
-        .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
-      // expected membership: pristine ∪ appended ids visible in live
-      // batch dirs OR in a complete crash stage (a mid-commit kill can
-      // leave rows' only copy inside compact.tmp/_retrain.tmp — the
-      // repair must resume them, so they count as committed)
-      def idsOf(path: String): Set[Long] =
-        try spark.read.parquet(path).select(col("vec_id"))
-          .collect().map(_.getLong(0)).toSet
-        catch { case _: Throwable => Set.empty }
-      val liveIds = Option(lists.listFiles()).getOrElse(Array())
-        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-        .flatMap(f => idsOf(f.getAbsolutePath)).toSet
-      val stageIds = Seq("compact.tmp", "_retrain.tmp").flatMap { nm =>
-        val st = new java.io.File(lists, nm)
-        val complete = st.isDirectory &&
-          Option(st.listFiles()).getOrElse(Array()).exists(
-            _.getName.startsWith("_folded_upto")) &&
-          new java.io.File(st, "_SUCCESS").exists()
-        if (complete) idsOf(st.getAbsolutePath) else Set.empty[Long]
-      }.toSet
-      val appendSteps = KillSchedule.steps(t.seed).zipWithIndex
-        .collect { case ("append", i) => i }
-      val expectedAppended = appendSteps.flatMap { i =>
-        val ids = KillSchedule.stepIds(i)
-        val present = ids.toSet.intersect(liveIds ++ stageIds)
-        // all-or-nothing: a committed micro-batch survives whole; a
-        // partial survival here is itself a protocol violation
-        assert(present.isEmpty || present == ids.toSet,
-          s"[${t.tag}] append step $i survived PARTIALLY: $present")
-        if (present.nonEmpty)
-          ids.zipWithIndex.map { case (id, j) =>
-            (id, KillSchedule.vec(t.seed, i, j)) }
-        else Nil
-      }
-      val expected = (pristineRows ++ expectedAppended).sortBy(_._1)
-      var passes = 0
-      while (EmbedStream.retrainIvf(spark, s"${t.dir}/index", c = 8,
-          maxSkew = 2.5) && passes < 3) passes += 1
-      assert(passes < 3, s"[${t.tag}] retrain did not quiesce in 3 passes")
-      assertInvariants(t.dir, t.tag, expected)
-      EmbedStream.compactIndex(spark, s"${t.dir}/index", upTo = Long.MaxValue)
-      assertInvariants(t.dir, s"${t.tag}+fold", expected)
-    }
+    trials.foreach(t => repairAndAssertSchedule(t.dir, t.tag, t.seed))
   }
+
+  /** Heal + repair a killed schedule trial and assert the full serving
+    * contract against the seed-derived expected membership — shared by
+    * the plain schedule sweep and the in-flight-reader sweep. */
+  private def repairAndAssertSchedule(dir: String, tag: String,
+      seed: Long): Unit = {
+    val lists = new java.io.File(s"$dir/index/lists")
+    // heal the killed micro-batch write the way a restarted stream
+    // would: a batch dir without _SUCCESS is the one uncommitted
+    // write (mutators are serialized, and folds/retrains publish via
+    // rename of a _SUCCESS-carrying stage) — the checkpoint replay
+    // overwrites it; modeling it as never-delivered is equivalent
+    // for membership (its ids simply don't join the expected set)
+    Option(lists.listFiles()).getOrElse(Array())
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        !new java.io.File(f, "_SUCCESS").exists())
+      .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+    // expected membership: pristine ∪ appended ids visible in live
+    // batch dirs OR in a complete crash stage (a mid-commit kill can
+    // leave rows' only copy inside compact.tmp/_retrain.tmp — the
+    // repair must resume them, so they count as committed)
+    def idsOf(path: String): Set[Long] =
+      try spark.read.parquet(path).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSet
+      catch { case _: Throwable => Set.empty }
+    val liveIds = Option(lists.listFiles()).getOrElse(Array())
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .flatMap(f => idsOf(f.getAbsolutePath)).toSet
+    val stageIds = Seq("compact.tmp", "_retrain.tmp").flatMap { nm =>
+      val st = new java.io.File(lists, nm)
+      val complete = st.isDirectory &&
+        Option(st.listFiles()).getOrElse(Array()).exists(
+          _.getName.startsWith("_folded_upto")) &&
+        new java.io.File(st, "_SUCCESS").exists()
+      if (complete) idsOf(st.getAbsolutePath) else Set.empty[Long]
+    }.toSet
+    val appendSteps = KillSchedule.steps(seed).zipWithIndex
+      .collect { case ("append", i) => i }
+    val expectedAppended = appendSteps.flatMap { i =>
+      val ids = KillSchedule.stepIds(i)
+      val present = ids.toSet.intersect(liveIds ++ stageIds)
+      // all-or-nothing: a committed micro-batch survives whole; a
+      // partial survival here is itself a protocol violation
+      assert(present.isEmpty || present == ids.toSet,
+        s"[$tag] append step $i survived PARTIALLY: $present")
+      if (present.nonEmpty)
+        ids.zipWithIndex.map { case (id, j) =>
+          (id, KillSchedule.vec(seed, i, j)) }
+      else Nil
+    }
+    val expected = (pristineRows ++ expectedAppended).sortBy(_._1)
+    var passes = 0
+    while (EmbedStream.retrainIvf(spark, s"$dir/index", c = 8,
+        maxSkew = 2.5) && passes < 3) passes += 1
+    assert(passes < 3, s"[$tag] retrain did not quiesce in 3 passes")
+    assertInvariants(dir, tag, expected)
+    EmbedStream.compactIndex(spark, s"$dir/index", upTo = Long.MaxValue)
+    assertInvariants(dir, s"$tag+fold", expected)
+  }
+
+  test("schedules with IN-FLIGHT readers killed mid-run: no torn read, " +
+    "exact cosines while mutators swap, repair converges") {
+    // VERDICT r14 item 4: the randomized sweep above serializes
+    // mutators per the product contract, but serving READS are
+    // documented concurrent with retrain/fold — a kill mid-swap must
+    // land while a live probe is in flight. The harness's
+    // schedule-readers mode runs a probeVector loop (the fold-stable
+    // bracket around the q8 two-phase batched search) in a reader
+    // thread, validating in flight that every hit scores EXACTLY its
+    // known vector; failures land in reader.log and survive the kill.
+    val probe = {
+      val dir = copyTrial("rdr-probe")
+      val p = launch(dir, -1L, "schedule-readers", None, seed = 100L)
+      val out = new String(p.getInputStream.readAllBytes())
+      assert(p.waitFor(600, TimeUnit.SECONDS), "reader probe hung")
+      assert(p.exitValue() == 0 && out.contains("DONE=true"),
+        s"unarmed schedule-readers must complete: $out")
+      val log = readerLogOf(dir)
+      assert(log.count(_ == "OK") >= 3,
+        s"unarmed reader must land several probes, got:\n${log.mkString("\n")}")
+      assert(!log.exists(_.startsWith("FAIL")),
+        s"reader failures in unarmed run:\n${log.filter(_.startsWith("FAIL")).mkString("\n")}")
+      "OPS=(\\d+)".r.findFirstMatchIn(out).get.group(1).toLong
+    }
+    info(s"reader-schedule op budget: $probe")
+
+    case class Trial(seed: Long, tag: String, dir: String, p: Process)
+    val rnd = new scala.util.Random(0xBEAD15)
+    val trials = (0 until 12).map { i =>
+      val seed = 100L + i
+      val kill = 1L + rnd.nextLong(math.max(1L, (probe * 3) / 4))
+      val d = copyTrial(s"rdr$i")
+      Trial(seed, s"rdr#$i@$kill", d,
+        launch(d, kill, "schedule-readers", None, seed))
+    }
+    var killed = 0
+    var okTotal = 0
+    trials.foreach { t =>
+      assert(t.p.waitFor(900, TimeUnit.SECONDS), s"[${t.tag}] harness hung")
+      val code = t.p.exitValue()
+      assert(code == 137 || code == 0, s"[${t.tag}] unexpected exit $code")
+      if (code == 137) killed += 1
+      val log = readerLogOf(t.dir)
+      val fails = log.filter(_.startsWith("FAIL"))
+      assert(fails.isEmpty,
+        s"[${t.tag}] torn/inexact reads observed in flight:\n${fails.mkString("\n")}")
+      okTotal += log.count(_ == "OK")
+    }
+    assert(killed >= 8, s"only $killed/12 reader trials actually died")
+    assert(okTotal >= 12,
+      s"readers landed only $okTotal probes across all trials — " +
+        "the in-flight window is not being exercised")
+    trials.foreach(t => repairAndAssertSchedule(t.dir, t.tag, t.seed))
+  }
+
+  private def readerLogOf(dir: String): Seq[String] =
+    try scala.io.Source.fromFile(s"$dir/reader.log").getLines().toSeq
+    catch { case _: Throwable => Nil }
 }
