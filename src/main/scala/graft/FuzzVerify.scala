@@ -837,9 +837,13 @@ object FuzzVerify {
       .dropDuplicates("doc_a", "doc_b")
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-      .withColumn("jaccard", round(jaccardShingles(col("sha"), col("shb")), 4))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), col("jaccard")).localCheckpoint()
+      // filter on the RAW jaccard then round, exactly like writeDelta —
+      // filtering on the rounded value would admit raw 0.79996 pairs
+      // the stream excludes
+      .withColumn("jraw", jaccardShingles(col("sha"), col("shb")))
+      .filter(col("jraw") >= 0.8)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jraw"), 4).as("jaccard")).localCheckpoint()
     val exactPairs = sh.as("a").join(sh.as("b"),
         col("a.doc_id") < col("b.doc_id"))
       .filter(jaccardShingles(col("a.sh"), col("b.sh")) >= 0.8)
@@ -977,10 +981,82 @@ object FuzzVerify {
     (df, sql)
   }
 
+  /** t24: EmbedStream IVF store under a drawn MAINTENANCE SCHEDULE
+    * (appends × folds × retrains): the serving contract says results
+    * are exact over the committed rows no matter how arrival carved
+    * the corpus into batches or when compaction/retraining ran. The
+    * drawn schedule appends the subset through the startIvf foreachBatch
+    * body ([[graft.streaming.EmbedStream.ivfReportFor]] + the
+    * partitioned list write), interleaving seeded folds and retrains;
+    * serving probes member vectors with nprobe ≥ c and an overfetch
+    * window ≥ the subset, which makes the q8 two-phase search EXACTLY
+    * brute force — so DuckDB's full cosine top-k is a hash-exact
+    * oracle, independent of which schedule built the store. Catches:
+    * rows lost/duplicated by a fold or retrain swap, q8 re-rank
+    * tiebreak drift, and any batch-boundary dependence of the store. */
+  private val t24: Gen = (s, d, r) => {
+    import graft.streaming.EmbedStream
+    val lo = r.nextInt(120)
+    val hi = lo + 40 + r.nextInt(80)
+    val nB = 2 + r.nextInt(3)
+    val salt = r.nextInt(1 << 20)
+    val subset = Tables.embeddings(s, d)
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select(col("vec_id"), col("embedding"))
+    val dir = Files.createTempDirectory("fuzz_ivfsched").toString
+    try {
+      (0 until nB).foreach { b =>
+        val batch = splitOf(subset, "vec_id", salt, nB, b).localCheckpoint()
+        val (_, assigned) = EmbedStream.ivfReportFor(
+          s, batch, dir, b.toLong, c = 4 + r.nextInt(5))
+        assigned.write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(s"$dir/lists/batch=$b")
+        // drawn maintenance between appends — the schedule under test
+        if (r.nextInt(3) == 0) EmbedStream.compactIndex(s, dir, upTo = Long.MaxValue)
+        if (r.nextInt(3) == 0)
+          EmbedStream.retrainIvf(s, dir, c = 3 + r.nextInt(6), maxSkew = 2.5)
+      }
+      val members = subset.collect()
+        .map(row => (row.getLong(0), row.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val probeIds = r.shuffle(members.indices.toList).take(6).sorted
+      val k = 5
+      val rows = probeIds.flatMap { i =>
+        val (qid, qv) = members(i)
+        // nprobe covers every centroid and overfetch·k ≥ |subset|: the
+        // q8 prune keeps ALL rows, so the serve is exact brute force
+        EmbedStream.probeVector(s, dir, qv, k = k,
+          nprobe = 1024, overfetch = 64)
+          .zipWithIndex.map { case ((nid, score), rk) =>
+            (qid, nid, score, (rk + 1).toLong) }
+      }
+      import s.implicits._
+      val df = rows.toDF("query_id", "neighbor_id", "score", "rank")
+        .orderBy(col("query_id"), col("rank")).localCheckpoint()
+      val qCsv = probeIds.map(members(_)._1).mkString(", ")
+      val sql =
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+           |  WHERE vec_id >= $lo AND vec_id < $hi),
+           |q AS (SELECT vec_id query_id, v qv FROM e WHERE vec_id IN ($qCsv)),
+           |scored AS (
+           |  SELECT q.query_id, e.vec_id neighbor_id,
+           |    list_cosine_similarity(e.v, q.qv) score
+           |  FROM e, q),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) rank
+           |  FROM scored)
+           |SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+           |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+      (df, sql)
+    } finally deleteRec(dir)
+  }
+
   private val templates: Vector[Gen] =
     Vector(t0, t1, t2, t3, t4, t5, t6, t7, t8, t9,
       t10, t11, t12, t13, t14, t15, t16, t17, t18, t19,
-      t20, t21, t22, t23)
+      t20, t21, t22, t23, t24)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

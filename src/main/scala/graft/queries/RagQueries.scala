@@ -312,7 +312,8 @@ object RagQueries {
   // this session CREATED as temp are deleted
   Caches.addCloser { which =>
     val dirs = which match {
-      case Some(d) => ivfIndexDirs.remove(d).toSeq
+      case Some(d) => // derived keys share the sf-dir prefix (`<d>#skew`)
+        ivfIndexDirs.remove(d).toSeq ++ ivfIndexDirs.remove(s"$d#skew").toSeq
       case None =>
         val all = ivfIndexDirs.values.toSeq; ivfIndexDirs.clear(); all
     }

@@ -30,9 +30,15 @@ object RelationalQueries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        // money-shaped price sums reach 1e9 at sf1+, where double
+        // accumulation drifts ±cent between engines (the q9 class) —
+        // sum an exact DECIMAL image and round IN DECIMAL on both sides
+        round(sum(col("l_extendedprice").cast("decimal(30,10)")), 2)
+          .cast("double").as("sum_base_price"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,10)")), 2).cast("double").as("sum_disc_price"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+          .cast("decimal(30,10)")), 2).cast("double").as("sum_charge"),
         round(avg(col("l_quantity")), 2).as("avg_qty"),
         round(avg(col("l_extendedprice")), 2).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -43,9 +49,9 @@ object RelationalQueries {
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity),2) AS sum_qty,
-      |  round(sum(l_extendedprice),2) AS sum_base_price,
-      |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-      |  round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))),2) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,10))),2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(30,10))),2) AS DOUBLE) AS sum_charge,
       |  round(avg(l_quantity),2) AS avg_qty,
       |  round(avg(l_extendedprice),2) AS avg_price,
       |  round(avg(l_discount),4) AS avg_disc,
@@ -60,11 +66,13 @@ object RelationalQueries {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+      // decimal-image the global money sum (the q9/q5 ±cent class)
+      .agg(round(sum((col("l_extendedprice") * col("l_discount"))
+        .cast("decimal(30,10)")), 2).cast("double").as("revenue"))
   }
 
   val q6Sql: String =
-    """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+    """SELECT CAST(round(sum(CAST(l_extendedprice*l_discount AS DECIMAL(30,10))),2) AS DOUBLE) AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
@@ -108,12 +116,15 @@ object RelationalQueries {
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      // per-nation revenue is 1e9-magnitude at sf1: the caught ±cent
+      // engine drift (sf1 gate, r15) — decimal-exact sum + decimal round
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(30,10)")), 2).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   val q5Sql: String =
-    """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+    """SELECT n_name, CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,10))),2) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |JOIN supplier ON l_suppkey = s_suppkey
       |JOIN nation ON s_nationkey = n_nationkey
@@ -149,15 +160,16 @@ object RelationalQueries {
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
+      // nation-pair-year revenue reaches 1e8 at sf1 (the q9/q5 class)
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(30,10)")), 2).cast("double").as("revenue"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
   val q7Sql: String =
     """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
       |  year(l_shipdate)::INT AS l_year,
-      |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      |  CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,10))),2) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |JOIN supplier ON l_suppkey = s_suppkey
       |JOIN customer ON o_custkey = c_custkey
@@ -414,9 +426,10 @@ object RelationalQueries {
   /** TPC-H Q14 (promotion effect): the share of one year's shipped
     * revenue on PROMO-type parts — a conditional aggregate over the
     * lineitem scan with the part dimension BROADCAST (the dimension is
-    * parts-bounded; the fact table never reshuffles). Revenue sums
-    * round at 2 dp and the share at 4 dp — double-sum order noise sits
-    * ~7 digits below both. */
+    * parts-bounded; the fact table never reshuffles). The absolute
+    * revenue sums go through the q9-style DECIMAL image (1e8+ at sf1,
+    * where plain double sums drift ±cent between engines); the 4-dp
+    * share stays double — a ratio's rounding headroom is relative. */
   def q14PromoShare(s: SparkSession, d: String): DataFrame = {
     val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     Tables.lineitem(s, d)
@@ -428,9 +441,12 @@ object RelationalQueries {
         round(lit(100.0) *
           sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
           sum(rev), 4).as("promo_revenue_pct"),
-        round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))), 2)
-          .as("promo_revenue"),
-        round(sum(rev), 2).as("total_revenue"))
+        // the two absolute sums are 1e8-1e9 at sf1 — decimal-image them
+        // (the pct ratio stays double: rounding headroom is relative)
+        round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))
+          .cast("decimal(30,10)")), 2).cast("double").as("promo_revenue"),
+        round(sum(rev.cast("decimal(30,10)")), 2).cast("double")
+          .as("total_revenue"))
   }
 
   val q14Sql: String =
@@ -438,10 +454,11 @@ object RelationalQueries {
       |  round(100.0 * sum(CASE WHEN p_type = 'PROMO'
       |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
       |    / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_revenue_pct,
-      |  round(sum(CASE WHEN p_type = 'PROMO'
-      |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
-      |    AS promo_revenue,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+      |  CAST(round(sum(CAST(CASE WHEN p_type = 'PROMO'
+      |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+      |    AS DECIMAL(30,10))), 2) AS DOUBLE) AS promo_revenue,
+      |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_revenue
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'""".stripMargin
 

@@ -58,10 +58,17 @@ object VectorQueries {
         col("q8").as("qq8"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("qscore").desc, col("vec_id"))
+    // error-aware widening (the IvfIndex.searchQ8Lists r15 rule): this
+    // query's oracle asserts EQUALITY with the brute scan, which a fixed
+    // top-40 q8 window only delivers while the data stays spread out —
+    // keep everything within q8 noise of the k-th boundary too
+    val wk = Window.partitionBy(col("query_id"))
     val candidates = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("qscore", cosineQ8(col("q8"), col("qq8")))
       .withColumn("crank", row_number().over(wq))
-      .filter(col("crank") <= 40)
+      .withColumn("kth_q", max(when(col("crank") === 5, col("qscore"))).over(wk))
+      .filter(col("crank") <= 40 ||
+        (col("kth_q").isNotNull && col("qscore") >= col("kth_q") - lit(0.03)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
     candidates

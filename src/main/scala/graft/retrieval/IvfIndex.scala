@@ -530,7 +530,8 @@ object IvfIndex {
       centroids: Array[(Int, Array[Float])],
       nprobe: Int,
       k: Int,
-      overfetch: Int = 8): DataFrame = {
+      overfetch: Int = 8,
+      q8Margin: Double = 0.03): DataFrame = {
     import graft.functions.VectorFunctions.{cosineQ8, quantizeQ8}
     val spark = index.sparkSession
     import spark.implicits._
@@ -540,6 +541,7 @@ object IvfIndex {
     val indexed = withQ8(index, vecCol)
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("qscore").desc, col(idCol))
+    val wk = Window.partitionBy(col("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col(idCol))
     indexed
@@ -548,7 +550,11 @@ object IvfIndex {
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("qscore", cosineQ8(col("q8"), col("qq8")))
       .withColumn("crank", row_number().over(wq))
-      .filter(col("crank") <= overfetch * k)
+      // same error-aware widening as [[searchQ8Lists]]: candidates the
+      // quantizer cannot distinguish from the k-th boundary survive
+      .withColumn("kth_q", max(when(col("crank") === k, col("qscore"))).over(wk))
+      .filter(col("crank") <= overfetch * k ||
+        (col("kth_q").isNotNull && col("qscore") >= col("kth_q") - lit(q8Margin)))
       .withColumn("score", cosine(col(vecCol), col("qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -768,7 +774,8 @@ object IvfIndex {
       centroids: Array[(Int, Array[Float])],
       nprobe: Int,
       k: Int,
-      overfetch: Int = 8): DataFrame = {
+      overfetch: Int = 8,
+      q8Margin: Double = 0.03): DataFrame = {
     import graft.functions.VectorFunctions.{cosineQ8, quantizeQ8}
     val spark = lists.sparkSession
     import spark.implicits._
@@ -777,13 +784,31 @@ object IvfIndex {
       .withColumn("qq8", quantizeQ8(col("qv")))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("qscore").desc, col(idCol))
+    // Adaptive prune window (r15, found by the sf1 skew gate): the
+    // fixed overfetch·k cut assumes q8 ordering roughly agrees with
+    // exact ordering near the top — true for spread-out corpora, FALSE
+    // inside a near-duplicate blob, where true separations (~1e-4) sit
+    // far below q8 quantization noise (per-element error ≤ 1/254; ~3e-3
+    // RMS on cosines at 64–384 dims). There the q8 ranks are noise and
+    // the true top-k lands outside any fixed window — measured recall
+    // collapse at 20k rows under a 50 % duplicated-text cluster. So in
+    // addition to the fixed window, keep EVERY candidate whose q8 score
+    // is within `q8Margin` of the k-th best: candidates the quantizer
+    // cannot distinguish from the boundary must survive to the exact
+    // re-rank. Uniform data keeps ~overfetch·k rows (the margin ball is
+    // sparse); degenerate blobs promote the whole blob — the exact cost
+    // of answering "nearest among indistinguishables", distributed, and
+    // exactly the mass the dedup operators upstream exist to collapse.
+    val wk = Window.partitionBy(col("query_id"))
     val candidates = lists.select(col(idCol), col("centroid_id"), col("q8"))
       .join(broadcast(probeDf), col("centroid_id") === col("p_cid"))
       .join(broadcast(queryDf.select(col("query_id"), col("qq8"))), "query_id")
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("qscore", cosineQ8(col("q8"), col("qq8")))
       .withColumn("crank", row_number().over(wq))
-      .filter(col("crank") <= overfetch * k)
+      .withColumn("kth_q", max(when(col("crank") === k, col("qscore"))).over(wk))
+      .filter(col("crank") <= overfetch * k ||
+        (col("kth_q").isNotNull && col("qscore") >= col("kth_q") - lit(q8Margin)))
       .select(col("query_id"), col(idCol))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col(idCol))

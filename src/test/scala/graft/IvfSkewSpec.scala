@@ -117,4 +117,37 @@ class IvfSkewSpec extends SparkSpec {
     // measured at sf0.001/sf0.01 (ProfileRagIvf): per-query recall@10
     // 0.60-1.00, mean 0.90 — the 0.4 floor keeps >=1.5x headroom
   }
+
+  test("q8 two-phase search stays exact inside a near-duplicate blob") {
+    // The r15 sf1 regression this pins: inside a blob of near-identical
+    // vectors the true separations (~1e-4) sit far below q8 cosine
+    // noise (~3e-3), so q8 ranks are noise and a FIXED overfetch window
+    // drops the true top-k once the blob outgrows it — recall collapsed
+    // at 20k rows under a 50 % duplicated cluster. The error-aware
+    // margin (keep candidates within q8Margin of the k-th q8 score)
+    // must make the two-phase result equal the exact float search over
+    // the same probed lists, blob or no blob.
+    import graft.retrieval.IvfIndex
+    // sf0.01 here: the sf0.001 blob (~10 rows) fits inside the fixed
+    // overfetch window and would never exercise the margin path
+    val sk01 = RagQueries.skewedEmbeddings(spark, "/root/testdata/sf0.01")
+    val n01 = sk01.count()
+    val blob = sk01.filter(col("cid") === lit(RagQueries.SkewGeom.hotCid(n01)))
+      .select(col("vec_id"), col("embedding"))
+    val nb = blob.count()
+    assert(nb > 60, s"hot blob too small to exercise the window: $nb")
+    val cents = IvfIndex.buildCentroidsBalanced(
+      blob, "vec_id", "embedding", c, capFrac = 4.0 / c)
+    val index = IvfIndex.assign(blob, "vec_id", "embedding", cents)
+    val queries = blob.orderBy(col("vec_id")).limit(3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val exact = IvfIndex.search(index, "vec_id", "embedding", queries,
+      cents, nprobe = cents.length, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val q8 = IvfIndex.searchQ8(index, "vec_id", "embedding", queries,
+      cents, nprobe = cents.length, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(q8 == exact,
+      s"q8 two-phase diverged from exact inside the blob:\n$q8\nvs\n$exact")
+  }
 }
