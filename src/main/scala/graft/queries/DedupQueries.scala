@@ -52,7 +52,9 @@ object DedupQueries {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame])
   private def shingleRel(s: SparkSession, d: String): DataFrame =
     shingleCache.getOrElseUpdate(d,
-      Tables.documents(s, d)
+      // kernel spread (r15, guide §2.5): shingling is fused into the
+      // single-split scan at bench scale — parallelize the cache build
+      Tables.spread(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
         .persist())
@@ -312,7 +314,10 @@ object DedupQueries {
     pairsCache.getOrElseUpdate(d, simhashPairsPlan(s, d).persist())
 
   private def simhashPairsPlan(s: SparkSession, d: String): DataFrame =
-    bandedSimhashPairs(Tables.documents(s, d)
+    // kernel spread (r15, guide §2.5): the tokenize+simhash signature
+    // pass ran fused into the single-split scan on one core; no-op when
+    // the scan is already parallel (cache-build / Verify path cost)
+    bandedSimhashPairs(Tables.spread(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), simhash(tokens(col("text"))).as("sig")))
 
   /** The band-blocked Hamming-≤3 pair join over ANY (doc_id, sig)
@@ -376,7 +381,23 @@ object DedupQueries {
     triangleStats(pairGraph(s, d))
 
   /** Degree-oriented triangle count over an undirected edge list
-    * (columns `a`, `b`; each edge once, a ≠ b). See [[qDedupTriangles]]. */
+    * (columns `a`, `b`; each edge once, a ≠ b). See [[qDedupTriangles]].
+    *
+    * Two value-identical plans behind the ktruss broadcast gate (r15,
+    * guide §3/§2.4): while the oriented OUT-adjacency table (|E| longs)
+    * provably fits ([[KtrussBroadcastAdjacencyCap]]), each oriented
+    * edge's closing count |out(u) ∩ out(v)| evaluates as one
+    * array_intersect INSIDE the projection against the broadcast table
+    * — zero wedge rows on any exchange, 3 Exchanges total (vs 7: the
+    * wedge self-join shipped Σ outdeg² rows through a sort-merge join +
+    * pair aggregation + closing join — tens of millions of wedge rows
+    * at sf0.1 for a 271 k-edge clique-dense graph; warm wall 7.5 s →
+    * 2.3 s measured, see OPTIMIZATION_r15.md). Every
+    * triangle {x<y<z by (deg, id) order} is counted exactly once, at
+    * its lowest-order edge (x, y): z ∈ out(x) ∩ out(y), while
+    * out(y) ∋/ x and out(z) ∋/ y exclude the other two edges. Past the
+    * cap the original wedge plan runs unchanged — its shuffles spill
+    * gracefully where a giant broadcast would OOM. */
   def triangleStats(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("a").as("v"))
       .unionAll(edges.select(col("b").as("v")))
@@ -391,23 +412,38 @@ object DedupQueries {
       when(col("orda") < col("ordb"), col("a")).otherwise(col("b")).as("u"),
       when(col("orda") < col("ordb"), col("b")).otherwise(col("a")).as("v"),
       greatest(col("orda"), col("ordb")).as("ordv"))
-    // wedges at the low vertex, (v, w) ordered; close with an edge v→w.
-    // Clique-dense dup graphs repeat the same endpoint pair across many
-    // centers (a k-clique has ~k³/6 wedges but only ~k²/2 distinct
-    // (v, w) pairs), so aggregate wedge multiplicity per pair BEFORE the
-    // closing join: map-side combine collapses the duplicates inside each
-    // self-join output partition, the shuffle carries distinct pairs
-    // instead of raw wedges, and the closing join's probe side shrinks
-    // from O(Σ outdeg²) rows to O(distinct pairs).
-    val wedges = oriented.select(col("u"), col("v").as("wv"), col("ordv").as("ordwv"))
-      .join(oriented.select(col("u"), col("v").as("ww"), col("ordv").as("ordww")), "u")
-      .filter(col("ordwv") < col("ordww"))
-      .groupBy(col("wv").as("u"), col("ww").as("v"))
-      .agg(count(lit(1)).as("wedge_n"))
-    val tri = wedges.join(oriented.select(col("u"), col("v")), Seq("u", "v"))
-    val stats = edges.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(tri.agg(coalesce(sum(col("wedge_n")), lit(0L)).as("n_triangles")))
-    stats.select(col("n_edges"), col("n_triangles"))
+    val nEdges = edges.count()
+    if (2L * nEdges <= KtrussBroadcastAdjacencyCap) {
+      val outAdj = oriented.groupBy(col("u"))
+        .agg(sort_array(collect_list(col("v"))).as("nb"))
+      val emptyArr = array().cast("array<bigint>")
+      val tri = oriented
+        .join(broadcast(outAdj.select(col("u"), col("nb").as("nbu"))), "u")
+        .join(broadcast(outAdj.select(col("u").as("v"), col("nb").as("nbv"))),
+          Seq("v"), "left")
+        .agg(coalesce(sum(size(array_intersect(
+          col("nbu"), coalesce(col("nbv"), emptyArr))).cast("long")), lit(0L))
+          .as("n_triangles"))
+      tri.select(lit(nEdges).as("n_edges"), col("n_triangles"))
+    } else {
+      // wedges at the low vertex, (v, w) ordered; close with an edge v→w.
+      // Clique-dense dup graphs repeat the same endpoint pair across many
+      // centers (a k-clique has ~k³/6 wedges but only ~k²/2 distinct
+      // (v, w) pairs), so aggregate wedge multiplicity per pair BEFORE the
+      // closing join: map-side combine collapses the duplicates inside each
+      // self-join output partition, the shuffle carries distinct pairs
+      // instead of raw wedges, and the closing join's probe side shrinks
+      // from O(Σ outdeg²) rows to O(distinct pairs).
+      val wedges = oriented.select(col("u"), col("v").as("wv"), col("ordv").as("ordwv"))
+        .join(oriented.select(col("u"), col("v").as("ww"), col("ordv").as("ordww")), "u")
+        .filter(col("ordwv") < col("ordww"))
+        .groupBy(col("wv").as("u"), col("ww").as("v"))
+        .agg(count(lit(1)).as("wedge_n"))
+      val tri = wedges.join(oriented.select(col("u"), col("v")), Seq("u", "v"))
+      val stats = edges.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(tri.agg(coalesce(sum(col("wedge_n")), lit(0L)).as("n_triangles")))
+      stats.select(col("n_edges"), col("n_triangles"))
+    }
   }
 
   /** Incremental dedup probe — the shape a production pipeline actually
@@ -1792,7 +1828,21 @@ object DedupQueries {
     // the final output. Convergence = an empty removed set; support is
     // maintained w.r.t. the current surviving graph at every round
     // boundary, so the last frame IS the output (no final recompute).
-    val base = pairs.select(col("a"), col("b")).distinct().localCheckpoint()
+    // partition discipline (r15, guide §2.2): the peel's checkpointed
+    // generations carried ~32–64 partitions each regardless of size —
+    // ~2,300 tasks per evaluation at sf0.1 (300 k edges), nearly all
+    // scheduler overhead. Size every generation by the shared iterative-
+    // graph scale rule instead (array-heavy rows → 100 k edges per
+    // partition, min 1, capped at core count); the hash-repartition is a
+    // narrow (a, b, support) shuffle, trivial against the per-round
+    // array work it right-sizes.
+    def genParts(n: Long): Int = math.max(1, math.min(
+      pairs.sparkSession.sparkContext.defaultParallelism,
+      (n / 100000L).toInt + 1))
+    val nPairsUpper = pairs.count()
+    val base = pairs.select(col("a"), col("b")).distinct()
+      .repartition(genParts(nPairsUpper), col("a"), col("b"))
+      .localCheckpoint()
     var curN = base.count()
     // round 0 = the one full support pass; the observer sees each
     // round's edge count and whether the gate kept the broadcast plan
@@ -1964,7 +2014,11 @@ object DedupQueries {
               .select(col("a"), col("b"), deltaExpr)
           }
         val prev = edges
-        edges = untouched.unionByName(touched).localCheckpoint()
+        // same discipline for the new generation (see genParts above):
+        // the union otherwise accumulates both branches' partitions
+        edges = untouched.unionByName(touched)
+          .repartition(genParts(curN - nRem), col("a"), col("b"))
+          .localCheckpoint()
         // the old generation and the round's temps are unreachable now
         // that the new checkpoint is materialized (localCheckpoint is
         // eager) — release their block-manager storage
@@ -2031,10 +2085,21 @@ object DedupQueries {
     * edit_dist, edit_sim ≥ [[EditSimThreshold]]). */
   def qDedupEditDistance(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // kernel-spread partition count (r15, guide §2.5): the two heavy
+    // kernels here — the simhash signature pass over `reps` and the
+    // banded DP over `paired` — read localCheckpoints whose partitioning
+    // AQE had coalesced to ONE for bench-scale inputs (tiny bytes, huge
+    // per-row compute), serializing both kernels on one core. Spread to
+    // max(cores, scan splits): cores at bench scale, the scan's own
+    // parallelism at 100 TB — never a constant.
+    val parts = math.max(s.sparkContext.defaultParallelism,
+      try docs.rdd.getNumPartitions
+      catch { case scala.util.control.NonFatal(_) => 1 })
     val reps = docs
       .groupBy(fingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .join(docs, "doc_id")
+      .repartition(parts, col("doc_id"))
       .select(col("doc_id"), col("text"), normalized(col("text")).as("nt"))
       .localCheckpoint()
     val anchors = bandedSimhashPairs(
@@ -2049,7 +2114,9 @@ object DedupQueries {
         greatest(length(col("ta")), length(col("tb"))).as("ml"))
       // materialized once: SIX band branches read it — without this each
       // filter re-runs the anchor joins (measured: the sf1 DP saving
-      // vanished into 6× join recomputation)
+      // vanished into 6× join recomputation). Spread before the
+      // checkpoint (r15): the DP reads these partitions directly.
+      .repartition(parts, col("doc_id"))
       .localCheckpoint()
     // Banded-DP bound: a pair passes only when dist ≤ (1−t)·ml, so the
     // DP never needs cells beyond that diagonal band. Spark's bounded
@@ -2315,7 +2382,13 @@ object DedupQueries {
 
   private def winnowingPairs(s: SparkSession, d: String): DataFrame =
     winnowingReportFrom(winnowFpCache.getOrElseUpdate(d,
-      winnowingFingerprints(Tables.documents(s, d)).persist()))
+      // kernel spread (r15, guide §2.5): the gram-hash kernel (one md5
+      // per character position) was fused into the single-split scan
+      // stage and ran on one core; hash on doc_id so the winnowing
+      // window's exchange is subsumed. Batch path only — the streaming
+      // twin keeps its per-microbatch partitioning.
+      winnowingFingerprints(
+        Tables.spread(Tables.documents(s, d), col("doc_id"))).persist()))
 
   /** The selection stage alone: (doc_id, text) → per-doc DISTINCT
     * selected fingerprint hashes (doc_id, h) — the posting-list relation
@@ -2468,14 +2541,21 @@ object DedupQueries {
     * positions reduce per doc through one lead() window keyed by
     * doc_id; chunk hashing is a projection; the report is one
     * (source, chunk-hash) count-distinct rollup — map-side combinable,
-    * never doc×doc. The two rollup consumers share the chunk relation's
-    * exchange via reuse (checkpointing it was A/B'd and lost, the
-    * winnowing measurement). */
+    * never doc×doc. The per-source rows and the `_all` corpus row come
+    * out of ONE rollup pass over the chunk relation (r15). */
   def qDedupCdcChunks(s: SparkSession, d: String): DataFrame = {
     val K = CdcK
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), trim(col("text")).as("t"))
-      .filter(length(col("t")) >= 1)
+    // kernel spread (r15, guide §2.5): the boundary predicate below costs
+    // one md5 per character position — by far this query's dominant work
+    // — and at bench scale the documents scan is one split, so without
+    // the spread the whole kernel ran on ONE core (profiled: 8 tasks,
+    // ~5 task-sec). Hash on doc_id so the lead() window's exchange is
+    // subsumed (same key); no-op when the scan is already parallel.
+    val docs = Tables.spread(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), trim(col("text")).as("t"))
+        .filter(length(col("t")) >= 1),
+      col("doc_id"))
     // cut positions: 1 (sentinel), every boundary gram start p ≥ 2, and
     // nothing past the last gram (short docs are one chunk). NB Spark's
     // sequence(2, stop) DESCENDS when stop < 2 — guard the empty case
@@ -2498,25 +2578,36 @@ object DedupQueries {
       .select(col("doc_id"), col("source"), col("clen"),
         md5(col("t").substr(col("c"), col("clen"))).as("ch"))
       // first-occurrence flags (per-source and corpus-wide) computed
-      // BEFORE the rollup — window functions cannot live inside agg
+      // BEFORE the rollup — window functions cannot live inside agg.
+      // rn_all FIRST: its hash(ch) exchange also satisfies rn_src's
+      // (source, ch) clustering, so the second window is sort-only
+      .withColumn("rn_all", row_number().over(
+        Window.partitionBy(col("ch")).orderBy(col("doc_id"), col("clen"))))
       .withColumn("rn_src", row_number().over(
         Window.partitionBy(col("source"), col("ch"))
           .orderBy(col("doc_id"), col("clen"))))
-      .withColumn("rn_all", row_number().over(
-        Window.partitionBy(col("ch")).orderBy(col("doc_id"), col("clen"))))
-    val perSource = chunks.groupBy(col("source")).agg(
-      count(lit(1)).as("n_chunks"),
-      countDistinct(col("ch")).as("n_unique"),
-      sum(col("clen")).cast("long").as("chars_total"),
-      sum(when(col("rn_src") === 1, col("clen")).otherwise(lit(0)))
-        .cast("long").as("chars_stored"))
-    val allRow = chunks.groupBy(lit("_all").as("source")).agg(
-      count(lit(1)).as("n_chunks"),
-      countDistinct(col("ch")).as("n_unique"),
-      sum(col("clen")).cast("long").as("chars_total"),
-      sum(when(col("rn_all") === 1, col("clen")).otherwise(lit(0)))
-        .cast("long").as("chars_stored"))
-    perSource.unionByName(allRow)
+    // ONE rollup pass for the per-source rows AND the `_all` corpus row
+    // (r15): the previous per-source ∪ corpus-wide union duplicated the
+    // whole scan→kernel→window subtree — column pruning made the two
+    // branches differ (rn_src vs rn_all), so exchange reuse never fired
+    // and the md5 kernel ran twice per evaluation (plan-verified:
+    // 2 Scans / 4 Windows / 5 Exchanges before, 1 Scan / 3 Windows /
+    // 4 Exchanges after). Both stored-sums are computed in the single
+    // pass; grouping() picks the right one per output row.
+    chunks.rollup(col("source")).agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("ch")).as("n_unique"),
+        sum(col("clen")).cast("long").as("chars_total"),
+        sum(when(col("rn_src") === 1, col("clen")).otherwise(lit(0)))
+          .cast("long").as("stored_src"),
+        sum(when(col("rn_all") === 1, col("clen")).otherwise(lit(0)))
+          .cast("long").as("stored_all"),
+        grouping(col("source")).as("g"))
+      .select(
+        when(col("g") === 1, lit("_all")).otherwise(col("source")).as("source"),
+        col("n_chunks"), col("n_unique"), col("chars_total"),
+        when(col("g") === 1, col("stored_all")).otherwise(col("stored_src"))
+          .as("chars_stored"))
       .withColumn("dedup_ratio", round(lit(1.0) -
         col("chars_stored").cast("double") / col("chars_total"), 4))
       .orderBy(col("source"))

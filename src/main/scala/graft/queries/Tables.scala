@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Loaders for the driver-provided synthetic parquet tables (TESTDATA.md).
   *
@@ -12,6 +12,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Conditional kernel spread (optimization guide §2.5, input skew): a
+    * small parquet table is ONE input split (`maxPartitionBytes`), so an
+    * expensive per-row kernel fused into the scan stage (md5 per char
+    * position, DP cells, signature hashing) runs on one core of the
+    * whole machine. When the scan has fewer partitions than the cluster
+    * has cores, hash-repartition on a deterministic key BEFORE the
+    * kernel — the explicit partition count keeps AQE from coalescing
+    * the tiny exchange back to one partition. At 100 TB the scan side
+    * has thousands of splits and this is a provable no-op (no exchange
+    * added). Only safe on scan-rooted frames (no upstream exchange —
+    * `.rdd` here materializes the physical plan, which must not trigger
+    * query-stage execution). */
+  private[graft] def spread(df: DataFrame, keys: Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val parts =
+      try df.rdd.getNumPartitions
+      catch { case scala.util.control.NonFatal(_) => target }
+    if (parts < target) df.repartition(target, keys: _*) else df
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
