@@ -238,33 +238,61 @@ object DedupQueries {
     val signed = sh.select(col("doc_id"),
       minhashSignature(col("sh"), numHashes).as("sig")).localCheckpoint()
     val truth = qDedupJaccardPrefix(s, d)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
-    val nTruth = truth.count().toDouble
-
-    def candidates(bands: Int): DataFrame = {
-      val banded = minhashBands(signed, numHashes, bands)
-      banded.as("a")
-        .join(banded.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_key") === col("b.band_key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .dropDuplicates("doc_a", "doc_b")
-    }
-
+      .select(col("doc_a"), col("doc_b"))
     // floors measured at sf0.01/sf0.1/sf1 with ≥2x headroom; see spec
     val configs = Seq((32, 0.9), (16, 0.9), (8, 0.8), (4, 0.5))
-    var finer: Option[DataFrame] = None
-    val curve = configs.map { case (bands, floor) =>
-      val cand = candidates(bands).localCheckpoint()
-      val hits = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi").count()
+    // ONE plan for the whole sweep (r15, guide §1/§2.4): the previous
+    // per-config loop ran 4 banded self-joins plus a checkpoint, a
+    // semi-join count and an anti-join count EACH (~12 driver actions);
+    // instead union the four band splits under a `cfg` tag, self-join
+    // once keyed by (cfg, band_idx, band_key), aggregate each pair's
+    // captured-config set, and resolve every recall hit and superset
+    // violation in a single aggregate row. Semantics are identical:
+    // hits(cfg) counts truth pairs captured at cfg, and a superset
+    // violation is a pair captured at the coarser split but missed by
+    // the immediately finer one.
+    val bandedAll = configs.map { case (bands, _) =>
+      minhashBands(signed, numHashes, bands).withColumn("cfg", lit(bands))
+    }.reduce(_ unionByName _)
+    val pairCfgs = bandedAll.as("a")
+      .join(bandedAll.as("b"),
+        col("a.cfg") === col("b.cfg") &&
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.cfg").as("cfg"), col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"))
+      .dropDuplicates("cfg", "doc_a", "doc_b")
+    val perPair = pairCfgs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(collect_set(col("cfg")).as("cfgs"))
+      .join(truth.withColumn("is_truth", lit(true)),
+        Seq("doc_a", "doc_b"), "left")
+    val finerOf = configs.map(_._1).sliding(2)
+      .map { case Seq(finer, coarser) => coarser -> finer }.toMap
+    val aggCols = configs.flatMap { case (bands, _) =>
+      val in = array_contains(col("cfgs"), bands)
+      Seq(
+        sum(when(in && col("is_truth"), 1L).otherwise(0L))
+          .as(s"hits_$bands")) ++
+        finerOf.get(bands).map { f =>
+          sum(when(in && !array_contains(col("cfgs"), f), 1L).otherwise(0L))
+            .as(s"viol_$bands")
+        }
+    }
+    val statsRow = perPair.agg(
+      sum(when(col("is_truth"), 1L).otherwise(0L)).as("n_truth_hit"),
+      aggCols: _*).head()
+    // truth pairs never captured by ANY split are absent from perPair —
+    // count the denominator independently (one tiny count on the cached
+    // prefix-plan pair set)
+    val nTruth = truth.count().toDouble
+    configs.map { case (bands, floor) =>
+      val hits = statsRow.getLong(statsRow.fieldIndex(s"hits_$bands"))
       val recall = if (nTruth == 0) 1.0 else hits / nTruth
-      val superset = finer.forall(f =>
-        cand.join(f, Seq("doc_a", "doc_b"), "left_anti").count() == 0L)
-      finer = Some(cand)
+      val superset = finerOf.get(bands).forall(_ =>
+        statsRow.getLong(statsRow.fieldIndex(s"viol_$bands")) == 0L)
       (bands, numHashes / bands, floor, recall, recall >= floor, superset)
     }
-    curve
   }
 
   /** [[lshCurveMeasured]] plus per-config candidate-pair volume — the

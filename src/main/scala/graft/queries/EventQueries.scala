@@ -2671,6 +2671,12 @@ object EventQueries {
       .filter(afterWithinGap(col("ts1"), col("eid1"), col("ts2"), col("eid2")))
       .select(col("u"), col("p1"), col("p2"), col("ts2"), col("eid2"))
       .distinct()
+      // materialized once (r15): the level-2 support agg, the level-3
+      // extension AND the output union all consume this self-join —
+      // column pruning made their subtrees differ, so exchange reuse
+      // never fired and the plan re-ran the user-pair join per consumer
+      // (36 parquet scans / 0 ReusedExchange in the before plan)
+      .localCheckpoint()
     val l2 = frequent(ab.groupBy(col("p1"), col("p2"))
       .agg(countDistinct(col("u")).as("sup")))
     val l3 = frequent(

@@ -1744,16 +1744,37 @@ object VectorQueries {
     * single-config gate would catch. */
   def qIvfRecallCurve(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    import graft.retrieval.IvfIndex
     val truth = qKnnBrute(s, d)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint()
     val total = truth.count().toDouble
     val configs = Seq((1, 0.10), (2, 0.15), (4, 0.30), (6, 0.40))
-    val measured = configs.map { case (np, floor) =>
-      val ann = qKnnIvfParam(s, d, nprobe = np)
+    // build ONCE, sweep nprobe (r15, guide §1.2): the per-config loop
+    // re-ran the identical centroid training + assignment + query
+    // collect for every probe width (they depend only on the corpus),
+    // and paid one semi-join count action per config; the four probe
+    // plans are independent given the shared index, so union them under
+    // an `np` tag and resolve every config's hit count in one action.
+    // Per-config hit sets are unchanged — same index, same searches.
+    val emb = Tables.embeddings(s, d)
+    val c = ivfCentroidCount(emb)
+    val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", c)
+    val index = IvfIndex.assign(emb, "vec_id", "embedding", centroids)
+      .localCheckpoint()
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val hitsOf = configs.map { case (np, _) =>
+      IvfIndex.search(index, "vec_id", "embedding", queries, centroids,
+        nprobe = scaledNprobe(np, c), k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      val hits =
-        truth.join(ann, Seq("query_id", "neighbor_id"), "left_semi").count()
-      (np, floor, hits / total)
+        .withColumn("np", lit(np))
+    }.reduce(_ unionByName _)
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("np")).agg(count(lit(1)).as("hits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val measured = configs.map { case (np, floor) =>
+      (np, floor, hitsOf.getOrElse(np, 0L) / total)
     }
     val rows = measured.zipWithIndex.map { case ((np, floor, rec), i) =>
       (np, floor, rec >= floor, i == 0 || rec >= measured(i - 1)._3)
