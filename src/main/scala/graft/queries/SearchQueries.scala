@@ -47,9 +47,11 @@ object SearchQueries {
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
 
-  /** documents → (doc_id, w: token array, dl: doc length). */
+  /** documents → (doc_id, w: token array, dl: doc length). Spread (r15,
+    * guide §2.5): the split+explode kernel downstream is fused into the
+    * single-split scan at bench scale; no-op once the scan is parallel. */
   private[graft] def tokenized(s: SparkSession, d: String): DataFrame =
-    tokenizeDocs(Tables.documents(s, d))
+    tokenizeDocs(Tables.spread(Tables.documents(s, d), col("doc_id")))
 
   /** BM25 scoring + per-query top-k over INDEX-SHAPED relations —
     * postings (term, doc_id, dl, tf), dfreq (term, df), stats (n_docs,
@@ -487,10 +489,15 @@ object SearchQueries {
     // stage 1: feedback docs = BM25 top-FbDocs per query
     val wfb = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
+    // materialized (r15): Q×FbDocs rows — the whole stage-1 BM25 plan
+    // otherwise nests under stage 2's broadcast and stage 3's query-model
+    // broadcast, so the corpus-pass subtree is analyzed/planned once per
+    // consumer and the broadcast build re-runs it
     val fb = bm25Scores(docs, qterms)
       .withColumn("r", row_number().over(wfb))
       .filter(col("r") <= FbDocs)
       .select(col("query_id"), col("doc_id"), col("score"))
+      .localCheckpoint()
     // stage 2: relevance model over the feedback docs' tokens
     val fbt = docs
       .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
@@ -498,7 +505,9 @@ object SearchQueries {
       .groupBy(col("query_id"), col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
         max(col("score")).as("score"))
-    val scored = bm25Scores(docs, rm3QueryModel(fbt, qterms))
+    // the interpolated query model is Q×(|q|+ExpTerms) rows — flatten it
+    // too, so stage 3's broadcast builds from a materialized tiny frame
+    val scored = bm25Scores(docs, rm3QueryModel(fbt, qterms).localCheckpoint())
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     scored
