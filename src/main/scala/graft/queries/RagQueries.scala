@@ -145,7 +145,19 @@ object RagQueries {
           s.read.parquet(stage)
         case None => build
       }
-      df.repartition(8, col("scope")).persist()
+      // lineage cut before the persist (r15, guide §3.3 "very large
+      // plans"): the cached frame's LOGICAL plan was the whole ingest
+      // DAG (chunk→enrich→embed→rollup), and Catalyst re-analyzes and
+      // re-optimizes that full tree for EVERY retrieval action before
+      // the cache manager swaps in the InMemoryRelation — measured
+      // ~0.4–1.0 s of driver time per agent retrieval at sf0.1 against
+      // a 5,000-row cached corpus. Wrapping the scope-clustered RDD as
+      // a LogicalRDD keeps the in-memory columnar cache AND its
+      // per-batch scope stats (InMemoryRelation builds those at
+      // materialization, independent of the source plan) while making
+      // every downstream analysis a three-node tree.
+      val clustered = df.repartition(8, col("scope"))
+      s.createDataFrame(clustered.rdd, clustered.schema).persist()
     })
 
   /** Full ingest → per-scope counts. Every doc here is < 4000 chars, so
