@@ -185,12 +185,21 @@ class SearchQueriesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     assert(!plan.contains("CartesianProduct"), "no cartesian anywhere")
-    // every join that touches the corpus-sized token stream is broadcast
-    // (feedback pull, term prune in both passes, df/stats attachment)
-    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
-      s"expected >=4 broadcast joins in the two-pass plan:\n$plan")
+    // every join that touches the corpus-sized token stream is broadcast.
+    // Since r15 the Q-bounded stage-1 feedback list and the query model
+    // are localCheckpoints (the nested two-pass plan was re-optimized and
+    // re-run per consumer), so the FINAL plan shows stage 3's pass only:
+    // term prune + df attachment (stats ride a broadcast nested-loop-free
+    // cross of a 1-row aggregate). Stage 1 runs the identical bm25Scores
+    // kernel, whose plan shape ks_bm25's own assertions pin.
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected >=2 broadcast joins in the stage-3 pass:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"corpus-side joins must not shuffle-sort:\n$plan")
+    // (the checkpointed stage-1/2 intermediates enter as materialized RDD
+    // scans, but AQE's executed-plan rendering elides materialized stage
+    // subtrees, so their node is not string-assertable here; the
+    // RM3-reference parity test above pins their values instead)
   }
 
   test("stored-index RM3: identical output; expanded terms pushed into the probe scan") {
