@@ -738,16 +738,20 @@ object DedupQueries {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
-    val w = Window.partitionBy(col("src"))
-      .orderBy(col("cnt").desc, col("label").asc)
     (1 to rounds).foreach { _ =>
       labels = edges
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("src").as("node"), col("label"))
+        // argmax instead of a rank window (r15): the winner per node —
+        // highest count, smallest label on ties — is max_by over the
+        // (cnt, −label) order, a map-side-combinable second aggregate on
+        // the same hash(src) clustering, replacing the window's
+        // exchange + sort + rank + filter. Long.MinValue can't occur as
+        // a label (labels are node ids ≥ 0), so −label never overflows.
+        .groupBy(col("src").as("node"))
+        .agg(max_by(col("label"), struct(col("cnt"), -col("label")))
+          .as("label"))
         .localCheckpoint()
     }
     labels
