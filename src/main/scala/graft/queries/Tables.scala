@@ -10,8 +10,26 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * `PushedFilters` / `ReadSchema`).
   */
 object Tables {
+  /** One resolved relation per (sf-dir, table): `spark.read.parquet`
+    * lists the directory and reads parquet footers for schema inference
+    * EVERY call, and a bench/verify run calls each loader hundreds of
+    * times — that repeated driver-side metadata work is pure
+    * planner-constant overhead (guide §6 file listing, §7.3). The cached
+    * DataFrame is only the analyzed logical relation (no data is
+    * persisted; every action still computes from parquet), exactly what
+    * a catalog table would give. Evicted with the sf-dir through the
+    * [[Caches]] lifecycle like every other per-dir cache. */
+  private val relCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  Caches.addCloser {
+    case Some(dir) =>
+      relCache.keys.filter(_._1 == dir).foreach(relCache.remove)
+    case None => relCache.clear()
+  }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relCache.getOrElseUpdate((dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   /** Conditional kernel spread (optimization guide §2.5, input skew): a
     * small parquet table is ONE input split (`maxPartitionBytes`), so an
@@ -27,9 +45,22 @@ object Tables {
     * query-stage execution). */
   private[graft] def spread(df: DataFrame, keys: Column*): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
+    // enforce the scan-rooted precondition structurally (ADVICE r15):
+    // under AQE, `.rdd` on a frame with an upstream shuffle would
+    // eagerly RUN its query stages just to read a partition count. Only
+    // narrow nodes over a leaf may appear; anything else skips the probe
+    // and leaves the frame untouched.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val scanRooted = df.queryExecution.analyzed.collect {
+      case _: Project | _: Filter | _: SubqueryAlias | _: Generate => 0
+      case _: LeafNode => 0
+      case other => 1
+    }.sum == 0
     val parts =
-      try df.rdd.getNumPartitions
-      catch { case scala.util.control.NonFatal(_) => target }
+      if (!scanRooted) target
+      else
+        try df.rdd.getNumPartitions
+        catch { case scala.util.control.NonFatal(_) => target }
     if (parts < target) df.repartition(target, keys: _*) else df
   }
 

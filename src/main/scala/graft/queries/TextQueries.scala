@@ -1246,6 +1246,33 @@ object TextQueries {
     * after runs on ≤10-row frames. The regression is closed-form
     * covar/var over those 10 points. */
   def qHeapsLaw(s: SparkSession, d: String): DataFrame = {
+    val curve = heapsCurve(s, d)
+    // Determinism pin (r15 gate failure): covar_pop/var_pop accumulate
+    // doubles in whatever order partials arrive, and round(beta, 6)
+    // flipped a last digit run-to-run when the value sat on a rounding
+    // boundary. The curve is ≤10 rows, so materialize it once in decile
+    // order and re-run the SAME aggregate expressions over a pinned
+    // single-partition LocalRelation — one fixed accumulation order
+    // every run (and the heavy DAG now runs once, not twice).
+    val curveRows = curve.orderBy(col("decile")).collect()
+    val pinned = s.createDataFrame(
+      java.util.Arrays.asList(curveRows: _*), curve.schema).coalesce(1)
+    val fit = pinned
+      .select(log(col("n_tokens_cum").cast("double")).as("x"),
+        log(col("vocab_cum").cast("double")).as("y"))
+      .agg((covar_pop(col("x"), col("y")) / var_pop(col("x"))).as("beta"),
+        avg(col("x")).as("ax"), avg(col("y")).as("ay"))
+      .select(round(col("beta"), 6).as("beta"),
+        round(exp(col("ay") - col("beta") * col("ax")), 4).as("k_coef"))
+    pinned.crossJoin(broadcast(fit)).orderBy(col("decile"))
+  }
+
+  /** [[qHeapsLaw]]'s heavy half — the (decile, n_tokens_cum, vocab_cum)
+    * growth curve, exposed so PlanQualitySpec keeps pinning the
+    * corpus-sized plan (map-side min(rank) partials, bounded
+    * single-partition stages) now that the fit runs over the pinned
+    * collected rows. */
+  private[graft] def heapsCurve(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     val n = docs.count().toDouble // one bounded scalar, like qTCloseness
@@ -1289,14 +1316,7 @@ object TextQueries {
         sum(coalesce(col("vnew"), lit(0L))).over(wCum))
       .filter(col("n_tokens_cum") > 0 && col("vocab_cum") > 0)
       .select(col("dec").as("decile"), col("n_tokens_cum"), col("vocab_cum"))
-    val fit = curve
-      .select(log(col("n_tokens_cum").cast("double")).as("x"),
-        log(col("vocab_cum").cast("double")).as("y"))
-      .agg((covar_pop(col("x"), col("y")) / var_pop(col("x"))).as("beta"),
-        avg(col("x")).as("ax"), avg(col("y")).as("ay"))
-      .select(round(col("beta"), 6).as("beta"),
-        round(exp(col("ay") - col("beta") * col("ax")), 4).as("k_coef"))
-    curve.crossJoin(broadcast(fit)).orderBy(col("decile"))
+    curve
   }
 
   val qHeapsLawSql: String =
@@ -1359,9 +1379,16 @@ object TextQueries {
     val ranked = top.withColumn("r", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("f").desc, col("t").asc)))
+      .orderBy(col("r"))
       .select(log(col("r").cast("double")).as("lnr"),
         log(col("f").cast("double")).as("lnf"))
-    ranked.agg(
+    // same determinism pin as qHeapsLaw: the OLS moments must accumulate
+    // in one fixed order (rank-ascending, ≤1000 rows) so round(…, 6)
+    // can't flip at a boundary run-to-run
+    val rankedRows = ranked.collect()
+    val pinned = s.createDataFrame(
+      java.util.Arrays.asList(rankedRows: _*), ranked.schema).coalesce(1)
+    pinned.agg(
       count(lit(1)).as("n_terms"),
       round(covar_pop(col("lnr"), col("lnf")) /
         nullif(var_pop(col("lnr")), lit(0.0)), 6).as("slope"),

@@ -702,13 +702,23 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("heaps curve: type first-appearance agg partials map-side; no corpus-global window") {
-    val p = plan(graft.queries.TextQueries.qHeapsLaw(spark, sf))
+    // the heavy half (r16: the fit now runs over the pinned collected
+    // curve, so the corpus-sized plan is [[heapsCurve]], not the output)
+    val p = plan(graft.queries.TextQueries.heapsCurve(spark, sf))
     assert(count(p, "partial_min") >= 1,
       s"min(rank) per type must partial-aggregate map-side:\n$p")
     val globals = "Exchange SinglePartition".r.findAllMatchIn(p).length
-    // the ≤10-row decile cumsums and the 2-row fit may single-partition;
-    // the corpus-sized rank may not — bounded count is the proxy
+    // the ≤10-row decile cumsums may single-partition; the corpus-sized
+    // rank may not — bounded count is the proxy
     assert(globals <= 4, s"too many single-partition stages ($globals):\n$p")
     assert(count(p, "Window") >= 2, s"two-level rank windows expected:\n$p")
+    // the determinism pin: the OUTPUT plan's fit must aggregate a
+    // single-partition LocalRelation (fixed accumulation order), never
+    // a shuffled relation
+    val out = plan(graft.queries.TextQueries.qHeapsLaw(spark, sf))
+    assert(out.contains("LocalTableScan"),
+      s"fit must run over the pinned collected curve:\n$out")
+    assert(!out.contains("Exchange hashpartitioning"),
+      s"pinned fit must not reshuffle:\n$out")
   }
 }
