@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -152,6 +152,80 @@ case class HyperplaneSig(child: Expression, table: Int, bits: Int)
 }
 
 /** Row-level kernels called from both interpreted eval and generated code. */
+/** |a ∩ b| of two SORTED, duplicate-free long arrays by a merge walk —
+  * the common-neighbor count kernel of the triangle/k-truss plans.
+  * `size(array_intersect(a, b))` pays a per-row hash set build over one
+  * side plus a materialized intersection array (nearly full-length on
+  * clique-dense dup graphs) that the enclosing `size` immediately
+  * discards; the merge walk is one branch-predictable pass over both
+  * arrays with zero allocation. Value-identical on the sorted distinct
+  * adjacency arrays every caller feeds it (sort_array ∘ collect_list of
+  * a distinct edge list). Null input → null; null ELEMENTS are not
+  * expected (collect_list never emits them) and not checked.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_intersect_count expects two array<bigint>, got " +
+            s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = y.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi == yj) { c += 1L; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xi = ctx.freshName("xi")
+      val yj = ctx.freshName("yj")
+      s"""
+         |final int $n = $x.numElements();
+         |final int $m = $y.numElements();
+         |int $i = 0, $j = 0;
+         |long $c = 0L;
+         |while ($i < $n && $j < $m) {
+         |  final long $xi = $x.getLong($i);
+         |  final long $yj = $y.getLong($j);
+         |  if ($xi == $yj) { $c++; $i++; $j++; }
+         |  else if ($xi < $yj) { $i++; }
+         |  else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object HashKernels {
 
   // ±1 hyperplane entries, cached per (table, bits, dim): sign of

@@ -90,6 +90,17 @@ object TextFunctions {
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** |a ∩ b| of two SORTED duplicate-free long arrays (native
+    * [[SortedIntersectCount]] merge walk) — the common-neighbor count
+    * the triangle/k-truss plans evaluate per edge; replaces
+    * `size(array_intersect(a, b))`'s per-row hash set + discarded
+    * intersection array. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      SortedIntersectCount(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
   // --- Language ID (marker-word heuristic; SURVEY §7.7 "beyond-reference") ---
 
   private val markers: Seq[(String, Seq[String])] = Seq(

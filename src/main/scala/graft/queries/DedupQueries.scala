@@ -449,8 +449,8 @@ object DedupQueries {
         .join(broadcast(outAdj.select(col("u"), col("nb").as("nbu"))), "u")
         .join(broadcast(outAdj.select(col("u").as("v"), col("nb").as("nbv"))),
           Seq("v"), "left")
-        .agg(coalesce(sum(size(array_intersect(
-          col("nbu"), coalesce(col("nbv"), emptyArr))).cast("long")), lit(0L))
+        .agg(coalesce(sum(sortedIntersectCount(
+          col("nbu"), coalesce(col("nbv"), emptyArr))), lit(0L))
           .as("n_triangles"))
       tri.select(lit(nEdges).as("n_edges"), col("n_triangles"))
     } else {
@@ -1782,8 +1782,7 @@ object DedupQueries {
           .join(side("a", "na"), "a")
           .join(side("b", "nbb"), "b")
           .select(col("a"), col("b"),
-            size(array_intersect(col("na"), col("nbb"))).cast("long")
-              .as("support"))
+            sortedIntersectCount(col("na"), col("nbb")).as("support"))
       } else {
         // Over the cap, the two joins have opposite failure modes and
         // the graph's SHAPE decides which plan survives:
@@ -1861,8 +1860,7 @@ object DedupQueries {
           .join(adj.select(col("v").as(lastKey), col("nb").as(lastOut))
             .hint(join2Hint), lastKey)
           .select(col("a"), col("b"),
-            size(array_intersect(col("na"), col("nbb"))).cast("long")
-              .as("support"))
+            sortedIntersectCount(col("na"), col("nbb")).as("support"))
       }
     }
     // Support-delta peel (VERDICT r9 item 1): full support is computed
@@ -2001,9 +1999,9 @@ object DedupQueries {
         val ra = coalesce(col("ra"), emptyArr)
         val rb = coalesce(col("rb"), emptyArr)
         val deltaExpr = (col("support")
-          - size(array_intersect(col("nbb"), ra))
-          - size(array_intersect(col("na"), rb))
-          + size(array_intersect(ra, rb))).as("support")
+          - sortedIntersectCount(col("nbb"), ra)
+          - sortedIntersectCount(col("na"), rb)
+          + sortedIntersectCount(ra, rb)).as("support")
         val touched =
           if (fitsAdj)
             tagged
