@@ -1023,9 +1023,14 @@ object SearchQueries {
     * [[searchPage]] serving path: best [[SnippetW]]-token window per
     * (query, doc) of `top` — one positional-index probe + the tiny
     * within-doc window self-join. */
-  private def snippetsFor(s: SparkSession, d: String, top: DataFrame,
+  private def snippetsFor(s: SparkSession, d: String, topPlan: DataFrame,
       terms: Seq[String], qterms: DataFrame): DataFrame = {
     val (posTable, _) = phraseIndex(s, d)
+    // ≤ Q·k rows, consumed by the match semi-join, the docIds collect
+    // below AND the final projection — without the checkpoint the
+    // whole upstream ranking plan (a full BM25 pass) re-evaluated three
+    // times across the two actions (r16, guide §2.4 shared subtrees)
+    val top = topPlan.localCheckpoint()
     val matches = s.table(posTable)
       .filter(col("term").isin(terms: _*))
       .select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
@@ -1042,10 +1047,14 @@ object SearchQueries {
       .agg(countDistinct(col("t2")).as("n_cover"))
     val wb = Window.partitionBy(col("query_id"), col("doc_id"))
       .orderBy(col("n_cover").desc, col("pos"))
+    // ≤ Q·k rows again: the docIds collect and the final projection both
+    // consume `best` — checkpoint so the positional probe + window
+    // kernel runs once, not once per action
     val best = windows.withColumn("rn", row_number().over(wb))
       .filter(col("rn") === 1)
       .select(col("query_id"), col("doc_id"),
         col("pos").as("snip_start"), col("n_cover"))
+      .localCheckpoint()
     // bounded collect (≤ |queries|·k ids) → pushed In() on the text scan
     val docIds = best.select(col("doc_id")).distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -1192,6 +1201,10 @@ object SearchQueries {
       s.read.parquet(idx.statsPath), qterms, ProxPool)
       .select(col("query_id"), col("doc_id"), col("score"))
     val (posTable, _) = phraseIndex(s, d)
+    // (r16 note: checkpointing `pool` and `occ` here was A/B'd with the
+    // bench's min-of-3 methodology and came out a wash — 2.68 vs 2.75 s
+    // — everything is one action and exchange reuse already covers the
+    // occ self-join; left alone per guide §1.3)
     val occ = s.table(posTable)
       .filter(col("term").isin(terms: _*))
       .select(col("doc_id"), col("term"), explode(col("positions")).as("p"))
@@ -1354,7 +1367,13 @@ object SearchQueries {
     * paths (one implementation, two physical feeders — the
     * [[scoreIndex]]/[[bm25Scores]] relationship). `pos` carries
     * (doc_id, dl, pos, term) rows already restricted to SOME superset of
-    * the query terms. */
+    * the query terms. (r16 note: a pre-grouped array-postings variant —
+    * one row per (term, doc) carrying the positions array, phrase_tf by
+    * folding array_intersect over per-offset start sets — was built and
+    * MEASURED SLOWER: 0.9 → 2.1 s warm at sf0.1 direct, 0.96 → 1.67 s
+    * stored; the per-row transform/filter array allocations cost more
+    * than the row-form hash aggregate they replace, and the row form
+    * already combines map-side. Reverted per guide §1.) */
   /** The fixed query set as phrase relations: (distinct terms,
     * (query_id, off, term) offsets, (query_id, qlen) lengths) — the ONE
     * phrase-query tokenization shared by the direct, stored and streamed
