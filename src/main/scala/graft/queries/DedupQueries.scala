@@ -821,7 +821,8 @@ object DedupQueries {
   /** [[qDedupKcore]]'s peel over an undirected pair list (columns `a`,
     * `b`; each edge once): surviving (node, core_deg) after `rounds`
     * peel rounds at core order `k`. */
-  private[graft] def kcoreNodes(pairs: DataFrame, k: Int, rounds: Int)
+  private[graft] def kcoreNodes(pairs: DataFrame, k: Int, rounds: Int,
+      maxBroadcastKept: Long = KtrussBroadcastAdjacencyCap)
       : DataFrame = {
     // right-size the peel rounds (the componentLabels rule): each round
     // is several shuffled jobs over the edge list, so at small edge
@@ -829,13 +830,34 @@ object DedupQueries {
     // edges per partition keeps real-scale graphs fully parallel.
     // `pairs` is counted directly (persisted at the call sites) so the
     // symmetrized list materializes once, not twice (r16).
+    val nSymEdges = 2L * pairs.count()
     val parts = math.max(1, math.min(
       pairs.sparkSession.sparkContext.defaultParallelism,
-      (2L * pairs.count() / 500000L).toInt + 1))
+      (nSymEdges / 500000L).toInt + 1))
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
       .repartition(parts, col("src")).localCheckpoint()
     var kept = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    // survivor filter for one round: both endpoints still kept. Under the
+    // measured edge cap (the [[ktrussEdges]] gate: |kept| ≤ 2|E| ids) the
+    // kept set BROADCASTS — one broadcast serves both endpoint semi-joins
+    // (identical build subtree ⇒ ReusedExchange) and the edge list keeps
+    // its src hash partitioning, so the per-round degree aggregation runs
+    // with NO shuffle at all (guide §2.4/§3.1). Past the cap the shuffled
+    // semi-joins run dst-first so the final src-keyed join feeds the
+    // src-keyed aggregation without a third exchange.
+    val bcastKept = nSymEdges <= maxBroadcastKept
+    def survivors(k: DataFrame): DataFrame =
+      if (bcastKept) {
+        val b = broadcast(k)
+        edges
+          .join(b, col("src") === b("node"), "left_semi")
+          .join(b, col("dst") === b("node"), "left_semi")
+      } else {
+        edges
+          .join(k.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .join(k.select(col("node").as("src")), Seq("src"), "left_semi")
+      }
     // peeling only shrinks the kept set and each round's output depends
     // only on the previous set, so size-unchanged IS the fixpoint — all
     // remaining rounds would be identity. Near-dup graphs are clique-
@@ -845,9 +867,17 @@ object DedupQueries {
     var i = 0
     var converged = false
     while (i < rounds && !converged) {
-      kept = edges
-        .join(kept.select(col("node").as("src")), Seq("src"), "left_semi")
-        .join(kept.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      // the src-side kept filter is provably redundant inside the loop:
+      // a node peeled in round j had < k kept neighbors then, and kept
+      // only shrinks, so its round-i degree (counted against a SUBSET
+      // of round-j's kept set) stays < k — it can never re-pass the
+      // threshold. One endpoint semi-join per round instead of two.
+      kept = (if (bcastKept) {
+        val b = broadcast(kept)
+        edges.join(b, col("dst") === b("node"), "left_semi")
+      } else {
+        edges.join(kept.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      })
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("src").as("node"))
@@ -861,9 +891,7 @@ object DedupQueries {
       prevN = n
       i += 1
     }
-    edges
-      .join(kept.select(col("node").as("src")), Seq("src"), "left_semi")
-      .join(kept.select(col("node").as("dst")), Seq("dst"), "left_semi")
+    survivors(kept)
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
   }
 
@@ -1042,12 +1070,46 @@ object DedupQueries {
     * only, per-round `localCheckpoint` lineage truncation like the
     * propagation loop. Convergence = the small-star edge set reaches a
     * fixpoint (checked by a count + order-independent hash-sum probe).
-    * Returns (node, label) with label = the component's min node id. */
-  private[graft] def componentsStars(s: SparkSession, pairs: DataFrame): DataFrame = {
+    * Returns (node, label) with label = the component's min node id.
+    *
+    * `maxAggEdges` gates the per-round star kernel on the measured edge
+    * count (the [[ktrussEdges]] pattern): under the cap each star is ONE
+    * hash aggregation (min + neighbor list per node) followed by an
+    * explode — no join-back, and the large star needs no distinct at all
+    * (its duplicate (v, m) links are absorbed by small-star's
+    * dup-insensitive min aggregation and final distinct), so a round
+    * costs 3 exchanges instead of ~6 (guide §2.4). Past the cap the
+    * join-back form runs unchanged: a single hub's collect_list buffer
+    * is its degree, which the cap keeps below ~1e8 entries — the same
+    * bound the ktruss broadcast gate enforces. */
+  private[graft] def componentsStars(s: SparkSession, pairs: DataFrame,
+      maxAggEdges: Long = KtrussBroadcastAdjacencyCap): DataFrame = {
     val sym: DataFrame => DataFrame = e =>
       e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-    // large-star: every neighbor v > u links to m(u) = min(Γ(u) ∪ u)
-    def largeStar(e: DataFrame): DataFrame = {
+    // per-node m(u) = min(Γ(u) ∪ u) and the neighbor list, in one pass
+    def minNbrs(e: DataFrame): DataFrame = sym(e)
+      .groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"), collect_list(col("dst")).as("nbrs"))
+      .select(col("src"), least(col("mn"), col("src")).as("m"), col("nbrs"))
+    // large-star: every neighbor v > u links to m(u). m ≤ u < v, so the
+    // v ≠ m filter of the join form holds by construction; duplicates
+    // (two centers emitting the same (v, m)) are deliberately NOT
+    // deduplicated here — see the scaladoc.
+    def largeStarAgg(e: DataFrame): DataFrame = minNbrs(e)
+      .select(col("m"),
+        explode(filter(col("nbrs"), v => v > col("src"))).as("v"))
+      .select(col("v").as("src"), col("m").as("dst"))
+    // small-star: every neighbor v ≤ u (and u itself) links to m(u)
+    def smallStarAgg(e: DataFrame): DataFrame = minNbrs(e)
+      .select(col("m"),
+        explode(concat(
+          filter(col("nbrs"), v => v <= col("src")),
+          array(col("src")))).as("v"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    // join-back forms (the over-cap fallback): group-state bounded
+    def largeStarJoin(e: DataFrame): DataFrame = {
       val nbrs = sym(e)
       val mins = nbrs.groupBy(col("src")).agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("mn"), col("src")).as("m"))
@@ -1057,8 +1119,7 @@ object DedupQueries {
         .filter(col("src") =!= col("dst"))
         .distinct()
     }
-    // small-star: every neighbor v ≤ u (and u itself) links to m(u)
-    def smallStar(e: DataFrame): DataFrame = {
+    def smallStarJoin(e: DataFrame): DataFrame = {
       val nbrs = sym(e)
       val mins = nbrs.groupBy(col("src")).agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("mn"), col("src")).as("m"))
@@ -1084,9 +1145,13 @@ object DedupQueries {
     // the shared iterative-graph scale rule (~500k edges/partition,
     // min 1): star rounds are several shuffled jobs each, so small
     // graphs stop paying 32-task scheduler overhead per round
+    val nEdges = edges0.count()
     val parts = math.max(1, math.min(
       s.sparkContext.defaultParallelism,
-      (edges0.count() / 500000L).toInt + 1))
+      (nEdges / 500000L).toInt + 1))
+    val (largeStar, smallStar) =
+      if (2L * nEdges <= maxAggEdges) (largeStarAgg _, smallStarAgg _)
+      else (largeStarJoin _, smallStarJoin _)
     var edges = edges0.repartition(parts, col("src")).localCheckpoint(true)
     var prev: Option[(Long, java.math.BigDecimal)] = None
     var converged = false
@@ -2483,17 +2548,29 @@ object DedupQueries {
     * cull, post-cull denominators) in one place so the batch query and
     * the streaming index's merge-on-read view can never disagree. */
   private[graft] def winnowingReportFrom(sel: DataFrame): DataFrame = {
-    val ok = sel.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= WinnowMaxDf).select(col("h"))
-    val fpd = sel.join(ok, "h")
+    // ONE aggregation by h replaces the df-cull join AND the posting
+    // self-join (guide §2.4): each fingerprint's (distinct, sorted) doc
+    // list is collected — bounded at WinnowMaxDf entries by the cull
+    // itself, so the per-group state can never exceed the cull bound at
+    // any corpus size — and the shared-print pairs are generated by
+    // exploding the list's ordered pairs in place of the h-keyed
+    // sort-merge self-join.
+    val grp = sel.groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= WinnowMaxDf)
     // overlap denominators count the COMPARABLE (post-cull) prints —
     // culled boilerplate prints can never match, so counting them
     // would deflate every overlap score
-    val nf = fpd.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
-    val pairs = fpd.alias("a")
-      .join(fpd.alias("b"), col("a.h") === col("b.h") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val nf = grp.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    // ordered pairs (i < j) within each kept fingerprint's doc list:
+    // ds is sorted and distinct, so doc_a < doc_b by construction
+    val pairExpr = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
+        struct(x.as("doc_a"), y.as("doc_b")))))
+    val pairs = grp.filter(size(col("ds")) >= 2)
+      .select(explode(pairExpr).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
     // nf is corpus-sized (one row per doc) — joined UNBROADCAST on the

@@ -128,19 +128,20 @@ object SearchQueries {
     // in weighted mode qterms carries a per-(query, term) wt column that
     // scales each term's contribution (the RM3 interpolated query model)
     val weighted = qterms.columns.contains("wt")
-    val aggCols =
-      count(lit(1)).as("tf") +:
-        (if (weighted) Seq(max(col("wt")).as("wt")) else Nil)
-    val postings = docs
+    // tf per (term, doc) — QUERY-INDEPENDENT (r16, guide §2.3/§2.4): the
+    // token stream is pruned with a broadcast semi-join and aggregated
+    // once per (term, doc); the per-query expansion join then runs on the
+    // aggregated postings instead of the raw token stream, and the
+    // doc-frequency aggregate reads the same relation directly — the old
+    // per-(query, term, doc) aggregate needed a separate distinct pass so
+    // a term shared by two queries counted each doc once.
+    val tfTd = docs
       .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
-      .join(broadcast(qterms), "term")
-      .groupBy(col("query_id"), col("term"), col("doc_id"), col("dl"))
-      .agg(aggCols.head, aggCols.tail: _*)
-    // document frequency per term over the pruned postings (distinct docs
-    // per term is query-independent; distinct first so a term shared by
-    // two queries counts each doc once)
-    val dfreq = postings.select(col("term"), col("doc_id")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .join(broadcast(qterms.select(col("term"))), Seq("term"), "left_semi")
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val postings = tfTd.join(broadcast(qterms), "term")
+    val dfreq = tfTd.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val sat = col("idf") * (col("tf") * lit(k1 + 1)) /
       (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
     postings
@@ -387,12 +388,16 @@ object SearchQueries {
         size(col("f.fw")).as("fdl"))
     val avgF = fields.groupBy(col("fld")).agg(avg(col("fdl")).as("avgdl_f"))
     val stats = toks.agg(count(lit(1)).as("n_docs"))
-    val postings = fields
+    // per-(term, doc, field) tf is QUERY-INDEPENDENT (r16, the bm25Scores
+    // restructure): aggregate once off the semi-pruned token stream, then
+    // expand per query on the aggregated postings
+    val tfF = fields
       .select(col("doc_id"), col("fld"), col("fdl"), explode(col("fw")).as("term"))
-      .join(broadcast(qterms), "term")
-      .groupBy(col("query_id"), col("term"), col("doc_id"), col("fld"), col("fdl"))
+      .join(broadcast(qterms.select(col("term"))), Seq("term"), "left_semi")
+      .groupBy(col("term"), col("doc_id"), col("fld"), col("fdl"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = postings.select(col("term"), col("doc_id")).distinct()
+    val postings = tfF.join(broadcast(qterms), "term")
+    val dfreq = tfF.select(col("term"), col("doc_id")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val tfn = postings
       .join(broadcast(avgF), "fld")

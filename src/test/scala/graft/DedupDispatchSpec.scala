@@ -193,6 +193,22 @@ class DedupDispatchSpec extends SparkSpec {
     assert(labels.size == 102)
   }
 
+  test("star CC agg-explode and join-back kernels agree (cap forces fallback)") {
+    import spark.implicits._
+    // chain (adversarial diameter) + triangle + hub star + isolated pair
+    val g = ((0L until 40L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L)) ++
+      (200L until 210L).map(i => (250L, i)) :+ (300L, 301L))
+      .toDF("doc_a", "doc_b")
+    def run(cap: Long) = DedupQueries.componentsStars(spark, g, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val agg = run(Long.MaxValue) // agg-explode kernel
+    val join = run(0L)           // join-back fallback
+    assert(agg == join, "both star kernels must produce identical labels")
+    assert(agg.count(_._2 == 0L) == 41 && agg.count(_._2 == 100L) == 3 &&
+      agg.count(_._2 == 200L) == 11 && agg.count(_._2 == 300L) == 2)
+  }
+
   test("source overlap: exact matrix on a crafted corpus; zero-overlap pairs absent") {
     import spark.implicits._
     // srcA={"a b c","b c d"}, srcB={"a b c","b c e"}, srcC disjoint

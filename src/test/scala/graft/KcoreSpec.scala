@@ -53,6 +53,20 @@ class KcoreSpec extends SparkSpec {
     assert(got == Set(1L, 2L, 3L, 4L), s"hub 0 cascades out: $got")
   }
 
+  test("k-core broadcast and shuffled kept-set plans agree") {
+    // clique + chain + hub: exercises peel cascades on both plans; cap=0
+    // forces the shuffled semi-join fallback
+    val clique = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val extra = Seq(5L -> 30L, 30L -> 31L, 0L -> 1L, 0L -> 2L, 0L -> 3L)
+    def run(cap: Long) =
+      DedupQueries.kcoreNodes(pairsDf(clique ++ extra), 3, 8, cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bcast = run(Long.MaxValue)
+    val shuffled = run(0L)
+    assert(bcast == shuffled, "gate must not change the k-core")
+    assert(bcast == refKcore(clique ++ extra, 3).view.mapValues(_.toLong).toMap)
+  }
+
   test("engine output equals the driver-side TRUE fixpoint on sf0.001") {
     // proves the fixed 8-round budget reaches the fixpoint on the real
     // pair graph (rounds beyond convergence are no-ops by monotonicity)
