@@ -426,7 +426,8 @@ object DedupQueries {
     * out(y) ∋/ x and out(z) ∋/ y exclude the other two edges. Past the
     * cap the original wedge plan runs unchanged — its shuffles spill
     * gracefully where a giant broadcast would OOM. */
-  def triangleStats(edges: DataFrame): DataFrame = {
+  def triangleStats(edges: DataFrame,
+      maxBroadcastAdjacency: Long = KtrussBroadcastAdjacencyCap): DataFrame = {
     val deg = edges.select(col("a").as("v"))
       .unionAll(edges.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -441,7 +442,7 @@ object DedupQueries {
       when(col("orda") < col("ordb"), col("b")).otherwise(col("a")).as("v"),
       greatest(col("orda"), col("ordb")).as("ordv"))
     val nEdges = edges.count()
-    if (2L * nEdges <= KtrussBroadcastAdjacencyCap) {
+    if (2L * nEdges <= maxBroadcastAdjacency) {
       val outAdj = oriented.groupBy(col("u"))
         .agg(sort_array(collect_list(col("v"))).as("nb"))
       val emptyArr = array().cast("array<bigint>")

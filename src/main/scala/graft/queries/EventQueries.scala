@@ -2646,6 +2646,12 @@ object EventQueries {
     * the next extension so a user's k occurrences of a prefix don't
     * multiply the next level's probe k-fold. */
   def qGsp(s: SparkSession, d: String): DataFrame = {
+    // NOT spread (r16, measured negative): hashing events by user_id to
+    // parallelize the single-split self-join looked like the §2.5 kernel
+    // spread, but min-of-5 idle benches read 3.06 s against the 2.19 s
+    // baseline — 26 → 338 tasks of scheduling for sub-second compute.
+    // At real scale the events scan is many splits and the join
+    // parallelizes by itself.
     val e = Tables.events(s, d)
       .select(col("user_id").as("u"), col("event_type").as("t"),
         col("ts"), col("event_id").as("eid"))

@@ -517,7 +517,16 @@ object RagQueries {
     * with codegen HOFs (zip_with/aggregate/transform) in one projection,
     * no UDFs, no shuffle. Hot cluster (~50 % of rows) gets eps 0.02
     * (near-duplicate mass); the rest 0.3. */
-  private[graft] def skewedEmbeddings(s: SparkSession, d: String): DataFrame = {
+  private val skewedCache = Caches.register(
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+  private[graft] def skewedEmbeddings(s: SparkSession, d: String): DataFrame =
+    // ingest-once fixture (r16): the per-row HOF arithmetic
+    // (normalize(center + eps·unit(raw))) re-ran on EVERY gate call —
+    // both gate halves derive from this one deterministic relation, so
+    // persist it per sf-dir like every other fixture/index input
+    skewedCache.getOrElseUpdate(d, skewedEmbeddingsPlan(s, d).persist())
+
+  private def skewedEmbeddingsPlan(s: SparkSession, d: String): DataFrame = {
     val centersLit = typedlit(SkewGeom.centers.map(_.toSeq).toSeq)
     val hot = SkewGeom.hotCid(Tables.t(s, d, "embeddings").count())
     Tables.t(s, d, "embeddings")
@@ -616,7 +625,7 @@ object RagQueries {
     import s.implicits._
     val k = Retrieval.capsByScope("chunk").k
     val skewed = skewedEmbeddings(s, d).select("vec_id", "embedding")
-    val hot = SkewGeom.hotCid(Tables.t(s, d, "embeddings").count())
+    val hot = SkewGeom.hotCid(VectorQueries.embCount(s, d))
     val path = storedIvfSkewFor(s, d)
     val cents = IvfIndex.loadCentroids(s, path)
     // 3 hot probes (inside the near-duplicate blob) + 2 cold probes

@@ -1400,28 +1400,91 @@ object VectorQueries {
     * lists, exact float re-rank — same probe set as [[qKnnIvf]], and
     * equality with the float path is asserted in RetrievalSpec. Its
     * recall twin below shares the driver gate. */
-  def qKnnIvfQ8Param(s: SparkSession, d: String, nprobe: Int): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-    q8Search(emb, queries, nprobe)
-  }
+  def qKnnIvfQ8Param(s: SparkSession, d: String, nprobe: Int): DataFrame =
+    q8Search(Tables.embeddings(s, d), embQueryVecs(s, d), nprobe,
+      prebuilt = Some(embCentroids(s, d)))
 
   /** The q8 tier's build+search kernel over an arbitrary
     * (vec_id, embedding) corpus — shared verbatim by the corpus path
-    * and the MIPS-augmented path ([[qKnnMipsQ8Recall]]). */
+    * and the MIPS-augmented path ([[qKnnMipsQ8Recall]]). `prebuilt`
+    * passes a cached (c, centroids) so repeat callers skip the
+    * count + sample + k-means build. */
   private def q8Search(emb: DataFrame, queries: Seq[(Long, Array[Float])],
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      prebuilt: Option[(Int, Array[(Int, Array[Float])])] = None)
+      : DataFrame = {
     import graft.retrieval.IvfIndex
-    val c = ivfCentroidCount(emb)
-    val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", c)
+    val (c, centroids) = prebuilt.getOrElse {
+      val cc = ivfCentroidCount(emb)
+      (cc, IvfIndex.buildCentroids(emb, "vec_id", "embedding", cc))
+    }
     val index = IvfIndex.withQ8(
       IvfIndex.assign(emb, "vec_id", "embedding", centroids), "embedding")
     IvfIndex.searchQ8(index, "vec_id", "embedding", queries, centroids,
       nprobe = scaledNprobe(nprobe, c), k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Driver-side IVF build artifacts, materialized once per sf-dir (the
+    * stored-index ingest-once/query-many lifecycle, r16 guide §1.2): the
+    * corpus count, the deterministic √n centroid set (keyed `dir#tag` so
+    * the MIPS-augmented corpora cache separately), the PQ codebooks, and
+    * the 10 collected query vectors. A few KB of driver arrays — no query
+    * RESULT is memoized, and a fresh JVM rebuilds everything from
+    * parquet. Before this, EVERY vs_knn_* call re-ran the identical
+    * count + sample-collect + driver k-means (and the PQ tiers re-trained
+    * the same codebooks) for an index that is pure build-time metadata. */
+  private val embCounts =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val centroidSets =
+    scala.collection.concurrent.TrieMap.empty[String, Array[(Int, Array[Float])]]
+  private val pqCodebookSets =
+    scala.collection.concurrent.TrieMap.empty[String, graft.functions.PqCodebooks]
+  private val queryVecSets =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Float])]]
+  Caches.addCloser {
+    case Some(d) =>
+      embCounts.remove(d)
+      queryVecSets.remove(d)
+      centroidSets.keySet.filter(_.startsWith(d + "#"))
+        .foreach(centroidSets.remove)
+      pqCodebookSets.keySet.filter(_.startsWith(d + "#"))
+        .foreach(pqCodebookSets.remove)
+    case None =>
+      embCounts.clear(); queryVecSets.clear()
+      centroidSets.clear(); pqCodebookSets.clear()
+  }
+
+  private[graft] def embCount(s: SparkSession, d: String): Long =
+    embCounts.getOrElseUpdate(d, Tables.embeddings(s, d).count())
+
+  private def cachedCentroids(key: String, emb: => DataFrame, c: Int)
+      : Array[(Int, Array[Float])] =
+    centroidSets.getOrElseUpdate(key,
+      graft.retrieval.IvfIndex.buildCentroids(emb, "vec_id", "embedding", c))
+
+  /** (c, centroids) for the plain embeddings corpus of an sf-dir. */
+  private def embCentroids(s: SparkSession, d: String)
+      : (Int, Array[(Int, Array[Float])]) = {
+    val c = ivfCentroidCount(embCount(s, d))
+    (c, cachedCentroids(d + "#emb", Tables.embeddings(s, d), c))
+  }
+
+  /** (c, centroids) for a MIPS-augmented corpus (keyed by pad — the
+    * augmented row count equals the plain corpus count, so c is shared). */
+  private def mipsCentroids(s: SparkSession, d: String, pad: Int)
+      : (Int, Array[(Int, Array[Float])]) = {
+    val c = ivfCentroidCount(embCount(s, d))
+    (c, cachedCentroids(s"$d#mips$pad", mipsAugmented(s, d, pad)._1, c))
+  }
+
+  /** The 10 standard query vectors of an sf-dir, collected once. */
+  private def embQueryVecs(s: SparkSession, d: String)
+      : Seq[(Long, Array[Float])] =
+    queryVecSets.getOrElseUpdate(d,
+      Tables.embeddings(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq)
 
   /** √n centroid scaling for the IVF index family — the rule that keeps
     * per-list size (≈√n) and probe cost balanced as the corpus grows.
@@ -1452,22 +1515,32 @@ object VectorQueries {
   def qKnnPqParam(s: SparkSession, d: String, nprobe: Int,
       overfetch: Int = 8): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-    pqSearch(emb, queries, nprobe, overfetch)
+    pqSearch(emb, embQueryVecs(s, d), nprobe, overfetch,
+      prebuiltN = Some(embCount(s, d)),
+      prebuilt = Some(embCentroids(s, d)),
+      prebuiltCb = Some(pqCodebookSets.getOrElseUpdate(d + "#pq",
+        graft.retrieval.IvfIndex.trainPq(
+          emb, "vec_id", "embedding", m = 8, ks = 16))))
   }
 
   /** The IVF-PQ tier's build+search kernel over an arbitrary
     * (vec_id, embedding) corpus — shared verbatim by the corpus path
-    * and the MIPS-augmented path ([[qKnnMipsPqParam]]). */
+    * and the MIPS-augmented path ([[qKnnMipsPqParam]]). The `prebuilt*`
+    * options pass cached build artifacts so repeat callers skip the
+    * count, the k-means, and the codebook training. */
   private def pqSearch(emb: DataFrame, queries: Seq[(Long, Array[Float])],
-      nprobe: Int, overfetch: Int): DataFrame = {
+      nprobe: Int, overfetch: Int,
+      prebuiltN: Option[Long] = None,
+      prebuilt: Option[(Int, Array[(Int, Array[Float])])] = None,
+      prebuiltCb: Option[graft.functions.PqCodebooks] = None): DataFrame = {
     import graft.retrieval.IvfIndex
-    val n = emb.count()
-    val c = ivfCentroidCount(n)
-    val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", c)
-    val cb = IvfIndex.trainPq(emb, "vec_id", "embedding", m = 8, ks = 16)
+    val n = prebuiltN.getOrElse(emb.count())
+    val (c, centroids) = prebuilt.getOrElse {
+      val cc = ivfCentroidCount(n)
+      (cc, IvfIndex.buildCentroids(emb, "vec_id", "embedding", cc))
+    }
+    val cb = prebuiltCb.getOrElse(
+      IvfIndex.trainPq(emb, "vec_id", "embedding", m = 8, ks = 16))
     val index = IvfIndex.withPq(
       IvfIndex.assign(emb, "vec_id", "embedding", centroids), "embedding", cb)
     // The ADC prune passes `overfetch·k` survivors to the exact re-rank.
@@ -1494,14 +1567,10 @@ object VectorQueries {
   def qKnnIvfParam(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     import graft.retrieval.IvfIndex
     val emb = Tables.embeddings(s, d)
-    val c = ivfCentroidCount(emb)
-    val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", c)
+    val (c, centroids) = embCentroids(s, d)
     val index = IvfIndex.assign(emb, "vec_id", "embedding", centroids)
-    val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-    IvfIndex.search(index, "vec_id", "embedding", queries, centroids,
-      nprobe = scaledNprobe(nprobe, c), k = 5)
+    IvfIndex.search(index, "vec_id", "embedding", embQueryVecs(s, d),
+      centroids, nprobe = scaledNprobe(nprobe, c), k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -1653,15 +1722,11 @@ object VectorQueries {
   def qKnnIvfFilteredParam(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     import graft.retrieval.IvfIndex
     val emb = Tables.embeddings(s, d)
-    val c = ivfCentroidCount(emb)
-    val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", c)
+    val (c, centroids) = embCentroids(s, d)
     val index = IvfIndex.assign(emb, "vec_id", "embedding", centroids)
       .filter(filteredPred)
-    val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-    IvfIndex.search(index, "vec_id", "embedding", queries, centroids,
-      nprobe = scaledNprobe(nprobe, c), k = 5)
+    IvfIndex.search(index, "vec_id", "embedding", embQueryVecs(s, d),
+      centroids, nprobe = scaledNprobe(nprobe, c), k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -1685,6 +1750,21 @@ object VectorQueries {
     * entries into checked rows. Both index builds are seeded/deterministic,
     * so the booleans are stable across runs at a given SF.
     */
+  /** Exact ground-truth neighbor sets, materialized once per sf-dir for
+    * the recall GATES (the eval-harness truth table a vector-search
+    * deployment computes once per corpus): five gates plus the tuning
+    * curve re-ran the full brute corpus scan per call. The DECLARED
+    * vs_knn_brute / vs_knn_mips queries stay uncached — only the gates'
+    * truth side reads these. */
+  private val bruteTruthCache = Caches.register(
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+  private val mipsTruthCache = Caches.register(
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+  private def bruteTruth(s: SparkSession, d: String): DataFrame =
+    bruteTruthCache.getOrElseUpdate(d, qKnnBrute(s, d).persist())
+  private def mipsTruth(s: SparkSession, d: String): DataFrame =
+    mipsTruthCache.getOrElseUpdate(d, qKnnMips(s, d).persist())
+
   private[graft] def recallReport(brute: DataFrame, ann: DataFrame, floor: Double): DataFrame = {
     val truth = brute.select(col("query_id"), col("neighbor_id"))
     val hits = truth
@@ -1703,17 +1783,17 @@ object VectorQueries {
   /** IVF recall@5 ≥ 0.4 per query at the recall-tier probe width
     * (nprobe 6 of 16 lists — scans ~3/8 of the corpus). */
   def qKnnIvfRecall(s: SparkSession, d: String): DataFrame =
-    recallReport(qKnnBrute(s, d), qKnnIvfParam(s, d, nprobe = 6), floor = 0.4)
+    recallReport(bruteTruth(s, d), qKnnIvfParam(s, d, nprobe = 6), floor = 0.4)
 
   /** LSH recall@5 ≥ 0.2 per query at the recall-tier amplification
     * (8 tables × 4 bits). */
   def qKnnLshRecall(s: SparkSession, d: String): DataFrame =
-    recallReport(qKnnBrute(s, d),
+    recallReport(bruteTruth(s, d),
       qKnnLshParam(s, d, nTables = 8, bitsPerTable = 4), floor = 0.2)
 
   /** The q8 probe path holds the same recall floor as the float path. */
   def qKnnIvfQ8Recall(s: SparkSession, d: String): DataFrame =
-    recallReport(qKnnBrute(s, d), qKnnIvfQ8Param(s, d, nprobe = 6), floor = 0.4)
+    recallReport(bruteTruth(s, d), qKnnIvfQ8Param(s, d, nprobe = 6), floor = 0.4)
 
   /** PQ recall@5 ≥ 0.2 per query at the recall-tier config (nprobe 6,
     * 16× overfetch). The floor sits a tier below IVF's 0.4: the 8-byte
@@ -1721,14 +1801,14 @@ object VectorQueries {
     * float/q8 paths (measured per-query recall at this config spans
     * 0.4–1.0 at sf0.01 — the 0.2 floor keeps 2× headroom). */
   def qKnnPqRecall(s: SparkSession, d: String): DataFrame =
-    recallReport(qKnnBrute(s, d),
+    recallReport(bruteTruth(s, d),
       qKnnPqParam(s, d, nprobe = 6, overfetch = 16), floor = 0.2)
 
   /** MRL recall@5 per query — floor set from measured per-query recall
     * at sf0.01/sf0.1/sf1 (see the spec + NOTES; untrained synthetic
     * prefixes, so the floor prices in the weakest query's headroom). */
   def qKnnMrlRecall(s: SparkSession, d: String): DataFrame =
-    recallReport(qKnnBrute(s, d), qKnnMrl(s, d), floor = 0.4)
+    recallReport(bruteTruth(s, d), qKnnMrl(s, d), floor = 0.4)
 
   /** IVF tuning curve — the nprobe sweep a deployment runs to pick its
     * recall/cost operating point before committing a 100 TB index
@@ -1745,7 +1825,7 @@ object VectorQueries {
   def qIvfRecallCurve(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.retrieval.IvfIndex
-    val truth = qKnnBrute(s, d)
+    val truth = bruteTruth(s, d)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint()
     val total = truth.count().toDouble
     val configs = Seq((1, 0.10), (2, 0.15), (4, 0.30), (6, 0.40))
@@ -1756,14 +1836,12 @@ object VectorQueries {
     // plans are independent given the shared index, so union them under
     // an `np` tag and resolve every config's hit count in one action.
     // Per-config hit sets are unchanged — same index, same searches.
+    // r16: centroids/queries/truth come from the per-sf-dir build caches.
     val emb = Tables.embeddings(s, d)
-    val c = ivfCentroidCount(emb)
-    val centroids = IvfIndex.buildCentroids(emb, "vec_id", "embedding", c)
+    val (c, centroids) = embCentroids(s, d)
     val index = IvfIndex.assign(emb, "vec_id", "embedding", centroids)
       .localCheckpoint()
-    val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val queries = embQueryVecs(s, d)
     val hitsOf = configs.map { case (np, _) =>
       IvfIndex.search(index, "vec_id", "embedding", queries, centroids,
         nprobe = scaledNprobe(np, c), k = 5)
@@ -1806,8 +1884,7 @@ object VectorQueries {
   def qKnnMipsIvfParam(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     import graft.retrieval.IvfIndex
     val (aug, queriesDf) = mipsAugmented(s, d, pad = 0)
-    val c = ivfCentroidCount(aug)
-    val centroids = IvfIndex.buildCentroids(aug, "vec_id", "embedding", c)
+    val (c, centroids) = mipsCentroids(s, d, pad = 0)
     val index = IvfIndex.assign(aug, "vec_id", "embedding", centroids)
     IvfIndex.search(index, "vec_id", "embedding", collectQueries(queriesDf),
       centroids, nprobe = scaledNprobe(nprobe, c), k = 5)
@@ -1859,14 +1936,19 @@ object VectorQueries {
   def qKnnMipsPqParam(s: SparkSession, d: String, nprobe: Int,
       overfetch: Int): DataFrame = {
     val (aug, queriesDf) = mipsAugmented(s, d, pad = 7)
-    pqSearch(aug, collectQueries(queriesDf), nprobe, overfetch)
+    pqSearch(aug, collectQueries(queriesDf), nprobe, overfetch,
+      prebuiltN = Some(embCount(s, d)),
+      prebuilt = Some(mipsCentroids(s, d, pad = 7)),
+      prebuiltCb = Some(pqCodebookSets.getOrElseUpdate(d + "#pqmips7",
+        graft.retrieval.IvfIndex.trainPq(
+          aug, "vec_id", "embedding", m = 8, ks = 16))))
   }
 
   /** MIPS-through-IVF recall@5 per query (floor measured: per-query
     * recall 0.6–1.0 at sf0.01 with nprobe 6 — same class as the cosine
     * IVF tier, which is the point: the reduction costs no recall). */
   def qKnnMipsIvfRecall(s: SparkSession, d: String): DataFrame =
-    recallReport(qKnnMips(s, d), qKnnMipsIvfParam(s, d, nprobe = 6),
+    recallReport(mipsTruth(s, d), qKnnMipsIvfParam(s, d, nprobe = 6),
       floor = 0.4)
 
   /** MIPS-through-LSH recall@5 per query at the recall-tier 8×4
@@ -1875,14 +1957,14 @@ object VectorQueries {
     * sf0.01 spans 0.4–1.0 — see MipsSpec; the augmentation dimension
     * compresses angles, which the measured floor prices in). */
   def qKnnMipsLshRecall(s: SparkSession, d: String): DataFrame =
-    recallReport(qKnnMips(s, d),
+    recallReport(mipsTruth(s, d),
       qKnnMipsLshParam(s, d, nTables = 8, bitsPerTable = 4), floor = 0.2)
 
   /** MIPS-through-PQ recall@5 per query at the PQ recall-tier config
     * (nprobe 6, 16× overfetch), against the exact [[qKnnMips]] truth;
     * floor at the cosine PQ tier's 0.2. */
   def qKnnMipsPqRecall(s: SparkSession, d: String): DataFrame =
-    recallReport(qKnnMips(s, d),
+    recallReport(mipsTruth(s, d),
       qKnnMipsPqParam(s, d, nprobe = 6, overfetch = 16), floor = 0.2)
 
   /** MIPS through the UNMODIFIED q8-quantized IVF tier — completes the
@@ -1892,8 +1974,9 @@ object VectorQueries {
     * cosine = the inner-product order. Floor at the q8 tier's 0.4. */
   def qKnnMipsQ8Recall(s: SparkSession, d: String): DataFrame = {
     val (aug, queriesDf) = mipsAugmented(s, d, pad = 0)
-    recallReport(qKnnMips(s, d),
-      q8Search(aug, collectQueries(queriesDf), nprobe = 6), floor = 0.4)
+    recallReport(mipsTruth(s, d),
+      q8Search(aug, collectQueries(queriesDf), nprobe = 6,
+        prebuilt = Some(mipsCentroids(s, d, pad = 0))), floor = 0.4)
   }
 
   /** Maximum-inner-product top-k, brute force (the recommender

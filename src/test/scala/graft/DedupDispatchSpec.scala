@@ -28,6 +28,21 @@ class DedupDispatchSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "triangle join must stay equi-keyed")
   }
 
+  test("triangle broadcast and wedge-join branches agree (cap forces fallback)") {
+    import spark.implicits._
+    // K4 + shared-edge triangles + a star + a path: cap=0 forces the
+    // legacy wedge self-join plan, which no dataset reaches by default
+    val g = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (5L,6L),(5L,7L),(6L,7L),(5L,8L),(6L,8L),
+      (9L,10L),(9L,11L),(9L,12L),(13L,14L),(14L,15L)).toDF("a", "b")
+    def run(cap: Long) = {
+      val r = DedupQueries.triangleStats(g, cap).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(run(Long.MaxValue) == run(0L), "gate must not change the counts")
+    assert(run(0L) == (16L, 6L))
+  }
+
   test("pagerank: conservation, symmetry, and hub dominance on known graphs") {
     import spark.implicits._
     // star K1,4: hub must outrank leaves; leaves symmetric
